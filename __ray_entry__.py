@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extension set); ``oracle_sql()`` provides
+the DuckDB-equivalent SQL for the SQL-expressible subset. Column names match
+between both sides (the driver hash-compares after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +14,303 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _register_package_by_value() -> None:
+    """Ship rabbittclust_ray to Ray workers inside the pickled closures.
+
+    The package is not pip-installed; worker processes only inherit the
+    driver's CWD, not its sys.path. Registering every submodule for
+    pickle-by-value makes the contract work regardless of the driver's
+    working directory."""
+    import importlib
+    import os
+    import pkgutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ray import cloudpickle
+
+    import rabbittclust_ray
+
+    cloudpickle.register_pickle_by_value(rabbittclust_ray)
+    for pkg in pkgutil.walk_packages(rabbittclust_ray.__path__, "rabbittclust_ray."):
+        cloudpickle.register_pickle_by_value(importlib.import_module(pkg.name))
+
+
+_register_package_by_value()
+
+
+MIN_LEN = 100  # min-len filter used by the SQL-checked ops (matches oracle)
+
+
+def _docs(sf_dir: str):
+    """Driver testdata documents -> canonical shape, native doc_id kept."""
+    import ray.data
+
+    from rabbittclust_ray.corpus import adapt_testdata_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def adapt(t: pa.Table) -> pa.Table:
+        out = adapt_testdata_documents(t)
+        return out.append_column("doc_id", t["doc_id"])
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def _prepared(sf_dir: str, min_len: int = 0):
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.prepare import prepare_documents
+
+    cfg = SketchConfig(min_len=min_len)
+    return prepare_documents(_docs(sf_dir), cfg, apply_min_len=min_len > 0)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (clust-mst + dedup) on /root/testdata/sf0.001."""
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.1, num_buckets=16, dedup_dist=0.05)
+    res = clust_mst(_docs("/root/testdata/sf0.001"), scfg, ccfg)
+    return res.assignments
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_size_scan(sf_dir: str):
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.prepare import size_scan
+
+    out = size_scan(_docs(sf_dir), SketchConfig(min_len=MIN_LEN)).to_pandas()
+    out["avg_len"] = out["avg_len"].round(4)
+    return out
+
+
+def _q_sha_invariant(sf_dir: str):
+    return _prepared(sf_dir).select_columns(["doc_id", "content_sha256"])
+
+
+def _q_min_len_filter(sf_dir: str):
+    return _prepared(sf_dir, min_len=MIN_LEN).select_columns(["doc_id", "length"])
+
+
+def _q_exact_dedup(sf_dir: str):
+    from rabbittclust_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_prepared(sf_dir))
+
+
+def _q_token_count(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.text import token_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_count(ds)
+
+
+def _q_quality_score(sf_dir: str):
+    """Integer ppm ratios so the DuckDB comparison is float-rounding-proof."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str)
+        n = s.str.len().astype("int64")
+        safe = np.maximum(n, 1)
+        out = df[["doc_id"]].copy()
+        out["n_chars_q"] = n
+        out["alpha_ppm"] = np.floor(s.str.count(r"[A-Za-z]") * 1000000.0 / safe).astype("int64")
+        out["digit_ppm"] = np.floor(s.str.count(r"[0-9]") * 1000000.0 / safe).astype("int64")
+        out["space_ppm"] = np.floor(s.str.count(r" ") * 1000000.0 / safe).astype("int64")
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.text import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(ds)
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.text import fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint(ds)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.text import simhash_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
+def _q_minhash_sketch(sf_dir: str):
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.sketch import sketch_documents
+
+    cfg = SketchConfig(shingle_k=8, sketch_size=128, min_len=0)
+    sk = sketch_documents(_prepared(sf_dir), cfg)
+    return sk.select_columns(["doc_id", "sketch_size", "content_sha256"])
+
+
+def _q_clusters_mst(sf_dir: str):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
+    return clust_mst(_docs(sf_dir), scfg, ccfg).assignments
+
+
+def _q_dup_pairs_mst(sf_dir: str):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.1, num_buckets=16, dedup_dist=0.05)
+    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    return res.dup_pairs
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs: mod_bits=0 keeps ALL distinct
+    shingles, so `common` is the exact intersection size."""
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.stages.pairs import candidate_edges
+    from rabbittclust_ray.stages.sketch import sketch_documents
+
+    scfg = SketchConfig(shingle_k=8, mode="mod", mod_bits=0, min_len=50)
+    ccfg = ClusterConfig(threshold=0.2, max_posting=None, num_buckets=16)
+    sk = sketch_documents(_prepared(sf_dir, min_len=50), scfg)
+    return candidate_edges(sk, scfg, ccfg)
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.ann import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = ds.sort("vec_id").take(1)[0]
+    q = np.asarray(first["embedding"], dtype=np.float64)
+    out = brute_force_topk(ds, q, k=10).to_pandas()
+    return out[["rank", "vec_id"]]
+
+
+def _q_cosine_near_dups(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.ann import cosine_near_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_dup_pairs(ds, min_sim=0.35).to_pandas()
+    if out.empty:
+        import pandas as pd
+
+        return pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+    return out[["u", "v"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "size_scan": _q_size_scan,
+        "sha_invariant": _q_sha_invariant,
+        "min_len_filter": _q_min_len_filter,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "simhash_pairs": _q_simhash_pairs,
+        "minhash_sketch": _q_minhash_sketch,
+        "clusters_mst": _q_clusters_mst,
+        "dup_pairs_mst": _q_dup_pairs_mst,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ann_topk": _q_ann_topk,
+        "cosine_near_dups": _q_cosine_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "size_scan": f"""
+            SELECT CAST(min(length(text)) AS BIGINT) AS min_len,
+                   CAST(max(length(text)) AS BIGINT) AS max_len,
+                   round(avg(length(text)), 4) AS avg_len,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN length(text) < {MIN_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_below_min
+            FROM documents
+        """,
+        "sha_invariant": """
+            SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+        """,
+        "min_len_filter": f"""
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS length
+            FROM documents WHERE length(text) >= {MIN_LEN}
+        """,
+        "exact_dedup": """
+            SELECT doc_id,
+                   sha256(text) AS content_sha256,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS group_rep,
+                   doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_exact_dup
+            FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_q,
+                   CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0
+                        / greatest(length(text), 1)) AS BIGINT) AS alpha_ppm,
+                   CAST(floor(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000.0
+                        / greatest(length(text), 1)) AS BIGINT) AS digit_ppm,
+                   CAST(floor((length(text) - length(replace(text, ' ', ''))) * 1000000.0
+                        / greatest(length(text), 1)) AS BIGINT) AS space_ppm
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT embedding FROM embeddings
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e, q
+            ORDER BY rank
+            LIMIT 10
+        """,
+        "cosine_near_dups": """
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+    }

@@ -1,0 +1,18 @@
+"""rabbittclust_ray — a Ray-Data-native near-duplicate detection + clustering
+engine over Parquet tables of source-code files.
+
+Semantics derive from RabbitBio/RabbitTClust (reference at /root/reference,
+C++/OpenMP genome clustering): MinHash / KSSD-style sketches per document,
+inverted-index candidate generation, Mash/AAF distances, MST single-linkage
+and greedy incremental clustering, near-dup collapse, incremental append.
+The execution engine is brand-new and Ray-Data-first: every stage is a
+``ray.data.Dataset`` transform (``map_batches`` over zero-copy Arrow,
+``groupby`` shuffles for the wide steps, actor pools for stateful stages).
+
+See SURVEY.md for the full reference -> Ray mapping with file:line citations.
+"""
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+
+__all__ = ["SketchConfig", "ClusterConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,129 @@
+"""Frozen run configuration.
+
+Reference analogues:
+- sketch params struct ``KssdParameters`` (/root/reference/src/SketchInfo.h:50-56)
+  and CLI defaults (/root/reference/src/main.cpp:81-89: -d 0.05, -s 1000,
+  minLen 10000, drlevel 3).
+- We freeze our own shingle/signature config (xxhash-style rolling hash +
+  bottom-k or mod-sampling) instead of reproducing KSSD's bit-level shuffle
+  (/root/reference/src/SketchInfo.cpp:60-102) — see SURVEY.md §7.4.
+
+The config is a small immutable value broadcast to every worker (it rides
+along inside the serialized actor/task closures; no per-batch re-shipping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    """Parameters of the per-document sketch.
+
+    shingle_k      — character-shingle length (reference k-mer size ``-k``,
+                     auto rule /root/reference/src/sub_command.cpp:2326-2343).
+    mode           — "bottomk": fixed-size bottom-k MinHash
+                     (reference MinHash -s, /root/reference/src/main.cpp:83);
+                     "mod": FracMinHash / KSSD-style mod-sampling, variable
+                     size (reference --fast drlevel sampling 1/4096,
+                     /root/reference/src/README.md:132).
+    sketch_size    — bottom-k size s (mode="bottomk").
+    mod_bits       — keep hash iff h >> (64-mod_bits) == salt_prefix? No:
+                     keep iff h % 2**mod_bits == 0 → sampling ratio
+                     1/2**mod_bits (mode="mod"; KSSD drlevel=3 ≈ 1/4096 ≈
+                     2**-12).
+    min_len        — drop docs shorter than this (reference minLen,
+                     /root/reference/src/SketchInfo.cpp:963,1210).
+    normalize      — "none" | "ws" (collapse runs of whitespace to one
+                     space; code analogue of the reference's base
+                     normalization /root/reference/src/SketchInfo.cpp:1007-1017).
+    seed           — mixes into every shingle hash (frozen like the
+                     reference's seeds 23/348842630).
+    """
+
+    shingle_k: int = 12
+    mode: str = "bottomk"  # "bottomk" | "mod"
+    sketch_size: int = 256
+    mod_bits: int = 6
+    min_len: int = 100
+    normalize: str = "ws"
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("bottomk", "mod"):
+            raise ValueError(f"unknown sketch mode {self.mode!r}")
+        if self.shingle_k < 2:
+            raise ValueError("shingle_k must be >= 2")
+
+    @property
+    def distance_k(self) -> int:
+        """k used in the Mash distance formula (== shingle length)."""
+        return self.shingle_k
+
+
+@dataclass(frozen=True)
+class ClusterConfig:
+    """Clustering / candidate-generation parameters.
+
+    threshold       — distance cut d (reference -d default 0.05,
+                      /root/reference/src/main.cpp:81).
+    containment     — use AAF/containment distance C=common/min(|A|,|B|)
+                      instead of Mash (reference -c mode,
+                      /root/reference/src/MST.cpp:529-540).
+    max_posting     — drop band hashes whose posting list exceeds this
+                      (hot-bucket pruning; reference DBSCAN max_posting
+                      /root/reference/src/dbscan.cpp:126-128). None = no cap.
+    num_buckets     — pair-generation hash buckets (our explicit partitioned
+                      self-join; one vectorized task per bucket).
+    dedup_dist      — near-dup collapse radius (reference --dedup-dist,
+                      /root/reference/src/cluster_postprocess.cpp:60-157).
+    reps_per_cluster— k-center representatives per cluster (reference
+                      --reps-per-cluster, cluster_postprocess.cpp:199-327).
+    """
+
+    threshold: float = 0.05
+    containment: bool = False
+    max_posting: int | None = 4096
+    num_buckets: int = 64
+    dedup_dist: float | None = None
+    reps_per_cluster: int = 1
+
+    def __post_init__(self) -> None:
+        if not (0.0 <= self.threshold <= 1.0):
+            raise ValueError("threshold must be in [0,1]")
+
+    # ---- prefilter algebra (exact: never drops a pair with true dist <= d) --
+
+    def jaccard_min(self, k: int) -> float:
+        """Minimum sketch-Jaccard at distance ``threshold``.
+
+        Mash inversion: d = -(1/k) ln(2J/(1+J))  =>  J = x/(2-x), x=e^{-dk}
+        (reference /root/reference/src/greedy.cpp:652-653).
+        For containment: C = e^{-dk} directly (greedy.cpp:1245-1259).
+        """
+        x = math.exp(-self.threshold * k)
+        if self.containment:
+            return x
+        return x / (2.0 - x)
+
+    def size_ratio(self, k: int) -> float:
+        """Max |A|/|B| sketch-size ratio compatible with dist <= threshold.
+
+        radio = 2*e^{D*k} - 1 (reference ``calr`` /root/reference/src/MST.cpp:26-37).
+        Only valid for Mash distance (J <= min/max bound); containment mode
+        has no size-ratio prefilter (reference uses fixed heuristics there).
+        """
+        return 2.0 * math.exp(self.threshold * k) - 1.0
+
+
+def config_hash(*cfgs) -> str:
+    """Stable hash of one or more config dataclasses (manifest lineage key)."""
+    payload = json.dumps(
+        [dataclasses.asdict(c) for c in cfgs], sort_keys=True, default=str
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -1,0 +1,185 @@
+"""Deterministic synthetic source-code corpus + ground truth (FIXTURES.md).
+
+Port of the reference's mutation simulator pattern
+(/root/reference/benchmark/simulate/src/simulate_longSequence.cpp:36-50:
+N seeds x M mutated copies at mutation rate r, plus a .groundTruth file) to
+source-code rows of the BASELINE.json input_hint shape
+``(repo, path, commit, lang, content)``. Everything is seeded — same args,
+same bytes, on every machine.
+
+Also provides the adapter from the driver's testdata ``documents`` table
+(``doc_id, text, lang, source, n_chars``) into the canonical shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pyarrow as pa
+
+_LANGS = [("py", "python"), ("java", "java"), ("cpp", "cpp"), ("go", "go")]
+
+_KEYWORDS = [
+    "def", "return", "if", "else", "for", "while", "class", "import",
+    "try", "except", "with", "lambda", "yield", "assert", "raise", "pass",
+]
+_PUNCT = ["(", ")", "[", "]", "{", "}", ":", ",", "=", "+", "-", "*", "/", ".", "==", "->"]
+
+
+def _vocab(rng: random.Random, n: int = 400) -> list[str]:
+    """Seeded identifier vocabulary."""
+    syll = ["fo", "ba", "qu", "ze", "mi", "ta", "ro", "ki", "lu", "ve", "ha", "no"]
+    out = []
+    for _ in range(n):
+        w = "".join(rng.choice(syll) for _ in range(rng.randint(2, 4)))
+        if rng.random() < 0.3:
+            w += str(rng.randint(0, 99))
+        out.append(w)
+    return out
+
+
+def _gen_tokens(rng: random.Random, vocab: list[str], approx_len: int) -> list[str]:
+    toks: list[str] = []
+    size = 0
+    while size < approx_len:
+        r = rng.random()
+        if r < 0.15:
+            t = rng.choice(_KEYWORDS)
+        elif r < 0.35:
+            t = rng.choice(_PUNCT)
+        elif r < 0.40:
+            t = "\n" + "    " * rng.randint(0, 2)
+        else:
+            t = rng.choice(vocab)
+        toks.append(t)
+        size += len(t) + 1
+    return toks
+
+
+def _render(toks: list[str]) -> str:
+    return " ".join(toks)
+
+
+def _mutate(toks: list[str], rng: random.Random, rate: float, vocab: list[str]) -> list[str]:
+    """Per-token substitute/insert/delete with prob ``rate`` (reference
+    simulate_longSequence mutation model, per-base -> per-token)."""
+    out: list[str] = []
+    for t in toks:
+        r = rng.random()
+        if r < rate:
+            op = rng.random()
+            if op < 0.34:
+                out.append(rng.choice(vocab))  # substitute
+            elif op < 0.67:
+                out.append(t)
+                out.append(rng.choice(vocab))  # insert
+            # else: delete
+        else:
+            out.append(t)
+    return out
+
+
+def make_corpus(
+    num_seeds: int = 20,
+    per_cluster: int = 15,
+    doc_len: int = 4000,
+    mut_rate: float = 0.01,
+    num_exact_dups: int = 10,
+    num_noise: int = 25,
+    num_short: int = 10,
+    seed: int = 42,
+) -> tuple[pa.Table, pa.Table]:
+    """Returns (documents, ground_truth) Arrow tables.
+
+    documents: (repo, path, commit, lang, content) — input_hint shape.
+    ground_truth: (repo, path, commit, true_cluster, kind) — FIXTURES.md §2;
+    noise/short rows get unique negative cluster ids.
+    """
+    rng = random.Random(seed)
+    vocab = _vocab(random.Random(seed + 1))
+    rows: list[tuple[str, str, str, str, str, int, str]] = []
+    idx = 0
+
+    def add(content: str, cluster: int, kind: str) -> None:
+        nonlocal idx
+        g, r, m = idx % 7, idx % 13, idx % 5
+        ext, lang = _LANGS[idx % 4]
+        repo = f"org{g:02d}/repo{r:03d}"
+        path = f"src/mod{m:02d}/file{idx:04d}.{ext}"
+        commit = hashlib.sha1(f"{seed}:{idx}".encode()).hexdigest()
+        rows.append((repo, path, commit, lang, content, cluster, kind))
+        idx += 1
+
+    seeds_toks: list[list[str]] = []
+    for s in range(num_seeds):
+        toks = _gen_tokens(random.Random(seed + 100 + s), vocab, doc_len)
+        seeds_toks.append(toks)
+        add(_render(toks), s, "seed")
+    for s in range(num_seeds):
+        for c in range(per_cluster):
+            mrng = random.Random(seed * 10**6 + s * 10**3 + c)
+            add(_render(_mutate(seeds_toks[s], mrng, mut_rate, vocab)), s, "mutant")
+    for i in range(num_exact_dups):
+        s = i % num_seeds
+        add(_render(seeds_toks[s]), s, "exact_dup")
+    for i in range(num_noise):
+        nrng = random.Random(seed + 5000 + i)
+        nvocab = _vocab(random.Random(seed + 9000 + i), 200)
+        add(_render(_gen_tokens(nrng, nvocab, doc_len)), -(i + 1), "noise")
+    for i in range(num_short):
+        add(f"x{i}", -(1000 + i), "short")
+
+    repo, path, commit, lang, content, cluster, kind = map(list, zip(*rows))
+    documents = pa.table(
+        {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+    )
+    ground_truth = pa.table(
+        {
+            "repo": repo,
+            "path": path,
+            "commit": commit,
+            "true_cluster": pa.array(cluster, pa.int64()),
+            "kind": kind,
+        }
+    )
+    return documents, ground_truth
+
+
+def scale_corpus(n_docs: int, doc_len: int = 2000, seed: int = 42) -> pa.Table:
+    """Benchmark corpus: ~n_docs rows with a realistic cluster-size mix
+    (many singletons, some mid clusters, a few hot near-dup families that
+    stress skewed LSH buckets). Deterministic in (n_docs, doc_len, seed)."""
+    num_seeds = max(1, n_docs // 10)
+    per_cluster = 8  # ~90% of rows are mutants of some seed
+    docs, _ = make_corpus(
+        num_seeds=num_seeds,
+        per_cluster=per_cluster,
+        doc_len=doc_len,
+        mut_rate=0.02,
+        num_exact_dups=max(1, n_docs // 100),
+        num_noise=max(1, n_docs // 20),
+        num_short=0,
+        seed=seed,
+    )
+    return docs
+
+
+def adapt_testdata_documents(batch: pa.Table) -> pa.Table:
+    """Map the driver testdata ``documents`` schema
+    (doc_id, text, lang, source, n_chars — TESTDATA.md) into the canonical
+    input_hint shape. Synthetic repo/path/commit are derived from doc_id so
+    stable ids and shas stay deterministic."""
+    import pyarrow.compute as pc
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "repo": pa.array([f"testdata/{s}" for s in batch["source"].to_pylist()]),
+            "path": pa.array([f"doc/{i:012d}.txt" for i in ids]),
+            "commit": pa.array([f"{i:040d}" for i in ids]),
+            "lang": pc.cast(batch["lang"], pa.string()),
+            "content": pc.cast(batch["text"], pa.string()),
+        }
+    )

@@ -1,0 +1,91 @@
+"""Vectorized hashing kernels (numpy uint64, wraparound arithmetic).
+
+The reference hashes k-mers via a deterministic bit shuffle
+(/root/reference/src/SketchInfo.cpp:60-102, 1120-1158); we freeze our own
+equivalent: a polynomial rolling hash over character shingles finalized with a
+splitmix64-style mixer. Everything here is pure numpy — no Python loop over
+shingles — so a megabyte document hashes in O(n) vector ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_B = U64(0x100000001B3)  # FNV-ish odd multiplier (invertible mod 2**64)
+_BINV = U64(pow(0x100000001B3, -1, 1 << 64))
+
+# splitmix64 constants (public domain PRNG finalizer, Steele et al.)
+_SM1 = U64(0xBF58476D1CE4E5B9)
+_SM2 = U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — uniform mixing of uint64 lanes."""
+    x = x.astype(U64, copy=True)
+    x ^= x >> U64(30)
+    x *= _SM1
+    x ^= x >> U64(27)
+    x *= _SM2
+    x ^= x >> U64(31)
+    return x
+
+
+def rolling_shingle_hashes(data: bytes, k: int, seed: int = 0) -> np.ndarray:
+    """All k-byte-window hashes of ``data`` as uint64, in O(n) vector ops.
+
+    Window hash W(i) = mix( poly_hash(data[i:i+k]) ^ seed ) where
+    poly_hash(w) = sum_j w[j] * B**(k-1-j)  (mod 2**64).
+
+    Implemented with a prefix trick: T[i] = sum_{j<i} d[j] * Binv**j, so
+    W(i) = (T[i+k] - T[i]) * B**(i+k-1); all arrays wrap naturally in uint64.
+    """
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=U64)
+    d = np.frombuffer(data, dtype=np.uint8).astype(U64)
+    m = n - k + 1
+    # powers of Binv: [1, Binv, Binv^2, ... Binv^(n-1)]
+    binv_pow = np.empty(n, dtype=U64)
+    binv_pow[0] = U64(1)
+    if n > 1:
+        binv_pow[1:] = _BINV
+        np.cumprod(binv_pow, out=binv_pow)
+    # prefix sums T[i] = sum_{j<i} d[j]*Binv^j  (T has n+1 entries)
+    t = np.zeros(n + 1, dtype=U64)
+    np.cumsum(d * binv_pow, out=t[1:])
+    # B^(i+k-1) for i in [0, m): = B^(k-1) * B^i
+    b_pow = np.empty(m, dtype=U64)
+    b_pow[0] = U64(pow(0x100000001B3, k - 1, 1 << 64))
+    if m > 1:
+        b_pow[1:] = _B
+        np.cumprod(b_pow, out=b_pow)
+    w = (t[k : k + m] - t[:m]) * b_pow
+    return splitmix64(w ^ U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def stable_doc_id(repo: np.ndarray, path: np.ndarray, commit: np.ndarray) -> np.ndarray:
+    """Stable int64 doc id = low-63-bits of sha256(repo|path|commit).
+
+    Reference ids are *positional* (reassigned each run,
+    /root/reference/src/SketchInfo.cpp:964-965); ours must be stable across
+    runs/partitions for checkpoints and append (SURVEY.md §7.4). Non-negative
+    int64 so it round-trips Parquet/DuckDB cleanly.
+    """
+    out = np.empty(len(repo), dtype=np.int64)
+    for i in range(len(repo)):
+        h = hashlib.sha256(f"{repo[i]}\x00{path[i]}\x00{commit[i]}".encode()).digest()
+        out[i] = int.from_bytes(h[:8], "little") & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
+def sha256_hex(values: list[bytes | str]) -> list[str]:
+    """Batch sha256 hex digests (the per-row invariant, BASELINE.json)."""
+    out = []
+    for v in values:
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        out.append(hashlib.sha256(v).hexdigest())
+    return out

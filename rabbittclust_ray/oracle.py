@@ -1,0 +1,147 @@
+"""Brute-force O(N^2) oracle — exact shingle sets, exact Jaccard, full
+threshold graph, union-find components. Pure numpy/python, no Ray.
+
+This is the correctness referee for the sketch pipeline (FIXTURES.md §4):
+dup-pair recall of the distributed pipeline vs this oracle must be >= 0.99
+at matched (shingle_k, sketch config, threshold d) — the in-sandbox stand-in
+for "matches the reference's cluster assignments" (BASELINE.json north_rule),
+since the reference validates the same way against its mutation simulator
+(/root/reference/benchmark/evaluation/getNMI.py:21-36).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from rabbittclust_ray.config import SketchConfig
+from rabbittclust_ray.hashing import rolling_shingle_hashes
+from rabbittclust_ray.stages.cluster import UnionFind
+from rabbittclust_ray.stages.sketch import normalize_column
+
+
+def exact_shingle_sets(documents: pa.Table, cfg: SketchConfig) -> dict[int, set[int]]:
+    """doc_id -> set of ALL shingle hashes (no sketching)."""
+    from rabbittclust_ray.hashing import stable_doc_id
+
+    ids = stable_doc_id(
+        np.array(documents["repo"].to_pylist(), dtype=object),
+        np.array(documents["path"].to_pylist(), dtype=object),
+        np.array(documents["commit"].to_pylist(), dtype=object),
+    )
+    norm = normalize_column(documents["content"], cfg.normalize)
+    out: dict[int, set[int]] = {}
+    for i, text in enumerate(norm.to_pylist()):
+        if len(text) < cfg.min_len:
+            continue
+        h = rolling_shingle_hashes(text.encode("utf-8", "surrogatepass"), cfg.shingle_k, cfg.seed)
+        out[int(ids[i])] = set(h.tolist())
+    return out
+
+
+def mash_distance_scalar(j: float, k: int) -> float:
+    if j >= 1.0:
+        return 0.0
+    if j <= 0.0:
+        return 1.0
+    return min(1.0, max(0.0, -math.log(2.0 * j / (1.0 + j)) / k))
+
+
+def exact_threshold_edges(
+    shingles: dict[int, set[int]], k: int, threshold: float
+) -> list[tuple[int, int, float]]:
+    """All pairs with EXACT-Jaccard Mash distance <= threshold (u < v)."""
+    ids = sorted(shingles)
+    edges = []
+    for a in range(len(ids)):
+        sa = shingles[ids[a]]
+        for b in range(a + 1, len(ids)):
+            sb = shingles[ids[b]]
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            d = mash_distance_scalar(j, k)
+            if d <= threshold:
+                u, v = sorted((ids[a], ids[b]))
+                edges.append((u, v, d))
+    return edges
+
+
+def components(ids: list[int], edges: list[tuple[int, int, float]]) -> dict[int, int]:
+    """doc_id -> cluster label (min doc_id of the component)."""
+    uf = UnionFind()
+    for i in ids:
+        uf.find(i)
+    for u, v, _ in edges:
+        uf.union(u, v)
+    comp_min: dict[int, int] = {}
+    for x in ids:
+        r = uf.find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    return {x: comp_min[uf.find(x)] for x in ids}
+
+
+def dup_pairs_from_labels(labels: dict[int, int]) -> set[tuple[int, int]]:
+    """All unordered same-cluster pairs — recall is measured on this set."""
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in labels.items():
+        by_cluster.setdefault(c, []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for members in by_cluster.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
+
+
+def dup_pair_recall(
+    predicted: dict[int, int], truth: dict[int, int]
+) -> tuple[float, int, int]:
+    """(recall, |truth pairs|, |hit|): fraction of oracle same-cluster pairs
+    also same-cluster in the prediction."""
+    tp_pairs = dup_pairs_from_labels(truth)
+    if not tp_pairs:
+        return 1.0, 0, 0
+    hit = sum(
+        1
+        for (u, v) in tp_pairs
+        if predicted.get(u) is not None and predicted.get(u) == predicted.get(v)
+    )
+    return hit / len(tp_pairs), len(tp_pairs), hit
+
+
+def nmi(labels_a: dict[int, int], labels_b: dict[int, int]) -> float:
+    """Normalized mutual information over the common key set (the
+    reference's headline metric, benchmark/evaluation/getNMI.py)."""
+    keys = sorted(set(labels_a) & set(labels_b))
+    if not keys:
+        return 1.0
+    a = np.array([labels_a[k] for k in keys])
+    b = np.array([labels_b[k] for k in keys])
+    n = len(keys)
+
+    def entropy(x: np.ndarray) -> float:
+        _, c = np.unique(x, return_counts=True)
+        p = c / n
+        return float(-(p * np.log(p)).sum())
+
+    ha, hb = entropy(a), entropy(b)
+    # joint
+    joint = {}
+    for xa, xb in zip(a, b):
+        joint[(xa, xb)] = joint.get((xa, xb), 0) + 1
+    mi = 0.0
+    ca = {k: v for k, v in zip(*np.unique(a, return_counts=True))}
+    cb = {k: v for k, v in zip(*np.unique(b, return_counts=True))}
+    for (xa, xb), c in joint.items():
+        p = c / n
+        mi += p * math.log(p / ((ca[xa] / n) * (cb[xb] / n)))
+    if ha == 0.0 and hb == 0.0:
+        return 1.0
+    denom = math.sqrt(ha * hb)
+    return mi / denom if denom > 0 else 1.0

@@ -1,0 +1,93 @@
+"""Flagship pipeline: clust-mst (reference
+/root/reference/src/main.cpp:603-636 -> sub_command.cpp:1934-2152).
+
+read documents -> prepare (ids/sha/len/filter) -> sketch (actor pool) ->
+candidate edges (two shuffles) -> components at threshold d ->
+assignments [-> dedup collapse -> dup_pairs].
+
+All stages are lazy Dataset transforms until the component step, which
+streams compressed edges to a driver union-find (see stages/cluster.py for
+the scale discussion).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.cluster import (
+    components_from_edges,
+    make_assignments,
+)
+from rabbittclust_ray.stages.pairs import candidate_edges
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.sketch import sketch_documents
+
+
+@dataclass
+class MstResult:
+    sketches: ray.data.Dataset
+    edges: ray.data.Dataset      # threshold-filtered candidate edges (lazy)
+    assignments: ray.data.Dataset
+    labels: dict[int, int]       # edge-touched doc_id -> cluster root
+    mst: pa.Table | None = None          # true MST (only when dedup/reps requested)
+    dedup_assignments: pa.Table | None = None  # (doc_id, cluster_id, dedup_rep)
+    dup_pairs: pa.Table | None = None    # (u, v, group_rep) — tier deliverable
+    reps: dict[int, list[int]] | None = None   # cluster_id -> k-center reps
+
+
+def clust_mst(
+    documents: ray.data.Dataset,
+    scfg: SketchConfig | None = None,
+    ccfg: ClusterConfig | None = None,
+) -> MstResult:
+    scfg = scfg or SketchConfig()
+    ccfg = ccfg or ClusterConfig()
+    prepared = prepare_documents(documents, scfg)
+    sketches = sketch_documents(prepared, scfg)
+    # sketches feed two consumers (pair gen + assignment render): materialize
+    # once — sketches are ids + hashes only, ~1% of input bytes.
+    sketches = sketches.materialize()
+    edges = candidate_edges(sketches, scfg, ccfg)
+    edges = edges.materialize()
+    labels = components_from_edges(edges)
+    assignments = make_assignments(sketches, labels)
+    result = MstResult(
+        sketches=sketches, edges=edges, assignments=assignments, labels=labels
+    )
+    if ccfg.dedup_dist is not None or ccfg.reps_per_cluster > 1:
+        from rabbittclust_ray.stages.cluster import cut_forest, final_kruskal
+        from rabbittclust_ray.stages.dedup import (
+            collapse_near_dups,
+            dup_pairs_with_exact,
+            exact_dedup,
+            k_center_reps,
+        )
+
+        result.mst = final_kruskal(edges)
+        forest = cut_forest(result.mst, ccfg.threshold)
+        if ccfg.dedup_dist is not None:
+            lp = sketches.select_columns(["doc_id", "length"]).to_pandas()
+            lengths = dict(zip(lp["doc_id"], lp["length"]))
+            dedup_assignments, near_pairs = collapse_near_dups(
+                forest, labels, lengths, ccfg.dedup_dist
+            )
+            # sketches carry (doc_id, content_sha256) — no recompute of prepare
+            exact = pa.Table.from_pandas(
+                exact_dedup(sketches).to_pandas(), preserve_index=False
+            )
+            result.dedup_assignments = dedup_assignments
+            result.dup_pairs = dup_pairs_with_exact(near_pairs, exact)
+        if ccfg.reps_per_cluster > 1:
+            result.reps = k_center_reps(forest, labels, ccfg.reps_per_cluster)
+    return result
+
+
+def assignments_table(result: MstResult) -> pa.Table:
+    """Collect assignments (small: one row per doc, no content)."""
+    ds = result.assignments
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return tbl

@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix (``ray.put`` once, read per actor) — the exact baseline.
+- LSH-bucketed near-dup pairs (random-hyperplane signatures): the scale path
+  — pairs only form inside signature buckets, no O(N^2).
+
+Not in the reference (genomes have no embeddings); part of the
+training-data-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return vals.reshape(n, -1)
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k of one query vector against the whole table.
+
+    Per-batch: matmul + local top-k (argpartition); driver merges the tiny
+    per-batch winners. Query is broadcast once via ``ray.put``."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    qref = ray.put(qn)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _emb_matrix(t, emb_col)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qv) / np.maximum(norms, 1e-30)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                "cosine_sim": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    # deterministic order: sim desc, id asc; round late so ordering is exact
+    partials = partials.sort_values(
+        ["cosine_sim", id_col], ascending=[False, True]
+    ).head(k)
+    partials["cosine_sim"] = partials["cosine_sim"].round(6)
+    partials = partials.reset_index(drop=True)
+    partials["rank"] = np.arange(1, len(partials) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(partials[["rank", id_col, "cosine_sim"]], preserve_index=False)
+
+
+def cosine_near_dup_pairs(
+    embeddings: ray.data.Dataset,
+    min_sim: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_planes: int = 0,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """All pairs with cosine similarity >= min_sim.
+
+    num_planes == 0: exact within-bucket-free O(N^2/B) via a single bucket
+    (small tables / oracle parity). num_planes > 0: random-hyperplane LSH —
+    vectors only compared inside matching signature buckets (near-linear at
+    scale; recall < 1 by LSH design, raise num_repeats via ``seed`` sweeps)."""
+
+    def add_sig(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        if num_planes > 0:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((m.shape[1], num_planes))
+            bits = (m @ planes) > 0
+            sig = np.zeros(len(m), dtype=np.int64)
+            for b in range(num_planes):
+                sig |= bits[:, b].astype(np.int64) << b
+        else:
+            sig = np.zeros(len(m), dtype=np.int64)
+        return t.append_column("sig", pa.array(sig, pa.int64()))
+
+    def emit(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        s = sims[iu, ju]
+        ok = s >= min_sim
+        u = np.minimum(ids[iu], ids[ju])[ok]
+        v = np.maximum(ids[iu], ids[ju])[ok]
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "cosine_sim": pa.array(np.round(s[ok], 6), pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(add_sig, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
+class IvfIndexActor:
+    """IVF-style probe: coarse centroids (broadcast) + per-batch assignment of
+    queries to nearest centroid lists. Centroids come from a driver-side
+    k-means over a sample — the classic IVF recipe. Query path only; index
+    build is ``build_ivf_centroids``."""
+
+    def __init__(self, centroids_ref, lists_ref, k: int, id_col: str, emb_col: str):
+        self.centroids = ray.get(centroids_ref)  # (C, D) float64
+        self.lists = ray.get(lists_ref)  # dict: centroid -> (ids, matrix)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        q = _emb_matrix(t, self.emb_col)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1), 1e-30)[:, None]
+        cent_sims = qn @ self.centroids.T
+        nearest = np.argmax(cent_sims, axis=1)
+        qids = t[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for i in range(len(qids)):
+            ids, mat = self.lists[int(nearest[i])]
+            sims = mat @ qn[i]
+            take = min(self.k, len(sims))
+            if take == 0:
+                continue
+            idx = np.argsort(-sims)[:take]
+            out_q.extend([int(qids[i])] * take)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(np.round(sims[idx], 6).tolist())
+            out_r.extend(range(1, take + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine_sim": pa.array(out_s, pa.float64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+
+def build_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    num_centroids: int = 16,
+    sample_fraction: float = 1.0,
+    iters: int = 10,
+    seed: int = 42,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Driver-side k-means over a sample -> (centroids_ref, lists_ref) object
+    refs for IvfIndexActor. Lists hold normalized vectors grouped by nearest
+    centroid (the inverted file)."""
+    sample = embeddings if sample_fraction >= 1.0 else embeddings.random_sample(sample_fraction, seed=seed)
+    pdf_parts = []
+    for t in sample.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        pdf_parts.append((t[id_col].to_numpy(zero_copy_only=False), _emb_matrix(t, emb_col)))
+    ids = np.concatenate([p[0] for p in pdf_parts])
+    m = np.vstack([p[1] for p in pdf_parts])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
+    rng = np.random.default_rng(seed)
+    c = min(num_centroids, len(mn))
+    cent = mn[rng.choice(len(mn), c, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mn @ cent.T, axis=1)
+        for j in range(c):
+            mask = assign == j
+            if mask.any():
+                v = mn[mask].mean(axis=0)
+                cent[j] = v / max(np.linalg.norm(v), 1e-30)
+    assign = np.argmax(mn @ cent.T, axis=1)
+    lists = {j: (ids[assign == j], mn[assign == j]) for j in range(c)}
+    return ray.put(cent), ray.put(lists)

@@ -1,0 +1,253 @@
+"""MST construction, threshold cut, connected components -> assignments.
+
+Reference semantics:
+- per-thread chunk edges -> sort -> local Kruskal keeps <= N-1 edges; final
+  concat -> sort -> Kruskal (/root/reference/src/MST.cpp:399-575, 779-787;
+  UnionFind /root/reference/src/UnionFind.h:5-90). The associativity
+  Kruskal(partialMST(E1) ∪ ... ∪ partialMST(Ep)) == MST(E1 ∪ ... ∪ Ep)
+  is exactly what makes the distributed version correct (SURVEY.md §4).
+- threshold cut -> forest (/root/reference/src/MST.cpp:77-85) and
+  components via BFS (/root/reference/src/MST.cpp:109-142).
+
+Key algebraic shortcut (SURVEY.md §4): cluster MEMBERSHIP at threshold d
+equals connected components of the d-threshold pair graph — no MST needed.
+The MST is only required for tree outputs / auto-threshold / dedup medoids,
+so ``components_from_edges`` is the default path and ``build_mst`` the
+opt-in one.
+
+Scale notes: edges at threshold are sparse (near-linear in N for real
+corpora); the distributed part compresses each partition to <= N_p - 1
+surviving edges via ``local_kruskal_stage`` BEFORE anything reaches the
+driver. The driver union-find holds one int per distinct doc id touched by
+an edge — fine up to ~10^9 edge-touched docs; beyond that swap in the
+label-propagation variant (``components_labelprop``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+class UnionFind:
+    """Path-compressing union-find over arbitrary int64 ids
+    (reference /root/reference/src/UnionFind.h:5-90, dict-keyed)."""
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+        self.rank: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        if x not in p:
+            p[x] = x
+            self.rank[x] = 0
+            return x
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:  # path compression
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> bool:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+        return True
+
+
+def _local_kruskal(t: pa.Table) -> pa.Table:
+    """Keep only edges a local Kruskal would retain (<= n_vertices-1)."""
+    if t.num_rows == 0:
+        return t
+    df = {c: t[c].to_numpy(zero_copy_only=False) for c in t.column_names}
+    order = np.argsort(df["dist"], kind="stable")
+    uf = UnionFind()
+    keep = np.zeros(t.num_rows, dtype=bool)
+    u, v = df["u"], df["v"]
+    for i in order:
+        if uf.union(int(u[i]), int(v[i])):
+            keep[i] = True
+    return t.filter(pa.array(keep))
+
+
+def local_kruskal_stage(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed edge compression: each block keeps its partial MST
+    (reference per-thread partial MST, /root/reference/src/MST.cpp:571-574).
+    Safe to run on unsorted blocks — Kruskal merge algebra holds."""
+    return edges.map_batches(_local_kruskal, batch_format="pyarrow")
+
+
+def final_kruskal(edges: ray.data.Dataset) -> pa.Table:
+    """Driver-side final merge: stream dist-sorted compressed edges through
+    one union-find; returns the true MST edge table (u, v, common, dist)
+    (reference final concat+sort+Kruskal /root/reference/src/MST.cpp:779-787)."""
+    compressed = local_kruskal_stage(edges).sort("dist")
+    uf = UnionFind()
+    kept: list[pa.Table] = []
+    for batch in compressed.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        t = _local_kruskal_with(batch, uf)
+        if t.num_rows:
+            kept.append(t)
+    if not kept:
+        return pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())}
+        )
+    return pa.concat_tables(kept)
+
+
+def _local_kruskal_with(t: pa.Table, uf: UnionFind) -> pa.Table:
+    keep = np.zeros(t.num_rows, dtype=bool)
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    for i in range(t.num_rows):  # batches arrive already dist-sorted
+        if uf.union(int(u[i]), int(v[i])):
+            keep[i] = True
+    return t.filter(pa.array(keep))
+
+
+def cut_forest(mst: pa.Table, threshold: float) -> pa.Table:
+    """Forest at threshold d: MST edges with dist <= d
+    (/root/reference/src/MST.cpp:77-85)."""
+    import pyarrow.compute as pc
+
+    return mst.filter(pc.less_equal(mst["dist"], pa.scalar(float(threshold))))
+
+
+def components_from_edges(
+    edges: ray.data.Dataset | pa.Table, threshold: float | None = None
+) -> dict[int, int]:
+    """doc_id -> component root (min doc_id in component, stable labels).
+
+    Streams edges through a driver union-find; pre-compresses distributed
+    when given a Dataset. Only edge-touched docs appear — singletons are
+    added by ``make_assignments``."""
+    uf = UnionFind()
+    if isinstance(edges, pa.Table):
+        batches = [edges]
+    else:
+        ds = edges
+        if threshold is not None:
+            import pyarrow.compute as pc
+
+            thr = float(threshold)
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.less_equal(t["dist"], pa.scalar(thr))),
+                batch_format="pyarrow",
+            )
+        ds = local_kruskal_stage(ds)
+        batches = ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    for t in batches:
+        if threshold is not None and isinstance(edges, pa.Table):
+            t = cut_forest(t, threshold)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        for i in range(len(u)):
+            uf.union(int(u[i]), int(v[i]))
+    # root = min doc_id of each component for stable cluster labels
+    comp_min: dict[int, int] = {}
+    for x in uf.parent:
+        r = uf.find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return {x: comp_min[uf.find(x)] for x in uf.parent}
+
+
+def make_assignments(
+    sketches: ray.data.Dataset, labels: dict[int, int]
+) -> ray.data.Dataset:
+    """sketches (all surviving docs) + component labels -> assignments
+    Dataset (doc_id, cluster_id, is_rep, local_idx, content_sha256).
+
+    ``labels`` (edge-touched docs only) is broadcast once via ``ray.put``;
+    docs absent from it are singletons: cluster_id = own doc_id.
+    is_rep marks the minimum doc_id of each cluster (deterministic; the
+    medoid pass in stages/dedup.py refines representatives)."""
+    import ray
+
+    ref = ray.put(labels)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        lab = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cluster = np.array([lab.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "is_rep": pa.array(ids == cluster),
+                "content_sha256": t["content_sha256"],
+                "length": t["length"],
+            }
+        )
+
+    return sketches.map_batches(_assign, batch_format="pyarrow")
+
+
+def components_labelprop(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
+    """Scale-path alternative to the driver union-find: iterated min-label
+    propagation entirely in Ray Data (BTS-style, PAPERS.md). Returns a
+    Dataset (doc_id, cluster_id). O(diameter) groupby rounds — use when the
+    edge-touched vertex set exceeds driver memory."""
+    from ray.data.aggregate import Min
+
+    # labels(v) = min(v, min over neighbors' labels); iterate to fixpoint
+    def seed(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        nbr = np.concatenate([v, u])
+        return pa.table({"node": pa.array(node, pa.int64()), "nbr": pa.array(nbr, pa.int64())})
+
+    adj = edges.map_batches(seed, batch_format="pyarrow")
+    labels = adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
+
+    def clip_self(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = np.minimum(t["label"].to_numpy(zero_copy_only=False), node)
+        return pa.table({"node": pa.array(node, pa.int64()), "label": pa.array(lab, pa.int64())})
+
+    labels = labels.map_batches(clip_self, batch_format="pyarrow")
+    adj_mat = adj.materialize()
+    for _ in range(max_iters):
+        lab_mat = labels.materialize()
+        # join labels onto adjacency via broadcast (labels may be large: this
+        # path intentionally trades rounds for memory; see docstring)
+        lab_pdf = lab_mat.to_pandas()
+        import ray as _ray
+
+        ref = _ray.put(dict(zip(lab_pdf["node"].to_numpy(), lab_pdf["label"].to_numpy())))
+
+        def push(t: pa.Table) -> pa.Table:
+            lab = _ray.get(ref)
+            node = t["node"].to_numpy(zero_copy_only=False)
+            nbr = t["nbr"].to_numpy(zero_copy_only=False)
+            nl = np.array([lab.get(int(x), int(x)) for x in nbr], dtype=np.int64)
+            return pa.table({"node": pa.array(node, pa.int64()), "nbr": pa.array(nl, pa.int64())})
+
+        new_labels = (
+            adj_mat.map_batches(push, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("nbr", alias_name="label"))
+            .map_batches(clip_self, batch_format="pyarrow")
+        )
+        new_mat = new_labels.materialize()
+        new_pdf = new_mat.to_pandas().sort_values("node").reset_index(drop=True)
+        old_pdf = lab_pdf.sort_values("node").reset_index(drop=True)
+        labels = new_mat
+        if len(new_pdf) == len(old_pdf) and (new_pdf["label"].to_numpy() == old_pdf["label"].to_numpy()).all():
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,273 @@
+"""Deduplication: exact (sha256) layer + near-dup collapse to tree medoids +
+k-center representatives. The dedup-tier deliverable (``dup_pairs``).
+
+Reference semantics:
+- near-dup collapse (--dedup-dist): within each cluster, union forest edges
+  with dist <= dedup_dist; each union-find group collapses to its TREE
+  MEDOID = member with min total tree distance to the others; ties -> longer
+  doc, then smaller id (/root/reference/src/cluster_postprocess.cpp:60-157).
+- k reps per cluster (--reps-per-cluster): farthest-first (k-center) on the
+  tree metric, seeded by the tree-diameter endpoints
+  (/root/reference/src/cluster_postprocess.cpp:199-327).
+- exact dedup has no reference analogue (distance-0 pairs cluster anyway,
+  SURVEY.md D7); ours runs it as a cheap first layer keyed on the
+  content_sha256 invariant.
+
+Execution: exact dedup is a bucketed groupby (vectorized min-per-sha inside
+each hash bucket — no per-tiny-group Python); the tree passes run per
+cluster on the forest, which holds <= N-1 edges total.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# exact sha256 dedup (D7)
+# ---------------------------------------------------------------------------
+
+
+def _sha_bucket(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """bucket = first-8-hex-chars of the sha mod B (sha is already uniform)."""
+    vals = col.to_pylist()
+    return pa.array([int(s[:8], 16) % num_buckets for s in vals], pa.int32())
+
+
+def exact_dedup(
+    prepared: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """prepared docs -> (doc_id, content_sha256, group_rep, is_exact_dup).
+
+    group_rep = min doc_id among rows sharing the sha (deterministic winner);
+    is_exact_dup marks losers. Pure two-stage: add bucket column ->
+    groupby(bucket) -> vectorized min-per-sha within the bucket."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "content_sha256"]).append_column(
+            "bucket", _sha_bucket(t["content_sha256"], num_buckets)
+        )
+
+    def collapse(t: pa.Table) -> pa.Table:
+        sha = np.array(t["content_sha256"].to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sha))
+        sha, ids = sha[order], ids[order]
+        new_grp = np.empty(len(sha), dtype=bool)
+        new_grp[0:1] = True
+        new_grp[1:] = sha[1:] != sha[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        # first (min) id per group — ids sorted within group by lexsort
+        first_ids = ids[np.flatnonzero(new_grp)]
+        rep = first_ids[grp_id]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "content_sha256": pa.array(sha, pa.string()),
+                "group_rep": pa.array(rep, pa.int64()),
+                "is_exact_dup": pa.array(ids != rep),
+            }
+        )
+
+    return (
+        prepared.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(collapse, batch_format="pyarrow")
+    )
+
+
+def exact_dedup_keep_first(prepared: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """prepared docs minus exact duplicates (winner = min doc_id per sha).
+    Run BEFORE sketching at scale: collapses byte-identical families so the
+    pair stage never sees their O(m^2) blowup (stages/pairs.py skew note).
+
+    One full-row shuffle keyed on a sha-derived bucket; winner selection is
+    vectorized within each bucket (no driver-side key set)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", _sha_bucket(t["content_sha256"], num_buckets))
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        sha = np.array(t["content_sha256"].to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sha))
+        sha_s = sha[order]
+        new_grp = np.empty(len(sha_s), dtype=bool)
+        new_grp[0:1] = True
+        new_grp[1:] = sha_s[1:] != sha_s[:-1]
+        winners = order[new_grp]  # min doc_id row of each sha group
+        mask = np.zeros(len(sha), dtype=bool)
+        mask[winners] = True
+        return t.filter(pa.array(mask)).drop_columns(["bucket"])
+
+    return (
+        prepared.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tree passes over the cut forest (D5, D6)
+# ---------------------------------------------------------------------------
+
+
+def _tree_distances(nodes: list[int], adj: dict[int, list[tuple[int, float]]], src: int) -> dict[int, float]:
+    """Single-source path distances within one tree component (DFS)."""
+    dist = {src: 0.0}
+    stack = [src]
+    while stack:
+        x = stack.pop()
+        for y, w in adj.get(x, ()):
+            if y not in dist:
+                dist[y] = dist[x] + w
+                stack.append(y)
+    return dist
+
+
+def _medoid(members: list[int], adj, lengths: dict[int, int]) -> int:
+    """Tree medoid: min total tree distance; ties -> longer doc, then smaller
+    id (/root/reference/src/cluster_postprocess.cpp tie rules)."""
+    best = None
+    for m in members:
+        d = _tree_distances(members, adj, m)
+        total = sum(d.get(o, 0.0) for o in members)
+        key = (total, -lengths.get(m, 0), m)
+        if best is None or key < best[0]:
+            best = (key, m)
+    return best[1]
+
+
+def collapse_near_dups(
+    forest: pa.Table,
+    labels: dict[int, int],
+    lengths: dict[int, int],
+    dedup_dist: float,
+) -> tuple[pa.Table, pa.Table]:
+    """(dedup_assignments, dup_pairs) from the cut forest.
+
+    dedup_assignments: (doc_id, cluster_id, dedup_rep) — every edge-touched
+    doc mapped to its group medoid (docs not in any <=dedup_dist group are
+    their own rep). dup_pairs: (u, v, group_rep) for all unordered pairs in
+    each collapsed group (FIXTURES.md §3 deliverable)."""
+    from rabbittclust_ray.stages.cluster import UnionFind
+
+    u_arr = forest["u"].to_numpy(zero_copy_only=False)
+    v_arr = forest["v"].to_numpy(zero_copy_only=False)
+    d_arr = forest["dist"].to_numpy(zero_copy_only=False)
+    uf = UnionFind()
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for i in range(len(u_arr)):
+        if d_arr[i] <= dedup_dist:
+            a, b, w = int(u_arr[i]), int(v_arr[i]), float(d_arr[i])
+            uf.union(a, b)
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+    groups: dict[int, list[int]] = defaultdict(list)
+    for x in list(uf.parent):
+        groups[uf.find(x)].append(x)
+
+    rows_doc, rows_cluster, rows_rep = [], [], []
+    pu, pv, prep = [], [], []
+    for members in groups.values():
+        members.sort()
+        rep = _medoid(members, adj, lengths) if len(members) > 1 else members[0]
+        for m in members:
+            rows_doc.append(m)
+            rows_cluster.append(labels.get(m, m))
+            rows_rep.append(rep)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pu.append(members[i])
+                pv.append(members[j])
+                prep.append(rep)
+    dedup_assignments = pa.table(
+        {
+            "doc_id": pa.array(rows_doc, pa.int64()),
+            "cluster_id": pa.array(rows_cluster, pa.int64()),
+            "dedup_rep": pa.array(rows_rep, pa.int64()),
+        }
+    )
+    dup_pairs = pa.table(
+        {
+            "u": pa.array(pu, pa.int64()),
+            "v": pa.array(pv, pa.int64()),
+            "group_rep": pa.array(prep, pa.int64()),
+        }
+    )
+    return dedup_assignments, dup_pairs
+
+
+def dup_pairs_with_exact(
+    near_dup_pairs: pa.Table, exact: pa.Table
+) -> pa.Table:
+    """Union of near-dup pairs and exact-sha pairs (exact groups: all pairs
+    against the group_rep winner), deduplicated."""
+    pu = near_dup_pairs["u"].to_pylist()
+    pv = near_dup_pairs["v"].to_pylist()
+    pr = near_dup_pairs["group_rep"].to_pylist()
+    seen = set(zip(pu, pv))
+    ed = exact.to_pandas()
+    for rep, grp in ed[ed.doc_id != ed.group_rep].groupby("group_rep"):
+        members = sorted([int(rep)] + grp.doc_id.tolist())
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = (members[i], members[j])
+                if key not in seen:
+                    seen.add(key)
+                    pu.append(key[0])
+                    pv.append(key[1])
+                    pr.append(int(rep))
+    return pa.table(
+        {
+            "u": pa.array(pu, pa.int64()),
+            "v": pa.array(pv, pa.int64()),
+            "group_rep": pa.array(pr, pa.int64()),
+        }
+    )
+
+
+def k_center_reps(
+    forest: pa.Table, labels: dict[int, int], k: int
+) -> dict[int, list[int]]:
+    """cluster_id -> up to k representative doc_ids: farthest-first traversal
+    on the tree metric, seeded by the diameter endpoints
+    (/root/reference/src/cluster_postprocess.cpp:199-327)."""
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    members: dict[int, set[int]] = defaultdict(set)
+    u_arr = forest["u"].to_numpy(zero_copy_only=False)
+    v_arr = forest["v"].to_numpy(zero_copy_only=False)
+    d_arr = forest["dist"].to_numpy(zero_copy_only=False)
+    for i in range(len(u_arr)):
+        a, b, w = int(u_arr[i]), int(v_arr[i]), float(d_arr[i])
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+        c = labels.get(a, a)
+        members[c].update((a, b))
+    out: dict[int, list[int]] = {}
+    for c, nodes in members.items():
+        nodes_l = sorted(nodes)
+        if len(nodes_l) <= k:
+            out[c] = nodes_l
+            continue
+        # diameter endpoints: farthest from arbitrary node, then farthest again
+        d0 = _tree_distances(nodes_l, adj, nodes_l[0])
+        a = max(nodes_l, key=lambda x: (d0.get(x, 0.0), -x))
+        da = _tree_distances(nodes_l, adj, a)
+        b = max(nodes_l, key=lambda x: (da.get(x, 0.0), -x))
+        chosen = [a, b] if a != b else [a]
+        mind = {x: min(da.get(x, 0.0), _tree_distances(nodes_l, adj, b).get(x, 0.0)) for x in nodes_l}
+        while len(chosen) < k:
+            nxt = max(nodes_l, key=lambda x: (mind[x], -x))
+            if nxt in chosen or mind[nxt] <= 0.0:
+                break
+            chosen.append(nxt)
+            dn = _tree_distances(nodes_l, adj, nxt)
+            for x in nodes_l:
+                mind[x] = min(mind[x], dn.get(x, float("inf")))
+        out[c] = sorted(chosen)
+    return out

@@ -1,0 +1,323 @@
+"""Candidate-pair generation + distance scoring (the wide, shuffle-heavy core).
+
+Reference semantics being reproduced:
+- inverted-index probe self-join: candidates of doc i = union of posting
+  lists of its sketch hashes; hit count per candidate = EXACT sketch
+  intersection |S_u ∩ S_v| because hashes are unique within a sketch
+  (/root/reference/src/MST.cpp:428-487, greedy.cpp:704-732). Here the
+  shuffle IS the index: explode sketches to (band_hash, doc_id) rows and
+  co-group by hash (SURVEY.md J1).
+- posting-length cap: drop hash keys with posting list > max_posting
+  (/root/reference/src/dbscan.cpp:126-128), with dropped counts logged —
+  never silent (SURVEY.md §7.4).
+- size-ratio prefilter radio = 2e^{Dk}-1 (/root/reference/src/MST.cpp:26-37,
+  505-512) and min-common prefilter (greedy.cpp:652-653, 774-779).
+- Mash / containment(AAF) distance (/root/reference/src/MST.cpp:514-540,
+  greedy.cpp:103-118).
+
+Execution plan (two single-key shuffles, everything inside vectorized):
+
+  sketches --flat_map(explode)--> (bucket = band_hash % B, band_hash,
+                                   doc_id, ssize)
+    --groupby(bucket).map_groups--> per bucket: sort by hash, cap hot
+        postings, emit all intra-posting pairs via a fully vectorized
+        ragged-range construction, partially aggregate (u,v) counts within
+        the bucket, key by pair_bucket = mix(u,v) % B2
+    --groupby(pair_bucket).map_groups--> final common counts per (u,v)
+    --map_batches(score)--> prefilters + distance, keep dist <= threshold
+
+Skew note: a near-dup family of size m costs O(m^2) pairs — identical to the
+reference's index probe. Byte-identical families should be collapsed by the
+exact sha256 dedup pass BEFORE sketching (rabbittclust_ray.stages.dedup);
+hot band hashes beyond ``max_posting`` are dropped and counted.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+
+PAIR_SCHEMA = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("su", pa.int32()), ("sv", pa.int32()), ("common", pa.int32())]
+)
+EDGE_SCHEMA = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("common", pa.int32()), ("dist", pa.float64())]
+)
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def explode_sketches(sketches: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
+    """sketches -> (bucket, band_hash, doc_id, ssize) rows, one per sketch
+    hash. Pure Arrow list flattening — zero-copy, no Python per row."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        sk = t["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        values = sk.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        counts = np.diff(sk.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
+        ssize = np.repeat(t["sketch_size"].to_numpy(zero_copy_only=False), counts)
+        bucket = (values % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "band_hash": pa.array(values, pa.uint64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "ssize": pa.array(ssize.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return sketches.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ragged_pairs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For contiguous groups with sizes ``counts`` (over positions
+    0..sum-1), return (i_idx, j_idx) of all within-group pairs i<j.
+    Fully vectorized (no Python loop over groups)."""
+    m = int(counts.sum())
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # local index of each position within its group
+    local = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+    # element p pairs (as j) with each of its `local[p]` predecessors
+    tot = local  # pairs contributed per position
+    p_total = int(tot.sum())
+    if p_total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    j_idx = np.repeat(np.arange(m, dtype=np.int64), tot)
+    csum = np.cumsum(tot) - tot  # pair offset where each position starts
+    inner = np.arange(p_total, dtype=np.int64) - np.repeat(csum, tot)
+    group_start_per_pos = np.repeat(starts, counts)
+    i_idx = np.repeat(group_start_per_pos, tot) + inner
+    return i_idx, j_idx
+
+
+def _pair_bucket(u: np.ndarray, v: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = (u.astype(np.uint64) * _MIX) ^ (v.astype(np.uint64) + _MIX)
+    h ^= h >> np.uint64(29)
+    h *= _MIX
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+class BucketPairEmitter:
+    """groupby(bucket) group fn: emit partially-aggregated candidate pairs.
+
+    One call per hash bucket; all work vectorized over the whole bucket.
+    Hot postings (> max_posting docs for one band hash) are dropped and
+    counted in ``dropped_postings`` rows (doc_id = -1 marker) so the
+    manifest can report them (no silent truncation)."""
+
+    def __init__(self, cfg: ClusterConfig):
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hashes = t["band_hash"].to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        sizes = t["ssize"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hashes, kind="stable")
+        hashes, docs, sizes = hashes[order], docs[order], sizes[order]
+        # posting boundaries
+        uniq, start, counts = np.unique(hashes, return_index=True, return_counts=True)
+        cap = self.cfg.max_posting
+        dropped = 0
+        if cap is not None and (counts > cap).any():
+            hot = counts > cap
+            dropped = int(hot.sum())
+            keep_mask = np.ones(len(hashes), dtype=bool)
+            for s, c in zip(start[hot], counts[hot]):
+                keep_mask[s : s + c] = False
+            docs, sizes = docs[keep_mask], sizes[keep_mask]
+            # recompute boundaries over the kept postings
+            hashes = hashes[keep_mask]
+            uniq, start, counts = np.unique(hashes, return_index=True, return_counts=True)
+        i_idx, j_idx = _ragged_pairs(counts)
+        if len(i_idx) == 0:
+            return _empty_pair_table(dropped)
+        a, b = docs[i_idx], docs[j_idx]
+        sa, sb = sizes[i_idx], sizes[j_idx]
+        swap = a > b
+        u = np.where(swap, b, a)
+        v = np.where(swap, a, b)
+        su = np.where(swap, sb, sa).astype(np.int32)
+        sv = np.where(swap, sa, sb).astype(np.int32)
+        # drop self-pairs (duplicate doc ids inside one posting cannot happen:
+        # sketch hashes are unique per doc) — keep a guard anyway
+        ok = u != v
+        u, v, su, sv = u[ok], v[ok], su[ok], sv[ok]
+        # partial aggregation within the bucket: count occurrences of (u,v)
+        order2 = np.lexsort((v, u))
+        u, v, su, sv = u[order2], v[order2], su[order2], sv[order2]
+        new_grp = np.empty(len(u), dtype=bool)
+        new_grp[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_grp[1:])
+        np.logical_or(new_grp[1:], v[1:] != v[:-1], out=new_grp[1:])
+        grp_start = np.flatnonzero(new_grp)
+        grp_count = np.diff(np.append(grp_start, len(u))).astype(np.int32)
+        u, v, su, sv = u[grp_start], v[grp_start], su[grp_start], sv[grp_start]
+        pb = _pair_bucket(u, v, max(1, self.cfg.num_buckets))
+        out = pa.table(
+            {
+                "pair_bucket": pa.array(pb, pa.int32()),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "su": pa.array(su, pa.int32()),
+                "sv": pa.array(sv, pa.int32()),
+                "partial": pa.array(grp_count, pa.int32()),
+                "dropped_postings": pa.array(np.zeros(len(u), dtype=np.int32), pa.int32()),
+            }
+        )
+        if dropped:
+            out = pa.concat_tables([out, _empty_pair_table(dropped)])
+        return out
+
+
+def _empty_pair_table(dropped: int) -> pa.Table:
+    """A marker row carrying the dropped-posting count (u = v = -1)."""
+    n = 1 if dropped else 0
+    return pa.table(
+        {
+            "pair_bucket": pa.array([0] * n, pa.int32()),
+            "u": pa.array([-1] * n, pa.int64()),
+            "v": pa.array([-1] * n, pa.int64()),
+            "su": pa.array([0] * n, pa.int32()),
+            "sv": pa.array([0] * n, pa.int32()),
+            "partial": pa.array([0] * n, pa.int32()),
+            "dropped_postings": pa.array([dropped] * n, pa.int32()),
+        }
+    )
+
+
+def _aggregate_pair_group(t: pa.Table) -> pa.Table:
+    """groupby(pair_bucket) group fn: sum partial counts per (u,v)."""
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    su = t["su"].to_numpy(zero_copy_only=False)
+    sv = t["sv"].to_numpy(zero_copy_only=False)
+    partial = t["partial"].to_numpy(zero_copy_only=False)
+    keep = u >= 0
+    u, v, su, sv, partial = u[keep], v[keep], su[keep], sv[keep], partial[keep]
+    if len(u) == 0:
+        return pa.table(
+            {c: pa.array([], PAIR_SCHEMA.field(c).type) for c in PAIR_SCHEMA.names}
+        )
+    order = np.lexsort((v, u))
+    u, v, su, sv, partial = u[order], v[order], su[order], sv[order], partial[order]
+    new_grp = np.empty(len(u), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    grp_id = np.cumsum(new_grp) - 1
+    common = np.bincount(grp_id, weights=partial).astype(np.int32)
+    first = np.flatnonzero(new_grp)
+    return pa.table(
+        {
+            "u": pa.array(u[first], pa.int64()),
+            "v": pa.array(v[first], pa.int64()),
+            "su": pa.array(su[first], pa.int32()),
+            "sv": pa.array(sv[first], pa.int32()),
+            "common": pa.array(common, pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# distances (vectorized; formulas from the reference)
+# ---------------------------------------------------------------------------
+
+
+def mash_distance(common: np.ndarray, su: np.ndarray, sv: np.ndarray, k: int) -> np.ndarray:
+    """J = common/(su+sv-common); D = -(1/k) ln(2J/(1+J)), clamped to [0,1];
+    J=1 -> 0, J=0 -> 1 (/root/reference/src/greedy.cpp:103-118)."""
+    denom = (su + sv - common).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = np.where(denom > 0, common / np.maximum(denom, 1), 0.0)
+        d = np.where(
+            j >= 1.0,
+            0.0,
+            np.where(j <= 0.0, 1.0, -np.log(2.0 * j / (1.0 + j)) / float(k)),
+        )
+    return np.clip(d, 0.0, 1.0)
+
+
+def containment_distance(common: np.ndarray, su: np.ndarray, sv: np.ndarray, k: int) -> np.ndarray:
+    """C = common/min(su,sv); D = -(1/k) ln C, clamped
+    (/root/reference/src/MST.cpp:529-540, AAF distance)."""
+    mn = np.minimum(su, sv).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.where(mn > 0, common / np.maximum(mn, 1), 0.0)
+        d = np.where(c >= 1.0, 0.0, np.where(c <= 0.0, 1.0, -np.log(c) / float(k)))
+    return np.clip(d, 0.0, 1.0)
+
+
+def min_common(jaccard_min: float, su: np.ndarray, sv: np.ndarray, containment: bool) -> np.ndarray:
+    """Min shared-hash count compatible with dist <= d
+    (/root/reference/src/greedy.cpp:774-779; containment greedy.cpp:1206-1225)."""
+    if containment:
+        return np.ceil(jaccard_min * np.minimum(su, sv)).astype(np.int64)
+    return np.ceil(jaccard_min * (su + sv) / (1.0 + jaccard_min)).astype(np.int64)
+
+
+def score_pairs_batch(
+    t: pa.Table, scfg: SketchConfig, ccfg: ClusterConfig, max_dist: float
+) -> pa.Table:
+    common = t["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+    su = t["su"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = scfg.distance_k
+    keep = np.ones(len(common), dtype=bool)
+    if not ccfg.containment:
+        radio = 2.0 * math.exp(max_dist * k) - 1.0  # J2 size-ratio prefilter
+        mn = np.minimum(su, sv)
+        mx = np.maximum(su, sv)
+        keep &= mx <= radio * np.maximum(mn, 1)
+    x = math.exp(-max_dist * k)
+    jmin = x if ccfg.containment else x / (2.0 - x)
+    keep &= common >= min_common(jmin, su, sv, ccfg.containment)  # J3
+    common, su, sv = common[keep], su[keep], sv[keep]
+    dist = (
+        containment_distance(common, su, sv, k)
+        if ccfg.containment
+        else mash_distance(common, su, sv, k)
+    )
+    ok = dist <= max_dist
+    return pa.table(
+        {
+            "u": pa.array(t["u"].to_numpy(zero_copy_only=False)[keep][ok], pa.int64()),
+            "v": pa.array(t["v"].to_numpy(zero_copy_only=False)[keep][ok], pa.int64()),
+            "common": pa.array(common[ok].astype(np.int32), pa.int32()),
+            "dist": pa.array(dist[ok], pa.float64()),
+        }
+    )
+
+
+def candidate_edges(
+    sketches: ray.data.Dataset,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    max_dist: float | None = None,
+) -> ray.data.Dataset:
+    """sketches -> edges (u, v, common, dist) with u < v and dist <= max_dist
+    (default: ccfg.threshold). The full pipeline of this module; lazy."""
+    md = ccfg.threshold if max_dist is None else max_dist
+    exploded = explode_sketches(sketches, ccfg.num_buckets)
+    emitter = BucketPairEmitter(ccfg)
+
+    def emit_bucket_pairs(t: pa.Table) -> pa.Table:
+        return emitter(t)
+
+    partials = exploded.groupby("bucket").map_groups(
+        emit_bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = partials.groupby("pair_bucket").map_groups(
+        _aggregate_pair_group, batch_format="pyarrow"
+    )
+    return pairs.map_batches(
+        lambda t: score_pairs_batch(t, scfg, ccfg, md), batch_format="pyarrow"
+    )

@@ -1,0 +1,101 @@
+"""Input preparation: stable ids, sha256 invariant, length, min-len filter.
+
+Reference analogues:
+- min-length filter (/root/reference/src/SketchInfo.cpp:963,1210; default
+  minLen /root/reference/src/main.cpp:89) -> vectorized Arrow filter.
+- positional id assignment (/root/reference/src/SketchInfo.cpp:964-965) ->
+  stable content-derived ``doc_id`` (SURVEY.md M7).
+- size pre-scan ``calSize`` (/root/reference/src/SketchInfo.cpp:438-552) ->
+  ``size_scan`` aggregate.
+
+All functions are ``Dataset -> Dataset`` (lazy); nothing materializes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from rabbittclust_ray.config import SketchConfig
+from rabbittclust_ray.hashing import sha256_hex, stable_doc_id
+
+CANONICAL_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _prepare_batch(batch: pa.Table) -> pa.Table:
+    import numpy as np
+
+    if "doc_id" in batch.column_names:
+        # input already carries a stable id (e.g. the driver testdata tables)
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    else:
+        repo = batch["repo"].to_pylist()
+        path = batch["path"].to_pylist()
+        commit = batch["commit"].to_pylist()
+        doc_id = stable_doc_id(np.array(repo, dtype=object), np.array(path, dtype=object), np.array(commit, dtype=object))
+    content = batch["content"]
+    sha = sha256_hex(content.to_pylist())
+    length = pc.utf8_length(content)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "content": content,
+            "content_sha256": pa.array(sha, pa.string()),
+            "length": pc.cast(length, pa.int64()),
+        }
+    )
+
+
+def prepare_documents(
+    ds: ray.data.Dataset, cfg: SketchConfig, *, apply_min_len: bool = True
+) -> ray.data.Dataset:
+    """canonical documents -> + (doc_id, content_sha256, length), min-len
+    filtered. First transform of every pipeline; ``content`` is kept only
+    until the sketch stage projects it away (SURVEY.md §7.4 very-wide rows)."""
+    out = ds.map_batches(_prepare_batch, batch_format="pyarrow")
+    if apply_min_len and cfg.min_len > 0:
+        ml = cfg.min_len
+        out = out.map_batches(
+            lambda t, ml=ml: t.filter(pc.greater_equal(t["length"], pa.scalar(ml))),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def size_scan(ds: ray.data.Dataset, cfg: SketchConfig) -> pa.Table:
+    """min/max/mean length + row count + count below min_len (reference
+    ``calSize`` pre-pass used for parameter auto-tuning). Returns one row."""
+    ml = cfg.min_len
+
+    def lengths(t: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(t["content"]), pa.int64())
+        below = pc.cast(pc.less(ln, pa.scalar(ml)), pa.int64())
+        return pa.table({"length": ln, "below_min": below})
+
+    agg = (
+        ds.map_batches(lengths, batch_format="pyarrow")
+        .aggregate(
+            Min("length", alias_name="min_len"),
+            Max("length", alias_name="max_len"),
+            Mean("length", alias_name="avg_len"),
+            Count(alias_name="n_docs"),
+            Sum("below_min", alias_name="n_below_min"),
+        )
+    )
+    return pa.table({k: [v] for k, v in agg.items()})
+
+
+def auto_shingle_k(max_len: int, warning_rate: float = 1e-4) -> int:
+    """Reference auto k rule: k = ceil(log4(maxLen*(1-r)/r))
+    (/root/reference/src/sub_command.cpp:2326-2343). We reuse the same
+    formula over characters; clamped to a sane shingle range for code."""
+    import math
+
+    k = math.ceil(math.log(max_len * (1 - warning_rate) / warning_rate, 4))
+    return max(6, min(k, 32))

@@ -1,0 +1,125 @@
+"""Per-document sketching: char-shingle rolling hash -> bottom-k MinHash or
+mod-sampling (FracMinHash / KSSD analogue).
+
+Reference semantics:
+- KSSD sketch = sorted deduped hash vector per doc
+  (/root/reference/src/SketchInfo.cpp:1139-1192: dim-filter -> hash set ->
+  sort). Our mod-sampling ``h % 2**mod_bits == 0`` reproduces the same
+  "deterministic 1/2^b subsample of all k-mers" semantics (KSSD drlevel=3 ≈
+  1/4096, /root/reference/README.md:132) with a frozen hash instead of the
+  bit-shuffle (SURVEY.md M4).
+- MinHash bottom-k sketch: fixed sketchSize smallest distinct hashes
+  (/root/reference/src/SketchInfo.cpp:222-232, impl in RabbitSketch).
+- Base normalization analogue (/root/reference/src/SketchInfo.cpp:1007-1017):
+  whitespace-run collapse, done vectorized on the whole Arrow column.
+
+Execution: a callable CLASS -> Ray actor pool via
+``map_batches(SketcherActor, concurrency=N)`` — config/derived state is set
+once per actor in ``__init__`` (reference builds its shuffle table once per
+run, SketchInfo.cpp:1026); per batch we do ONE rolling-hash pass over the
+concatenation of all documents and slice per-doc windows out (no per-shingle
+Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from rabbittclust_ray.config import SketchConfig
+from rabbittclust_ray.hashing import rolling_shingle_hashes
+
+SKETCH_TYPE = pa.list_(pa.uint64())
+
+
+def normalize_column(content: pa.ChunkedArray | pa.Array, mode: str) -> pa.Array:
+    if mode == "none":
+        return content
+    if mode == "ws":
+        return pc.replace_substring_regex(content, pattern=r"\s+", replacement=" ")
+    raise ValueError(f"unknown normalize mode {mode!r}")
+
+
+def sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
+    """(doc_id, content, length, content_sha256, ...) ->
+    (doc_id, sketch, sketch_size, length, content_sha256).
+
+    ``content`` is projected away here — downstream stages never see the
+    raw text again (SURVEY.md §7.4 very-wide rows)."""
+    norm = normalize_column(batch["content"], cfg.normalize)
+    texts = norm.to_pylist()
+    k = cfg.shingle_k
+    # one concatenated buffer + offsets; windows crossing doc boundaries are
+    # simply never selected when slicing per doc
+    bufs = [t.encode("utf-8", "surrogatepass") for t in texts]
+    offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=offsets[1:])
+    blob = b"".join(bufs)
+    hashes = rolling_shingle_hashes(blob, k, seed=cfg.seed)
+
+    sketches: list[np.ndarray] = []
+    sizes = np.zeros(len(bufs), dtype=np.int32)
+    if cfg.mode == "mod":
+        mask_val = np.uint64((1 << cfg.mod_bits) - 1)
+    for i in range(len(bufs)):
+        start, end = offsets[i], offsets[i + 1]
+        if end - start < k:
+            sk = np.empty(0, dtype=np.uint64)
+        else:
+            win = hashes[start : end - k + 1]
+            if cfg.mode == "mod":
+                sk = np.unique(win[(win & mask_val) == 0])
+            else:  # bottomk: smallest s DISTINCT hashes, sorted
+                sk = np.unique(win)[: cfg.sketch_size]
+        sketches.append(sk)
+        sizes[i] = len(sk)
+
+    flat = np.concatenate(sketches) if sketches else np.empty(0, dtype=np.uint64)
+    list_offsets = np.zeros(len(sketches) + 1, dtype=np.int32)
+    np.cumsum(sizes, out=list_offsets[1:])
+    sketch_col = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), pa.array(flat, pa.uint64()))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sketch": sketch_col,
+            "sketch_size": pa.array(sizes, pa.int32()),
+            "length": batch["length"],
+            "content_sha256": batch["content_sha256"],
+        }
+    )
+
+
+class SketcherActor:
+    """Actor-pool wrapper: config frozen per actor (once), work per batch."""
+
+    def __init__(self, cfg: SketchConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return sketch_batch(batch, self.cfg)
+
+
+def sketch_documents(
+    prepared: ray.data.Dataset,
+    cfg: SketchConfig,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    """prepared documents -> sketches Dataset.
+
+    Actor pool so per-actor setup is amortized; batch_size is modest because
+    rows carry full ``content`` text into this stage (memory-aware: batch x
+    concurrency must fit the worker heap)."""
+    if concurrency is None:
+        concurrency = (2, 8)
+    return prepared.map_batches(
+        SketcherActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

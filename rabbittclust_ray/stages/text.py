@@ -1,0 +1,221 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Not in the reference (a genome tool has no text ops) — these are the
+training-data extensions the engine needs at 100 TB scale. Each is a
+vectorized ``map_batches`` transform; lang-id is an actor-pool stage
+(stopword tables + compiled regexes built once per actor).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.hashing import rolling_shingle_hashes
+
+_TOKEN_SPLIT = re.compile(r"\s+")
+
+# tiny per-language stopword lists (public knowledge) for the n-gram/stopword
+# heuristic; deliberately minimal — a real deployment swaps in fastText etc.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "en"},
+}
+
+
+def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(id cols..., n_tokens) — whitespace tokenization.
+    n_tokens = 0 for empty/whitespace-only text (matches the DuckDB oracle
+    ``CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(...))``)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        counts = [0 if not s or not s.strip() else len(_TOKEN_SPLIT.split(s.strip())) for s in texts]
+        out = t.drop_columns([text_col])
+        return out.append_column("n_tokens", pa.array(counts, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Length/character-class ratios (rounded to 6 dp for oracle-exactness):
+    (..., n_chars_q, alpha_ratio, digit_ratio, space_ratio)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str)
+        n = s.str.len()
+        safe = n.replace(0, 1)
+        out = df.drop(columns=[text_col])
+        out["n_chars_q"] = n.astype("int64")
+        out["alpha_ratio"] = (s.str.count(r"[A-Za-z]") / safe).round(6)
+        out["digit_ratio"] = (s.str.count(r"[0-9]") / safe).round(6)
+        out["space_ratio"] = (s.str.count(r" ") / safe).round(6)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+class LangIdActor:
+    """Stopword + charset heuristic language ID — stateful setup once per
+    actor (compiled regex + stopword tables), vectorized-ish scoring per
+    batch. Output: (..., pred_lang, lang_score)."""
+
+    def __init__(self) -> None:
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.cjk = re.compile(r"[一-鿿]")
+        self.stop = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        preds, scores = [], []
+        for s in df["text"].astype(str):
+            if self.cjk.search(s):
+                preds.append("zh")
+                scores.append(1.0)
+                continue
+            toks = [w.lower() for w in self.word.findall(s)]
+            if not toks:
+                preds.append("unknown")
+                scores.append(0.0)
+                continue
+            best, best_hits = "unknown", 0
+            for lang, sw in self.stop.items():
+                hits = sum(1 for w in toks if w in sw)
+                if hits > best_hits or (hits == best_hits and hits and lang < best):
+                    best, best_hits = lang, hits
+            preds.append(best if best_hits else "unknown")
+            scores.append(round(best_hits / len(toks), 6))
+        out = df.drop(columns=["text"])
+        out["pred_lang"] = preds
+        out["lang_score"] = scores
+        return out
+
+
+def lang_id(ds: ray.data.Dataset, *, concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(
+        LangIdActor, batch_format="pandas", batch_size=2048, concurrency=concurrency, num_cpus=1
+    )
+
+
+def fingerprint(ds: ray.data.Dataset, text_col: str = "text", k: int = 16, seed: int = 42) -> ray.data.Dataset:
+    """Document fingerprint: min rolling-hash over k-char windows (a 1-hash
+    MinHash — robust to small edits, unlike sha256). (..., fingerprint)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        fps = np.zeros(len(texts), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            h = rolling_shingle_hashes(s.encode("utf-8", "surrogatepass"), k, seed)
+            fps[i] = h.min() if len(h) else np.uint64(0)
+        out = t.drop_columns([text_col])
+        return out.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash(ds: ray.data.Dataset, text_col: str = "text", k: int = 8, seed: int = 42) -> ray.data.Dataset:
+    """64-bit SimHash over k-char shingles: sign of per-bit vote sums.
+    Near-dup docs differ in few bits (Hamming). (..., simhash uint64)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        out_h = np.zeros(len(texts), dtype=np.uint64)
+        bits = np.arange(64, dtype=np.uint64)
+        for i, s in enumerate(texts):
+            h = rolling_shingle_hashes(s.encode("utf-8", "surrogatepass"), k, seed)
+            if len(h) == 0:
+                continue
+            # vectorized bit votes: popcount per bit position
+            votes = ((h[:, None] >> bits) & np.uint64(1)).sum(axis=0)
+            sign = votes * 2 > len(h)
+            out_h[i] = np.bitwise_or.reduce(np.where(sign, np.uint64(1) << bits, np.uint64(0)))
+        out = t.drop_columns([text_col])
+        return out.append_column("simhash", pa.array(out_h, pa.uint64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_near_dups(
+    ds: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text", k: int = 8
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs via 4-band LSH (any 16-bit band equal ->
+    candidate; Hamming distance <= max_hamming verifies). Returns
+    (u, v, hamming) with u < v."""
+    sh = simhash(ds, text_col=text_col, k=k)
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rows_band, rows_key, rows_id, rows_h = [], [], [], []
+        for b in range(4):
+            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows_band.append(np.full(len(h), b, dtype=np.int64))
+            rows_key.append(band)
+            rows_id.append(ids)
+            rows_h.append(h)
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(rows_band) * (1 << 16) + np.concatenate(rows_key), pa.int64()),
+                "doc_id": pa.array(np.concatenate(rows_id), pa.int64()),
+                "simhash": pa.array(np.concatenate(rows_h), pa.uint64()),
+            }
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = t["simhash"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n < 2:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(n, 1)
+        x = h[iu] ^ h[ju]
+        # vectorized popcount: sum of per-byte popcounts via lookup table
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        ok = ham <= max_hamming
+        u = np.minimum(ids[iu], ids[ju])[ok]
+        v = np.maximum(ids[iu], ids[ju])[ok]
+        return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+                         "hamming": pa.array(ham[ok], pa.int64())})
+
+    pairs = (
+        sh.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+    # candidates can repeat across bands — distinct (u, v)
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        hm = t["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, hm = u[order], v[order], hm[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0:1] = True
+        first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"u": pa.array(u[first], pa.int64()), "v": pa.array(v[first], pa.int64()),
+                         "hamming": pa.array(hm[first], pa.int64())})
+
+    from rabbittclust_ray.stages.pairs import _pair_bucket
+
+    def key_pairs(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return t.append_column("pb", pa.array(_pair_bucket(u, v, 64), pa.int32()))
+
+    return (
+        pairs.map_batches(key_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )

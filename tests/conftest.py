@@ -1,0 +1,49 @@
+"""Session-scoped Ray fixture: ONE ray.init per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    """Deterministic correctness corpus (FIXTURES.md sizes scaled down for
+    test speed) + ground truth with doc_ids attached."""
+    import numpy as np
+
+    from rabbittclust_ray.corpus import make_corpus
+    from rabbittclust_ray.hashing import stable_doc_id
+
+    docs, gt = make_corpus(
+        num_seeds=10,
+        per_cluster=8,
+        doc_len=2500,
+        mut_rate=0.01,
+        num_exact_dups=6,
+        num_noise=12,
+        num_short=6,
+    )
+    gtp = gt.to_pandas()
+    gtp["doc_id"] = stable_doc_id(
+        gtp.repo.to_numpy(), gtp.path.to_numpy(), gtp.commit.to_numpy()
+    )
+    return docs, gtp

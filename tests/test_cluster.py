@@ -1,0 +1,106 @@
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.cluster import (
+    UnionFind,
+    components_from_edges,
+    components_labelprop,
+    cut_forest,
+    final_kruskal,
+)
+
+
+def _edge_table(edges):
+    u, v, d = zip(*edges) if edges else ([], [], [])
+    return pa.table(
+        {
+            "u": pa.array(list(u), pa.int64()),
+            "v": pa.array(list(v), pa.int64()),
+            "common": pa.array([1] * len(edges), pa.int32()),
+            "dist": pa.array(list(d), pa.float64()),
+        }
+    )
+
+
+def test_union_find_basic():
+    uf = UnionFind()
+    assert uf.union(1, 2)
+    assert uf.union(2, 3)
+    assert not uf.union(1, 3)
+    assert uf.find(1) == uf.find(3)
+    assert uf.find(10) == 10
+
+
+def _mst_weight_bruteforce(n_nodes, edges):
+    """Prim over a dense matrix — independent MST weight reference."""
+    inf = float("inf")
+    mat = np.full((n_nodes, n_nodes), inf)
+    for u, v, d in edges:
+        mat[u, v] = min(mat[u, v], d)
+        mat[v, u] = min(mat[v, u], d)
+    visited = {0}
+    total = 0.0
+    while len(visited) < n_nodes:
+        best = (inf, None)
+        for a in visited:
+            for b in range(n_nodes):
+                if b not in visited and mat[a, b] < best[0]:
+                    best = (mat[a, b], b)
+        if best[1] is None:
+            break  # disconnected
+        total += best[0]
+        visited.add(best[1])
+    return total
+
+
+def test_final_kruskal_weight_matches_prim():
+    rng = np.random.default_rng(11)
+    n = 20
+    edges = []
+    seen = set()
+    for _ in range(80):
+        u, v = sorted(rng.integers(0, n, 2).tolist())
+        if u == v or (u, v) in seen:
+            continue
+        seen.add((u, v))
+        edges.append((u, v, float(rng.random())))
+    ds = ray.data.from_arrow(_edge_table(edges))
+    mst = final_kruskal(ds)
+    got = sum(mst["dist"].to_pylist())
+    expect = _mst_weight_bruteforce(n, edges)
+    assert abs(got - expect) < 1e-9
+    assert mst.num_rows <= n - 1
+
+
+def test_components_and_cut():
+    edges = [(1, 2, 0.01), (2, 3, 0.02), (10, 11, 0.2), (20, 21, 0.04)]
+    tbl = _edge_table(edges)
+    labels = components_from_edges(tbl, threshold=0.05)
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[20] == labels[21] == 20
+    assert 10 not in labels  # cut removed that edge entirely
+    forest = cut_forest(tbl, 0.05)
+    assert forest.num_rows == 3
+
+
+def test_components_dataset_streaming():
+    edges = [(i, i + 1, 0.01) for i in range(50)]
+    ds = ray.data.from_arrow(_edge_table(edges)).repartition(5)
+    labels = components_from_edges(ds)
+    assert len(set(labels.values())) == 1
+    assert set(labels.values()) == {0}
+
+
+def test_labelprop_matches_unionfind():
+    rng = np.random.default_rng(5)
+    edges = []
+    for _ in range(60):
+        u, v = sorted(rng.integers(0, 40, 2).tolist())
+        if u != v:
+            edges.append((u, v, 0.01))
+    ds = ray.data.from_arrow(_edge_table(edges))
+    uf_labels = components_from_edges(ds)
+    lp = components_labelprop(ds).to_pandas()
+    lp_labels = dict(zip(lp.doc_id, lp.cluster_id))
+    assert lp_labels == uf_labels

@@ -1,0 +1,118 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.dedup import (
+    collapse_near_dups,
+    exact_dedup,
+    exact_dedup_keep_first,
+    k_center_reps,
+)
+
+
+def _prepared(rows):
+    """rows: list of (doc_id, sha)"""
+    ids, shas = zip(*rows)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(ids), pa.int64()),
+                "content_sha256": pa.array(list(shas), pa.string()),
+            }
+        )
+    )
+
+
+SHA_A = "a" * 64
+SHA_B = "b" * 64
+SHA_C = "c" * 64
+
+
+def test_exact_dedup_groups():
+    ds = _prepared([(5, SHA_A), (2, SHA_A), (9, SHA_B), (1, SHA_A), (7, SHA_C)])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    rep = dict(zip(out.doc_id, out.group_rep))
+    assert rep == {1: 1, 2: 1, 5: 1, 9: 9, 7: 7}
+    dup = dict(zip(out.doc_id, out.is_exact_dup))
+    assert dup == {1: False, 2: True, 5: True, 9: False, 7: False}
+
+
+def test_exact_dedup_keep_first():
+    ds = _prepared([(5, SHA_A), (2, SHA_A), (9, SHA_B), (1, SHA_A)])
+    out = exact_dedup_keep_first(ds).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [1, 9]
+
+
+def _forest(edges):
+    u, v, d = zip(*edges)
+    return pa.table(
+        {
+            "u": pa.array(list(u), pa.int64()),
+            "v": pa.array(list(v), pa.int64()),
+            "common": pa.array([1] * len(edges), pa.int32()),
+            "dist": pa.array(list(d), pa.float64()),
+        }
+    )
+
+
+def test_collapse_near_dups_medoid():
+    # path 1 -0.01- 2 -0.01- 3 plus distant 4 (0.04 > dedup_dist)
+    forest = _forest([(1, 2, 0.01), (2, 3, 0.01), (3, 4, 0.04)])
+    labels = {1: 1, 2: 1, 3: 1, 4: 1}
+    lengths = {1: 100, 2: 100, 3: 100, 4: 100}
+    assigns, pairs = collapse_near_dups(forest, labels, lengths, dedup_dist=0.02)
+    ap = assigns.to_pandas()
+    rep = dict(zip(ap.doc_id, ap.dedup_rep))
+    assert rep[1] == 2 and rep[2] == 2 and rep[3] == 2  # 2 is the path medoid
+    assert 4 not in rep  # not in any <=dedup_dist group
+    pp = pairs.to_pandas()
+    assert set(zip(pp.u, pp.v)) == {(1, 2), (1, 3), (2, 3)}
+    assert set(pp.group_rep) == {2}
+
+
+def test_medoid_tie_breaks_longer_doc_then_smaller_id():
+    forest = _forest([(1, 2, 0.01)])
+    # tie on total distance; longer doc wins
+    a, _ = collapse_near_dups(forest, {1: 1, 2: 1}, {1: 50, 2: 80}, 0.02)
+    assert a.to_pandas().dedup_rep.tolist() == [2, 2]
+    # equal lengths -> smaller id
+    a2, _ = collapse_near_dups(forest, {1: 1, 2: 1}, {1: 50, 2: 50}, 0.02)
+    assert a2.to_pandas().dedup_rep.tolist() == [1, 1]
+
+
+def test_k_center_reps_diameter_seeded():
+    # path 1-2-3-4-5 equal weights; k=2 must pick the endpoints 1 and 5
+    forest = _forest([(1, 2, 0.01), (2, 3, 0.01), (3, 4, 0.01), (4, 5, 0.01)])
+    labels = {i: 1 for i in range(1, 6)}
+    reps = k_center_reps(forest, labels, k=2)
+    assert reps == {1: [1, 5]}
+    # k >= n returns all members
+    reps_all = k_center_reps(forest, labels, k=10)
+    assert reps_all == {1: [1, 2, 3, 4, 5]}
+
+
+def test_pipeline_dedup_end_to_end(small_corpus):
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    docs, gtp = small_corpus
+    scfg = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+    ccfg = ClusterConfig(threshold=0.05, max_posting=None, num_buckets=16,
+                         dedup_dist=0.02, reps_per_cluster=3)
+    res = clust_mst(ray.data.from_arrow(docs), scfg, ccfg)
+    assert res.dup_pairs is not None and res.mst is not None
+    pp = res.dup_pairs.to_pandas()
+    # every exact dup must appear in dup_pairs with its seed
+    seeds = gtp[gtp.kind == "seed"].set_index("true_cluster").doc_id
+    covered = set(zip(pp.u, pp.v))
+    for r in gtp[gtp.kind == "exact_dup"].itertuples():
+        s = int(seeds[r.true_cluster])
+        pair = tuple(sorted((s, int(r.doc_id))))
+        assert pair in covered, pair
+    # reps: every non-singleton cluster has <= 3 reps, all members of it
+    assign = res.assignments.to_pandas()
+    members = assign.groupby("cluster_id").doc_id.apply(set)
+    for c, reps in (res.reps or {}).items():
+        assert 1 <= len(reps) <= 3
+        assert set(reps) <= members[c]

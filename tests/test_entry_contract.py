@@ -1,0 +1,71 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+at sf0.01 and hash-compare against oracle_sql() via DuckDB (TESTDATA.md)."""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    rows = sorted(df.apply("|".join, axis=1).tolist())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(name, con):
+    ray_out = _to_pandas(entrymod.queries()[name](SF_DIR))
+    sql_out = con.sql(entrymod.oracle_sql()[name]).df()
+    assert len(ray_out) == len(sql_out), (len(ray_out), len(sql_out))
+    assert sorted(ray_out.columns) == sorted(sql_out.columns)
+    assert _value_hash(ray_out) == _value_hash(sql_out), name
+
+
+NONSQL_KEYS = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", NONSQL_KEYS)
+def test_nonsql_query_runs(name):
+    out = _to_pandas(entrymod.queries()[name](SF_DIR))
+    assert out is not None and len(out) >= 0
+    assert len(out.columns) > 0
+
+
+def test_entry_smoke():
+    out = _to_pandas(entrymod.entry())
+    assert len(out) > 0
+    assert "doc_id" in out.columns and "cluster_id" in out.columns

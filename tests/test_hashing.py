@@ -1,0 +1,74 @@
+import numpy as np
+
+from rabbittclust_ray.hashing import (
+    _B,
+    rolling_shingle_hashes,
+    sha256_hex,
+    splitmix64,
+    stable_doc_id,
+)
+
+
+def _naive_poly(window: bytes) -> int:
+    h = 0
+    for byte in window:
+        h = (h * int(_B) + byte) % (1 << 64)
+    return h
+
+
+def _naive_hashes(data: bytes, k: int, seed: int) -> np.ndarray:
+    out = []
+    for i in range(len(data) - k + 1):
+        out.append(_naive_poly(data[i : i + k]) ^ seed)
+    return splitmix64(np.array(out, dtype=np.uint64))
+
+
+def test_rolling_matches_naive():
+    data = b"the quick brown fox jumps over the lazy dog" * 3
+    for k in (2, 5, 12, 21):
+        fast = rolling_shingle_hashes(data, k, seed=42)
+        naive = _naive_hashes(data, k, seed=42)
+        assert fast.dtype == np.uint64
+        assert np.array_equal(fast, naive)
+
+
+def test_rolling_short_input():
+    assert len(rolling_shingle_hashes(b"ab", 5)) == 0
+    assert len(rolling_shingle_hashes(b"abcde", 5)) == 1
+
+
+def test_rolling_deterministic_and_seed_sensitive():
+    d = b"some source code text " * 10
+    a = rolling_shingle_hashes(d, 8, seed=1)
+    b = rolling_shingle_hashes(d, 8, seed=1)
+    c = rolling_shingle_hashes(d, 8, seed=2)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_rolling_uniformity_no_collision_burst():
+    # distinct windows should essentially never collide in 64 bits
+    rng = np.random.default_rng(0)
+    data = bytes(rng.integers(97, 123, size=20000, dtype=np.uint8))
+    h = rolling_shingle_hashes(data, 12, seed=0)
+    assert len(np.unique(h)) >= len(h) - 2
+
+
+def test_stable_doc_id_stable_and_distinct():
+    repo = np.array(["a/r", "a/r", "b/r"], dtype=object)
+    path = np.array(["x.py", "y.py", "x.py"], dtype=object)
+    commit = np.array(["c1", "c1", "c1"], dtype=object)
+    ids1 = stable_doc_id(repo, path, commit)
+    ids2 = stable_doc_id(repo, path, commit)
+    assert np.array_equal(ids1, ids2)
+    assert len(set(ids1.tolist())) == 3
+    assert (ids1 >= 0).all()
+
+
+def test_sha256_hex_matches_hashlib():
+    import hashlib
+
+    vals = ["abc", "", "unicode ✓ text"]
+    out = sha256_hex(vals)
+    for v, h in zip(vals, out):
+        assert h == hashlib.sha256(v.encode("utf-8")).hexdigest()

@@ -1,0 +1,128 @@
+import itertools
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.pairs import (
+    BucketPairEmitter,
+    _ragged_pairs,
+    candidate_edges,
+    containment_distance,
+    mash_distance,
+    min_common,
+)
+
+
+def test_ragged_pairs_matches_itertools():
+    counts = np.array([3, 1, 4, 2, 0, 5])
+    i_idx, j_idx = _ragged_pairs(counts)
+    got = set(zip(i_idx.tolist(), j_idx.tolist()))
+    expect = set()
+    start = 0
+    for c in counts:
+        for a, b in itertools.combinations(range(start, start + c), 2):
+            expect.add((a, b))
+        start += c
+    assert got == expect
+
+
+def test_ragged_pairs_empty():
+    i, j = _ragged_pairs(np.array([1, 1, 1]))
+    assert len(i) == 0 and len(j) == 0
+
+
+def test_mash_distance_formula():
+    # closed form check: J = c/(su+sv-c), D = -(1/k) ln(2J/(1+J))
+    c, su, sv, k = np.array([50]), np.array([100]), np.array([100]), 12
+    j = 50 / 150
+    expect = -math.log(2 * j / (1 + j)) / 12
+    assert mash_distance(c, su, sv, k)[0] == pytest.approx(expect)
+    # identical sketches -> 0; disjoint -> 1
+    assert mash_distance(np.array([100]), np.array([100]), np.array([100]), 12)[0] == 0.0
+    assert mash_distance(np.array([0]), np.array([100]), np.array([100]), 12)[0] == 1.0
+
+
+def test_containment_distance_formula():
+    c, su, sv, k = np.array([30]), np.array([60]), np.array([200]), 12
+    expect = -math.log(30 / 60) / 12
+    assert containment_distance(c, su, sv, k)[0] == pytest.approx(expect)
+    assert containment_distance(np.array([60]), np.array([60]), np.array([200]), 12)[0] == 0.0
+
+
+def test_prefilters_never_drop_true_positive():
+    """J2/J3 exactness: for every (common, su, sv) with dist <= d the
+    prefilters must pass (provable from the algebra, checked by sweep)."""
+    k, d = 12, 0.05
+    x = math.exp(-d * k)
+    jmin = x / (2.0 - x)
+    radio = 2.0 * math.exp(d * k) - 1.0
+    rng = np.random.default_rng(7)
+    su = rng.integers(10, 400, 3000)
+    sv = rng.integers(10, 400, 3000)
+    common = np.minimum(su, sv) * rng.random(3000)
+    common = common.astype(np.int64)
+    dist = mash_distance(common, su, sv, k)
+    true_pos = dist <= d
+    mc = min_common(jmin, su, sv, containment=False)
+    passed = (np.maximum(su, sv) <= radio * np.minimum(su, sv)) & (common >= mc)
+    assert not (true_pos & ~passed).any()
+
+
+def _sketch_ds(sketches: dict[int, list[int]]) -> ray.data.Dataset:
+    ids = sorted(sketches)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sketch": pa.array(
+                [sorted(set(sketches[i])) for i in ids], pa.list_(pa.uint64())
+            ),
+            "sketch_size": pa.array([len(set(sketches[i])) for i in ids], pa.int32()),
+            "length": pa.array([0] * len(ids), pa.int64()),
+            "content_sha256": pa.array([""] * len(ids), pa.string()),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def test_common_counts_exact_small():
+    """End-to-end pair gen: common == |sketch_u ∩ sketch_v| exactly."""
+    rng = np.random.default_rng(3)
+    sketches = {
+        i: rng.choice(500, size=rng.integers(20, 60), replace=False).tolist()
+        for i in range(12)
+    }
+    scfg = SketchConfig(shingle_k=12)
+    ccfg = ClusterConfig(threshold=1.0, max_posting=None, num_buckets=8)
+    edges = candidate_edges(_sketch_ds(sketches), scfg, ccfg, max_dist=1.0).to_pandas()
+    got = {(r.u, r.v): r.common for r in edges.itertuples()}
+    for a in range(12):
+        for b in range(a + 1, 12):
+            inter = len(set(sketches[a]) & set(sketches[b]))
+            if inter > 0:
+                assert got.get((a, b)) == inter, (a, b)
+            else:
+                assert (a, b) not in got
+
+
+def test_posting_cap_drops_hot_hash_and_reports():
+    """A hash shared by more docs than max_posting generates no pairs but
+    IS counted in the dropped_postings marker rows."""
+    hot = 7
+    sketches = {i: [hot, 100 + i] for i in range(10)}
+    ccfg = ClusterConfig(max_posting=5, num_buckets=4)
+    emitter = BucketPairEmitter(ccfg)
+    t = pa.table(
+        {
+            "band_hash": pa.array([hot] * 10 + [100 + i for i in range(10)], pa.uint64()),
+            "doc_id": pa.array(list(range(10)) * 2, pa.int64()),
+            "ssize": pa.array([2] * 20, pa.int32()),
+        }
+    )
+    out = emitter(t)
+    pdf = out.to_pandas()
+    assert pdf[pdf.u >= 0].empty  # no pairs survive (other hashes unshared)
+    assert pdf.dropped_postings.sum() == 1

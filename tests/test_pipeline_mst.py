@@ -1,0 +1,93 @@
+"""End-to-end flagship pipeline vs the brute-force oracle (FIXTURES.md §4)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.oracle import (
+    components,
+    dup_pair_recall,
+    exact_shingle_sets,
+    exact_threshold_edges,
+    nmi,
+)
+from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+SCFG = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+CCFG = ClusterConfig(threshold=0.05, max_posting=None, num_buckets=16)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(small_corpus):
+    docs, _ = small_corpus
+    ds = ray.data.from_arrow(docs)
+    res = clust_mst(ds, SCFG, CCFG)
+    return res, res.assignments.to_pandas()
+
+
+def test_ground_truth_nmi_is_one(pipeline_result, small_corpus):
+    _, assign = pipeline_result
+    _, gtp = small_corpus
+    m = assign.merge(gtp, on="doc_id")
+    pred = dict(zip(m.doc_id, m.cluster_id))
+    true = dict(zip(m.doc_id, m.true_cluster))
+    assert nmi(pred, true) == pytest.approx(1.0)
+
+
+def test_recall_vs_bruteforce_oracle(pipeline_result, small_corpus):
+    docs, _ = small_corpus
+    res, assign = pipeline_result
+    shingles = exact_shingle_sets(docs, SCFG)
+    oracle_edges = exact_threshold_edges(shingles, SCFG.distance_k, CCFG.threshold)
+    oracle_labels = components(sorted(shingles), oracle_edges)
+    pred = dict(zip(assign.doc_id, assign.cluster_id))
+    recall, n_pairs, hit = dup_pair_recall(pred, oracle_labels)
+    assert n_pairs > 100
+    assert recall >= 0.99, (recall, n_pairs, hit)
+
+
+def test_sha256_invariant_end_to_end(pipeline_result, small_corpus):
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) of every
+    surviving input row appears unchanged in the output."""
+    docs, gtp = small_corpus
+    _, assign = pipeline_result
+    expected = {
+        int(r.doc_id): hashlib.sha256(c.encode()).hexdigest()
+        for r, c in zip(gtp.itertuples(), docs["content"].to_pylist())
+        if r.kind != "short"
+    }
+    got = dict(zip(assign.doc_id, assign.content_sha256))
+    assert got == expected
+
+
+def test_short_docs_filtered(pipeline_result, small_corpus):
+    _, gtp = small_corpus
+    _, assign = pipeline_result
+    short_ids = set(gtp[gtp.kind == "short"].doc_id)
+    assert short_ids.isdisjoint(set(assign.doc_id))
+
+
+def test_exact_dups_coclustered(pipeline_result, small_corpus):
+    _, gtp = small_corpus
+    _, assign = pipeline_result
+    m = assign.merge(gtp, on="doc_id")
+    for _, grp in m[m.kind.isin(["seed", "exact_dup"])].groupby("true_cluster"):
+        assert grp.cluster_id.nunique() == 1
+
+
+def test_membership_invariant_to_partitioning(small_corpus):
+    """SURVEY.md §4 determinism: cluster membership must not depend on block
+    count or input order (MST mode)."""
+    docs, _ = small_corpus
+    base = clust_mst(ray.data.from_arrow(docs), SCFG, CCFG).assignments.to_pandas()
+    perm = docs.take(list(np.random.default_rng(9).permutation(docs.num_rows)))
+    shuffled = clust_mst(
+        ray.data.from_arrow(perm).repartition(7), SCFG, CCFG
+    ).assignments.to_pandas()
+    a = base.sort_values("doc_id").reset_index(drop=True)
+    b = shuffled.sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.cluster_id.tolist() == b.cluster_id.tolist()

@@ -1,0 +1,75 @@
+import numpy as np
+import pyarrow as pa
+
+from rabbittclust_ray.config import SketchConfig
+from rabbittclust_ray.hashing import rolling_shingle_hashes
+from rabbittclust_ray.stages.sketch import normalize_column, sketch_batch
+
+
+def _mk_batch(texts):
+    import hashlib
+
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "content": pa.array(texts, pa.string()),
+            "length": pa.array([len(t) for t in texts], pa.int64()),
+            "content_sha256": pa.array(
+                [hashlib.sha256(t.encode()).hexdigest() for t in texts], pa.string()
+            ),
+        }
+    )
+
+
+def test_sketch_sorted_unique_bottomk():
+    cfg = SketchConfig(shingle_k=5, mode="bottomk", sketch_size=16, normalize="none", min_len=0)
+    texts = ["abcdefghij" * 20, "zyxwvutsrq" * 20]
+    out = sketch_batch(_mk_batch(texts), cfg)
+    for sk in out["sketch"].to_pylist():
+        arr = np.array(sk, dtype=np.uint64)
+        assert len(arr) <= 16
+        assert np.array_equal(arr, np.unique(arr))  # sorted + deduped
+    assert out["sketch_size"].to_pylist() == [len(s) for s in out["sketch"].to_pylist()]
+
+
+def test_bottomk_equals_smallest_distinct_hashes():
+    cfg = SketchConfig(shingle_k=4, mode="bottomk", sketch_size=8, normalize="none", min_len=0)
+    t = "the quick brown fox jumps over the lazy dog"
+    out = sketch_batch(_mk_batch([t]), cfg)
+    expect = np.unique(rolling_shingle_hashes(t.encode(), 4, cfg.seed))[:8]
+    assert np.array_equal(np.array(out["sketch"].to_pylist()[0], dtype=np.uint64), expect)
+
+
+def test_mod_sampling_rule():
+    cfg = SketchConfig(shingle_k=4, mode="mod", mod_bits=3, normalize="none", min_len=0)
+    t = "abcdefgh ijklmnop qrstuvwx " * 30
+    out = sketch_batch(_mk_batch([t]), cfg)
+    sk = np.array(out["sketch"].to_pylist()[0], dtype=np.uint64)
+    all_h = rolling_shingle_hashes(t.encode(), 4, cfg.seed)
+    expect = np.unique(all_h[(all_h & np.uint64(7)) == 0])
+    assert np.array_equal(sk, expect)
+
+
+def test_doc_shorter_than_k_gets_empty_sketch():
+    cfg = SketchConfig(shingle_k=12, mode="bottomk", normalize="none", min_len=0)
+    out = sketch_batch(_mk_batch(["tiny", "a much longer document body here ok"]), cfg)
+    sizes = out["sketch_size"].to_pylist()
+    assert sizes[0] == 0 and sizes[1] > 0
+
+
+def test_concat_boundary_isolation():
+    """Hashes must not leak across document boundaries in the batch blob."""
+    cfg = SketchConfig(shingle_k=6, mode="bottomk", sketch_size=1000, normalize="none", min_len=0)
+    a, b = "aaaaaaaaaaaa", "bbbbbbbbbbbb"
+    joint = sketch_batch(_mk_batch([a, b]), cfg)
+    solo_a = sketch_batch(_mk_batch([a]), cfg)
+    solo_b = sketch_batch(_mk_batch([b]), cfg)
+    assert joint["sketch"].to_pylist()[0] == solo_a["sketch"].to_pylist()[0]
+    assert joint["sketch"].to_pylist()[1] == solo_b["sketch"].to_pylist()[0]
+
+
+def test_normalize_ws_collapses_runs():
+    col = pa.array(["a   b\t\tc\n\nd", "x y"])
+    out = normalize_column(col, "ws").to_pylist()
+    assert out == ["a b c d", "x y"]
