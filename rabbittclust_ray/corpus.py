@@ -166,6 +166,50 @@ def scale_corpus(n_docs: int, doc_len: int = 2000, seed: int = 42) -> pa.Table:
     return docs
 
 
+def bench_corpus_dataset(n_docs: int, doc_len: int = 2000, seed: int = 42, family_size: int = 10):
+    """Distributed deterministic bench corpus as a Ray Dataset in canonical
+    input_hint shape. Doc i belongs to near-dup family i // family_size; its
+    content is the family seed token stream with ~2% vectorized mutations.
+    Fully parallel (ray.data.range -> map_batches) and reproducible: content
+    depends only on (i, seed, doc_len, family_size)."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        # vocabulary sized like a real code corpus (identifiers are diverse;
+        # a tiny vocab makes every doc share shingles with every other and
+        # turns the workload into an adversarial all-pairs blowup)
+        base_vocab = _vocab(random.Random(seed + 1), 4000)
+        vocab_arr = np.array(base_vocab + _KEYWORDS + _PUNCT, dtype=object)
+        v = len(vocab_arr)
+        ntok = max(8, doc_len // 6)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        repo, path, commit, lang, content = [], [], [], [], []
+        for i in ids:
+            i = int(i)
+            fam = i // family_size
+            frng = np.random.default_rng(seed * 1000003 + fam)
+            toks = vocab_arr[frng.integers(0, v, size=ntok)]
+            if i % family_size != 0:  # mutants: vectorized token substitution
+                mrng = np.random.default_rng(seed * 7 + i)
+                mask = mrng.random(ntok) < 0.02
+                toks = toks.copy()
+                toks[mask] = vocab_arr[mrng.integers(0, v, size=int(mask.sum()))]
+            ext, lg = _LANGS[i % 4]
+            repo.append(f"org{fam % 37:02d}/repo{fam % 101:03d}")
+            path.append(f"src/mod{i % 13:02d}/file{i:07d}.{ext}")
+            commit.append(hashlib.sha1(f"{seed}:{i}".encode()).hexdigest())
+            lang.append(lg)
+            content.append(" ".join(toks.tolist()))
+        return pa.table(
+            {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+        )
+
+    blocks = max(64, n_docs // 250)
+    return ray.data.range(n_docs, override_num_blocks=blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=512
+    )
+
+
 def adapt_testdata_documents(batch: pa.Table) -> pa.Table:
     """Map the driver testdata ``documents`` schema
     (doc_id, text, lang, source, n_chars — TESTDATA.md) into the canonical

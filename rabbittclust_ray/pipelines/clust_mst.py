@@ -1,25 +1,32 @@
 """Flagship pipeline: clust-mst (reference
 /root/reference/src/main.cpp:603-636 -> sub_command.cpp:1934-2152).
 
-read documents -> prepare (ids/sha/len/filter) -> sketch (actor pool) ->
-candidate edges (two shuffles) -> components at threshold d ->
-assignments [-> dedup collapse -> dup_pairs].
+read documents -> prepare (ids/sha/len/filter) -> sketch -> candidate edges
+(two hash exchanges) -> distributed partial-MST compression -> driver
+Boruvka merge -> components at threshold d -> assignments
+[-> dedup collapse -> dup_pairs].
 
-All stages are lazy Dataset transforms until the component step, which
-streams compressed edges to a driver union-find (see stages/cluster.py for
-the scale discussion).
+Execution-count discipline: every Dataset execution costs fixed scheduler
+latency, so the pipeline triggers as few as possible — sketches (1), the
+pair exchanges (2), edge materialize (1), one distributed compression pass
+whose output feeds BOTH the MST and the component labels, and one lazy
+assignments pass. Cluster membership is derived FROM the MST forest
+(components of the threshold-cut forest == components of the threshold
+graph, SURVEY.md §4), so no separate component pass runs.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 from rabbittclust_ray.config import ClusterConfig, SketchConfig
 from rabbittclust_ray.stages.cluster import (
-    components_from_edges,
+    cut_forest,
+    local_kruskal_stage,
     make_assignments,
 )
 from rabbittclust_ray.stages.pairs import candidate_edges
@@ -30,13 +37,26 @@ from rabbittclust_ray.stages.sketch import sketch_documents
 @dataclass
 class MstResult:
     sketches: ray.data.Dataset
-    edges: ray.data.Dataset      # threshold-filtered candidate edges (lazy)
+    edges: ray.data.Dataset      # threshold-filtered candidate edges
     assignments: ray.data.Dataset
     labels: dict[int, int]       # edge-touched doc_id -> cluster root
-    mst: pa.Table | None = None          # true MST (only when dedup/reps requested)
+    mst: pa.Table | None = None          # minimum spanning forest of the edges
     dedup_assignments: pa.Table | None = None  # (doc_id, cluster_id, dedup_rep)
     dup_pairs: pa.Table | None = None    # (u, v, group_rep) — tier deliverable
     reps: dict[int, list[int]] | None = None   # cluster_id -> k-center reps
+
+
+def _labels_from_forest(mst: pa.Table) -> dict[int, int]:
+    """Component labels (min doc_id per component) from forest edges."""
+    from rabbittclust_ray.stages.graph_np import components_labels, dense_ids
+
+    if mst.num_rows == 0:
+        return {}
+    u = mst["u"].to_numpy(zero_copy_only=False)
+    v = mst["v"].to_numpy(zero_copy_only=False)
+    ids, (du, dv) = dense_ids(u, v)
+    lab = components_labels(du, dv, len(ids))
+    return dict(zip(ids.tolist(), ids[lab].tolist()))
 
 
 def clust_mst(
@@ -44,6 +64,8 @@ def clust_mst(
     scfg: SketchConfig | None = None,
     ccfg: ClusterConfig | None = None,
 ) -> MstResult:
+    from rabbittclust_ray.stages.cluster import _local_kruskal
+
     scfg = scfg or SketchConfig()
     ccfg = ccfg or ClusterConfig()
     prepared = prepare_documents(documents, scfg)
@@ -51,15 +73,34 @@ def clust_mst(
     # sketches feed two consumers (pair gen + assignment render): materialize
     # once — sketches are ids + hashes only, ~1% of input bytes.
     sketches = sketches.materialize()
-    edges = candidate_edges(sketches, scfg, ccfg)
-    edges = edges.materialize()
-    labels = components_from_edges(edges)
+    edges = candidate_edges(sketches, scfg, ccfg).materialize()
+
+    # ONE distributed compression pass; its concatenated output (<= V_p - 1
+    # edges per block) is merged driver-side into the exact MST, which then
+    # yields both cluster labels and the dedup forest.
+    parts = [
+        b for b in local_kruskal_stage(edges).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if parts:
+        allp = pa.concat_tables(parts).combine_chunks()
+        order = np.lexsort((
+            allp["v"].to_numpy(zero_copy_only=False),
+            allp["u"].to_numpy(zero_copy_only=False),
+            allp["dist"].to_numpy(zero_copy_only=False),
+        ))
+        mst = _local_kruskal(allp.take(pa.array(order)))
+    else:
+        mst = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())}
+        )
+    labels = _labels_from_forest(mst)
     assignments = make_assignments(sketches, labels)
     result = MstResult(
-        sketches=sketches, edges=edges, assignments=assignments, labels=labels
+        sketches=sketches, edges=edges, assignments=assignments, labels=labels, mst=mst
     )
     if ccfg.dedup_dist is not None or ccfg.reps_per_cluster > 1:
-        from rabbittclust_ray.stages.cluster import cut_forest, final_kruskal
         from rabbittclust_ray.stages.dedup import (
             collapse_near_dups,
             dup_pairs_with_exact,
@@ -67,8 +108,7 @@ def clust_mst(
             k_center_reps,
         )
 
-        result.mst = final_kruskal(edges)
-        forest = cut_forest(result.mst, ccfg.threshold)
+        forest = cut_forest(mst, ccfg.threshold)
         if ccfg.dedup_dist is not None:
             lp = sketches.select_columns(["doc_id", "length"]).to_pandas()
             lengths = dict(zip(lp["doc_id"], lp["length"]))

@@ -30,6 +30,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+# NOTE: worker-executed functions must reference these as module globals
+# (resolved through cloudpickle by-value registration) — a runtime
+# ``from rabbittclust_ray...`` import inside a UDF breaks when the driver
+# process runs outside the repo directory.
+from rabbittclust_ray.stages.graph_np import components_labels, dense_ids, mst_keep_mask
+
 
 class UnionFind:
     """Path-compressing union-find over arbitrary int64 ids
@@ -65,17 +71,15 @@ class UnionFind:
 
 
 def _local_kruskal(t: pa.Table) -> pa.Table:
-    """Keep only edges a local Kruskal would retain (<= n_vertices-1)."""
+    """Keep only edges a local Kruskal would retain (<= n_vertices-1).
+    Vectorized (Boruvka kernel, graph_np) — no per-edge Python."""
     if t.num_rows == 0:
         return t
-    df = {c: t[c].to_numpy(zero_copy_only=False) for c in t.column_names}
-    order = np.argsort(df["dist"], kind="stable")
-    uf = UnionFind()
-    keep = np.zeros(t.num_rows, dtype=bool)
-    u, v = df["u"], df["v"]
-    for i in order:
-        if uf.union(int(u[i]), int(v[i])):
-            keep[i] = True
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    w = t["dist"].to_numpy(zero_copy_only=False)
+    ids, (du, dv) = dense_ids(u, v)
+    keep = mst_keep_mask(du, dv, w, len(ids))
     return t.filter(pa.array(keep))
 
 
@@ -87,32 +91,30 @@ def local_kruskal_stage(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def final_kruskal(edges: ray.data.Dataset) -> pa.Table:
-    """Driver-side final merge: stream dist-sorted compressed edges through
-    one union-find; returns the true MST edge table (u, v, common, dist)
-    (reference final concat+sort+Kruskal /root/reference/src/MST.cpp:779-787)."""
-    compressed = local_kruskal_stage(edges).sort("dist")
-    uf = UnionFind()
-    kept: list[pa.Table] = []
-    for batch in compressed.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        t = _local_kruskal_with(batch, uf)
-        if t.num_rows:
-            kept.append(t)
-    if not kept:
+    """Final merge: per-block Boruvka compression (distributed) -> driver
+    Boruvka over the concatenated partial MSTs (<= V-1 edges per block).
+    Equals the true MST by the Kruskal-merge algebra (reference
+    /root/reference/src/MST.cpp:779-787; SURVEY.md §4). Deterministic: ties
+    broken by (dist, input order after a stable dist sort)."""
+    compressed = local_kruskal_stage(edges)
+    parts = [
+        b for b in compressed.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
         return pa.table(
             {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
              "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())}
         )
-    return pa.concat_tables(kept)
-
-
-def _local_kruskal_with(t: pa.Table, uf: UnionFind) -> pa.Table:
-    keep = np.zeros(t.num_rows, dtype=bool)
-    u = t["u"].to_numpy(zero_copy_only=False)
-    v = t["v"].to_numpy(zero_copy_only=False)
-    for i in range(t.num_rows):  # batches arrive already dist-sorted
-        if uf.union(int(u[i]), int(v[i])):
-            keep[i] = True
-    return t.filter(pa.array(keep))
+    allp = pa.concat_tables(parts).combine_chunks()
+    # stable dist-order so tie-breaking is independent of block arrival order
+    order = np.lexsort((
+        allp["v"].to_numpy(zero_copy_only=False),
+        allp["u"].to_numpy(zero_copy_only=False),
+        allp["dist"].to_numpy(zero_copy_only=False),
+    ))
+    allp = allp.take(pa.array(order))
+    return _local_kruskal(allp)
 
 
 def cut_forest(mst: pa.Table, threshold: float) -> pa.Table:
@@ -131,9 +133,9 @@ def components_from_edges(
     Streams edges through a driver union-find; pre-compresses distributed
     when given a Dataset. Only edge-touched docs appear — singletons are
     added by ``make_assignments``."""
-    uf = UnionFind()
     if isinstance(edges, pa.Table):
-        batches = [edges]
+        t = cut_forest(edges, threshold) if threshold is not None else edges
+        parts = [t] if t.num_rows else []
     else:
         ds = edges
         if threshold is not None:
@@ -144,23 +146,20 @@ def components_from_edges(
                 lambda t: t.filter(pc.less_equal(t["dist"], pa.scalar(thr))),
                 batch_format="pyarrow",
             )
-        ds = local_kruskal_stage(ds)
-        batches = ds.iter_batches(batch_size=65536, batch_format="pyarrow")
-    for t in batches:
-        if threshold is not None and isinstance(edges, pa.Table):
-            t = cut_forest(t, threshold)
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        for i in range(len(u)):
-            uf.union(int(u[i]), int(v[i]))
-    # root = min doc_id of each component for stable cluster labels
-    comp_min: dict[int, int] = {}
-    for x in uf.parent:
-        r = uf.find(x)
-        m = comp_min.get(r)
-        if m is None or x < m:
-            comp_min[r] = x
-    return {x: comp_min[uf.find(x)] for x in uf.parent}
+        ds = local_kruskal_stage(ds)  # <= V_p-1 edges per block reach driver
+        parts = [
+            b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
+    if not parts:
+        return {}
+    allp = pa.concat_tables(parts)
+    u = allp["u"].to_numpy(zero_copy_only=False)
+    v = allp["v"].to_numpy(zero_copy_only=False)
+    ids, (du, dv) = dense_ids(u, v)
+    labels = components_labels(du, dv, len(ids))
+    # label is the min dense index of the component == min doc_id (ids sorted)
+    return dict(zip(ids.tolist(), ids[labels].tolist()))
 
 
 def make_assignments(
@@ -175,12 +174,19 @@ def make_assignments(
     medoid pass in stages/dedup.py refines representatives)."""
     import ray
 
-    ref = ray.put(labels)
+    keys = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
+    vals = np.array([labels[int(k)] for k in keys], dtype=np.int64)
+    ref = ray.put((keys, vals))
 
     def _assign(t: pa.Table) -> pa.Table:
-        lab = ray.get(ref)
+        lkeys, lvals = ray.get(ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        cluster = np.array([lab.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        if len(lkeys):
+            pos = np.clip(np.searchsorted(lkeys, ids), 0, len(lkeys) - 1)
+            found = lkeys[pos] == ids
+            cluster = np.where(found, lvals[pos], ids)
+        else:
+            cluster = ids.copy()
         return pa.table(
             {
                 "doc_id": t["doc_id"],

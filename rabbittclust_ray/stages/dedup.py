@@ -32,38 +32,46 @@ import ray.data
 # ---------------------------------------------------------------------------
 
 
-def _sha_bucket(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
-    """bucket = first-8-hex-chars of the sha mod B (sha is already uniform)."""
-    vals = col.to_pylist()
-    return pa.array([int(s[:8], 16) % num_buckets for s in vals], pa.int32())
+def _add_sha_key(t: pa.Table) -> pa.Table:
+    """int64 exchange key from the sha prefix (sha is already uniform)."""
+    vals = t["content_sha256"].to_pylist()
+    key = np.array([int(s[:15], 16) for s in vals], dtype=np.int64)
+    return t.append_column("sha_key", pa.array(key, pa.int64()))
+
+
+def _sha_groups(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sorted row order, group-start mask, doc ids in that order)."""
+    sha = np.array(t["content_sha256"].to_pylist(), dtype=object)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, sha))
+    sha_s = sha[order]
+    new_grp = np.empty(len(sha_s), dtype=bool)
+    new_grp[0:1] = True
+    new_grp[1:] = sha_s[1:] != sha_s[:-1]
+    return order, new_grp, ids[order]
 
 
 def exact_dedup(
-    prepared: ray.data.Dataset, num_buckets: int = 64
+    prepared: ray.data.Dataset, num_buckets: int = 32
 ) -> ray.data.Dataset:
     """prepared docs -> (doc_id, content_sha256, group_rep, is_exact_dup).
 
-    group_rep = min doc_id among rows sharing the sha (deterministic winner);
-    is_exact_dup marks losers. Pure two-stage: add bucket column ->
-    groupby(bucket) -> vectorized min-per-sha within the bucket."""
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id", "content_sha256"]).append_column(
-            "bucket", _sha_bucket(t["content_sha256"], num_buckets)
-        )
+    group_rep = min doc_id among rows sharing the sha (deterministic
+    winner); is_exact_dup marks losers. One hash exchange keyed on the sha
+    prefix; winner selection vectorized within each partition."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
 
     def collapse(t: pa.Table) -> pa.Table:
-        sha = np.array(t["content_sha256"].to_pylist(), dtype=object)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, sha))
-        sha, ids = sha[order], ids[order]
-        new_grp = np.empty(len(sha), dtype=bool)
-        new_grp[0:1] = True
-        new_grp[1:] = sha[1:] != sha[:-1]
-        grp_id = np.cumsum(new_grp) - 1
-        # first (min) id per group — ids sorted within group by lexsort
-        first_ids = ids[np.flatnonzero(new_grp)]
-        rep = first_ids[grp_id]
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "content_sha256": pa.array([], pa.string()),
+                 "group_rep": pa.array([], pa.int64()),
+                 "is_exact_dup": pa.array([], pa.bool_())}
+            )
+        order, new_grp, ids = _sha_groups(t)
+        rep = ids[np.flatnonzero(new_grp)][np.cumsum(new_grp) - 1]
+        sha = np.array(t["content_sha256"].to_pylist(), dtype=object)[order]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -73,42 +81,33 @@ def exact_dedup(
             }
         )
 
-    return (
-        prepared.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(collapse, batch_format="pyarrow")
+    keyed = prepared.map_batches(
+        lambda t: _add_sha_key(t.select(["doc_id", "content_sha256"])),
+        batch_format="pyarrow",
     )
+    return hash_exchange(keyed, "sha_key", collapse, num_buckets)
 
 
-def exact_dedup_keep_first(prepared: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+def exact_dedup_keep_first(prepared: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
     """prepared docs minus exact duplicates (winner = min doc_id per sha).
     Run BEFORE sketching at scale: collapses byte-identical families so the
     pair stage never sees their O(m^2) blowup (stages/pairs.py skew note).
 
-    One full-row shuffle keyed on a sha-derived bucket; winner selection is
-    vectorized within each bucket (no driver-side key set)."""
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("bucket", _sha_bucket(t["content_sha256"], num_buckets))
+    One full-row hash exchange keyed on the sha prefix; winner selection is
+    vectorized within each partition (no driver-side key set)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
 
     def keep_first(t: pa.Table) -> pa.Table:
-        sha = np.array(t["content_sha256"].to_pylist(), dtype=object)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, sha))
-        sha_s = sha[order]
-        new_grp = np.empty(len(sha_s), dtype=bool)
-        new_grp[0:1] = True
-        new_grp[1:] = sha_s[1:] != sha_s[:-1]
-        winners = order[new_grp]  # min doc_id row of each sha group
-        mask = np.zeros(len(sha), dtype=bool)
+        if t.num_rows == 0:
+            return t.drop_columns(["sha_key"])
+        order, new_grp, _ = _sha_groups(t)
+        winners = order[new_grp]
+        mask = np.zeros(t.num_rows, dtype=bool)
         mask[winners] = True
-        return t.filter(pa.array(mask)).drop_columns(["bucket"])
+        return t.filter(pa.array(mask)).drop_columns(["sha_key"])
 
-    return (
-        prepared.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(keep_first, batch_format="pyarrow")
-    )
+    keyed = prepared.map_batches(_add_sha_key, batch_format="pyarrow")
+    return hash_exchange(keyed, "sha_key", keep_first, num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -154,49 +153,62 @@ def collapse_near_dups(
     doc mapped to its group medoid (docs not in any <=dedup_dist group are
     their own rep). dup_pairs: (u, v, group_rep) for all unordered pairs in
     each collapsed group (FIXTURES.md §3 deliverable)."""
-    from rabbittclust_ray.stages.cluster import UnionFind
+    from rabbittclust_ray.stages.graph_np import components_labels, dense_ids
+    from rabbittclust_ray.stages.pairs import _ragged_pairs
 
     u_arr = forest["u"].to_numpy(zero_copy_only=False)
     v_arr = forest["v"].to_numpy(zero_copy_only=False)
     d_arr = forest["dist"].to_numpy(zero_copy_only=False)
-    uf = UnionFind()
+    sel = d_arr <= dedup_dist
+    u_arr, v_arr, d_arr = u_arr[sel], v_arr[sel], d_arr[sel]
+    empty_a = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "cluster_id": pa.array([], pa.int64()),
+                        "dedup_rep": pa.array([], pa.int64())})
+    empty_p = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                        "group_rep": pa.array([], pa.int64())})
+    if len(u_arr) == 0:
+        return empty_a, empty_p
+    ids, (du, dv) = dense_ids(u_arr, v_arr)
+    n = len(ids)
+    glab = components_labels(du, dv, n)
+    # nodes ordered by (group label, id) -> groups contiguous, members sorted
+    node_order = np.lexsort((np.arange(n), glab))
+    sorted_lab = glab[node_order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0:1] = True
+    new_grp[1:] = sorted_lab[1:] != sorted_lab[:-1]
+    grp_starts = np.flatnonzero(new_grp)
+    grp_counts = np.diff(np.append(grp_starts, n))
+    members_global = ids[node_order]
+    # per-group adjacency for the medoid pass: assign each edge to its group
+    edge_grp = glab[du]
+    edge_order = np.argsort(edge_grp, kind="stable")
     adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
-    for i in range(len(u_arr)):
-        if d_arr[i] <= dedup_dist:
-            a, b, w = int(u_arr[i]), int(v_arr[i]), float(d_arr[i])
-            uf.union(a, b)
-            adj[a].append((b, w))
-            adj[b].append((a, w))
-    groups: dict[int, list[int]] = defaultdict(list)
-    for x in list(uf.parent):
-        groups[uf.find(x)].append(x)
-
-    rows_doc, rows_cluster, rows_rep = [], [], []
-    pu, pv, prep = [], [], []
-    for members in groups.values():
-        members.sort()
-        rep = _medoid(members, adj, lengths) if len(members) > 1 else members[0]
-        for m in members:
-            rows_doc.append(m)
-            rows_cluster.append(labels.get(m, m))
-            rows_rep.append(rep)
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pu.append(members[i])
-                pv.append(members[j])
-                prep.append(rep)
+    for i in edge_order.tolist():
+        a, b, w = int(ids[du[i]]), int(ids[dv[i]]), float(d_arr[i])
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    # medoid per group (tiny groups -> python; everything else vectorized)
+    reps_per_group = np.empty(len(grp_starts), dtype=np.int64)
+    for g, (s, c) in enumerate(zip(grp_starts.tolist(), grp_counts.tolist())):
+        mem = members_global[s : s + c].tolist()
+        reps_per_group[g] = _medoid(mem, adj, lengths) if c > 1 else mem[0]
+    rep_col = np.repeat(reps_per_group, grp_counts)
+    cluster_col = np.array([labels.get(int(m), int(m)) for m in members_global], dtype=np.int64)
     dedup_assignments = pa.table(
         {
-            "doc_id": pa.array(rows_doc, pa.int64()),
-            "cluster_id": pa.array(rows_cluster, pa.int64()),
-            "dedup_rep": pa.array(rows_rep, pa.int64()),
+            "doc_id": pa.array(members_global, pa.int64()),
+            "cluster_id": pa.array(cluster_col, pa.int64()),
+            "dedup_rep": pa.array(rep_col, pa.int64()),
         }
     )
+    i_idx, j_idx = _ragged_pairs(grp_counts)
+    pair_grp = np.repeat(np.arange(len(grp_starts)), grp_counts * (grp_counts - 1) // 2)
     dup_pairs = pa.table(
         {
-            "u": pa.array(pu, pa.int64()),
-            "v": pa.array(pv, pa.int64()),
-            "group_rep": pa.array(prep, pa.int64()),
+            "u": pa.array(members_global[i_idx], pa.int64()),
+            "v": pa.array(members_global[j_idx], pa.int64()),
+            "group_rep": pa.array(reps_per_group[pair_grp], pa.int64()),
         }
     )
     return dedup_assignments, dup_pairs

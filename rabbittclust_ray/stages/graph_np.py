@@ -1,0 +1,91 @@
+"""Vectorized graph kernels (pure numpy — no per-edge Python).
+
+- ``components_labels``: connected components via scatter-min + pointer
+  jumping (O(E log V) vector ops; the BTS-style alternative to a Python
+  union-find loop).
+- ``mst_keep_mask``: Boruvka minimum spanning forest. Weights are made
+  distinct by (weight, edge_index) ranking, which makes the result exactly
+  the Kruskal MST with ties broken by input order — deterministic, matching
+  the reference's edge-sort semantics (/root/reference/src/MST.cpp:17-19,
+  59-75) without its thread-count-dependent tie order.
+
+These are driver-side/in-task kernels; the distributed story is
+per-partition compression (local MST keeps <= V_p - 1 edges,
+/root/reference/src/MST.cpp:571-574) before anything is concatenated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pointer_jump(parent: np.ndarray) -> np.ndarray:
+    """Iterate parent = parent[parent] to fixpoint (parent[x] <= x)."""
+    while True:
+        p2 = parent[parent]
+        if np.array_equal(p2, parent):
+            return parent
+        parent = p2
+
+
+def components_labels(eu: np.ndarray, ev: np.ndarray, n: int) -> np.ndarray:
+    """Labels (min reachable node index) for nodes 0..n-1 under edges
+    (eu, ev). Fully vectorized min-label propagation."""
+    label = np.arange(n, dtype=np.int64)
+    if len(eu) == 0:
+        return label
+    while True:
+        lu, lv = label[eu], label[ev]
+        mn = np.minimum(lu, lv)
+        before = label.copy()
+        np.minimum.at(label, eu, mn)
+        np.minimum.at(label, ev, mn)
+        label = _pointer_jump(label)
+        if np.array_equal(label, before):
+            return label
+
+
+def mst_keep_mask(eu: np.ndarray, ev: np.ndarray, w: np.ndarray, n: int) -> np.ndarray:
+    """Boolean mask over edges: True iff the edge is in the minimum spanning
+    forest. Boruvka with (w, index)-distinct weights."""
+    m = len(eu)
+    keep = np.zeros(m, dtype=bool)
+    if m == 0:
+        return keep
+    order = np.lexsort((np.arange(m), w))
+    rank = np.empty(m, dtype=np.int64)
+    rank[order] = np.arange(m)
+    comp = np.arange(n, dtype=np.int64)
+    sentinel = m
+    while True:
+        cu, cv = comp[eu], comp[ev]
+        cross = cu != cv
+        if not cross.any():
+            return keep
+        best = np.full(n, sentinel, dtype=np.int64)
+        np.minimum.at(best, cu[cross], rank[cross])
+        np.minimum.at(best, cv[cross], rank[cross])
+        chosen_ranks = np.unique(best[best < sentinel])
+        chosen_idx = order[chosen_ranks]
+        keep[chosen_idx] = True
+        # union ALL chosen component pairs before the next round: scatter-min
+        # keeps only one merge per target index, so iterate until every
+        # chosen edge is intra-component (a kept edge that failed to merge
+        # would re-qualify next round and let a cheaper edge close a cycle)
+        while True:
+            a = comp[eu[chosen_idx]]
+            b = comp[ev[chosen_idx]]
+            cross2 = a != b
+            if not cross2.any():
+                break
+            parent = np.arange(n, dtype=np.int64)
+            np.minimum.at(parent, np.maximum(a, b)[cross2], np.minimum(a, b)[cross2])
+            parent = _pointer_jump(parent)
+            comp = parent[comp]
+
+
+def dense_ids(*id_arrays: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Map arbitrary int64 id arrays to dense 0..n-1 indices.
+    Returns (sorted unique ids, [dense arrays...])."""
+    allids = np.unique(np.concatenate(id_arrays)) if id_arrays else np.empty(0, np.int64)
+    return allids, [np.searchsorted(allids, a) for a in id_arrays]

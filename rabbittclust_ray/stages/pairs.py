@@ -8,33 +8,36 @@ Reference semantics being reproduced:
   shuffle IS the index: explode sketches to (band_hash, doc_id) rows and
   co-group by hash (SURVEY.md J1).
 - posting-length cap: drop hash keys with posting list > max_posting
-  (/root/reference/src/dbscan.cpp:126-128), with dropped counts logged —
-  never silent (SURVEY.md §7.4).
+  (/root/reference/src/dbscan.cpp:126-128), with dropped counts carried in
+  marker rows — never silent (SURVEY.md §7.4).
 - size-ratio prefilter radio = 2e^{Dk}-1 (/root/reference/src/MST.cpp:26-37,
-  505-512) and min-common prefilter (greedy.cpp:652-653, 774-779).
+  505-512) applied AT EMISSION, and min-common prefilter
+  (greedy.cpp:652-653, 774-779) at scoring.
 - Mash / containment(AAF) distance (/root/reference/src/MST.cpp:514-540,
   greedy.cpp:103-118).
 
-Execution plan (two single-key shuffles, everything inside vectorized):
+Execution plan — two sort-based exchanges, all UDF work vectorized over
+whole blocks (NOT per group; Ray's groupby().map_groups adds per-group
+slicing overhead that dominates at billions of tiny groups):
 
-  sketches --flat_map(explode)--> (bucket = band_hash % B, band_hash,
-                                   doc_id, ssize)
-    --groupby(bucket).map_groups--> per bucket: sort by hash, cap hot
-        postings, emit all intra-posting pairs via a fully vectorized
-        ragged-range construction, partially aggregate (u,v) counts within
-        the bucket, key by pair_bucket = mix(u,v) % B2
-    --groupby(pair_bucket).map_groups--> final common counts per (u,v)
+  sketches --flat_map(explode)--> (band_hash, doc_id, ssize)
+    --sort(band_hash)--> globally ordered, postings contiguous
+    --scan_complete_groups--> per block: process every posting that lies
+        strictly inside the block (vectorized ragged pair emission +
+        within-block (u,v) partial aggregation); rows of postings touching
+        a block edge go to a small second pass so every posting is processed
+        exactly once  [skew note: a posting hotter than max_posting is
+        dropped + counted; postings spanning blocks land in the boundary
+        pass, which is why the cap must bound them]
+    --sort(u)--> partial (u,v) counts contiguous by u
+    --scan_complete_groups--> exact common counts per (u,v)
     --map_batches(score)--> prefilters + distance, keep dist <= threshold
-
-Skew note: a near-dup family of size m costs O(m^2) pairs — identical to the
-reference's index probe. Byte-identical families should be collapsed by the
-exact sha256 dedup pass BEFORE sketching (rabbittclust_ray.stages.dedup);
-hot band hashes beyond ``max_posting`` are dropped and counted.
 """
 
 from __future__ import annotations
 
 import math
+from collections.abc import Callable
 
 import numpy as np
 import pyarrow as pa
@@ -49,12 +52,11 @@ EDGE_SCHEMA = pa.schema(
     [("u", pa.int64()), ("v", pa.int64()), ("common", pa.int32()), ("dist", pa.float64())]
 )
 
-_MIX = np.uint64(0x9E3779B97F4A7C15)
 
-
-def explode_sketches(sketches: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
-    """sketches -> (bucket, band_hash, doc_id, ssize) rows, one per sketch
-    hash. Pure Arrow list flattening — zero-copy, no Python per row."""
+def explode_sketches(sketches: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
+    """sketches -> (band_hash, doc_id, ssize) rows, one per sketch hash.
+    Pure Arrow list flattening — zero-copy, no Python per row.
+    (num_buckets retained for API compat; the sort-scan path doesn't bucket.)"""
 
     def _explode(t: pa.Table) -> pa.Table:
         sk = t["sketch"]
@@ -64,10 +66,8 @@ def explode_sketches(sketches: ray.data.Dataset, num_buckets: int) -> ray.data.D
         counts = np.diff(sk.offsets.to_numpy(zero_copy_only=False))
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
         ssize = np.repeat(t["sketch_size"].to_numpy(zero_copy_only=False), counts)
-        bucket = (values % np.uint64(num_buckets)).astype(np.int32)
         return pa.table(
             {
-                "bucket": pa.array(bucket, pa.int32()),
                 "band_hash": pa.array(values, pa.uint64()),
                 "doc_id": pa.array(doc, pa.int64()),
                 "ssize": pa.array(ssize.astype(np.int32), pa.int32()),
@@ -77,53 +77,153 @@ def explode_sketches(sketches: ray.data.Dataset, num_buckets: int) -> ray.data.D
     return sketches.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_exchange(
+    ds: ray.data.Dataset,
+    key: str,
+    fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Deterministic keyed exchange: hash-partition rows on ``key`` into
+    ``num_partitions`` and apply ``fn`` once per partition (all rows of a
+    key value co-located; ``fn`` is vectorized over the whole partition).
+
+    This is the ONE place the engine drops to raw Ray tasks (SURVEY.md §2
+    custom-operator rule (c)): Ray Data's keyed co-location primitives are
+    a sampled range SORT (nondeterministic boundaries, full-row ordering
+    work we don't need) or groupby().map_groups (per-group Python overhead).
+    A split/reduce hash exchange needs neither. Skew within a partition is
+    handled by the caller's cap (posting caps bound the worst key).
+
+    Map-side: one split task per input block, ``num_returns=P`` object refs
+    (zero-copy Arrow takes). Reduce-side: one task per partition concats its
+    P-th slices and runs ``fn``. Equivalent to a mapreduce shuffle; blocks
+    travel through the object store and spill under pressure."""
+    import ray
+
+    @ray.remote(num_returns=num_partitions)
+    def split(block: pa.Table):
+        if isinstance(block, pa.RecordBatch):  # pragma: no cover
+            block = pa.Table.from_batches([block])
+        k = block[key].to_numpy(zero_copy_only=False)
+        part = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        part = (part % np.uint64(num_partitions)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = block.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
+        out = [sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_partitions)]
+        return tuple(out) if num_partitions > 1 else out[0]
+
+    @ray.remote
+    def reduce(*parts: pa.Table) -> pa.Table:
+        tables = [p for p in parts if p.num_rows > 0]
+        if not tables:
+            return fn(parts[0])
+        return fn(pa.concat_tables(tables).combine_chunks())
+
+    block_refs = ds.to_arrow_refs()
+    split_refs = [split.remote(b) for b in block_refs]
+    if num_partitions == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [
+        reduce.remote(*[split_refs[i][p] for i in range(len(split_refs))])
+        for p in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def scan_complete_groups(
+    ds_sorted: ray.data.Dataset,
+    key: str,
+    fn: Callable[[pa.Table], pa.Table],
+) -> ray.data.Dataset:
+    """Apply ``fn`` to key-complete row groups of a key-sorted Dataset.
+
+    After a global sort on ``key``, all rows of a key value are contiguous;
+    a group can only be split across blocks at block edges. Each block task
+    processes its INTERIOR groups (key != first and != last of the block)
+    vectorized in one call; rows of edge groups are gathered into one small
+    tail partition and processed there. Every group is processed exactly
+    once, with zero per-group scheduling overhead.
+
+    This is our keyed-exchange primitive — Ray Data's sort is the shuffle;
+    the per-group Python of groupby().map_groups is avoided (it dominates
+    wall time for millions of small groups).
+
+    The sorted dataset feeds TWO consumers; it must be materialized so both
+    see the SAME block boundaries (sort partition bounds are sampled — a
+    re-execution may split differently, losing/duplicating edge groups)."""
+    ds_sorted = ds_sorted.materialize()
+
+    def interior(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return fn(t)
+        k = t[key].to_numpy(zero_copy_only=False)
+        mask = (k != k[0]) & (k != k[-1])
+        return fn(t.filter(pa.array(mask)))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        k = t[key].to_numpy(zero_copy_only=False)
+        mask = (k == k[0]) | (k == k[-1])
+        return t.filter(pa.array(mask))
+
+    a = ds_sorted.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    b = (
+        ds_sorted.map_batches(boundary, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+    )
+    return a.union(b)
+
+
 def _ragged_pairs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For contiguous groups with sizes ``counts`` (over positions
     0..sum-1), return (i_idx, j_idx) of all within-group pairs i<j.
     Fully vectorized (no Python loop over groups)."""
     m = int(counts.sum())
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    # local index of each position within its group
     local = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
-    # element p pairs (as j) with each of its `local[p]` predecessors
-    tot = local  # pairs contributed per position
+    tot = local  # pairs contributed per position (with each predecessor)
     p_total = int(tot.sum())
     if p_total == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e
     j_idx = np.repeat(np.arange(m, dtype=np.int64), tot)
-    csum = np.cumsum(tot) - tot  # pair offset where each position starts
+    csum = np.cumsum(tot) - tot
     inner = np.arange(p_total, dtype=np.int64) - np.repeat(csum, tot)
     group_start_per_pos = np.repeat(starts, counts)
     i_idx = np.repeat(group_start_per_pos, tot) + inner
     return i_idx, j_idx
 
 
-def _pair_bucket(u: np.ndarray, v: np.ndarray, num_buckets: int) -> np.ndarray:
-    h = (u.astype(np.uint64) * _MIX) ^ (v.astype(np.uint64) + _MIX)
-    h ^= h >> np.uint64(29)
-    h *= _MIX
-    return (h % np.uint64(num_buckets)).astype(np.int32)
-
-
 class BucketPairEmitter:
-    """groupby(bucket) group fn: emit partially-aggregated candidate pairs.
+    """Posting-group fn: emit partially-aggregated candidate pairs.
 
-    One call per hash bucket; all work vectorized over the whole bucket.
-    Hot postings (> max_posting docs for one band hash) are dropped and
-    counted in ``dropped_postings`` rows (doc_id = -1 marker) so the
-    manifest can report them (no silent truncation)."""
+    Input: (band_hash, doc_id, ssize) rows covering COMPLETE postings.
+    All work vectorized over the whole table. Hot postings (> max_posting
+    docs for one hash) are dropped and counted in marker rows (u = v = -1,
+    ``dropped_postings`` > 0) so the manifest can report them."""
 
-    def __init__(self, cfg: ClusterConfig):
+    def __init__(self, cfg: ClusterConfig, distance_k: int | None = None, max_dist: float | None = None):
         self.cfg = cfg
+        # J2 size-ratio prefilter applied at emission time (Mash mode only):
+        # a pair whose sketch sizes differ by more than radio can never be
+        # within max_dist (/root/reference/src/MST.cpp:26-37) — dropping it
+        # BEFORE the (u,v) aggregation shuffle is pure savings.
+        self.radio: float | None = None
+        if distance_k is not None and not cfg.containment:
+            md = cfg.threshold if max_dist is None else max_dist
+            self.radio = 2.0 * math.exp(md * distance_k) - 1.0
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_pair_table(0)
         hashes = t["band_hash"].to_numpy(zero_copy_only=False)
         docs = t["doc_id"].to_numpy(zero_copy_only=False)
         sizes = t["ssize"].to_numpy(zero_copy_only=False)
         order = np.argsort(hashes, kind="stable")
         hashes, docs, sizes = hashes[order], docs[order], sizes[order]
-        # posting boundaries
         uniq, start, counts = np.unique(hashes, return_index=True, return_counts=True)
         cap = self.cfg.max_posting
         dropped = 0
@@ -133,44 +233,41 @@ class BucketPairEmitter:
             keep_mask = np.ones(len(hashes), dtype=bool)
             for s, c in zip(start[hot], counts[hot]):
                 keep_mask[s : s + c] = False
-            docs, sizes = docs[keep_mask], sizes[keep_mask]
-            # recompute boundaries over the kept postings
-            hashes = hashes[keep_mask]
+            hashes, docs, sizes = hashes[keep_mask], docs[keep_mask], sizes[keep_mask]
             uniq, start, counts = np.unique(hashes, return_index=True, return_counts=True)
         i_idx, j_idx = _ragged_pairs(counts)
         if len(i_idx) == 0:
             return _empty_pair_table(dropped)
-        a, b = docs[i_idx], docs[j_idx]
-        sa, sb = sizes[i_idx], sizes[j_idx]
+        # map doc ids to dense LOCAL indices so a pair packs into ONE int64
+        # key — np.unique on that single key both sorts and aggregates in one
+        # C pass (np.lexsort over (u,v) int64 pairs is 10-50x slower and was
+        # the hot spot at millions of pairs per block)
+        docs_local, inv = np.unique(docs, return_inverse=True)
+        n_local = len(docs_local)
+        sizes_local = np.zeros(n_local, dtype=np.int64)
+        sizes_local[inv] = sizes  # sizes are constant per doc
+        a, b = inv[i_idx], inv[j_idx]
+        # local index order == global id order (docs_local is sorted asc)
         swap = a > b
-        u = np.where(swap, b, a)
-        v = np.where(swap, a, b)
-        su = np.where(swap, sb, sa).astype(np.int32)
-        sv = np.where(swap, sa, sb).astype(np.int32)
-        # drop self-pairs (duplicate doc ids inside one posting cannot happen:
-        # sketch hashes are unique per doc) — keep a guard anyway
-        ok = u != v
-        u, v, su, sv = u[ok], v[ok], su[ok], sv[ok]
-        # partial aggregation within the bucket: count occurrences of (u,v)
-        order2 = np.lexsort((v, u))
-        u, v, su, sv = u[order2], v[order2], su[order2], sv[order2]
-        new_grp = np.empty(len(u), dtype=bool)
-        new_grp[0] = True
-        np.not_equal(u[1:], u[:-1], out=new_grp[1:])
-        np.logical_or(new_grp[1:], v[1:] != v[:-1], out=new_grp[1:])
-        grp_start = np.flatnonzero(new_grp)
-        grp_count = np.diff(np.append(grp_start, len(u))).astype(np.int32)
-        u, v, su, sv = u[grp_start], v[grp_start], su[grp_start], sv[grp_start]
-        pb = _pair_bucket(u, v, max(1, self.cfg.num_buckets))
+        ul = np.where(swap, b, a)
+        vl = np.where(swap, a, b)
+        ok = ul != vl  # guard; cannot happen (hashes unique within a sketch)
+        if self.radio is not None:
+            sa, sb = sizes_local[ul], sizes_local[vl]
+            ok &= np.maximum(sa, sb) <= self.radio * np.maximum(np.minimum(sa, sb), 1)
+        key = ul[ok] * np.int64(n_local) + vl[ok]
+        if len(key) == 0:
+            return _empty_pair_table(dropped)
+        uk, grp_count = np.unique(key, return_counts=True)
+        ul, vl = uk // n_local, uk % n_local
         out = pa.table(
             {
-                "pair_bucket": pa.array(pb, pa.int32()),
-                "u": pa.array(u, pa.int64()),
-                "v": pa.array(v, pa.int64()),
-                "su": pa.array(su, pa.int32()),
-                "sv": pa.array(sv, pa.int32()),
-                "partial": pa.array(grp_count, pa.int32()),
-                "dropped_postings": pa.array(np.zeros(len(u), dtype=np.int32), pa.int32()),
+                "u": pa.array(docs_local[ul], pa.int64()),
+                "v": pa.array(docs_local[vl], pa.int64()),
+                "su": pa.array(sizes_local[ul].astype(np.int32), pa.int32()),
+                "sv": pa.array(sizes_local[vl].astype(np.int32), pa.int32()),
+                "partial": pa.array(grp_count.astype(np.int32), pa.int32()),
+                "dropped_postings": pa.array(np.zeros(len(uk), dtype=np.int32), pa.int32()),
             }
         )
         if dropped:
@@ -183,7 +280,6 @@ def _empty_pair_table(dropped: int) -> pa.Table:
     n = 1 if dropped else 0
     return pa.table(
         {
-            "pair_bucket": pa.array([0] * n, pa.int32()),
             "u": pa.array([-1] * n, pa.int64()),
             "v": pa.array([-1] * n, pa.int64()),
             "su": pa.array([0] * n, pa.int32()),
@@ -195,7 +291,11 @@ def _empty_pair_table(dropped: int) -> pa.Table:
 
 
 def _aggregate_pair_group(t: pa.Table) -> pa.Table:
-    """groupby(pair_bucket) group fn: sum partial counts per (u,v)."""
+    """(u,v)-complete partials -> exact common counts per pair.
+    Marker rows (u = -1) are dropped here; their counts are surfaced by
+    ``pair_metrics`` before aggregation."""
+    if t.num_rows == 0:
+        return pa.table({c: pa.array([], PAIR_SCHEMA.field(c).type) for c in PAIR_SCHEMA.names})
     u = t["u"].to_numpy(zero_copy_only=False)
     v = t["v"].to_numpy(zero_copy_only=False)
     su = t["su"].to_numpy(zero_copy_only=False)
@@ -204,21 +304,19 @@ def _aggregate_pair_group(t: pa.Table) -> pa.Table:
     keep = u >= 0
     u, v, su, sv, partial = u[keep], v[keep], su[keep], sv[keep], partial[keep]
     if len(u) == 0:
-        return pa.table(
-            {c: pa.array([], PAIR_SCHEMA.field(c).type) for c in PAIR_SCHEMA.names}
-        )
-    order = np.lexsort((v, u))
-    u, v, su, sv, partial = u[order], v[order], su[order], sv[order], partial[order]
-    new_grp = np.empty(len(u), dtype=bool)
-    new_grp[0] = True
-    new_grp[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
-    grp_id = np.cumsum(new_grp) - 1
-    common = np.bincount(grp_id, weights=partial).astype(np.int32)
-    first = np.flatnonzero(new_grp)
+        return pa.table({c: pa.array([], PAIR_SCHEMA.field(c).type) for c in PAIR_SCHEMA.names})
+    # dense local indices -> single int64 pair key (see BucketPairEmitter)
+    du, iu = np.unique(u, return_inverse=True)
+    dv, iv = np.unique(v, return_inverse=True)
+    key = iu * np.int64(len(dv)) + iv
+    uk, inv_k, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    common = np.bincount(inv_k, weights=partial).astype(np.int32)
+    first = np.zeros(len(uk), dtype=np.int64)
+    first[inv_k[::-1]] = np.arange(len(key) - 1, -1, -1)  # first occurrence
     return pa.table(
         {
-            "u": pa.array(u[first], pa.int64()),
-            "v": pa.array(v[first], pa.int64()),
+            "u": pa.array(du[uk // len(dv)], pa.int64()),
+            "v": pa.array(dv[uk % len(dv)], pa.int64()),
             "su": pa.array(su[first], pa.int32()),
             "sv": pa.array(sv[first], pa.int32()),
             "common": pa.array(common, pa.int32()),
@@ -296,6 +394,23 @@ def score_pairs_batch(
     )
 
 
+def candidate_pairs(
+    sketches: ray.data.Dataset,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    max_dist: float | None = None,
+) -> ray.data.Dataset:
+    """sketches -> exact (u, v, su, sv, common) candidate table (pre-score).
+    Marker rows from posting caps are removed by the aggregation stage."""
+    md = ccfg.threshold if max_dist is None else max_dist
+    exploded = explode_sketches(sketches)
+    emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
+    p = max(1, ccfg.num_buckets)
+    partials = hash_exchange(exploded, "band_hash", emitter, p)
+    return hash_exchange(partials, "u", _aggregate_pair_group, p)
+
+
 def candidate_edges(
     sketches: ray.data.Dataset,
     scfg: SketchConfig,
@@ -306,18 +421,7 @@ def candidate_edges(
     """sketches -> edges (u, v, common, dist) with u < v and dist <= max_dist
     (default: ccfg.threshold). The full pipeline of this module; lazy."""
     md = ccfg.threshold if max_dist is None else max_dist
-    exploded = explode_sketches(sketches, ccfg.num_buckets)
-    emitter = BucketPairEmitter(ccfg)
-
-    def emit_bucket_pairs(t: pa.Table) -> pa.Table:
-        return emitter(t)
-
-    partials = exploded.groupby("bucket").map_groups(
-        emit_bucket_pairs, batch_format="pyarrow"
-    )
-    pairs = partials.groupby("pair_bucket").map_groups(
-        _aggregate_pair_group, batch_format="pyarrow"
-    )
+    pairs = candidate_pairs(sketches, scfg, ccfg, max_dist=md)
     return pairs.map_batches(
         lambda t: score_pairs_batch(t, scfg, ccfg, md), batch_format="pyarrow"
     )

@@ -107,19 +107,31 @@ def sketch_documents(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 512,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
     """prepared documents -> sketches Dataset.
 
-    Actor pool so per-actor setup is amortized; batch_size is modest because
-    rows carry full ``content`` text into this stage (memory-aware: batch x
+    Default is stateless tasks: the sketcher's only 'state' is the frozen
+    config (cheap to ship per task), and tasks reuse Ray's warm worker pool
+    instead of spinning up a fresh actor pool per pipeline (actor processes
+    start cold; in sandboxes with expensive first-touch page faults that
+    start-up cost dominates small runs). ``use_actors=True`` switches to the
+    actor-pool form (``map_batches(SketcherActor, concurrency=...)``) — the
+    right shape once per-actor setup is genuinely expensive (e.g. loading a
+    tokenizer model); batch_size is modest either way because rows still
+    carry full ``content`` text into this stage (memory-aware: batch x
     concurrency must fit the worker heap)."""
-    if concurrency is None:
-        concurrency = (2, 8)
+    if use_actors:
+        return prepared.map_batches(
+            SketcherActor,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else (2, 8),
+            num_cpus=1,
+        )
     return prepared.map_batches(
-        SketcherActor,
-        fn_constructor_args=(cfg,),
+        lambda t, cfg=cfg: sketch_batch(t, cfg),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )

@@ -17,6 +17,7 @@ import pyarrow as pa
 import ray.data
 
 from rabbittclust_ray.hashing import rolling_shingle_hashes
+from rabbittclust_ray.stages.pairs import _ragged_pairs, scan_complete_groups
 
 _TOKEN_SPLIT = re.compile(r"\s+")
 
@@ -167,29 +168,37 @@ def simhash_near_dups(
             }
         )
 
+    _lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
     def emit(t: pa.Table) -> pa.Table:
+        """Band-complete groups -> Hamming-verified pairs (vectorized pair
+        construction via the same ragged-range trick as MinHash pair gen)."""
+        empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        key = t["band_key"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         h = t["simhash"].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        if n < 2:
-            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        iu, ju = np.triu_indices(n, 1)
+        order = np.argsort(key, kind="stable")
+        key, ids, h = key[order], ids[order], h[order]
+        _, counts = np.unique(key, return_counts=True)
+        iu, ju = _ragged_pairs(counts)
+        if len(iu) == 0:
+            return empty
         x = h[iu] ^ h[ju]
-        # vectorized popcount: sum of per-byte popcounts via lookup table
-        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
-        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        ham = _lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
         ok = ham <= max_hamming
         u = np.minimum(ids[iu], ids[ju])[ok]
         v = np.maximum(ids[iu], ids[ju])[ok]
-        return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
-                         "hamming": pa.array(ham[ok], pa.int64())})
+        good = u != v
+        return pa.table({"u": pa.array(u[good], pa.int64()), "v": pa.array(v[good], pa.int64()),
+                         "hamming": pa.array(ham[ok][good], pa.int64())})
 
-    pairs = (
-        sh.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(emit, batch_format="pyarrow")
-    )
+
+
+    exploded = sh.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = scan_complete_groups(exploded.sort("band_key"), "band_key", emit)
 
     # candidates can repeat across bands — distinct (u, v)
     def dedup_pairs(t: pa.Table) -> pa.Table:
@@ -207,15 +216,6 @@ def simhash_near_dups(
         return pa.table({"u": pa.array(u[first], pa.int64()), "v": pa.array(v[first], pa.int64()),
                          "hamming": pa.array(hm[first], pa.int64())})
 
-    from rabbittclust_ray.stages.pairs import _pair_bucket
 
-    def key_pairs(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        return t.append_column("pb", pa.array(_pair_bucket(u, v, 64), pa.int32()))
 
-    return (
-        pairs.map_batches(key_pairs, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedup_pairs, batch_format="pyarrow")
-    )
+    return scan_complete_groups(pairs.sort("u"), "u", dedup_pairs)
