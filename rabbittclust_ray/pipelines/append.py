@@ -1,0 +1,174 @@
+"""Incremental append against a persisted clust-mst checkpoint.
+
+Reference: ``--append`` -> append_clust_mst_fast
+(/root/reference/src/sub_command.cpp:1286-1530, classic path I2): load old
+sketches + old MST/edges, sketch new docs, compute only the edges touching
+new docs, concat with the old edges, re-cluster. Cluster membership of
+append(B onto checkpoint(A)) equals full-run(A ∪ B) because the threshold
+graph's edge set is identical (old-old edges from the checkpoint, new-*
+edges freshly computed) — SURVEY.md §4 / FIXTURES.md §4 append oracle.
+
+Idempotence (SURVEY.md I4, ours — the reference re-appends blindly): new
+docs whose content sha256 already exists in the checkpoint are dropped
+before sketching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig, config_hash
+from rabbittclust_ray.pipelines.clust_mst import MstResult, _labels_from_forest, clust_mst
+from rabbittclust_ray.stages.cluster import make_assignments
+from rabbittclust_ray.stages.pairs import candidate_edges
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.sketch import sketch_documents
+from rabbittclust_ray.state.checkpoint import load_stage, save_stage, stage_is_valid
+
+
+def save_mst_checkpoint(
+    root: str, result: MstResult, scfg: SketchConfig, ccfg: ClusterConfig
+) -> None:
+    """Persist sketches + edges (+ config) — the reference's sketch-folder +
+    edge.mst tiers (/root/reference/src/Sketch_IO.cpp:136-167,
+    MST_IO.cpp:181-217)."""
+    ch = config_hash(scfg, ccfg)
+    n_sketches = result.sketches.count()
+    n_edges = result.edges.count()
+    save_stage(
+        root, "sketches", result.sketches, config_hash=ch,
+        lineage={"stage": "sketch"}, metrics={"rows": n_sketches},
+    )
+    save_stage(
+        root, "edges", result.edges, config_hash=ch,
+        lineage={"stage": "candidate_edges", "threshold": ccfg.threshold},
+        metrics={"rows": n_edges},
+    )
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump(
+            {"sketch": dataclasses.asdict(scfg), "cluster": dataclasses.asdict(ccfg),
+             "config_hash": ch},
+            f, indent=2, sort_keys=True,
+        )
+
+
+def load_checkpoint_config(root: str) -> tuple[SketchConfig, ClusterConfig]:
+    with open(os.path.join(root, "config.json")) as f:
+        cfg = json.load(f)
+    return SketchConfig(**cfg["sketch"]), ClusterConfig(**cfg["cluster"])
+
+
+def append_clust_mst(
+    root: str, new_documents: ray.data.Dataset
+) -> MstResult:
+    """Append new docs to the checkpoint at ``root``; returns the combined
+    result and refreshes the checkpoint."""
+    scfg, ccfg = load_checkpoint_config(root)
+    ch = config_hash(scfg, ccfg)
+    if not (stage_is_valid(root, "sketches", ch) and stage_is_valid(root, "edges", ch)):
+        raise ValueError(f"checkpoint at {root} is missing/stale — run clust_mst first")
+    old_sketches = load_stage(root, "sketches")
+    old_edges = load_stage(root, "edges")
+
+    # idempotence (SURVEY.md I4): drop new rows whose IDENTITY (doc_id =
+    # stable hash of repo/path/commit) is already checkpointed — re-running
+    # an append with overlapping input is a no-op for those rows. Keyed on
+    # identity, not content sha: a genuinely new row that happens to be a
+    # byte-duplicate of an old one must still enter (the full-run oracle
+    # keeps it; the exact-dedup layer collapses it downstream).
+    import ray
+
+    old_ids = np.sort(
+        old_sketches.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    )
+    ids_ref = ray.put(old_ids)
+    prepared = prepare_documents(new_documents, scfg)
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        known = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(known) == 0:
+            return t
+        pos = np.clip(np.searchsorted(known, ids), 0, len(known) - 1)
+        mask = known[pos] != ids
+        return t.filter(pa.array(mask))
+
+    prepared = prepared.map_batches(anti_join, batch_format="pyarrow")
+    new_sketches = sketch_documents(prepared, scfg)
+
+    def flag(val: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("is_new", pa.array(np.full(t.num_rows, val)))
+
+        return f
+
+    union_sketches = (
+        old_sketches.map_batches(flag(False), batch_format="pyarrow")
+        .union(new_sketches.map_batches(flag(True), batch_format="pyarrow"))
+        .materialize()
+    )
+    # only pairs touching a new doc are generated (emitter is_new mask)
+    new_edges = candidate_edges(union_sketches, scfg, ccfg)
+    all_edges = old_edges.union(new_edges).materialize()
+    from rabbittclust_ray.stages.cluster import final_kruskal
+
+    mst = final_kruskal(all_edges)
+    labels = _labels_from_forest(mst)
+    combined_sketches = union_sketches.drop_columns(["is_new"]).materialize()
+    assignments = make_assignments(combined_sketches, labels)
+    result = MstResult(
+        sketches=combined_sketches, edges=all_edges,
+        assignments=assignments, labels=labels, mst=mst,
+    )
+    save_mst_checkpoint(root, result, scfg, ccfg)
+    return result
+
+
+def clust_mst_checkpointed(
+    documents: ray.data.Dataset,
+    root: str,
+    scfg: SketchConfig | None = None,
+    ccfg: ClusterConfig | None = None,
+) -> MstResult:
+    """Fresh run that persists the checkpoint for later --append /
+    re-threshold (reference --presketched/--premsted tiers)."""
+    scfg = scfg or SketchConfig()
+    ccfg = ccfg or ClusterConfig()
+    result = clust_mst(documents, scfg, ccfg)
+    os.makedirs(root, exist_ok=True)
+    save_mst_checkpoint(root, result, scfg, ccfg)
+    return result
+
+
+def recluster_from_checkpoint(root: str, new_threshold: float) -> MstResult:
+    """Re-threshold without recompute (reference --premsted,
+    /root/reference/src/sub_command.cpp:1760-1822): cut the persisted edges
+    at a new (smaller or equal) threshold and re-derive clusters."""
+    scfg, ccfg = load_checkpoint_config(root)
+    ch = config_hash(scfg, ccfg)
+    if not stage_is_valid(root, "edges", ch):
+        raise ValueError(f"no valid edges checkpoint at {root}")
+    if new_threshold > ccfg.threshold:
+        raise ValueError(
+            f"new threshold {new_threshold} exceeds checkpointed edge cut "
+            f"{ccfg.threshold}; re-run the full pipeline"
+        )
+    import pyarrow.compute as pc
+
+    sketches = load_stage(root, "sketches")
+    edges = load_stage(root, "edges").map_batches(
+        lambda t: t.filter(pc.less_equal(t["dist"], pa.scalar(float(new_threshold)))),
+        batch_format="pyarrow",
+    ).materialize()
+    from rabbittclust_ray.stages.cluster import final_kruskal
+
+    mst = final_kruskal(edges)
+    labels = _labels_from_forest(mst)
+    assignments = make_assignments(sketches, labels)
+    return MstResult(sketches=sketches, edges=edges, assignments=assignments, labels=labels, mst=mst)

@@ -1,0 +1,54 @@
+"""clust-greedy pipeline (reference /root/reference/src/main.cpp:291-389 ->
+sub_command.cpp:1957-1982 -> greedy.cpp:566-899).
+
+read documents -> prepare -> sketch -> distributed candidate edges <= d ->
+driver-side greedy sweep replay in (sketch size desc, id) order ->
+assignments. Exact reference semantics; see stages/greedy.py."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.greedy import greedy_assignments, greedy_order, greedy_replay
+from rabbittclust_ray.stages.pairs import candidate_edges
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.sketch import sketch_documents
+
+
+@dataclass
+class GreedyResult:
+    sketches: ray.data.Dataset
+    edges: ray.data.Dataset
+    assignments: ray.data.Dataset
+    rep_of: dict[int, int]
+
+
+def clust_greedy(
+    documents: ray.data.Dataset,
+    scfg: SketchConfig | None = None,
+    ccfg: ClusterConfig | None = None,
+) -> GreedyResult:
+    scfg = scfg or SketchConfig()
+    ccfg = ccfg or ClusterConfig()
+    prepared = prepare_documents(documents, scfg)
+    sketches = sketch_documents(prepared, scfg).materialize()
+    edges = candidate_edges(sketches, scfg, ccfg).materialize()
+    meta_pdf = sketches.select_columns(["doc_id", "sketch_size"]).to_pandas()
+    meta = pa.Table.from_pandas(meta_pdf, preserve_index=False)
+    order = greedy_order(meta)
+    edge_parts = [
+        b for b in edges.iter_batches(batch_size=None, batch_format="pyarrow") if b.num_rows
+    ]
+    edge_tbl = (
+        pa.concat_tables(edge_parts)
+        if edge_parts
+        else pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                       "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())})
+    )
+    rep_of = greedy_replay(order, edge_tbl)
+    assignments = greedy_assignments(sketches, rep_of)
+    return GreedyResult(sketches=sketches, edges=edges, assignments=assignments, rep_of=rep_of)

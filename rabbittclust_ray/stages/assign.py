@@ -1,0 +1,170 @@
+"""Query / assign against a representative database (RepDB).
+
+Reference semantics:
+- rep lookup: probe the rep-only inverted index, nearest rep within
+  threshold or top-k by distance (/root/reference/src/greedy.cpp:2536-2654
+  ``query_topk``/``assign``; mst_state.cpp:1219-1331).
+- greedy incremental append: per new doc, nearest current rep within d
+  joins its cluster, else the doc becomes a new rep
+  (/root/reference/src/greedy.cpp:1736-1900, SURVEY.md I1).
+
+Execution: the rep index (sorted postings arrays) is broadcast ONCE via
+``ray.put``; ``AssignActor`` is a callable class -> Ray actor pool
+(``map_batches(AssignActor, concurrency=...)``) that fetches the index in
+``__init__`` and probes it vectorized per batch — the classic broadcast
+hash join (SURVEY.md J4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.pairs import containment_distance, mash_distance
+from rabbittclust_ray.stages.sketch import sketch_batch
+
+
+class RepIndex:
+    """Sorted-postings inverted index over representative sketches.
+
+    Arrays: ``post_hash`` (sorted uint64), ``post_rep`` (dense rep idx per
+    posting), ``rep_ids``/``rep_sizes``. Probe = searchsorted range per
+    query hash — no Python dict, broadcast-friendly."""
+
+    def __init__(self, rep_ids: np.ndarray, rep_sizes: np.ndarray,
+                 post_hash: np.ndarray, post_rep: np.ndarray):
+        self.rep_ids = rep_ids
+        self.rep_sizes = rep_sizes
+        self.post_hash = post_hash
+        self.post_rep = post_rep
+
+    @classmethod
+    def build(cls, rep_sketches: pa.Table) -> "RepIndex":
+        """rep_sketches: (doc_id, sketch list<uint64>, sketch_size)."""
+        ids = rep_sketches["doc_id"].to_numpy(zero_copy_only=False)
+        sizes = rep_sketches["sketch_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = rep_sketches["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        values = sk.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        counts = np.diff(sk.offsets.to_numpy(zero_copy_only=False))
+        rep_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        order = np.argsort(values, kind="stable")
+        return cls(ids, sizes, values[order], rep_idx[order])
+
+    def common_counts(self, hashes: np.ndarray) -> np.ndarray:
+        """Shared-hash count vs every rep for one query sketch (vectorized:
+        searchsorted ranges + bincount over matched postings)."""
+        lo = np.searchsorted(self.post_hash, hashes, side="left")
+        hi = np.searchsorted(self.post_hash, hashes, side="right")
+        spans = hi - lo
+        total = int(spans.sum())
+        if total == 0:
+            return np.zeros(len(self.rep_ids), dtype=np.int64)
+        # ragged range expansion of [lo_i, hi_i)
+        csum = np.cumsum(spans) - spans
+        inner = np.arange(total, dtype=np.int64) - np.repeat(csum, spans)
+        pos = np.repeat(lo, spans) + inner
+        return np.bincount(self.post_rep[pos], minlength=len(self.rep_ids))
+
+
+class AssignActor:
+    """Actor-pool stage: sketch each query doc and score it against the
+    broadcast rep index. Emits top-k reps per query (rank 1 nearest)."""
+
+    def __init__(self, index_ref, scfg: SketchConfig, ccfg: ClusterConfig, k: int = 1):
+        self.index: RepIndex = ray.get(index_ref)  # once per actor
+        self.scfg = scfg
+        self.ccfg = ccfg
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sk = sketch_batch(t, self.scfg)
+        out_q, out_r, out_d, out_c, out_rank = [], [], [], [], []
+        kdist = self.scfg.distance_k
+        sketch_col = sk["sketch"]
+        if isinstance(sketch_col, pa.ChunkedArray):
+            sketch_col = sketch_col.combine_chunks()
+        values = sketch_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offsets = sketch_col.offsets.to_numpy(zero_copy_only=False)
+        qids = sk["doc_id"].to_numpy(zero_copy_only=False)
+        qsizes = sk["sketch_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for i in range(len(qids)):
+            hashes = values[offsets[i] : offsets[i + 1]]
+            common = self.index.common_counts(hashes)
+            su = np.full(len(common), qsizes[i], dtype=np.int64)
+            sv = self.index.rep_sizes
+            dist = (
+                containment_distance(common, su, sv, kdist)
+                if self.ccfg.containment
+                else mash_distance(common, su, sv, kdist)
+            )
+            take = min(self.k, len(dist))
+            if take == 0:
+                continue
+            idx = np.lexsort((self.index.rep_ids, dist))[:take]
+            out_q.extend([int(qids[i])] * take)
+            out_r.extend(self.index.rep_ids[idx].tolist())
+            out_d.extend(dist[idx].tolist())
+            out_c.extend(common[idx].tolist())
+            out_rank.extend(range(1, take + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rep_id": pa.array(out_r, pa.int64()),
+                "dist": pa.array(out_d, pa.float64()),
+                "common": pa.array(out_c, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+
+def query_topk(
+    prepared_queries: ray.data.Dataset,
+    rep_sketches: pa.Table,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    k: int = 5,
+    *,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Top-k nearest representatives per query document (reference
+    ``query_topk``). Queries must be prepared documents (with content)."""
+    index_ref = ray.put(RepIndex.build(rep_sketches))
+    return prepared_queries.map_batches(
+        AssignActor,
+        fn_constructor_args=(index_ref, scfg, ccfg, k),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def assign_to_reps(
+    prepared_queries: ray.data.Dataset,
+    rep_sketches: pa.Table,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Nearest rep within threshold, else rep_id = -1 (novel doc) —
+    reference ``assign`` semantics."""
+    topk = query_topk(prepared_queries, rep_sketches, scfg, ccfg, k=1, concurrency=concurrency)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        r = t["rep_id"].to_numpy(zero_copy_only=False)
+        assigned = np.where(d <= ccfg.threshold, r, np.int64(-1))
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "rep_id": pa.array(assigned, pa.int64()),
+                "dist": t["dist"],
+            }
+        )
+
+    return topk.map_batches(finalize, batch_format="pyarrow")

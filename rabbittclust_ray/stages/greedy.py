@@ -1,0 +1,102 @@
+"""clust-greedy: incremental representative-based clustering.
+
+Reference semantics (/root/reference/src/greedy.cpp:566-899, KSSD variant;
+MinHash variant greedy.cpp:986-1399):
+- docs sorted by sketch size desc (greedy.cpp:592-599; ties -> doc id asc,
+  frozen here for determinism),
+- SERIAL scan: for each doc, probe the inverted index over the current
+  REPRESENTATIVES only; best match = rep with max shared-hash count
+  (fixed sketch size => max common == max Jaccard, greedy.cpp:1233-1239);
+  join that rep's cluster if within threshold, else become a new rep.
+
+Our execution (SURVEY.md A7): the O(N^2)-ish distance work — all pairs
+with dist <= threshold — is computed DISTRIBUTED by the candidate-pair
+stage; the order-dependent greedy sweep is then replayed driver-side over
+that sparse pair list, producing output identical to the reference at
+matched order. The replay touches only |edges <= d| pairs and the rep set,
+so it is linear in the (sparse) edge count — documented scaling ceiling:
+the sweep itself is single-threaded (SURVEY.md §7.4)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def greedy_order(sketches_meta: pa.Table) -> list[int]:
+    """doc ids sorted by (sketch_size desc, doc_id asc)
+    (reference sort /root/reference/src/greedy.cpp:592-599)."""
+    ids = sketches_meta["doc_id"].to_numpy(zero_copy_only=False)
+    sizes = sketches_meta["sketch_size"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sizes.astype(np.int64)))
+    return ids[order].tolist()
+
+
+def greedy_replay(
+    order_ids: list[int], edges: pa.Table, *, prefer_max_common: bool = True
+) -> dict[int, int]:
+    """Replay the serial greedy sweep over precomputed threshold pairs.
+
+    Returns doc_id -> rep doc_id (rep maps to itself). Best match among
+    current reps: max common (then min dist, then min rep id) — the
+    reference's tie order for fixed-size sketches (greedy.cpp:1233-1239)."""
+    adj: dict[int, list[tuple[int, int, float]]] = defaultdict(list)
+    u = edges["u"].to_numpy(zero_copy_only=False)
+    v = edges["v"].to_numpy(zero_copy_only=False)
+    common = edges["common"].to_numpy(zero_copy_only=False)
+    dist = edges["dist"].to_numpy(zero_copy_only=False)
+    for i in range(len(u)):
+        a, b, c, d = int(u[i]), int(v[i]), int(common[i]), float(dist[i])
+        adj[a].append((b, c, d))
+        adj[b].append((a, c, d))
+    reps: set[int] = set()
+    rep_of: dict[int, int] = {}
+    for doc in order_ids:
+        best: tuple | None = None
+        for nbr, c, d in adj.get(doc, ()):
+            if nbr in reps:
+                key = (-c, d, nbr) if prefer_max_common else (d, -c, nbr)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            rep_of[doc] = best[2]
+        else:
+            reps.add(doc)
+            rep_of[doc] = doc
+    return rep_of
+
+
+def greedy_assignments(
+    sketches: ray.data.Dataset, rep_of: dict[int, int]
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id=rep id, is_rep, content_sha256, length) for every
+    surviving doc. Rep map broadcast once via ray.put + searchsorted lookup."""
+    import ray
+
+    keys = np.fromiter(sorted(rep_of), dtype=np.int64, count=len(rep_of))
+    vals = np.array([rep_of[int(k)] for k in keys], dtype=np.int64)
+    ref = ray.put((keys, vals))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        lkeys, lvals = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(lkeys):
+            pos = np.clip(np.searchsorted(lkeys, ids), 0, len(lkeys) - 1)
+            found = lkeys[pos] == ids
+            cluster = np.where(found, lvals[pos], ids)
+        else:
+            cluster = ids.copy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "is_rep": pa.array(ids == cluster),
+                "content_sha256": t["content_sha256"],
+                "length": t["length"],
+            }
+        )
+
+    return sketches.map_batches(_assign, batch_format="pyarrow")

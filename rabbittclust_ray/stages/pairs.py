@@ -66,13 +66,15 @@ def explode_sketches(sketches: ray.data.Dataset, num_buckets: int | None = None)
         counts = np.diff(sk.offsets.to_numpy(zero_copy_only=False))
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
         ssize = np.repeat(t["sketch_size"].to_numpy(zero_copy_only=False), counts)
-        return pa.table(
-            {
-                "band_hash": pa.array(values, pa.uint64()),
-                "doc_id": pa.array(doc, pa.int64()),
-                "ssize": pa.array(ssize.astype(np.int32), pa.int32()),
-            }
-        )
+        cols = {
+            "band_hash": pa.array(values, pa.uint64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "ssize": pa.array(ssize.astype(np.int32), pa.int32()),
+        }
+        if "is_new" in t.column_names:  # append mode (SURVEY.md I2)
+            isn = np.repeat(t["is_new"].to_numpy(zero_copy_only=False), counts)
+            cols["is_new"] = pa.array(isn, pa.bool_())
+        return pa.table(cols)
 
     return sketches.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -104,6 +106,9 @@ def hash_exchange(
     def split(block: pa.Table):
         if isinstance(block, pa.RecordBatch):  # pragma: no cover
             block = pa.Table.from_batches([block])
+        if block.num_rows == 0 or key not in block.column_names:
+            empty = block.slice(0, 0)
+            return tuple([empty] * num_partitions) if num_partitions > 1 else empty
         k = block[key].to_numpy(zero_copy_only=False)
         part = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
         part = (part % np.uint64(num_partitions)).astype(np.int64)
@@ -222,8 +227,15 @@ class BucketPairEmitter:
         hashes = t["band_hash"].to_numpy(zero_copy_only=False)
         docs = t["doc_id"].to_numpy(zero_copy_only=False)
         sizes = t["ssize"].to_numpy(zero_copy_only=False)
+        isnew = (
+            t["is_new"].to_numpy(zero_copy_only=False)
+            if "is_new" in t.column_names
+            else None
+        )
         order = np.argsort(hashes, kind="stable")
         hashes, docs, sizes = hashes[order], docs[order], sizes[order]
+        if isnew is not None:
+            isnew = isnew[order]
         uniq, start, counts = np.unique(hashes, return_index=True, return_counts=True)
         cap = self.cfg.max_posting
         dropped = 0
@@ -234,6 +246,8 @@ class BucketPairEmitter:
             for s, c in zip(start[hot], counts[hot]):
                 keep_mask[s : s + c] = False
             hashes, docs, sizes = hashes[keep_mask], docs[keep_mask], sizes[keep_mask]
+            if isnew is not None:
+                isnew = isnew[keep_mask]
             uniq, start, counts = np.unique(hashes, return_index=True, return_counts=True)
         i_idx, j_idx = _ragged_pairs(counts)
         if len(i_idx) == 0:
@@ -252,6 +266,11 @@ class BucketPairEmitter:
         ul = np.where(swap, b, a)
         vl = np.where(swap, a, b)
         ok = ul != vl  # guard; cannot happen (hashes unique within a sketch)
+        if isnew is not None:
+            # append mode: old-old pairs already live in the edge checkpoint
+            new_local = np.zeros(n_local, dtype=bool)
+            new_local[inv] = isnew
+            ok &= new_local[a] | new_local[b]
         if self.radio is not None:
             sa, sb = sizes_local[ul], sizes_local[vl]
             ok &= np.maximum(sa, sb) <= self.radio * np.maximum(np.minimum(sa, sb), 1)

@@ -1,0 +1,134 @@
+"""Per-stage Parquet checkpoints with lineage + metrics manifests.
+
+Reference analogue: the three-tier resume story — sketch folder /
+edge.mst / cluster-state blobs (/root/reference/src/Sketch_IO.cpp:136-167,
+MST_IO.cpp:181-217, greedy.cpp:1545-1624, mst_state.cpp:129-351; SURVEY.md
+§3.3). Ours is a directory per stage:
+
+    <root>/<stage>/part-*.parquet     one file per partition (resumable)
+    <root>/<stage>/_manifest.json     lineage + per-partition metrics
+
+The manifest records: config hash (rerun safety), input lineage, row count
+and byte size per partition file, stage metrics, and a completion marker —
+the north rule's "per-partition lineage + metrics" requirement. Writes are
+atomic: a temp directory is renamed into place only after the manifest is
+written, so a crashed run never leaves a half-valid stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+MANIFEST = "_manifest.json"
+
+
+def save_stage(
+    root: str,
+    stage: str,
+    ds: ray.data.Dataset | pa.Table,
+    *,
+    config_hash: str,
+    lineage: dict | None = None,
+    metrics: dict | None = None,
+) -> str:
+    """Write a stage checkpoint atomically; returns the stage directory."""
+    final_dir = os.path.join(root, stage)
+    tmp_dir = os.path.join(root, f".tmp-{stage}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp_dir, exist_ok=True)
+    parts: list[dict] = []
+    if isinstance(ds, pa.Table):
+        batches = [ds]
+    else:
+        batches = ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    i = 0
+    for t in batches:
+        if t.num_rows == 0:
+            continue
+        fname = f"part-{i:05d}.parquet"
+        path = os.path.join(tmp_dir, fname)
+        pq.write_table(t, path)
+        parts.append(
+            {"file": fname, "rows": t.num_rows, "bytes": os.path.getsize(path)}
+        )
+        i += 1
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "lineage": lineage or {},
+        "partitions": parts,
+        "total_rows": sum(p["rows"] for p in parts),
+        "metrics": metrics or {},
+        "complete": True,
+    }
+    with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    return final_dir
+
+
+def stage_manifest(root: str, stage: str) -> dict | None:
+    path = os.path.join(root, stage, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def stage_is_valid(root: str, stage: str, config_hash: str) -> bool:
+    """True iff the stage exists, is complete, matches the config, and every
+    partition file is present with the recorded size."""
+    m = stage_manifest(root, stage)
+    if not m or not m.get("complete") or m.get("config_hash") != config_hash:
+        return False
+    d = os.path.join(root, stage)
+    for p in m["partitions"]:
+        f = os.path.join(d, p["file"])
+        if not os.path.exists(f) or os.path.getsize(f) != p["bytes"]:
+            return False
+    return True
+
+
+def load_stage(root: str, stage: str) -> ray.data.Dataset:
+    d = os.path.join(root, stage)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    return ray.data.read_parquet(files)
+
+
+def load_stage_table(root: str, stage: str) -> pa.Table:
+    d = os.path.join(root, stage)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    tables = [pq.read_table(os.path.join(d, f)) for f in files]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)
+
+
+def run_or_resume(
+    root: str,
+    stage: str,
+    config_hash: str,
+    compute,
+    *,
+    lineage: dict | None = None,
+    metrics: dict | None = None,
+) -> ray.data.Dataset:
+    """Resume ``stage`` from a valid checkpoint, else compute + checkpoint.
+    ``compute`` is a zero-arg callable returning a Dataset or Table."""
+    if stage_is_valid(root, stage, config_hash):
+        return load_stage(root, stage)
+    out = compute()
+    save_stage(root, stage, out, config_hash=config_hash, lineage=lineage, metrics=metrics)
+    return load_stage(root, stage)

@@ -1,0 +1,97 @@
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.assign import RepIndex, assign_to_reps, query_topk
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.sketch import sketch_batch
+
+SCFG = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+CCFG = ClusterConfig(threshold=0.05, max_posting=None)
+
+
+def _rep_sketches(texts_by_id: dict[int, str]) -> pa.Table:
+    import hashlib
+
+    ids = sorted(texts_by_id)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "content": pa.array([texts_by_id[i] for i in ids], pa.string()),
+            "length": pa.array([len(texts_by_id[i]) for i in ids], pa.int64()),
+            "content_sha256": pa.array(
+                [hashlib.sha256(texts_by_id[i].encode()).hexdigest() for i in ids], pa.string()
+            ),
+        }
+    )
+    return sketch_batch(batch, SCFG)
+
+
+def test_rep_index_common_counts_exact():
+    reps = pa.table(
+        {
+            "doc_id": pa.array([10, 20], pa.int64()),
+            "sketch": pa.array([[1, 2, 3, 4], [3, 4, 5, 6]], pa.list_(pa.uint64())),
+            "sketch_size": pa.array([4, 4], pa.int32()),
+            "length": pa.array([0, 0], pa.int64()),
+            "content_sha256": pa.array(["", ""], pa.string()),
+        }
+    )
+    idx = RepIndex.build(reps)
+    q = np.array([2, 3, 7], dtype=np.uint64)
+    counts = idx.common_counts(q)
+    assert counts.tolist() == [2, 1]
+
+
+def test_query_and_assign(small_corpus):
+    docs, gtp = small_corpus
+    # reps = the seed documents; queries = the mutants
+    seeds = gtp[gtp.kind == "seed"]
+    mutants = gtp[gtp.kind == "mutant"].head(30)
+    content = dict(zip(gtp.doc_id, docs["content"].to_pylist()))
+    reps = _rep_sketches({int(r.doc_id): content[r.doc_id] for r in seeds.itertuples()})
+
+    qtbl = pa.table(
+        {
+            "repo": pa.array(["q"] * len(mutants)),
+            "path": pa.array([f"p{i}" for i in range(len(mutants))]),
+            "commit": pa.array(["c"] * len(mutants)),
+            "lang": pa.array(["python"] * len(mutants)),
+            "content": pa.array([content[d] for d in mutants.doc_id], pa.string()),
+            "doc_id": pa.array(mutants.doc_id.to_numpy(), pa.int64()),
+        }
+    )
+    prepared = prepare_documents(ray.data.from_arrow(qtbl), SCFG)
+    out = assign_to_reps(prepared, reps, SCFG, CCFG).to_pandas()
+    seed_of = dict(zip(seeds.true_cluster, seeds.doc_id))
+    true_rep = {int(r.doc_id): int(seed_of[r.true_cluster]) for r in mutants.itertuples()}
+    got = dict(zip(out.query_id, out.rep_id))
+    assert got == true_rep  # every mutant assigned to its own seed
+
+    topk = query_topk(prepared, reps, SCFG, CCFG, k=3).to_pandas()
+    # rank-1 matches assign; ranks are 1..3 per query
+    r1 = topk[topk["rank"] == 1]
+    assert dict(zip(r1.query_id, r1.rep_id)) == true_rep
+    assert (topk.groupby("query_id")["rank"].max() == 3).all()
+
+
+def test_assign_novel_doc_gets_minus_one(small_corpus):
+    docs, gtp = small_corpus
+    seeds = gtp[gtp.kind == "seed"]
+    content = dict(zip(gtp.doc_id, docs["content"].to_pylist()))
+    reps = _rep_sketches({int(r.doc_id): content[r.doc_id] for r in seeds.itertuples()})
+    noise = gtp[gtp.kind == "noise"].head(5)
+    qtbl = pa.table(
+        {
+            "repo": pa.array(["q"] * len(noise)),
+            "path": pa.array([f"n{i}" for i in range(len(noise))]),
+            "commit": pa.array(["c"] * len(noise)),
+            "lang": pa.array(["python"] * len(noise)),
+            "content": pa.array([content[d] for d in noise.doc_id], pa.string()),
+            "doc_id": pa.array(noise.doc_id.to_numpy(), pa.int64()),
+        }
+    )
+    prepared = prepare_documents(ray.data.from_arrow(qtbl), SCFG)
+    out = assign_to_reps(prepared, reps, SCFG, CCFG).to_pandas()
+    assert (out.rep_id == -1).all()

@@ -1,0 +1,115 @@
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig, config_hash
+from rabbittclust_ray.corpus import make_corpus
+from rabbittclust_ray.pipelines.append import (
+    append_clust_mst,
+    clust_mst_checkpointed,
+    recluster_from_checkpoint,
+)
+from rabbittclust_ray.pipelines.clust_mst import clust_mst
+from rabbittclust_ray.state.checkpoint import (
+    load_stage,
+    run_or_resume,
+    save_stage,
+    stage_is_valid,
+    stage_manifest,
+)
+
+SCFG = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+CCFG = ClusterConfig(threshold=0.05, max_posting=None, num_buckets=8)
+
+
+def test_checkpoint_roundtrip_and_manifest(tmp_path):
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array(["x", "y", "z"])})
+    save_stage(str(tmp_path), "s1", t, config_hash="abc",
+               lineage={"input": "unit"}, metrics={"n": 3})
+    m = stage_manifest(str(tmp_path), "s1")
+    assert m["complete"] and m["total_rows"] == 3 and m["config_hash"] == "abc"
+    assert m["partitions"][0]["rows"] == 3
+    assert stage_is_valid(str(tmp_path), "s1", "abc")
+    assert not stage_is_valid(str(tmp_path), "s1", "other")
+    back = load_stage(str(tmp_path), "s1").to_pandas().sort_values("a")
+    assert back.a.tolist() == [1, 2, 3]
+
+
+def test_stage_invalid_when_partition_corrupted(tmp_path):
+    t = pa.table({"a": pa.array(range(10), pa.int64())})
+    save_stage(str(tmp_path), "s2", t, config_hash="h")
+    part = os.path.join(tmp_path, "s2", "part-00000.parquet")
+    with open(part, "ab") as f:
+        f.write(b"garbage")
+    assert not stage_is_valid(str(tmp_path), "s2", "h")
+
+
+def test_run_or_resume_skips_recompute(tmp_path):
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return pa.table({"a": pa.array([1], pa.int64())})
+
+    run_or_resume(str(tmp_path), "s3", "h", compute)
+    run_or_resume(str(tmp_path), "s3", "h", compute)
+    assert calls["n"] == 1
+    run_or_resume(str(tmp_path), "s3", "h2", compute)  # config change -> rerun
+    assert calls["n"] == 2
+
+
+@pytest.fixture(scope="module")
+def split_corpus():
+    """Two disjoint halves A, B of one corpus + the full corpus."""
+    docs, _ = make_corpus(num_seeds=8, per_cluster=6, doc_len=2500, mut_rate=0.01,
+                          num_exact_dups=4, num_noise=8, num_short=4)
+    n = docs.num_rows
+    idx = np.arange(n)
+    rng = np.random.default_rng(13)
+    rng.shuffle(idx)
+    a_idx, b_idx = idx[: n // 2], idx[n // 2:]
+    return docs, docs.take(a_idx.tolist()), docs.take(b_idx.tolist())
+
+
+def test_append_equals_full_run(split_corpus, tmp_path):
+    """FIXTURES.md §4 append oracle: membership of append(B onto ckpt(A))
+    == full-run(A ∪ B)."""
+    full, a, b = split_corpus
+    root = str(tmp_path / "ckpt")
+    clust_mst_checkpointed(ray.data.from_arrow(a), root, SCFG, CCFG)
+    appended = append_clust_mst(root, ray.data.from_arrow(b))
+    ap = appended.assignments.to_pandas()
+
+    fres = clust_mst(ray.data.from_arrow(full), SCFG, CCFG)
+    fp = fres.assignments.to_pandas()
+    assert sorted(ap.doc_id) == sorted(fp.doc_id)
+    # same partition into clusters (labels are min-doc-id -> exact equality)
+    am = dict(zip(ap.doc_id, ap.cluster_id))
+    fm = dict(zip(fp.doc_id, fp.cluster_id))
+    assert am == fm
+
+
+def test_append_idempotent_on_duplicate_rows(split_corpus, tmp_path):
+    """Re-appending rows whose sha is already checkpointed changes nothing."""
+    _, a, _ = split_corpus
+    root = str(tmp_path / "ckpt2")
+    res1 = clust_mst_checkpointed(ray.data.from_arrow(a), root, SCFG, CCFG)
+    n1 = res1.assignments.count()
+    res2 = append_clust_mst(root, ray.data.from_arrow(a))  # same rows again
+    assert res2.assignments.count() == n1
+
+
+def test_recluster_from_checkpoint(split_corpus, tmp_path):
+    full, _, _ = split_corpus
+    root = str(tmp_path / "ckpt3")
+    res = clust_mst_checkpointed(ray.data.from_arrow(full), root, SCFG, CCFG)
+    tight = recluster_from_checkpoint(root, 0.01)
+    # tighter threshold -> at least as many clusters
+    n_orig = res.assignments.to_pandas().cluster_id.nunique()
+    n_tight = tight.assignments.to_pandas().cluster_id.nunique()
+    assert n_tight >= n_orig
+    with pytest.raises(ValueError):
+        recluster_from_checkpoint(root, 0.5)  # looser than checkpointed cut

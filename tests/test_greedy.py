@@ -1,0 +1,80 @@
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
+from rabbittclust_ray.stages.greedy import greedy_order, greedy_replay
+
+SCFG = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+CCFG = ClusterConfig(threshold=0.05, max_posting=None, num_buckets=8)
+
+
+def _edges(rows):
+    u, v, c, d = zip(*rows) if rows else ([], [], [], [])
+    return pa.table({"u": pa.array(list(u), pa.int64()), "v": pa.array(list(v), pa.int64()),
+                     "common": pa.array(list(c), pa.int32()), "dist": pa.array(list(d), pa.float64())})
+
+
+def test_greedy_order_size_desc_then_id():
+    meta = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64()),
+                     "sketch_size": pa.array([10, 20, 10], pa.int32())})
+    assert greedy_order(meta) == [1, 2, 3]
+
+
+def test_greedy_replay_serial_semantics():
+    # order: 1 (rep), 2 joins 1, 3 joins 1 (best common), 4 new rep
+    edges = _edges([(1, 2, 50, 0.01), (1, 3, 40, 0.02), (2, 3, 45, 0.015)])
+    rep = greedy_replay([1, 2, 3, 4], edges)
+    assert rep == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_greedy_replay_non_rep_neighbors_ignored():
+    # 2 joins 1; 3's only neighbor is 2 (NOT a rep) -> 3 becomes a rep,
+    # even though 2 and 3 are near: the reference probes reps only
+    edges = _edges([(1, 2, 50, 0.01), (2, 3, 50, 0.01)])
+    rep = greedy_replay([1, 2, 3], edges)
+    assert rep == {1: 1, 2: 1, 3: 3}
+
+
+def test_greedy_replay_max_common_wins():
+    # doc 3 is near reps 1 and 2; rep 2 shares more hashes -> join 2
+    edges = _edges([(1, 3, 30, 0.01), (2, 3, 60, 0.02)])
+    rep = greedy_replay([1, 2, 3], edges)
+    assert rep[3] == 2
+
+
+def test_clust_greedy_end_to_end(small_corpus):
+    docs, gtp = small_corpus
+    res = clust_greedy(ray.data.from_arrow(docs), SCFG, CCFG)
+    a = res.assignments.to_pandas()
+    m = a.merge(gtp, on="doc_id")
+    # every true cluster maps to exactly one greedy cluster and vice versa
+    for _, grp in m[m.true_cluster >= 0].groupby("true_cluster"):
+        assert grp.cluster_id.nunique() == 1
+    for _, grp in m[m.true_cluster >= 0].groupby("cluster_id"):
+        assert grp.true_cluster.nunique() == 1
+    # reps are members of their own cluster and marked
+    reps = a[a.is_rep]
+    assert (reps.doc_id == reps.cluster_id).all()
+    # noise docs stay singletons
+    noise = m[m.kind == "noise"]
+    assert (noise.groupby("cluster_id").size() == 1).all()
+
+
+def test_clust_greedy_rep_is_largest_sketch(small_corpus):
+    """The rep of each cluster must be its first doc in (size desc, id)
+    order — the reference's defining invariant."""
+    docs, _ = small_corpus
+    res = clust_greedy(ray.data.from_arrow(docs), SCFG, CCFG)
+    meta = res.sketches.select_columns(["doc_id", "sketch_size"]).to_pandas()
+    size_of = dict(zip(meta.doc_id, meta.sketch_size))
+    a = res.assignments.to_pandas()
+    for cid, grp in a.groupby("cluster_id"):
+        rep_row = grp[grp.is_rep]
+        assert len(rep_row) == 1
+        rep = int(rep_row.doc_id.iloc[0])
+        # every member joined an EXISTING rep, so the rep precedes all its
+        # members in (size desc, id asc) order
+        best = min(grp.doc_id, key=lambda d: (-size_of[d], d))
+        assert rep == best
