@@ -232,8 +232,140 @@ def _q_cosine_near_dups(sf_dir: str):
     return out[["u", "v"]]
 
 
+def _q_clusters_greedy(sf_dir: str):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
+    return clust_greedy(_docs(sf_dir), scfg, ccfg).assignments
+
+
+def _q_banded_lsh_pairs(sf_dir: str):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.stages.pairs import banded_lsh_pairs
+    from rabbittclust_ray.stages.sketch import sketch_documents
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
+    sk = sketch_documents(_prepared(sf_dir, min_len=50), scfg)
+    return banded_lsh_pairs(sk, scfg, ccfg, band_r=2)
+
+
+def _q_ani_histogram(sf_dir: str):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+    from rabbittclust_ray.stages.stats import ani_histogram
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.2, num_buckets=16)
+    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    return ani_histogram(res.edges)
+
+
+def _q_density_histogram(sf_dir: str):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+    from rabbittclust_ray.stages.stats import density_histogram
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.2, num_buckets=16)
+    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    out = density_histogram(res.edges).to_pandas()
+    out["dense"] = out["dense"].map(lambda x: ",".join(map(str, x)))
+    return out
+
+
+def _q_linkage_matrix(sf_dir: str):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+    from rabbittclust_ray.render import linkage_matrix
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
+    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    out = linkage_matrix(res.mst).to_pandas()
+    out["dist"] = out["dist"].round(6)
+    return out
+
+
+def _q_image_features(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.multimodal import image_features, make_fake_media_table
+
+    media = ray.data.from_arrow(make_fake_media_table(64))
+    out = image_features(media).to_pandas()
+    out["feature"] = out["feature"].map(lambda x: ",".join(map(str, x)))
+    return out
+
+
+def _q_audio_frames(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.multimodal import audio_frame_features, make_fake_media_table
+
+    media = ray.data.from_arrow(make_fake_media_table(64))
+    return audio_frame_features(media)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.ann import IvfIndexActor, build_ivf_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent_ref, lists_ref = build_ivf_centroids(ds, num_centroids=8)
+    queries_ds = ds.limit(32)
+    return queries_ds.map_batches(
+        IvfIndexActor,
+        fn_constructor_args=(cent_ref, lists_ref, 5, "vec_id", "embedding"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
+def _q_lang_distribution(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _q_exact_dup_pairs(sf_dir: str):
+    """All unordered doc pairs with byte-identical text (exact-dup layer
+    pair view; SQL self-join oracle)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.dedup import exact_dedup
+
+    ed = exact_dedup(_prepared(sf_dir)).to_pandas()
+    rows = []
+    for _, grp in ed.groupby("group_rep"):
+        ids = sorted(grp.doc_id)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((ids[i], ids[j]))
+    if not rows:
+        return pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+    return pd.DataFrame(rows, columns=["u", "v"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "clusters_greedy": _q_clusters_greedy,
+        "banded_lsh_pairs": _q_banded_lsh_pairs,
+        "ani_histogram": _q_ani_histogram,
+        "density_histogram": _q_density_histogram,
+        "linkage_matrix": _q_linkage_matrix,
+        "image_features": _q_image_features,
+        "audio_frames": _q_audio_frames,
+        "ann_ivf": _q_ann_ivf,
+        "lang_distribution": _q_lang_distribution,
+        "exact_dup_pairs": _q_exact_dup_pairs,
         "size_scan": _q_size_scan,
         "sha_invariant": _q_sha_invariant,
         "min_len_filter": _q_min_len_filter,
@@ -254,6 +386,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_distribution": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        """,
+        "exact_dup_pairs": """
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b
+              ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+        """,
         "size_scan": f"""
             SELECT CAST(min(length(text)) AS BIGINT) AS min_len,
                    CAST(max(length(text)) AS BIGINT) AS max_len,

@@ -1,0 +1,147 @@
+"""Output renderers: reference-format cluster text, Newick tree, scipy-style
+single-linkage matrix.
+
+Reference formats mirrored for diffability:
+- cluster text (/root/reference/src/MST_IO.cpp:72-179 printKssdResult,
+  sketchByFile branch): '# Clustering threshold: %.6f' header, then per
+  cluster 'the cluster %d is: ' and one tab-indented member line
+  '\\t%5d\\t%6d\\t%12dnt\\t%20s...' (local idx, global idx, length, name).
+- Newick: single-linkage dendrogram built by processing MST edges in
+  ascending dist order; branch length = merge height - child height
+  (/root/reference/src/MST.cpp:1088-1140 get_newick_tree).
+- linkage matrix: scipy convention rows (c1, c2, dist, size)
+  (/root/reference/src/MST.h:64-69 LinkageRow; MST_IO.cpp:252-375).
+
+All renderers are driver-side over collected small tables (assignments /
+MST are one row per doc / per edge, no content).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+
+def cluster_text(
+    assignments: pa.Table,
+    names: dict[int, str] | None = None,
+    threshold: float | None = None,
+) -> str:
+    """CD-HIT-like text in the reference's format. Clusters ordered by
+    (size desc, min doc_id); members by doc_id; positional indices are
+    RENDER-TIME only (stable doc_ids everywhere else, SURVEY.md §7.4)."""
+    ids = assignments["doc_id"].to_numpy(zero_copy_only=False)
+    cl = assignments["cluster_id"].to_numpy(zero_copy_only=False)
+    lengths = (
+        assignments["length"].to_numpy(zero_copy_only=False)
+        if "length" in assignments.column_names
+        else np.zeros(len(ids), dtype=np.int64)
+    )
+    by_cluster: dict[int, list[int]] = defaultdict(list)
+    len_of = {}
+    for i, c, ln in zip(ids.tolist(), cl.tolist(), lengths.tolist()):
+        by_cluster[c].append(i)
+        len_of[i] = ln
+    order = sorted(by_cluster, key=lambda c: (-len(by_cluster[c]), min(by_cluster[c])))
+    global_idx = {d: g for g, d in enumerate(sorted(ids.tolist()))}
+    lines = []
+    if threshold is not None:
+        lines.append(f"# Clustering threshold: {threshold:.6f}")
+        lines.append(f"# Total clusters: {len(order)}")
+        lines.append("#")
+    for ci, c in enumerate(order):
+        lines.append(f"the cluster {ci} is: ")
+        for j, doc in enumerate(sorted(by_cluster[c])):
+            name = (names or {}).get(doc, str(doc))
+            lines.append(
+                f"\t{j:5d}\t{global_idx[doc]:6d}\t{len_of[doc]:12d}nt\t{name:>20s}"
+            )
+        lines.append("")
+    return "\n".join(lines) + "\n"
+
+
+def _single_linkage(mst: pa.Table):
+    """Shared single-linkage pass over MST edges (ascending dist).
+    Yields merge events (node_u, node_v, height, new_size) with scipy node
+    numbering: leaves 0..N-1 (sorted doc_id order), internal N..2N-2."""
+    from rabbittclust_ray.stages.graph_np import dense_ids
+
+    u = mst["u"].to_numpy(zero_copy_only=False)
+    v = mst["v"].to_numpy(zero_copy_only=False)
+    d = mst["dist"].to_numpy(zero_copy_only=False)
+    ids, (du, dv) = dense_ids(u, v)
+    n = len(ids)
+    order = np.argsort(d, kind="stable")
+    parent = list(range(n))
+    rep_node = list(range(n))
+    size = [1] * n
+    height = [0.0] * n
+    next_node = n
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    events = []
+    for i in order:
+        ru, rv = find(int(du[i])), find(int(dv[i]))
+        if ru == rv:
+            continue
+        nu, nv = rep_node[ru], rep_node[rv]
+        h = float(d[i])
+        events.append((nu, nv, h, size[ru] + size[rv]))
+        parent[rv] = ru
+        rep_node[ru] = next_node
+        size[ru] = size[ru] + size[rv]
+        height.append(h)
+        next_node += 1
+    return ids, events, height
+
+
+def linkage_matrix(mst: pa.Table) -> pa.Table:
+    """(c1, c2, dist, size) rows in merge order — scipy convention
+    (reference LinkageRow, MST.h:64-69)."""
+    _, events, _ = _single_linkage(mst)
+    c1 = pa.array([e[0] for e in events], pa.int64())
+    c2 = pa.array([e[1] for e in events], pa.int64())
+    dist = pa.array([e[2] for e in events], pa.float64())
+    size = pa.array([e[3] for e in events], pa.int64())
+    return pa.table({"c1": c1, "c2": c2, "dist": dist, "size": size})
+
+
+def newick_tree(mst: pa.Table, names: dict[int, str] | None = None) -> str:
+    """Newick string of the single-linkage dendrogram (forest -> one tree
+    per component, ';'-terminated each; reference MST.cpp:1088-1140)."""
+    ids, events, height = _single_linkage(mst)
+    n = len(ids)
+    if n == 0:
+        return ";"
+    children: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    merged: set[int] = set()
+    node_height = {i: 0.0 for i in range(n)}
+    next_node = n
+    for nu, nv, h, _ in events:
+        bl_u = max(0.0, h - node_height[nu])
+        bl_v = max(0.0, h - node_height[nv])
+        children[next_node] = [(nu, bl_u), (nv, bl_v)]
+        node_height[next_node] = h
+        merged.add(nu)
+        merged.add(nv)
+        next_node += 1
+
+    def label(node: int) -> str:
+        doc = int(ids[node])
+        return (names or {}).get(doc, str(doc)) if node < n else ""
+
+    def render(node: int) -> str:
+        if node < n:
+            return label(node)
+        parts = [f"{render(ch)}:{bl:.6f}" for ch, bl in children[node]]
+        return "(" + ",".join(parts) + ")"
+
+    roots = [x for x in range(next_node) if x not in merged]
+    return "".join(render(r) + ";" for r in sorted(roots))

@@ -1,0 +1,161 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Not in the reference (genomes only); part of the training-data extension
+set. Images/audio/video travel as ``payload: binary`` columns with
+``media_type``/``width``/``height``/``sample_rate`` metadata. The decode /
+resize / feature-extract kernels are STUBBED (no image/audio libraries in
+this container — clearly marked below); the Ray-side plumbing is real:
+actor-pool ``map_batches`` stages with small batch sizes (large binary
+rows: batch x concurrency must fit the worker heap), Arrow binary columns
+end-to-end (never pandas — object dtype copies), and deterministic fake
+decoders so the pipeline shape is testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("media_type", pa.string()),  # "image/png", "audio/wav", ...
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover
+    """REAL decoder — requires PIL/opencv, absent in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not available in this "
+        "environment); use deterministic_fake=True for pipeline testing"
+    )
+
+
+def _decode_image_fake(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
+    """Deterministic fake decode: bytes -> seeded uint8 HxWx3 array.
+    Same payload => same pixels, so downstream features are testable."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(out_hw[0], out_hw[1], 3), dtype=np.uint8)
+
+
+class ImageFeatureActor:
+    """Actor-pool stage: decode -> resize -> mean-pool color features.
+
+    __init__ loads the (stub) decoder once per actor — the slot where a
+    real model/codec load belongs. __call__ is per batch, Arrow in/out."""
+
+    def __init__(self, out_hw: tuple[int, int] = (32, 32), deterministic_fake: bool = True):
+        self.out_hw = out_hw
+        self.fake = deterministic_fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        feats = np.zeros((len(payloads), 3), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            img = (
+                _decode_image_fake(p, self.out_hw)
+                if self.fake
+                else _decode_image_real(p)
+            )
+            feats[i] = img.reshape(-1, 3).mean(axis=0)
+        flat = pa.array(np.round(feats.reshape(-1), 6), pa.float64())
+        feat_col = pa.FixedSizeListArray.from_arrays(flat, 3).cast(pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_type": t["media_type"],
+                "feature": feat_col,
+                "payload_sha256": pa.array(
+                    [hashlib.sha256(p).hexdigest() for p in payloads], pa.string()
+                ),
+            }
+        )
+
+
+def image_features(
+    media: ray.data.Dataset,
+    *,
+    out_hw: tuple[int, int] = (32, 32),
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    deterministic_fake: bool = True,
+) -> ray.data.Dataset:
+    """media table -> (doc_id, media_type, feature list<float64>[3],
+    payload_sha256). batch_size is small: rows carry binary payloads."""
+    return media.map_batches(
+        ImageFeatureActor,
+        fn_constructor_args=(out_hw, deterministic_fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class AudioFrameSampleActor:
+    """Actor-pool stage: frame-sample an audio payload into fixed windows.
+    Decode stubbed the same way (deterministic fake: payload bytes ->
+    seeded int16 waveform)."""
+
+    def __init__(self, frame_len: int = 400, max_frames: int = 8, deterministic_fake: bool = True):
+        self.frame_len = frame_len
+        self.max_frames = max_frames
+        if not deterministic_fake:  # pragma: no cover
+            raise NotImplementedError("audio decoding requires soundfile/librosa")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_doc, out_frame, out_rms = [], [], []
+        for doc, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            wave = rng.integers(-(2**15), 2**15, size=self.frame_len * self.max_frames).astype(np.float64)
+            frames = wave.reshape(self.max_frames, self.frame_len)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            out_doc.extend([doc] * self.max_frames)
+            out_frame.extend(range(self.max_frames))
+            out_rms.extend(np.round(rms, 6).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "frame": pa.array(out_frame, pa.int64()),
+                "rms": pa.array(out_rms, pa.float64()),
+            }
+        )
+
+
+def audio_frame_features(
+    media: ray.data.Dataset, *, concurrency=(1, 4), batch_size: int = 64
+) -> ray.data.Dataset:
+    return media.map_batches(
+        AudioFrameSampleActor,
+        fn_constructor_args=(),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media fixture (binary payload column + metadata)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=256, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["image/png" if i % 2 == 0 else "audio/wav" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([64] * n, pa.int32()),
+            "height": pa.array([64] * n, pa.int32()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+        }
+    )

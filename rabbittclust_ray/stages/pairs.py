@@ -430,6 +430,112 @@ def candidate_pairs(
     return hash_exchange(partials, "u", _aggregate_pair_group, p)
 
 
+def banded_lsh_pairs(
+    sketches: ray.data.Dataset,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    band_r: int = 4,
+    max_dist: float | None = None,
+) -> ray.data.Dataset:
+    """Classic banded MinHash-LSH: band hash = hash of ``band_r`` consecutive
+    sketch values; pairs colliding in >= 1 band are candidates, then the
+    exact sketch intersection verifies the distance.
+
+    The 1-hash-band path (``candidate_edges``) is EXACT but touches every
+    shared hash; banding trades boundary-pair recall for a candidate table
+    near-linear in the true-duplicate count — the scale knob the reference's
+    index generalizes to (SURVEY.md J1 note). Verification here broadcasts
+    the sketch table via ``ray.put`` (fine to ~10^7 docs; beyond that swap
+    in a sorted-merge fetch join keyed on doc_id — same verify math)."""
+    import ray
+
+    from rabbittclust_ray.hashing import splitmix64
+
+    md = ccfg.threshold if max_dist is None else max_dist
+    sketches = sketches.materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        sk = t["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        values = sk.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offsets = sk.offsets.to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_key, out_doc = [], []
+        for i in range(len(ids)):
+            h = values[offsets[i] : offsets[i + 1]]
+            nb = len(h) // band_r
+            if nb == 0:
+                continue
+            bands = h[: nb * band_r].reshape(nb, band_r)
+            # mix band index in so band j only collides with band j
+            bh = np.zeros(nb, dtype=np.uint64)
+            for c in range(band_r):
+                bh = splitmix64(bh ^ bands[:, c])
+            bh = splitmix64(bh ^ np.arange(nb, dtype=np.uint64))
+            out_key.append(bh)
+            out_doc.append(np.full(nb, ids[i], dtype=np.int64))
+        if not out_key:
+            return pa.table({"band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "ssize": pa.array([], pa.int32())})
+        return pa.table(
+            {
+                "band_hash": pa.array(np.concatenate(out_key), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "ssize": pa.array(
+                    np.zeros(sum(len(k) for k in out_key), dtype=np.int32), pa.int32()
+                ),
+            }
+        )
+
+    exploded = sketches.map_batches(explode_bands, batch_format="pyarrow")
+    emitter = BucketPairEmitter(ClusterConfig(threshold=md, max_posting=ccfg.max_posting,
+                                              num_buckets=ccfg.num_buckets))
+    cand = hash_exchange(exploded, "band_hash", emitter, max(1, ccfg.num_buckets))
+    cand = hash_exchange(cand, "u", _aggregate_pair_group, max(1, ccfg.num_buckets))
+
+    # broadcast sketch map for exact verification
+    pdf = sketches.select_columns(["doc_id", "sketch", "sketch_size"]).to_pandas()
+    sk_map = {
+        int(d): (np.asarray(s, dtype=np.uint64), int(z))
+        for d, s, z in zip(pdf["doc_id"], pdf["sketch"], pdf["sketch_size"])
+    }
+    ref = ray.put(sk_map)
+    k = scfg.distance_k
+    containment = ccfg.containment
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        common = np.zeros(len(u), dtype=np.int64)
+        su = np.zeros(len(u), dtype=np.int64)
+        sv = np.zeros(len(u), dtype=np.int64)
+        for i in range(len(u)):
+            a, za = m[int(u[i])]
+            b, zb = m[int(v[i])]
+            common[i] = len(np.intersect1d(a, b, assume_unique=True))
+            su[i], sv[i] = za, zb
+        dist = (
+            containment_distance(common, su, sv, k)
+            if containment
+            else mash_distance(common, su, sv, k)
+        )
+        ok = dist <= md
+        return pa.table(
+            {
+                "u": pa.array(u[ok], pa.int64()),
+                "v": pa.array(v[ok], pa.int64()),
+                "common": pa.array(common[ok].astype(np.int32), pa.int32()),
+                "dist": pa.array(dist[ok], pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def candidate_edges(
     sketches: ray.data.Dataset,
     scfg: SketchConfig,

@@ -1,0 +1,196 @@
+"""Distribution statistics + auto-threshold analysis.
+
+Reference semantics:
+- ANI histogram: global 101-bucket histogram of (1-dist)*100 over candidate
+  pairs (/root/reference/src/MST.cpp:552-556, 579-584).
+- density histogram (--dense): per doc, cumulative count of partners with
+  dist <= t for t in {0, 0.01, ..., 0.99} (DENSE_SPAN=100,
+  /root/reference/src/common.hpp:26; MST.cpp:342-369, 542-557).
+- edge-length stats over the MST: min/max/median/quartiles/std with
+  near-zero distances filtered (/root/reference/src/MST.cpp:1743-1818).
+- auto-threshold candidates: gaps > min_gap_ratio*range between adjacent
+  sorted MST edge lengths, largest first; threshold = the larger edge of
+  the gap; confidence = min(1, gap/range*10)
+  (/root/reference/src/MST.cpp:1962-2080).
+- stability: 1 - edge-flip-rate near the threshold
+  (/root/reference/src/MST.cpp:1829-1960; simplified to the same
+  "fraction of edges within +-eps of t" formulation).
+- noise removal (--dense): per cluster, docs with density(threshold
+  bucket) <= min(Q1-1, alpha) are noise; their forest edges are dropped
+  and clusters regenerated (/root/reference/src/MST.cpp:189-211, 87-106).
+
+Histograms are distributed (vectorized partial histograms per batch merged
+by a tiny driver reduce — the mergeable-sketch aggregation pattern); edge
+stats and threshold analysis run on the driver (the MST is <= N-1 rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+DENSE_SPAN = 100  # buckets of width 0.01 (reference common.hpp:26)
+
+
+def ani_histogram(edges: ray.data.Dataset | pa.Table) -> pa.Table:
+    """(ani_bucket 0..100, count): bucket = floor((1-dist)*100)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        b = np.clip(((1.0 - d) * 100.0).astype(np.int64), 0, 100)
+        h = np.bincount(b, minlength=101)
+        return pa.table(
+            {"ani_bucket": pa.array(np.arange(101), pa.int64()),
+             "count": pa.array(h, pa.int64())}
+        )
+
+    if isinstance(edges, pa.Table):
+        parts = [partial(edges)]
+    else:
+        parts = list(
+            edges.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+    total = np.zeros(101, dtype=np.int64)
+    for p in parts:
+        total[p["ani_bucket"].to_numpy(zero_copy_only=False)] += p["count"].to_numpy(
+            zero_copy_only=False
+        )
+    return pa.table(
+        {"ani_bucket": pa.array(np.arange(101), pa.int64()),
+         "count": pa.array(total, pa.int64())}
+    )
+
+
+def density_histogram(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, dense list<int32>[100]): dense[k] = #partners with
+    dist <= k/100 (cumulative, both directions of each pair)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        b = np.clip((d * DENSE_SPAN).astype(np.int64), 0, DENSE_SPAN - 1)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([u, v]), pa.int64()),
+             "bucket": pa.array(np.concatenate([b, b]), pa.int64())}
+        )
+
+    def reduce_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dense": pa.array([], pa.list_(pa.int32()))})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        hist = np.zeros((len(uniq), DENSE_SPAN), dtype=np.int64)
+        np.add.at(hist, (inv, buckets), 1)
+        cum = np.cumsum(hist, axis=1).astype(np.int32)
+        dense = pa.FixedSizeListArray.from_arrays(
+            pa.array(cum.reshape(-1), pa.int32()), DENSE_SPAN
+        ).cast(pa.list_(pa.int32()))
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()), "dense": dense})
+
+    exploded = edges.map_batches(explode, batch_format="pyarrow")
+    return hash_exchange(exploded, "doc_id", reduce_doc, 16)
+
+
+def edge_length_stats(mst: pa.Table) -> dict:
+    """Reference analyzeEdgeLengthDistribution (MST.cpp:1743-1818):
+    near-zero distances are filtered before stats."""
+    d = mst["dist"].to_numpy(zero_copy_only=False) if mst.num_rows else np.empty(0)
+    d = np.sort(d[d > 1e-10])
+    n = len(d)
+    if n == 0:
+        return {k: 0.0 for k in ("min", "max", "median", "mean", "q1", "q3", "std")} | {"n": 0}
+    return {
+        "n": n,
+        "min": float(d[0]),
+        "max": float(d[-1]),
+        "median": float((d[n // 2 - 1] + d[n // 2]) / 2 if n % 2 == 0 else d[n // 2]),
+        "mean": float(d.mean()),
+        "q1": float(d[max(0, n // 4)]),
+        "q3": float(d[min(n - 1, 3 * n // 4)]),
+        "std": float(d.std()),
+        "sorted": d,
+    }
+
+
+def threshold_candidates(
+    mst: pa.Table, max_candidates: int = 5, min_gap_ratio: float = 0.05
+) -> list[dict]:
+    """Gap-based auto-threshold candidates (MST.cpp:1962-2080)."""
+    stats = edge_length_stats(mst)
+    if stats["n"] < 2:
+        return []
+    d = stats["sorted"]
+    rng = stats["max"] - stats["min"]
+    if rng <= 1e-10:
+        return [{"threshold": stats["median"], "gap_score": 0.0, "confidence": 0.5}]
+    min_gap = rng * min_gap_ratio
+    gaps = np.diff(d)
+    idx = np.flatnonzero(gaps > min_gap)
+    order = idx[np.argsort(-gaps[idx], kind="stable")][:max_candidates]
+    return [
+        {
+            "threshold": float(d[i + 1]),  # larger edge of the gap
+            "gap_score": float(gaps[i]),
+            "confidence": float(min(1.0, gaps[i] / rng * 10.0)),
+        }
+        for i in order
+    ]
+
+
+def threshold_stability(mst: pa.Table, threshold: float, eps: float = 0.01) -> float:
+    """1 - fraction of edges within +-eps of the threshold (edge flip rate
+    under perturbation; MST.cpp:1829-1960 simplified — for a tree cut,
+    cluster co-membership == edge retention, which is the same equivalence
+    the reference exploits)."""
+    if mst.num_rows == 0:
+        return 1.0
+    d = mst["dist"].to_numpy(zero_copy_only=False)
+    near = (np.abs(d - threshold) <= eps).sum()
+    return float(1.0 - near / len(d))
+
+
+def remove_noise(
+    forest: pa.Table,
+    labels: dict[int, int],
+    density: dict[int, np.ndarray],
+    threshold: float,
+    alpha: int = 2,
+) -> dict[int, int]:
+    """D4 noise removal: within each cluster, docs whose density at the
+    threshold bucket <= min(Q1-1, alpha) are noise; drop their forest edges
+    and re-derive labels (MST.cpp:189-211 getNoiseNode + 87-106
+    modifyForest). Returns the new labels mapping."""
+    from rabbittclust_ray.stages.graph_np import components_labels, dense_ids
+
+    bucket = min(DENSE_SPAN - 1, int(threshold / 0.01))
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in labels.items():
+        by_cluster.setdefault(c, []).append(doc)
+    noise: set[int] = set()
+    for members in by_cluster.values():
+        if len(members) < 4:
+            continue
+        dens = np.array([density.get(m, np.zeros(DENSE_SPAN))[bucket] for m in members])
+        q1 = np.percentile(dens, 25)
+        cut = min(q1 - 1, alpha)
+        for m, dv in zip(members, dens):
+            if dv <= cut:
+                noise.add(m)
+    u = forest["u"].to_numpy(zero_copy_only=False)
+    v = forest["v"].to_numpy(zero_copy_only=False)
+    keep = np.array([int(a) not in noise and int(b) not in noise for a, b in zip(u, v)])
+    ids, (du, dv) = dense_ids(u[keep], v[keep])
+    lab = components_labels(du, dv, len(ids))
+    out = dict(zip(ids.tolist(), ids[lab].tolist()))
+    for d_ in noise:
+        out[d_] = d_  # noise docs become singletons
+    for d_ in labels:
+        out.setdefault(d_, d_)
+    return out

@@ -29,6 +29,8 @@ def _to_pandas(obj) -> pd.DataFrame:
 
 def _value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
+    if df.empty:
+        return hashlib.sha256("|".join(df.columns).encode()).hexdigest()
     for c in df.columns:
         df[c] = df[c].astype(str)
     rows = sorted(df.apply("|".join, axis=1).tolist())

@@ -1,0 +1,132 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.render import cluster_text, linkage_matrix, newick_tree
+from rabbittclust_ray.stages.stats import (
+    ani_histogram,
+    density_histogram,
+    edge_length_stats,
+    remove_noise,
+    threshold_candidates,
+    threshold_stability,
+)
+
+
+def _edges(rows):
+    u, v, d = zip(*rows) if rows else ([], [], [])
+    return pa.table({"u": pa.array(list(u), pa.int64()), "v": pa.array(list(v), pa.int64()),
+                     "common": pa.array([1] * len(rows), pa.int32()),
+                     "dist": pa.array(list(d), pa.float64())})
+
+
+def test_ani_histogram():
+    t = _edges([(1, 2, 0.0), (1, 3, 0.05), (2, 3, 0.05), (4, 5, 0.5)])
+    h = ani_histogram(t).to_pandas().set_index("ani_bucket")["count"]
+    assert h[100] == 1  # dist 0 -> ANI 100
+    assert h[95] == 2
+    assert h[50] == 1
+    assert h.sum() == 4
+
+
+def test_density_histogram():
+    ds = ray.data.from_arrow(_edges([(1, 2, 0.005), (1, 3, 0.025), (2, 3, 0.5)]))
+    out = density_histogram(ds).to_pandas()
+    dense = {r.doc_id: np.array(r.dense) for r in out.itertuples()}
+    # doc 1: partner at bucket 0 and bucket 2 -> cumulative [1,1,2,2,...]
+    assert dense[1][0] == 1 and dense[1][2] == 2 and dense[1][99] == 2
+    assert dense[2][0] == 1 and dense[2][50] == 2
+    assert dense[3][2] == 1
+
+
+def test_edge_stats_and_candidates():
+    # two regimes: tight (0.01-0.02) and loose (0.2+) -> one big gap
+    rows = [(i, i + 1, 0.01 + 0.001 * i) for i in range(5)]
+    rows += [(10 + i, 11 + i, 0.2 + 0.01 * i) for i in range(5)]
+    mst = _edges(rows)
+    st = edge_length_stats(mst)
+    assert st["n"] == 10 and st["min"] == pytest.approx(0.01)
+    cands = threshold_candidates(mst)
+    assert cands, "expected at least one gap candidate"
+    assert cands[0]["threshold"] == pytest.approx(0.2)  # larger edge of gap
+    assert cands[0]["confidence"] == 1.0
+    # stability: no edges near 0.1 -> 1.0; many near 0.01 -> lower
+    assert threshold_stability(mst, 0.1) == 1.0
+    assert threshold_stability(mst, 0.012) < 1.0
+
+
+def test_zero_distances_filtered_in_stats():
+    mst = _edges([(1, 2, 0.0), (2, 3, 0.04)])
+    st = edge_length_stats(mst)
+    assert st["n"] == 1 and st["min"] == pytest.approx(0.04)
+
+
+def test_remove_noise_drops_low_density_member():
+    # cluster 1-2-3-4-5 chain; doc 5 attached loosely with low density
+    forest = _edges([(1, 2, 0.01), (2, 3, 0.01), (3, 4, 0.01), (4, 5, 0.04)])
+    labels = {i: 1 for i in range(1, 6)}
+    density = {i: np.full(100, 10) for i in range(1, 5)}
+    density[5] = np.zeros(100)
+    out = remove_noise(forest, labels, density, threshold=0.05)
+    assert out[5] == 5  # singleton now
+    assert out[1] == out[2] == out[3] == out[4]
+
+
+def _assignments(rows):
+    i, c, ln = zip(*rows)
+    return pa.table({"doc_id": pa.array(list(i), pa.int64()),
+                     "cluster_id": pa.array(list(c), pa.int64()),
+                     "is_rep": pa.array([a == b for a, b in zip(i, c)]),
+                     "content_sha256": pa.array([""] * len(rows), pa.string()),
+                     "length": pa.array(list(ln), pa.int64())})
+
+
+def test_cluster_text_format():
+    a = _assignments([(1, 1, 100), (2, 1, 90), (7, 7, 50)])
+    txt = cluster_text(a, names={1: "a.py", 2: "b.py", 7: "c.py"}, threshold=0.05)
+    lines = txt.splitlines()
+    assert lines[0] == "# Clustering threshold: 0.050000"
+    assert lines[1] == "# Total clusters: 2"
+    assert "the cluster 0 is: " in lines
+    assert "the cluster 1 is: " in lines
+    # member lines carry idx, global idx, length with 'nt' suffix, name
+    member = [ln for ln in lines if "a.py" in ln][0]
+    assert "100nt" in member and member.startswith("\t")
+
+
+def test_linkage_and_newick():
+    mst = _edges([(1, 2, 0.01), (2, 3, 0.02)])
+    lm = linkage_matrix(mst).to_pandas()
+    assert len(lm) == 2
+    assert lm.iloc[0]["dist"] == pytest.approx(0.01) and lm.iloc[0]["size"] == 2
+    assert lm.iloc[1]["dist"] == pytest.approx(0.02) and lm.iloc[1]["size"] == 3
+    nw = newick_tree(mst, names={1: "x", 2: "y", 3: "z"})
+    assert nw.endswith(";") and nw.count("(") == 2
+    assert "x" in nw and "y" in nw and "z" in nw
+    # forest of two components -> two ';'-terminated trees
+    forest = _edges([(1, 2, 0.01), (5, 6, 0.01)])
+    nw2 = newick_tree(forest)
+    assert nw2.count(";") == 2
+
+
+def test_multimodal_pipelines():
+    from rabbittclust_ray.stages.multimodal import (
+        audio_frame_features,
+        image_features,
+        make_fake_media_table,
+    )
+
+    media = ray.data.from_arrow(make_fake_media_table(8))
+    img = image_features(media).to_pandas()
+    assert len(img) == 8
+    assert all(len(f) == 3 for f in img.feature)
+    # determinism: same payload -> same feature
+    img2 = image_features(ray.data.from_arrow(make_fake_media_table(8))).to_pandas()
+    m1 = img.sort_values("doc_id").reset_index(drop=True)
+    m2 = img2.sort_values("doc_id").reset_index(drop=True)
+    assert (m1.payload_sha256 == m2.payload_sha256).all()
+    assert m1.feature.map(tuple).equals(m2.feature.map(tuple))
+    au = audio_frame_features(media).to_pandas()
+    assert len(au) == 8 * 8  # max_frames per doc
+    assert set(au.frame) == set(range(8))
