@@ -354,9 +354,29 @@ def _q_exact_dup_pairs(sf_dir: str):
     return pd.DataFrame(rows, columns=["u", "v"])
 
 
+def _q_clusters_dbscan(sf_dir: str):
+    import pandas as pd
+
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+    from rabbittclust_ray.stages.dbscan import dbscan_labels
+
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
+    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
+    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    labels = dbscan_labels(res.edges, min_pts=3)
+    if not labels:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "dbscan_label": pd.Series(dtype="int64")})
+    items = sorted(labels.items())
+    return pd.DataFrame({"doc_id": [k for k, _ in items],
+                         "dbscan_label": [v for _, v in items]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
+        "clusters_dbscan": _q_clusters_dbscan,
         "banded_lsh_pairs": _q_banded_lsh_pairs,
         "ani_histogram": _q_ani_histogram,
         "density_histogram": _q_density_histogram,

@@ -1,0 +1,196 @@
+"""Command-line interface mirroring the reference's binaries.
+
+Reference CLI (/root/reference/src/main.cpp:60-240): ``clust-mst`` /
+``clust-greedy`` with -i input, -o output, -d threshold, -s sketch size,
+-k k-mer size, -m minLen, --fast (KSSD mod-sampling), -c containment,
+--append, --presketched/--premsted (re-threshold), --dedup-dist,
+--reps-per-cluster. Mapped here onto Parquet in / Parquet + text out:
+
+    python -m rabbittclust_ray clust-mst    -i docs.parquet -o out/ [-d 0.05 ...]
+    python -m rabbittclust_ray clust-greedy -i docs.parquet -o out/
+    python -m rabbittclust_ray append       -i new.parquet  -o out/   (uses out/ checkpoint)
+    python -m rabbittclust_ray recluster    -o out/ -d 0.02           (no recompute)
+    python -m rabbittclust_ray dbscan       -i docs.parquet -o out/ --min-pts 3
+
+Owns the Ray session (guarded init — the driver contract path never
+reaches this module)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-i", "--input", help="input Parquet file/dir (canonical or testdata schema)")
+    p.add_argument("-o", "--output", required=True, help="output/checkpoint directory")
+    p.add_argument("-d", "--threshold", type=float, default=0.05)
+    p.add_argument("-k", "--shingle-k", type=int, default=16)
+    p.add_argument("-s", "--sketch-size", type=int, default=256)
+    p.add_argument("-m", "--min-len", type=int, default=100)
+    p.add_argument("--fast", action="store_true", help="mod-sampling (KSSD-style) sketches")
+    p.add_argument("--mod-bits", type=int, default=6)
+    p.add_argument("-c", "--containment", action="store_true", help="AAF/containment distance")
+    p.add_argument("--max-posting", type=int, default=4096)
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--dedup-dist", type=float, default=None)
+    p.add_argument("--reps-per-cluster", type=int, default=1)
+    p.add_argument("--auto-k", action="store_true", help="auto shingle size from max doc length")
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+
+
+def _configs(args):
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+
+    scfg = SketchConfig(
+        shingle_k=args.shingle_k,
+        mode="mod" if args.fast else "bottomk",
+        sketch_size=args.sketch_size,
+        mod_bits=args.mod_bits,
+        min_len=args.min_len,
+    )
+    ccfg = ClusterConfig(
+        threshold=args.threshold,
+        containment=args.containment,
+        max_posting=args.max_posting,
+        num_buckets=args.num_buckets,
+        dedup_dist=args.dedup_dist,
+        reps_per_cluster=args.reps_per_cluster,
+    )
+    return scfg, ccfg
+
+
+def _read_documents(path: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ds = ray.data.read_parquet(path)
+    cols = set(pq.ParquetFile(path if os.path.isfile(path) else _first_parquet(path)).schema_arrow.names)
+    if "content" not in cols and "text" in cols:
+        import pyarrow as pa
+
+        from rabbittclust_ray.corpus import adapt_testdata_documents
+
+        def adapt(t: pa.Table) -> pa.Table:
+            out = adapt_testdata_documents(t)
+            if "doc_id" in t.column_names:
+                out = out.append_column("doc_id", t["doc_id"])
+            return out
+
+        ds = ds.map_batches(adapt, batch_format="pyarrow")
+    return ds
+
+
+def _first_parquet(d: str) -> str:
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            return os.path.join(d, f)
+    raise FileNotFoundError(f"no parquet files under {d}")
+
+
+def _auto_tune(ds, scfg):
+    import dataclasses
+
+    from rabbittclust_ray.stages.prepare import auto_shingle_k, size_scan
+
+    scan = size_scan(ds, scfg)
+    k = auto_shingle_k(int(scan["max_len"][0].as_py()))
+    return dataclasses.replace(scfg, shingle_k=k)
+
+
+def _write_outputs(outdir: str, result, threshold: float) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(outdir, exist_ok=True)
+    apdf = result.assignments.to_pandas()
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(apdf, preserve_index=False),
+                   os.path.join(outdir, "assignments.parquet"))
+    from rabbittclust_ray.render import cluster_text
+
+    with open(os.path.join(outdir, "clusters.txt"), "w") as f:
+        f.write(cluster_text(pa.Table.from_pandas(apdf, preserve_index=False), threshold=threshold))
+    if getattr(result, "dup_pairs", None) is not None:
+        pq.write_table(result.dup_pairs, os.path.join(outdir, "dup_pairs.parquet"))
+    if getattr(result, "mst", None) is not None:
+        pq.write_table(result.mst, os.path.join(outdir, "mst.parquet"))
+    print(f"wrote {outdir}/assignments.parquet ({len(apdf)} rows, "
+          f"{apdf['cluster_id'].nunique()} clusters)")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="rabbittclust_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in ("clust-mst", "clust-greedy", "append", "recluster", "dbscan"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "dbscan":
+            p.add_argument("--min-pts", type=int, default=3)
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        scfg, ccfg = _configs(args)
+        if args.cmd == "recluster":
+            from rabbittclust_ray.pipelines.append import recluster_from_checkpoint
+
+            result = recluster_from_checkpoint(args.output, args.threshold)
+            _write_outputs(args.output, result, args.threshold)
+            return 0
+        if not args.input:
+            parser.error(f"{args.cmd} requires -i/--input")
+        ds = _read_documents(args.input)
+        if args.auto_k:
+            scfg = _auto_tune(ds, scfg)
+            print(f"auto-tuned shingle_k = {scfg.shingle_k}")
+        if args.cmd == "clust-mst":
+            from rabbittclust_ray.pipelines.append import clust_mst_checkpointed
+
+            result = clust_mst_checkpointed(ds, args.output, scfg, ccfg)
+            _write_outputs(args.output, result, ccfg.threshold)
+        elif args.cmd == "clust-greedy":
+            from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
+
+            result = clust_greedy(ds, scfg, ccfg)
+            _write_outputs(args.output, result, ccfg.threshold)
+        elif args.cmd == "append":
+            from rabbittclust_ray.pipelines.append import append_clust_mst
+
+            result = append_clust_mst(args.output, ds)
+            _write_outputs(args.output, result, ccfg.threshold)
+        elif args.cmd == "dbscan":
+            import pyarrow as pa
+
+            from rabbittclust_ray.pipelines.clust_mst import clust_mst
+            from rabbittclust_ray.stages.dbscan import dbscan_labels
+
+            res = clust_mst(ds, scfg, ccfg)
+            labels = dbscan_labels(res.edges, min_pts=args.min_pts)
+            from rabbittclust_ray.stages.cluster import make_assignments
+
+            # docs absent from labels are noise/singletons; reuse assignment
+            # render with DBSCAN labels (noise label -1 preserved)
+            result = res
+            result.assignments = make_assignments(res.sketches, labels)
+            _write_outputs(args.output, result, ccfg.threshold)
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""DBSCAN clustering over the candidate-pair graph + k-NN edge pruning.
+
+Reference: clust-dbscan (optional build, /root/reference/src/dbscan.cpp):
+region query = inverted-index probe with Jaccard >= jaccard_min
+(dbscan.cpp:366+), BFS expansion with minPts (dbscan.cpp:725-987), and an
+approximate k-NN accelerator (dbscan.cpp:221-360). Our region queries ARE
+the distributed candidate-edge table (dist <= eps); the density rules run
+on that sparse graph:
+
+- core doc: |neighbors within eps| + 1 >= min_pts,
+- clusters: connected components of the core-core subgraph,
+- border doc: non-core with >= 1 core neighbor -> joins the minimum core
+  cluster label (deterministic stand-in for the reference's BFS arrival
+  order, which is thread-dependent),
+- noise: everything else (label -1).
+
+k-NN pruning (reference leiden.cpp:195-231 / dbscan.cpp:221-360): keep only
+each node's k nearest edges — a distributed hash exchange keyed on the
+node, top-k per node vectorized, then pairs kept iff EITHER endpoint
+retains them (the reference's union semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.graph_np import components_labels, dense_ids
+from rabbittclust_ray.stages.pairs import hash_exchange
+
+
+def knn_prune_edges(edges: ray.data.Dataset, k: int, num_partitions: int = 16) -> ray.data.Dataset:
+    """Keep edges that are in the k-nearest of at least one endpoint."""
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        c = t["common"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "other": pa.array(np.concatenate([v, u]), pa.int64()),
+                "common": pa.array(np.concatenate([c, c]), pa.int32()),
+                "dist": pa.array(np.concatenate([d, d]), pa.float64()),
+            }
+        )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                             "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())})
+        node = t["node"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        dist = t["dist"].to_numpy(zero_copy_only=False)
+        common = t["common"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((other, dist, node))
+        node_s = node[order]
+        new_grp = np.empty(len(node_s), dtype=bool)
+        new_grp[0:1] = True
+        new_grp[1:] = node_s[1:] != node_s[:-1]
+        grp_start_per_row = np.maximum.accumulate(np.where(new_grp, np.arange(len(node_s)), 0))
+        rank = np.arange(len(node_s)) - grp_start_per_row
+        keep = order[rank < k]
+        u = np.minimum(node[keep], other[keep])
+        v = np.maximum(node[keep], other[keep])
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "common": pa.array(common[keep], pa.int32()),
+                "dist": pa.array(dist[keep], pa.float64()),
+            }
+        )
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u_s, v_s = u[order], v[order]
+        first = np.empty(len(u_s), dtype=bool)
+        first[0:1] = True
+        first[1:] = (u_s[1:] != u_s[:-1]) | (v_s[1:] != v_s[:-1])
+        return t.take(pa.array(order[first]))
+
+    exploded = edges.map_batches(both_directions, batch_format="pyarrow")
+    kept = hash_exchange(exploded, "node", topk, num_partitions)
+    return hash_exchange(kept, "u", dedup, num_partitions)
+
+
+def dbscan_labels(
+    edges: ray.data.Dataset | pa.Table, min_pts: int = 3
+) -> dict[int, int]:
+    """doc_id -> cluster label; noise docs get label -1. Edges must already
+    be eps-thresholded (the candidate stage's dist <= threshold)."""
+    if not isinstance(edges, pa.Table):
+        parts = [
+            b for b in edges.iter_batches(batch_size=None, batch_format="pyarrow") if b.num_rows
+        ]
+        edges = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        )
+    if edges.num_rows == 0:
+        return {}
+    u = edges["u"].to_numpy(zero_copy_only=False)
+    v = edges["v"].to_numpy(zero_copy_only=False)
+    ids, (du, dv) = dense_ids(u, v)
+    n = len(ids)
+    deg = np.bincount(du, minlength=n) + np.bincount(dv, minlength=n)
+    core = (deg + 1) >= min_pts
+    # components over the core-core subgraph
+    cc = core[du] & core[dv]
+    lab = components_labels(du[cc], dv[cc], n)
+    labels = np.where(core, ids[lab], -1)
+    # border docs: non-core with a core neighbor -> min core-cluster label
+    border_lab = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for a, b in ((du, dv), (dv, du)):
+        mask = ~core[a] & core[b]
+        if mask.any():
+            np.minimum.at(border_lab, a[mask], labels[b[mask]])
+    is_border = (~core) & (border_lab < np.iinfo(np.int64).max)
+    labels = np.where(is_border, border_lab, labels)
+    return dict(zip(ids.tolist(), labels.tolist()))

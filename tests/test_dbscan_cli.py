@@ -1,0 +1,78 @@
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from rabbittclust_ray.stages.dbscan import dbscan_labels, knn_prune_edges
+
+
+def _edges(rows):
+    u, v, c, d = zip(*rows)
+    return pa.table({"u": pa.array(list(u), pa.int64()), "v": pa.array(list(v), pa.int64()),
+                     "common": pa.array(list(c), pa.int32()), "dist": pa.array(list(d), pa.float64())})
+
+
+def test_dbscan_core_border_noise():
+    # clique 1-2-3-4 (all core at min_pts=3); 5 attached to 1 only (border);
+    # 6-7 isolated pair (noise at min_pts=3)
+    rows = [(1, 2, 1, .01), (1, 3, 1, .01), (1, 4, 1, .01), (2, 3, 1, .01),
+            (2, 4, 1, .01), (3, 4, 1, .01), (1, 5, 1, .02), (6, 7, 1, .01)]
+    labels = dbscan_labels(_edges(rows), min_pts=3)
+    assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+    assert labels[5] == 1  # border joins the core cluster
+    assert labels[6] == -1 and labels[7] == -1
+
+
+def test_dbscan_min_pts_two_keeps_pairs():
+    labels = dbscan_labels(_edges([(6, 7, 1, .01)]), min_pts=2)
+    assert labels[6] == labels[7] == 6
+
+
+def test_knn_prune_keeps_mutual_nearest():
+    # star: node 1 connected to 2,3,4 with increasing dist; k=1 keeps the
+    # nearest edge of EVERY node -> (1,2) from 1, (1,3) from 3, (1,4) from 4
+    rows = [(1, 2, 1, .01), (1, 3, 1, .02), (1, 4, 1, .03)]
+    ds = ray.data.from_arrow(_edges(rows))
+    out = knn_prune_edges(ds, k=1, num_partitions=4).to_pandas()
+    kept = set(zip(out.u, out.v))
+    assert kept == {(1, 2), (1, 3), (1, 4)}
+    # k=1 on a chain 1-2-3 with distances .01,.02: edge (2,3) kept via node 3
+    rows2 = [(1, 2, 1, .01), (2, 3, 1, .02)]
+    out2 = knn_prune_edges(ray.data.from_arrow(_edges(rows2)), k=1, num_partitions=4).to_pandas()
+    assert set(zip(out2.u, out2.v)) == {(1, 2), (2, 3)}
+
+
+def test_cli_end_to_end(tmp_path):
+    """The reference's user surface: run clust-mst then recluster via CLI
+    in a subprocess (owns its own Ray session)."""
+    from rabbittclust_ray.corpus import make_corpus
+
+    docs, _ = make_corpus(num_seeds=4, per_cluster=4, doc_len=1500,
+                          num_exact_dups=2, num_noise=4, num_short=2)
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(inp))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "clust-mst",
+         "-i", str(inp), "-o", str(out), "-d", "0.05", "-k", "12",
+         "--max-posting", "100000", "--num-buckets", "8", "--num-cpus", "2",
+         "--dedup-dist", "0.02"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "assignments.parquet").exists()
+    assert (out / "clusters.txt").exists()
+    assert (out / "dup_pairs.parquet").exists()
+    txt = (out / "clusters.txt").read_text()
+    assert txt.startswith("# Clustering threshold: 0.050000")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "recluster",
+         "-o", str(out), "-d", "0.01", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    a = pq.read_table(str(out / "assignments.parquet")).to_pandas()
+    assert len(a) > 0
