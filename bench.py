@@ -109,10 +109,13 @@ def run_bench() -> dict:
     from rabbittclust_ray.stages.text import lang_id, quality_score, token_count
 
     sf = _sf_from_dir(SF_DIR)
-    # shingle_k=16 (~3 tokens of code) keeps cross-family hash sharing low;
+    # shingle_k=24 (~4 code tokens) gives enough shingle entropy that
+    # accidental cross-family collisions — and with them the junk candidate
+    # pairs, which grow O(N^2 * p_collision) — stay near zero at 10^5+ docs
+    # (k=16 produced 45M candidate rows at 120k docs, k=24 produces 0.6M);
     # max_posting=256 drops boilerplate shingles shared by >256 docs (logged,
     # reference J5 semantics) so hot LSH buckets cannot blow up the pair table
-    scfg = SketchConfig(shingle_k=16, mode="bottomk", sketch_size=256, min_len=100)
+    scfg = SketchConfig(shingle_k=24, mode="bottomk", sketch_size=256, min_len=100)
     ccfg = ClusterConfig(threshold=0.05, num_buckets=max(32, NUM_CPUS * 2),
                          dedup_dist=0.02, max_posting=256)
     queries: dict[str, float] = {}
@@ -123,6 +126,13 @@ def run_bench() -> dict:
     # warm worker heaps + OS page cache (untimed; see _warm_workers)
     _warm_workers(NUM_CPUS)
     ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    # one untimed WARMUP ITERATION of the full pipeline on a slice: Ray
+    # spawns extra workers beyond num_cpus during the exchange (blocked
+    # metadata fetches); those start cold and in this sandbox a cold worker
+    # costs seconds of first-touch page faults. Exercising every stage once
+    # brings the whole worker set + code paths up before the clock starts.
+    warm_slice = corpus.limit(max(2000, n_docs // 6)).materialize()
+    clust_mst(warm_slice, scfg, ccfg).assignments.count()
 
     t0 = time.perf_counter()
     sketches = sketch_documents(
@@ -180,6 +190,13 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def run_scaling() -> None:
     """N vs 4N CPUs in fresh processes (BASELINE.md protocol).
 
@@ -191,18 +208,13 @@ def run_scaling() -> None:
     identical runs, and min-of-2 estimates capability, not noise."""
     N_LO, N_HI = 4, 16
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        best = None
-        for _ in range(2):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["queries"]["q_pipeline"] < best["queries"]["q_pipeline"]:
-                best = r
-        return best
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     def host_mops(workers: int) -> float:
         """Pure-CPU burn at `workers` processes — calibrates what scaling the
@@ -210,22 +222,26 @@ def run_scaling() -> None:
         its effective core count fluctuates)."""
         from concurrent.futures import ProcessPoolExecutor
 
-        def burn(n: int) -> int:
-            s = 0
-            for i in range(n):
-                s += i * i
-            return s
-
         n = 20_000_000
         t0 = time.perf_counter()
         with ProcessPoolExecutor(workers) as ex:
-            list(ex.map(burn, [n] * workers))
+            list(ex.map(_burn, [n] * workers))
         return (n * workers / (time.perf_counter() - t0)) / 1e6
 
-    cal_lo_a = host_mops(N_LO)
-    lo, hi = run(N_LO), run(N_HI)
-    cal_hi = host_mops(N_HI)
-    cal_lo = max(cal_lo_a, host_mops(N_LO))
+    # The host's effective core count fluctuates on a minutes timescale
+    # (time-shared VM): interleave the two levels over several rounds and
+    # score each level by its best round, so both legs are compared under
+    # comparable (good) host conditions.
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
+    lo = hi = None
+    for _ in range(rounds):
+        r_lo, r_hi = run_once(N_LO), run_once(N_HI)
+        if lo is None or r_lo["queries"]["q_pipeline"] < lo["queries"]["q_pipeline"]:
+            lo = r_lo
+        if hi is None or r_hi["queries"]["q_pipeline"] < hi["queries"]["q_pipeline"]:
+            hi = r_hi
+    cal_lo = max(host_mops(N_LO), host_mops(N_LO))
+    cal_hi = max(host_mops(N_HI), host_mops(N_HI))
     tput_lo = lo["n_docs_synthetic"] / lo["queries"]["q_pipeline"]
     tput_hi = hi["n_docs_synthetic"] / hi["queries"]["q_pipeline"]
     eff = (tput_hi / tput_lo) / (N_HI / N_LO)

@@ -64,16 +64,30 @@ def clust_mst(
     scfg: SketchConfig | None = None,
     ccfg: ClusterConfig | None = None,
 ) -> MstResult:
+    import os
+    import sys
+    import time
+
     from rabbittclust_ray.stages.cluster import _local_kruskal
+
+    debug = os.environ.get("CLUST_DEBUG") == "1"
+
+    def tick(name: str, t0: float) -> float:
+        if debug:
+            print(f"[clust_mst] {name}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        return time.perf_counter()
 
     scfg = scfg or SketchConfig()
     ccfg = ccfg or ClusterConfig()
+    t = time.perf_counter()
     prepared = prepare_documents(documents, scfg)
     sketches = sketch_documents(prepared, scfg)
     # sketches feed two consumers (pair gen + assignment render): materialize
     # once — sketches are ids + hashes only, ~1% of input bytes.
     sketches = sketches.materialize()
+    t = tick("sketch", t)
     edges = candidate_edges(sketches, scfg, ccfg).materialize()
+    t = tick("edges", t)
 
     # ONE distributed compression pass; its concatenated output (<= V_p - 1
     # edges per block) is merged driver-side into the exact MST, which then
@@ -95,8 +109,10 @@ def clust_mst(
             {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
              "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())}
         )
+    t = tick("mst_merge", t)
     labels = _labels_from_forest(mst)
     assignments = make_assignments(sketches, labels)
+    t = tick("labels+assign", t)
     result = MstResult(
         sketches=sketches, edges=edges, assignments=assignments, labels=labels, mst=mst
     )
@@ -116,11 +132,21 @@ def clust_mst(
                 forest, labels, lengths, ccfg.dedup_dist
             )
             # sketches carry (doc_id, content_sha256) — no recompute of prepare
-            exact = pa.Table.from_pandas(
-                exact_dedup(sketches).to_pandas(), preserve_index=False
+            eparts = [
+                b for b in exact_dedup(sketches).iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows
+            ]
+            exact = (
+                pa.concat_tables(eparts)
+                if eparts
+                else pa.table({"doc_id": pa.array([], pa.int64()),
+                               "content_sha256": pa.array([], pa.string()),
+                               "group_rep": pa.array([], pa.int64()),
+                               "is_exact_dup": pa.array([], pa.bool_())})
             )
             result.dedup_assignments = dedup_assignments
             result.dup_pairs = dup_pairs_with_exact(near_pairs, exact)
+            t = tick("dedup", t)
         if ccfg.reps_per_cluster > 1:
             result.reps = k_center_reps(forest, labels, ccfg.reps_per_cluster)
     return result

