@@ -37,6 +37,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dedup-dist", type=float, default=None)
     p.add_argument("--reps-per-cluster", type=int, default=1)
     p.add_argument("--auto-k", action="store_true", help="auto shingle size from max doc length")
+    p.add_argument("--auto-threshold", action="store_true",
+                   help="report gap-based threshold candidates from the MST and re-cut at the best one")
+    p.add_argument("--trees", action="store_true",
+                   help="also write newick/phylip/nexus/linkage outputs")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
 
 
@@ -161,6 +165,44 @@ def main(argv: list[str] | None = None) -> int:
             from rabbittclust_ray.pipelines.append import clust_mst_checkpointed
 
             result = clust_mst_checkpointed(ds, args.output, scfg, ccfg)
+            if args.auto_threshold and result.mst is not None:
+                from rabbittclust_ray.stages.stats import (
+                    threshold_candidates,
+                    threshold_stability,
+                )
+
+                cands = threshold_candidates(result.mst)
+                for c in cands:
+                    c["stability"] = threshold_stability(result.mst, c["threshold"])
+                    print(f"threshold candidate: {c['threshold']:.4f} "
+                          f"(gap {c['gap_score']:.4f}, confidence {c['confidence']:.2f}, "
+                          f"stability {c['stability']:.2f})")
+                if cands:
+                    best = cands[0]["threshold"]
+                    if best < ccfg.threshold:
+                        from rabbittclust_ray.pipelines.append import (
+                            recluster_from_checkpoint,
+                        )
+
+                        print(f"re-cutting at auto threshold {best:.4f}")
+                        result = recluster_from_checkpoint(args.output, best)
+            if args.trees and result.mst is not None:
+                from rabbittclust_ray.render import (
+                    linkage_matrix,
+                    newick_tree,
+                    nexus_tree,
+                    phylip_tree,
+                )
+                import pyarrow.parquet as _pq
+
+                with open(os.path.join(args.output, "tree.nwk"), "w") as f:
+                    f.write(newick_tree(result.mst))
+                with open(os.path.join(args.output, "tree.phylip"), "w") as f:
+                    f.write(phylip_tree(result.mst))
+                with open(os.path.join(args.output, "tree.nexus"), "w") as f:
+                    f.write(nexus_tree(result.mst))
+                _pq.write_table(linkage_matrix(result.mst),
+                                os.path.join(args.output, "linkage.parquet"))
             _write_outputs(args.output, result, ccfg.threshold)
         elif args.cmd == "clust-greedy":
             from rabbittclust_ray.pipelines.clust_greedy import clust_greedy

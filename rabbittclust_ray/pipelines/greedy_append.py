@@ -1,0 +1,166 @@
+"""Greedy-state checkpoint (RepDB) + incremental greedy append.
+
+Reference semantics:
+- greedy cluster state persisted for later append/query: reps + their
+  sketches + memberships (/root/reference/src/greedy.cpp:1545-1733
+  save; RepDB variant greedy.cpp:2351-2534).
+- incremental greedy append: per NEW doc, in input order, probe the index
+  of CURRENT reps (old reps plus reps promoted earlier in this batch);
+  nearest rep within d joins its cluster, else the doc becomes a new rep
+  and enters the index (/root/reference/src/greedy.cpp:1736-1900, I1).
+
+Execution: distributed parts are (a) assigning new docs against the OLD rep
+set via the broadcast-index actor pool and (b) pair generation among the
+new docs; the order-dependent promotion sweep is replayed driver-side over
+those sparse results, which reproduces the reference's serial semantics
+exactly (same trick as pipelines/clust_greedy)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig, config_hash
+from rabbittclust_ray.pipelines.clust_greedy import GreedyResult, clust_greedy
+from rabbittclust_ray.stages.greedy import greedy_assignments
+from rabbittclust_ray.stages.pairs import candidate_edges
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.sketch import sketch_documents
+from rabbittclust_ray.state.checkpoint import load_stage, save_stage, stage_is_valid
+
+
+def save_greedy_checkpoint(
+    root: str, result: GreedyResult, scfg: SketchConfig, ccfg: ClusterConfig
+) -> None:
+    """Persist ALL sketches + the rep map (reps recoverable as the rows with
+    doc_id == rep_of[doc_id])."""
+    ch = config_hash(scfg, ccfg)
+    os.makedirs(root, exist_ok=True)
+    save_stage(root, "sketches", result.sketches, config_hash=ch,
+               lineage={"stage": "sketch"}, metrics={"rows": result.sketches.count()})
+    rep_items = sorted(result.rep_of.items())
+    rep_tbl = pa.table(
+        {
+            "doc_id": pa.array([k for k, _ in rep_items], pa.int64()),
+            "rep_id": pa.array([v for _, v in rep_items], pa.int64()),
+        }
+    )
+    save_stage(root, "rep_of", rep_tbl, config_hash=ch,
+               lineage={"stage": "greedy_replay"}, metrics={"rows": len(rep_items)})
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"sketch": dataclasses.asdict(scfg), "cluster": dataclasses.asdict(ccfg),
+                   "config_hash": ch, "mode": "greedy"}, f, indent=2, sort_keys=True)
+
+
+def clust_greedy_checkpointed(
+    documents: ray.data.Dataset, root: str,
+    scfg: SketchConfig | None = None, ccfg: ClusterConfig | None = None,
+) -> GreedyResult:
+    scfg = scfg or SketchConfig()
+    ccfg = ccfg or ClusterConfig()
+    result = clust_greedy(documents, scfg, ccfg)
+    save_greedy_checkpoint(root, result, scfg, ccfg)
+    return result
+
+
+def greedy_append(root: str, new_documents: ray.data.Dataset) -> GreedyResult:
+    """Append new docs to a greedy checkpoint; refreshes the checkpoint.
+
+    New docs are processed in INPUT ORDER (reference ordering assumption,
+    greedy.cpp:1767): each is assigned to the nearest current rep within
+    threshold (old reps first, then reps promoted earlier in the batch) or
+    promoted."""
+    with open(os.path.join(root, "config.json")) as f:
+        cfg = json.load(f)
+    scfg = SketchConfig(**cfg["sketch"])
+    ccfg = ClusterConfig(**cfg["cluster"])
+    ch = config_hash(scfg, ccfg)
+    if not (stage_is_valid(root, "sketches", ch) and stage_is_valid(root, "rep_of", ch)):
+        raise ValueError(f"greedy checkpoint at {root} missing/stale")
+    old_sketches = load_stage(root, "sketches")
+    rep_pdf = load_stage(root, "rep_of").to_pandas()
+    rep_of: dict[int, int] = dict(zip(rep_pdf["doc_id"], rep_pdf["rep_id"]))
+    old_reps = {int(r) for r in rep_pdf["rep_id"]}
+
+    # idempotence: drop rows whose identity is already in the state
+    known = np.sort(rep_pdf["doc_id"].to_numpy())
+    import ray
+
+    known_ref = ray.put(known)
+    prepared = prepare_documents(new_documents, scfg)
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        kn = ray.get(known_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(kn) == 0:
+            return t
+        pos = np.clip(np.searchsorted(kn, ids), 0, len(kn) - 1)
+        return t.filter(pa.array(kn[pos] != ids))
+
+    prepared = prepared.map_batches(anti_join, batch_format="pyarrow")
+    new_sketches = sketch_documents(prepared, scfg).materialize()
+    new_ids_in_order = [
+        int(i)
+        for b in new_sketches.iter_batches(batch_size=None, batch_format="pyarrow")
+        for i in b["doc_id"].to_pylist()
+    ]
+    new_id_set = set(new_ids_in_order)
+    if not new_ids_in_order:
+        all_sk = old_sketches.materialize()
+        return GreedyResult(sketches=all_sk, edges=None,  # type: ignore[arg-type]
+                            assignments=greedy_assignments(all_sk, rep_of), rep_of=rep_of)
+
+    # distributed: all threshold pairs touching a new doc (vs old docs too —
+    # only pairs to CURRENT REPS matter; the replay filters)
+    def flag(val: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("is_new", pa.array(np.full(t.num_rows, val)))
+
+        return f
+
+    union = (
+        old_sketches.map_batches(flag(False), batch_format="pyarrow")
+        .union(new_sketches.map_batches(flag(True), batch_format="pyarrow"))
+        .materialize()
+    )
+    new_edges_ds = candidate_edges(union, scfg, ccfg)
+    adj: dict[int, list[tuple[int, int, float]]] = defaultdict(list)
+    for b in new_edges_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        c = b["common"].to_numpy(zero_copy_only=False)
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        for i in range(len(u)):
+            a_, b_ = int(u[i]), int(v[i])
+            if a_ in new_id_set:
+                adj[a_].append((b_, int(c[i]), float(d[i])))
+            if b_ in new_id_set:
+                adj[b_].append((a_, int(c[i]), float(d[i])))
+
+    # serial promotion sweep over new docs in input order
+    reps = set(old_reps)
+    for doc in new_ids_in_order:
+        best: tuple | None = None
+        for nbr, c, d in adj.get(doc, ()):
+            if nbr in reps:
+                key = (-c, d, nbr)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            rep_of[doc] = best[2]
+        else:
+            reps.add(doc)
+            rep_of[doc] = doc
+
+    all_sketches = union.drop_columns(["is_new"]).materialize()
+    assignments = greedy_assignments(all_sketches, rep_of)
+    result = GreedyResult(sketches=all_sketches, edges=new_edges_ds,
+                          assignments=assignments, rep_of=rep_of)
+    save_greedy_checkpoint(root, result, scfg, ccfg)
+    return result

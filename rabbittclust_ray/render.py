@@ -145,3 +145,21 @@ def newick_tree(mst: pa.Table, names: dict[int, str] | None = None) -> str:
 
     roots = [x for x in range(next_node) if x not in merged]
     return "".join(render(r) + ";" for r in sorted(roots))
+
+
+def phylip_tree(mst: pa.Table, names: dict[int, str] | None = None) -> str:
+    """PHYLIP output = the Newick string on its own line (the reference
+    emits the same tree text for both, MST_IO.cpp:252-375)."""
+    return newick_tree(mst, names) + "\n"
+
+
+def nexus_tree(mst: pa.Table, names: dict[int, str] | None = None) -> str:
+    """Minimal NEXUS TREES block wrapping the Newick tree(s)
+    (reference NEXUS writer, MST_IO.cpp:252-375)."""
+    nw = newick_tree(mst, names)
+    trees = [t for t in nw.split(";") if t.strip()]
+    lines = ["#NEXUS", "BEGIN TREES;"]
+    for i, t in enumerate(trees):
+        lines.append(f"    TREE tree_{i} = {t};")
+    lines.append("END;")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,58 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.corpus import make_corpus
+from rabbittclust_ray.pipelines.greedy_append import (
+    clust_greedy_checkpointed,
+    greedy_append,
+)
+
+SCFG = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+CCFG = ClusterConfig(threshold=0.05, max_posting=None, num_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def corpus_parts():
+    docs, gtp_raw = make_corpus(num_seeds=6, per_cluster=6, doc_len=2500,
+                                mut_rate=0.01, num_exact_dups=0, num_noise=6, num_short=0)
+    # part A: the seeds (first 6 rows) + some mutants; part B: the rest
+    n = docs.num_rows
+    a = docs.slice(0, n // 2)
+    b = docs.slice(n // 2)
+    return docs, a, b
+
+
+def test_greedy_append_members_join_existing_reps(corpus_parts, tmp_path):
+    _, a, b = corpus_parts
+    root = str(tmp_path / "g1")
+    res1 = clust_greedy_checkpointed(ray.data.from_arrow(a), root, SCFG, CCFG)
+    reps_before = {r for r in res1.rep_of.values()}
+    res2 = greedy_append(root, ray.data.from_arrow(b))
+    a2 = res2.assignments.to_pandas()
+    assert len(a2) == a.num_rows + b.num_rows
+    # invariants: every doc maps to a rep; reps map to themselves;
+    # old assignments unchanged
+    rep_map = dict(zip(a2.doc_id, a2.cluster_id))
+    for doc, rep in res1.rep_of.items():
+        assert rep_map[doc] == rep
+    for rep in set(rep_map.values()):
+        assert rep_map[rep] == rep
+    # mutants in B of seeds in A must join the existing rep, not fork new
+    # clusters: cluster count should grow only by noise docs in B
+    import pandas as pd
+
+    n_new_clusters = len(set(rep_map.values())) - len(reps_before)
+    assert n_new_clusters <= 8  # noise singletons only (6 noise split A/B)
+
+
+def test_greedy_append_idempotent(corpus_parts, tmp_path):
+    _, a, _ = corpus_parts
+    root = str(tmp_path / "g2")
+    res1 = clust_greedy_checkpointed(ray.data.from_arrow(a), root, SCFG, CCFG)
+    res2 = greedy_append(root, ray.data.from_arrow(a))
+    m1 = dict(zip(*(lambda p: (p.doc_id, p.cluster_id))(res1.assignments.to_pandas())))
+    m2 = dict(zip(*(lambda p: (p.doc_id, p.cluster_id))(res2.assignments.to_pandas())))
+    assert m1 == m2
