@@ -147,6 +147,64 @@ def _medoid(members: list[int], adj, lengths: dict[int, int]) -> int:
     return best[1]
 
 
+def _parallel_medoids(
+    members_global: np.ndarray,
+    grp_starts: np.ndarray,
+    grp_counts: np.ndarray,
+    edge_u: np.ndarray,
+    edge_v: np.ndarray,
+    edge_d: np.ndarray,
+    edge_grp: np.ndarray,
+    lengths: dict[int, int],
+    chunk_groups: int = 4096,
+) -> np.ndarray:
+    """Tree-medoid per group, chunked across Ray tasks (each chunk receives
+    only its groups' members/edges/lengths). Falls back to inline for small
+    inputs to avoid task overhead."""
+    import ray
+
+    n_groups = len(grp_starts)
+
+    def medoid_chunk(mem_lists, edges_by_g, lens):
+        out = np.empty(len(mem_lists), dtype=np.int64)
+        for gi, mem in enumerate(mem_lists):
+            if len(mem) == 1:
+                out[gi] = mem[0]
+                continue
+            adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+            for a, b, w in edges_by_g[gi]:
+                adj[a].append((b, w))
+                adj[b].append((a, w))
+            out[gi] = _medoid(mem, adj, lens)
+        return out
+
+    group_members = [
+        members_global[int(s) : int(s) + int(c)].tolist()
+        for s, c in zip(grp_starts, grp_counts)
+    ]
+    # route each edge to its group: member doc_id -> group index
+    member_to_group = {m: g for g, mem in enumerate(group_members) for m in mem}
+    group_edge_lists: list[list[tuple[int, int, float]]] = [[] for _ in range(n_groups)]
+    for a, b, w in zip(edge_u.tolist(), edge_v.tolist(), edge_d.tolist()):
+        g = member_to_group.get(int(a))
+        if g is not None:
+            group_edge_lists[g].append((int(a), int(b), float(w)))
+    if n_groups <= chunk_groups:
+        return medoid_chunk(group_members, group_edge_lists, lengths)
+
+    @ray.remote
+    def task(mem_lists, edges_by_g, lens):
+        return medoid_chunk(mem_lists, edges_by_g, lens)
+
+    futs = []
+    for s in range(0, n_groups, chunk_groups):
+        e = min(s + chunk_groups, n_groups)
+        needed = {m for mem in group_members[s:e] for m in mem}
+        lens = {m: lengths.get(m, 0) for m in needed}
+        futs.append(task.remote(group_members[s:e], group_edge_lists[s:e], lens))
+    return np.concatenate(ray.get(futs))
+
+
 def collapse_near_dups(
     forest: pa.Table,
     labels: dict[int, int],
@@ -186,19 +244,12 @@ def collapse_near_dups(
     grp_starts = np.flatnonzero(new_grp)
     grp_counts = np.diff(np.append(grp_starts, n))
     members_global = ids[node_order]
-    # per-group adjacency for the medoid pass: assign each edge to its group
-    edge_grp = glab[du]
-    edge_order = np.argsort(edge_grp, kind="stable")
-    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
-    for i in edge_order.tolist():
-        a, b, w = int(ids[du[i]]), int(ids[dv[i]]), float(d_arr[i])
-        adj[a].append((b, w))
-        adj[b].append((a, w))
-    # medoid per group (tiny groups -> python; everything else vectorized)
-    reps_per_group = np.empty(len(grp_starts), dtype=np.int64)
-    for g, (s, c) in enumerate(zip(grp_starts.tolist(), grp_counts.tolist())):
-        mem = members_global[s : s + c].tolist()
-        reps_per_group[g] = _medoid(mem, adj, lengths) if c > 1 else mem[0]
+    # medoid per group: groups are tiny (near-dup families) but there can be
+    # millions of them — chunk the groups across Ray tasks, shipping each
+    # chunk only its own members/edges/lengths
+    reps_per_group = _parallel_medoids(
+        members_global, grp_starts, grp_counts, ids[du], ids[dv], d_arr, glab[du], lengths
+    )
     rep_col = np.repeat(reps_per_group, grp_counts)
     cluster_col = np.array([labels.get(int(m), int(m)) for m in members_global], dtype=np.int64)
     dedup_assignments = pa.table(

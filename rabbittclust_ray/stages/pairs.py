@@ -79,6 +79,13 @@ def explode_sketches(sketches: ray.data.Dataset, num_buckets: int | None = None)
     return sketches.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def splitmix_pair(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Uniform uint64 key for an ordered (u, v) pair (salted exchange key)."""
+    from rabbittclust_ray.hashing import splitmix64
+
+    return splitmix64((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ v.astype(np.uint64))
+
+
 def _partition_of(k: np.ndarray, num_partitions: int) -> np.ndarray:
     part = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
     return (part % np.uint64(num_partitions)).astype(np.int64)
@@ -295,10 +302,18 @@ class BucketPairEmitter:
             return _empty_pair_table(dropped)
         uk, grp_count = np.unique(key, return_counts=True)
         ul, vl = uk // n_local, uk % n_local
+        gu = docs_local[ul]
+        gv = docs_local[vl]
+        # salted aggregation key: mixing BOTH endpoints spreads a hot doc's
+        # pairs across all partitions of the second exchange (north-rule
+        # salted repartitioning — keying on u alone would put a doc with
+        # millions of partners into one reducer)
+        pk = splitmix_pair(gu, gv)
         out = pa.table(
             {
-                "u": pa.array(docs_local[ul], pa.int64()),
-                "v": pa.array(docs_local[vl], pa.int64()),
+                "pair_key": pa.array(pk, pa.uint64()),
+                "u": pa.array(gu, pa.int64()),
+                "v": pa.array(gv, pa.int64()),
                 "su": pa.array(sizes_local[ul].astype(np.int32), pa.int32()),
                 "sv": pa.array(sizes_local[vl].astype(np.int32), pa.int32()),
                 "partial": pa.array(grp_count.astype(np.int32), pa.int32()),
@@ -315,6 +330,7 @@ def _empty_pair_table(dropped: int) -> pa.Table:
     n = 1 if dropped else 0
     return pa.table(
         {
+            "pair_key": pa.array([0] * n, pa.uint64()),
             "u": pa.array([-1] * n, pa.int64()),
             "v": pa.array([-1] * n, pa.int64()),
             "su": pa.array([0] * n, pa.int32()),
@@ -443,7 +459,7 @@ def candidate_pairs(
     emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
     p = max(1, ccfg.num_buckets)
     partials = hash_exchange(exploded, "band_hash", emitter, p)
-    return hash_exchange(partials, "u", _aggregate_pair_group, p)
+    return hash_exchange(partials, "pair_key", _aggregate_pair_group, p)
 
 
 def banded_lsh_pairs(
@@ -510,7 +526,7 @@ def banded_lsh_pairs(
     emitter = BucketPairEmitter(ClusterConfig(threshold=md, max_posting=ccfg.max_posting,
                                               num_buckets=ccfg.num_buckets))
     cand = hash_exchange(exploded, "band_hash", emitter, max(1, ccfg.num_buckets))
-    cand = hash_exchange(cand, "u", _aggregate_pair_group, max(1, ccfg.num_buckets))
+    cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, max(1, ccfg.num_buckets))
 
     # broadcast sketch map for exact verification
     pdf = sketches.select_columns(["doc_id", "sketch", "sketch_size"]).to_pandas()
