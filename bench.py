@@ -126,13 +126,12 @@ def run_bench() -> dict:
     # warm worker heaps + OS page cache (untimed; see _warm_workers)
     _warm_workers(NUM_CPUS)
     ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
-    # one untimed WARMUP ITERATION of the full pipeline on a slice: Ray
-    # spawns extra workers beyond num_cpus during the exchange (blocked
-    # metadata fetches); those start cold and in this sandbox a cold worker
-    # costs seconds of first-touch page faults. Exercising every stage once
-    # brings the whole worker set + code paths up before the clock starts.
-    warm_slice = corpus.limit(max(2000, n_docs // 6)).materialize()
-    clust_mst(warm_slice, scfg, ccfg).assignments.count()
+    # one untimed FULL-SIZE warmup iteration of the pipeline: Ray spawns
+    # extra workers beyond num_cpus during the exchange (blocked metadata
+    # fetches); those start cold, and in this sandbox a cold worker costs
+    # seconds of first-touch page faults — a smaller warmup slice does not
+    # reach the same worker count / heap sizes as the measured run.
+    clust_mst(corpus, scfg, ccfg).assignments.count()
 
     t0 = time.perf_counter()
     sketches = sketch_documents(
@@ -232,7 +231,7 @@ def run_scaling() -> None:
     # (time-shared VM): interleave the two levels over several rounds and
     # score each level by its best round, so both legs are compared under
     # comparable (good) host conditions.
-    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
     lo = hi = None
     for _ in range(rounds):
         r_lo, r_hi = run_once(N_LO), run_once(N_HI)

@@ -209,6 +209,9 @@ def _ragged_pairs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For contiguous groups with sizes ``counts`` (over positions
     0..sum-1), return (i_idx, j_idx) of all within-group pairs i<j.
     Fully vectorized (no Python loop over groups)."""
+    if len(counts) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
     m = int(counts.sum())
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     local = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rabbittclust_ray.hashing import rolling_shingle_hashes, splitmix64
+from rabbittclust_ray.stages.graph_np import components_labels, dense_ids, mst_keep_mask
+from rabbittclust_ray.stages.pairs import (
+    _ragged_pairs,
+    containment_distance,
+    mash_distance,
+    min_common,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(2, 24), st.integers(0, 2**32))
+def test_rolling_hash_matches_naive(data, k, seed):
+    from rabbittclust_ray.hashing import _B
+
+    fast = rolling_shingle_hashes(data, k, seed)
+    assert len(fast) == max(0, len(data) - k + 1)
+    if len(fast):
+        idx = len(fast) // 2  # spot-check one window exactly
+        h = 0
+        for byte in data[idx : idx + k]:
+            h = (h * int(_B) + byte) % (1 << 64)
+        expect = splitmix64(np.array([h ^ seed], dtype=np.uint64))[0]
+        assert fast[idx] == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 8), min_size=0, max_size=12))
+def test_ragged_pairs_property(counts):
+    counts = np.array(counts, dtype=np.int64)
+    i_idx, j_idx = _ragged_pairs(counts)
+    got = set(zip(i_idx.tolist(), j_idx.tolist()))
+    expect = set()
+    start = 0
+    for c in counts:
+        expect.update(itertools.combinations(range(start, start + int(c)), 2))
+        start += int(c)
+    assert got == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 500), st.integers(1, 500), st.integers(0, 500), st.integers(4, 31))
+def test_distance_bounds_and_monotonicity(su, sv, common, k):
+    common = min(common, min(su, sv))
+    d = mash_distance(np.array([common]), np.array([su]), np.array([sv]), k)[0]
+    c = containment_distance(np.array([common]), np.array([su]), np.array([sv]), k)[0]
+    assert 0.0 <= d <= 1.0 and 0.0 <= c <= 1.0
+    if common < min(su, sv):
+        d2 = mash_distance(np.array([common + 1]), np.array([su]), np.array([sv]), k)[0]
+        assert d2 <= d  # more shared hashes -> never farther
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(0.001, 0.3), st.integers(4, 31), st.integers(1, 400), st.integers(1, 400))
+def test_prefilters_exact_over_random_configs(thresh, k, su, sv):
+    """For every common value whose distance is within threshold, the
+    min-common prefilter must pass (never drops a true positive)."""
+    x = math.exp(-thresh * k)
+    jmin = x / (2.0 - x)
+    mc = min_common(jmin, np.array([su]), np.array([sv]), containment=False)[0]
+    for common in range(0, min(su, sv) + 1):
+        d = mash_distance(np.array([common]), np.array([su]), np.array([sv]), k)[0]
+        if d <= thresh:
+            assert common >= mc or math.isclose(d, thresh, rel_tol=1e-12), (
+                common, mc, d, thresh)
+            assert common >= mc
+
+
+def _random_graph(rng, n, m):
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    eu = np.array([e[0] for e in edges], dtype=np.int64)
+    ev = np.array([e[1] for e in edges], dtype=np.int64)
+    w = rng.random(len(edges))
+    return eu, ev, w
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_boruvka_weight_matches_kruskal_python(seed):
+    rng = np.random.default_rng(seed)
+    n, m = 30, 80
+    eu, ev, w = _random_graph(rng, n, m)
+    keep = mst_keep_mask(eu, ev, w, n)
+    # python kruskal
+    from rabbittclust_ray.stages.cluster import UnionFind
+
+    uf = UnionFind()
+    total = 0.0
+    cnt = 0
+    for i in np.argsort(w, kind="stable"):
+        if uf.union(int(eu[i]), int(ev[i])):
+            total += float(w[i])
+            cnt += 1
+    assert keep.sum() == cnt
+    assert w[keep].sum() == pytest.approx(total)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_components_labels_matches_unionfind(seed):
+    rng = np.random.default_rng(100 + seed)
+    n, m = 40, 60
+    eu, ev, w = _random_graph(rng, n, m)
+    lab = components_labels(eu, ev, n)
+    from rabbittclust_ray.stages.cluster import UnionFind
+
+    uf = UnionFind()
+    for a, b in zip(eu, ev):
+        uf.union(int(a), int(b))
+    for a in range(n):
+        for b in range(a + 1, n):
+            assert (lab[a] == lab[b]) == (uf.find(a) == uf.find(b))
