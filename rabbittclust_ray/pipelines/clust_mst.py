@@ -126,14 +126,17 @@ def clust_mst(
 
         forest = cut_forest(mst, ccfg.threshold)
         if ccfg.dedup_dist is not None:
+            # fire the (eager) exact-dedup exchange FIRST so it overlaps the
+            # driver-side collapse work below; collected afterwards.
+            # sketches carry (doc_id, content_sha256) — no recompute of prepare
+            exact_ds = exact_dedup(sketches)
             lp = sketches.select_columns(["doc_id", "length"]).to_pandas()
             lengths = dict(zip(lp["doc_id"], lp["length"]))
             dedup_assignments, near_pairs = collapse_near_dups(
                 forest, labels, lengths, ccfg.dedup_dist
             )
-            # sketches carry (doc_id, content_sha256) — no recompute of prepare
             eparts = [
-                b for b in exact_dedup(sketches).iter_batches(batch_size=None, batch_format="pyarrow")
+                b for b in exact_ds.iter_batches(batch_size=None, batch_format="pyarrow")
                 if b.num_rows
             ]
             exact = (

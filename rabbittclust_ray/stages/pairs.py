@@ -579,9 +579,17 @@ def candidate_edges(
     max_dist: float | None = None,
 ) -> ray.data.Dataset:
     """sketches -> edges (u, v, common, dist) with u < v and dist <= max_dist
-    (default: ccfg.threshold). The full pipeline of this module; lazy."""
+    (default: ccfg.threshold). The full pipeline of this module.
+
+    Scoring is FUSED into the aggregation reducers (pure table fn
+    composition) — one fewer Dataset execution barrier per run."""
     md = ccfg.threshold if max_dist is None else max_dist
-    pairs = candidate_pairs(sketches, scfg, ccfg, max_dist=md)
-    return pairs.map_batches(
-        lambda t: score_pairs_batch(t, scfg, ccfg, md), batch_format="pyarrow"
-    )
+    exploded = explode_sketches(sketches)
+    emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
+    p = max(1, ccfg.num_buckets)
+    partials = hash_exchange(exploded, "band_hash", emitter, p)
+
+    def aggregate_and_score(t: pa.Table) -> pa.Table:
+        return score_pairs_batch(_aggregate_pair_group(t), scfg, ccfg, md)
+
+    return hash_exchange(partials, "pair_key", aggregate_and_score, p)
