@@ -66,31 +66,11 @@ def _configs(args):
 
 
 def _read_documents(path: str):
-    import pyarrow.parquet as pq
-    import ray.data
+    """Any supported source format -> canonical documents (sources.py:
+    parquet / json / csv / raw source tree, synonym column mapping)."""
+    from rabbittclust_ray.sources import read_documents
 
-    ds = ray.data.read_parquet(path)
-    cols = set(pq.ParquetFile(path if os.path.isfile(path) else _first_parquet(path)).schema_arrow.names)
-    if "content" not in cols and "text" in cols:
-        import pyarrow as pa
-
-        from rabbittclust_ray.corpus import adapt_testdata_documents
-
-        def adapt(t: pa.Table) -> pa.Table:
-            out = adapt_testdata_documents(t)
-            if "doc_id" in t.column_names:
-                out = out.append_column("doc_id", t["doc_id"])
-            return out
-
-        ds = ds.map_batches(adapt, batch_format="pyarrow")
-    return ds
-
-
-def _first_parquet(d: str) -> str:
-    for f in sorted(os.listdir(d)):
-        if f.endswith(".parquet"):
-            return os.path.join(d, f)
-    raise FileNotFoundError(f"no parquet files under {d}")
+    return read_documents(path)
 
 
 def _auto_tune(ds, scfg):

@@ -1,0 +1,124 @@
+"""Document sources: read any supported format into the canonical
+``(repo, path, commit, lang, content)`` table.
+
+Reference analogue: the FASTA list / multi-FASTA readers (S1/S2,
+/root/reference/src/SketchInfo.cpp:865-877, 156-272) — our corpus is
+tabular, so Parquet is the primary source; JSON/CSV/raw-text trees are
+supported so a reference user can point the engine at whatever layout
+their corpus is in. Column pruning happens at the read where the format
+supports it."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+CANONICAL = ["repo", "path", "commit", "lang", "content"]
+
+_EXT_LANG = {
+    ".py": "python", ".java": "java", ".cpp": "cpp", ".cc": "cpp", ".h": "cpp",
+    ".c": "c", ".go": "go", ".rs": "rust", ".js": "javascript", ".ts": "typescript",
+    ".rb": "ruby", ".txt": "text", ".md": "markdown",
+}
+
+
+def _canonicalize(t: pa.Table, defaults: dict | None = None) -> pa.Table:
+    """Map arbitrary column names onto the canonical schema. Known synonyms:
+    content/text/body, repo/source/project, path/filename/file."""
+    defaults = defaults or {}
+    cols = {c.lower(): c for c in t.column_names}
+
+    def pick(*names: str):
+        for n in names:
+            if n in cols:
+                return t[cols[n]]
+        return None
+
+    n = t.num_rows
+    content = pick("content", "text", "body", "code")
+    if content is None:
+        raise ValueError(f"no content-like column in {t.column_names}")
+    repo = pick("repo", "source", "project", "org")
+    path = pick("path", "filename", "file", "name")
+    commit = pick("commit", "revision", "sha")
+    lang = pick("lang", "language")
+    out = {
+        "repo": repo if repo is not None else pa.array([defaults.get("repo", "unknown")] * n),
+        "path": path if path is not None else pa.array([f"doc/{i}" for i in range(n)]),
+        "commit": commit if commit is not None else pa.array([defaults.get("commit", "0" * 40)] * n),
+        "lang": lang if lang is not None else pa.array([defaults.get("lang", "unknown")] * n),
+        "content": content,
+    }
+    tbl = pa.table({k: pa.compute.cast(v, pa.string()) if not isinstance(v, pa.Array) or v.type != pa.string() else v for k, v in out.items()})
+    if "doc_id" in cols:
+        tbl = tbl.append_column("doc_id", t[cols["doc_id"]])
+    return tbl
+
+
+def read_documents(path: str, fmt: str | None = None, **kwargs) -> ray.data.Dataset:
+    """Read documents from parquet | json(l) | csv | a source tree of text
+    files, canonicalized. ``fmt`` inferred from the path when omitted."""
+    if fmt is None:
+        if os.path.isdir(path) and not any(
+            f.endswith((".parquet", ".json", ".jsonl", ".csv"))
+            for f in os.listdir(path)[:50]
+        ):
+            fmt = "tree"
+        elif path.endswith((".json", ".jsonl")):
+            fmt = "json"
+        elif path.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "parquet":
+        ds = ray.data.read_parquet(path, **kwargs)
+    elif fmt == "json":
+        ds = ray.data.read_json(path, **kwargs)
+    elif fmt == "csv":
+        ds = ray.data.read_csv(path, **kwargs)
+    elif fmt == "tree":
+        return read_source_tree(path, **kwargs)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    return ds.map_batches(_canonicalize, batch_format="pyarrow")
+
+
+def read_source_tree(root: str, repo: str | None = None) -> ray.data.Dataset:
+    """One document per file under ``root`` (the reference's '-l file list'
+    mode, one genome per path). Binary files are skipped; lang from the
+    extension."""
+    ds = ray.data.read_binary_files(root, include_paths=True)
+    repo_name = repo or os.path.basename(os.path.abspath(root))
+    prefix = os.path.abspath(root)
+
+    def decode(t: pa.Table) -> pa.Table:
+        paths, contents, langs = [], [], []
+        for p, b in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            try:
+                text = b.decode("utf-8")
+            except UnicodeDecodeError:
+                continue  # binary file
+            rel = os.path.relpath(p, prefix) if os.path.isabs(p) else p
+            paths.append(rel)
+            contents.append(text)
+            langs.append(_EXT_LANG.get(os.path.splitext(p)[1].lower(), "unknown"))
+        n = len(paths)
+        return pa.table(
+            {
+                "repo": pa.array([repo_name] * n),
+                "path": pa.array(paths),
+                "commit": pa.array(["0" * 40] * n),
+                "lang": pa.array(langs),
+                "content": pa.array(contents),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_documents(ds: ray.data.Dataset, out_dir: str, **kwargs) -> None:
+    """Partitioned Parquet sink (resumable layout: one dir, many part
+    files; pair with state/checkpoint for manifests)."""
+    ds.write_parquet(out_dir, **kwargs)

@@ -1,0 +1,50 @@
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rabbittclust_ray.sources import read_documents, read_source_tree
+
+CANON = ["repo", "path", "commit", "lang", "content"]
+
+
+def test_read_parquet_synonym_columns(tmp_path):
+    t = pa.table({"project": ["p"], "filename": ["a.py"], "text": ["print(1)"]})
+    f = str(tmp_path / "d.parquet")
+    pq.write_table(t, f)
+    out = read_documents(f).to_pandas()
+    assert sorted(out.columns) >= sorted(CANON)[:4]
+    assert out.content.tolist() == ["print(1)"]
+    assert out.repo.tolist() == ["p"]
+    assert out.path.tolist() == ["a.py"]
+
+
+def test_read_jsonl(tmp_path):
+    f = str(tmp_path / "d.json")
+    with open(f, "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps({"repo": "r", "path": f"f{i}.go", "content": f"func x{i}()"}) + "\n")
+    out = read_documents(f).to_pandas()
+    assert len(out) == 3
+    assert set(out.columns) >= set(CANON)
+
+
+def test_read_source_tree(tmp_path):
+    src = tmp_path / "proj" / "src"
+    os.makedirs(src)
+    (src / "a.py").write_text("def a(): pass")
+    (src / "b.go").write_text("func b() {}")
+    (src / "bin.dat").write_bytes(bytes([0xFF, 0xFE, 0x00, 0x80]))  # binary, skipped
+    out = read_source_tree(str(tmp_path / "proj")).to_pandas()
+    assert len(out) == 2
+    assert set(out.lang) == {"python", "go"}
+    assert all(out.repo == "proj")
+
+
+def test_missing_content_column_raises(tmp_path):
+    f = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"x": [1]}), f)
+    with pytest.raises(Exception):
+        read_documents(f).to_pandas()
