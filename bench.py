@@ -116,7 +116,10 @@ def run_bench() -> dict:
     # max_posting=256 drops boilerplate shingles shared by >256 docs (logged,
     # reference J5 semantics) so hot LSH buckets cannot blow up the pair table
     scfg = SketchConfig(shingle_k=24, mode="bottomk", sketch_size=256, min_len=100)
-    ccfg = ClusterConfig(threshold=0.05, num_buckets=max(32, NUM_CPUS * 2),
+    # num_buckets fixed at 32: reducer count beyond ~32 makes each task pin
+    # every input block and the object manager thrashes (64 reducers at 32
+    # CPUs measured 2.5x slower than 32 reducers)
+    ccfg = ClusterConfig(threshold=0.05, num_buckets=32,
                          dedup_dist=0.02, max_posting=256)
     queries: dict[str, float] = {}
 
@@ -154,7 +157,7 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     dscfg = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=128, min_len=50)
-    dccfg = ClusterConfig(threshold=0.1, num_buckets=max(32, NUM_CPUS * 2), max_posting=256)
+    dccfg = ClusterConfig(threshold=0.1, num_buckets=16, max_posting=256)
     res2 = clust_mst(docs_ds.map_batches(adapt, batch_format="pyarrow"), dscfg, dccfg)
     res2.assignments.count()
     queries["q_docs_mst"] = round(time.perf_counter() - t0, 3)

@@ -1,0 +1,85 @@
+"""Containment (AAF) mode end-to-end: fragments must cluster with their
+parents (reference -c mode + create-containment-bacteria simulator pattern,
+/root/reference/benchmark/simulate/README.md:22-36: random prefixes of full
+genomes tested under containment distance)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.corpus import make_corpus
+from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+# mod-sampling (variable-size sketches) is the natural pairing for
+# containment: fragment sketch ⊂ parent sketch up to sampling noise
+SCFG = SketchConfig(shingle_k=12, mode="mod", mod_bits=3, min_len=100)
+CCFG = ClusterConfig(threshold=0.05, containment=True, max_posting=None, num_buckets=8)
+
+
+def _with_fragments(fracs=(0.25, 0.4, 0.5)):
+    docs, gt = make_corpus(num_seeds=8, per_cluster=0, doc_len=6000,
+                           num_exact_dups=0, num_noise=6, num_short=0)
+    contents = docs["content"].to_pylist()
+    rows = {c: docs[c].to_pylist() for c in docs.column_names}
+    gtp = gt.to_pandas()
+    # fragments: prefixes of each seed — contained, NOT near-dup
+    frag_parent = []
+    for i, r in gtp[gtp.kind == "seed"].iterrows():
+        full = contents[i]
+        for j, frac in enumerate(fracs):
+            rows["repo"].append(r.repo)
+            rows["path"].append(f"frag/{i}_{j}.py")
+            rows["commit"].append(f"{i:020d}{j:020d}")
+            rows["lang"].append("python")
+            rows["content"].append(full[: int(len(full) * frac)])
+            frag_parent.append((f"frag/{i}_{j}.py", r.path))
+    return pa.table(rows), frag_parent, gtp
+
+
+def test_containment_clusters_fragments_with_parents(ray_session):
+    docs, frag_parent, gtp = _with_fragments()
+    res = clust_mst(ray.data.from_arrow(docs), SCFG, CCFG)
+    a = res.assignments.to_pandas()
+    # map paths -> doc ids via prepare semantics (stable_doc_id)
+    from rabbittclust_ray.hashing import stable_doc_id
+
+    repo = docs["repo"].to_pylist()
+    path = docs["path"].to_pylist()
+    commit = docs["commit"].to_pylist()
+    ids = stable_doc_id(np.array(repo, object), np.array(path, object), np.array(commit, object))
+    id_of_path = dict(zip(path, ids))
+    cluster = dict(zip(a.doc_id, a.cluster_id))
+    for frag, parent in frag_parent:
+        assert cluster[id_of_path[frag]] == cluster[id_of_path[parent]], (frag, parent)
+    # noise docs stay singletons even in containment mode
+    noise_paths = gtp[gtp.kind == "noise"].path
+    noise_ids = [id_of_path[p] for p in noise_paths]
+    sizes = a.groupby("cluster_id").size()
+    for nid in noise_ids:
+        assert sizes[cluster[nid]] == 1
+
+
+def test_mash_mode_does_not_merge_fragments(ray_session):
+    """Control: under plain Mash distance a lone 25% fragment is NOT within
+    d=0.05 of its parent (J ~ 1/4 -> D ~ 0.076) — containment mode is what
+    links it. Only one fragment per seed here so no transitive chain."""
+    docs, frag_parent, _ = _with_fragments(fracs=(0.25,))
+    scfg = SketchConfig(shingle_k=12, mode="mod", mod_bits=3, min_len=100)
+    ccfg = ClusterConfig(threshold=0.05, containment=False, max_posting=None, num_buckets=8)
+    res = clust_mst(ray.data.from_arrow(docs), scfg, ccfg)
+    a = res.assignments.to_pandas()
+    from rabbittclust_ray.hashing import stable_doc_id
+
+    repo = docs["repo"].to_pylist()
+    path = docs["path"].to_pylist()
+    commit = docs["commit"].to_pylist()
+    ids = stable_doc_id(np.array(repo, object), np.array(path, object), np.array(commit, object))
+    id_of_path = dict(zip(path, ids))
+    cluster = dict(zip(a.doc_id, a.cluster_id))
+    short_frags = [f for f, _ in frag_parent if "_0.py" in f]  # 25% prefixes
+    split = sum(
+        1 for f in short_frags
+        if cluster[id_of_path[f]] != cluster[id_of_path[dict(frag_parent)[f]]]
+    )
+    assert split == len(short_frags)
