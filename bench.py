@@ -202,13 +202,13 @@ def _burn(n: int) -> int:
 def run_scaling() -> None:
     """N vs 4N CPUs in fresh processes (BASELINE.md protocol).
 
-    Levels are 4 and 16: this sandbox VM exposes 32 logical CPUs but only
-    ~16 deliver linear throughput (a pure-CPU burn test scales 4->16 at
-    ~1.07 efficiency and 8->32 at only ~0.69), so 8-vs-32 would measure the
-    host's SMT ceiling, not the engine. Each leg runs twice and takes the
-    faster run — the VM shows +-50% noisy-neighbor variance between
-    identical runs, and min-of-2 estimates capability, not noise."""
-    N_LO, N_HI = 4, 16
+    Levels are 8 and 32 (the spec's own example pairing). The host's
+    pure-CPU ceiling for 8->32 is itself ~0.5-0.7 (32 logical CPUs, ~16-24
+    effective cores shared with neighbors), so the report includes a
+    simultaneously-measured ceiling and the ceiling-normalized efficiency —
+    the engine-attributable number. Legs are interleaved over rounds and
+    each level scored by its best run (minute-scale host variance)."""
+    N_LO, N_HI = 8, 32
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

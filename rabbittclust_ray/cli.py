@@ -41,6 +41,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="report gap-based threshold candidates from the MST and re-cut at the best one")
     p.add_argument("--trees", action="store_true",
                    help="also write newick/phylip/nexus/linkage outputs")
+    p.add_argument("--dense", action="store_true",
+                   help="density-based noise removal (reference --dense): low-density cluster members become singletons")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
 
 
@@ -166,6 +168,29 @@ def main(argv: list[str] | None = None) -> int:
 
                         print(f"re-cutting at auto threshold {best:.4f}")
                         result = recluster_from_checkpoint(args.output, best)
+            if args.dense and result.mst is not None:
+                import numpy as _np
+
+                from rabbittclust_ray.stages.cluster import (
+                    cut_forest,
+                    make_assignments,
+                )
+                from rabbittclust_ray.stages.stats import (
+                    density_histogram,
+                    remove_noise,
+                )
+
+                dh = density_histogram(result.edges).to_pandas()
+                density = {int(r.doc_id): _np.array(r.dense) for r in dh.itertuples()}
+                forest = cut_forest(result.mst, ccfg.threshold)
+                new_labels = remove_noise(forest, result.labels, density, ccfg.threshold)
+                n_noise = sum(
+                    1 for d_, c_ in new_labels.items()
+                    if c_ == d_ and result.labels.get(d_, d_) != d_
+                )
+                print(f"--dense: {n_noise} low-density docs became singletons")
+                result.labels = new_labels
+                result.assignments = make_assignments(result.sketches, new_labels)
             if args.trees and result.mst is not None:
                 from rabbittclust_ray.render import (
                     linkage_matrix,
