@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Large-scale brute-force oracle validation (slower than the pytest gate).
+
+Runs the flagship pipeline on a ~1000-doc mutation-simulator corpus and
+compares against the exact O(N^2) oracle (full shingle sets, exact Jaccard,
+threshold graph, union-find) at MATCHED shingle/sketch/threshold config —
+the round's stand-in for "matches the reference's cluster assignments"
+(BASELINE.json north_rule). Also checks the skewed-cluster config
+(FIXTURES.md: 5 seeds x 200 copies — hot LSH buckets).
+
+Round-1 result (2026-08-17): recall 1.00000 (9030/9030 pairs), precision
+1.00000, NMI 1.0; skewed corpus recovered as exactly 5x201 + 20x1.
+
+Usage: python scripts/validate_oracle.py
+"""
+
+import time
+
+import ray
+import ray.data
+
+
+def main() -> int:
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.corpus import make_corpus
+    from rabbittclust_ray.oracle import (
+        components,
+        dup_pair_recall,
+        exact_shingle_sets,
+        exact_threshold_edges,
+        nmi,
+    )
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    docs, _ = make_corpus(num_seeds=40, per_cluster=20, doc_len=3000, mut_rate=0.01,
+                          num_exact_dups=30, num_noise=60, num_short=20)
+    scfg = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+    ccfg = ClusterConfig(threshold=0.05, max_posting=None, num_buckets=16)
+    t0 = time.time()
+    res = clust_mst(ray.data.from_arrow(docs), scfg, ccfg)
+    a = res.assignments.to_pandas()
+    print(f"pipeline: {docs.num_rows} docs in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    sh = exact_shingle_sets(docs, scfg)
+    oe = exact_threshold_edges(sh, scfg.distance_k, ccfg.threshold)
+    ol = components(sorted(sh), oe)
+    print(f"oracle: {len(oe)} edges in {time.time()-t0:.1f}s")
+    pred = dict(zip(a.doc_id, a.cluster_id))
+    rec, n, hit = dup_pair_recall(pred, ol)
+    prec, np_, hitp = dup_pair_recall(ol, pred)
+    print(f"dup-pair recall:    {rec:.5f} ({hit}/{n})")
+    print(f"dup-pair precision: {prec:.5f} ({hitp}/{np_})")
+    print(f"NMI: {nmi(pred, ol):.5f}")
+    ok = rec >= 0.99 and prec >= 0.99
+
+    docs2, _ = make_corpus(num_seeds=5, per_cluster=200, doc_len=3000, mut_rate=0.01,
+                           num_exact_dups=0, num_noise=20, num_short=0)
+    res2 = clust_mst(ray.data.from_arrow(docs2), scfg, ccfg)
+    sizes = res2.assignments.to_pandas().groupby("cluster_id").size().sort_values(ascending=False)
+    print(f"skewed corpus: top sizes {sizes.head(5).tolist()}, n_clusters {len(sizes)}")
+    ok = ok and sizes.head(5).tolist() == [201] * 5 and len(sizes) == 25
+    print("PASS" if ok else "FAIL")
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
