@@ -85,6 +85,16 @@ def stable_doc_id(repo: np.ndarray, path: np.ndarray, commit: np.ndarray) -> np.
     /root/reference/src/SketchInfo.cpp:964-965); ours must be stable across
     runs/partitions for checkpoints and append (SURVEY.md §7.4). Non-negative
     int64 so it round-trips Parquet/DuckDB cleanly.
+
+    Collision bound: 63 bits of sha256 -> birthday collision probability
+    ~N^2/2^64, i.e. ~5% at the 10^9-doc target scale and ~1 expected
+    collision only past ~3*10^9 docs PER RUN NAMESPACE. A collision silently
+    merges two docs, so runs at that scale must either shard the corpus into
+    id namespaces (each run/append batch is its own join domain) or verify
+    uniqueness once per run: ``stages.prepare.assert_unique_ids`` is the
+    distributed check (one pass, exchange on the id). The full ``content_sha256`` column
+    is carried through every pipeline independent of this id, so the per-row
+    content invariant never rests on the 63-bit key.
     """
     out = np.empty(len(repo), dtype=np.int64)
     for i in range(len(repo)):

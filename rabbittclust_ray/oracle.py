@@ -32,9 +32,13 @@ def exact_shingle_sets(documents: pa.Table, cfg: SketchConfig) -> dict[int, set[
         np.array(documents["commit"].to_pylist(), dtype=object),
     )
     norm = normalize_column(documents["content"], cfg.normalize)
+    raw_lens = [len(s) for s in documents["content"].to_pylist()]
     out: dict[int, set[int]] = {}
     for i, text in enumerate(norm.to_pylist()):
-        if len(text) < cfg.min_len:
+        # min-len on the RAW content (chars), matching prepare_documents'
+        # utf8_length filter — normalization can shrink the text below
+        # min_len and would otherwise drop different docs than the engine
+        if raw_lens[i] < cfg.min_len:
             continue
         h = rolling_shingle_hashes(text.encode("utf-8", "surrogatepass"), cfg.shingle_k, cfg.seed)
         out[int(ids[i])] = set(h.tolist())

@@ -143,17 +143,20 @@ def greedy_append(root: str, new_documents: ray.data.Dataset) -> GreedyResult:
             if b_ in new_id_set:
                 adj[b_].append((a_, int(c[i]), float(d[i])))
 
-    # serial promotion sweep over new docs in input order
+    # serial promotion sweep over new docs in input order; best match = max
+    # Jaccard (min Mash dist, monotone in J), then min rep id — the reference
+    # rule (/root/reference/src/greedy.cpp:786-792), matching greedy_replay
     reps = set(old_reps)
     for doc in new_ids_in_order:
-        best: tuple | None = None
-        for nbr, c, d in adj.get(doc, ()):
+        best_key: tuple | None = None
+        best_rep = -1
+        for nbr, _c, d in adj.get(doc, ()):
             if nbr in reps:
-                key = (-c, d, nbr)
-                if best is None or key < best:
-                    best = key
-        if best is not None:
-            rep_of[doc] = best[2]
+                key = (d, nbr)
+                if best_key is None or key < best_key:
+                    best_key, best_rep = key, nbr
+        if best_key is not None:
+            rep_of[doc] = best_rep
         else:
             reps.add(doc)
             rep_of[doc] = doc

@@ -137,11 +137,26 @@ def newick_tree(mst: pa.Table, names: dict[int, str] | None = None) -> str:
         doc = int(ids[node])
         return (names or {}).get(doc, str(doc)) if node < n else ""
 
-    def render(node: int) -> str:
-        if node < n:
-            return label(node)
-        parts = [f"{render(ch)}:{bl:.6f}" for ch, bl in children[node]]
-        return "(" + ",".join(parts) + ")"
+    def render(root: int) -> str:
+        # iterative post-order (explicit stack): a single-linkage chain over
+        # a large near-dup family yields a dendrogram as deep as the family
+        # is big, which overflows Python recursion
+        done: dict[int, str] = {}
+        stack = [root]
+        while stack:
+            node = stack[-1]
+            if node < n:
+                done[node] = label(node)
+                stack.pop()
+                continue
+            pending = [ch for ch, _ in children[node] if ch not in done]
+            if pending:
+                stack.extend(pending)
+                continue
+            parts = [f"{done[ch]}:{bl:.6f}" for ch, bl in children[node]]
+            done[node] = "(" + ",".join(parts) + ")"
+            stack.pop()
+        return done[root]
 
     roots = [x for x in range(next_node) if x not in merged]
     return "".join(render(r) + ";" for r in sorted(roots))

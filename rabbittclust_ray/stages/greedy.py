@@ -36,13 +36,18 @@ def greedy_order(sketches_meta: pa.Table) -> list[int]:
 
 
 def greedy_replay(
-    order_ids: list[int], edges: pa.Table, *, prefer_max_common: bool = True
+    order_ids: list[int], edges: pa.Table, *, prefer_max_common: bool = False
 ) -> dict[int, int]:
     """Replay the serial greedy sweep over precomputed threshold pairs.
 
     Returns doc_id -> rep doc_id (rep maps to itself). Best match among
-    current reps: max common (then min dist, then min rep id) — the
-    reference's tie order for fixed-size sketches (greedy.cpp:1233-1239)."""
+    current reps: MAX JACCARD — i.e. min Mash distance, which is strictly
+    monotone in J — then min rep id (reference best-match rule
+    /root/reference/src/greedy.cpp:786-792). For fixed-size sketches max
+    Jaccard == max common, but in mode="mod" (variable sketch sizes) and for
+    short bottom-k docs they diverge; the distance key is the one that
+    matches the reference in both regimes. ``prefer_max_common=True`` keeps
+    the old (-common, dist, rep) key for comparison tests only."""
     adj: dict[int, list[tuple[int, int, float]]] = defaultdict(list)
     u = edges["u"].to_numpy(zero_copy_only=False)
     v = edges["v"].to_numpy(zero_copy_only=False)
@@ -55,14 +60,15 @@ def greedy_replay(
     reps: set[int] = set()
     rep_of: dict[int, int] = {}
     for doc in order_ids:
-        best: tuple | None = None
+        best_key: tuple | None = None
+        best_rep = -1
         for nbr, c, d in adj.get(doc, ()):
             if nbr in reps:
-                key = (-c, d, nbr) if prefer_max_common else (d, -c, nbr)
-                if best is None or key < best:
-                    best = key
-        if best is not None:
-            rep_of[doc] = best[2]
+                key = (-c, d, nbr) if prefer_max_common else (d, nbr)
+                if best_key is None or key < best_key:
+                    best_key, best_rep = key, nbr
+        if best_key is not None:
+            rep_of[doc] = best_rep
         else:
             reps.add(doc)
             rep_of[doc] = doc

@@ -44,6 +44,7 @@ import pyarrow as pa
 import ray.data
 
 from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.hashing import splitmix64
 
 PAIR_SCHEMA = pa.schema(
     [("u", pa.int64()), ("v", pa.int64()), ("su", pa.int32()), ("sv", pa.int32()), ("common", pa.int32())]
@@ -81,14 +82,22 @@ def explode_sketches(sketches: ray.data.Dataset, num_buckets: int | None = None)
 
 def splitmix_pair(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Uniform uint64 key for an ordered (u, v) pair (salted exchange key)."""
-    from rabbittclust_ray.hashing import splitmix64
-
     return splitmix64((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ v.astype(np.uint64))
 
 
-def _partition_of(k: np.ndarray, num_partitions: int) -> np.ndarray:
-    part = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-    return (part % np.uint64(num_partitions)).astype(np.int64)
+HKEY = "__hkey__"
+# rows per reducer the exchange aims for when auto-sizing partition count;
+# small inputs collapse to few reducers (fixed 64-way fan-out on a 10^5-row
+# input was pure task overhead), huge inputs are capped by the caller's
+# num_partitions (the scale knob)
+EXCHANGE_TARGET_ROWS = 1 << 18
+
+
+def _hash_key(k: np.ndarray) -> np.ndarray:
+    """Uniform uint64 exchange key (range-partitionable). NOTE: module-level
+    splitmix64 import — worker UDFs must not import rabbittclust_ray at
+    runtime (pickle-by-value shipping, see __ray_entry__)."""
+    return splitmix64(k.astype(np.uint64))
 
 
 def hash_exchange(
@@ -96,10 +105,13 @@ def hash_exchange(
     key: str,
     fn: Callable[[pa.Table], pa.Table],
     num_partitions: int,
+    *,
+    split_mode: str | None = None,
 ) -> ray.data.Dataset:
-    """Deterministic keyed exchange: hash-partition rows on ``key`` into
-    ``num_partitions`` and apply ``fn`` once per partition (all rows of a
-    key value co-located; ``fn`` is vectorized over the whole partition).
+    """Deterministic keyed exchange: hash-partition rows on ``key`` into at
+    most ``num_partitions`` ranges of a mixed uint64 key and apply ``fn``
+    once per partition (all rows of a key value co-located; ``fn`` is
+    vectorized over the whole partition).
 
     This is the ONE place the engine drops to raw Ray tasks (SURVEY.md §2
     custom-operator rule (c)): Ray Data's keyed co-location primitives are
@@ -108,54 +120,105 @@ def hash_exchange(
     Skew within a partition is handled by the caller's cap (posting caps
     bound the worst key).
 
-    Sorted-pull design: the map side sorts each block by partition id once
-    (parallel map_batches, one extra column); each reduce task then reads
-    its OWN range of every block as a ZERO-COPY slice found by binary
-    search — no intermediate objects (push-style split serialized in the
-    plasma store: 3x anti-scaling) and no P-fold re-scan of the data (a
-    mask-based pull was memory-bandwidth-bound and didn't scale either).
-    On a multi-node cluster the same plan holds: each reducer fetches the
-    slices it needs; Ray transfers blocks on demand."""
-    import ray
+    Map side: each block gets a mixed uint64 key column and is sorted by it
+    (parallel map_batches). Because partitions are RANGES of that key, the
+    reducer count is chosen AFTER the input size is known (auto-sized to
+    ~EXCHANGE_TARGET_ROWS rows per reducer, capped at ``num_partitions``)
+    without re-keying.
 
-    PART = "__part__"
+    Two transfer plans, chosen by ``split_mode`` (default: by cluster size):
+
+    - ``"pull"`` (single node): each reduce task receives every block ref
+      and slices its OWN key range zero-copy out of plasma via binary
+      search. No intermediate objects — on one node a push-style split
+      serialized object creation in the plasma store (3x anti-scaling).
+    - ``"map"`` (multi node): a per-block split task cuts the sorted block
+      at the range boundaries ONCE and returns P separate objects, so each
+      reducer fetches only partition-p bytes instead of every block (P-fold
+      network amplification avoided — the 100-TB transfer-volume story).
+    """
+    import ray
 
     def prep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or key not in t.column_names:
             return t
-        k = t[key].to_numpy(zero_copy_only=False)
-        part = _partition_of(k, num_partitions)
-        order = np.argsort(part, kind="stable")
+        h = _hash_key(t[key].to_numpy(zero_copy_only=False))
+        order = np.argsort(h, kind="stable")
         out = t.take(pa.array(order))
-        return out.append_column(PART, pa.array(part[order].astype(np.int32), pa.int32()))
+        return out.append_column(HKEY, pa.array(h[order], pa.uint64()))
+
+    def slice_of(block: pa.Table, lo_key: int, hi_key: int) -> pa.Table | None:
+        """Zero-copy slice of a prepped (key-sorted) block to [lo, hi)."""
+        if block.num_rows == 0 or HKEY not in block.column_names:
+            return None
+        hk = block[HKEY].to_numpy(zero_copy_only=False)
+        lo = int(np.searchsorted(hk, np.uint64(lo_key), side="left"))
+        hi = (
+            int(np.searchsorted(hk, np.uint64(hi_key - 1), side="right"))
+            if hi_key < (1 << 64)
+            else block.num_rows
+        )
+        return block.slice(lo, hi - lo) if hi > lo else None
+
+    def finish(picked: list[pa.Table], schema: pa.Schema) -> pa.Table:
+        if not picked:
+            empty = pa.table(
+                {f.name: pa.array([], f.type) for f in schema if f.name != HKEY}
+            )
+            return fn(empty)
+        merged = pa.concat_tables(picked).combine_chunks().drop_columns([HKEY])
+        return fn(merged)
 
     @ray.remote
-    def reduce(p: int, *blocks: pa.Table) -> pa.Table:
+    def reduce_pull(lo_key: int, hi_key: int, schema: pa.Schema, *blocks: pa.Table) -> pa.Table:
         picked = []
-        template = None
         for block in blocks:
             if isinstance(block, pa.RecordBatch):  # pragma: no cover
                 block = pa.Table.from_batches([block])
-            if block.num_rows == 0 or PART not in block.column_names:
-                continue
-            template = template or block
-            part = block[PART].to_numpy(zero_copy_only=False)
-            lo = np.searchsorted(part, p, side="left")
-            hi = np.searchsorted(part, p, side="right")
-            if hi > lo:
-                picked.append(block.slice(lo, hi - lo))
-        if not picked:
-            empty = (template or (blocks[0] if blocks else pa.table({})))
-            empty = empty.slice(0, 0)
-            if PART in getattr(empty, "column_names", []):
-                empty = empty.drop_columns([PART])
-            return fn(empty)
-        merged = pa.concat_tables(picked).combine_chunks().drop_columns([PART])
-        return fn(merged)
+            s = slice_of(block, lo_key, hi_key)
+            if s is not None:
+                picked.append(s)
+        return finish(picked, schema)
+
+    @ray.remote
+    def split_block(block: pa.Table, bounds: list[int]):
+        if isinstance(block, pa.RecordBatch):  # pragma: no cover
+            block = pa.Table.from_batches([block])
+        lows = [0] + bounds
+        highs = bounds + [1 << 64]
+        return tuple(slice_of(block, lo, hi) for lo, hi in zip(lows, highs))
+
+    @ray.remote
+    def reduce_push(schema: pa.Schema, *slices) -> pa.Table:
+        return finish([s for s in slices if s is not None], schema)
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None).materialize()
+    n_rows = prepped.count()
+    p = max(1, min(num_partitions, -(-n_rows // EXCHANGE_TARGET_ROWS) or 1))
+    sch = prepped.schema()
+    base = sch.base_schema if sch is not None else pa.schema([])
+    schema = pa.schema([f for f in base if f.name != HKEY])
+    bounds = [(i * (1 << 64)) // p for i in range(1, p)]
     block_refs = prepped.to_arrow_refs()
-    out_refs = [reduce.remote(p, *block_refs) for p in range(num_partitions)]
+    if split_mode is None:
+        alive = [nd for nd in ray.nodes() if nd.get("Alive", False)]
+        split_mode = "map" if len(alive) > 1 else "pull"
+    if split_mode == "map" and p > 1:
+        per_part: list[list] = [[] for _ in range(p)]
+        for ref in block_refs:
+            outs = split_block.options(num_returns=p).remote(ref, bounds)
+            if p == 1:
+                outs = [outs]
+            for i, r in enumerate(outs):
+                per_part[i].append(r)
+        out_refs = [reduce_push.remote(schema, *per_part[i]) for i in range(p)]
+    else:
+        lows = [0] + bounds
+        highs = bounds + [1 << 64]
+        out_refs = [
+            reduce_pull.remote(lo, hi, schema, *block_refs)
+            for lo, hi in zip(lows, highs)
+        ]
     return ray.data.from_arrow_refs(out_refs)
 
 

@@ -68,6 +68,28 @@ def prepare_documents(
     return out
 
 
+def assert_unique_ids(prepared: ray.data.Dataset, num_buckets: int = 32) -> None:
+    """Distributed doc_id uniqueness check (63-bit id collision guard, see
+    hashing.stable_doc_id). One hash exchange on the id; raises ValueError
+    with sample colliding ids if any id appears more than once."""
+    import numpy as np
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def find_dups(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        dup = np.unique(ids[1:][ids[1:] == ids[:-1]])
+        return pa.table({"dup_id": pa.array(dup, pa.int64())})
+
+    dups = hash_exchange(
+        prepared.select_columns(["doc_id"]), "doc_id", find_dups, num_buckets
+    ).take_all()
+    if dups:
+        sample = [r["dup_id"] for r in dups[:10]]
+        raise ValueError(f"{len(dups)} duplicate doc_ids (63-bit collision or "
+                         f"duplicate input identity); sample: {sample}")
+
+
 def size_scan(ds: ray.data.Dataset, cfg: SketchConfig) -> pa.Table:
     """min/max/mean length + row count + count below min_len (reference
     ``calSize`` pre-pass used for parameter auto-tuning). Returns one row."""

@@ -49,7 +49,9 @@ def save_stage(
     else:
         batches = ds.iter_batches(batch_size=None, batch_format="pyarrow")
     i = 0
+    schema = None
     for t in batches:
+        schema = schema or t.schema
         if t.num_rows == 0:
             continue
         fname = f"part-{i:05d}.parquet"
@@ -59,6 +61,16 @@ def save_stage(
             {"file": fname, "rows": t.num_rows, "bytes": os.path.getsize(path)}
         )
         i += 1
+    if i == 0:
+        # empty stage (e.g. no edges under threshold): write ONE zero-row
+        # file carrying the schema so load_stage never sees an empty path
+        # list (ray.data.read_parquet([]) raises)
+        if schema is None and not isinstance(ds, pa.Table):
+            schema = ds.schema().base_schema  # falls back to dataset metadata
+        empty = pa.table({f.name: pa.array([], f.type) for f in (schema or pa.schema([]))})
+        path = os.path.join(tmp_dir, "part-00000.parquet")
+        pq.write_table(empty, path)
+        parts.append({"file": "part-00000.parquet", "rows": 0, "bytes": os.path.getsize(path)})
     manifest = {
         "stage": stage,
         "config_hash": config_hash,

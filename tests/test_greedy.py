@@ -37,11 +37,17 @@ def test_greedy_replay_non_rep_neighbors_ignored():
     assert rep == {1: 1, 2: 1, 3: 3}
 
 
-def test_greedy_replay_max_common_wins():
-    # doc 3 is near reps 1 and 2; rep 2 shares more hashes -> join 2
+def test_greedy_replay_max_jaccard_wins():
+    # doc 3 is near reps 1 and 2; rep 1 is CLOSER (max Jaccard == min Mash
+    # dist) even though rep 2 shares more raw hashes (variable sketch sizes,
+    # e.g. mode="mod") — the reference joins by max Jaccard
+    # (/root/reference/src/greedy.cpp:786-792)
     edges = _edges([(1, 3, 30, 0.01), (2, 3, 60, 0.02)])
     rep = greedy_replay([1, 2, 3], edges)
-    assert rep[3] == 2
+    assert rep[3] == 1
+    # legacy key kept for comparison only
+    rep_legacy = greedy_replay([1, 2, 3], edges, prefer_max_common=True)
+    assert rep_legacy[3] == 2
 
 
 def test_clust_greedy_end_to_end(small_corpus):
