@@ -45,6 +45,113 @@ _register_package_by_value()
 
 MIN_LEN = 100  # min-len filter used by the SQL-checked ops (matches oracle)
 
+# --- exact-mode clustering config (driver-check parity) --------------------
+# mode="mod" with mod_bits=0 keeps EVERY distinct shingle hash, so `common`
+# is the exact distinct-8-gram intersection and the whole threshold graph is
+# reproducible in SQL from substr() 8-grams of the ws-normalized text. The
+# sketched (bottom-k) configs stay covered by pytest + the brute-force
+# oracle (scripts/validate_oracle.py); the driver check runs the SAME
+# pipeline code, just with the sampling turned off so DuckDB can follow.
+EX_SHINGLE_K = 8
+EX_MIN_LEN = 50
+EX_THRESHOLD = 0.1      # clustering cut d
+EX_DEDUP_DIST = 0.05    # near-dup collapse radius
+EX_STATS_THRESHOLD = 0.2  # wider cut for the histogram queries
+
+
+def _exact_scfg():
+    from rabbittclust_ray.config import SketchConfig
+
+    return SketchConfig(shingle_k=EX_SHINGLE_K, mode="mod", mod_bits=0, min_len=EX_MIN_LEN)
+
+
+def _exact_ccfg(threshold: float, **kw):
+    from rabbittclust_ray.config import ClusterConfig
+
+    return ClusterConfig(threshold=threshold, max_posting=None, num_buckets=16, **kw)
+
+
+_MST_CACHE: dict = {}
+
+
+def _exact_mst_cached(sf_dir: str, threshold: float, dedup: bool = False):
+    """One clust_mst run in exact mode serves several driver queries
+    (assignments / dup_pairs / edges for dbscan + histograms) — memoized per
+    (sf_dir, threshold) within the driver process. dedup=True upgrades the
+    cached entry in place (dup_pairs needs the dedup branch; assignments and
+    edges are identical either way)."""
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    key = (sf_dir, threshold)
+    hit = _MST_CACHE.get(key)
+    if hit is not None and (not dedup or hit.dup_pairs is not None):
+        return hit
+    ccfg = _exact_ccfg(threshold, dedup_dist=EX_DEDUP_DIST if dedup else None)
+    res = clust_mst(_docs(sf_dir), _exact_scfg(), ccfg)
+    _MST_CACHE[key] = res
+    return res
+
+
+def _jmin(threshold: float) -> float:
+    """Mash threshold -> minimum exact Jaccard (J >= jmin <=> dist <= d);
+    jmin is irrational so the SQL boundary comparison is never ambiguous."""
+    import math
+
+    x = math.exp(-threshold * EX_SHINGLE_K)
+    return x / (2.0 - x)
+
+
+def _sql_edges_cte(threshold: float, with_j: bool = False) -> str:
+    """Shared SQL prefix: ws-normalized text -> distinct 8-grams -> exact
+    Jaccard threshold edges (u < v). Mirrors prepare+sketch+candidate_edges
+    in exact mode."""
+    jcol = ", common * 1.0 / (sa.sz + sb.sz - common) AS j" if with_j else ""
+    return f"""
+        pop AS MATERIALIZED (
+            SELECT doc_id, text,
+                   regexp_replace(text, '\\s+', ' ', 'g') AS nt
+            FROM documents WHERE length(text) >= {EX_MIN_LEN}
+        ),
+        grams AS MATERIALIZED (
+            SELECT DISTINCT p.doc_id, substr(p.nt, g.i, {EX_SHINGLE_K}) AS g
+            FROM pop p, LATERAL (
+                SELECT unnest(generate_series(1, length(p.nt) - {EX_SHINGLE_K - 1}))
+            ) AS g(i)
+            WHERE length(p.nt) >= {EX_SHINGLE_K}
+        ),
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v, CAST(count(*) AS BIGINT) AS common
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT u, v, common, sa.sz AS su, sb.sz AS sv{jcol}
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = u
+            JOIN sizes sb ON sb.doc_id = v
+            WHERE common >= {_jmin(threshold)!r} * (sa.sz + sb.sz - common)
+        )
+    """
+
+
+def _sql_components_cte() -> str:
+    """Recursive min-label connected components over ``edges`` (both
+    directions + self loops => label = min doc_id of the component, the
+    engine's cluster id)."""
+    return """
+        ug AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM pop
+            UNION
+            SELECT r.a, g.b FROM reach r JOIN ug g ON g.a = r.b
+        ),
+        comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    """
+
 
 def _docs(sf_dir: str):
     """Driver testdata documents -> canonical shape, native doc_id kept."""
@@ -139,21 +246,29 @@ def _q_quality_score(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """(doc_id, pred_lang): the stopword-heuristic classifier's decision —
+    deterministic, so the SQL oracle re-implements the same vote. The float
+    lang_score stays out of the hash check (pytest-covered)."""
     import ray.data
 
     from rabbittclust_ray.stages.text import lang_id
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return lang_id(ds)
+    return lang_id(ds).map_batches(
+        lambda t: t.select(["doc_id", "pred_lang"]), batch_format="pyarrow"
+    )
 
 
 def _q_fingerprint(sf_dir: str):
+    """SQL-checkable fingerprint surface: window count + lexicographic min
+    16-gram (min-over-windows reduce, same shape as the rolling-hash
+    fingerprint, which stays pytest-covered against a naive reference)."""
     import ray.data
 
-    from rabbittclust_ray.stages.text import fingerprint
+    from rabbittclust_ray.stages.text import min_gram_fingerprint
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return fingerprint(ds)
+    return min_gram_fingerprint(ds, k=16)
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -166,44 +281,74 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_minhash_sketch(sf_dir: str):
+    """Bottom-k sketch metadata: sketch_size = min(#distinct 8-grams of the
+    ws-normalized text, 128) — SQL-checkable (hash collisions between
+    distinct grams are ~2^-64 per pair, negligible at this scale)."""
     from rabbittclust_ray.config import SketchConfig
     from rabbittclust_ray.stages.sketch import sketch_documents
 
     cfg = SketchConfig(shingle_k=8, sketch_size=128, min_len=0)
     sk = sketch_documents(_prepared(sf_dir), cfg)
-    return sk.select_columns(["doc_id", "sketch_size", "content_sha256"])
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sketch_size": t["sketch_size"].cast(pa.int64()),
+                "content_sha256": t["content_sha256"],
+            }
+        )
+
+    return sk.map_batches(ints, batch_format="pyarrow")
 
 
 def _q_clusters_mst(sf_dir: str):
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
-    from rabbittclust_ray.pipelines.clust_mst import clust_mst
-
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
-    return clust_mst(_docs(sf_dir), scfg, ccfg).assignments
+    return _exact_mst_cached(sf_dir, EX_THRESHOLD).assignments
 
 
 def _q_dup_pairs_mst(sf_dir: str):
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
-    from rabbittclust_ray.pipelines.clust_mst import clust_mst
-
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.1, num_buckets=16, dedup_dist=0.05)
-    res = clust_mst(_docs(sf_dir), scfg, ccfg)
-    return res.dup_pairs
+    """Near-dup (u, v) pairs from the MST cut at dedup_dist, union exact-sha
+    pairs. The (u, v) SET equals within-component pairs of the dedup_dist
+    threshold graph (single-linkage: cutting the MST at d yields exactly the
+    threshold graph's components), which is what the SQL oracle checks; the
+    tree-medoid group_rep is MST-tie-dependent and stays pytest-covered."""
+    res = _exact_mst_cached(sf_dir, EX_THRESHOLD, dedup=True)
+    return res.dup_pairs.select(["u", "v"])
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs: mod_bits=0 keeps ALL distinct
-    shingles, so `common` is the exact intersection size."""
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
-    from rabbittclust_ray.stages.pairs import candidate_edges
+    shingles, so `common` is the exact intersection size. Integer-only
+    output (u, v, common, su, sv) — the dist <= d cut is equivalent to
+    J >= jmin (jmin irrational, never ambiguous), which DuckDB checks
+    without float-log parity concerns."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import candidate_pairs, mash_distance
     from rabbittclust_ray.stages.sketch import sketch_documents
 
-    scfg = SketchConfig(shingle_k=8, mode="mod", mod_bits=0, min_len=50)
-    ccfg = ClusterConfig(threshold=0.2, max_posting=None, num_buckets=16)
-    sk = sketch_documents(_prepared(sf_dir, min_len=50), scfg)
-    return candidate_edges(sk, scfg, ccfg)
+    scfg = _exact_scfg()
+    ccfg = _exact_ccfg(EX_STATS_THRESHOLD)
+    sk = sketch_documents(_prepared(sf_dir, min_len=EX_MIN_LEN), scfg)
+    pairs = candidate_pairs(sk, scfg, ccfg)
+
+    def score(t: pa.Table) -> pa.Table:
+        common = t["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = t["su"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = mash_distance(common, su, sv, scfg.distance_k)
+        ok = d <= ccfg.threshold
+        return pa.table(
+            {
+                "u": t["u"].filter(pa.array(ok)),
+                "v": t["v"].filter(pa.array(ok)),
+                "common": pa.array(common[ok], pa.int64()),
+                "su": pa.array(su[ok], pa.int64()),
+                "sv": pa.array(sv[ok], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
 
 
 def _q_ann_topk(sf_dir: str):
@@ -233,44 +378,49 @@ def _q_cosine_near_dups(sf_dir: str):
 
 
 def _q_clusters_greedy(sf_dir: str):
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
     from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
 
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
-    return clust_greedy(_docs(sf_dir), scfg, ccfg).assignments
+    res = clust_greedy(_docs(sf_dir), _exact_scfg(), _exact_ccfg(EX_THRESHOLD))
+    return res.assignments
 
 
 def _q_banded_lsh_pairs(sf_dir: str):
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    """Banded-LSH path in its exact-recall oracle config: exact sketches
+    (mod_bits=0) + value-keyed 1-wide bands, so candidates = 'share >= 1
+    gram' and the verified output equals the exact threshold pairs — which
+    SQL reproduces. Recall of real banded configs (band_r>1, positional) is
+    covered by pytest against this reference point."""
     from rabbittclust_ray.stages.pairs import banded_lsh_pairs
     from rabbittclust_ray.stages.sketch import sketch_documents
 
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
-    sk = sketch_documents(_prepared(sf_dir, min_len=50), scfg)
-    return banded_lsh_pairs(sk, scfg, ccfg, band_r=2)
+    scfg = _exact_scfg()
+    ccfg = _exact_ccfg(EX_THRESHOLD)
+    sk = sketch_documents(_prepared(sf_dir, min_len=EX_MIN_LEN), scfg)
+    out = banded_lsh_pairs(sk, scfg, ccfg, band_r=1, positional=False)
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t["u"],
+                "v": t["v"],
+                "common": t["common"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(ints, batch_format="pyarrow")
 
 
 def _q_ani_histogram(sf_dir: str):
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
-    from rabbittclust_ray.pipelines.clust_mst import clust_mst
     from rabbittclust_ray.stages.stats import ani_histogram
 
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.2, num_buckets=16)
-    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
     return ani_histogram(res.edges)
 
 
 def _q_density_histogram(sf_dir: str):
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
-    from rabbittclust_ray.pipelines.clust_mst import clust_mst
     from rabbittclust_ray.stages.stats import density_histogram
 
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.2, num_buckets=16)
-    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
     out = density_histogram(res.edges).to_pandas()
     out["dense"] = out["dense"].map(lambda x: ",".join(map(str, x)))
     return out
@@ -290,40 +440,61 @@ def _q_linkage_matrix(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
+    """Actor-pool image pipeline over a binary payload column derived from
+    the documents table, with the byte-stats fake decoder (exact integer
+    'channel sums') so the SQL oracle reproduces the features; the decode
+    call itself stays a declared stub (no image libs here)."""
     import ray.data
 
-    from rabbittclust_ray.stages.multimodal import image_features, make_fake_media_table
+    from rabbittclust_ray.stages.multimodal import image_features, media_from_documents
 
-    media = ray.data.from_arrow(make_fake_media_table(64))
-    out = image_features(media).to_pandas()
-    out["feature"] = out["feature"].map(lambda x: ",".join(map(str, x)))
-    return out
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents(docs)
+    out = image_features(media, fake_mode="byte_stats").to_pandas()
+    out["feature"] = out["feature"].map(
+        lambda x: ",".join(str(int(v)) for v in x)
+    )
+    return out[["doc_id", "media_type", "feature", "payload_sha256"]]
 
 
 def _q_audio_frames(sf_dir: str):
+    """Frame-sampling pipeline over the same document-derived payloads;
+    byte-stats mode: frame energy = exact integer sum of squared bytes."""
     import ray.data
 
-    from rabbittclust_ray.stages.multimodal import audio_frame_features, make_fake_media_table
+    from rabbittclust_ray.stages.multimodal import audio_frame_features, media_from_documents
 
-    media = ray.data.from_arrow(make_fake_media_table(64))
-    return audio_frame_features(media)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents(docs, media_type="audio/wav")
+    out = audio_frame_features(
+        media, frame_len=64, max_frames=4, fake_mode="byte_stats"
+    ).to_pandas()
+    out["energy"] = out["rms"].astype("int64")
+    return out[["doc_id", "frame", "energy"]]
 
 
 def _q_ann_ivf(sf_dir: str):
+    """IVF probe with nprobe == num_centroids (exhaustive probe == exact
+    top-k), so the full assign/probe/merge path is hash-checked against a
+    SQL brute-force top-k; recall of nprobe < C configs is pytest-covered.
+    Queries = the 32 smallest vec_ids (deterministic)."""
     import ray.data
 
     from rabbittclust_ray.stages.ann import IvfIndexActor, build_ivf_centroids
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cent_ref, lists_ref = build_ivf_centroids(ds, num_centroids=8)
-    queries_ds = ds.limit(32)
-    return queries_ds.map_batches(
+    queries_ds = ds.sort("vec_id").limit(32)
+    out = queries_ds.map_batches(
         IvfIndexActor,
-        fn_constructor_args=(cent_ref, lists_ref, 5, "vec_id", "embedding"),
+        fn_constructor_args=(cent_ref, lists_ref, 5, "vec_id", "embedding", 8),
         batch_format="pyarrow",
         batch_size=32,
         concurrency=(1, 2),
         num_cpus=1,
+    )
+    return out.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id", "rank"]), batch_format="pyarrow"
     )
 
 
@@ -357,13 +528,9 @@ def _q_exact_dup_pairs(sf_dir: str):
 def _q_clusters_dbscan(sf_dir: str):
     import pandas as pd
 
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
-    from rabbittclust_ray.pipelines.clust_mst import clust_mst
     from rabbittclust_ray.stages.dbscan import dbscan_labels
 
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
-    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    res = _exact_mst_cached(sf_dir, EX_THRESHOLD)
     labels = dbscan_labels(res.edges, min_pts=3)
     if not labels:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -404,8 +571,266 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _lang_sql_lists() -> dict[str, str]:
+    from rabbittclust_ray.stages.text import _STOPWORDS
+
     return {
+        lang: "[" + ", ".join(f"'{w}'" for w in sorted(sw)) + "]"
+        for lang, sw in _STOPWORDS.items()
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    L = _lang_sql_lists()
+    sql: dict[str, str] = {
+        "clusters_mst": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}
+            SELECT p.doc_id, c.cluster_id, p.doc_id = c.cluster_id AS is_rep,
+                   sha256(p.text) AS content_sha256,
+                   CAST(length(p.text) AS BIGINT) AS length
+            FROM pop p JOIN comp c USING (doc_id)
+        """,
+        "clusters_greedy": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD, with_j=True)},
+            ed AS MATERIALIZED (
+                SELECT u AS node, v AS other, j FROM edges
+                UNION ALL SELECT v, u, j FROM edges
+            ),
+            -- per doc: threshold neighbors in best-match preference order
+            -- (max Jaccard, then min id — the reference's greedy rule);
+            -- the serial sweep then picks the first neighbor that is a rep.
+            -- Pure list expressions: LATERAL/correlated subqueries against
+            -- a recursive CTE's columns are not reliably planned.
+            cand AS MATERIALIZED (
+                SELECT node, list(other ORDER BY j DESC, other ASC) AS lst
+                FROM ed GROUP BY node
+            ),
+            ordered AS MATERIALIZED (
+                SELECT p.doc_id, coalesce(c.lst, []) AS lst,
+                       row_number() OVER (
+                           ORDER BY coalesce(s.sz, 0) DESC, p.doc_id ASC
+                       ) AS rn
+                FROM pop p
+                LEFT JOIN sizes s USING (doc_id)
+                LEFT JOIN cand c ON c.node = p.doc_id
+            ),
+            sweep(rn, doc, rep, reps) AS (
+                SELECT 1, doc_id, doc_id, [doc_id] FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.doc_id,
+                       coalesce(
+                           list_filter(o.lst, x -> list_contains(s.reps, x))[1],
+                           o.doc_id),
+                       CASE WHEN len(list_filter(o.lst, x -> list_contains(s.reps, x))) = 0
+                            THEN list_append(s.reps, o.doc_id)
+                            ELSE s.reps END
+                FROM sweep s JOIN ordered o ON o.rn = s.rn + 1
+            )
+            SELECT s.doc AS doc_id, s.rep AS cluster_id, s.doc = s.rep AS is_rep,
+                   sha256(p.text) AS content_sha256,
+                   CAST(length(p.text) AS BIGINT) AS length
+            FROM sweep s JOIN pop p ON p.doc_id = s.doc
+        """,
+        "dup_pairs_mst": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_DEDUP_DIST)}, {_sql_components_cte()}
+            SELECT r.a AS u, r.b AS v FROM reach r WHERE r.a < r.b
+            UNION
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM pop a JOIN pop b
+              ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+        """,
+        "clusters_dbscan": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)},
+            halves AS MATERIALIZED (
+                SELECT u AS x, v AS y FROM edges
+                UNION ALL SELECT v, u FROM edges
+            ),
+            nodes AS MATERIALIZED (SELECT DISTINCT x FROM halves),
+            deg AS MATERIALIZED (SELECT x, count(*) AS d FROM halves GROUP BY x),
+            core AS MATERIALIZED (SELECT x FROM deg WHERE d + 1 >= 3),
+            cug AS MATERIALIZED (
+                SELECT h.x AS a, h.y AS b FROM halves h
+                WHERE h.x IN (SELECT x FROM core) AND h.y IN (SELECT x FROM core)
+            ),
+            reach(a, b) AS (
+                SELECT x, x FROM core
+                UNION
+                SELECT r.a, g.b FROM reach r JOIN cug g ON g.a = r.b
+            ),
+            clab AS MATERIALIZED (SELECT a AS x, min(b) AS lab FROM reach GROUP BY a),
+            border AS MATERIALIZED (
+                SELECT h.x, min(c.lab) AS lab
+                FROM halves h JOIN clab c ON c.x = h.y
+                WHERE h.x NOT IN (SELECT x FROM core)
+                GROUP BY h.x
+            )
+            SELECT n.x AS doc_id,
+                   coalesce(cl.lab, b.lab, -1) AS dbscan_label
+            FROM nodes n
+            LEFT JOIN clab cl ON cl.x = n.x
+            LEFT JOIN border b ON b.x = n.x
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_sql_edges_cte(EX_STATS_THRESHOLD)}
+            SELECT u, v, common, CAST(su AS BIGINT) AS su, CAST(sv AS BIGINT) AS sv
+            FROM edges
+        """,
+        "banded_lsh_pairs": f"""
+            WITH {_sql_edges_cte(EX_THRESHOLD)}
+            SELECT u, v, common FROM edges
+        """,
+        "ani_histogram": f"""
+            WITH {_sql_edges_cte(EX_STATS_THRESHOLD, with_j=True)},
+            eb AS MATERIALIZED (
+                SELECT least(greatest(CAST(floor(
+                    (1.0 - (-ln(2.0 * j / (1.0 + j)) / {EX_SHINGLE_K}.0)) * 100.0
+                ) AS BIGINT), 0), 100) AS b
+                FROM edges
+            )
+            SELECT g.b AS ani_bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS "count"
+            FROM (SELECT unnest(generate_series(0, 100)) AS b) g
+            LEFT JOIN (SELECT b, count(*) AS n FROM eb GROUP BY b) c USING (b)
+        """,
+        "density_histogram": f"""
+            WITH {_sql_edges_cte(EX_STATS_THRESHOLD, with_j=True)},
+            eb AS MATERIALIZED (
+                SELECT u, v, least(greatest(CAST(floor(
+                    (-ln(2.0 * j / (1.0 + j)) / {EX_SHINGLE_K}.0) * 100.0
+                ) AS BIGINT), 0), 99) AS b
+                FROM edges
+            ),
+            part AS MATERIALIZED (SELECT u AS doc_id, b FROM eb UNION ALL SELECT v, b FROM eb),
+            docs AS MATERIALIZED (SELECT DISTINCT doc_id FROM part),
+            cnt AS MATERIALIZED (SELECT doc_id, b, count(*) AS n FROM part GROUP BY 1, 2),
+            grid AS MATERIALIZED (
+                SELECT d.doc_id, g.k FROM docs d,
+                     (SELECT unnest(generate_series(0, 99)) AS k) g
+            ),
+            cum AS MATERIALIZED (
+                SELECT g.doc_id, g.k,
+                       sum(coalesce(c.n, 0)) OVER (
+                           PARTITION BY g.doc_id ORDER BY g.k
+                       ) AS cn
+                FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.k
+            )
+            SELECT doc_id,
+                   string_agg(CAST(CAST(cn AS BIGINT) AS VARCHAR), ',' ORDER BY k)
+                       AS dense
+            FROM cum GROUP BY doc_id
+        """,
+        "minhash_sketch": f"""
+            WITH nrm AS MATERIALIZED (
+                SELECT doc_id, text,
+                       regexp_replace(text, '\\s+', ' ', 'g') AS nt
+                FROM documents
+            ),
+            gg AS MATERIALIZED (
+                SELECT p.doc_id,
+                       count(DISTINCT substr(p.nt, g.i, {EX_SHINGLE_K})) AS n
+                FROM nrm p, LATERAL (
+                    SELECT unnest(generate_series(1, length(p.nt) - {EX_SHINGLE_K - 1}))
+                ) AS g(i)
+                WHERE length(p.nt) >= {EX_SHINGLE_K}
+                GROUP BY 1
+            )
+            SELECT p.doc_id,
+                   CAST(least(coalesce(gg.n, 0), 128) AS BIGINT) AS sketch_size,
+                   sha256(p.text) AS content_sha256
+            FROM nrm p LEFT JOIN gg USING (doc_id)
+        """,
+        "fingerprint": """
+            SELECT d.doc_id,
+                   CAST(greatest(length(d.text) - 15, 0) AS BIGINT) AS n_windows,
+                   CASE WHEN length(d.text) >= 16 THEN (
+                       SELECT min(substr(d.text, i.i, 16))
+                       FROM (SELECT unnest(generate_series(1, length(d.text) - 15)) AS i) i
+                   ) ELSE NULL END AS min_gram
+            FROM documents d
+        """,
+        "lang_id": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_matches(text, '[一-鿿]') AS has_cjk,
+                       list_transform(regexp_extract_all(text, '[^\\W\\d_]+'),
+                                      x -> lower(x)) AS ts
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, has_cjk, len(ts) AS ntok,
+                       len(list_filter(ts, x -> list_contains({L["en"]}, x))) AS en,
+                       len(list_filter(ts, x -> list_contains({L["fr"]}, x))) AS fr,
+                       len(list_filter(ts, x -> list_contains({L["de"]}, x))) AS de,
+                       len(list_filter(ts, x -> list_contains({L["es"]}, x))) AS es
+                FROM t
+            )
+            SELECT doc_id, CASE
+                WHEN has_cjk THEN 'zh'
+                WHEN ntok = 0 OR greatest(en, fr, de, es) = 0 THEN 'unknown'
+                WHEN de = greatest(en, fr, de, es) THEN 'de'
+                WHEN en = greatest(en, fr, de, es) THEN 'en'
+                WHEN es = greatest(en, fr, de, es) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+            FROM h
+        """,
+        "ann_ivf": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 32
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(e.embedding, q.embedding) AS sim
+                FROM q, embeddings e
+            ),
+            r AS (
+                SELECT query_id, neighbor_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                       ) AS BIGINT) AS "rank"
+                FROM s
+            )
+            SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+        """,
+        "image_features": """
+            WITH ch AS (
+                SELECT d.doc_id, (i.i - 1) % 3 AS c,
+                       ascii(substr(d.text, i.i, 1)) AS byte
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text))) AS i
+                ) i(i)
+            ),
+            agg AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(coalesce(sum(CASE WHEN c = 0 THEN byte END), 0) AS BIGINT) AS s0,
+                       CAST(coalesce(sum(CASE WHEN c = 1 THEN byte END), 0) AS BIGINT) AS s1,
+                       CAST(coalesce(sum(CASE WHEN c = 2 THEN byte END), 0) AS BIGINT) AS s2
+                FROM ch GROUP BY doc_id
+            )
+            SELECT d.doc_id, 'image/png' AS media_type,
+                   CAST(a.s0 AS VARCHAR) || ',' || CAST(a.s1 AS VARCHAR) || ','
+                       || CAST(a.s2 AS VARCHAR) AS feature,
+                   sha256(d.text) AS payload_sha256
+            FROM documents d JOIN agg a USING (doc_id)
+        """,
+        "audio_frames": """
+            WITH fr AS (
+                SELECT d.doc_id, f.f
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(0, least(length(d.text) // 64, 4) - 1)) AS f
+                ) f(f)
+                WHERE length(d.text) >= 64
+            )
+            SELECT fr.doc_id, fr.f AS frame, CAST(sum(w.b * w.b) AS BIGINT) AS energy
+            FROM fr
+            JOIN documents d ON d.doc_id = fr.doc_id,
+            LATERAL (
+                SELECT ascii(substr(d.text, fr.f * 64 + i.i, 1)) AS b
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) i(i)
+            ) w
+            GROUP BY 1, 2
+        """,
+    }
+    sql.update({
         "lang_distribution": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY lang
@@ -474,4 +899,5 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
-    }
+    })
+    return sql

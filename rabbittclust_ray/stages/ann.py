@@ -125,31 +125,37 @@ def cosine_near_dup_pairs(
 
 class IvfIndexActor:
     """IVF-style probe: coarse centroids (broadcast) + per-batch assignment of
-    queries to nearest centroid lists. Centroids come from a driver-side
-    k-means over a sample — the classic IVF recipe. Query path only; index
-    build is ``build_ivf_centroids``."""
+    queries to their ``nprobe`` nearest centroid lists (classic IVF recall
+    knob; nprobe == num_centroids makes the probe exhaustive == brute force,
+    which is the oracle configuration). Centroids come from a driver-side
+    k-means over a sample. Query path only; index build is
+    ``build_ivf_centroids``. Ties broken by (sim desc, neighbor id asc) —
+    deterministic."""
 
-    def __init__(self, centroids_ref, lists_ref, k: int, id_col: str, emb_col: str):
+    def __init__(self, centroids_ref, lists_ref, k: int, id_col: str, emb_col: str,
+                 nprobe: int = 1):
         self.centroids = ray.get(centroids_ref)  # (C, D) float64
         self.lists = ray.get(lists_ref)  # dict: centroid -> (ids, matrix)
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
+        self.nprobe = max(1, nprobe)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         q = _emb_matrix(t, self.emb_col)
         qn = q / np.maximum(np.linalg.norm(q, axis=1), 1e-30)[:, None]
         cent_sims = qn @ self.centroids.T
-        nearest = np.argmax(cent_sims, axis=1)
+        nprobe = min(self.nprobe, cent_sims.shape[1])
+        probe = np.argsort(-cent_sims, axis=1)[:, :nprobe]
         qids = t[self.id_col].to_numpy(zero_copy_only=False)
         out_q, out_n, out_s, out_r = [], [], [], []
         for i in range(len(qids)):
-            ids, mat = self.lists[int(nearest[i])]
-            sims = mat @ qn[i]
+            ids = np.concatenate([self.lists[int(c)][0] for c in probe[i]])
+            sims = np.concatenate([self.lists[int(c)][1] @ qn[i] for c in probe[i]])
             take = min(self.k, len(sims))
             if take == 0:
                 continue
-            idx = np.argsort(-sims)[:take]
+            idx = np.lexsort((ids, -sims))[:take]
             out_q.extend([int(qids[i])] * take)
             out_n.extend(ids[idx].tolist())
             out_s.extend(np.round(sims[idx], 6).tolist())

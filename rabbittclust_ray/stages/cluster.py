@@ -200,60 +200,134 @@ def make_assignments(
     return sketches.map_batches(_assign, batch_format="pyarrow")
 
 
-def components_labelprop(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
+def components_labelprop(
+    edges: ray.data.Dataset, max_iters: int = 50, num_partitions: int = 64
+) -> ray.data.Dataset:
     """Scale-path alternative to the driver union-find: iterated min-label
-    propagation entirely in Ray Data (BTS-style, PAPERS.md). Returns a
-    Dataset (doc_id, cluster_id). O(diameter) groupby rounds — use when the
-    edge-touched vertex set exceeds driver memory."""
-    from ray.data.aggregate import Min
+    propagation, fully distributed (hash-to-min, BTS-style; PAPERS.md).
+    Returns a Dataset (doc_id, cluster_id). Use when the edge-touched vertex
+    set exceeds driver memory.
 
-    # labels(v) = min(v, min over neighbors' labels); iterate to fixpoint
+    Each round is TWO hash exchanges and never moves row data through the
+    driver (the only driver-side value per round is the changed-row count,
+    a scalar):
+      1. keyed on the label SOURCE: adjacency rows (src -> dst) co-locate
+         with the label-table rows (node == src); a vectorized searchsorted
+         join emits (dst, label(src)) candidate rows, label rows pass
+         through re-keyed on their node.
+      2. keyed on the receiving node: new label = min(old, candidates);
+         a per-row ``changed`` flag is summed for convergence.
+    O(graph diameter) rounds; the threshold graphs this engine cuts are
+    dominated by dense near-dup families (tiny diameter), so rounds stay
+    single-digit in practice."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
     def seed(t: pa.Table) -> pa.Table:
+        """Edges -> directed message rows (key=src, other=dst) both ways."""
         u = t["u"].to_numpy(zero_copy_only=False)
         v = t["v"].to_numpy(zero_copy_only=False)
-        node = np.concatenate([u, v])
-        nbr = np.concatenate([v, u])
-        return pa.table({"node": pa.array(node, pa.int64()), "nbr": pa.array(nbr, pa.int64())})
-
-    adj = edges.map_batches(seed, batch_format="pyarrow")
-    labels = adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
-
-    def clip_self(t: pa.Table) -> pa.Table:
-        node = t["node"].to_numpy(zero_copy_only=False)
-        lab = np.minimum(t["label"].to_numpy(zero_copy_only=False), node)
-        return pa.table({"node": pa.array(node, pa.int64()), "label": pa.array(lab, pa.int64())})
-
-    labels = labels.map_batches(clip_self, batch_format="pyarrow")
-    adj_mat = adj.materialize()
-    for _ in range(max_iters):
-        lab_mat = labels.materialize()
-        # join labels onto adjacency via broadcast (labels may be large: this
-        # path intentionally trades rounds for memory; see docstring)
-        lab_pdf = lab_mat.to_pandas()
-        import ray as _ray
-
-        ref = _ray.put(dict(zip(lab_pdf["node"].to_numpy(), lab_pdf["label"].to_numpy())))
-
-        def push(t: pa.Table) -> pa.Table:
-            lab = _ray.get(ref)
-            node = t["node"].to_numpy(zero_copy_only=False)
-            nbr = t["nbr"].to_numpy(zero_copy_only=False)
-            nl = np.array([lab.get(int(x), int(x)) for x in nbr], dtype=np.int64)
-            return pa.table({"node": pa.array(node, pa.int64()), "nbr": pa.array(nl, pa.int64())})
-
-        new_labels = (
-            adj_mat.map_batches(push, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("nbr", alias_name="label"))
-            .map_batches(clip_self, batch_format="pyarrow")
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        return pa.table(
+            {
+                "key": pa.array(src, pa.int64()),
+                "other": pa.array(dst, pa.int64()),
+                "val": pa.array(np.zeros(len(src), dtype=np.int64), pa.int64()),
+                "is_lab": pa.array(np.zeros(len(src), dtype=bool)),
+            }
         )
-        new_mat = new_labels.materialize()
-        new_pdf = new_mat.to_pandas().sort_values("node").reset_index(drop=True)
-        old_pdf = lab_pdf.sort_values("node").reset_index(drop=True)
-        labels = new_mat
-        if len(new_pdf) == len(old_pdf) and (new_pdf["label"].to_numpy() == old_pdf["label"].to_numpy()).all():
+
+    _EMPTY = pa.table(
+        {"key": pa.array([], pa.int64()), "other": pa.array([], pa.int64()),
+         "val": pa.array([], pa.int64()), "is_lab": pa.array([], pa.bool_())}
+    )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        """Per-partition init: label(node) = min(node, min neighbor)."""
+        if t.num_rows == 0:
+            return _EMPTY
+        src = t["key"].to_numpy(zero_copy_only=False)
+        dst = t["other"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(src, return_inverse=True)
+        lab = nodes.copy()
+        np.minimum.at(lab, inv, dst)
+        return pa.table(
+            {
+                "key": pa.array(nodes, pa.int64()),
+                "other": pa.array(nodes, pa.int64()),
+                "val": pa.array(lab, pa.int64()),
+                "is_lab": pa.array(np.ones(len(nodes), dtype=bool)),
+            }
+        )
+
+    def push(t: pa.Table) -> pa.Table:
+        """Exchange-1 reducer: label rows + message rows co-located on the
+        label source; emit candidates keyed on the destination."""
+        if t.num_rows == 0:
+            return _EMPTY
+        is_lab = t["is_lab"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        lk, lv = key[is_lab], val[is_lab]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        msrc, mdst = key[~is_lab], other[~is_lab]
+        pos = np.searchsorted(lk, msrc)
+        cand = lv[pos]  # every message source has a label row (init covers all)
+        out_key = np.concatenate([mdst, lk])
+        out_val = np.concatenate([cand, lv])
+        out_lab = np.zeros(len(out_key), dtype=bool)
+        out_lab[len(mdst):] = True
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "other": pa.array(out_key, pa.int64()),
+                "val": pa.array(out_val, pa.int64()),
+                "is_lab": pa.array(out_lab),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        """Exchange-2 reducer: min over (old label, candidates) per node."""
+        if t.num_rows == 0:
+            return _EMPTY.append_column("changed", pa.array([], pa.int64()))
+        is_lab = t["is_lab"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(key[is_lab], return_inverse=True)
+        old = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(old, inv, val[is_lab])
+        new = old.copy()
+        if (~is_lab).any():
+            cpos = np.searchsorted(nodes, key[~is_lab])
+            np.minimum.at(new, cpos, val[~is_lab])
+        return pa.table(
+            {
+                "key": pa.array(nodes, pa.int64()),
+                "other": pa.array(nodes, pa.int64()),
+                "val": pa.array(new, pa.int64()),
+                "is_lab": pa.array(np.ones(len(nodes), dtype=bool)),
+                "changed": pa.array((new < old).astype(np.int64), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(seed, batch_format="pyarrow").materialize()
+    labels = hash_exchange(adj, "key", init_labels, num_partitions).materialize()
+    for _ in range(max_iters):
+        merged = adj.union(
+            labels.map_batches(
+                lambda t: t.select(["key", "other", "val", "is_lab"]),
+                batch_format="pyarrow",
+            )
+        )
+        pushed = hash_exchange(merged, "key", push, num_partitions)
+        new_labels = hash_exchange(pushed, "key", fold, num_partitions).materialize()
+        changed = new_labels.sum("changed")
+        labels = new_labels
+        if not changed:
             break
     return labels.map_batches(
-        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        lambda t: pa.table({"doc_id": t["key"], "cluster_id": t["val"]}),
         batch_format="pyarrow",
     )

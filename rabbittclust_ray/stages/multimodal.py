@@ -51,22 +51,39 @@ class ImageFeatureActor:
     """Actor-pool stage: decode -> resize -> mean-pool color features.
 
     __init__ loads the (stub) decoder once per actor — the slot where a
-    real model/codec load belongs. __call__ is per batch, Arrow in/out."""
+    real model/codec load belongs. __call__ is per batch, Arrow in/out.
 
-    def __init__(self, out_hw: tuple[int, int] = (32, 32), deterministic_fake: bool = True):
+    fake_mode:
+      "rng"        — payload sha seeds an RNG image (stable pixels for
+                     pipeline tests; not reproducible outside numpy).
+      "byte_stats" — 'channel c' = SUM of payload bytes at positions
+                     c, c+3, c+6, ... (exact integers, so a SQL oracle can
+                     reproduce the features bit-for-bit; stands in for the
+                     mean-pool until a real decoder exists)."""
+
+    def __init__(
+        self,
+        out_hw: tuple[int, int] = (32, 32),
+        deterministic_fake: bool = True,
+        fake_mode: str = "rng",
+    ):
         self.out_hw = out_hw
         self.fake = deterministic_fake
+        self.fake_mode = fake_mode
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
         feats = np.zeros((len(payloads), 3), dtype=np.float64)
         for i, p in enumerate(payloads):
-            img = (
-                _decode_image_fake(p, self.out_hw)
-                if self.fake
-                else _decode_image_real(p)
-            )
-            feats[i] = img.reshape(-1, 3).mean(axis=0)
+            if not self.fake:
+                img = _decode_image_real(p)
+                feats[i] = img.reshape(-1, 3).mean(axis=0)
+            elif self.fake_mode == "byte_stats":
+                b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                feats[i] = [int(b[c::3].sum()) for c in range(3)]
+            else:
+                img = _decode_image_fake(p, self.out_hw)
+                feats[i] = img.reshape(-1, 3).mean(axis=0)
         flat = pa.array(np.round(feats.reshape(-1), 6), pa.float64())
         feat_col = pa.FixedSizeListArray.from_arrays(flat, 3).cast(pa.list_(pa.float64()))
         return pa.table(
@@ -88,12 +105,13 @@ def image_features(
     concurrency=(1, 4),
     batch_size: int = 64,
     deterministic_fake: bool = True,
+    fake_mode: str = "rng",
 ) -> ray.data.Dataset:
     """media table -> (doc_id, media_type, feature list<float64>[3],
     payload_sha256). batch_size is small: rows carry binary payloads."""
     return media.map_batches(
         ImageFeatureActor,
-        fn_constructor_args=(out_hw, deterministic_fake),
+        fn_constructor_args=(out_hw, deterministic_fake, fake_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -103,18 +121,39 @@ def image_features(
 
 class AudioFrameSampleActor:
     """Actor-pool stage: frame-sample an audio payload into fixed windows.
-    Decode stubbed the same way (deterministic fake: payload bytes ->
-    seeded int16 waveform)."""
+    Decode stubbed the same way.
 
-    def __init__(self, frame_len: int = 400, max_frames: int = 8, deterministic_fake: bool = True):
+    fake_mode "rng": payload sha seeds an int16 waveform, per-frame RMS.
+    fake_mode "byte_stats": frames are consecutive ``frame_len``-byte
+    windows of the payload itself (complete frames only, capped at
+    ``max_frames``); per-frame 'rms' column holds the exact integer energy
+    (sum of squared byte values) a SQL oracle reproduces bit-for-bit."""
+
+    def __init__(
+        self,
+        frame_len: int = 400,
+        max_frames: int = 8,
+        deterministic_fake: bool = True,
+        fake_mode: str = "rng",
+    ):
         self.frame_len = frame_len
         self.max_frames = max_frames
+        self.fake_mode = fake_mode
         if not deterministic_fake:  # pragma: no cover
             raise NotImplementedError("audio decoding requires soundfile/librosa")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_doc, out_frame, out_rms = [], [], []
         for doc, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if self.fake_mode == "byte_stats":
+                b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                nf = min(len(b) // self.frame_len, self.max_frames)
+                for fi in range(nf):
+                    w = b[fi * self.frame_len : (fi + 1) * self.frame_len]
+                    out_doc.append(doc)
+                    out_frame.append(fi)
+                    out_rms.append(float((w * w).sum()))
+                continue
             seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
             rng = np.random.default_rng(seed)
             wave = rng.integers(-(2**15), 2**15, size=self.frame_len * self.max_frames).astype(np.float64)
@@ -133,16 +172,46 @@ class AudioFrameSampleActor:
 
 
 def audio_frame_features(
-    media: ray.data.Dataset, *, concurrency=(1, 4), batch_size: int = 64
+    media: ray.data.Dataset,
+    *,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    frame_len: int = 400,
+    max_frames: int = 8,
+    fake_mode: str = "rng",
 ) -> ray.data.Dataset:
     return media.map_batches(
         AudioFrameSampleActor,
-        fn_constructor_args=(),
+        fn_constructor_args=(frame_len, max_frames, True, fake_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def media_from_documents(ds: ray.data.Dataset, media_type: str = "image/png") -> ray.data.Dataset:
+    """Documents table -> media table: payload = utf-8 text bytes (a stand-in
+    binary column whose *content* a SQL oracle can also reach via the source
+    table). Real deployments read payloads from object storage instead."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_type": pa.array([media_type] * n, pa.string()),
+                "payload": pa.array(
+                    [s.encode("utf-8", "surrogatepass") for s in texts], pa.binary()
+                ),
+                "width": pa.array([64] * n, pa.int32()),
+                "height": pa.array([64] * n, pa.int32()),
+                "sample_rate": pa.array([16000] * n, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:

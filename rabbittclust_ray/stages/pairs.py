@@ -535,10 +535,17 @@ def banded_lsh_pairs(
     *,
     band_r: int = 4,
     max_dist: float | None = None,
+    positional: bool = True,
 ) -> ray.data.Dataset:
     """Classic banded MinHash-LSH: band hash = hash of ``band_r`` consecutive
     sketch values; pairs colliding in >= 1 band are candidates, then the
     exact sketch intersection verifies the distance.
+
+    ``positional=True`` mixes the band index into the band hash (band j only
+    collides with band j — the standard MinHash banding). ``positional=False``
+    keys bands by VALUE only; with band_r=1 that makes candidates = "share
+    >= 1 sketch hash", i.e. the exhaustive index probe — the oracle
+    configuration (exact-recall reference point for banded runs).
 
     The 1-hash-band path (``candidate_edges``) is EXACT but touches every
     shared hash; banding trades boundary-pair recall for a candidate table
@@ -567,11 +574,12 @@ def banded_lsh_pairs(
             if nb == 0:
                 continue
             bands = h[: nb * band_r].reshape(nb, band_r)
-            # mix band index in so band j only collides with band j
             bh = np.zeros(nb, dtype=np.uint64)
             for c in range(band_r):
                 bh = splitmix64(bh ^ bands[:, c])
-            bh = splitmix64(bh ^ np.arange(nb, dtype=np.uint64))
+            if positional:
+                # mix band index in so band j only collides with band j
+                bh = splitmix64(bh ^ np.arange(nb, dtype=np.uint64))
             out_key.append(bh)
             out_doc.append(np.full(nb, ids[i], dtype=np.int64))
         if not out_key:
@@ -591,31 +599,145 @@ def banded_lsh_pairs(
     exploded = sketches.map_batches(explode_bands, batch_format="pyarrow")
     emitter = BucketPairEmitter(ClusterConfig(threshold=md, max_posting=ccfg.max_posting,
                                               num_buckets=ccfg.num_buckets))
-    cand = hash_exchange(exploded, "band_hash", emitter, max(1, ccfg.num_buckets))
-    cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, max(1, ccfg.num_buckets))
+    p = max(1, ccfg.num_buckets)
+    cand = hash_exchange(exploded, "band_hash", emitter, p)
+    cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p)
+    if band_r == 1 and not positional:
+        # value-keyed 1-wide bands: a band collision IS a shared sketch hash,
+        # so the aggregated collision count already equals the exact
+        # intersection — verify via the cheap size-only join
+        cand = cand.map_batches(
+            lambda t: t.select(["u", "v", "common"]), batch_format="pyarrow"
+        )
+        return score_candidates_by_size(cand, sketches, scfg, ccfg, max_dist=md)
+    cand = cand.map_batches(
+        lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+    )
+    return verify_pairs_exact(cand, sketches, scfg, ccfg, max_dist=md)
 
-    # broadcast sketch map for exact verification
-    pdf = sketches.select_columns(["doc_id", "sketch", "sketch_size"]).to_pandas()
-    sk_map = {
-        int(d): (np.asarray(s, dtype=np.uint64), int(z))
-        for d, s, z in zip(pdf["doc_id"], pdf["sketch"], pdf["sketch_size"])
-    }
-    ref = ray.put(sk_map)
+
+def verify_pairs_exact(
+    cand: ray.data.Dataset,
+    sketches: ray.data.Dataset,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    max_dist: float | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact verification of candidate (u, v) pairs against the sketch
+    table WITHOUT any driver materialization: a two-hop distributed fetch
+    join (the sorted-merge join the banded path needs at scale).
+
+      hop 1 (keyed on u): candidate rows co-locate with sketch rows; each
+        candidate picks up sketch_u/|S_u| via a vectorized searchsorted
+        gather, then re-keys itself on v.
+      hop 2 (keyed on v): picks up sketch_v, computes ALL pair
+        intersections in one vectorized pass — flatten both sketch list
+        columns with pair indices, lexsort (pair, value), count adjacent
+        equal values per pair (sketch hashes are unique within a doc, so
+        adjacent-equal == shared) — then scores and filters dist <= max_dist.
+
+    Each reducer holds only its partition's candidates + the sketches they
+    reference; transfer volume is O(|candidates| * sketch_size), never the
+    whole sketch table per node."""
+    md = ccfg.threshold if max_dist is None else max_dist
+    p = num_partitions if num_partitions is not None else max(1, ccfg.num_buckets)
     k = scfg.distance_k
     containment = ccfg.containment
 
-    def verify(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        common = np.zeros(len(u), dtype=np.int64)
-        su = np.zeros(len(u), dtype=np.int64)
-        sv = np.zeros(len(u), dtype=np.int64)
-        for i in range(len(u)):
-            a, za = m[int(u[i])]
-            b, zb = m[int(v[i])]
-            common[i] = len(np.intersect1d(a, b, assume_unique=True))
-            su[i], sv[i] = za, zb
+    def tag_cand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        offs = pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32())
+        empty_lists = pa.ListArray.from_arrays(offs, pa.array([], pa.uint64()))
+        return pa.table(
+            {
+                "key": t["u"].cast(pa.int64()),
+                "other": t["v"].cast(pa.int64()),
+                "sketch": empty_lists,
+                "ssize": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                "is_sk": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def tag_sketch(t: pa.Table) -> pa.Table:
+        sk = t["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["doc_id"].cast(pa.int64()),
+                "other": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "sketch": sk,
+                "ssize": t["sketch_size"].cast(pa.int32()),
+                "is_sk": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def _split(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+        is_sk = t["is_sk"].to_numpy(zero_copy_only=False)
+        sk = t.filter(pa.array(is_sk))
+        cd = t.filter(pa.array(~is_sk))
+        korder = np.argsort(sk["key"].to_numpy(zero_copy_only=False), kind="stable")
+        return cd, sk.take(pa.array(korder))
+
+    def _gather(sk_sorted: pa.Table, keys: np.ndarray) -> pa.Table:
+        skeys = sk_sorted["key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, keys)
+        pos = np.clip(pos, 0, max(len(skeys) - 1, 0))
+        return sk_sorted.take(pa.array(pos))
+
+    def hop1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        cd, sk = _split(t)
+        if cd.num_rows == 0:
+            return cd
+        got = _gather(sk, cd["key"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": cd["other"],          # re-key on v
+                "other": cd["key"],          # u
+                "sketch": got["sketch"],     # sketch of u
+                "ssize": got["ssize"],
+                "is_sk": cd["is_sk"],
+            }
+        )
+
+    def hop2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        cd, sk = _split(t)
+        if cd.num_rows == 0:
+            return empty
+        got = _gather(sk, cd["key"].to_numpy(zero_copy_only=False))
+        a_col = cd["sketch"]
+        if isinstance(a_col, pa.ChunkedArray):
+            a_col = a_col.combine_chunks()
+        b_col = got["sketch"]
+        if isinstance(b_col, pa.ChunkedArray):
+            b_col = b_col.combine_chunks()
+        av = a_col.values.to_numpy(zero_copy_only=False)
+        bv = b_col.values.to_numpy(zero_copy_only=False)
+        ca = np.diff(a_col.offsets.to_numpy(zero_copy_only=False))
+        cb = np.diff(b_col.offsets.to_numpy(zero_copy_only=False))
+        n_pairs = cd.num_rows
+        pidx = np.concatenate(
+            [np.repeat(np.arange(n_pairs, dtype=np.int64), ca),
+             np.repeat(np.arange(n_pairs, dtype=np.int64), cb)]
+        )
+        vals = np.concatenate([av, bv])
+        order = np.lexsort((vals, pidx))
+        pv, vv = pidx[order], vals[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        common = np.bincount(pv[1:][dup], minlength=n_pairs).astype(np.int64)
+        su = cd["ssize"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = got["ssize"].to_numpy(zero_copy_only=False).astype(np.int64)
         dist = (
             containment_distance(common, su, sv, k)
             if containment
@@ -624,14 +746,122 @@ def banded_lsh_pairs(
         ok = dist <= md
         return pa.table(
             {
-                "u": pa.array(u[ok], pa.int64()),
-                "v": pa.array(v[ok], pa.int64()),
+                "u": cd["other"].filter(pa.array(ok)),
+                "v": cd["key"].filter(pa.array(ok)),
                 "common": pa.array(common[ok].astype(np.int32), pa.int32()),
                 "dist": pa.array(dist[ok], pa.float64()),
             }
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    sk_tagged = sketches.map_batches(tag_sketch, batch_format="pyarrow")
+    cd_tagged = cand.map_batches(tag_cand, batch_format="pyarrow")
+    hop1_out = hash_exchange(cd_tagged.union(sk_tagged), "key", hop1, p)
+    return hash_exchange(hop1_out.union(sk_tagged), "key", hop2, p)
+
+
+def score_candidates_by_size(
+    cand: ray.data.Dataset,
+    sketches: ray.data.Dataset,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    max_dist: float | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Score candidate pairs whose exact ``common`` is ALREADY known
+    (e.g. value-keyed 1-wide bands: band collisions == shared hashes), so
+    verification only needs each side's sketch SIZE — a two-hop int join
+    (8 bytes fetched per pair side instead of the whole sketch list).
+    cand: (u, v, common). Output: (u, v, common, dist) with dist <= max_dist."""
+    md = ccfg.threshold if max_dist is None else max_dist
+    p = num_partitions if num_partitions is not None else max(1, ccfg.num_buckets)
+    k = scfg.distance_k
+    containment = ccfg.containment
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["u"].cast(pa.int64()),
+                "other": t["v"].cast(pa.int64()),
+                "cval": t["common"].cast(pa.int64()),
+                "ssize": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                "is_sk": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def tag_sketch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["doc_id"].cast(pa.int64()),
+                "other": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "cval": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "ssize": t["sketch_size"].cast(pa.int32()),
+                "is_sk": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def _split_sizes(t: pa.Table):
+        is_sk = t["is_sk"].to_numpy(zero_copy_only=False)
+        cd = t.filter(pa.array(~is_sk))
+        sk_k = t["key"].to_numpy(zero_copy_only=False)[is_sk]
+        sk_s = t["ssize"].to_numpy(zero_copy_only=False)[is_sk]
+        order = np.argsort(sk_k, kind="stable")
+        return cd, sk_k[order], sk_s[order]
+
+    def hop1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        cd, sk_k, sk_s = _split_sizes(t)
+        if cd.num_rows == 0:
+            return cd
+        pos = np.clip(np.searchsorted(sk_k, cd["key"].to_numpy(zero_copy_only=False)),
+                      0, max(len(sk_k) - 1, 0))
+        return pa.table(
+            {
+                "key": cd["other"],  # re-key on v
+                "other": cd["key"],  # u
+                "cval": cd["cval"],
+                "ssize": pa.array(sk_s[pos], pa.int32()),  # |S_u|
+                "is_sk": cd["is_sk"],
+            }
+        )
+
+    def hop2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        cd, sk_k, sk_s = _split_sizes(t)
+        if cd.num_rows == 0:
+            return empty
+        pos = np.clip(np.searchsorted(sk_k, cd["key"].to_numpy(zero_copy_only=False)),
+                      0, max(len(sk_k) - 1, 0))
+        common = cd["cval"].to_numpy(zero_copy_only=False)
+        su = cd["ssize"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = sk_s[pos].astype(np.int64)
+        dist = (
+            containment_distance(common, su, sv, k)
+            if containment
+            else mash_distance(common, su, sv, k)
+        )
+        ok = dist <= md
+        return pa.table(
+            {
+                "u": cd["other"].filter(pa.array(ok)),
+                "v": cd["key"].filter(pa.array(ok)),
+                "common": pa.array(common[ok].astype(np.int32), pa.int32()),
+                "dist": pa.array(dist[ok], pa.float64()),
+            }
+        )
+
+    sk_tagged = sketches.map_batches(tag_sketch, batch_format="pyarrow")
+    cd_tagged = cand.map_batches(tag_cand, batch_format="pyarrow")
+    hop1_out = hash_exchange(cd_tagged.union(sk_tagged), "key", hop1, p)
+    return hash_exchange(hop1_out.union(sk_tagged), "key", hop2, p)
 
 
 def candidate_edges(

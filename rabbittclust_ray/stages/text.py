@@ -120,6 +120,35 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text", k: int = 16, seed:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def min_gram_fingerprint(
+    ds: ray.data.Dataset, text_col: str = "text", k: int = 16
+) -> ray.data.Dataset:
+    """SQL-checkable fingerprint surface: per doc the window count and the
+    lexicographically smallest k-char window of the RAW text
+    (..., n_windows, min_gram). The same min-over-windows reduce as the
+    rolling-hash ``fingerprint`` but over the window text itself, so a SQL
+    engine can reproduce it exactly (``min(substr(text, i, k))``); the
+    hashed variant stays the scale path (8-byte fingerprints vs k-char
+    strings)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        n_win = np.zeros(len(texts), dtype=np.int64)
+        grams: list[str | None] = []
+        for i, s in enumerate(texts):
+            m = len(s) - k + 1
+            if m <= 0:
+                grams.append(None)
+                continue
+            n_win[i] = m
+            grams.append(min(s[j : j + k] for j in range(m)))
+        out = t.drop_columns([text_col])
+        out = out.append_column("n_windows", pa.array(n_win, pa.int64()))
+        return out.append_column("min_gram", pa.array(grams, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def simhash(ds: ray.data.Dataset, text_col: str = "text", k: int = 8, seed: int = 42) -> ray.data.Dataset:
     """64-bit SimHash over k-char shingles: sign of per-bit vote sums.
     Near-dup docs differ in few bits (Hamming). (..., simhash uint64)."""

@@ -104,3 +104,13 @@ def test_labelprop_matches_unionfind():
     lp = components_labelprop(ds).to_pandas()
     lp_labels = dict(zip(lp.doc_id, lp.cluster_id))
     assert lp_labels == uf_labels
+
+
+def test_labelprop_long_chain():
+    """A path graph has maximal diameter — worst case for hash-to-min
+    rounds; labels must still converge to the chain minimum."""
+    edges = [(i, i + 1, 0.01) for i in range(24)]
+    ds = ray.data.from_arrow(_edge_table(edges))
+    lp = components_labelprop(ds, max_iters=64, num_partitions=4).to_pandas()
+    assert len(lp) == 25
+    assert (lp.cluster_id == 0).all()
