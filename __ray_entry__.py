@@ -540,9 +540,38 @@ def _q_clusters_dbscan(sf_dir: str):
                          "dbscan_label": [v for _, v in items]})
 
 
+def _q_state_append(sf_dir: str):
+    """I3 rep-state append, driver-checked: state(A) from docs with
+    doc_id < 400, append the rest, in exact mode. With k-center reps
+    covering every threshold cluster (verified at this scale), the appended
+    membership equals full-run components over A ∪ B — the SQL oracle."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+    from rabbittclust_ray.pipelines.mst_state import mst_state_append, save_mst_state
+
+    scfg, ccfg = _exact_scfg(), _exact_ccfg(EX_THRESHOLD)
+    docs = _docs(sf_dir).materialize()
+    part_a = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(400))), batch_format="pyarrow"
+    )
+    part_b = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], pa.scalar(400))),
+        batch_format="pyarrow",
+    )
+    root = tempfile.mkdtemp(prefix="mst_state_")
+    res_a = clust_mst(part_a, scfg, ccfg)
+    save_mst_state(root, res_a, scfg, ccfg, reps_per_cluster=8)
+    out = mst_state_append(root, part_b)
+    return out.assignments
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
+        "state_append": _q_state_append,
         "clusters_dbscan": _q_clusters_dbscan,
         "banded_lsh_pairs": _q_banded_lsh_pairs,
         "ani_histogram": _q_ani_histogram,
@@ -583,6 +612,11 @@ def _lang_sql_lists() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
+        "state_append": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}
+            SELECT p.doc_id, c.cluster_id
+            FROM pop p JOIN comp c USING (doc_id)
+        """,
         "clusters_mst": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}
             SELECT p.doc_id, c.cluster_id, p.doc_id = c.cluster_id AS is_rep,

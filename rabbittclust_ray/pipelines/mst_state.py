@@ -1,0 +1,267 @@
+"""MST rep-state: persist per-cluster representatives and append new docs
+against THEM ONLY — the reference's ``--save-rep`` fast path (I3).
+
+Reference semantics (/root/reference/src/mst_state.cpp:681-889 MinHash
+variant, 891-1102 KSSD variant; ``decide_assignment`` 562-583):
+- state = per-cluster representative sketches + memberships,
+- append: probe the rep-only index with each new doc; every cluster whose
+  rep is within threshold is matched; ALL matched clusters merge
+  transitively with the new doc; unmatched new docs cluster among
+  themselves and their components become new clusters,
+- old NON-REP sketches are never reloaded (the whole point of the state:
+  at 10^9 checkpointed docs an append batch touches only |reps| + |new|).
+
+Our execution: the probe is NOT a broadcast index — rep sketches and new
+sketches go through the same distributed ``candidate_edges`` exchange with
+the ``is_new`` mask (old-old pairs are skipped at emission), so an append
+scales exactly like pair generation. The transitive merge runs in a driver
+union-find over (old cluster roots + new doc ids) — the same documented
+~10^9 edge-touched ceiling as clust_mst's merge, with
+``components_labelprop`` as the beyond-driver fallback.
+
+Approximation contract (same as the reference): a new doc that is within
+threshold of some cluster MEMBER but not of any of its REPS will not join
+that cluster. ``reps_per_cluster`` k-center reps (stages/dedup.py D6)
+bound that error; the append == full-run property test uses rep-coverable
+fixtures (tests/test_mst_state.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig, config_hash
+from rabbittclust_ray.pipelines.clust_mst import MstResult
+from rabbittclust_ray.stages.cluster import UnionFind, cut_forest
+from rabbittclust_ray.stages.dedup import k_center_reps
+from rabbittclust_ray.stages.pairs import candidate_edges
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.sketch import sketch_documents
+from rabbittclust_ray.state.checkpoint import load_stage, save_stage, stage_is_valid
+
+
+@dataclass
+class StateAppendResult:
+    assignments: ray.data.Dataset        # (doc_id, cluster_id) for ALL docs
+    new_labels: dict[int, int]           # new doc_id -> cluster label
+    relabel: dict[int, int]              # old cluster_id -> merged label
+    merged_clusters: int                 # old clusters that merged with something
+    new_clusters: int
+
+
+def _rep_ids_from_result(result: MstResult, ccfg: ClusterConfig,
+                         reps_per_cluster: int) -> np.ndarray:
+    """Representative doc ids: k-center reps of every multi-member cluster
+    (tree metric, D6) + every singleton (it is its own rep)."""
+    forest = cut_forest(result.mst, ccfg.threshold)
+    reps_map = k_center_reps(forest, result.labels, max(1, reps_per_cluster))
+    rep_ids = {r for reps in reps_map.values() for r in reps}
+    edge_touched = set(result.labels)
+    # singletons = docs never touched by a forest edge
+    assign_ids = result.assignments.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    rep_ids.update(int(d) for d in assign_ids if int(d) not in edge_touched)
+    return np.sort(np.fromiter(rep_ids, dtype=np.int64, count=len(rep_ids)))
+
+
+def save_mst_state(
+    root: str,
+    result: MstResult,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    reps_per_cluster: int = 3,
+) -> None:
+    """Persist (rep_sketches, memberships, config) from a clust_mst run."""
+    ch = config_hash(scfg, ccfg)
+    os.makedirs(root, exist_ok=True)
+    rep_ids = _rep_ids_from_result(result, ccfg, reps_per_cluster)
+    ids_ref = ray.put(rep_ids)
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        known = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(known, ids), 0, max(len(known) - 1, 0))
+        return t.filter(pa.array(known[pos] == ids if len(known) else np.zeros(len(ids), bool)))
+
+    rep_sketches = result.sketches.map_batches(keep_reps, batch_format="pyarrow")
+    memberships = result.assignments.map_batches(
+        lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )
+    save_stage(root, "rep_sketches", rep_sketches, config_hash=ch,
+               lineage={"stage": "rep_sketches", "reps_per_cluster": reps_per_cluster},
+               metrics={"reps": int(len(rep_ids))})
+    save_stage(root, "memberships", memberships, config_hash=ch,
+               lineage={"stage": "memberships"}, metrics={})
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"sketch": dataclasses.asdict(scfg),
+                   "cluster": dataclasses.asdict(ccfg),
+                   "config_hash": ch, "mode": "mst_state",
+                   "reps_per_cluster": reps_per_cluster}, f, indent=2, sort_keys=True)
+
+
+def load_state_config(root: str) -> tuple[SketchConfig, ClusterConfig]:
+    with open(os.path.join(root, "config.json")) as f:
+        cfg = json.load(f)
+    return SketchConfig(**cfg["sketch"]), ClusterConfig(**cfg["cluster"])
+
+
+def mst_state_append(root: str, new_documents: ray.data.Dataset) -> StateAppendResult:
+    """Append new docs against the rep state; refreshes the state in place.
+    Never loads old non-rep sketches."""
+    scfg, ccfg = load_state_config(root)
+    ch = config_hash(scfg, ccfg)
+    if not (stage_is_valid(root, "rep_sketches", ch) and stage_is_valid(root, "memberships", ch)):
+        raise ValueError(f"mst state at {root} missing/stale")
+    rep_sketches = load_stage(root, "rep_sketches")
+    memberships = load_stage(root, "memberships")
+
+    # rep doc -> its cluster (small: one row per rep)
+    rep_pdf = rep_sketches.select_columns(["doc_id"]).to_pandas()
+    mem_pdf_reps = memberships.to_pandas()
+    cluster_of_rep = dict(
+        zip(mem_pdf_reps["doc_id"], mem_pdf_reps["cluster_id"])
+    )  # memberships include reps; full map reused below for idempotence
+
+    # idempotence (I4): drop already-known identities
+    known = np.sort(mem_pdf_reps["doc_id"].to_numpy())
+    known_ref = ray.put(known)
+    prepared = prepare_documents(new_documents, scfg)
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        kn = ray.get(known_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(kn) == 0:
+            return t
+        pos = np.clip(np.searchsorted(kn, ids), 0, len(kn) - 1)
+        return t.filter(pa.array(kn[pos] != ids))
+
+    prepared = prepared.map_batches(anti_join, batch_format="pyarrow")
+    new_sketches = sketch_documents(prepared, scfg).materialize()
+    new_ids = set(
+        int(i)
+        for b in new_sketches.iter_batches(batch_size=None, batch_format="pyarrow")
+        for i in b["doc_id"].to_pylist()
+    )
+
+    def flag(val: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("is_new", pa.array(np.full(t.num_rows, val)))
+
+        return f
+
+    probe_union = (
+        rep_sketches.map_batches(flag(False), batch_format="pyarrow")
+        .union(new_sketches.map_batches(flag(True), batch_format="pyarrow"))
+        .materialize()
+    )
+    # distributed probe: new-rep AND new-new threshold edges in one pass
+    edges = candidate_edges(probe_union, scfg, ccfg)
+
+    # transitive merge over (old cluster roots, new docs) — reference
+    # decide_assignment merges EVERY matched cluster, not just the nearest
+    rep_id_set = set(int(r) for r in rep_pdf["doc_id"])
+    uf = UnionFind()
+
+    # nodespace: new docs as their (non-negative 63-bit) id, old clusters as
+    # -(cluster_id)-1 — doc ids can use all 63 bits, so a tag bit would clash
+    def node_of(doc: int) -> int:
+        if doc in new_ids:
+            return doc
+        return -int(cluster_of_rep[doc]) - 1
+
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        for i in range(len(u)):
+            a, c = int(u[i]), int(v[i])
+            if a in rep_id_set and c in rep_id_set:
+                continue  # old-old (possible when reps share a cluster)
+            uf.union(node_of(a), node_of(c))
+
+    # component label = min(old cluster ids, new doc ids) in the component
+    comp_min: dict[int, int] = {}
+
+    def feed(node: int, label_val: int) -> None:
+        r = uf.find(node)
+        if r not in comp_min or label_val < comp_min[r]:
+            comp_min[r] = label_val
+
+    for node in list(uf.parent):
+        feed(node, -(node + 1) if node < 0 else node)
+
+    relabel: dict[int, int] = {}
+    merged = 0
+    for node in list(uf.parent):
+        if node < 0:
+            old_c = -(node + 1)
+            newl = comp_min[uf.find(node)]
+            if newl != old_c:
+                merged += 1
+            relabel[old_c] = newl
+    new_labels: dict[int, int] = {}
+    for d in new_ids:
+        new_labels[d] = comp_min[uf.find(d)] if d in uf.parent else d
+    new_clusters = len({lab for d, lab in new_labels.items() if lab in new_ids})
+
+    # updated memberships: old rows relabeled + new rows; distributed map
+    rl_keys = np.fromiter(sorted(relabel), dtype=np.int64, count=len(relabel))
+    rl_vals = np.array([relabel[int(k)] for k in rl_keys], dtype=np.int64)
+    rl_ref = ray.put((rl_keys, rl_vals))
+
+    def relabel_batch(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(rl_ref)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, cl), 0, len(keys) - 1)
+            cl = np.where(keys[pos] == cl, vals[pos], cl)
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": pa.array(cl, pa.int64())})
+
+    nl_items = sorted(new_labels.items())
+    new_rows = pa.table(
+        {"doc_id": pa.array([k for k, _ in nl_items], pa.int64()),
+         "cluster_id": pa.array([v for _, v in nl_items], pa.int64())}
+    )
+    assignments = memberships.map_batches(relabel_batch, batch_format="pyarrow").union(
+        ray.data.from_arrow(new_rows)
+    ).materialize()
+
+    # updated rep set: old reps stay; new docs that FORMED new clusters
+    # become reps of those clusters (joining docs do not — reference
+    # behavior; periodic re-clustering re-elects k-center reps)
+    new_rep_ids = np.sort(np.fromiter(
+        {d for d, lab in new_labels.items() if lab in new_ids},
+        dtype=np.int64,
+    ))
+    nri_ref = ray.put(new_rep_ids)
+
+    def keep_new_reps(t: pa.Table) -> pa.Table:
+        kn = ray.get(nri_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(kn) == 0:
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(kn, ids), 0, len(kn) - 1)
+        return t.filter(pa.array(kn[pos] == ids))
+
+    updated_reps = rep_sketches.union(
+        new_sketches.map_batches(keep_new_reps, batch_format="pyarrow")
+    )
+    save_stage(root, "rep_sketches", updated_reps, config_hash=ch,
+               lineage={"stage": "rep_sketches", "appended": True},
+               metrics={"new_reps": int(len(new_rep_ids))})
+    save_stage(root, "memberships", assignments, config_hash=ch,
+               lineage={"stage": "memberships", "appended": True}, metrics={})
+    return StateAppendResult(
+        assignments=load_stage(root, "memberships"),
+        new_labels=new_labels,
+        relabel=relabel,
+        merged_clusters=merged,
+        new_clusters=new_clusters,
+    )

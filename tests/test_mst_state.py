@@ -1,0 +1,141 @@
+"""I3: MST rep-state append — save reps, append against reps only,
+transitive cluster merge (reference mst_state.cpp:681-1102)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.pipelines.clust_mst import clust_mst
+from rabbittclust_ray.pipelines.mst_state import (
+    mst_state_append,
+    save_mst_state,
+)
+
+SCFG = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=10)
+CCFG = ClusterConfig(threshold=0.1, num_buckets=8)
+
+
+def _docs_table(rows):
+    """rows: list of (name, content)."""
+    return pa.table(
+        {
+            "repo": ["r"] * len(rows),
+            "path": [f"{n}.txt" for n, _ in rows],
+            "commit": ["c"] * len(rows),
+            "lang": ["python"] * len(rows),
+            "content": [c for _, c in rows],
+        }
+    )
+
+
+def _family(seed: int, n: int, length: int = 800):
+    """Star-shaped near-dup family: seed doc + light per-copy mutations —
+    every member stays within threshold of every other (rep-coverable)."""
+    rng = np.random.default_rng(seed)
+    words = [f"tok{seed}_{i}" for i in range(60)]
+    base = [words[rng.integers(0, len(words))] for _ in range(length // 8)]
+    out = [" ".join(base)]
+    for c in range(1, n):
+        crng = np.random.default_rng(seed * 1000 + c)
+        toks = list(base)
+        for _ in range(2):  # tiny mutation
+            toks[int(crng.integers(0, len(toks)))] = words[int(crng.integers(0, len(words)))]
+        out.append(" ".join(toks))
+    return out
+
+
+def _labels_of(assignments) -> dict[int, int]:
+    pdf = assignments.to_pandas()
+    return dict(zip(pdf["doc_id"].astype(int), pdf["cluster_id"].astype(int)))
+
+
+def _partition(labels: dict[int, int]) -> set[frozenset]:
+    by = {}
+    for d, c in labels.items():
+        by.setdefault(c, set()).add(d)
+    return {frozenset(v) for v in by.values()}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    fam_a = _family(1, 5)
+    fam_b = _family(2, 5)
+    noise = _family(3, 1) + _family(4, 1)
+    a_rows = [(f"a{i}", c) for i, c in enumerate(fam_a)] + [
+        (f"b{i}", c) for i, c in enumerate(fam_b)
+    ] + [(f"n{i}", c) for i, c in enumerate(noise)]
+    b_rows = [("newa", _family(1, 2)[1]), ("newsolo", _family(5, 1)[0])]
+    return a_rows, b_rows
+
+
+def test_state_append_matches_full_run(corpus, tmp_path):
+    a_rows, b_rows = corpus
+    root = str(tmp_path / "state")
+    res_a = clust_mst(ray.data.from_arrow(_docs_table(a_rows)), SCFG, CCFG)
+    save_mst_state(root, res_a, SCFG, CCFG, reps_per_cluster=3)
+    out = mst_state_append(root, ray.data.from_arrow(_docs_table(b_rows)))
+    full = clust_mst(
+        ray.data.from_arrow(_docs_table(a_rows + b_rows)), SCFG, CCFG
+    )
+    append_labels = _labels_of(out.assignments)
+    full_labels = _labels_of(full.assignments)
+    assert set(append_labels) == set(full_labels)
+    assert _partition(append_labels) == _partition(full_labels)
+    # identical labels too (both use min-doc-id labels)
+    assert append_labels == full_labels
+
+
+def test_state_append_never_touches_old_sketches(corpus, tmp_path):
+    """The whole point of I3: only rep sketches are read. Assert the state
+    directory holds strictly fewer rep rows than docs, and append works off
+    them alone."""
+    import json
+    import os
+
+    a_rows, b_rows = corpus
+    root = str(tmp_path / "state")
+    res_a = clust_mst(ray.data.from_arrow(_docs_table(a_rows)), SCFG, CCFG)
+    save_mst_state(root, res_a, SCFG, CCFG, reps_per_cluster=2)
+    with open(os.path.join(root, "rep_sketches", "_manifest.json")) as f:
+        m = json.load(f)
+    n_docs = res_a.assignments.count()
+    assert m["total_rows"] < n_docs  # clusters collapsed to <= 2 reps each
+    out = mst_state_append(root, ray.data.from_arrow(_docs_table(b_rows)))
+    assert out.assignments.count() == n_docs + len(b_rows)
+
+
+def test_transitive_merge(tmp_path):
+    """A bridge doc within threshold of BOTH clusters' reps must merge the
+    two old clusters transitively (decide_assignment semantics)."""
+    fam_a = _family(11, 3)
+    fam_b = _family(12, 3)
+    a_rows = [(f"a{i}", c) for i, c in enumerate(fam_a)] + [
+        (f"b{i}", c) for i, c in enumerate(fam_b)
+    ]
+    half_a = " ".join(fam_a[0].split()[:50])
+    half_b = " ".join(fam_b[0].split()[:50])
+    bridge = half_a + " " + half_b
+    root = str(tmp_path / "state")
+    res_a = clust_mst(ray.data.from_arrow(_docs_table(a_rows)), SCFG, CCFG)
+    assert len(_partition(_labels_of(res_a.assignments))) == 2
+    save_mst_state(root, res_a, SCFG, CCFG, reps_per_cluster=2)
+    out = mst_state_append(root, ray.data.from_arrow(_docs_table([("bridge", bridge)])))
+    labels = _labels_of(out.assignments)
+    assert len(_partition(labels)) == 1  # everything merged
+    assert out.merged_clusters >= 1
+
+
+def test_state_append_idempotent(corpus, tmp_path):
+    a_rows, b_rows = corpus
+    root = str(tmp_path / "state")
+    res_a = clust_mst(ray.data.from_arrow(_docs_table(a_rows)), SCFG, CCFG)
+    save_mst_state(root, res_a, SCFG, CCFG)
+    first = mst_state_append(root, ray.data.from_arrow(_docs_table(b_rows)))
+    labels1 = _labels_of(first.assignments)
+    again = mst_state_append(root, ray.data.from_arrow(_docs_table(b_rows)))
+    labels2 = _labels_of(again.assignments)
+    assert labels1 == labels2
+    assert again.assignments.count() == first.assignments.count()
