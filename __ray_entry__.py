@@ -568,10 +568,25 @@ def _q_state_append(sf_dir: str):
     return out.assignments
 
 
+def _q_dup_spans(sf_dir: str):
+    """North-star substring pass: per duplicate pair, shared-16-gram count
+    and longest exact common substring (>= 16) via diagonal-run chaining
+    over rolling-hash seeds (stages/spans.py)."""
+    import ray.data
+
+    from rabbittclust_ray.stages.spans import dup_spans
+
+    res = _exact_mst_cached(sf_dir, EX_THRESHOLD, dedup=True)
+    pairs = ray.data.from_arrow(res.dup_pairs.select(["u", "v"]))
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_spans(pairs, docs, w=16, id_col="doc_id", text_col="text")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
         "state_append": _q_state_append,
+        "dup_spans": _q_dup_spans,
         "clusters_dbscan": _q_clusters_dbscan,
         "banded_lsh_pairs": _q_banded_lsh_pairs,
         "ani_histogram": _q_ani_histogram,
@@ -612,6 +627,51 @@ def _lang_sql_lists() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
+        "dup_spans": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_DEDUP_DIST)}, {_sql_components_cte()},
+            prs AS MATERIALIZED (
+                SELECT r.a AS u, r.b AS v FROM reach r WHERE r.a < r.b
+                UNION
+                SELECT a.doc_id, b.doc_id
+                FROM pop a JOIN pop b
+                  ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+            ),
+            gp AS MATERIALIZED (
+                SELECT d.doc_id, i.i AS pos, substr(d.text, i.i, 16) AS g
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text) - 15)) AS i
+                ) i(i)
+                WHERE d.doc_id IN (SELECT u FROM prs UNION SELECT v FROM prs)
+            ),
+            mt AS MATERIALIZED (
+                SELECT p.u, p.v, a.pos AS i, b.pos AS j
+                FROM prs p
+                JOIN gp a ON a.doc_id = p.u
+                JOIN gp b ON b.doc_id = p.v AND b.g = a.g
+            ),
+            runs AS MATERIALIZED (
+                SELECT u, v, i,
+                       i - row_number() OVER (
+                           PARTITION BY u, v, i - j ORDER BY i
+                       ) AS grp, i - j AS dg
+                FROM mt
+            ),
+            agg AS MATERIALIZED (
+                SELECT u, v, count(*) AS run_len FROM runs GROUP BY u, v, dg, grp
+            ),
+            stats AS MATERIALIZED (
+                SELECT u, v, CAST(count(*) AS BIGINT) AS n_matches
+                FROM mt GROUP BY u, v
+            ),
+            best AS MATERIALIZED (SELECT u, v, max(run_len) AS mx FROM agg GROUP BY u, v)
+            SELECT p.u, p.v,
+                   coalesce(s.n_matches, 0) AS n_matches,
+                   CAST(coalesce(b.mx + 15, 0) AS BIGINT) AS lcs_len,
+                   false AS capped
+            FROM prs p
+            LEFT JOIN stats s ON s.u = p.u AND s.v = p.v
+            LEFT JOIN best b ON b.u = p.u AND b.v = p.v
+        """,
         "state_append": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}
             SELECT p.doc_id, c.cluster_id

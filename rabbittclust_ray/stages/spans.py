@@ -1,0 +1,186 @@
+"""Exact shared-span reporting inside duplicate groups (the north-star
+"suffix-array substring pass for exact near-dup spans").
+
+For every candidate duplicate pair (u, v) this reports
+  n_matches — number of (i, j) position pairs whose w-byte windows are equal,
+  lcs_len   — length of the longest common substring of length >= w
+              (0 when the docs share no w-gram).
+
+Method: shared w-gram seed-and-chain, the scalable stand-in for a
+generalized suffix array — a common substring of length L >= w is exactly a
+run of consecutive shared w-grams along one (i - j) diagonal, so
+  LCS = max diagonal-run length + w - 1.
+All per-pair work is vectorized numpy over this engine's rolling-hash
+kernel (hashing.rolling_shingle_hashes): hash both texts' windows, match
+via sort+searchsorted, group matches by diagonal, measure runs. O(n log n)
+per pair vs the O(n^2) dynamic program; the same seed-and-extend shape
+MUMmer-style genome aligners use at scale.
+
+Distribution: texts are attached to pairs with the same two-hop keyed
+fetch join as pair verification (stages/pairs.py) — no driver text table,
+each reducer holds only its partition's pairs + the texts they reference.
+A per-pair match cap bounds adversarially repetitive inputs (e.g. a
+megabyte of one repeated token); capped pairs report capped=True rather
+than stalling the stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.hashing import rolling_shingle_hashes
+from rabbittclust_ray.stages.pairs import hash_exchange
+
+
+def pair_span_stats(a: bytes, b: bytes, w: int, seed: int = 0,
+                    max_matches: int = 1 << 22) -> tuple[int, int, bool]:
+    """(n_matches, lcs_len, capped) for one pair of byte strings."""
+    ha = rolling_shingle_hashes(a, w, seed)
+    hb = rolling_shingle_hashes(b, w, seed)
+    if len(ha) == 0 or len(hb) == 0:
+        return 0, 0, False
+    order_b = np.argsort(hb, kind="stable")
+    hb_s = hb[order_b]
+    lo = np.searchsorted(hb_s, ha, side="left")
+    hi = np.searchsorted(hb_s, ha, side="right")
+    spans = hi - lo
+    total = int(spans.sum())
+    if total == 0:
+        return 0, 0, False
+    capped = total > max_matches
+    if capped:
+        # keep rarest grams first: zero out the hottest rows until under cap
+        order_hot = np.argsort(spans, kind="stable")
+        keep = np.zeros(len(ha), dtype=bool)
+        acc = 0
+        for idx in order_hot:
+            c = int(spans[idx])
+            if acc + c > max_matches:
+                break
+            acc += c
+            keep[idx] = True
+        spans = np.where(keep, spans, 0)
+        lo = np.where(keep, lo, 0)
+        total = int(spans.sum())
+        if total == 0:
+            return 0, 0, True
+    i_idx = np.repeat(np.arange(len(ha), dtype=np.int64), spans)
+    csum = np.cumsum(spans) - spans
+    inner = np.arange(total, dtype=np.int64) - np.repeat(csum, spans)
+    j_idx = order_b[np.repeat(lo, spans) + inner]
+    d = i_idx - j_idx
+    order = np.lexsort((i_idx, d))
+    ds_, is_ = d[order], i_idx[order]
+    brk = np.empty(total, dtype=bool)
+    brk[0:1] = True
+    brk[1:] = (ds_[1:] != ds_[:-1]) | (is_[1:] != is_[:-1] + 1)
+    run_id = np.cumsum(brk) - 1
+    run_len = np.bincount(run_id)
+    return total, int(run_len.max()) + w - 1, capped
+
+
+def dup_spans(
+    pairs: ray.data.Dataset,
+    documents: ray.data.Dataset,
+    *,
+    w: int = 16,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_partitions: int = 16,
+    max_matches: int = 1 << 22,
+) -> ray.data.Dataset:
+    """pairs (u, v) + documents (id, text) ->
+    (u, v, n_matches, lcs_len, capped)."""
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["u"].cast(pa.int64()),
+                "other": t["v"].cast(pa.int64()),
+                "txt": pa.array([""] * n, pa.string()),
+                "is_txt": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t[id_col].cast(pa.int64()),
+                "other": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "txt": t[text_col].cast(pa.string()),
+                "is_txt": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def _split(t: pa.Table):
+        is_txt = t["is_txt"].to_numpy(zero_copy_only=False)
+        pr = t.filter(pa.array(~is_txt))
+        tx = t.filter(pa.array(is_txt))
+        order = np.argsort(tx["key"].to_numpy(zero_copy_only=False), kind="stable")
+        return pr, tx.take(pa.array(order))
+
+    def _gather_txt(tx_sorted: pa.Table, keys: np.ndarray) -> pa.Table:
+        tkeys = tx_sorted["key"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(tkeys, keys), 0, max(len(tkeys) - 1, 0))
+        return tx_sorted.take(pa.array(pos))
+
+    def hop1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        pr, tx = _split(t)
+        if pr.num_rows == 0:
+            return pr
+        got = _gather_txt(tx, pr["key"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pr["other"],   # re-key on v
+                "other": pr["key"],   # u
+                "txt": got["txt"],    # text of u
+                "is_txt": pr["is_txt"],
+            }
+        )
+
+    def hop2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "n_matches": pa.array([], pa.int64()),
+             "lcs_len": pa.array([], pa.int64()),
+             "capped": pa.array([], pa.bool_())}
+        )
+        if t.num_rows == 0:
+            return empty
+        pr, tx = _split(t)
+        if pr.num_rows == 0:
+            return empty
+        got = _gather_txt(tx, pr["key"].to_numpy(zero_copy_only=False))
+        u_txts = pr["txt"].to_pylist()
+        v_txts = got["txt"].to_pylist()
+        n = pr.num_rows
+        nm = np.zeros(n, dtype=np.int64)
+        lcs = np.zeros(n, dtype=np.int64)
+        cp = np.zeros(n, dtype=bool)
+        for i in range(n):
+            nm[i], lcs[i], cp[i] = pair_span_stats(
+                u_txts[i].encode("utf-8", "surrogatepass"),
+                v_txts[i].encode("utf-8", "surrogatepass"),
+                w, seed, max_matches,
+            )
+        return pa.table(
+            {
+                "u": pr["other"],
+                "v": pr["key"],
+                "n_matches": pa.array(nm, pa.int64()),
+                "lcs_len": pa.array(lcs, pa.int64()),
+                "capped": pa.array(cp),
+            }
+        )
+
+    tx_tagged = documents.map_batches(tag_text, batch_format="pyarrow")
+    pr_tagged = pairs.map_batches(tag_pair, batch_format="pyarrow")
+    hop1_out = hash_exchange(pr_tagged.union(tx_tagged), "key", hop1, num_partitions)
+    return hash_exchange(hop1_out.union(tx_tagged), "key", hop2, num_partitions)

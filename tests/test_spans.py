@@ -1,0 +1,82 @@
+"""Shared-span reporting (north-star substring pass, stages/spans.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from rabbittclust_ray.stages.spans import dup_spans, pair_span_stats
+
+
+def _naive_lcs(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+def test_pair_span_stats_known():
+    a, b = b"xxabcdefyy", b"zzabcdefqq"
+    n, lcs, capped = pair_span_stats(a, b, w=4)
+    assert (n, lcs, capped) == (3, 6, False)  # 'abcdef': 3 shared 4-grams
+
+
+def test_pair_span_stats_identical():
+    s = b"the quick brown fox jumps over the lazy dog"
+    n, lcs, capped = pair_span_stats(s, s, w=8)
+    assert lcs == len(s)
+    assert not capped
+
+
+def test_pair_span_stats_no_overlap():
+    n, lcs, _ = pair_span_stats(b"abcdefgh", b"ijklmnop", w=4)
+    assert (n, lcs) == (0, 0)
+
+
+def test_pair_span_stats_vs_naive():
+    rng = np.random.default_rng(7)
+    alpha = "abcd"
+    for trial in range(20):
+        a = "".join(alpha[i] for i in rng.integers(0, 4, 40))
+        b = "".join(alpha[i] for i in rng.integers(0, 4, 40))
+        w = 3
+        true_lcs = _naive_lcs(a, b)
+        n, lcs, _ = pair_span_stats(a.encode(), b.encode(), w=w)
+        if true_lcs >= w:
+            assert lcs == true_lcs, (a, b)
+        else:
+            assert lcs == 0
+
+
+def test_pair_span_stats_cap():
+    a = b"ab" * 500  # maximally repetitive: quadratic matches
+    n, lcs, capped = pair_span_stats(a, a, w=4, max_matches=100)
+    assert capped
+
+
+def test_dup_spans_dataset():
+    pairs = ray.data.from_arrow(
+        pa.table({"u": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())})
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "content": [
+                    "prefix SHARED COMMON SPAN HERE suffix one",
+                    "other SHARED COMMON SPAN HERE tail two",
+                    "unrelated document three",
+                ],
+            }
+        )
+    )
+    out = dup_spans(pairs, docs, w=8, num_partitions=4).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.u, row.v) == (1, 2)
+    assert row.lcs_len == len(" SHARED COMMON SPAN HERE ")
+    assert not row.capped
