@@ -368,8 +368,11 @@ def _q_cosine_near_dups(sf_dir: str):
 
     from rabbittclust_ray.stages.ann import cosine_near_dup_pairs
 
+    # num_planes=0 = the exact/oracle configuration (single bucket, O(N^2)
+    # matmul — fine at sf scale); the LSH default's recall is pinned >= 0.95
+    # by tests/test_ann.py against this exact output
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_near_dup_pairs(ds, min_sim=0.35).to_pandas()
+    out = cosine_near_dup_pairs(ds, min_sim=0.35, num_planes=0).to_pandas()
     if out.empty:
         import pandas as pd
 
@@ -480,18 +483,12 @@ def _q_ann_ivf(sf_dir: str):
     Queries = the 32 smallest vec_ids (deterministic)."""
     import ray.data
 
-    from rabbittclust_ray.stages.ann import IvfIndexActor, build_ivf_centroids
+    from rabbittclust_ray.stages.ann import ivf_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    cent_ref, lists_ref = build_ivf_centroids(ds, num_centroids=8)
-    queries_ds = ds.sort("vec_id").limit(32)
-    out = queries_ds.map_batches(
-        IvfIndexActor,
-        fn_constructor_args=(cent_ref, lists_ref, 5, "vec_id", "embedding", 8),
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=(1, 2),
-        num_cpus=1,
+    queries_ds = ds.sort("vec_id").limit(32).materialize()
+    out = ivf_topk(
+        ds, queries_ds, num_centroids=8, nprobe=8, k=5, num_partitions=8
     )
     return out.map_batches(
         lambda t: t.select(["query_id", "neighbor_id", "rank"]), batch_format="pyarrow"

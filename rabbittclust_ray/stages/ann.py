@@ -74,52 +74,135 @@ def cosine_near_dup_pairs(
     *,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_planes: int = 0,
+    num_planes: int = 8,
+    num_repeats: int = 10,
     seed: int = 42,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """All pairs with cosine similarity >= min_sim.
 
-    num_planes == 0: exact within-bucket-free O(N^2/B) via a single bucket
-    (small tables / oracle parity). num_planes > 0: random-hyperplane LSH —
-    vectors only compared inside matching signature buckets (near-linear at
-    scale; recall < 1 by LSH design, raise num_repeats via ``seed`` sweeps)."""
+    DEFAULT is the scale path: random-hyperplane LSH with OR-amplification —
+    each vector lands in ``num_repeats`` signature buckets (independent
+    plane sets), pairs form only inside a shared bucket, exact similarity
+    verifies (so precision is 1; recall = 1-(1-p^b)^r < 1 by LSH design —
+    raise num_repeats to push it up). Defaults (8 planes x 10 repeats) are
+    tuned for min_sim ~0.9: collision prob per plane p = 1 - acos(s)/pi, so
+    expected recall at s = 0.9 is 1-(1-p^8)^10 ~ 0.97 — pinned >= 0.95 by
+    tests/test_ann.py. Lower thresholds need more repeats (OR) or fewer
+    planes per repeat.
+
+    num_planes == 0: every row in ONE bucket => one exact O(N^2) matmul —
+    the oracle/parity configuration for small tables ONLY; never the
+    default at scale.
+
+    Bucketing runs through the keyed exchange (vectorized per-bucket matmul
+    inside each partition — not per-group Python); cross-repeat duplicate
+    pairs collapse in a second exchange on the pair key."""
+    from rabbittclust_ray.stages.pairs import hash_exchange, splitmix_pair
 
     def add_sig(t: pa.Table) -> pa.Table:
-        m = _emb_matrix(t, emb_col)
-        if num_planes > 0:
-            rng = np.random.default_rng(seed)
-            planes = rng.standard_normal((m.shape[1], num_planes))
-            bits = (m @ planes) > 0
-            sig = np.zeros(len(m), dtype=np.int64)
-            for b in range(num_planes):
-                sig |= bits[:, b].astype(np.int64) << b
-        else:
-            sig = np.zeros(len(m), dtype=np.int64)
-        return t.append_column("sig", pa.array(sig, pa.int64()))
-
-    def emit(t: pa.Table) -> pa.Table:
+        """Vector -> num_repeats (repeat-salted signature, vector) rows."""
         m = _emb_matrix(t, emb_col)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        reps = max(1, num_repeats) if num_planes > 0 else 1
+        out_sig, out_ids, out_rows = [], [], []
+        for r in range(reps):
+            if num_planes > 0:
+                rng = np.random.default_rng(seed + r)
+                planes = rng.standard_normal((m.shape[1], num_planes))
+                bits = (m @ planes) > 0
+                sig = np.zeros(len(m), dtype=np.int64)
+                for b in range(num_planes):
+                    sig |= bits[:, b].astype(np.int64) << b
+                sig = sig | (np.int64(r) << np.int64(num_planes))  # repeat-salt
+            else:
+                sig = np.zeros(len(m), dtype=np.int64)
+            out_sig.append(sig)
+            out_ids.append(ids)
+            out_rows.append(m)
+        mm = np.vstack(out_rows)
+        flat = pa.array(mm.reshape(-1), pa.float64())
+        emb_list = pa.FixedSizeListArray.from_arrays(flat, mm.shape[1]).cast(
+            pa.list_(pa.float64())
+        )
+        return pa.table(
+            {
+                "sig": pa.array(np.concatenate(out_sig), pa.int64()),
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                emb_col: emb_list,
+            }
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+             "pair_key": pa.array([], pa.uint64()),
+             "cosine_sim": pa.array([], pa.float64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        sig = t["sig"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sig, kind="stable")
+        ts = t.take(pa.array(order))
+        sig = sig[order]
+        m = _emb_matrix(ts, emb_col)
+        ids = ts[id_col].to_numpy(zero_copy_only=False)
         norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
         mn = m / norms[:, None]
-        sims = mn @ mn.T
-        iu, ju = np.triu_indices(len(ids), 1)
-        s = sims[iu, ju]
-        ok = s >= min_sim
-        u = np.minimum(ids[iu], ids[ju])[ok]
-        v = np.maximum(ids[iu], ids[ju])[ok]
+        _, starts, counts = np.unique(sig, return_index=True, return_counts=True)
+        out_u, out_v, out_s = [], [], []
+        for s0, c in zip(starts, counts):
+            if c < 2:
+                continue
+            sub = mn[s0 : s0 + c]
+            sims = sub @ sub.T
+            iu, ju = np.triu_indices(c, 1)
+            sv = sims[iu, ju]
+            ok = sv >= min_sim
+            if not ok.any():
+                continue
+            gi = ids[s0 : s0 + c]
+            out_u.append(np.minimum(gi[iu], gi[ju])[ok])
+            out_v.append(np.maximum(gi[iu], gi[ju])[ok])
+            out_s.append(sv[ok])
+        if not out_u:
+            return empty
+        u = np.concatenate(out_u)
+        v = np.concatenate(out_v)
+        s = np.concatenate(out_s)
         return pa.table(
             {
                 "u": pa.array(u, pa.int64()),
                 "v": pa.array(v, pa.int64()),
-                "cosine_sim": pa.array(np.round(s[ok], 6), pa.float64()),
+                "pair_key": pa.array(splitmix_pair(u, v), pa.uint64()),
+                "cosine_sim": pa.array(np.round(s, 6), pa.float64()),
             }
         )
 
-    return (
-        embeddings.map_batches(add_sig, batch_format="pyarrow")
-        .groupby("sig")
-        .map_groups(emit, batch_format="pyarrow")
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                 "cosine_sim": pa.array([], pa.float64())}
+            )
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        s = t["cosine_sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, s = u[order], v[order], s[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0:1] = True
+        first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table(
+            {"u": pa.array(u[first], pa.int64()), "v": pa.array(v[first], pa.int64()),
+             "cosine_sim": pa.array(s[first], pa.float64())}
+        )
+
+    sigged = embeddings.map_batches(add_sig, batch_format="pyarrow")
+    cand = hash_exchange(sigged, "sig", emit, num_partitions)
+    out = hash_exchange(cand, "pair_key", dedup, num_partitions)
+    return out.map_batches(
+        lambda t: t.select(["u", "v", "cosine_sim"]), batch_format="pyarrow"
     )
 
 
@@ -170,25 +253,32 @@ class IvfIndexActor:
         )
 
 
-def build_ivf_centroids(
+def kmeans_centroids_sampled(
     embeddings: ray.data.Dataset,
     num_centroids: int = 16,
-    sample_fraction: float = 1.0,
+    sample_fraction: float = 0.25,
+    max_sample: int = 65536,
     iters: int = 10,
     seed: int = 42,
     *,
-    id_col: str = "vec_id",
     emb_col: str = "embedding",
-):
-    """Driver-side k-means over a sample -> (centroids_ref, lists_ref) object
-    refs for IvfIndexActor. Lists hold normalized vectors grouped by nearest
-    centroid (the inverted file)."""
-    sample = embeddings if sample_fraction >= 1.0 else embeddings.random_sample(sample_fraction, seed=seed)
-    pdf_parts = []
+) -> np.ndarray:
+    """Seeded k-means over a bounded SAMPLE of the dataset — the coarse
+    quantizer build. Only the sample (<= max_sample rows) ever reaches the
+    driver; at 100 TB the sample is the classic IVF training set, the full
+    data never materializes anywhere."""
+    sample = (
+        embeddings
+        if sample_fraction >= 1.0
+        else embeddings.random_sample(sample_fraction, seed=seed)
+    )
+    parts, total = [], 0
     for t in sample.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        pdf_parts.append((t[id_col].to_numpy(zero_copy_only=False), _emb_matrix(t, emb_col)))
-    ids = np.concatenate([p[0] for p in pdf_parts])
-    m = np.vstack([p[1] for p in pdf_parts])
+        parts.append(_emb_matrix(t, emb_col))
+        total += len(parts[-1])
+        if total >= max_sample:
+            break
+    m = np.vstack(parts)[:max_sample]
     mn = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
     rng = np.random.default_rng(seed)
     c = min(num_centroids, len(mn))
@@ -200,6 +290,191 @@ def build_ivf_centroids(
             if mask.any():
                 v = mn[mask].mean(axis=0)
                 cent[j] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    queries: ray.data.Dataset,
+    *,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    seed: int = 42,
+    num_partitions: int = 32,
+    sample_fraction: float = 0.25,
+) -> ray.data.Dataset:
+    """Fully distributed IVF top-k: the inverted lists NEVER materialize on
+    the driver.
+
+      build:  k-means centroids from a bounded sample (driver-side, tiny).
+      assign: every data vector tags its nearest centroid (map_batches,
+              centroids broadcast once via the closure).
+      probe:  every query emits ``nprobe`` rows keyed on its nearest
+              centroids; ONE keyed exchange co-locates queries with their
+              probed lists; per-partition vectorized matmul computes local
+              top-k per (query, centroid).
+      merge:  second exchange keyed on query id merges the partial top-ks.
+
+    nprobe == num_centroids makes the probe exhaustive (exact top-k).
+    Output: (query_id, neighbor_id, cosine_sim, rank)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    qcol = query_id_col or id_col
+    cent = kmeans_centroids_sampled(
+        embeddings, num_centroids, sample_fraction, seed=seed, emb_col=emb_col
+    )
+    npb = min(max(1, nprobe), len(cent))
+
+    def _emb_list(mm: np.ndarray) -> pa.Array:
+        flat = pa.array(mm.reshape(-1), pa.float64())
+        return pa.FixedSizeListArray.from_arrays(flat, mm.shape[1]).cast(
+            pa.list_(pa.float64())
+        )
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
+        assign = np.argmax(mn @ cent.T, axis=1)
+        return pa.table(
+            {
+                "cent": pa.array(assign.astype(np.int64), pa.int64()),
+                "rid": t[id_col].cast(pa.int64()),
+                "vec": _emb_list(mn),
+                "is_q": pa.array(np.zeros(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def tag_query(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
+        sims = mn @ cent.T
+        probe = np.argsort(-sims, axis=1)[:, :npb]
+        n = t.num_rows
+        rid = np.repeat(t[qcol].to_numpy(zero_copy_only=False), npb)
+        cents = probe.reshape(-1).astype(np.int64)
+        mm = np.repeat(mn, npb, axis=0)
+        return pa.table(
+            {
+                "cent": pa.array(cents, pa.int64()),
+                "rid": pa.array(rid, pa.int64()),
+                "vec": _emb_list(mm),
+                "is_q": pa.array(np.ones(len(rid), dtype=bool)),
+            }
+        )
+
+    def probe(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cosine_sim": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        is_q = t["is_q"].to_numpy(zero_copy_only=False)
+        cents = t["cent"].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(cents):
+            sel = cents == c
+            qm = sel & is_q
+            dm = sel & ~is_q
+            if not qm.any() or not dm.any():
+                continue
+            qt, dt = t.filter(pa.array(qm)), t.filter(pa.array(dm))
+            qv = _emb_matrix(qt, "vec")
+            dv = _emb_matrix(dt, "vec")
+            sims = qv @ dv.T  # already normalized
+            qids = qt["rid"].to_numpy(zero_copy_only=False)
+            dids = dt["rid"].to_numpy(zero_copy_only=False)
+            take = min(k, sims.shape[1])
+            for qi in range(len(qids)):
+                row = sims[qi]
+                idx = np.lexsort((dids, -row))[:take]
+                out_q.append(np.full(take, qids[qi], dtype=np.int64))
+                out_n.append(dids[idx])
+                out_s.append(row[idx])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cosine_sim": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        n = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        s = t["cosine_sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s, q))
+        q, n, s = q[order], n[order], s[order]
+        # drop duplicate (query, neighbor) from overlapping probes
+        first = np.empty(len(q), dtype=bool)
+        first[0:1] = True
+        first[1:] = (q[1:] != q[:-1]) | (n[1:] != n[:-1])
+        q, n, s = q[first], n[first], s[first]
+        order = np.lexsort((n, -s, q))
+        q, n, s = q[order], n[order], s[order]
+        new_q = np.empty(len(q), dtype=bool)
+        new_q[0:1] = True
+        new_q[1:] = q[1:] != q[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_q, np.arange(len(q)), 0))
+        rank = np.arange(len(q)) - grp_start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "neighbor_id": pa.array(n[keep], pa.int64()),
+                "cosine_sim": pa.array(np.round(s[keep], 6), pa.float64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    data_tagged = embeddings.map_batches(tag_data, batch_format="pyarrow")
+    q_tagged = queries.map_batches(tag_query, batch_format="pyarrow")
+    probed = hash_exchange(data_tagged.union(q_tagged), "cent", probe, num_partitions)
+    return hash_exchange(probed, "query_id", merge, num_partitions)
+
+
+def build_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    num_centroids: int = 16,
+    sample_fraction: float = 0.25,
+    iters: int = 10,
+    seed: int = 42,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_sample: int = 65536,
+):
+    """(centroids_ref, lists_ref) for the broadcast-probe ``IvfIndexActor``.
+    Centroid TRAINING is sampled (kmeans_centroids_sampled); the inverted
+    LISTS still hold every vector in driver/object-store memory — use this
+    form only when the corpus fits a broadcast (the reference's in-memory
+    index shape); ``ivf_topk`` is the distributed path where it doesn't."""
+    cent = kmeans_centroids_sampled(
+        embeddings, num_centroids, sample_fraction, max_sample, iters, seed,
+        emb_col=emb_col,
+    )
+    ids_parts, mn_parts = [], []
+    for t in embeddings.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        m = _emb_matrix(t, emb_col)
+        mn_parts.append(m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None])
+        ids_parts.append(t[id_col].to_numpy(zero_copy_only=False))
+    ids = np.concatenate(ids_parts)
+    mn = np.vstack(mn_parts)
     assign = np.argmax(mn @ cent.T, axis=1)
-    lists = {j: (ids[assign == j], mn[assign == j]) for j in range(c)}
+    lists = {j: (ids[assign == j], mn[assign == j]) for j in range(len(cent))}
     return ray.put(cent), ray.put(lists)
