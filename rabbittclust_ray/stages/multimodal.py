@@ -116,6 +116,7 @@ def image_features(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        max_restarts=0,
     )
 
 
@@ -187,6 +188,7 @@ def audio_frame_features(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        max_restarts=0,
     )
 
 

@@ -32,15 +32,22 @@ _STOPWORDS = {
 
 
 def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """(id cols..., n_tokens) — whitespace tokenization.
-    n_tokens = 0 for empty/whitespace-only text (matches the DuckDB oracle
+    """(id cols..., n_tokens) — whitespace tokenization, pure Arrow compute
+    (no Python per row): n_tokens = #whitespace runs in trimmed text + 1,
+    0 for empty/whitespace-only text (matches the DuckDB oracle
     ``CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(...))``)."""
+    import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        counts = [0 if not s or not s.strip() else len(_TOKEN_SPLIT.split(s.strip())) for s in texts]
+        trimmed = pc.utf8_trim_whitespace(t[text_col])
+        runs = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(
+            pc.equal(trimmed, pa.scalar("")),
+            pa.scalar(0, pa.int64()),
+            pc.cast(runs, pa.int64()),
+        )
         out = t.drop_columns([text_col])
-        return out.append_column("n_tokens", pa.array(counts, pa.int64()))
+        return out.append_column("n_tokens", n)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -65,42 +72,53 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
 
 class LangIdActor:
     """Stopword + charset heuristic language ID — stateful setup once per
-    actor (compiled regex + stopword tables), vectorized-ish scoring per
-    batch. Output: (..., pred_lang, lang_score)."""
+    actor (compiled per-language stopword regexes), fully vectorized pandas
+    str.count per batch (no Python token loop). Output:
+    (..., pred_lang, lang_score).
+
+    Per-language hit count = matches of a stopword alternation guarded by
+    the SAME word-character class as the tokenizer ([^\\W\\d_] runs), so it
+    equals 'tokens in the stopword set' exactly; decision = max hits, ties
+    to the lexicographically smallest language, 'unknown' on zero hits,
+    'zh' if any CJK char appears."""
 
     def __init__(self) -> None:
         self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
-        self.cjk = re.compile(r"[一-鿿]")
-        self.stop = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.langs = sorted(_STOPWORDS)  # de, en, es, fr — tie order
+        self.stop_re = {
+            lang: re.compile(
+                r"(?<![^\W\d_])(?:" + "|".join(sorted(_STOPWORDS[lang])) + r")(?![^\W\d_])"
+            )
+            for lang in self.langs
+        }
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        preds, scores = [], []
-        for s in df["text"].astype(str):
-            if self.cjk.search(s):
-                preds.append("zh")
-                scores.append(1.0)
-                continue
-            toks = [w.lower() for w in self.word.findall(s)]
-            if not toks:
-                preds.append("unknown")
-                scores.append(0.0)
-                continue
-            best, best_hits = "unknown", 0
-            for lang, sw in self.stop.items():
-                hits = sum(1 for w in toks if w in sw)
-                if hits > best_hits or (hits == best_hits and hits and lang < best):
-                    best, best_hits = lang, hits
-            preds.append(best if best_hits else "unknown")
-            scores.append(round(best_hits / len(toks), 6))
+        s = df["text"].astype(str)
+        low = s.str.lower()
+        has_cjk = s.str.contains(r"[一-鿿]", regex=True)
+        ntok = s.str.count(r"[^\W\d_]+").to_numpy()
+        hits = np.stack(
+            [low.str.count(self.stop_re[lang]).to_numpy() for lang in self.langs]
+        )  # (n_langs, n_rows)
+        best_idx = np.argmax(hits, axis=0)  # first (lexicographic) argmax
+        best_hits = hits[best_idx, np.arange(hits.shape[1])]
+        langs_arr = np.array(self.langs, dtype=object)
+        pred = np.where(best_hits > 0, langs_arr[best_idx], "unknown")
+        pred = np.where(has_cjk.to_numpy(), "zh", pred)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.where(ntok > 0, best_hits / np.maximum(ntok, 1), 0.0)
+        score = np.where(best_hits > 0, np.round(score, 6), 0.0)
+        score = np.where(has_cjk.to_numpy(), 1.0, score)
         out = df.drop(columns=["text"])
-        out["pred_lang"] = preds
-        out["lang_score"] = scores
+        out["pred_lang"] = pred
+        out["lang_score"] = score
         return out
 
 
 def lang_id(ds: ray.data.Dataset, *, concurrency=(1, 4)) -> ray.data.Dataset:
     return ds.map_batches(
-        LangIdActor, batch_format="pandas", batch_size=2048, concurrency=concurrency, num_cpus=1
+        LangIdActor, batch_format="pandas", batch_size=2048,
+        concurrency=concurrency, num_cpus=1, max_restarts=0,
     )
 
 
