@@ -106,6 +106,81 @@ def _write_outputs(outdir: str, result, threshold: float) -> None:
           f"{apdf['cluster_id'].nunique()} clusters)")
 
 
+def _db_verb(args, parser, scfg, ccfg) -> int:
+    """RepDB verbs over a state directory (-o): build / append / query /
+    assign / stats (reference greedy.cpp:2351-2654)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.pipelines.mst_state import (
+        load_state_config,
+        mst_state_append,
+        save_mst_state,
+    )
+    from rabbittclust_ray.state.checkpoint import (
+        load_stage,
+        load_stage_table,
+        stage_manifest,
+    )
+
+    root = args.output
+    if args.verb == "build":
+        if not args.input:
+            parser.error("db build requires -i/--input")
+        from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+        ds = _read_documents(args.input)
+        result = clust_mst(ds, scfg, ccfg)
+        save_mst_state(root, result, scfg, ccfg,
+                       reps_per_cluster=max(1, args.reps_per_cluster))
+        m = stage_manifest(root, "rep_sketches")
+        print(f"built RepDB at {root}: {result.assignments.count()} docs, "
+              f"{m['metrics'].get('reps', m['total_rows'])} reps")
+        return 0
+    if args.verb == "append":
+        if not args.input:
+            parser.error("db append requires -i/--input")
+        out = mst_state_append(root, _read_documents(args.input))
+        print(f"appended: {len(out.new_labels)} new docs, "
+              f"{out.new_clusters} new clusters, "
+              f"{out.merged_clusters} old clusters merged")
+        return 0
+    if args.verb in ("query", "assign"):
+        if not args.input:
+            parser.error(f"db {args.verb} requires -i/--input")
+        from rabbittclust_ray.stages.assign import assign_to_reps, query_topk
+        from rabbittclust_ray.stages.prepare import prepare_documents
+
+        db_scfg, db_ccfg = load_state_config(root)
+        reps = load_stage_table(root, "rep_sketches")
+        queries = prepare_documents(_read_documents(args.input), db_scfg)
+        if args.verb == "query":
+            out = query_topk(queries, reps, db_scfg, db_ccfg, k=args.topk)
+            path = os.path.join(root, "query_results.parquet")
+        else:
+            out = assign_to_reps(queries, reps, db_scfg, db_ccfg)
+            path = os.path.join(root, "assign_results.parquet")
+        tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+        pq.write_table(tbl, path)
+        print(f"wrote {path} ({tbl.num_rows} rows)")
+        return 0
+    # stats
+    db_scfg, db_ccfg = load_state_config(root)
+    mem = load_stage(root, "memberships").to_pandas()
+    rep_m = stage_manifest(root, "rep_sketches")
+    sizes = mem.groupby("cluster_id").size()
+    print(f"RepDB {root}")
+    print(f"  config: shingle_k={db_scfg.shingle_k} mode={db_scfg.mode} "
+          f"sketch_size={db_scfg.sketch_size} threshold={db_ccfg.threshold}")
+    print(f"  docs: {len(mem)}")
+    print(f"  clusters: {mem['cluster_id'].nunique()}")
+    print(f"  reps: {rep_m['total_rows']}")
+    print(f"  largest cluster: {int(sizes.max())}  singletons: {int((sizes == 1).sum())}")
+    print(f"  cluster size p50/p90/p99: {int(sizes.quantile(0.5))}/"
+          f"{int(sizes.quantile(0.9))}/{int(sizes.quantile(0.99))}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="rabbittclust_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -114,11 +189,19 @@ def main(argv: list[str] | None = None) -> int:
         _add_common(p)
         if name == "dbscan":
             p.add_argument("--min-pts", type=int, default=3)
+    # RepDB surface (reference --db --build/--query/--assign/--stats,
+    # /root/reference/src/greedy.cpp:2351-2534): a self-contained rep
+    # database directory = rep sketches + memberships + config
+    pdb = sub.add_parser("db", help="representative database (RepDB) verbs")
+    pdb.add_argument("verb", choices=("build", "append", "query", "assign", "stats"))
+    pdb.add_argument("--topk", type=int, default=5)
+    _add_common(pdb)
     args = parser.parse_args(argv)
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -131,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
     try:
         scfg, ccfg = _configs(args)
+        if args.cmd == "db":
+            return _db_verb(args, parser, scfg, ccfg)
         if args.cmd == "recluster":
             from rabbittclust_ray.pipelines.append import recluster_from_checkpoint
 
@@ -236,7 +321,8 @@ def main(argv: list[str] | None = None) -> int:
             _write_outputs(args.output, result, ccfg.threshold)
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a caller's (e.g. pytest's) session
+            ray.shutdown()
 
 
 if __name__ == "__main__":

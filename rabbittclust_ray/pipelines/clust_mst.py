@@ -130,7 +130,30 @@ def clust_mst(
             # driver-side collapse work below; collected afterwards.
             # sketches carry (doc_id, content_sha256) — no recompute of prepare
             exact_ds = exact_dedup(sketches)
-            lp = sketches.select_columns(["doc_id", "length"]).to_pandas()
+            # medoid tie-breaking needs lengths for FOREST members only —
+            # restrict the pull to them instead of shipping every doc's
+            # length to the driver (forest <= N-1 edges, members << N docs)
+            members = np.unique(
+                np.concatenate([
+                    forest["u"].to_numpy(zero_copy_only=False),
+                    forest["v"].to_numpy(zero_copy_only=False),
+                ])
+            ) if forest.num_rows else np.empty(0, dtype=np.int64)
+            mref = ray.put(members)
+
+            def keep_members(t: pa.Table) -> pa.Table:
+                kn = ray.get(mref)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                if len(kn) == 0:
+                    return t.slice(0, 0)
+                pos = np.clip(np.searchsorted(kn, ids), 0, len(kn) - 1)
+                return t.filter(pa.array(kn[pos] == ids))
+
+            lp = (
+                sketches.select_columns(["doc_id", "length"])
+                .map_batches(keep_members, batch_format="pyarrow")
+                .to_pandas()
+            )
             lengths = dict(zip(lp["doc_id"], lp["length"]))
             dedup_assignments, near_pairs = collapse_near_dups(
                 forest, labels, lengths, ccfg.dedup_dist

@@ -139,3 +139,32 @@ def test_state_append_idempotent(corpus, tmp_path):
     labels2 = _labels_of(again.assignments)
     assert labels1 == labels2
     assert again.assignments.count() == first.assignments.count()
+
+
+def test_db_cli_verbs(corpus, tmp_path, capsys):
+    """RepDB CLI surface: build -> stats -> append -> query/assign."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.cli import main as cli_main
+
+    a_rows, b_rows = corpus
+    docs_a = str(tmp_path / "a.parquet")
+    docs_b = str(tmp_path / "b.parquet")
+    pq.write_table(_docs_table(a_rows), docs_a)
+    pq.write_table(_docs_table(b_rows), docs_b)
+    root = str(tmp_path / "db")
+    common = ["-k", "8", "-s", "128", "-m", "10", "-d", "0.1",
+              "--num-buckets", "8", "--reps-per-cluster", "2"]
+    assert cli_main(["db", "build", "-i", docs_a, "-o", root] + common) == 0
+    assert cli_main(["db", "stats", "-o", root] + common) == 0
+    stats_out = capsys.readouterr().out
+    assert "clusters:" in stats_out and "reps:" in stats_out
+    assert cli_main(["db", "append", "-i", docs_b, "-o", root] + common) == 0
+    assert cli_main(["db", "query", "-i", docs_b, "-o", root, "--topk", "3"] + common) == 0
+    assert os.path.exists(os.path.join(root, "query_results.parquet"))
+    q = pq.read_table(os.path.join(root, "query_results.parquet"))
+    assert q.num_rows > 0 and "rep_id" in q.column_names
+    assert cli_main(["db", "assign", "-i", docs_b, "-o", root] + common) == 0
+    assert os.path.exists(os.path.join(root, "assign_results.parquet"))
