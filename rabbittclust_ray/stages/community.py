@@ -1,0 +1,155 @@
+"""Louvain community detection over the candidate-edge graph.
+
+Reference parity: clust-dbscan's sibling mode ``leiden``
+(/root/reference/src/leiden.cpp:136-469) — excluded from the reference's
+own default build (CMakeLists.txt:90-92), reproduced here as classic
+Louvain (greedy modularity; Leiden's refinement phase is an extension
+point, noted below). Deterministic: nodes are processed in ascending id
+order, ties in modularity gain break toward the smallest community label,
+so repeated runs give identical communities.
+
+Scale shape: the DISTRIBUTED part of community detection is building the
+sparse candidate graph (the pair exchanges); the modularity optimization
+itself runs on the driver over that sparse edge list — the same documented
+ceiling as the MST merge (the reference's leiden.cpp is equally
+single-process over its edge list). Edge weight = 1 - dist (similarity).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _collect_edges(edges: ray.data.Dataset | pa.Table) -> pa.Table:
+    if isinstance(edges, pa.Table):
+        return edges
+    parts = [
+        b for b in edges.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.float64())})
+    return pa.concat_tables(parts)
+
+
+def _one_level(adj: list[dict[int, float]], k: np.ndarray, m2: float,
+               resolution: float) -> np.ndarray:
+    """One Louvain local-move level; returns community per node."""
+    n = len(adj)
+    comm = np.arange(n, dtype=np.int64)
+    comm_tot = k.copy()  # total degree per community
+    improved = True
+    while improved:
+        improved = False
+        for node in range(n):
+            c_old = comm[node]
+            comm_tot[c_old] -= k[node]
+            # weights from node to each neighboring community
+            links: dict[int, float] = defaultdict(float)
+            for nbr, w in adj[node].items():
+                links[comm[nbr]] += w
+            best_c, best_gain = c_old, 0.0
+            base = links.get(c_old, 0.0) - resolution * comm_tot[c_old] * k[node] / m2
+            for c, w_in in sorted(links.items()):
+                gain = (w_in - resolution * comm_tot[c] * k[node] / m2) - base
+                if gain > best_gain + 1e-12 or (
+                    abs(gain - best_gain) <= 1e-12 and best_gain > 0 and c < best_c
+                ):
+                    best_c, best_gain = c, gain
+            comm[node] = best_c
+            comm_tot[best_c] += k[node]
+            if best_c != c_old:
+                improved = True
+    return comm
+
+
+def louvain_labels(
+    edges: ray.data.Dataset | pa.Table,
+    *,
+    resolution: float = 1.0,
+    max_levels: int = 10,
+) -> dict[int, int]:
+    """doc_id -> community label (min doc_id of the community)."""
+    t = _collect_edges(edges)
+    if t.num_rows == 0:
+        return {}
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    d = t["dist"].to_numpy(zero_copy_only=False) if "dist" in t.column_names else np.zeros(len(u))
+    w = np.maximum(1.0 - d, 1e-9)  # similarity weights
+    ids = np.unique(np.concatenate([u, v]))
+    idx = {int(x): i for i, x in enumerate(ids)}
+    n = len(ids)
+    # node -> original doc ids contained (for final labeling)
+    membership = np.arange(n, dtype=np.int64)  # doc-node -> current super-node
+    cur_u = np.array([idx[int(x)] for x in u], dtype=np.int64)
+    cur_v = np.array([idx[int(x)] for x in v], dtype=np.int64)
+    cur_w = w.astype(np.float64)
+    n_cur = n
+    for _ in range(max_levels):
+        # self-loops (aggregated intra-community weight) count toward node
+        # degree and total weight — dropping them makes upper levels see a
+        # graph with almost no mass and merge everything across weak bridges
+        adj: list[dict[int, float]] = [defaultdict(float) for _ in range(n_cur)]
+        self_w = np.zeros(n_cur)
+        for a, b, ww in zip(cur_u, cur_v, cur_w):
+            if a == b:
+                self_w[a] += ww
+                continue
+            adj[a][b] += ww
+            adj[b][a] += ww
+        k = np.zeros(n_cur)
+        for i in range(n_cur):
+            k[i] = sum(adj[i].values()) + 2.0 * self_w[i]
+        m2 = max(cur_w.sum() * 2.0, 1e-12)
+        comm = _one_level(adj, k, m2, resolution)
+        uniq, newid = np.unique(comm, return_inverse=True)
+        if len(uniq) == n_cur:  # no merge happened — converged
+            break
+        membership = newid[membership]
+        # aggregate graph, KEEPING merged intra-weight as self-loops
+        agg: dict[tuple[int, int], float] = defaultdict(float)
+        for a, b, ww in zip(newid[cur_u], newid[cur_v], cur_w):
+            key = (int(min(a, b)), int(max(a, b)))
+            agg[key] += ww
+        cur_u = np.array([p[0] for p in agg], dtype=np.int64)
+        cur_v = np.array([p[1] for p in agg], dtype=np.int64)
+        cur_w = np.array(list(agg.values()))
+        n_cur = len(uniq)
+    # label = min doc id per final community
+    lab_min: dict[int, int] = {}
+    for i, node in enumerate(membership):
+        doc = int(ids[i])
+        if node not in lab_min or doc < lab_min[node]:
+            lab_min[int(node)] = doc
+    return {int(ids[i]): lab_min[int(membership[i])] for i in range(n)}
+
+
+def modularity(edges: pa.Table, labels: dict[int, int], resolution: float = 1.0) -> float:
+    """Weighted modularity of a labeling (diagnostic)."""
+    u = edges["u"].to_numpy(zero_copy_only=False)
+    v = edges["v"].to_numpy(zero_copy_only=False)
+    d = edges["dist"].to_numpy(zero_copy_only=False) if "dist" in edges.column_names else np.zeros(len(u))
+    w = np.maximum(1.0 - d, 1e-9)
+    m = w.sum()
+    if m <= 0:
+        return 0.0
+    deg: dict[int, float] = defaultdict(float)
+    for a, b, ww in zip(u, v, w):
+        deg[int(a)] += ww
+        deg[int(b)] += ww
+    q = 0.0
+    for a, b, ww in zip(u, v, w):
+        if labels.get(int(a)) == labels.get(int(b)):
+            q += ww / m
+    comm_deg: dict[int, float] = defaultdict(float)
+    for node, dd in deg.items():
+        comm_deg[labels.get(node, node)] += dd
+    for dd in comm_deg.values():
+        q -= resolution * (dd / (2.0 * m)) ** 2
+    return q

@@ -1,0 +1,76 @@
+"""Louvain community mode (stages/community.py, reference leiden.cpp parity)."""
+
+import numpy as np
+import pyarrow as pa
+
+from rabbittclust_ray.stages.community import louvain_labels, modularity
+
+
+def _edges(rows):
+    u, v, d = zip(*rows)
+    return pa.table(
+        {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+         "dist": pa.array(d, pa.float64())}
+    )
+
+
+def _two_cliques(n=6, bridge_w=0.9):
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append((i, j, 0.02))          # clique A, strong
+            rows.append((100 + i, 100 + j, 0.02))  # clique B, strong
+    rows.append((0, 100, bridge_w))  # one weak bridge
+    return _edges(rows)
+
+
+def test_louvain_two_cliques():
+    t = _two_cliques()
+    labels = louvain_labels(t)
+    a = {labels[i] for i in range(6)}
+    b = {labels[100 + i] for i in range(6)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert labels[0] == 0 and labels[100] == 100  # min-id community labels
+
+
+def test_louvain_deterministic():
+    t = _two_cliques()
+    assert louvain_labels(t) == louvain_labels(t)
+
+
+def test_louvain_improves_modularity():
+    t = _two_cliques()
+    labels = louvain_labels(t)
+    trivial = {int(x): 0 for x in np.unique(
+        np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
+    )}
+    assert modularity(t, labels) > modularity(t, trivial)
+
+
+def test_louvain_empty():
+    assert louvain_labels(pa.table(
+        {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+         "dist": pa.array([], pa.float64())}
+    )) == {}
+
+
+def test_louvain_cli(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from rabbittclust_ray.cli import main as cli_main
+    from rabbittclust_ray.corpus import make_corpus
+
+    docs, _ = make_corpus(num_seeds=4, per_cluster=4, doc_len=600,
+                          num_exact_dups=0, num_noise=2, num_short=0)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out = str(tmp_path / "out")
+    rc = cli_main(["louvain", "-i", src, "-o", out, "-k", "12", "-s", "128",
+                   "-m", "10", "-d", "0.1", "--num-buckets", "8"])
+    assert rc == 0
+    a = pq.read_table(os.path.join(out, "assignments.parquet")).to_pandas()
+    assert len(a) == 22
+    assert a.cluster_id.nunique() >= 4
