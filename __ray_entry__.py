@@ -272,12 +272,54 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dups with the sha256 gram hasher (SQL-reproducible) —
+    at max_hamming=3 the 4x16 banding is lossless (pigeonhole), so the
+    banded engine output equals the oracle's exhaustive answer."""
     import ray.data
 
     from rabbittclust_ray.stages.text import simhash_near_dups
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_near_dups(ds, max_hamming=3)
+    return simhash_near_dups(ds, max_hamming=3, hasher="sha")
+
+
+def _simhash_sql() -> str:
+    """SQL reproducing the sha-hashed SimHash + hamming<=3 pairs: per-bit
+    vote sums as 64 aggregate columns, value split into hi/lo 32-bit
+    halves, pairs via bit_count of the xors."""
+    bit_sums = ",\n                       ".join(
+        f"sum(CAST((h >> {b}) & 1 AS BIGINT)) AS s{b}" for b in range(64)
+    )
+    lo = " + ".join(f"(CASE WHEN 2*s{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN 2*s{b} > n THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    return f"""
+        WITH g AS MATERIALIZED (
+            SELECT d.doc_id,
+                   ('0x' || substr(sha256(substr(d.text, i.i, 8)), 1, 16))::UBIGINT AS h
+            FROM documents d, LATERAL (
+                SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+            ) i(i)
+        ),
+        agg AS MATERIALIZED (
+            SELECT doc_id, count(*) AS n,
+                       {bit_sums}
+            FROM g GROUP BY doc_id
+        ),
+        sims AS MATERIALIZED (
+            SELECT d.doc_id,
+                   coalesce({lo}, 0) AS lo,
+                   coalesce({hi}, 0) AS hi
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        )
+        SELECT a.doc_id AS u, b.doc_id AS v,
+               CAST(bit_count(xor(a.lo::UBIGINT, b.lo::UBIGINT))
+                    + bit_count(xor(a.hi::UBIGINT, b.hi::UBIGINT)) AS BIGINT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo::UBIGINT, b.lo::UBIGINT))
+              + bit_count(xor(a.hi::UBIGINT, b.hi::UBIGINT)) <= 3
+    """
 
 
 def _q_minhash_sketch(sf_dir: str):
@@ -624,6 +666,7 @@ def _lang_sql_lists() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
+        "simhash_pairs": _simhash_sql(),
         "dup_spans": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_DEDUP_DIST)}, {_sql_components_cte()},
             prs AS MATERIALIZED (

@@ -167,16 +167,41 @@ def min_gram_fingerprint(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def simhash(ds: ray.data.Dataset, text_col: str = "text", k: int = 8, seed: int = 42) -> ray.data.Dataset:
+def _sha_gram_hashes(data: bytes, k: int) -> np.ndarray:
+    """uint64 hash per k-byte window = first 8 bytes (big-endian) of
+    sha256(window). Python loop over windows — the ORACLE-surface hasher
+    (a SQL engine reproduces it via sha256(substr(...))); the rolling-hash
+    kernel is the fast path."""
+    import hashlib
+
+    m = len(data) - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(m, dtype=np.uint64)
+    for i in range(m):
+        out[i] = int.from_bytes(hashlib.sha256(data[i : i + k]).digest()[:8], "big")
+    return out
+
+
+def simhash(
+    ds: ray.data.Dataset, text_col: str = "text", k: int = 8, seed: int = 42,
+    hasher: str = "rolling",
+) -> ray.data.Dataset:
     """64-bit SimHash over k-char shingles: sign of per-bit vote sums.
-    Near-dup docs differ in few bits (Hamming). (..., simhash uint64)."""
+    Near-dup docs differ in few bits (Hamming). (..., simhash uint64).
+    hasher="rolling" (fast path) | "sha" (sha256 gram hashes — SQL-checkable)."""
 
     def f(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
         out_h = np.zeros(len(texts), dtype=np.uint64)
         bits = np.arange(64, dtype=np.uint64)
         for i, s in enumerate(texts):
-            h = rolling_shingle_hashes(s.encode("utf-8", "surrogatepass"), k, seed)
+            raw = s.encode("utf-8", "surrogatepass")
+            h = (
+                _sha_gram_hashes(raw, k)
+                if hasher == "sha"
+                else rolling_shingle_hashes(raw, k, seed)
+            )
             if len(h) == 0:
                 continue
             # vectorized bit votes: popcount per bit position
@@ -190,12 +215,19 @@ def simhash(ds: ray.data.Dataset, text_col: str = "text", k: int = 8, seed: int 
 
 
 def simhash_near_dups(
-    ds: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text", k: int = 8
+    ds: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text", k: int = 8,
+    hasher: str = "rolling",
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs via 4-band LSH (any 16-bit band equal ->
     candidate; Hamming distance <= max_hamming verifies). Returns
-    (u, v, hamming) with u < v."""
-    sh = simhash(ds, text_col=text_col, k=k)
+    (u, v, hamming) with u < v.
+
+    Recall note: for max_hamming <= 3 the 4x16-bit banding is LOSSLESS —
+    3 differing bits cannot touch all 4 bands (pigeonhole), so at least one
+    band collides and every qualifying pair is a candidate. The banded
+    output therefore EQUALS the exhaustive all-pairs answer, which is what
+    the driver's SQL oracle computes."""
+    sh = simhash(ds, text_col=text_col, k=k, hasher=hasher)
 
     def explode_bands(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy(zero_copy_only=False)
