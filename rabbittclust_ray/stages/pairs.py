@@ -107,6 +107,8 @@ def hash_exchange(
     num_partitions: int,
     *,
     split_mode: str | None = None,
+    next_key: str | None = None,
+    input_prepped: bool = False,
 ) -> ray.data.Dataset:
     """Deterministic keyed exchange: hash-partition rows on ``key`` into at
     most ``num_partitions`` ranges of a mixed uint64 key and apply ``fn``
@@ -136,16 +138,36 @@ def hash_exchange(
       at the range boundaries ONCE and returns P separate objects, so each
       reducer fetches only partition-p bytes instead of every block (P-fold
       network amplification avoided — the 100-TB transfer-volume story).
+
+    Chaining: ``next_key`` makes each reducer ALSO key-sort its output for
+    the following exchange (appending the HKEY column inside the same
+    task); that exchange is then called with ``input_prepped=True`` and
+    skips its own map pass + materialization entirely — one fewer full
+    dataset execution per chained exchange (fixed scheduling latency is
+    the serial fraction that caps scaling on small-per-core inputs).
     """
     import ray
 
-    def prep(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or key not in t.column_names:
+    def _prep_table(t: pa.Table, k: str) -> pa.Table:
+        if k not in t.column_names or HKEY in t.column_names:
             return t
-        h = _hash_key(t[key].to_numpy(zero_copy_only=False))
+        if t.num_rows == 0:
+            # empty blocks still carry the HKEY column: downstream schema
+            # stays uniform across partitions
+            return t.append_column(HKEY, pa.array([], pa.uint64()))
+        h = _hash_key(t[k].to_numpy(zero_copy_only=False))
         order = np.argsort(h, kind="stable")
         out = t.take(pa.array(order))
         return out.append_column(HKEY, pa.array(h[order], pa.uint64()))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _prep_table(t, key)
+
+    if next_key is not None:
+        inner_fn = fn
+
+        def fn(t: pa.Table) -> pa.Table:  # noqa: F811 — deliberate wrap
+            return _prep_table(inner_fn(t), next_key)
 
     def slice_of(block: pa.Table, lo_key: int, hi_key: int) -> pa.Table | None:
         """Zero-copy slice of a prepped (key-sorted) block to [lo, hi)."""
@@ -192,7 +214,10 @@ def hash_exchange(
     def reduce_push(schema: pa.Schema, *slices) -> pa.Table:
         return finish([s for s in slices if s is not None], schema)
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None).materialize()
+    if input_prepped:
+        prepped = ds.materialize()  # no-op for from_arrow_refs outputs
+    else:
+        prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None).materialize()
     n_rows = prepped.count()
     p = max(1, min(num_partitions, -(-n_rows // EXCHANGE_TARGET_ROWS) or 1))
     sch = prepped.schema()
@@ -524,8 +549,9 @@ def candidate_pairs(
     exploded = explode_sketches(sketches)
     emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
     p = max(1, ccfg.num_buckets)
-    partials = hash_exchange(exploded, "band_hash", emitter, p)
-    return hash_exchange(partials, "pair_key", _aggregate_pair_group, p)
+    partials = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
+    return hash_exchange(partials, "pair_key", _aggregate_pair_group, p,
+                         input_prepped=True)
 
 
 def banded_lsh_pairs(
@@ -600,8 +626,9 @@ def banded_lsh_pairs(
     emitter = BucketPairEmitter(ClusterConfig(threshold=md, max_posting=ccfg.max_posting,
                                               num_buckets=ccfg.num_buckets))
     p = max(1, ccfg.num_buckets)
-    cand = hash_exchange(exploded, "band_hash", emitter, p)
-    cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p)
+    cand = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
+    cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p,
+                         input_prepped=True)
     if band_r == 1 and not positional:
         # value-keyed 1-wide bands: a band collision IS a shared sketch hash,
         # so the aggregated collision count already equals the exact
@@ -880,9 +907,10 @@ def candidate_edges(
     exploded = explode_sketches(sketches)
     emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
     p = max(1, ccfg.num_buckets)
-    partials = hash_exchange(exploded, "band_hash", emitter, p)
+    partials = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
 
     def aggregate_and_score(t: pa.Table) -> pa.Table:
         return score_pairs_batch(_aggregate_pair_group(t), scfg, ccfg, md)
 
-    return hash_exchange(partials, "pair_key", aggregate_and_score, p)
+    return hash_exchange(partials, "pair_key", aggregate_and_score, p,
+                         input_prepped=True)
