@@ -472,16 +472,65 @@ def _q_density_histogram(sf_dir: str):
 
 
 def _q_linkage_matrix(sf_dir: str):
-    from rabbittclust_ray.config import ClusterConfig, SketchConfig
-    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+    """Single-linkage merge matrix of the exact-mode MST. All edge weights
+    are distinct at this scale, so the MST is unique and the merge sequence
+    is pure Kruskal order — reproducible by a recursive SQL sweep."""
     from rabbittclust_ray.render import linkage_matrix
 
-    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=50)
-    ccfg = ClusterConfig(threshold=0.1, num_buckets=16)
-    res = clust_mst(_docs(sf_dir), scfg, ccfg)
+    res = _exact_mst_cached(sf_dir, EX_THRESHOLD)
     out = linkage_matrix(res.mst).to_pandas()
     out["dist"] = out["dist"].round(6)
     return out
+
+
+def _linkage_sql() -> str:
+    """Recursive Kruskal/single-linkage sweep: scipy numbering (leaves =
+    doc-id rank over edge-touched docs, internal nodes N.. in merge order),
+    component membership carried as a LIST<STRUCT(d, c)> through the
+    recursion (pure list expressions — see clusters_greedy note)."""
+    cu = "list_filter(s.comp, x -> x.d = e.u)[1].c"
+    cv = "list_filter(s.comp, x -> x.d = e.v)[1].c"
+    return f"""
+        WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD, with_j=True)},
+        eord AS MATERIALIZED (
+            SELECT u, v, -ln(2.0 * j / (1.0 + j)) / {EX_SHINGLE_K}.0 AS d,
+                   CAST(row_number() OVER (
+                       ORDER BY -ln(2.0 * j / (1.0 + j)), u, v
+                   ) AS BIGINT) AS rn
+            FROM edges
+        ),
+        leaves AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS leaf
+            FROM (SELECT DISTINCT x AS doc_id FROM
+                     (SELECT u AS x FROM eord UNION ALL SELECT v FROM eord))
+        ),
+        sweep(rn, c1, c2, h, sz, comp, nxt) AS (
+            SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   list(struct_pack(d := doc_id, c := leaf) ORDER BY doc_id),
+                   CAST(count(*) AS BIGINT)
+            FROM leaves
+            UNION ALL
+            SELECT e.rn,
+                   CASE WHEN {cu} <> {cv} THEN {cu} END,
+                   CASE WHEN {cu} <> {cv} THEN {cv} END,
+                   CASE WHEN {cu} <> {cv} THEN e.d END,
+                   CASE WHEN {cu} <> {cv} THEN
+                       len(list_filter(s.comp, x -> x.c = {cu}))
+                       + len(list_filter(s.comp, x -> x.c = {cv})) END,
+                   CASE WHEN {cu} <> {cv} THEN
+                       list_transform(s.comp, x ->
+                           CASE WHEN x.c = {cu} OR x.c = {cv}
+                                THEN struct_pack(d := x.d, c := s.nxt)
+                                ELSE x END)
+                       ELSE s.comp END,
+                   CASE WHEN {cu} <> {cv} THEN s.nxt + 1 ELSE s.nxt END
+            FROM sweep s JOIN eord e ON e.rn = s.rn + 1
+        )
+        SELECT c1, c2, round(h, 6) AS dist, sz AS size
+        FROM sweep WHERE c1 IS NOT NULL
+    """
 
 
 def _q_image_features(sf_dir: str):
@@ -667,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
         "simhash_pairs": _simhash_sql(),
+        "linkage_matrix": _linkage_sql(),
         "dup_spans": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_DEDUP_DIST)}, {_sql_components_cte()},
             prs AS MATERIALIZED (

@@ -1,0 +1,86 @@
+"""Greedy parity in mode="mod" (variable sketch sizes): the distributed
+pipeline + driver replay must equal a naive serial reference that follows
+/root/reference/src/greedy.cpp best-match semantics — max JACCARD, not max
+common (the two diverge exactly when sketch sizes vary)."""
+
+import math
+
+import numpy as np
+import pytest
+import ray
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.corpus import make_corpus
+from rabbittclust_ray.hashing import rolling_shingle_hashes, stable_doc_id
+from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
+from rabbittclust_ray.stages.sketch import normalize_column
+
+SCFG = SketchConfig(shingle_k=12, mode="mod", mod_bits=2, min_len=10)
+CCFG = ClusterConfig(threshold=0.08, num_buckets=8, max_posting=None)
+
+
+def _naive_mod_sketches(docs) -> dict[int, np.ndarray]:
+    """Reimplement the mod-sampled sketch naively (per doc, no Ray)."""
+    ids = stable_doc_id(
+        np.array(docs["repo"].to_pylist(), dtype=object),
+        np.array(docs["path"].to_pylist(), dtype=object),
+        np.array(docs["commit"].to_pylist(), dtype=object),
+    )
+    norm = normalize_column(docs["content"], SCFG.normalize)
+    raw = docs["content"].to_pylist()
+    mask = np.uint64((1 << SCFG.mod_bits) - 1)
+    out = {}
+    for i, text in enumerate(norm.to_pylist()):
+        if len(raw[i]) < SCFG.min_len:
+            continue
+        h = rolling_shingle_hashes(
+            text.encode("utf-8", "surrogatepass"), SCFG.shingle_k, SCFG.seed
+        )
+        out[int(ids[i])] = np.unique(h[(h & mask) == 0])
+    return out
+
+
+def _naive_greedy(sketches: dict[int, np.ndarray], threshold: float) -> dict[int, int]:
+    """Serial reference sweep: docs in (sketch size desc, id asc) order;
+    best match = max Jaccard among current reps within threshold, ties to
+    smaller rep id (greedy.cpp:786-792)."""
+    k = SCFG.distance_k
+    order = sorted(sketches, key=lambda d: (-len(sketches[d]), d))
+    reps: list[int] = []
+    rep_of: dict[int, int] = {}
+    for doc in order:
+        s = sketches[doc]
+        best_j, best_rep = -1.0, -1
+        for r in reps:
+            t = sketches[r]
+            inter = len(np.intersect1d(s, t, assume_unique=True))
+            denom = len(s) + len(t) - inter
+            j = inter / denom if denom else 0.0
+            if j <= 0.0:
+                continue
+            d = min(1.0, max(0.0, -math.log(2.0 * j / (1.0 + j)) / k))
+            if d <= threshold and (j > best_j + 1e-15 or
+                                   (abs(j - best_j) <= 1e-15 and r < best_rep)):
+                best_j, best_rep = j, r
+        if best_rep >= 0:
+            rep_of[doc] = best_rep
+        else:
+            reps.append(doc)
+            rep_of[doc] = doc
+    return rep_of
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_greedy_mod_mode_matches_naive_reference(seed):
+    docs, _ = make_corpus(
+        num_seeds=5, per_cluster=4, doc_len=900, mut_rate=0.02,
+        num_exact_dups=2, num_noise=4, num_short=2, seed=seed,
+    )
+    naive_sk = _naive_mod_sketches(docs)
+    expected = _naive_greedy(naive_sk, CCFG.threshold)
+    res = clust_greedy(ray.data.from_arrow(docs), SCFG, CCFG)
+    assert res.rep_of == expected
+    # sanity: the fixture must actually exercise variable sketch sizes
+    sizes = {len(s) for s in naive_sk.values()}
+    assert len(sizes) > 3
