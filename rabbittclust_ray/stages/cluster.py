@@ -321,8 +321,10 @@ def components_labelprop(
                 batch_format="pyarrow",
             )
         )
-        pushed = hash_exchange(merged, "key", push, num_partitions)
-        new_labels = hash_exchange(pushed, "key", fold, num_partitions).materialize()
+        pushed = hash_exchange(merged, "key", push, num_partitions, next_key="key")
+        new_labels = hash_exchange(
+            pushed, "key", fold, num_partitions, input_prepped=True
+        ).materialize()
         changed = new_labels.sum("changed")
         labels = new_labels
         if not changed:
