@@ -126,38 +126,11 @@ def clust_mst(
 
         forest = cut_forest(mst, ccfg.threshold)
         if ccfg.dedup_dist is not None:
-            # fire the (eager) exact-dedup exchange FIRST so it overlaps the
-            # driver-side collapse work below; collected afterwards.
-            # sketches carry (doc_id, content_sha256) — no recompute of prepare
-            exact_ds = exact_dedup(sketches)
-            # medoid tie-breaking needs lengths for FOREST members only —
-            # restrict the pull to them instead of shipping every doc's
-            # length to the driver (forest <= N-1 edges, members << N docs)
-            members = np.unique(
-                np.concatenate([
-                    forest["u"].to_numpy(zero_copy_only=False),
-                    forest["v"].to_numpy(zero_copy_only=False),
-                ])
-            ) if forest.num_rows else np.empty(0, dtype=np.int64)
-            mref = ray.put(members)
-
-            def keep_members(t: pa.Table) -> pa.Table:
-                kn = ray.get(mref)
-                ids = t["doc_id"].to_numpy(zero_copy_only=False)
-                if len(kn) == 0:
-                    return t.slice(0, 0)
-                pos = np.clip(np.searchsorted(kn, ids), 0, len(kn) - 1)
-                return t.filter(pa.array(kn[pos] == ids))
-
-            lp = (
-                sketches.select_columns(["doc_id", "length"])
-                .map_batches(keep_members, batch_format="pyarrow")
-                .to_pandas()
-            )
-            lengths = dict(zip(lp["doc_id"], lp["length"]))
-            dedup_assignments, near_pairs = collapse_near_dups(
-                forest, labels, lengths, ccfg.dedup_dist
-            )
+            # ONE pass serves both needs: the exact-dedup exchange carries
+            # the length column through, so the collected table provides
+            # (a) exact-sha groups for dup_pairs and (b) medoid tie-break
+            # lengths — no separate lengths pass over the sketches
+            exact_ds = exact_dedup(sketches, carry_length=True)
             eparts = [
                 b for b in exact_ds.iter_batches(batch_size=None, batch_format="pyarrow")
                 if b.num_rows
@@ -168,10 +141,26 @@ def clust_mst(
                 else pa.table({"doc_id": pa.array([], pa.int64()),
                                "content_sha256": pa.array([], pa.string()),
                                "group_rep": pa.array([], pa.int64()),
-                               "is_exact_dup": pa.array([], pa.bool_())})
+                               "is_exact_dup": pa.array([], pa.bool_()),
+                               "length": pa.array([], pa.int64())})
+            )
+            # lengths for FOREST members only (medoid tie-breaks)
+            if forest.num_rows:
+                members = np.unique(np.concatenate([
+                    forest["u"].to_numpy(zero_copy_only=False),
+                    forest["v"].to_numpy(zero_copy_only=False),
+                ]))
+                eids = exact["doc_id"].to_numpy(zero_copy_only=False)
+                elen = exact["length"].to_numpy(zero_copy_only=False)
+                sel = np.isin(eids, members)
+                lengths = dict(zip(eids[sel].tolist(), elen[sel].tolist()))
+            else:
+                lengths = {}
+            dedup_assignments, near_pairs = collapse_near_dups(
+                forest, labels, lengths, ccfg.dedup_dist
             )
             result.dedup_assignments = dedup_assignments
-            result.dup_pairs = dup_pairs_with_exact(near_pairs, exact)
+            result.dup_pairs = dup_pairs_with_exact(near_pairs, exact.drop_columns(["length"]))
             t = tick("dedup", t)
         if ccfg.reps_per_cluster > 1:
             result.reps = k_center_reps(forest, labels, ccfg.reps_per_cluster)

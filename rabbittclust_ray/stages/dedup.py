@@ -58,37 +58,45 @@ def _sha_groups(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def exact_dedup(
-    prepared: ray.data.Dataset, num_buckets: int = 32
+    prepared: ray.data.Dataset, num_buckets: int = 32, *, carry_length: bool = False
 ) -> ray.data.Dataset:
-    """prepared docs -> (doc_id, content_sha256, group_rep, is_exact_dup).
+    """prepared docs -> (doc_id, content_sha256, group_rep, is_exact_dup
+    [, length]).
 
     group_rep = min doc_id among rows sharing the sha (deterministic
     winner); is_exact_dup marks losers. One hash exchange keyed on the sha
-    prefix; winner selection vectorized within each partition."""
+    prefix; winner selection vectorized within each partition.
+    carry_length=True rides the length column through, so a consumer that
+    collects this output (e.g. clust_mst's dedup branch, which needs
+    lengths for medoid tie-breaks) saves a whole extra dataset pass."""
     from rabbittclust_ray.stages.pairs import hash_exchange
 
     def collapse(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "content_sha256": pa.array([], pa.string()),
-                 "group_rep": pa.array([], pa.int64()),
-                 "is_exact_dup": pa.array([], pa.bool_())}
-            )
+            cols = {"doc_id": pa.array([], pa.int64()),
+                    "content_sha256": pa.array([], pa.string()),
+                    "group_rep": pa.array([], pa.int64()),
+                    "is_exact_dup": pa.array([], pa.bool_())}
+            if carry_length:
+                cols["length"] = pa.array([], pa.int64())
+            return pa.table(cols)
         order, new_grp, ids = _sha_groups(t)
         rep = ids[np.flatnonzero(new_grp)][np.cumsum(new_grp) - 1]
         sha = np.array(t["content_sha256"].to_pylist(), dtype=object)[order]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "content_sha256": pa.array(sha, pa.string()),
-                "group_rep": pa.array(rep, pa.int64()),
-                "is_exact_dup": pa.array(ids != rep),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "content_sha256": pa.array(sha, pa.string()),
+            "group_rep": pa.array(rep, pa.int64()),
+            "is_exact_dup": pa.array(ids != rep),
+        }
+        if carry_length:
+            ln = t["length"].to_numpy(zero_copy_only=False)[order]
+            cols["length"] = pa.array(ln, pa.int64())
+        return pa.table(cols)
 
+    keep = ["doc_id", "content_sha256"] + (["length"] if carry_length else [])
     keyed = prepared.map_batches(
-        lambda t: _add_sha_key(t.select(["doc_id", "content_sha256"])),
+        lambda t: _add_sha_key(t.select(keep)),
         batch_format="pyarrow",
     )
     return hash_exchange(keyed, "sha_key", collapse, num_buckets)
@@ -156,11 +164,13 @@ def _parallel_medoids(
     edge_d: np.ndarray,
     edge_grp: np.ndarray,
     lengths: dict[int, int],
-    chunk_groups: int = 4096,
+    chunk_groups: int = 512,
 ) -> np.ndarray:
     """Tree-medoid per group, chunked across Ray tasks (each chunk receives
     only its groups' members/edges/lengths). Falls back to inline for small
-    inputs to avoid task overhead."""
+    inputs to avoid task overhead. Edge->group routing is vectorized
+    (searchsorted on the per-group component labels) — a Python dict over
+    every edge was the driver hot spot at 10^5+ near-dup families."""
     import ray
 
     n_groups = len(grp_starts)
@@ -182,13 +192,30 @@ def _parallel_medoids(
         members_global[int(s) : int(s) + int(c)].tolist()
         for s, c in zip(grp_starts, grp_counts)
     ]
-    # route each edge to its group: member doc_id -> group index
-    member_to_group = {m: g for g, mem in enumerate(group_members) for m in mem}
-    group_edge_lists: list[list[tuple[int, int, float]]] = [[] for _ in range(n_groups)]
-    for a, b, w in zip(edge_u.tolist(), edge_v.tolist(), edge_d.tolist()):
-        g = member_to_group.get(int(a))
-        if g is not None:
-            group_edge_lists[g].append((int(a), int(b), float(w)))
+    # route each edge to its group index: edge_grp carries the component
+    # label of the edge's group; group labels (one per group, at the group
+    # starts) are ascending, so a searchsorted maps label -> group index
+    if len(edge_u):
+        order = np.argsort(edge_grp, kind="stable")
+        uniq_lab, lab_starts = np.unique(edge_grp[order], return_index=True)
+        eu_s, ev_s, ed_s = edge_u[order], edge_v[order], edge_d[order]
+        lab_counts = np.diff(np.append(lab_starts, len(order)))
+        group_edge_lists: list[list[tuple[int, int, float]]] = [[] for _ in range(n_groups)]
+        # group label for group gi = label of its first member's component;
+        # both uniq_lab and the groups enumerate the same components in
+        # ascending label order, but groups with no edges cannot exist here
+        # (groups are components OF the edges), so positions align 1:1
+        # with the ascending group-label sequence:
+        pos = 0
+        for li in range(len(uniq_lab)):
+            c = int(lab_counts[li])
+            group_edge_lists[li] = list(
+                zip(eu_s[pos : pos + c].tolist(), ev_s[pos : pos + c].tolist(),
+                    ed_s[pos : pos + c].tolist())
+            )
+            pos += c
+    else:
+        group_edge_lists = [[] for _ in range(n_groups)]
     if n_groups <= chunk_groups:
         return medoid_chunk(group_members, group_edge_lists, lengths)
 
