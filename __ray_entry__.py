@@ -670,10 +670,60 @@ def _q_dup_spans(sf_dir: str):
     return dup_spans(pairs, docs, w=16, id_col="doc_id", text_col="text")
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Containment/AAF-mode pairs (reference -c) in exact mode: keep pairs
+    with C = common/min(su, sv) >= e^{-d k} (cmin irrational => the SQL
+    boundary is unambiguous). Integer-only output."""
+    from rabbittclust_ray.stages.pairs import candidate_pairs, containment_distance
+    from rabbittclust_ray.stages.sketch import sketch_documents
+
+    scfg = _exact_scfg()
+    ccfg = _exact_ccfg(EX_STATS_THRESHOLD, containment=True)
+    sk = sketch_documents(_prepared(sf_dir, min_len=EX_MIN_LEN), scfg)
+    pairs = candidate_pairs(sk, scfg, ccfg)
+
+    def score(t: pa.Table) -> pa.Table:
+        common = t["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = t["su"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = containment_distance(common, su, sv, scfg.distance_k)
+        ok = d <= ccfg.threshold
+        return pa.table(
+            {
+                "u": t["u"].filter(pa.array(ok)),
+                "v": t["v"].filter(pa.array(ok)),
+                "common": pa.array(common[ok], pa.int64()),
+                "su": pa.array(su[ok], pa.int64()),
+                "sv": pa.array(sv[ok], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def _q_knn_edges(sf_dir: str):
+    """k-NN edge pruning (O4): keep threshold edges in the 2-nearest of at
+    least one endpoint (reference union semantics). Exact mode; integer
+    output (u, v, common)."""
+    from rabbittclust_ray.stages.dbscan import knn_prune_edges
+
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
+    out = knn_prune_edges(res.edges, k=2, num_partitions=8)
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": t["u"], "v": t["v"], "common": t["common"].cast(pa.int64())}
+        )
+
+    return out.map_batches(ints, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
         "state_append": _q_state_append,
+        "containment_pairs": _q_containment_pairs,
+        "knn_edges": _q_knn_edges,
         "dup_spans": _q_dup_spans,
         "clusters_dbscan": _q_clusters_dbscan,
         "banded_lsh_pairs": _q_banded_lsh_pairs,
@@ -761,6 +811,47 @@ def oracle_sql() -> dict[str, str]:
             FROM prs p
             LEFT JOIN stats s ON s.u = p.u AND s.v = p.v
             LEFT JOIN best b ON b.u = p.u AND b.v = p.v
+        """,
+        "containment_pairs": f"""
+            WITH pop AS MATERIALIZED (
+                SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS nt
+                FROM documents WHERE length(text) >= {EX_MIN_LEN}
+            ),
+            grams AS MATERIALIZED (
+                SELECT DISTINCT p.doc_id, substr(p.nt, g.i, {EX_SHINGLE_K}) AS g
+                FROM pop p, LATERAL (
+                    SELECT unnest(generate_series(1, length(p.nt) - {EX_SHINGLE_K - 1}))
+                ) AS g(i)
+                WHERE length(p.nt) >= {EX_SHINGLE_K}
+            ),
+            sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS MATERIALIZED (
+                SELECT a.doc_id AS u, b.doc_id AS v, CAST(count(*) AS BIGINT) AS common
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT u, v, common,
+                   CAST(sa.sz AS BIGINT) AS su, CAST(sb.sz AS BIGINT) AS sv
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = u
+            JOIN sizes sb ON sb.doc_id = v
+            WHERE common >= 0.20189651799465538 * least(sa.sz, sb.sz)
+        """,
+        "knn_edges": f"""
+            WITH {_sql_edges_cte(EX_STATS_THRESHOLD, with_j=True)},
+            halves AS MATERIALIZED (
+                SELECT u AS node, v AS other, common, j FROM edges
+                UNION ALL SELECT v, u, common, j FROM edges
+            ),
+            ranked AS MATERIALIZED (
+                SELECT node, other, common,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY j DESC, other ASC
+                       ) AS rk
+                FROM halves
+            )
+            SELECT DISTINCT least(node, other) AS u, greatest(node, other) AS v, common
+            FROM ranked WHERE rk <= 2
         """,
         "state_append": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}
