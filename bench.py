@@ -122,6 +122,18 @@ def run_bench() -> dict:
     ccfg = ClusterConfig(threshold=0.05, num_buckets=32,
                          dedup_dist=0.02, max_posting=256)
     queries: dict[str, float] = {}
+    best_of = int(os.environ.get("BENCH_BEST_OF", "2"))
+
+    def timed_best(fn) -> float:
+        """Best of N runs — host throughput swings minute-to-minute by up
+        to ~10x (BASELINE.md host caveat); best-of reports the engine."""
+        best = None
+        for _ in range(best_of):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
 
     # materialize the synthetic corpus once (untimed, deterministic)
     corpus, n_docs = _corpus(sf)
@@ -136,25 +148,21 @@ def run_bench() -> dict:
     # reach the same worker count / heap sizes as the measured run.
     clust_mst(corpus, scfg, ccfg).assignments.count()
 
-    t0 = time.perf_counter()
-    sketches = sketch_documents(
-        prepare_documents(corpus, scfg), scfg, concurrency=(2, NUM_CPUS)
-    ).materialize()
-    queries["q_sketch"] = round(time.perf_counter() - t0, 3)
+    queries["q_sketch"] = timed_best(
+        lambda: sketch_documents(
+            prepare_documents(corpus, scfg), scfg, concurrency=(2, NUM_CPUS)
+        ).materialize()
+    )
     files_per_sec = round(n_docs / queries["q_sketch"], 1)
 
-    # headline: best of BENCH_BEST_OF runs (default 2) — plasma/page-cache
-    # state on this host swings minute-to-minute by up to ~10x (BASELINE.md
-    # host caveat); best-of-N reports the engine, not the neighbor VMs
-    best = None
     n_assign = 0
-    for _ in range(int(os.environ.get("BENCH_BEST_OF", "2"))):
-        t0 = time.perf_counter()
+
+    def run_pipeline():
+        nonlocal n_assign
         res = clust_mst(corpus, scfg, ccfg)
         n_assign = res.assignments.count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    queries["q_pipeline"] = round(best, 3)
+
+    queries["q_pipeline"] = timed_best(run_pipeline)
 
     docs_ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
 
@@ -163,25 +171,26 @@ def run_bench() -> dict:
 
         return adapt_testdata_documents(t).append_column("doc_id", t["doc_id"])
 
-    t0 = time.perf_counter()
     dscfg = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=128, min_len=50)
     dccfg = ClusterConfig(threshold=0.1, num_buckets=16, max_posting=256)
-    res2 = clust_mst(docs_ds.map_batches(adapt, batch_format="pyarrow"), dscfg, dccfg)
-    res2.assignments.count()
-    queries["q_docs_mst"] = round(time.perf_counter() - t0, 3)
+    queries["q_docs_mst"] = timed_best(
+        lambda: clust_mst(
+            docs_ds.map_batches(adapt, batch_format="pyarrow"), dscfg, dccfg
+        ).assignments.count()
+    )
 
-    t0 = time.perf_counter()
     txt = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-    token_count(txt).count()
-    quality_score(txt).count()
-    lang_id(txt, concurrency=(1, max(2, NUM_CPUS // 4))).count()
-    queries["q_text_ops"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
+    def run_text():
+        token_count(txt).count()
+        quality_score(txt).count()
+        lang_id(txt, concurrency=(1, max(2, NUM_CPUS // 4))).count()
+
+    queries["q_text_ops"] = timed_best(run_text)
+
     prep = prepare_documents(docs_ds.map_batches(adapt, batch_format="pyarrow"),
                              SketchConfig(min_len=0), apply_min_len=False)
-    exact_dedup(prep).count()
-    queries["q_exact_dedup"] = round(time.perf_counter() - t0, 3)
+    queries["q_exact_dedup"] = timed_best(lambda: exact_dedup(prep).count())
 
     total = round(sum(queries.values()), 3)
     result = {
