@@ -126,3 +126,53 @@ def test_posting_cap_drops_hot_hash_and_reports():
     pdf = out.to_pandas()
     assert pdf[pdf.u >= 0].empty  # no pairs survive (other hashes unshared)
     assert pdf.dropped_postings.sum() == 1
+
+
+def test_hash_exchange_map_side_split_matches_pull():
+    """The multi-node transfer plan (per-block range split, reducers fetch
+    only their own bytes) must produce the same result as the single-node
+    pull plan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 50, 5000), pa.int64()),
+        "val": pa.array(rng.integers(0, 1000, 5000), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    def agg(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        k = tab["k"].to_numpy(zero_copy_only=False)
+        v = tab["val"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=v).astype(np.int64)
+        return pa.table({"k": pa.array(uk, pa.int64()), "s": pa.array(s, pa.int64())})
+
+    pull = hash_exchange(ds, "k", agg, 8, split_mode="pull").to_pandas()
+    push = hash_exchange(ds, "k", agg, 8, split_mode="map").to_pandas()
+    pull = pull.sort_values("k").reset_index(drop=True)
+    push = push.sort_values("k").reset_index(drop=True)
+    assert pull.equals(push)
+    assert pull.s.sum() == t["val"].to_pandas().sum()
+    assert len(pull) == 50  # every key exactly once => keys were co-located
+
+
+def test_assert_unique_ids():
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from rabbittclust_ray.stages.prepare import assert_unique_ids
+
+    ok = ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}))
+    assert_unique_ids(ok, num_buckets=4)  # no raise
+    bad = ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 2, 2, 3], pa.int64())}))
+    with _pytest.raises(ValueError, match="duplicate doc_ids"):
+        assert_unique_ids(bad, num_buckets=4)
