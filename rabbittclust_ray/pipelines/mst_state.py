@@ -123,20 +123,38 @@ def mst_state_append(root: str, new_documents: ray.data.Dataset) -> StateAppendR
     rep_sketches = load_stage(root, "rep_sketches")
     memberships = load_stage(root, "memberships")
 
-    # rep doc -> its cluster (small: one row per rep)
+    # rep doc -> its cluster: pull ONLY the rep rows of the membership
+    # table (one row per rep; the full table never reaches the driver)
     rep_pdf = rep_sketches.select_columns(["doc_id"]).to_pandas()
-    mem_pdf_reps = memberships.to_pandas()
-    cluster_of_rep = dict(
-        zip(mem_pdf_reps["doc_id"], mem_pdf_reps["cluster_id"])
-    )  # memberships include reps; full map reused below for idempotence
+    rep_ids_sorted = np.sort(rep_pdf["doc_id"].to_numpy())
+    rref = ray.put(rep_ids_sorted)
 
-    # idempotence (I4): drop already-known identities
-    known = np.sort(mem_pdf_reps["doc_id"].to_numpy())
-    known_ref = ray.put(known)
-    prepared = prepare_documents(new_documents, scfg)
+    def keep_rep_rows(t: pa.Table) -> pa.Table:
+        kn = ray.get(rref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(kn) == 0:
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(kn, ids), 0, len(kn) - 1)
+        return t.filter(pa.array(kn[pos] == ids))
+
+    rep_mem = memberships.map_batches(keep_rep_rows, batch_format="pyarrow").to_pandas()
+    cluster_of_rep = dict(zip(rep_mem["doc_id"], rep_mem["cluster_id"]))
+
+    # idempotence (I4): drop already-known identities. The clash set is
+    # computed DISTRIBUTED (key_intersection) and is bounded by the append
+    # batch size — broadcasting the full known-id table would not scale to
+    # 10^9 checkpointed docs.
+    from rabbittclust_ray.stages.pairs import key_intersection
+
+    prepared = prepare_documents(new_documents, scfg).materialize()
+    clash = key_intersection(
+        prepared.select_columns(["doc_id"]),
+        memberships.select_columns(["doc_id"]),
+    )
+    clash_ref = ray.put(clash)
 
     def anti_join(t: pa.Table) -> pa.Table:
-        kn = ray.get(known_ref)
+        kn = ray.get(clash_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         if len(kn) == 0:
             return t

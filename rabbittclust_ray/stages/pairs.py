@@ -786,6 +786,50 @@ def verify_pairs_exact(
     return hash_exchange(hop1_out.union(sk_tagged), "key", hop2, p)
 
 
+def key_intersection(
+    left_ids: ray.data.Dataset,
+    right_ids: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> np.ndarray:
+    """Distributed distinct-key intersection of two id columns (one keyed
+    exchange; each reducer emits only keys present on BOTH sides). Returns
+    the sorted intersection as a driver numpy array — bounded by the SMALL
+    side (e.g. an append batch), never the big table, so callers can
+    broadcast it where a full known-id broadcast would not scale."""
+
+    def tag(side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].cast(pa.int64())
+            return pa.table(
+                {"key": ids,
+                 "side": pa.array(np.full(t.num_rows, side), pa.bool_())}
+            )
+
+        return f
+
+    def both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        k = t["key"].to_numpy(zero_copy_only=False)
+        s = t["side"].to_numpy(zero_copy_only=False)
+        lk = np.unique(k[~s])
+        rk = np.unique(k[s])
+        inter = lk[np.isin(lk, rk, assume_unique=True)]
+        return pa.table({"key": pa.array(inter, pa.int64())})
+
+    union = left_ids.map_batches(tag(False), batch_format="pyarrow").union(
+        right_ids.map_batches(tag(True), batch_format="pyarrow")
+    )
+    out = hash_exchange(union, "key", both, num_partitions)
+    parts = [
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
 def score_candidates_by_size(
     cand: ray.data.Dataset,
     sketches: ray.data.Dataset,
