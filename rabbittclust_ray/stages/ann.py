@@ -78,6 +78,7 @@ def cosine_near_dup_pairs(
     num_repeats: int = 10,
     seed: int = 42,
     num_partitions: int = 32,
+    max_bucket: int | None = 8192,
 ) -> ray.data.Dataset:
     """All pairs with cosine similarity >= min_sim.
 
@@ -97,7 +98,14 @@ def cosine_near_dup_pairs(
 
     Bucketing runs through the keyed exchange (vectorized per-bucket matmul
     inside each partition — not per-group Python); cross-repeat duplicate
-    pairs collapse in a second exchange on the pair key."""
+    pairs collapse in a second exchange on the pair key.
+
+    Skew guard: a signature bucket larger than ``max_bucket`` (e.g. a corpus
+    of near-identical vectors collapsing into one bucket) is SKIPPED and
+    counted — the count surfaces as a marker row (u = v = -1, cosine_sim =
+    dropped bucket count), never silently (None disables; the num_planes=0
+    oracle path sets it aside implicitly since its one bucket is the whole
+    point)."""
     from rabbittclust_ray.stages.pairs import hash_exchange, splitmix_pair
 
     def add_sig(t: pa.Table) -> pa.Table:
@@ -151,8 +159,12 @@ def cosine_near_dup_pairs(
         mn = m / norms[:, None]
         _, starts, counts = np.unique(sig, return_index=True, return_counts=True)
         out_u, out_v, out_s = [], [], []
+        dropped_buckets = 0
         for s0, c in zip(starts, counts):
             if c < 2:
+                continue
+            if max_bucket is not None and num_planes > 0 and c > max_bucket:
+                dropped_buckets += 1
                 continue
             sub = mn[s0 : s0 + c]
             sims = sub @ sub.T
@@ -165,6 +177,11 @@ def cosine_near_dup_pairs(
             out_u.append(np.minimum(gi[iu], gi[ju])[ok])
             out_v.append(np.maximum(gi[iu], gi[ju])[ok])
             out_s.append(sv[ok])
+        if dropped_buckets:
+            # marker row: dropped hot-bucket count, never a silent cap
+            out_u.append(np.array([-1], dtype=np.int64))
+            out_v.append(np.array([-1], dtype=np.int64))
+            out_s.append(np.array([float(dropped_buckets)]))
         if not out_u:
             return empty
         u = np.concatenate(out_u)
@@ -188,6 +205,14 @@ def cosine_near_dup_pairs(
         u = t["u"].to_numpy(zero_copy_only=False)
         v = t["v"].to_numpy(zero_copy_only=False)
         s = t["cosine_sim"].to_numpy(zero_copy_only=False)
+        marker = u == -1
+        n_dropped = float(s[marker].sum()) if marker.any() else 0.0
+        if marker.any():
+            u, v, s = u[~marker], v[~marker], s[~marker]
+            # one summed marker row per run (markers share one pair key)
+            u = np.append(u, -1)
+            v = np.append(v, -1)
+            s = np.append(s, n_dropped)
         order = np.lexsort((v, u))
         u, v, s = u[order], v[order], s[order]
         first = np.empty(len(u), dtype=bool)

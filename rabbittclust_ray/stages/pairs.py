@@ -171,8 +171,16 @@ def hash_exchange(
 
     def slice_of(block: pa.Table, lo_key: int, hi_key: int) -> pa.Table | None:
         """Zero-copy slice of a prepped (key-sorted) block to [lo, hi)."""
-        if block.num_rows == 0 or HKEY not in block.column_names:
+        if block.num_rows == 0:
             return None
+        if HKEY not in block.column_names:
+            # only legal for empty blocks; a populated block without the
+            # range key means input_prepped was passed for un-prepped data —
+            # silently skipping it would LOSE those rows
+            raise ValueError(
+                f"hash_exchange: block missing {HKEY}; was input_prepped=True "
+                "passed for a dataset whose producer did not set next_key?"
+            )
         hk = block[HKEY].to_numpy(zero_copy_only=False)
         lo = int(np.searchsorted(hk, np.uint64(lo_key), side="left"))
         hi = (

@@ -84,3 +84,24 @@ def test_ivf_partial_probe_recall():
         total += len(truth)
     recall = hits / total
     assert recall >= 0.9, f"IVF nprobe=2 recall {recall:.3f} < 0.9"
+
+
+def test_lsh_hot_bucket_cap_is_counted():
+    """Near-identical vectors collapse into one bucket per repeat; with a
+    tiny max_bucket the bucket is dropped and the drop surfaces as a marker
+    row (u = v = -1), never silently."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    center = rng.standard_normal(16)
+    center /= np.linalg.norm(center)
+    m = center + 0.001 * rng.standard_normal((100, 16))
+    flat = pa.array(m.reshape(-1).astype(np.float32), pa.float32())
+    emb = pa.FixedSizeListArray.from_arrays(flat, 16).cast(pa.list_(pa.float32()))
+    tbl = pa.table({"vec_id": pa.array(np.arange(100), pa.int64()), "embedding": emb})
+    ds = ray.data.from_arrow(tbl)
+    out = cosine_near_dup_pairs(ds, min_sim=0.9, num_partitions=4,
+                                max_bucket=10).to_pandas()
+    markers = out[out.u == -1]
+    assert len(markers) == 1
+    assert markers.iloc[0].cosine_sim >= 10  # ~10 repeats x 1 hot bucket
+    assert len(out[out.u != -1]) == 0  # everything was in the hot buckets
