@@ -84,11 +84,14 @@ def append_clust_mst(
     # keeps it; the exact-dedup layer collapses it downstream).
     import ray
 
-    old_ids = np.sort(
-        old_sketches.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    from rabbittclust_ray.stages.pairs import key_intersection
+
+    prepared = prepare_documents(new_documents, scfg).materialize()
+    clash = key_intersection(
+        prepared.select_columns(["doc_id"]),
+        old_sketches.select_columns(["doc_id"]),
     )
-    ids_ref = ray.put(old_ids)
-    prepared = prepare_documents(new_documents, scfg)
+    ids_ref = ray.put(clash)
 
     def anti_join(t: pa.Table) -> pa.Table:
         known = ray.get(ids_ref)

@@ -88,12 +88,19 @@ def greedy_append(root: str, new_documents: ray.data.Dataset) -> GreedyResult:
     rep_of: dict[int, int] = dict(zip(rep_pdf["doc_id"], rep_pdf["rep_id"]))
     old_reps = {int(r) for r in rep_pdf["rep_id"]}
 
-    # idempotence: drop rows whose identity is already in the state
-    known = np.sort(rep_pdf["doc_id"].to_numpy())
+    # idempotence: drop rows whose identity is already in the state. The
+    # clash set comes from a distributed key intersection (bounded by the
+    # append batch, not the checkpoint size)
     import ray
 
-    known_ref = ray.put(known)
-    prepared = prepare_documents(new_documents, scfg)
+    from rabbittclust_ray.stages.pairs import key_intersection
+
+    prepared = prepare_documents(new_documents, scfg).materialize()
+    clash = key_intersection(
+        prepared.select_columns(["doc_id"]),
+        old_sketches.select_columns(["doc_id"]),
+    )
+    known_ref = ray.put(clash)
 
     def anti_join(t: pa.Table) -> pa.Table:
         kn = ray.get(known_ref)
