@@ -113,3 +113,38 @@ def test_recluster_from_checkpoint(split_corpus, tmp_path):
     assert n_tight >= n_orig
     with pytest.raises(ValueError):
         recluster_from_checkpoint(root, 0.5)  # looser than checkpointed cut
+
+
+def test_empty_edge_checkpoint_append_recluster(tmp_path):
+    """An edgeless checkpoint (no pairs under threshold) must still save,
+    append, and recluster — save_stage writes a zero-row schema-carrying
+    parquet so load_stage never sees an empty path list (round-1 advice)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.append import (
+        append_clust_mst,
+        clust_mst_checkpointed,
+        recluster_from_checkpoint,
+    )
+
+    def docs(rows):
+        return pa.table(
+            {"repo": ["r"] * len(rows), "path": [f"{n}.txt" for n, _ in rows],
+             "commit": ["c"] * len(rows), "lang": ["python"] * len(rows),
+             "content": [c for _, c in rows]}
+        )
+
+    a = [("a", "alpha bravo charlie delta echo foxtrot " * 5),
+         ("b", "zulu yankee xray whiskey victor uniform " * 5)]
+    b = [("c", "golf hotel india juliet kilo lima mike " * 5)]
+    scfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=64, min_len=10)
+    ccfg = ClusterConfig(threshold=0.05, num_buckets=4)
+    root = str(tmp_path / "empty")
+    r1 = clust_mst_checkpointed(ray.data.from_arrow(docs(a)), root, scfg, ccfg)
+    assert r1.edges.count() == 0
+    r2 = append_clust_mst(root, ray.data.from_arrow(docs(b)))
+    assert r2.assignments.count() == 3
+    r3 = recluster_from_checkpoint(root, 0.05)
+    assert r3.assignments.count() == 3
