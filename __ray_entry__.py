@@ -600,17 +600,21 @@ def _q_exact_dup_pairs(sf_dir: str):
     import pandas as pd
 
     from rabbittclust_ray.stages.dedup import exact_dedup
+    from rabbittclust_ray.stages.pairs import _ragged_pairs
 
     ed = exact_dedup(_prepared(sf_dir)).to_pandas()
-    rows = []
-    for _, grp in ed.groupby("group_rep"):
-        ids = sorted(grp.doc_id)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows.append((ids[i], ids[j]))
-    if not rows:
+    ids = ed["doc_id"].to_numpy()
+    reps = ed["group_rep"].to_numpy()
+    order = np.lexsort((ids, reps))
+    ids_s, reps_s = ids[order], reps[order]
+    new_grp = np.empty(len(ids_s), dtype=bool)
+    new_grp[0:1] = True
+    new_grp[1:] = reps_s[1:] != reps_s[:-1]
+    counts = np.diff(np.append(np.flatnonzero(new_grp), len(ids_s)))
+    i_idx, j_idx = _ragged_pairs(counts)
+    if len(i_idx) == 0:
         return pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
-    return pd.DataFrame(rows, columns=["u", "v"])
+    return pd.DataFrame({"u": ids_s[i_idx], "v": ids_s[j_idx]})
 
 
 def _q_clusters_dbscan(sf_dir: str):
