@@ -1,0 +1,124 @@
+"""Local stand-in for the driver's CORRECTNESS check: run every
+`__ray_entry__.queries()` entry and its `oracle_sql()` twin side-by-side
+(default sf0.01), comparing row count, column set, and values after sorting
+columns by name and rows by all columns — the same canonicalization the
+graft driver applies before hashing.
+
+    python scripts/check_oracle.py [query ...] [--sf /root/testdata/sf0.01]
+
+Run from anywhere; owns its own Ray session."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pdf(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(name, ray_df, sql_df):
+    a, b = canon(ray_df), canon(sql_df)
+    rows = len(a) == len(b)
+    schema = list(a.columns) == list(b.columns)
+    if not rows or not schema:
+        return dict(name=name, rows=rows, schema=schema, hash=False,
+                    ray_rows=len(a), sql_rows=len(b),
+                    ray_cols=list(a.columns), sql_cols=list(b.columns))
+    eq = True
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
+        else:
+            ok = (av == bv).all() if len(av) else True
+        if not ok:
+            eq = False
+            mism = np.flatnonzero(~(av == bv)) if av.dtype.kind != "f" else []
+            print(f"  [{name}] col {c} mismatch; first idx: {mism[:5] if len(mism) else '?'}")
+            if len(mism):
+                i = mism[0]
+                print(f"    ray={a.iloc[i].to_dict()}\n    sql={b.iloc[i].to_dict()}")
+    return dict(name=name, rows=rows, schema=schema, hash=eq, ray_rows=len(a), sql_rows=len(b))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import ray
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as em
+    qs = em.queries()
+    sqls = em.oracle_sql()
+    names = args.queries or [n for n in qs if n in sqls]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        import os
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results = []
+    for n in names:
+        import time
+        t0 = time.time()
+        try:
+            ray_df = to_pdf(qs[n](args.sf))
+        except Exception as e:
+            print(f"{n}: RAY ERROR {type(e).__name__}: {e}")
+            import traceback; traceback.print_exc()
+            continue
+        t1 = time.time()
+        if n not in sqls:
+            print(f"{n}: no_oracle ({len(ray_df)} rows, {t1-t0:.1f}s)")
+            continue
+        try:
+            sql_df = con.execute(sqls[n]).fetchdf()
+        except Exception as e:
+            print(f"{n}: SQL ERROR {type(e).__name__}: {e}")
+            continue
+        r = compare(n, ray_df, sql_df)
+        r["ray_s"] = round(t1 - t0, 1)
+        r["sql_s"] = round(time.time() - t1, 1)
+        results.append(r)
+        print(r)
+    ok = sum(1 for r in results if r["hash"])
+    print(f"\n{ok}/{len(results)} hash-match")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
