@@ -122,3 +122,47 @@ def test_components_labels_matches_unionfind(seed):
     for a in range(n):
         for b in range(a + 1, n):
             assert (lab[a] == lab[b]) == (uf.find(a) == uf.find(b))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=400),
+    st.integers(1, 5),
+    st.integers(1, 12),
+)
+def test_hash_exchange_partitioning_invariance(keys, n_blocks, num_partitions):
+    """Every key's rows reach exactly one reducer regardless of block
+    layout or partition count: a per-partition sum-by-key equals the global
+    groupby, and no key appears in two partition outputs."""
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    k = np.asarray(keys, dtype=np.int64)
+    v = np.arange(len(k), dtype=np.int64)
+    t = pa.table({"k": pa.array(k, pa.int64()), "val": pa.array(v, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(n_blocks)
+
+    def agg(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        kk = tab["k"].to_numpy(zero_copy_only=False)
+        vv = tab["val"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(kk, return_inverse=True)
+        s = np.bincount(inv, weights=vv).astype(np.int64)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    out = hash_exchange(ds, "k", agg, num_partitions).to_pandas()
+    assert out["k"].is_unique  # each key handled by exactly one reducer
+    assert out["n"].sum() == len(k)
+    expected = {}
+    for kk, vv in zip(k.tolist(), v.tolist()):
+        expected[kk] = expected.get(kk, 0) + vv
+    got = dict(zip(out["k"], out["s"]))
+    assert got == expected
