@@ -40,7 +40,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 def _corpus(sf: float):
     from rabbittclust_ray.corpus import bench_corpus_dataset
 
-    n_docs = max(500, int(1_200_000 * sf))
+    n_docs = int(os.environ.get("BENCH_N_DOCS", "0")) or max(500, int(1_200_000 * sf))
     return bench_corpus_dataset(n_docs, doc_len=2000, seed=42), n_docs
 
 
