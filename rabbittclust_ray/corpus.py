@@ -166,7 +166,8 @@ def scale_corpus(n_docs: int, doc_len: int = 2000, seed: int = 42) -> pa.Table:
     return docs
 
 
-def bench_corpus_dataset(n_docs: int, doc_len: int = 2000, seed: int = 42, family_size: int = 10):
+def bench_corpus_dataset(n_docs: int, doc_len: int = 2000, seed: int = 42, family_size: int = 10,
+                         docs_per_block: int = 250):
     """Distributed deterministic bench corpus as a Ray Dataset in canonical
     input_hint shape. Doc i belongs to near-dup family i // family_size; its
     content is the family seed token stream with ~2% vectorized mutations.
@@ -204,7 +205,7 @@ def bench_corpus_dataset(n_docs: int, doc_len: int = 2000, seed: int = 42, famil
             {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
         )
 
-    blocks = max(64, n_docs // 250)
+    blocks = max(64, n_docs // docs_per_block)
     return ray.data.range(n_docs, override_num_blocks=blocks).map_batches(
         gen, batch_format="pyarrow", batch_size=512
     )

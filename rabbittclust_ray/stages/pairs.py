@@ -324,16 +324,35 @@ def _ragged_pairs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return i_idx, j_idx
 
 
+# Upper bound on raw (pre-aggregation) pairs expanded at once inside one
+# emitter call. Each expanded pair touches ~8 int64 temporaries, so this
+# bounds the emitter's fresh-heap appetite to ~100 MB per task regardless of
+# partition size — essential both for real worker heaps at 100 TB and for
+# this sandbox, where FIRST-TOUCH of new anonymous memory costs ~3 ms per
+# 2 MB huge page (Firecracker lazy memory): an unchunked 480k-doc partition
+# expands ~17M pairs -> ~1.5 GB of fresh temporaries per task x 32 tasks,
+# and the resulting fault storm serializes in the kernel (measured: the
+# edges stage went 39x slower for 4x the docs, with 96% system CPU time).
+EMITTER_CHUNK_PAIRS = 1_500_000
+
+
 class BucketPairEmitter:
     """Posting-group fn: emit partially-aggregated candidate pairs.
 
     Input: (band_hash, doc_id, ssize) rows covering COMPLETE postings.
     All work vectorized over the whole table. Hot postings (> max_posting
     docs for one hash) are dropped and counted in marker rows (u = v = -1,
-    ``dropped_postings`` > 0) so the manifest can report them."""
+    ``dropped_postings`` > 0) so the manifest can report them.
 
-    def __init__(self, cfg: ClusterConfig, distance_k: int | None = None, max_dist: float | None = None):
+    Pair expansion is CHUNKED over posting boundaries so the temporary
+    working set stays ~EMITTER_CHUNK_PAIRS pairs no matter how many rows
+    the partition holds; chunk outputs are pre-aggregated per chunk and
+    merged exactly (dense-id single-key unique) before emission."""
+
+    def __init__(self, cfg: ClusterConfig, distance_k: int | None = None, max_dist: float | None = None,
+                 chunk_pairs: int = EMITTER_CHUNK_PAIRS):
         self.cfg = cfg
+        self.chunk_pairs = chunk_pairs
         # J2 size-ratio prefilter applied at emission time (Mash mode only):
         # a pair whose sketch sizes differ by more than radio can never be
         # within max_dist (/root/reference/src/MST.cpp:26-37) — dropping it
@@ -342,6 +361,53 @@ class BucketPairEmitter:
         if distance_k is not None and not cfg.containment:
             md = cfg.threshold if max_dist is None else max_dist
             self.radio = 2.0 * math.exp(md * distance_k) - 1.0
+
+    def _emit_chunk(
+        self,
+        docs: np.ndarray,
+        sizes: np.ndarray,
+        isnew: np.ndarray | None,
+        counts: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+        """Expand + locally aggregate the pairs of one run of complete
+        postings (rows in posting order). Returns (u, v, su, sv, partial)."""
+        i_idx, j_idx = _ragged_pairs(counts)
+        if len(i_idx) == 0:
+            return None
+        # map doc ids to dense LOCAL indices so a pair packs into ONE int64
+        # key — np.unique on that single key both sorts and aggregates in one
+        # C pass (np.lexsort over (u,v) int64 pairs is 10-50x slower and was
+        # the hot spot at millions of pairs per block)
+        docs_local, inv = np.unique(docs, return_inverse=True)
+        n_local = len(docs_local)
+        sizes_local = np.zeros(n_local, dtype=np.int64)
+        sizes_local[inv] = sizes  # sizes are constant per doc
+        a, b = inv[i_idx], inv[j_idx]
+        # local index order == global id order (docs_local is sorted asc)
+        swap = a > b
+        ul = np.where(swap, b, a)
+        vl = np.where(swap, a, b)
+        ok = ul != vl  # guard; cannot happen (hashes unique within a sketch)
+        if isnew is not None:
+            # append mode: old-old pairs already live in the edge checkpoint
+            new_local = np.zeros(n_local, dtype=bool)
+            new_local[inv] = isnew
+            ok &= new_local[a] | new_local[b]
+        if self.radio is not None:
+            sa, sb = sizes_local[ul], sizes_local[vl]
+            ok &= np.maximum(sa, sb) <= self.radio * np.maximum(np.minimum(sa, sb), 1)
+        key = ul[ok] * np.int64(n_local) + vl[ok]
+        if len(key) == 0:
+            return None
+        uk, grp_count = np.unique(key, return_counts=True)
+        ul, vl = uk // n_local, uk % n_local
+        return (
+            docs_local[ul],
+            docs_local[vl],
+            sizes_local[ul],
+            sizes_local[vl],
+            grp_count.astype(np.int64),
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -371,38 +437,50 @@ class BucketPairEmitter:
             if isnew is not None:
                 isnew = isnew[keep_mask]
             uniq, start, counts = np.unique(hashes, return_index=True, return_counts=True)
-        i_idx, j_idx = _ragged_pairs(counts)
-        if len(i_idx) == 0:
+        # chunk postings so at most ~chunk_pairs pairs are expanded at once
+        # (+ one posting's worth of overshoot, bounded by cap^2/2)
+        pair_cnt = counts.astype(np.int64) * (counts.astype(np.int64) - 1) // 2
+        chunk_id = (np.cumsum(pair_cnt) - pair_cnt) // max(self.chunk_pairs, 1)
+        parts: list[tuple[np.ndarray, ...]] = []
+        n_chunks = int(chunk_id[-1]) + 1 if len(chunk_id) else 0
+        for c in range(n_chunks):
+            p0 = int(np.searchsorted(chunk_id, c, side="left"))
+            p1 = int(np.searchsorted(chunk_id, c, side="right"))
+            if p0 == p1:
+                continue
+            r0 = int(start[p0])
+            r1 = int(start[p1 - 1] + counts[p1 - 1])
+            res = self._emit_chunk(
+                docs[r0:r1],
+                sizes[r0:r1],
+                isnew[r0:r1] if isnew is not None else None,
+                counts[p0:p1],
+            )
+            if res is not None:
+                parts.append(res)
+        if not parts:
             return _empty_pair_table(dropped)
-        # map doc ids to dense LOCAL indices so a pair packs into ONE int64
-        # key — np.unique on that single key both sorts and aggregates in one
-        # C pass (np.lexsort over (u,v) int64 pairs is 10-50x slower and was
-        # the hot spot at millions of pairs per block)
-        docs_local, inv = np.unique(docs, return_inverse=True)
-        n_local = len(docs_local)
-        sizes_local = np.zeros(n_local, dtype=np.int64)
-        sizes_local[inv] = sizes  # sizes are constant per doc
-        a, b = inv[i_idx], inv[j_idx]
-        # local index order == global id order (docs_local is sorted asc)
-        swap = a > b
-        ul = np.where(swap, b, a)
-        vl = np.where(swap, a, b)
-        ok = ul != vl  # guard; cannot happen (hashes unique within a sketch)
-        if isnew is not None:
-            # append mode: old-old pairs already live in the edge checkpoint
-            new_local = np.zeros(n_local, dtype=bool)
-            new_local[inv] = isnew
-            ok &= new_local[a] | new_local[b]
-        if self.radio is not None:
-            sa, sb = sizes_local[ul], sizes_local[vl]
-            ok &= np.maximum(sa, sb) <= self.radio * np.maximum(np.minimum(sa, sb), 1)
-        key = ul[ok] * np.int64(n_local) + vl[ok]
-        if len(key) == 0:
-            return _empty_pair_table(dropped)
-        uk, grp_count = np.unique(key, return_counts=True)
-        ul, vl = uk // n_local, uk % n_local
-        gu = docs_local[ul]
-        gv = docs_local[vl]
+        if len(parts) == 1:
+            gu, gv, gsu, gsv, partial = parts[0]
+        else:
+            # exact cross-chunk merge: a (u,v) pair whose postings span
+            # chunks contributed one partial row per chunk — re-aggregate
+            # with the same dense-id single-key trick
+            gu = np.concatenate([p[0] for p in parts])
+            gv = np.concatenate([p[1] for p in parts])
+            gsu = np.concatenate([p[2] for p in parts])
+            gsv = np.concatenate([p[3] for p in parts])
+            partial = np.concatenate([p[4] for p in parts])
+            du, iu = np.unique(gu, return_inverse=True)
+            dv, iv = np.unique(gv, return_inverse=True)
+            key = iu * np.int64(len(dv)) + iv
+            uk, inv_k = np.unique(key, return_inverse=True)
+            merged = np.bincount(inv_k, weights=partial, minlength=len(uk)).astype(np.int64)
+            first = np.zeros(len(uk), dtype=np.int64)
+            first[inv_k[::-1]] = np.arange(len(key) - 1, -1, -1)
+            gu = du[uk // len(dv)]
+            gv = dv[uk % len(dv)]
+            gsu, gsv, partial = gsu[first], gsv[first], merged
         # salted aggregation key: mixing BOTH endpoints spreads a hot doc's
         # pairs across all partitions of the second exchange (north-rule
         # salted repartitioning — keying on u alone would put a doc with
@@ -413,10 +491,10 @@ class BucketPairEmitter:
                 "pair_key": pa.array(pk, pa.uint64()),
                 "u": pa.array(gu, pa.int64()),
                 "v": pa.array(gv, pa.int64()),
-                "su": pa.array(sizes_local[ul].astype(np.int32), pa.int32()),
-                "sv": pa.array(sizes_local[vl].astype(np.int32), pa.int32()),
-                "partial": pa.array(grp_count.astype(np.int32), pa.int32()),
-                "dropped_postings": pa.array(np.zeros(len(uk), dtype=np.int32), pa.int32()),
+                "su": pa.array(gsu.astype(np.int32), pa.int32()),
+                "sv": pa.array(gsv.astype(np.int32), pa.int32()),
+                "partial": pa.array(partial.astype(np.int32), pa.int32()),
+                "dropped_postings": pa.array(np.zeros(len(gu), dtype=np.int32), pa.int32()),
             }
         )
         if dropped:
