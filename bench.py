@@ -116,10 +116,11 @@ def run_bench() -> dict:
     # max_posting=256 drops boilerplate shingles shared by >256 docs (logged,
     # reference J5 semantics) so hot LSH buckets cannot blow up the pair table
     scfg = SketchConfig(shingle_k=24, mode="bottomk", sketch_size=256, min_len=100)
-    # num_buckets fixed at 32: reducer count beyond ~32 makes each task pin
-    # every input block and the object manager thrashes (64 reducers at 32
-    # CPUs measured 2.5x slower than 32 reducers)
-    ccfg = ClusterConfig(threshold=0.05, num_buckets=32,
+    # reducer count is auto-sized by the exchange to ~1M rows/reducer
+    # (EXCHANGE_TARGET_ROWS): ~31 reducers at 120k docs, ~128 at 480k —
+    # both measured optima (fixed 32 collapsed 5-17x at 480k docs when
+    # per-task slices hit 3.8M rows; fixed 64+ was 2.5x slower at 120k)
+    ccfg = ClusterConfig(threshold=0.05,
                          dedup_dist=0.02, max_posting=256)
     queries: dict[str, float] = {}
     best_of = int(os.environ.get("BENCH_BEST_OF", "2"))

@@ -78,8 +78,11 @@ class ClusterConfig:
     max_posting     — drop band hashes whose posting list exceeds this
                       (hot-bucket pruning; reference DBSCAN max_posting
                       /root/reference/src/dbscan.cpp:126-128). None = no cap.
-    num_buckets     — pair-generation hash buckets (our explicit partitioned
-                      self-join; one vectorized task per bucket).
+    num_buckets     — raises the reducer-count CAP of the pair exchanges
+                      when set above EXCHANGE_PARTITION_CAP (4096); the
+                      actual reducer count auto-sizes to ~1M rows/reducer
+                      (pairs.EXCHANGE_TARGET_ROWS), so this only needs
+                      touching at extreme scale.
     dedup_dist      — near-dup collapse radius (reference --dedup-dist,
                       /root/reference/src/cluster_postprocess.cpp:60-157).
     reps_per_cluster— k-center representatives per cluster (reference

@@ -77,7 +77,7 @@ def cosine_near_dup_pairs(
     num_planes: int = 8,
     num_repeats: int = 10,
     seed: int = 42,
-    num_partitions: int = 32,
+    num_partitions: int = 1024,
     max_bucket: int | None = 8192,
 ) -> ray.data.Dataset:
     """All pairs with cosine similarity >= min_sim.
@@ -329,7 +329,7 @@ def ivf_topk(
     emb_col: str = "embedding",
     query_id_col: str | None = None,
     seed: int = 42,
-    num_partitions: int = 32,
+    num_partitions: int = 1024,
     sample_fraction: float = 0.25,
 ) -> ray.data.Dataset:
     """Fully distributed IVF top-k: the inverted lists NEVER materialize on

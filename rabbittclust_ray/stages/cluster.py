@@ -201,7 +201,7 @@ def make_assignments(
 
 
 def components_labelprop(
-    edges: ray.data.Dataset, max_iters: int = 50, num_partitions: int = 64
+    edges: ray.data.Dataset, max_iters: int = 50, num_partitions: int = 1024
 ) -> ray.data.Dataset:
     """Scale-path alternative to the driver union-find: iterated min-label
     propagation, fully distributed (hash-to-min, BTS-style; PAPERS.md).

@@ -29,7 +29,7 @@ from rabbittclust_ray.stages.graph_np import components_labels, dense_ids
 from rabbittclust_ray.stages.pairs import hash_exchange
 
 
-def knn_prune_edges(edges: ray.data.Dataset, k: int, num_partitions: int = 16) -> ray.data.Dataset:
+def knn_prune_edges(edges: ray.data.Dataset, k: int, num_partitions: int = 1024) -> ray.data.Dataset:
     """Keep edges that are in the k-nearest of at least one endpoint."""
 
     def both_directions(t: pa.Table) -> pa.Table:

@@ -58,7 +58,7 @@ def _sha_groups(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def exact_dedup(
-    prepared: ray.data.Dataset, num_buckets: int = 32, *, carry_length: bool = False
+    prepared: ray.data.Dataset, num_buckets: int = 1024, *, carry_length: bool = False
 ) -> ray.data.Dataset:
     """prepared docs -> (doc_id, content_sha256, group_rep, is_exact_dup
     [, length]).
@@ -102,7 +102,7 @@ def exact_dedup(
     return hash_exchange(keyed, "sha_key", collapse, num_buckets)
 
 
-def exact_dedup_keep_first(prepared: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
+def exact_dedup_keep_first(prepared: ray.data.Dataset, num_buckets: int = 1024) -> ray.data.Dataset:
     """prepared docs minus exact duplicates (winner = min doc_id per sha).
     Run BEFORE sketching at scale: collapses byte-identical families so the
     pair stage never sees their O(m^2) blowup (stages/pairs.py skew note).

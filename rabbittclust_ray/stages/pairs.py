@@ -89,8 +89,24 @@ HKEY = "__hkey__"
 # rows per reducer the exchange aims for when auto-sizing partition count;
 # small inputs collapse to few reducers (fixed 64-way fan-out on a 10^5-row
 # input was pure task overhead), huge inputs are capped by the caller's
-# num_partitions (the scale knob)
-EXCHANGE_TARGET_ROWS = 1 << 18
+# num_partitions (the scale knob).
+#
+# ~1M rows/reducer is measured, twice, as the sweet spot for the pair
+# exchanges on this class of host: at 120k docs (30.7M exploded rows) 32
+# reducers beat 64/118, and at 480k docs (123M rows) 128 reducers beat 32
+# by 5-17x — both are ~1M rows/task. Larger slices push each task's arrow
+# concat + emitter heap past the warmed region and the resulting page
+# faults serialize in the kernel; smaller slices multiply the partials
+# volume of the following aggregation exchange (a pair appears once per
+# partition holding any of its shared hashes).
+EXCHANGE_TARGET_ROWS = 1 << 20
+# parallelism floor: use every cluster CPU unless that would leave tasks
+# with fewer than this many rows (then task overhead beats parallelism)
+EXCHANGE_MIN_ROWS = 1 << 15
+# default cap on auto-sized reducer count for the wide pair exchanges —
+# generous so row-count auto-sizing is the binding rule; at true 100-TB
+# scale the caller raises it with ClusterConfig.num_buckets
+EXCHANGE_PARTITION_CAP = 4096
 
 
 def _hash_key(k: np.ndarray) -> np.ndarray:
@@ -227,7 +243,14 @@ def hash_exchange(
     else:
         prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None).materialize()
     n_rows = prepped.count()
-    p = max(1, min(num_partitions, -(-n_rows // EXCHANGE_TARGET_ROWS) or 1))
+    # two-sided auto-size: per-task slices capped at ~EXCHANGE_TARGET_ROWS
+    # (heap/fault cliff measured at ~1-2M rows/task), and at least one task
+    # per cluster CPU so mid-size inputs don't idle the cluster — unless
+    # the input is so small that tasks would drop under EXCHANGE_MIN_ROWS
+    ncpu = int(ray.cluster_resources().get("CPU", 1) or 1)
+    p_heap = -(-n_rows // EXCHANGE_TARGET_ROWS) or 1
+    p_par = min(ncpu, -(-n_rows // EXCHANGE_MIN_ROWS) or 1)
+    p = max(1, min(num_partitions, max(p_heap, p_par)))
     sch = prepped.schema()
     base = sch.base_schema if sch is not None else pa.schema([])
     schema = pa.schema([f for f in base if f.name != HKEY])
@@ -634,7 +657,7 @@ def candidate_pairs(
     md = ccfg.threshold if max_dist is None else max_dist
     exploded = explode_sketches(sketches)
     emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
-    p = max(1, ccfg.num_buckets)
+    p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
     return hash_exchange(partials, "pair_key", _aggregate_pair_group, p,
                          input_prepped=True)
@@ -711,7 +734,7 @@ def banded_lsh_pairs(
     exploded = sketches.map_batches(explode_bands, batch_format="pyarrow")
     emitter = BucketPairEmitter(ClusterConfig(threshold=md, max_posting=ccfg.max_posting,
                                               num_buckets=ccfg.num_buckets))
-    p = max(1, ccfg.num_buckets)
+    p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     cand = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
     cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p,
                          input_prepped=True)
@@ -755,7 +778,7 @@ def verify_pairs_exact(
     reference; transfer volume is O(|candidates| * sketch_size), never the
     whole sketch table per node."""
     md = ccfg.threshold if max_dist is None else max_dist
-    p = num_partitions if num_partitions is not None else max(1, ccfg.num_buckets)
+    p = num_partitions if num_partitions is not None else max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     k = scfg.distance_k
     containment = ccfg.containment
 
@@ -876,7 +899,7 @@ def key_intersection(
     left_ids: ray.data.Dataset,
     right_ids: ray.data.Dataset,
     id_col: str = "doc_id",
-    num_partitions: int = 32,
+    num_partitions: int = 1024,
 ) -> np.ndarray:
     """Distributed distinct-key intersection of two id columns (one keyed
     exchange; each reducer emits only keys present on BOTH sides). Returns
@@ -931,7 +954,7 @@ def score_candidates_by_size(
     (8 bytes fetched per pair side instead of the whole sketch list).
     cand: (u, v, common). Output: (u, v, common, dist) with dist <= max_dist."""
     md = ccfg.threshold if max_dist is None else max_dist
-    p = num_partitions if num_partitions is not None else max(1, ccfg.num_buckets)
+    p = num_partitions if num_partitions is not None else max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     k = scfg.distance_k
     containment = ccfg.containment
 
@@ -1036,7 +1059,7 @@ def candidate_edges(
     md = ccfg.threshold if max_dist is None else max_dist
     exploded = explode_sketches(sketches)
     emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
-    p = max(1, ccfg.num_buckets)
+    p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
 
     def aggregate_and_score(t: pa.Table) -> pa.Table:

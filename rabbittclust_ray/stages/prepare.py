@@ -68,7 +68,7 @@ def prepare_documents(
     return out
 
 
-def assert_unique_ids(prepared: ray.data.Dataset, num_buckets: int = 32) -> None:
+def assert_unique_ids(prepared: ray.data.Dataset, num_buckets: int = 1024) -> None:
     """Distributed doc_id uniqueness check (63-bit id collision guard, see
     hashing.stable_doc_id). One hash exchange on the id; raises ValueError
     with sample colliding ids if any id appears more than once."""

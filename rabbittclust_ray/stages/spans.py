@@ -89,7 +89,7 @@ def dup_spans(
     seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "content",
-    num_partitions: int = 16,
+    num_partitions: int = 1024,
     max_matches: int = 1 << 22,
 ) -> ray.data.Dataset:
     """pairs (u, v) + documents (id, text) ->
