@@ -184,12 +184,12 @@ def _db_verb(args, parser, scfg, ccfg) -> int:
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="rabbittclust_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("clust-mst", "clust-greedy", "append", "recluster", "dbscan", "louvain"):
+    for name in ("clust-mst", "clust-greedy", "append", "recluster", "dbscan", "louvain", "leiden"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "dbscan":
             p.add_argument("--min-pts", type=int, default=3)
-        if name == "louvain":
+        if name in ("louvain", "leiden"):
             p.add_argument("--resolution", type=float, default=1.0)
     # RepDB surface (reference --db --build/--query/--assign/--stats,
     # /root/reference/src/greedy.cpp:2351-2534): a self-contained rep
@@ -306,13 +306,14 @@ def main(argv: list[str] | None = None) -> int:
 
             result = append_clust_mst(args.output, ds)
             _write_outputs(args.output, result, ccfg.threshold)
-        elif args.cmd == "louvain":
+        elif args.cmd in ("louvain", "leiden"):
             from rabbittclust_ray.pipelines.clust_mst import clust_mst
             from rabbittclust_ray.stages.cluster import make_assignments
-            from rabbittclust_ray.stages.community import louvain_labels
+            from rabbittclust_ray.stages.community import leiden_labels, louvain_labels
 
             res = clust_mst(ds, scfg, ccfg)
-            labels = louvain_labels(res.edges, resolution=args.resolution)
+            fn = leiden_labels if args.cmd == "leiden" else louvain_labels
+            labels = fn(res.edges, resolution=args.resolution)
             result = res
             result.assignments = make_assignments(res.sketches, labels)
             _write_outputs(args.output, result, ccfg.threshold)

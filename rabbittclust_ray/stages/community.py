@@ -38,11 +38,15 @@ def _collect_edges(edges: ray.data.Dataset | pa.Table) -> pa.Table:
 
 
 def _one_level(adj: list[dict[int, float]], k: np.ndarray, m2: float,
-               resolution: float) -> np.ndarray:
-    """One Louvain local-move level; returns community per node."""
+               resolution: float, init_comm: np.ndarray | None = None) -> np.ndarray:
+    """One Louvain local-move level; returns community per node.
+
+    ``init_comm`` seeds the starting partition (Leiden passes the previous
+    level's community of each aggregated node; default singletons)."""
     n = len(adj)
-    comm = np.arange(n, dtype=np.int64)
-    comm_tot = k.copy()  # total degree per community
+    comm = np.arange(n, dtype=np.int64) if init_comm is None else init_comm.copy()
+    comm_tot = np.zeros(int(comm.max()) + 1 if n else 0, dtype=np.float64)
+    np.add.at(comm_tot, comm, k)  # total degree per community
     improved = True
     while improved:
         improved = False
@@ -66,6 +70,127 @@ def _one_level(adj: list[dict[int, float]], k: np.ndarray, m2: float,
             if best_c != c_old:
                 improved = True
     return comm
+
+
+def _refine(adj: list[dict[int, float]], k: np.ndarray, m2: float,
+            resolution: float, comm: np.ndarray) -> np.ndarray:
+    """Leiden refinement: split each local-move community into
+    well-connected subcommunities (/root/reference/src/leiden.cpp:136-469
+    parity; deterministic simplification of Traag et al. 2019).
+
+    Every node starts as its own subcommunity; a node that is still ALONE
+    in its subcommunity may merge into a subcommunity of the SAME
+    local-move community it has positive edge weight to, picking the best
+    modularity gain (ties -> smallest subcommunity id). One ascending-order
+    pass (the classic algorithm's random single pass, made deterministic).
+    Guarantees every refined community is internally connected — the
+    property Louvain famously lacks."""
+    n = len(adj)
+    sub = np.arange(n, dtype=np.int64)
+    sub_tot = k.copy()
+    sub_size = np.ones(n, dtype=np.int64)
+    for node in range(n):
+        if sub_size[sub[node]] > 1:
+            continue  # only isolated nodes move (Leiden rule)
+        links: dict[int, float] = defaultdict(float)
+        for nbr, w in adj[node].items():
+            if comm[nbr] == comm[node] and sub[nbr] != sub[node]:
+                links[int(sub[nbr])] += w
+        best_s, best_gain = -1, 0.0
+        for s, w_in in sorted(links.items()):
+            gain = w_in - resolution * sub_tot[s] * k[node] / m2
+            if gain > best_gain + 1e-12:
+                best_s, best_gain = s, gain
+        if best_s >= 0:
+            sub_size[sub[node]] -= 1
+            sub_tot[sub[node]] -= k[node]
+            sub[node] = best_s
+            sub_size[best_s] += 1
+            sub_tot[best_s] += k[node]
+    return sub
+
+
+def _build_adj(cur_u: np.ndarray, cur_v: np.ndarray, cur_w: np.ndarray,
+               n_cur: int) -> tuple[list[dict[int, float]], np.ndarray]:
+    """Adjacency dicts + degree vector (self-loops count twice)."""
+    adj: list[dict[int, float]] = [defaultdict(float) for _ in range(n_cur)]
+    self_w = np.zeros(n_cur)
+    for a, b, ww in zip(cur_u, cur_v, cur_w):
+        if a == b:
+            self_w[a] += ww
+            continue
+        adj[a][b] += ww
+        adj[b][a] += ww
+    k = np.zeros(n_cur)
+    for i in range(n_cur):
+        k[i] = sum(adj[i].values()) + 2.0 * self_w[i]
+    return adj, k
+
+
+def leiden_labels(
+    edges: ray.data.Dataset | pa.Table,
+    *,
+    resolution: float = 1.0,
+    max_levels: int = 10,
+) -> dict[int, int]:
+    """doc_id -> community label (min doc_id), Leiden variant: Louvain
+    local moves + a refinement phase before each aggregation, so the graph
+    is aggregated by the REFINED partition while the next level starts
+    from the local-move partition. Deterministic; same driver-side scale
+    shape (and ceiling) as louvain_labels — the distributed work is the
+    candidate-graph build feeding this."""
+    t = _collect_edges(edges)
+    if t.num_rows == 0:
+        return {}
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    d = t["dist"].to_numpy(zero_copy_only=False) if "dist" in t.column_names else np.zeros(len(u))
+    w = np.maximum(1.0 - d, 1e-9)
+    ids = np.unique(np.concatenate([u, v]))
+    idx = {int(x): i for i, x in enumerate(ids)}
+    n = len(ids)
+    membership = np.arange(n, dtype=np.int64)  # doc-node -> current super-node
+    final_comm = np.arange(n, dtype=np.int64)  # doc-node -> community
+    cur_u = np.array([idx[int(x)] for x in u], dtype=np.int64)
+    cur_v = np.array([idx[int(x)] for x in v], dtype=np.int64)
+    cur_w = w.astype(np.float64)
+    n_cur = n
+    init: np.ndarray | None = None
+    for _ in range(max_levels):
+        adj, k = _build_adj(cur_u, cur_v, cur_w, n_cur)
+        m2 = max(cur_w.sum() * 2.0, 1e-12)
+        comm = _one_level(adj, k, m2, resolution, init)
+        final_comm = comm[membership]  # this level's partition, doc-level
+        sub = _refine(adj, k, m2, resolution, comm)
+        uniq_s, newid = np.unique(sub, return_inverse=True)
+        if len(uniq_s) == n_cur:
+            # refinement kept every super-node singleton: aggregation would
+            # be the identity and the local move already ran to a fixed
+            # point, so no further level can make progress
+            break
+        membership = newid[membership]
+        # next level's local move starts from the community each refined
+        # subcommunity belongs to (Leiden's partition hand-off); sub refines
+        # comm, so comm is constant within a subcommunity
+        rep_of_sub = np.zeros(len(uniq_s), dtype=np.int64)
+        rep_of_sub[newid] = np.arange(n_cur, dtype=np.int64)  # any member
+        _, init = np.unique(comm[rep_of_sub], return_inverse=True)
+        init = init.astype(np.int64)
+        agg: dict[tuple[int, int], float] = defaultdict(float)
+        for a, b, ww in zip(newid[cur_u], newid[cur_v], cur_w):
+            key = (int(min(a, b)), int(max(a, b)))
+            agg[key] += ww
+        cur_u = np.array([p[0] for p in agg], dtype=np.int64)
+        cur_v = np.array([p[1] for p in agg], dtype=np.int64)
+        cur_w = np.array(list(agg.values()))
+        n_cur = len(uniq_s)
+    lab_min: dict[int, int] = {}
+    for i in range(n):
+        c = int(final_comm[i])
+        doc = int(ids[i])
+        if c not in lab_min or doc < lab_min[c]:
+            lab_min[c] = doc
+    return {int(ids[i]): lab_min[int(final_comm[i])] for i in range(n)}
 
 
 def louvain_labels(
@@ -95,17 +220,7 @@ def louvain_labels(
         # self-loops (aggregated intra-community weight) count toward node
         # degree and total weight — dropping them makes upper levels see a
         # graph with almost no mass and merge everything across weak bridges
-        adj: list[dict[int, float]] = [defaultdict(float) for _ in range(n_cur)]
-        self_w = np.zeros(n_cur)
-        for a, b, ww in zip(cur_u, cur_v, cur_w):
-            if a == b:
-                self_w[a] += ww
-                continue
-            adj[a][b] += ww
-            adj[b][a] += ww
-        k = np.zeros(n_cur)
-        for i in range(n_cur):
-            k[i] = sum(adj[i].values()) + 2.0 * self_w[i]
+        adj, k = _build_adj(cur_u, cur_v, cur_w, n_cur)
         m2 = max(cur_w.sum() * 2.0, 1e-12)
         comm = _one_level(adj, k, m2, resolution)
         uniq, newid = np.unique(comm, return_inverse=True)

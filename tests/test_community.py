@@ -74,3 +74,98 @@ def test_louvain_cli(tmp_path):
     a = pq.read_table(os.path.join(out, "assignments.parquet")).to_pandas()
     assert len(a) == 22
     assert a.cluster_id.nunique() >= 4
+
+
+# ---- Leiden (refinement variant) ----
+
+from rabbittclust_ray.stages.community import leiden_labels  # noqa: E402
+
+
+def test_leiden_two_cliques():
+    t = _two_cliques()
+    labels = leiden_labels(t)
+    a = {labels[i] for i in range(6)}
+    b = {labels[100 + i] for i in range(6)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert labels[0] == 0 and labels[100] == 100
+
+
+def test_leiden_deterministic_and_empty():
+    t = _two_cliques()
+    assert leiden_labels(t) == leiden_labels(t)
+    assert leiden_labels(pa.table(
+        {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+         "dist": pa.array([], pa.float64())}
+    )) == {}
+
+
+def test_leiden_modularity_not_worse_than_trivial():
+    t = _two_cliques()
+    labels = leiden_labels(t)
+    trivial = {int(x): 0 for x in np.unique(
+        np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
+    )}
+    assert modularity(t, labels) > modularity(t, trivial)
+
+
+def _communities_connected(t, labels):
+    """Every community induces a connected subgraph (Leiden's guarantee)."""
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for node, lab in labels.items():
+        members[lab].add(node)
+    adj = defaultdict(set)
+    for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist()):
+        if labels[a] == labels[b]:
+            adj[a].add(b)
+            adj[b].add(a)
+    for lab, nodes in members.items():
+        seen = {min(nodes)}
+        stack = [min(nodes)]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y in nodes and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        if seen != nodes:
+            return False
+    return True
+
+
+def test_leiden_communities_connected_random_graphs():
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n = 40
+        n_edges = int(rng.integers(30, 120))
+        u = rng.integers(0, n, n_edges)
+        v = rng.integers(0, n, n_edges)
+        keep = u != v
+        if not keep.any():
+            continue
+        d = rng.uniform(0.0, 0.9, keep.sum())
+        t = _edges(list(zip(u[keep].tolist(), v[keep].tolist(), d.tolist())))
+        labels = leiden_labels(t)
+        assert _communities_connected(t, labels), f"trial {trial}"
+
+
+def test_leiden_cli(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.cli import main as cli_main
+    from rabbittclust_ray.corpus import make_corpus
+
+    docs, _ = make_corpus(num_seeds=4, per_cluster=4, doc_len=600,
+                          num_exact_dups=0, num_noise=2, num_short=0)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out = str(tmp_path / "out")
+    rc = cli_main(["leiden", "-i", src, "-o", out, "-k", "12", "-s", "128",
+                   "-m", "10", "-d", "0.1", "--num-buckets", "8"])
+    assert rc == 0
+    a = pq.read_table(os.path.join(out, "assignments.parquet")).to_pandas()
+    assert len(a) == 22
+    assert a.cluster_id.nunique() >= 4
