@@ -52,6 +52,19 @@ MIN_LEN = 100  # min-len filter used by the SQL-checked ops (matches oracle)
 # sketched (bottom-k) configs stay covered by pytest + the brute-force
 # oracle (scripts/validate_oracle.py); the driver check runs the SAME
 # pipeline code, just with the sampling turned off so DuckDB can follow.
+def _read_pq(path: str, **kw):
+    import ray.data
+
+    # strip_meta lives in the package (registered pickle-by-value) — a
+    # module-level fn HERE would pickle by reference to '__ray_entry__',
+    # which workers cannot import.
+    from rabbittclust_ray.sources import strip_meta
+
+    return ray.data.read_parquet(path, **kw).map_batches(
+        strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 EX_SHINGLE_K = 8
 EX_MIN_LEN = 50
 EX_THRESHOLD = 0.1      # clustering cut d
@@ -159,7 +172,7 @@ def _docs(sf_dir: str):
 
     from rabbittclust_ray.corpus import adapt_testdata_documents
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_pq(f"{sf_dir}/documents.parquet")
 
     def adapt(t: pa.Table) -> pa.Table:
         out = adapt_testdata_documents(t)
@@ -220,7 +233,7 @@ def _q_token_count(sf_dir: str):
 
     from rabbittclust_ray.stages.text import token_count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return token_count(ds)
 
 
@@ -229,7 +242,7 @@ def _q_quality_score(sf_dir: str):
     import pandas as pd
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         s = df["text"].astype(str)
@@ -253,7 +266,7 @@ def _q_lang_id(sf_dir: str):
 
     from rabbittclust_ray.stages.text import lang_id
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return lang_id(ds).map_batches(
         lambda t: t.select(["doc_id", "pred_lang"]), batch_format="pyarrow"
     )
@@ -267,7 +280,7 @@ def _q_fingerprint(sf_dir: str):
 
     from rabbittclust_ray.stages.text import min_gram_fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return min_gram_fingerprint(ds, k=16)
 
 
@@ -279,7 +292,7 @@ def _q_simhash_pairs(sf_dir: str):
 
     from rabbittclust_ray.stages.text import simhash_near_dups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_dups(ds, max_hamming=3, hasher="sha")
 
 
@@ -398,7 +411,7 @@ def _q_ann_topk(sf_dir: str):
 
     from rabbittclust_ray.stages.ann import brute_force_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     first = ds.sort("vec_id").take(1)[0]
     q = np.asarray(first["embedding"], dtype=np.float64)
     out = brute_force_topk(ds, q, k=10).to_pandas()
@@ -413,7 +426,7 @@ def _q_cosine_near_dups(sf_dir: str):
     # num_planes=0 = the exact/oracle configuration (single bucket, O(N^2)
     # matmul — fine at sf scale); the LSH default's recall is pinned >= 0.95
     # by tests/test_ann.py against this exact output
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     out = cosine_near_dup_pairs(ds, min_sim=0.35, num_planes=0).to_pandas()
     if out.empty:
         import pandas as pd
@@ -542,7 +555,7 @@ def _q_image_features(sf_dir: str):
 
     from rabbittclust_ray.stages.multimodal import image_features, media_from_documents
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = media_from_documents(docs)
     out = image_features(media, fake_mode="byte_stats").to_pandas()
     out["feature"] = out["feature"].map(
@@ -558,7 +571,7 @@ def _q_audio_frames(sf_dir: str):
 
     from rabbittclust_ray.stages.multimodal import audio_frame_features, media_from_documents
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = media_from_documents(docs, media_type="audio/wav")
     out = audio_frame_features(
         media, frame_len=64, max_frames=4, fake_mode="byte_stats"
@@ -576,7 +589,7 @@ def _q_ann_ivf(sf_dir: str):
 
     from rabbittclust_ray.stages.ann import ivf_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     queries_ds = ds.sort("vec_id").limit(32).materialize()
     out = ivf_topk(
         ds, queries_ds, num_centroids=8, nprobe=8, k=5, num_partitions=8
@@ -590,7 +603,7 @@ def _q_lang_distribution(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
 
 
@@ -670,7 +683,7 @@ def _q_dup_spans(sf_dir: str):
 
     res = _exact_mst_cached(sf_dir, EX_THRESHOLD, dedup=True)
     pairs = ray.data.from_arrow(res.dup_pairs.select(["u", "v"]))
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dup_spans(pairs, docs, w=16, id_col="doc_id", text_col="text")
 
 

@@ -57,6 +57,15 @@ def _canonicalize(t: pa.Table, defaults: dict | None = None) -> pa.Table:
     return tbl
 
 
+def strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema metadata (parquet written via pandas carries b'pandas'
+    metadata; metadata-bearing schemas are UNHASHABLE in pyarrow, which
+    defeats Ray Data's schema-dedup fast path in native sort/groupby
+    shuffles — "Failed to hash the schemas" + full unify per block merge).
+    Zero-copy; apply right after read_parquet."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def read_documents(path: str, fmt: str | None = None, **kwargs) -> ray.data.Dataset:
     """Read documents from parquet | json(l) | csv | a source tree of text
     files, canonicalized. ``fmt`` inferred from the path when omitted."""

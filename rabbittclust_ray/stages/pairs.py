@@ -165,6 +165,12 @@ def hash_exchange(
     import ray
 
     def _prep_table(t: pa.Table, k: str) -> pa.Table:
+        if t.schema.metadata:
+            # parquet files written via pandas carry b'pandas' schema
+            # metadata; schemas with metadata are UNHASHABLE in pyarrow, so
+            # Ray's unify_schemas dedup fast path fails on every block merge
+            # ("Failed to hash the schemas" warning). Strip once here.
+            t = t.replace_schema_metadata(None)
         if k not in t.column_names or HKEY in t.column_names:
             return t
         if t.num_rows == 0:

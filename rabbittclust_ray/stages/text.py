@@ -65,7 +65,9 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
         out["alpha_ratio"] = (s.str.count(r"[A-Za-z]") / safe).round(6)
         out["digit_ratio"] = (s.str.count(r"[0-9]") / safe).round(6)
         out["space_ratio"] = (s.str.count(r" ") / safe).round(6)
-        return out
+        # hand back Arrow without pandas schema metadata (metadata-bearing
+        # schemas are unhashable -> Ray's schema-dedup fast path fails)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -112,7 +114,7 @@ class LangIdActor:
         out = df.drop(columns=["text"])
         out["pred_lang"] = pred
         out["lang_score"] = score
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def lang_id(ds: ray.data.Dataset, *, concurrency=(1, 4)) -> ray.data.Dataset:

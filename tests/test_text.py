@@ -17,7 +17,7 @@ from rabbittclust_ray.stages.text import (
 def _lang(df_texts):
     actor = LangIdActor()
     df = pd.DataFrame({"doc_id": range(len(df_texts)), "text": df_texts})
-    return actor(df)
+    return actor(df).to_pandas()
 
 
 def test_lang_id_basic():
