@@ -735,6 +735,94 @@ def _q_knn_edges(sf_dir: str):
     return out.map_batches(ints, batch_format="pyarrow")
 
 
+def _q_hll_cardinality(sf_dir: str):
+    """HyperLogLog per-doc distinct-8-gram estimate (T4 HLL analogue) with
+    the sha256 gram hasher; registers + raw estimate are integer-exact, so
+    the SQL oracle reproduces them bit-for-bit (see alt_sketch docstring)."""
+    from rabbittclust_ray.stages.alt_sketch import hll_cardinality
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return hll_cardinality(ds, hasher="sha")
+
+
+def _hll_sql() -> str:
+    from rabbittclust_ray.stages.alt_sketch import HLL_REG_CLAMP, _hll_alpha_c
+
+    c_lit = repr(_hll_alpha_c(8))
+    mask56 = (1 << 56) - 1
+    two54 = 1 << HLL_REG_CLAMP
+    return f"""
+        WITH g AS MATERIALIZED (
+            SELECT d.doc_id,
+                   ('0x' || substr(sha256(substr(d.text, i.i, 8)), 1, 16))::UBIGINT AS h
+            FROM documents d, LATERAL (
+                SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+            ) i(i)
+            WHERE length(d.text) >= 8
+        ),
+        reg AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(h >> 56 AS BIGINT) AS bucket,
+                   least(max(CASE WHEN (h & {mask56}) = 0 THEN 57
+                             ELSE CAST(bit_count(xor(h & {mask56}, (h & {mask56}) - 1)) AS BIGINT)
+                        END), {HLL_REG_CLAMP}) AS r
+            FROM g GROUP BY doc_id, bucket
+        ),
+        agg AS (
+            SELECT doc_id,
+                   sum((1::BIGINT << ({HLL_REG_CLAMP} - r)))::BIGINT
+                     + (256 - count(*)) * {two54}::BIGINT AS hll_sum,
+                   (256 - count(*))::BIGINT AS hll_zeros
+            FROM reg GROUP BY doc_id
+        )
+        SELECT doc_id, hll_sum, hll_zeros,
+               round({c_lit} / hll_sum, 6) AS est_distinct
+        FROM agg ORDER BY doc_id
+    """
+
+
+def _q_weighted_jaccard_pairs(sf_dir: str):
+    """Exact generalized (weighted) Jaccard pairs over 8-gram counts — the
+    quantity the T4 WMH sketch approximates — with the sha gram hasher and
+    an integer threshold test, so SQL reproduces every boundary decision.
+    The approximate WMH path's accuracy is pinned by pytest against this."""
+    from rabbittclust_ray.stages.alt_sketch import weighted_jaccard_pairs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return weighted_jaccard_pairs(ds, hasher="sha", min_jw_num=1, min_jw_den=3)
+
+
+def _wjac_sql() -> str:
+    return """
+        WITH n AS MATERIALIZED (
+            SELECT doc_id, text FROM documents WHERE length(text) >= 8
+        ),
+        g AS MATERIALIZED (
+            SELECT d.doc_id,
+                   ('0x' || substr(sha256(substr(d.text, i.i, 8)), 1, 16))::UBIGINT AS h,
+                   count(*)::BIGINT AS c
+            FROM n d, LATERAL (
+                SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+            ) i(i)
+            GROUP BY d.doc_id, h
+        ),
+        t AS MATERIALIZED (
+            SELECT doc_id, (length(text) - 7)::BIGINT AS tot FROM n
+        ),
+        p AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v,
+                   sum(least(a.c, b.c))::BIGINT AS summin
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.u, p.v, p.summin, tu.tot AS tu, tv.tot AS tv,
+               round(p.summin / (tu.tot + tv.tot - p.summin), 6) AS jw
+        FROM p JOIN t tu ON tu.doc_id = p.u JOIN t tv ON tv.doc_id = p.v
+        WHERE (1 + 3) * p.summin >= 1 * (tu.tot + tv.tot)
+        ORDER BY u, v
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -765,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clusters_mst": _q_clusters_mst,
         "dup_pairs_mst": _q_dup_pairs_mst,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "hll_cardinality": _q_hll_cardinality,
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "ann_topk": _q_ann_topk,
         "cosine_near_dups": _q_cosine_near_dups,
     }
@@ -783,6 +873,8 @@ def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
         "simhash_pairs": _simhash_sql(),
+        "hll_cardinality": _hll_sql(),
+        "weighted_jaccard_pairs": _wjac_sql(),
         "linkage_matrix": _linkage_sql(),
         "dup_spans": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_DEDUP_DIST)}, {_sql_components_cte()},

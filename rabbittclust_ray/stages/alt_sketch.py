@@ -1,0 +1,513 @@
+"""Alternative sketch objects (SURVEY.md §2 T4): HLL, weighted MinHash, OMH.
+
+Reference capability being re-expressed (NOT ported): RabbitTClust's
+sketch-function switch builds WMH / HLL / OMH sketch objects per sequence
+(/root/reference/src/SketchInfo.cpp:239-255) on top of the RabbitSketch
+library. Here each is an independent vectorized Ray Data stage over the
+same shingle-hash streams the MinHash/KSSD paths use:
+
+- ``hll_cardinality``: HyperLogLog register build per document + the RAW
+  HLL estimate (Flajolet et al. 2007). Registers use trailing-zero rank
+  (rho = trailing zeros of the non-bucket bits + 1) — statistically
+  identical to the leading-zero formulation and reproducible EXACTLY in
+  integer SQL (bit_count(x ^ (x-1)) - 1), which is what the driver oracle
+  does. No small-range (linear-counting) correction: that needs ln(), and
+  numpy's and DuckDB's ln differ in the last ulp — the raw estimator is a
+  single C/S division of integer-exact operands, bit-identical everywhere.
+- ``weighted_jaccard_pairs``: EXACT generalized (weighted) Jaccard over
+  shingle multiplicities, J_w = sum min(c_u,c_v) / sum max(c_u,c_v) —
+  the quantity WMH approximates. Same sort-scan exchange shape as the
+  MinHash pair path; threshold applied as an integer comparison
+  (den*summin >= num*(tu+tv) for J_w >= num/(num+den)... see below) so no
+  float compare can diverge from the SQL oracle.
+- ``weighted_minhash_sketch`` + ``wmh_jaccard``: the APPROXIMATE path —
+  integer-weight consistent sampling by replication (gram with count c
+  contributes c salted hash copies; bottom-k of the union). The bottom-k
+  resemblance estimator over the replicated multisets is unbiased for J_w
+  with integer weights; recall pinned by pytest against the exact op.
+- ``omh_sketch`` + ``omh_pairs``: order MinHash (Marcais et al. 2019,
+  the reference's OMH object): l repetitions, each hashing all windows,
+  keeping the t smallest and combining their window hashes IN DOCUMENT
+  ORDER into one component; similarity = fraction of equal components.
+  Sensitive to shingle ORDER (edit-distance-ish), unlike plain MinHash.
+
+Scale notes (100 TB): all stages are map_batches + the sort-scan keyed
+exchange; per-gram postings are capped (``max_posting``) with drops
+counted, the same skew rule as the MinHash pair path. Nothing touches the
+driver except final small results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.hashing import rolling_shingle_hashes, splitmix64
+from rabbittclust_ray.stages.pairs import _ragged_pairs, scan_complete_groups
+from rabbittclust_ray.stages.text import _sha_gram_hashes
+
+HLL_B = 8                 # 2^8 = 256 registers (reference HLL_SKETCH_BIT=10
+#                           uses 1024; 256 keeps the register table tiny per
+#                           doc while the estimate stays within ~6.5% rel err)
+HLL_REG_CLAMP = 54        # clamp rho so S = sum 2^(54-reg) fits int64 exactly
+
+
+def _grams(raw: bytes, k: int, hasher: str, seed: int) -> np.ndarray:
+    if hasher == "sha":
+        return _sha_gram_hashes(raw, k)
+    return rolling_shingle_hashes(raw, k, seed)
+
+
+def _hll_alpha_c(b: int) -> float:
+    """The exact float constant C = alpha_m * m^2 * 2^CLAMP used by BOTH the
+    engine and the SQL oracle (embedded as a literal) — est = C / S."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << HLL_REG_CLAMP)
+
+
+def _trailing_rho(rem: np.ndarray, width: int) -> np.ndarray:
+    """rho = (# trailing zero bits of rem) + 1; rem == 0 -> width + 1.
+    Integer-only: popcount(rem ^ (rem - 1)) - 1 trailing zeros — the same
+    formula the SQL oracle uses (bit_count(xor(h, h-1)) - 1)."""
+    rem = rem.astype(np.uint64)
+    nz = rem != 0
+    x = np.where(nz, rem, np.uint64(1))
+    spread = x ^ (x - np.uint64(1))        # ones at tz positions + lowest set bit
+    # vectorized popcount via uint16 LUT view
+    pc = _POP16[spread.view(np.uint16).reshape(len(spread), 4)].sum(axis=1)
+    rho = np.where(nz, pc, width + 1).astype(np.int64)  # pc = tz + 1 already
+    return rho
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.int64)
+
+
+def hll_cardinality(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    b: int = HLL_B,
+    hasher: str = "rolling",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Per-document HyperLogLog distinct-shingle estimate.
+
+    Output: (doc_id, hll_sum, hll_zeros, est_distinct) where
+    hll_sum = sum over the m=2^b registers of 2^(CLAMP - reg) (int64,
+    empty register -> 2^CLAMP), hll_zeros = # empty registers, and
+    est_distinct = round(C / hll_sum, 6) — the raw HLL estimate.
+    Documents with no k-gram (len < k) are dropped (they have no register
+    content; the oracle's join drops them identically)."""
+    m = 1 << b
+    width = 64 - b
+    mask = np.uint64((1 << width) - 1)
+    c_const = _hll_alpha_c(b)
+    clamp = HLL_REG_CLAMP
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_sum, out_zero, out_est = [], [], [], []
+        for i, s in enumerate(texts):
+            h = _grams(s.encode("utf-8", "surrogatepass"), k, hasher, seed)
+            if len(h) == 0:
+                continue
+            bucket = (h >> np.uint64(width)).astype(np.int64)
+            rho = np.minimum(_trailing_rho(h & mask, width), clamp)
+            regs = np.zeros(m, dtype=np.int64)
+            np.maximum.at(regs, bucket, rho)
+            s_int = int((np.int64(1) << (clamp - regs)).sum())
+            out_id.append(ids[i])
+            out_sum.append(s_int)
+            out_zero.append(int((regs == 0).sum()))
+            out_est.append(round(c_const / s_int, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out_id, dtype=np.int64), pa.int64()),
+                "hll_sum": pa.array(np.array(out_sum, dtype=np.int64), pa.int64()),
+                "hll_zeros": pa.array(np.array(out_zero, dtype=np.int64), pa.int64()),
+                "est_distinct": pa.array(np.array(out_est, dtype=np.float64), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Weighted (generalized) Jaccard — exact pairs + WMH approximation
+# ---------------------------------------------------------------------------
+
+
+def _weighted_gram_rows(
+    ds: ray.data.Dataset, text_col: str, k: int, hasher: str, seed: int
+) -> ray.data.Dataset:
+    """documents -> (gram uint64, doc_id, cnt, tot) rows; cnt = multiplicity
+    of the gram in the doc, tot = total windows (len - k + 1)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        gs, ds_, cs, ts = [], [], [], []
+        for i, s in enumerate(texts):
+            h = _grams(s.encode("utf-8", "surrogatepass"), k, hasher, seed)
+            if len(h) == 0:
+                continue
+            uniq, cnt = np.unique(h, return_counts=True)
+            gs.append(uniq)
+            ds_.append(np.full(len(uniq), ids[i], dtype=np.int64))
+            cs.append(cnt.astype(np.int64))
+            ts.append(np.full(len(uniq), len(h), dtype=np.int64))
+        if not gs:
+            return pa.table(
+                {"gram": pa.array([], pa.uint64()), "doc_id": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64()), "tot": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(gs), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
+                "cnt": pa.array(np.concatenate(cs), pa.int64()),
+                "tot": pa.array(np.concatenate(ts), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_WPAIR_SCHEMA = {
+    "u": pa.int64(), "v": pa.int64(), "summin": pa.int64(),
+    "tu": pa.int64(), "tv": pa.int64(),
+}
+
+
+def _wempty() -> pa.Table:
+    return pa.table({n: pa.array([], t) for n, t in _WPAIR_SCHEMA.items()})
+
+
+def weighted_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    min_jw_num: int = 1,
+    min_jw_den: int = 3,
+    hasher: str = "rolling",
+    seed: int = 42,
+    max_posting: int = 100_000,
+) -> ray.data.Dataset:
+    """Exact generalized Jaccard pairs over shingle multiplicities.
+
+    J_w(u,v) = sum_g min(c_u,c_v) / sum_g max(c_u,c_v); since
+    sum max = tot_u + tot_v - sum min, the cut J_w >= num/den is the pure
+    integer test (num+den)*summin >= num*(tu+tv) — no float compare, so
+    the SQL oracle can never disagree on boundary pairs.
+
+    Output: (u, v, summin, tu, tv, jw) with u < v, jw rounded to 6 dp.
+    Grams whose posting list exceeds ``max_posting`` are dropped (skew cap,
+    same rule as the MinHash pair path); the oracle config raises the cap
+    so it never triggers at fixture scale."""
+    rows = _weighted_gram_rows(ds, text_col, k, hasher, seed)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _wempty()
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g = g[order]
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)[order]
+        tot = t["tot"].to_numpy(zero_copy_only=False)[order]
+        _, counts = np.unique(g, return_counts=True)
+        keep = counts <= max_posting
+        if not keep.all():
+            sel = np.repeat(keep, counts)
+            doc, cnt, tot = doc[sel], cnt[sel], tot[sel]
+            counts = counts[keep]
+        iu, ju = _ragged_pairs(counts)
+        if len(iu) == 0:
+            return _wempty()
+        docs_local, inv = np.unique(doc, return_inverse=True)
+        n_local = len(docs_local)
+        tot_local = np.zeros(n_local, dtype=np.int64)
+        tot_local[inv] = tot
+        a, b = inv[iu], inv[ju]
+        swap = a > b
+        ul = np.where(swap, b, a)
+        vl = np.where(swap, a, b)
+        ok = ul != vl
+        pmin = np.minimum(cnt[iu], cnt[ju])[ok]
+        key = ul[ok] * np.int64(n_local) + vl[ok]
+        ukey, inv_k = np.unique(key, return_inverse=True)
+        summin = np.zeros(len(ukey), dtype=np.int64)
+        np.add.at(summin, inv_k, pmin)
+        uu = docs_local[(ukey // n_local).astype(np.int64)]
+        vv = docs_local[(ukey % n_local).astype(np.int64)]
+        return pa.table(
+            {
+                "u": pa.array(uu, pa.int64()),
+                "v": pa.array(vv, pa.int64()),
+                "summin": pa.array(summin, pa.int64()),
+                "tu": pa.array(tot_local[(ukey // n_local).astype(np.int64)], pa.int64()),
+                "tv": pa.array(tot_local[(ukey % n_local).astype(np.int64)], pa.int64()),
+            }
+        )
+
+    partials = scan_complete_groups(rows.sort("gram"), "gram", emit)
+
+    num, den = int(min_jw_num), int(min_jw_den)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = _wempty().append_column("jw", pa.array([], pa.float64()))
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        sm = t["summin"].to_numpy(zero_copy_only=False)
+        tu = t["tu"].to_numpy(zero_copy_only=False)
+        tv = t["tv"].to_numpy(zero_copy_only=False)
+        # aggregate partials: pack (u, v) via order + boundary scan
+        order = np.lexsort((v, u))
+        u, v, sm, tu, tv = u[order], v[order], sm[order], tu[order], tv[order]
+        new = np.empty(len(u), dtype=bool)
+        new[0:1] = True
+        new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        gid = np.cumsum(new) - 1
+        summin = np.zeros(gid[-1] + 1, dtype=np.int64)
+        np.add.at(summin, gid, sm)
+        u, v, tu, tv = u[new], v[new], tu[new], tv[new]
+        # integer threshold: J_w >= num/den  <=>  den*summin >= num*(tu+tv-summin)
+        ok = (num + den) * summin >= num * (tu + tv)
+        u, v, summin, tu, tv = u[ok], v[ok], summin[ok], tu[ok], tv[ok]
+        jw = np.round(summin / (tu + tv - summin), 6)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+                "summin": pa.array(summin, pa.int64()),
+                "tu": pa.array(tu, pa.int64()), "tv": pa.array(tv, pa.int64()),
+                "jw": pa.array(jw, pa.float64()),
+            }
+        )
+
+    return scan_complete_groups(partials.sort("u"), "u", finalize)
+
+
+def weighted_minhash_sketch(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    sketch_size: int = 128,
+    hasher: str = "rolling",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Integer-weight WMH by replication: a gram with multiplicity c
+    contributes c salted copies splitmix64(h ^ salt_j); the sketch is the
+    bottom-``sketch_size`` of the union. Bottom-k over the replicated
+    multiset makes ``wmh_jaccard`` an unbiased estimator of J_w.
+    Output: (doc_id, wsketch list<uint64>, wsize, wtotal)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_sk, out_tot = [], [], []
+        for i, s in enumerate(texts):
+            h = _grams(s.encode("utf-8", "surrogatepass"), k, hasher, seed)
+            if len(h) == 0:
+                continue
+            uniq, cnt = np.unique(h, return_counts=True)
+            reps = np.repeat(uniq, cnt)
+            # per-copy salt = occurrence index within the gram
+            occ = np.arange(len(reps), dtype=np.uint64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            ).astype(np.uint64)
+            vals = splitmix64(reps ^ splitmix64(occ + np.uint64(0x9E37)))
+            vals = np.sort(vals)[:sketch_size]
+            out_id.append(ids[i])
+            out_sk.append(vals)
+            out_tot.append(len(h))
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "wsketch": pa.array([], pa.list_(pa.uint64())),
+                 "wsize": pa.array([], pa.int32()),
+                 "wtotal": pa.array([], pa.int64())}
+            )
+        flat = pa.array(np.concatenate(out_sk), pa.uint64())
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum([len(x) for x in out_sk])]).astype(np.int32)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out_id, dtype=np.int64), pa.int64()),
+                "wsketch": pa.ListArray.from_arrays(offsets, flat),
+                "wsize": pa.array(
+                    np.array([len(x) for x in out_sk], dtype=np.int32), pa.int32()
+                ),
+                "wtotal": pa.array(np.array(out_tot, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def wmh_jaccard(sk_u: np.ndarray, sk_v: np.ndarray, sketch_size: int) -> float:
+    """Bottom-k resemblance estimate of the weighted Jaccard from two
+    replication sketches: |X ∩ Y| / k where X = bottom-k of the union."""
+    union = np.union1d(sk_u, sk_v)[:sketch_size]
+    both = np.intersect1d(sk_u, sk_v, assume_unique=False)
+    kk = min(sketch_size, len(union))
+    if kk == 0:
+        return 0.0
+    return float(len(np.intersect1d(union, both, assume_unique=True)) / kk)
+
+
+# ---------------------------------------------------------------------------
+# Order MinHash (OMH) — order-sensitive sketch
+# ---------------------------------------------------------------------------
+
+
+def omh_sketch(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    t: int = 3,
+    reps: int = 16,
+    hasher: str = "rolling",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Order MinHash: ``reps`` components per doc; component j = the chained
+    hash of the ``t`` windows with smallest splitmix64(h ^ salt_j), taken in
+    DOCUMENT ORDER. Two docs agree on component j iff they pick the same t
+    windows AND those appear in the same relative order — the sketch
+    estimates an order-aware similarity (edit-distance flavored), unlike
+    plain MinHash. Docs with fewer than ``t`` windows are dropped.
+    Output: (doc_id, omh list<uint64>)."""
+    salts = splitmix64(np.arange(1, reps + 1, dtype=np.uint64) * np.uint64(0xA5A5A5A5))
+
+    def f(tbl: pa.Table) -> pa.Table:
+        texts = tbl[text_col].to_pylist()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_comp = [], []
+        for i, s in enumerate(texts):
+            h = _grams(s.encode("utf-8", "surrogatepass"), k, hasher, seed)
+            if len(h) < t:
+                continue
+            comps = np.empty(reps, dtype=np.uint64)
+            for j in range(reps):
+                score = splitmix64(h ^ salts[j])
+                pick = np.sort(np.argpartition(score, t - 1)[:t])  # doc order
+                c = np.uint64(0)
+                for wh in h[pick]:
+                    c = splitmix64(np.uint64(c) ^ np.uint64(wh))
+                comps[j] = c
+            out_id.append(ids[i])
+            out_comp.append(comps)
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "omh": pa.array([], pa.list_(pa.uint64()))}
+            )
+        flat = pa.array(np.concatenate(out_comp), pa.uint64())
+        offsets = pa.array(np.arange(0, (len(out_id) + 1) * reps, reps, dtype=np.int32))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out_id, dtype=np.int64), pa.int64()),
+                "omh": pa.ListArray.from_arrays(offsets, flat),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def omh_pairs(
+    sketches: ray.data.Dataset, reps: int = 16, min_matches: int = 1,
+    max_posting: int = 100_000,
+) -> ray.data.Dataset:
+    """(doc_id, omh) -> (u, v, matches, sim): # components equal (same rep
+    index AND same chained value) and sim = matches/reps. Same sort-scan
+    exchange as the banded-LSH path: explode to (rep-salted component key,
+    doc_id), co-locate equal keys, emit pairs, aggregate per (u, v)."""
+    rep_salt = splitmix64(np.arange(reps, dtype=np.uint64) + np.uint64(0xC3))
+
+    def explode(t: pa.Table) -> pa.Table:
+        sk = t["omh"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        vals = sk.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(t)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), reps)
+        salts = np.tile(rep_salt, n)
+        key = splitmix64(vals ^ salts)
+        return pa.table(
+            {"ckey": pa.array(key, pa.uint64()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                          "matches": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        key = t["ckey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+        _, counts = np.unique(key, return_counts=True)
+        keep = counts <= max_posting
+        if not keep.all():
+            sel = np.repeat(keep, counts)
+            doc = doc[sel]
+            counts = counts[keep]
+        iu, ju = _ragged_pairs(counts)
+        if len(iu) == 0:
+            return empty
+        docs_local, inv = np.unique(doc, return_inverse=True)
+        n_local = len(docs_local)
+        a, b = inv[iu], inv[ju]
+        ul = np.minimum(a, b)
+        vl = np.maximum(a, b)
+        ok = ul != vl
+        pkey, inv_k = np.unique(
+            ul[ok] * np.int64(n_local) + vl[ok], return_inverse=True
+        )
+        matches = np.zeros(len(pkey), dtype=np.int64)
+        np.add.at(matches, inv_k, 1)
+        return pa.table(
+            {
+                "u": pa.array(docs_local[(pkey // n_local).astype(np.int64)], pa.int64()),
+                "v": pa.array(docs_local[(pkey % n_local).astype(np.int64)], pa.int64()),
+                "matches": pa.array(matches, pa.int64()),
+            }
+        )
+
+    partials = scan_complete_groups(
+        sketches.map_batches(explode, batch_format="pyarrow").sort("ckey"), "ckey", emit
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                          "matches": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        mt = t["matches"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, mt = u[order], v[order], mt[order]
+        new = np.empty(len(u), dtype=bool)
+        new[0:1] = True
+        new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        gid = np.cumsum(new) - 1
+        matches = np.zeros(gid[-1] + 1, dtype=np.int64)
+        np.add.at(matches, gid, mt)
+        u, v = u[new], v[new]
+        ok = matches >= min_matches
+        return pa.table(
+            {
+                "u": pa.array(u[ok], pa.int64()), "v": pa.array(v[ok], pa.int64()),
+                "matches": pa.array(matches[ok], pa.int64()),
+                "sim": pa.array(np.round(matches[ok] / reps, 6), pa.float64()),
+            }
+        )
+
+    return scan_complete_groups(partials.sort("u"), "u", finalize)

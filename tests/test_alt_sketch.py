@@ -1,0 +1,152 @@
+"""T4 alternative sketches: HLL cardinality accuracy + SQL-exact register
+math, exact weighted Jaccard vs brute force, WMH replication-sketch
+estimator accuracy, OMH order sensitivity (stages/alt_sketch.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.hashing import rolling_shingle_hashes
+from rabbittclust_ray.stages.alt_sketch import (
+    hll_cardinality,
+    omh_pairs,
+    omh_sketch,
+    weighted_jaccard_pairs,
+    weighted_minhash_sketch,
+    wmh_jaccard,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _mkdoc(n_words: int, vocab: int = 200, rng=RNG) -> str:
+    words = [f"w{j:03d}" for j in rng.integers(0, vocab, n_words)]
+    return " ".join(words)
+
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+def _true_distinct(text: str, k: int = 8) -> int:
+    h = rolling_shingle_hashes(text.encode(), k, 42)
+    return len(np.unique(h))
+
+
+def test_hll_estimate_accuracy():
+    texts = [_mkdoc(n) for n in (50, 200, 800, 3000)]
+    out = hll_cardinality(_docs_ds(texts)).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        true = _true_distinct(t)
+        est = out.loc[i, "est_distinct"]
+        # raw estimator, m=256: expect ~6.5% rel stderr; allow 4 sigma at the
+        # large end, looser at tiny cardinalities (raw estimator bias, no
+        # linear-counting correction by design — see module docstring)
+        assert abs(est - true) / true < (0.6 if true < 500 else 0.3), (i, true, est)
+    # registers are deterministic
+    out2 = hll_cardinality(_docs_ds(texts)).to_pandas().set_index("doc_id")
+    assert (out["hll_sum"] == out2["hll_sum"]).all()
+
+
+def test_hll_drops_gramless_docs():
+    out = hll_cardinality(_docs_ds(["short", "x" * 100])).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+
+
+def _brute_weighted_jaccard(a: str, b: str, k: int = 8):
+    ha = rolling_shingle_hashes(a.encode(), k, 42)
+    hb = rolling_shingle_hashes(b.encode(), k, 42)
+    ua, ca = np.unique(ha, return_counts=True)
+    ub, cb = np.unique(hb, return_counts=True)
+    common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+    summin = int(np.minimum(ca[ia], cb[ib]).sum())
+    return summin, len(ha), len(hb)
+
+
+def test_weighted_jaccard_exact_vs_brute():
+    base = _mkdoc(300)
+    words = base.split()
+    mut = words.copy()
+    for i in RNG.integers(0, len(mut), 30):
+        mut[i] = "qqqqq"
+    texts = [base, " ".join(mut), _mkdoc(250), base + " " + base]
+    out = weighted_jaccard_pairs(
+        _docs_ds(texts), min_jw_num=1, min_jw_den=99
+    ).to_pandas()
+    got = {(r.u, r.v): (r.summin, r.tu, r.tv) for r in out.itertuples()}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            summin, tu, tv = _brute_weighted_jaccard(texts[i], texts[j])
+            jw = summin / (tu + tv - summin)
+            if 100 * summin >= 1 * (tu + tv):  # engine threshold 1/99
+                assert got[(i, j)] == (summin, tu, tv), (i, j)
+            elif jw > 0:
+                assert (i, j) not in got
+    # jw column is exactly summin/(tu+tv-summin) rounded
+    for r in out.itertuples():
+        assert r.jw == round(r.summin / (r.tu + r.tv - r.summin), 6)
+
+
+def test_weighted_jaccard_threshold_is_integer_exact():
+    # duplicated doc: J_w = 1 — always above any threshold
+    texts = [_mkdoc(100), _mkdoc(100, rng=np.random.default_rng(9))]
+    texts.append(texts[0])
+    out = weighted_jaccard_pairs(_docs_ds(texts), min_jw_num=1, min_jw_den=1).to_pandas()
+    assert [(r.u, r.v, r.jw) for r in out.itertuples()] == [(0, 2, 1.0)]
+
+
+def test_wmh_estimator_tracks_exact():
+    base = _mkdoc(600)
+    words = base.split()
+    errs = []
+    pairs = []
+    for frac in (0.0, 0.1, 0.3, 0.6):
+        mut = words.copy()
+        n_mut = int(len(mut) * frac)
+        for i in RNG.choice(len(mut), n_mut, replace=False):
+            mut[i] = f"z{i:04d}"
+        pairs.append((base, " ".join(mut)))
+    ds = _docs_ds([t for p in pairs for t in p])
+    sk = weighted_minhash_sketch(ds, sketch_size=256).to_pandas().set_index("doc_id")
+    for pi, (a, b) in enumerate(pairs):
+        summin, tu, tv = _brute_weighted_jaccard(a, b)
+        exact = summin / (tu + tv - summin)
+        est = wmh_jaccard(
+            np.asarray(sk.loc[2 * pi, "wsketch"], dtype=np.uint64),
+            np.asarray(sk.loc[2 * pi + 1, "wsketch"], dtype=np.uint64),
+            256,
+        )
+        errs.append(abs(est - exact))
+        if exact == 1.0:
+            assert est == 1.0
+    assert np.mean(errs) < 0.08, errs
+
+
+def test_omh_order_sensitivity():
+    words = [f"tok{i:04d}" for i in range(400)]
+    orig = " ".join(words)
+    shuffled = " ".join(list(RNG.permutation(words)))
+    ds = _docs_ds([orig, orig, shuffled])
+    sk = omh_sketch(ds, reps=32)
+    out = omh_pairs(sk, reps=32).to_pandas()
+    sims = {(r.u, r.v): r.sim for r in out.itertuples()}
+    assert sims[(0, 1)] == 1.0  # identical docs: every component matches
+    # same multiset of grams... (shuffle keeps word-internal grams but
+    # reorders them): unordered Jaccard would be high, OMH must drop hard
+    assert sims.get((0, 2), 0.0) < 0.5
+    # deterministic
+    out2 = omh_pairs(omh_sketch(ds, reps=32), reps=32).to_pandas()
+    assert sims == {(r.u, r.v): r.sim for r in out2.itertuples()}
+
+
+def test_omh_small_edit_high_sim():
+    words = [f"tok{i:04d}" for i in range(400)]
+    edited = words.copy()
+    edited[200] = "CHANGED"
+    ds = _docs_ds([" ".join(words), " ".join(edited)])
+    out = omh_pairs(omh_sketch(ds, reps=32), reps=32).to_pandas()
+    sims = {(r.u, r.v): r.sim for r in out.itertuples()}
+    assert sims.get((0, 1), 0.0) > 0.5
