@@ -244,11 +244,23 @@ def hash_exchange(
     def reduce_push(schema: pa.Schema, *slices) -> pa.Table:
         return finish([s for s in slices if s is not None], schema)
 
+    import os
+    import sys
+    import time
+
+    debug = os.environ.get("EXCHANGE_DEBUG") == "1"
+    t0 = time.perf_counter()
     if input_prepped:
         prepped = ds.materialize()  # no-op for from_arrow_refs outputs
     else:
         prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None).materialize()
     n_rows = prepped.count()
+    if debug:
+        print(
+            f"[hash_exchange key={key}] prep+materialize: "
+            f"{time.perf_counter() - t0:.2f}s rows={n_rows}",
+            file=sys.stderr,
+        )
     # two-sided auto-size: per-task slices capped at ~EXCHANGE_TARGET_ROWS
     # (heap/fault cliff measured at ~1-2M rows/task), and at least one task
     # per cluster CPU so mid-size inputs don't idle the cluster — unless
