@@ -150,3 +150,48 @@ def test_omh_small_edit_high_sim():
     out = omh_pairs(omh_sketch(ds, reps=32), reps=32).to_pandas()
     sims = {(r.u, r.v): r.sim for r in out.itertuples()}
     assert sims.get((0, 1), 0.0) > 0.5
+
+
+def test_weighted_pairs_block_layout_invariance():
+    """Postings split across block boundaries must aggregate identically:
+    repartitioning the input cannot change the pair table (exercises the
+    scan_complete_groups boundary pass under the weighted emitter)."""
+    rng = np.random.default_rng(11)
+    texts = [_mkdoc(120, vocab=40, rng=rng) for _ in range(24)]
+    base = _docs_ds(texts)
+    ref = None
+    for n_blocks in (1, 3, 11):
+        out = (
+            weighted_jaccard_pairs(base.repartition(n_blocks), min_jw_num=1, min_jw_den=9)
+            .to_pandas()
+            .sort_values(["u", "v"])
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref), n_blocks
+    assert len(ref) > 0
+
+
+def test_omh_pairs_block_layout_invariance():
+    rng = np.random.default_rng(13)
+    words = [f"t{i:03d}" for i in range(200)]
+    texts = []
+    for _ in range(10):
+        w = list(words)
+        for i in rng.integers(0, len(w), 5):
+            w[i] = "x"
+        texts.append(" ".join(w))
+    base = _docs_ds(texts)
+    ref = None
+    for n_blocks in (1, 4):
+        sk = omh_sketch(base.repartition(n_blocks), reps=16)
+        out = (
+            omh_pairs(sk, reps=16).to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+        )
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref)
+    assert len(ref) > 0
