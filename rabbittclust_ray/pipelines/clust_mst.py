@@ -26,7 +26,6 @@ import ray.data
 from rabbittclust_ray.config import ClusterConfig, SketchConfig
 from rabbittclust_ray.stages.cluster import (
     cut_forest,
-    local_kruskal_stage,
     make_assignments,
 )
 from rabbittclust_ray.stages.pairs import candidate_edges
@@ -91,9 +90,15 @@ def clust_mst(
 
     # ONE distributed compression pass; its concatenated output (<= V_p - 1
     # edges per block) is merged driver-side into the exact MST, which then
-    # yields both cluster labels and the dedup forest.
+    # yields both cluster labels and the dedup forest. Raw tasks over the
+    # already-materialized edge blocks, NOT a map_batches pass: a streaming
+    # execution costs ~0.3-0.5 s fixed scheduler latency here, which is pure
+    # serial fraction in the 8-vs-32-CPU scaling ratio.
+    import ray
+
+    _lk = ray.remote(num_cpus=1)(_local_kruskal)
     parts = [
-        b for b in local_kruskal_stage(edges).iter_batches(batch_size=None, batch_format="pyarrow")
+        b for b in ray.get([_lk.remote(r) for r in edges.to_arrow_refs()])
         if b.num_rows
     ]
     if parts:
