@@ -85,6 +85,20 @@ def clust_mst(
     # once — sketches are ids + hashes only, ~1% of input bytes.
     sketches = sketches.materialize()
     t = tick("sketch", t)
+    # the exact-dedup exchange only needs the materialized sketches — launch
+    # it on a helper thread NOW so its prep + reduce latency overlaps the
+    # (much longer) pair-generation exchanges instead of serializing after
+    # them (fixed execution latency is the serial fraction that caps the
+    # 8-vs-32-CPU scaling ratio)
+    exact_fut = None
+    if ccfg.dedup_dist is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from rabbittclust_ray.stages.dedup import exact_dedup as _exact_dedup
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        exact_fut = _pool.submit(_exact_dedup, sketches, carry_length=True)
+        _pool.shutdown(wait=False)
     edges = candidate_edges(sketches, scfg, ccfg).materialize()
     t = tick("edges", t)
 
@@ -135,7 +149,9 @@ def clust_mst(
             # the length column through, so the collected table provides
             # (a) exact-sha groups for dup_pairs and (b) medoid tie-break
             # lengths — no separate lengths pass over the sketches
-            exact_ds = exact_dedup(sketches, carry_length=True)
+            exact_ds = exact_fut.result() if exact_fut is not None else exact_dedup(
+                sketches, carry_length=True
+            )
             eparts = [
                 b for b in exact_ds.iter_batches(batch_size=None, batch_format="pyarrow")
                 if b.num_rows
