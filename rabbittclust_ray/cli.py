@@ -41,6 +41,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="report gap-based threshold candidates from the MST and re-cut at the best one")
     p.add_argument("--trees", action="store_true",
                    help="also write newick/phylip/nexus/linkage outputs")
+    p.add_argument("--stream-out", action="store_true",
+                   help="write assignments as a PARTITIONED parquet dataset "
+                        "(outdir/assignments/, one file per block — the "
+                        "resumable 100-TB output path; skips the driver-side "
+                        "clusters.txt render, which needs the full table)")
     p.add_argument("--dense", action="store_true",
                    help="density-based noise removal (reference --dense): low-density cluster members become singletons")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
@@ -85,10 +90,24 @@ def _auto_tune(ds, scfg):
     return dataclasses.replace(scfg, shingle_k=k)
 
 
-def _write_outputs(outdir: str, result, threshold: float) -> None:
+def _write_outputs(outdir: str, result, threshold: float, stream: bool = False) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(outdir, exist_ok=True)
+    if stream:
+        # scale path: assignments never touch the driver — streamed,
+        # partitioned write (one file per block; a failed run re-runs the
+        # pipeline but never re-collects; consumers read the directory)
+        adir = os.path.join(outdir, "assignments")
+        result.assignments.write_parquet(adir)
+        import pyarrow as pa
+
+        if getattr(result, "dup_pairs", None) is not None:
+            pq.write_table(result.dup_pairs, os.path.join(outdir, "dup_pairs.parquet"))
+        if getattr(result, "mst", None) is not None:
+            pq.write_table(result.mst, os.path.join(outdir, "mst.parquet"))
+        print(f"wrote {adir}/ (partitioned parquet dataset)")
+        return
     apdf = result.assignments.to_pandas()
     import pyarrow as pa
 
@@ -222,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
             from rabbittclust_ray.pipelines.append import recluster_from_checkpoint
 
             result = recluster_from_checkpoint(args.output, args.threshold)
-            _write_outputs(args.output, result, args.threshold)
+            _write_outputs(args.output, result, args.threshold, stream=getattr(args, "stream_out", False))
             return 0
         if not args.input:
             parser.error(f"{args.cmd} requires -i/--input")
@@ -295,17 +314,17 @@ def main(argv: list[str] | None = None) -> int:
                     f.write(nexus_tree(result.mst))
                 _pq.write_table(linkage_matrix(result.mst),
                                 os.path.join(args.output, "linkage.parquet"))
-            _write_outputs(args.output, result, ccfg.threshold)
+            _write_outputs(args.output, result, ccfg.threshold, stream=getattr(args, "stream_out", False))
         elif args.cmd == "clust-greedy":
             from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
 
             result = clust_greedy(ds, scfg, ccfg)
-            _write_outputs(args.output, result, ccfg.threshold)
+            _write_outputs(args.output, result, ccfg.threshold, stream=getattr(args, "stream_out", False))
         elif args.cmd == "append":
             from rabbittclust_ray.pipelines.append import append_clust_mst
 
             result = append_clust_mst(args.output, ds)
-            _write_outputs(args.output, result, ccfg.threshold)
+            _write_outputs(args.output, result, ccfg.threshold, stream=getattr(args, "stream_out", False))
         elif args.cmd in ("louvain", "leiden"):
             from rabbittclust_ray.pipelines.clust_mst import clust_mst
             from rabbittclust_ray.stages.cluster import make_assignments
@@ -316,7 +335,7 @@ def main(argv: list[str] | None = None) -> int:
             labels = fn(res.edges, resolution=args.resolution)
             result = res
             result.assignments = make_assignments(res.sketches, labels)
-            _write_outputs(args.output, result, ccfg.threshold)
+            _write_outputs(args.output, result, ccfg.threshold, stream=getattr(args, "stream_out", False))
         elif args.cmd == "dbscan":
             import pyarrow as pa
 
@@ -331,7 +350,7 @@ def main(argv: list[str] | None = None) -> int:
             # render with DBSCAN labels (noise label -1 preserved)
             result = res
             result.assignments = make_assignments(res.sketches, labels)
-            _write_outputs(args.output, result, ccfg.threshold)
+            _write_outputs(args.output, result, ccfg.threshold, stream=getattr(args, "stream_out", False))
         return 0
     finally:
         if owns_session:  # never tear down a caller's (e.g. pytest's) session

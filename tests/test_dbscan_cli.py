@@ -76,3 +76,29 @@ def test_cli_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     a = pq.read_table(str(out / "assignments.parquet")).to_pandas()
     assert len(a) > 0
+
+
+def test_cli_stream_out(tmp_path):
+    """--stream-out writes assignments as a partitioned parquet dataset via
+    ds.write_parquet (no driver collect) and skips the clusters.txt render."""
+    from rabbittclust_ray.corpus import make_corpus
+
+    docs, _ = make_corpus(num_seeds=3, per_cluster=3, doc_len=1200,
+                          num_exact_dups=1, num_noise=3, num_short=1)
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(inp))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "clust-mst",
+         "-i", str(inp), "-o", str(out), "-d", "0.05", "-k", "12",
+         "--max-posting", "100000", "--num-buckets", "4", "--num-cpus", "2",
+         "--dedup-dist", "0.02", "--stream-out"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    adir = out / "assignments"
+    assert adir.is_dir()
+    a = pq.read_table(str(adir)).to_pandas()
+    assert len(a) > 0 and "cluster_id" in a.columns
+    assert not (out / "clusters.txt").exists()
+    assert (out / "dup_pairs.parquet").exists()
