@@ -78,6 +78,36 @@ def _warm_workers(num_cpus: int) -> None:
     ray.get([warm.remote() for _ in range(num_cpus)])
 
 
+def _np_burn(_):
+    import time as _t
+
+    import numpy as np
+
+    t0 = _t.perf_counter()
+    x = np.arange(2_000_000, dtype=np.float64)
+    for _ in range(30):
+        x = np.sqrt(x * 1.0000001 + 1)
+    return _t.perf_counter() - t0
+
+
+def _host_calibration(n_procs: int = 16) -> tuple[float, float]:
+    """~3 s pure-CPU probe of the sandbox's CURRENT effective parallelism:
+    (serial_burn_s, parallel_efficiency). The host's effective core count
+    swings minute-to-minute (BASELINE.md host caveat; serial burn itself has
+    been observed 0.5 s to 2.8 s for identical work) — recording the phase
+    alongside every bench line lets a reader separate engine regressions
+    from host phases."""
+    import multiprocessing as mp
+    import time as _t
+
+    serial = _np_burn(0)
+    with mp.Pool(n_procs) as pool:
+        t0 = _t.perf_counter()
+        pool.map(_np_burn, range(n_procs))
+        wall = _t.perf_counter() - t0
+    return round(serial, 3), round(serial / wall, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -85,6 +115,8 @@ def run_bench() -> dict:
     # warm pages instead of re-faulting fresh mmaps on every batch
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+    host_serial_s, host_eff = _host_calibration()
 
     ray.init(
         address="local",
@@ -205,6 +237,8 @@ def run_bench() -> dict:
         "n_assignments": n_assign,
         "files_per_sec_sketch": files_per_sec,
         "files_per_sec_pipeline": round(n_docs / queries["q_pipeline"], 1),
+        "host_serial_burn_s": host_serial_s,
+        "host_parallel_eff_16": host_eff,
     }
     ray.shutdown()
     return result
