@@ -273,7 +273,8 @@ def run_scaling() -> None:
     simultaneously-measured ceiling and the ceiling-normalized efficiency —
     the engine-attributable number. Legs are interleaved over rounds and
     each level scored by its best run (minute-scale host variance)."""
-    N_LO, N_HI = 8, 32
+    levels = os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    N_LO, N_HI = int(levels[0]), int(levels[1])
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
