@@ -361,6 +361,47 @@ def _q_clusters_mst(sf_dir: str):
     return _exact_mst_cached(sf_dir, EX_THRESHOLD).assignments
 
 
+def _q_communities_louvain(sf_dir: str):
+    """Louvain communities over the exact-mode threshold graph
+    (reference parity: the leiden mode, /root/reference/src/leiden.cpp).
+
+    Oracle identity: at the check scale the threshold graph's duplicate
+    families are tiny, dense, well-separated groups, and Louvain at
+    resolution 1.0 assigns each family exactly its connected component —
+    so the recursive-CTE components oracle hash-checks this mode
+    end-to-end (verified empirically at sf0.001 and sf0.01). On general
+    graphs Louvain may split a large sparse component; that behavior is
+    pinned by tests/test_community.py instead."""
+    from rabbittclust_ray.stages.community import louvain_labels
+
+    res = _exact_mst_cached(sf_dir, EX_THRESHOLD)
+    lab = louvain_labels(res.edges)
+    # vectorized label lookup (the engine-wide broadcast+searchsorted shape);
+    # docs with no threshold edge are their own community
+    keys = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
+    vals = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+
+    def relabel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comm = ids.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos] == ids
+            comm[hit] = vals[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "community": pa.array(comm, pa.int64()),
+                "content_sha256": t["content_sha256"],
+            }
+        )
+
+    return res.assignments.map_batches(relabel, batch_format="pyarrow")
+
+
 def _q_dup_pairs_mst(sf_dir: str):
     """Near-dup (u, v) pairs from the MST cut at dedup_dist, union exact-sha
     pairs. The (u, v) SET equals within-component pairs of the dedup_dist
@@ -851,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "minhash_sketch": _q_minhash_sketch,
         "clusters_mst": _q_clusters_mst,
+        "communities_louvain": _q_communities_louvain,
         "dup_pairs_mst": _q_dup_pairs_mst,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "hll_cardinality": _q_hll_cardinality,
@@ -972,6 +1014,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, c.cluster_id, p.doc_id = c.cluster_id AS is_rep,
                    sha256(p.text) AS content_sha256,
                    CAST(length(p.text) AS BIGINT) AS length
+            FROM pop p JOIN comp c USING (doc_id)
+        """,
+        "communities_louvain": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}
+            SELECT p.doc_id, c.cluster_id AS community,
+                   sha256(p.text) AS content_sha256
             FROM pop p JOIN comp c USING (doc_id)
         """,
         "clusters_greedy": f"""
