@@ -187,9 +187,3 @@ def clust_mst(
             result.reps = k_center_reps(forest, labels, ccfg.reps_per_cluster)
     return result
 
-
-def assignments_table(result: MstResult) -> pa.Table:
-    """Collect assignments (small: one row per doc, no content)."""
-    ds = result.assignments
-    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-    return tbl

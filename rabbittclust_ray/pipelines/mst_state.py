@@ -64,11 +64,15 @@ def _rep_ids_from_result(result: MstResult, ccfg: ClusterConfig,
     forest = cut_forest(result.mst, ccfg.threshold)
     reps_map = k_center_reps(forest, result.labels, max(1, reps_per_cluster))
     rep_ids = {r for reps in reps_map.values() for r in reps}
-    edge_touched = set(result.labels)
-    # singletons = docs never touched by a forest edge
-    assign_ids = result.assignments.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    rep_ids.update(int(d) for d in assign_ids if int(d) not in edge_touched)
-    return np.sort(np.fromiter(rep_ids, dtype=np.int64, count=len(rep_ids)))
+    # singletons = docs never touched by a forest edge (vectorized setdiff;
+    # edge-touched ids and cluster reps are both sparse vs the corpus)
+    edge_touched = np.fromiter(result.labels, dtype=np.int64, count=len(result.labels))
+    assign_ids = result.assignments.select_columns(["doc_id"]).to_pandas()[
+        "doc_id"
+    ].to_numpy(dtype=np.int64)
+    singletons = assign_ids[~np.isin(assign_ids, edge_touched)]
+    cluster_reps = np.fromiter(rep_ids, dtype=np.int64, count=len(rep_ids))
+    return np.unique(np.concatenate([cluster_reps, singletons]))
 
 
 def save_mst_state(
