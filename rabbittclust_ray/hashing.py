@@ -78,6 +78,62 @@ def rolling_shingle_hashes(data: bytes, k: int, seed: int = 0) -> np.ndarray:
     return w
 
 
+_HASH_CHUNK = 1 << 18  # 256 KiB: keeps the kernel's ~4 uint64 working arrays
+# (~8 MB at this size) inside L2/L3 — the scan ops (cumsum/cumprod) are
+# serial dependency chains that drop ~8x in throughput once they spill to
+# DRAM (measured 50 -> 400 ns/byte past ~1 MB input).
+
+
+def chunked_window_hashes(data: bytes, k: int, seed: int = 0) -> np.ndarray:
+    """``rolling_shingle_hashes`` for inputs of any size at in-cache speed.
+
+    Window hashes are position-independent, so hashing overlapping chunks
+    (overlap k-1 bytes) and concatenating yields exactly the full-input
+    result while each pass stays cache-resident."""
+    n = len(data)
+    if n <= _HASH_CHUNK:
+        return rolling_shingle_hashes(data, k, seed=seed)
+    outs = []
+    for s in range(0, n - k + 1, _HASH_CHUNK):
+        e = min(s + _HASH_CHUNK + k - 1, n)
+        outs.append(rolling_shingle_hashes(data[s:e], k, seed=seed))
+    return np.concatenate(outs)
+
+
+def batch_window_hashes(
+    bufs: list[bytes], k: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte-window hashes for a BATCH of byte strings, in one pass.
+
+    Concatenates the buffers, runs ``rolling_shingle_hashes`` once over the
+    blob, and compacts out the windows that cross document boundaries (the
+    window hash is position-independent, so blob slices equal per-doc
+    hashes — the same invariant ``sketch_batch`` relies on).
+
+    Returns ``(valid, bounds)``: ``valid`` holds the surviving window hashes
+    doc-by-doc, and ``bounds`` (len(bufs)+1 int64) slices it per doc —
+    doc i's windows are ``valid[bounds[i]:bounds[i+1]]`` (zero-width for
+    docs shorter than k).
+    """
+    n = len(bufs)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=offsets[1:])
+    hashes = chunked_window_hashes(b"".join(bufs), k, seed=seed)
+    counts = np.maximum(offsets[1:] - offsets[:-1] - (k - 1), 0)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    total = int(bounds[-1])
+    if total == 0:
+        return np.empty(0, dtype=U64), bounds
+    # ragged arange: global index of each doc's valid windows in `hashes`
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(bounds[:-1], counts)
+        + np.repeat(offsets[:-1], counts)
+    )
+    return hashes[idx], bounds
+
+
 def stable_doc_id(repo: np.ndarray, path: np.ndarray, commit: np.ndarray) -> np.ndarray:
     """Stable int64 doc id = low-63-bits of sha256(repo|path|commit).
 

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from rabbittclust_ray.config import SketchConfig
-from rabbittclust_ray.hashing import rolling_shingle_hashes
+from rabbittclust_ray.hashing import chunked_window_hashes
 
 SKETCH_TYPE = pa.list_(pa.uint64())
 
@@ -57,7 +57,7 @@ def sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
     offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
     np.cumsum([len(b) for b in bufs], out=offsets[1:])
     blob = b"".join(bufs)
-    hashes = rolling_shingle_hashes(blob, k, seed=cfg.seed)
+    hashes = chunked_window_hashes(blob, k, seed=cfg.seed)
 
     sketches: list[np.ndarray] = []
     sizes = np.zeros(len(bufs), dtype=np.int32)

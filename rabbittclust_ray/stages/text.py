@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from rabbittclust_ray.hashing import rolling_shingle_hashes
+from rabbittclust_ray.hashing import batch_window_hashes, rolling_shingle_hashes
 from rabbittclust_ray.stages.pairs import _ragged_pairs, scan_complete_groups
 
 _TOKEN_SPLIT = re.compile(r"\s+")
@@ -130,10 +130,14 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text", k: int = 16, seed:
 
     def f(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
+        bufs = [s.encode("utf-8", "surrogatepass") for s in texts]
+        valid, bounds = batch_window_hashes(bufs, k, seed)
         fps = np.zeros(len(texts), dtype=np.uint64)
-        for i, s in enumerate(texts):
-            h = rolling_shingle_hashes(s.encode("utf-8", "surrogatepass"), k, seed)
-            fps[i] = h.min() if len(h) else np.uint64(0)
+        nz = bounds[1:] > bounds[:-1]
+        if valid.size:
+            # empty segments are zero-width in `valid`, so reduceat over the
+            # non-empty starts covers each doc's windows exactly
+            fps[nz] = np.minimum.reduceat(valid, bounds[:-1][nz])
         out = t.drop_columns([text_col])
         return out.append_column("fingerprint", pa.array(fps, pa.uint64()))
 
@@ -195,21 +199,30 @@ def simhash(
 
     def f(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        out_h = np.zeros(len(texts), dtype=np.uint64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, s in enumerate(texts):
-            raw = s.encode("utf-8", "surrogatepass")
-            h = (
-                _sha_gram_hashes(raw, k)
-                if hasher == "sha"
-                else rolling_shingle_hashes(raw, k, seed)
+        bufs = [s.encode("utf-8", "surrogatepass") for s in texts]
+        if hasher == "sha":
+            # oracle surface: per-doc sha256 gram hashes (SQL-reproducible)
+            segs = [_sha_gram_hashes(b, k) for b in bufs]
+            bounds = np.zeros(len(bufs) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in segs], out=bounds[1:])
+            valid = (
+                np.concatenate(segs) if bounds[-1] else np.empty(0, dtype=np.uint64)
             )
-            if len(h) == 0:
-                continue
-            # vectorized bit votes: popcount per bit position
-            votes = ((h[:, None] >> bits) & np.uint64(1)).sum(axis=0)
-            sign = votes * 2 > len(h)
-            out_h[i] = np.bitwise_or.reduce(np.where(sign, np.uint64(1) << bits, np.uint64(0)))
+        else:
+            valid, bounds = batch_window_hashes(bufs, k, seed)
+        out_h = np.zeros(len(texts), dtype=np.uint64)
+        counts = bounds[1:] - bounds[:-1]
+        nz = counts > 0
+        if valid.size:
+            starts = bounds[:-1][nz]
+            n_nz = counts[nz]
+            acc = np.zeros(int(nz.sum()), dtype=np.uint64)
+            for b in range(64):
+                # bit-b votes for every window of every doc in one reduceat
+                col = ((valid >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                votes = np.add.reduceat(col, starts)
+                acc |= np.where(votes * 2 > n_nz, np.uint64(1) << np.uint64(b), np.uint64(0))
+            out_h[nz] = acc
         out = t.drop_columns([text_col])
         return out.append_column("simhash", pa.array(out_h, pa.uint64()))
 

@@ -72,3 +72,22 @@ def test_sha256_hex_matches_hashlib():
     out = sha256_hex(vals)
     for v, h in zip(vals, out):
         assert h == hashlib.sha256(v.encode("utf-8")).hexdigest()
+
+
+def test_batch_window_hashes_matches_per_doc():
+    """batch kernel == per-doc kernel for every doc, across boundary cases
+    (empty docs, shorter-than-k docs, exactly-k docs)."""
+    from rabbittclust_ray.hashing import batch_window_hashes
+
+    rng = np.random.default_rng(7)
+    bufs = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for n in
+            (0, 1, 7, 8, 9, 0, 300, 2000, 8)]
+    for k in (3, 8, 16):
+        valid, bounds = batch_window_hashes(bufs, k, seed=11)
+        assert bounds[-1] == len(valid)
+        for i, b in enumerate(bufs):
+            ref = rolling_shingle_hashes(b, k, seed=11)
+            assert np.array_equal(ref, valid[bounds[i]: bounds[i + 1]])
+    # all-short batch -> zero valid windows, well-formed bounds
+    valid, bounds = batch_window_hashes([b"ab", b""], 8)
+    assert len(valid) == 0 and list(bounds) == [0, 0, 0]

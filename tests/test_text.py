@@ -82,3 +82,37 @@ def test_min_gram_fingerprint_matches_naive():
     assert out.iloc[0].min_gram == naive
     assert out.iloc[0].n_windows == len(t0) - 3
     assert out.iloc[1].min_gram is None and out.iloc[1].n_windows == 0
+
+
+def test_simhash_batch_matches_per_doc(ray_session):
+    """The batch-vectorized simhash (one rolling pass + per-bit reduceat)
+    equals the per-doc bit-vote definition, including empty/short docs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.hashing import rolling_shingle_hashes
+    from rabbittclust_ray.stages.text import simhash
+
+    rng = np.random.default_rng(3)
+    texts = ["", "ab", "abcdefgh"] + [
+        "".join(chr(c) for c in rng.integers(97, 123, n)) for n in (9, 40, 500)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = (
+        simhash(ds, k=4, seed=9).to_pandas().sort_values("doc_id")["simhash"]
+        .to_numpy(dtype=np.uint64)
+    )
+    bits = np.arange(64, dtype=np.uint64)
+    for i, s in enumerate(texts):
+        h = rolling_shingle_hashes(s.encode(), 4, 9)
+        if len(h) == 0:
+            assert got[i] == 0
+            continue
+        votes = ((h[:, None] >> bits) & np.uint64(1)).sum(axis=0)
+        want = np.bitwise_or.reduce(
+            np.where(votes * 2 > len(h), np.uint64(1) << bits, np.uint64(0))
+        )
+        assert got[i] == want
