@@ -476,6 +476,18 @@ def _q_cosine_near_dups(sf_dir: str):
     return out[["u", "v"]]
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup keep/drop decisions in exact mode (num_clusters=0: one
+    global bucket, components = true transitive closure of the
+    cosine >= 0.35 graph) — SQL reproduces it with a recursive-CTE
+    component sweep. The k-means scale path's recall vs this exact output
+    is pinned by tests/test_ann.py."""
+    from rabbittclust_ray.stages.ann import semantic_dedup
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(ds, min_sim=0.35, num_clusters=0)
+
+
 def _q_clusters_greedy(sf_dir: str):
     from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
 
@@ -899,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "ann_topk": _q_ann_topk,
         "cosine_near_dups": _q_cosine_near_dups,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1330,6 +1343,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS u, b.vec_id AS v
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE sims AS MATERIALIZED (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            ),
+            ug AS MATERIALIZED (
+                SELECT u AS a, v AS b FROM sims
+                UNION ALL SELECT v, u FROM sims
+            ),
+            reach(a, b) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.a, g.b FROM reach r JOIN ug g ON g.a = r.b
+            )
+            SELECT a AS vec_id, min(b) AS group_id,
+                   CAST(a = min(b) AS BIGINT) AS keep
+            FROM reach GROUP BY a
         """,
     })
     return sql

@@ -503,3 +503,121 @@ def build_ivf_centroids(
     assign = np.argmax(mn @ cent.T, axis=1)
     lists = {j: (ids[assign == j], mn[assign == j]) for j in range(len(cent))}
     return ray.put(cent), ray.put(lists)
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    min_sim: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_clusters: int = 0,
+    sample_fraction: float = 0.25,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    num_partitions: int = 1024,
+    chunk_elems: int = 8_000_000,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, then within
+    each cluster group vectors whose cosine similarity >= ``min_sim`` into
+    connected near-dup components and keep ONE representative per
+    component (deterministically the minimum id — every member maps to it,
+    so the decision is reproducible and SQL-checkable).
+
+    Output: one row per input vector — ``(id_col, group_id, keep)`` where
+    ``group_id`` = min id of the vector's near-dup component and ``keep`` =
+    1 iff the vector IS that representative. Dropping ``keep == 0`` rows
+    implements the SemDeDup pruning step.
+
+    ``num_clusters == 0`` (exact mode): one global bucket — components are
+    the TRUE transitive closure of the sim >= min_sim graph. O(N^2/P)
+    similarity work; the oracle/parity configuration for check-scale
+    tables only.
+
+    ``num_clusters > 1`` (scale path): the paper's semantics — components
+    never cross k-means cell boundaries, so a near-dup pair split across
+    cells is (by design) not collapsed; recall vs exact mode is pinned by
+    tests/test_ann.py on a clustered fixture. Centroid training is sampled
+    (``kmeans_centroids_sampled``: <= max_sample rows on the driver);
+    assignment is a per-batch argmax against the broadcast centroid matrix;
+    each cell is co-located by the keyed exchange and processed with a
+    chunked matmul (working set bounded at ~``chunk_elems`` floats), so no
+    stage materializes the corpus.
+    """
+    from rabbittclust_ray.stages.graph_np import components_labels
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    if num_clusters > 1:
+        cent = kmeans_centroids_sampled(
+            embeddings, num_clusters, sample_fraction,
+            iters=kmeans_iters, seed=seed, emb_col=emb_col,
+        )
+    else:
+        cent = None
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col)
+        if cent is None or len(m) == 0:
+            ccl = np.zeros(len(m), dtype=np.int64)
+        else:
+            mn = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
+            ccl = np.argmax(mn @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "ccl": pa.array(ccl, pa.int64()),
+                id_col: t[id_col].cast(pa.int64()),
+                emb_col: t[emb_col],
+            }
+        )
+
+    def dedup_cell(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "group_id": pa.array([], pa.int64()),
+             "keep": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ccl = t["ccl"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ccl, kind="stable")
+        ts = t.take(pa.array(order))
+        ccl = ccl[order]
+        ids = ts[id_col].to_numpy(zero_copy_only=False)
+        m = _emb_matrix(ts, emb_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
+        group = ids.copy()
+        _, starts, counts = np.unique(ccl, return_index=True, return_counts=True)
+        for s0, c in zip(starts, counts):
+            if c < 2:
+                continue
+            sub = mn[s0 : s0 + c]
+            gi = ids[s0 : s0 + c]
+            eu_parts, ev_parts = [], []
+            step = max(1, chunk_elems // max(1, c))
+            for lo in range(0, c, step):
+                hi = min(lo + step, c)
+                sims = sub[lo:hi] @ sub.T
+                ii, jj = np.nonzero(sims >= min_sim)
+                ii += lo
+                ok = jj > ii
+                eu_parts.append(ii[ok])
+                ev_parts.append(jj[ok])
+            eu = np.concatenate(eu_parts) if eu_parts else np.array([], dtype=np.int64)
+            if len(eu):
+                ev = np.concatenate(ev_parts)
+                lab = components_labels(eu, ev, int(c))
+                # component label (min position) -> min id of the component
+                rep_id = np.full(int(c), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(rep_id, lab, gi)
+                group[s0 : s0 + c] = rep_id[lab]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "group_id": pa.array(group, pa.int64()),
+                "keep": pa.array((ids == group).astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = embeddings.map_batches(tag, batch_format="pyarrow")
+    return hash_exchange(tagged, "ccl", dedup_cell, num_partitions)

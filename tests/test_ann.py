@@ -9,6 +9,7 @@ from rabbittclust_ray.stages.ann import (
     brute_force_topk,
     cosine_near_dup_pairs,
     ivf_topk,
+    semantic_dedup,
 )
 
 
@@ -84,6 +85,62 @@ def test_ivf_partial_probe_recall():
         total += len(truth)
     recall = hits / total
     assert recall >= 0.9, f"IVF nprobe=2 recall {recall:.3f} < 0.9"
+
+
+def _exact_semdedup_truth(tbl: pa.Table, min_sim: float):
+    """Driver-side transitive-closure truth: dict vec_id -> group min id."""
+    m = np.asarray([np.asarray(e.as_py()) for e in tbl["embedding"]], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1)[:, None]
+    sims = mn @ mn.T
+    n = len(mn)
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    lab = np.arange(n)
+    # naive min-label propagation to fixpoint
+    adj = sims >= min_sim
+    while True:
+        new = lab.copy()
+        for i in range(n):
+            new[i] = lab[adj[i]].min()
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return {int(ids[i]): int(ids[lab[i]]) for i in range(n)}
+
+
+def test_semantic_dedup_exact_mode_matches_truth():
+    """num_clusters=0: output components are the true transitive closure;
+    exactly one keep per group; group_id = min member id."""
+    tbl = _clustered_embeddings(n_clusters=25, per=5)
+    ds = ray.data.from_arrow(tbl)
+    out = semantic_dedup(ds, min_sim=0.9, num_clusters=0, num_partitions=4).to_pandas()
+    truth = _exact_semdedup_truth(tbl, 0.9)
+    assert len(out) == tbl.num_rows
+    got = dict(zip(out.vec_id.astype(int), out.group_id.astype(int)))
+    assert got == truth
+    # keep invariants
+    keep = out[out.keep == 1]
+    assert set(keep.vec_id) == set(out.group_id.unique())
+    assert (keep.vec_id == keep.group_id).all()
+    assert (out.groupby("group_id")["keep"].sum() == 1).all()
+
+
+def test_semantic_dedup_kmeans_scale_path_recall():
+    """The k-means scale path (SemDeDup semantics: components never cross
+    cell boundaries) must recover >= 0.9 of exact-mode DROP decisions on
+    well-separated families, and must never drop a vector that exact mode
+    keeps as a singleton representative of itself with no near-dups."""
+    tbl = _clustered_embeddings(n_clusters=30, per=6)
+    ds = ray.data.from_arrow(tbl)
+    exact = semantic_dedup(ds, min_sim=0.9, num_clusters=0, num_partitions=4).to_pandas()
+    km = semantic_dedup(ds, min_sim=0.9, num_clusters=8, sample_fraction=1.0,
+                        num_partitions=4).to_pandas()
+    assert len(km) == len(exact) == tbl.num_rows
+    exact_dropped = set(exact[exact.keep == 0].vec_id.astype(int))
+    km_dropped = set(km[km.keep == 0].vec_id.astype(int))
+    # cell-local grouping only removes pairs => drops are a subset of exact
+    assert km_dropped <= exact_dropped
+    recall = len(km_dropped & exact_dropped) / max(1, len(exact_dropped))
+    assert recall >= 0.9, f"scale-path drop recall {recall:.3f} < 0.9"
 
 
 def test_lsh_hot_bucket_cap_is_counted():
