@@ -488,6 +488,83 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, min_sim=0.35, num_clusters=0)
 
 
+def _q_corpus_dedup(sf_dir: str):
+    """Full exact -> near dedup cascade report in exact n-gram mode: SQL
+    reproduces it end-to-end (sha groups -> winner-restricted exact-Jaccard
+    threshold graph -> recursive components -> verdicts)."""
+    from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
+
+    res = dedup_corpus(
+        _docs(sf_dir), _exact_scfg(), _exact_ccfg(EX_DEDUP_DIST),
+        dedup_dist=EX_DEDUP_DIST,
+    )
+    return res.report
+
+
+def _corpus_dedup_sql() -> str:
+    """exact stage = min-id per sha256(raw text); near stage = components
+    of the exact-Jaccard <= EX_DEDUP_DIST graph over exact WINNERS only
+    (identical texts have identical gram sets, so restricting to winners
+    loses nothing); kept_as = the winner's component min for every row."""
+    k = EX_SHINGLE_K
+    return f"""
+        WITH RECURSIVE
+        pop AS MATERIALIZED (
+            SELECT doc_id, text,
+                   regexp_replace(text, '\\s+', ' ', 'g') AS nt
+            FROM documents WHERE length(text) >= {EX_MIN_LEN}
+        ),
+        ex AS MATERIALIZED (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS grp
+            FROM pop
+        ),
+        win AS MATERIALIZED (
+            SELECT p.doc_id, p.nt FROM pop p
+            JOIN ex ON ex.doc_id = p.doc_id
+            WHERE ex.grp = p.doc_id
+        ),
+        grams AS MATERIALIZED (
+            SELECT DISTINCT w.doc_id, substr(w.nt, g.i, {k}) AS g
+            FROM win w, LATERAL (
+                SELECT unnest(generate_series(1, length(w.nt) - {k - 1}))
+            ) AS g(i)
+            WHERE length(w.nt) >= {k}
+        ),
+        sizes AS MATERIALIZED (
+            SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        ),
+        inter AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v,
+                   CAST(count(*) AS BIGINT) AS common
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT u, v FROM inter
+            JOIN sizes sa ON sa.doc_id = u
+            JOIN sizes sb ON sb.doc_id = v
+            WHERE common >= {_jmin(EX_DEDUP_DIST)!r} * (sa.sz + sb.sz - common)
+        ),
+        ug AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM win
+            UNION
+            SELECT r.a, g2.b FROM reach r JOIN ug g2 ON g2.a = r.b
+        ),
+        comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS c FROM reach GROUP BY a)
+        SELECT e.doc_id,
+               CAST(e.doc_id = e.grp AND kc.c = e.doc_id AS BIGINT) AS keep,
+               CASE WHEN e.doc_id = e.grp AND kc.c = e.doc_id THEN 'kept'
+                    WHEN e.doc_id <> e.grp THEN 'exact'
+                    ELSE 'near' END AS reason,
+               kc.c AS kept_as
+        FROM ex e JOIN comp kc ON kc.doc_id = e.grp
+    """
+
+
 def _q_clusters_greedy(sf_dir: str):
     from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
 
@@ -912,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "cosine_near_dups": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
+        "corpus_dedup": _q_corpus_dedup,
     }
 
 
@@ -927,6 +1005,7 @@ def _lang_sql_lists() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
+        "corpus_dedup": _corpus_dedup_sql(),
         "simhash_pairs": _simhash_sql(),
         "hll_cardinality": _hll_sql(),
         "weighted_jaccard_pairs": _wjac_sql(),

@@ -11,6 +11,8 @@ Reference CLI (/root/reference/src/main.cpp:60-240): ``clust-mst`` /
     python -m rabbittclust_ray append       -i new.parquet  -o out/   (uses out/ checkpoint)
     python -m rabbittclust_ray recluster    -o out/ -d 0.02           (no recompute)
     python -m rabbittclust_ray dbscan       -i docs.parquet -o out/ --min-pts 3
+    python -m rabbittclust_ray dedup-corpus -i docs.parquet -o out/ \
+        [--dedup-dist 0.02] [--embeddings emb.parquet --min-sim 0.9]  (training-data cascade)
 
 Owns the Ray session (guarded init — the driver contract path never
 reaches this module)."""
@@ -217,6 +219,19 @@ def main(argv: list[str] | None = None) -> int:
     pdb.add_argument("verb", choices=("build", "append", "query", "assign", "stats"))
     pdb.add_argument("--topk", type=int, default=5)
     _add_common(pdb)
+    # training-corpus dedup cascade (exact -> near -> optional semantic)
+    pdc = sub.add_parser(
+        "dedup-corpus",
+        help="exact -> MinHash-near [-> SemDeDup semantic] dedup; writes "
+             "cleaned/ (partitioned parquet) + report/ (doc_id, keep, "
+             "reason, kept_as)",
+    )
+    _add_common(pdc)
+    pdc.add_argument("--embeddings", help="parquet with (vec_id, embedding) "
+                     "aligned to doc ids; enables the semantic stage")
+    pdc.add_argument("--min-sim", type=float, default=0.9)
+    pdc.add_argument("--semantic-clusters", type=int, default=0,
+                     help="0 = exact SemDeDup grouping, >1 = sampled-k-means cells")
     args = parser.parse_args(argv)
 
     import ray
@@ -315,6 +330,30 @@ def main(argv: list[str] | None = None) -> int:
                 _pq.write_table(linkage_matrix(result.mst),
                                 os.path.join(args.output, "linkage.parquet"))
             _write_outputs(args.output, result, ccfg.threshold, stream=getattr(args, "stream_out", False))
+        elif args.cmd == "dedup-corpus":
+            from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
+
+            emb = None
+            if args.embeddings:
+                import ray.data as _rd
+
+                emb = _rd.read_parquet(args.embeddings)
+            res = dedup_corpus(
+                ds, scfg, ccfg,
+                dedup_dist=args.dedup_dist if args.dedup_dist is not None else 0.02,
+                embeddings=emb,
+                min_sim=args.min_sim,
+                semantic_clusters=args.semantic_clusters,
+            )
+            os.makedirs(args.output, exist_ok=True)
+            # partitioned writes: one file per block, resumable output path
+            res.report.write_parquet(os.path.join(args.output, "report"))
+            res.cleaned.write_parquet(os.path.join(args.output, "cleaned"))
+            rp = res.report.to_pandas()
+            counts = rp.reason.value_counts().to_dict()
+            print(f"dedup-corpus: {len(rp)} docs -> {int(rp.keep.sum())} kept "
+                  f"({counts.get('exact', 0)} exact, {counts.get('near', 0)} near, "
+                  f"{counts.get('semantic', 0)} semantic dups dropped)")
         elif args.cmd == "clust-greedy":
             from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
 

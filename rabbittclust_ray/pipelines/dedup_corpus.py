@@ -1,0 +1,241 @@
+"""End-to-end training-corpus deduplication: exact -> near -> semantic.
+
+The user-facing "clean my corpus" pipeline a 100-TB training-data run
+starts with, composed from the engine's dedup tiers:
+
+  1. exact   — byte-identical collapse on content sha256 (keep min doc_id
+               per digest; reference D7 semantics, `stages/dedup.py`).
+  2. near    — MinHash near-duplicate collapse: sketch the exact winners,
+               generate candidate edges at ``dedup_dist``, connected
+               components of the threshold graph, keep the min doc_id per
+               component (the SemDeDup-free analogue of the reference's
+               ``--dedup-dist`` tree collapse, without needing the full
+               MST: components at the cut are identical either way).
+  3. semantic (optional) — SemDeDup embedding-level groups
+               (`stages/ann.semantic_dedup`) overlaid on the survivors:
+               a doc still standing after 1-2 is dropped iff its vector's
+               semantic group kept a different representative.
+
+Outputs
+  report  — one row per prepared doc: (doc_id, keep, reason, kept_as)
+            where reason in {'kept','exact','near','semantic'} and
+            kept_as is the representative the doc collapsed into
+            (kept_as == doc_id iff keep == 1).
+  cleaned — the surviving documents with their full prepared rows,
+            produced by a distributed anti-join (`pairs.anti_join_ids`);
+            written partitioned by the CLI for resumability.
+
+Scale shape: two content-bearing exchanges (winner selection + the
+cleaned anti-join), sketch/pair exchanges over ids+hashes only, and the
+semantic overlay as one id-keyed exchange. The near-stage component
+labels use the same driver union-find ceiling as clust_mst (~10^9
+edge-touched docs, labelprop fallback documented in SCALING.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.pairs import anti_join_ids, candidate_edges, hash_exchange
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.sketch import sketch_documents
+
+REPORT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("keep", pa.int64()),
+        ("reason", pa.string()),
+        ("kept_as", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class CorpusDedupResult:
+    report: ray.data.Dataset
+    cleaned: ray.data.Dataset
+
+
+def _near_labels(edges, threshold: float) -> dict[int, int]:
+    """Component labels of the dist <= threshold graph via the same
+    per-block partial-Kruskal compression clust_mst uses (components of
+    the MST forest == components of the graph)."""
+    import ray
+
+    from rabbittclust_ray.pipelines.clust_mst import _labels_from_forest
+    from rabbittclust_ray.stages.cluster import _local_kruskal
+
+    _lk = ray.remote(num_cpus=1)(_local_kruskal)
+    parts = [
+        b for b in ray.get([_lk.remote(r) for r in edges.to_arrow_refs()])
+        if b.num_rows
+    ]
+    if not parts:
+        return {}
+    allp = pa.concat_tables(parts).combine_chunks()
+    order = np.lexsort((
+        allp["v"].to_numpy(zero_copy_only=False),
+        allp["u"].to_numpy(zero_copy_only=False),
+        allp["dist"].to_numpy(zero_copy_only=False),
+    ))
+    return _labels_from_forest(_local_kruskal(allp.take(pa.array(order))))
+
+
+def dedup_corpus(
+    documents: ray.data.Dataset,
+    scfg: SketchConfig | None = None,
+    ccfg: ClusterConfig | None = None,
+    *,
+    dedup_dist: float = 0.02,
+    embeddings: ray.data.Dataset | None = None,
+    min_sim: float = 0.9,
+    semantic_clusters: int = 0,
+    id_col: str = "vec_id",
+) -> CorpusDedupResult:
+    """Run the exact -> near [-> semantic] dedup cascade; see module doc.
+
+    ``embeddings`` (optional): a table with (``id_col``, embedding) where
+    ``id_col`` values are doc_ids; enables the semantic stage.
+    ``semantic_clusters`` = 0 is the exact SemDeDup grouping (oracle
+    config), > 1 the sampled-k-means scale path.
+    """
+    import ray
+
+    from rabbittclust_ray.stages.dedup import exact_dedup, exact_dedup_keep_first
+
+    scfg = scfg or SketchConfig()
+    ccfg = ccfg or ClusterConfig()
+    near_ccfg = ClusterConfig(
+        threshold=dedup_dist,
+        containment=ccfg.containment,
+        max_posting=ccfg.max_posting,
+        num_buckets=ccfg.num_buckets,
+    )
+
+    prepared = prepare_documents(documents, scfg)
+    # ids+sha exchange: every doc's exact-group verdict (cheap rows)
+    exact_ds = exact_dedup(prepared)
+    # full-row exchange: the per-sha winners carry content into sketching
+    winners = exact_dedup_keep_first(prepared, num_buckets=ccfg.num_buckets)
+    sketches = sketch_documents(winners, scfg).materialize()
+    edges = candidate_edges(sketches, scfg, near_ccfg)
+    labels = _near_labels(edges.materialize(), dedup_dist)
+
+    keys = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
+    vals = np.array([labels[int(k)] for k in keys], dtype=np.int64)
+    lab_ref = ray.put((keys, vals))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        """exact_dedup rows -> report rows (near labels broadcast once)."""
+        if t.num_rows == 0:
+            return REPORT_SCHEMA.empty_table()
+        lkeys, lvals = ray.get(lab_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grp = t["group_rep"].to_numpy(zero_copy_only=False)
+        is_dup = t["is_exact_dup"].to_numpy(zero_copy_only=False)
+        # near component of each doc's EXACT WINNER (losers inherit the
+        # winner's near fate transitively via kept_as chains collapsed
+        # below: loser -> winner -> winner's component min)
+        if len(lkeys):
+            pos = np.clip(np.searchsorted(lkeys, grp), 0, len(lkeys) - 1)
+            found = lkeys[pos] == grp
+            near_rep = np.where(found, lvals[pos], grp)
+        else:
+            near_rep = grp.copy()
+        keep = (~is_dup) & (near_rep == ids)
+        reason = np.where(
+            keep, "kept", np.where(is_dup, "exact", "near")
+        )
+        kept_as = np.where(keep, ids, np.where(is_dup, grp, near_rep))
+        # exact losers whose winner ALSO near-collapsed: point at the
+        # final representative, not the intermediate winner
+        kept_as = np.where(is_dup & (near_rep != grp), near_rep, kept_as)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+                "reason": pa.array(reason.astype(object), pa.string()),
+                "kept_as": pa.array(kept_as, pa.int64()),
+            }
+        )
+
+    report = exact_ds.map_batches(verdict, batch_format="pyarrow")
+
+    if embeddings is not None:
+        from rabbittclust_ray.stages.ann import semantic_dedup
+
+        sem = semantic_dedup(
+            embeddings, min_sim, id_col=id_col,
+            num_clusters=semantic_clusters,
+        )
+
+        def tag_base(t: pa.Table) -> pa.Table:
+            return t.append_column("is_sem", pa.array(np.zeros(t.num_rows, dtype=bool)))
+
+        def tag_sem(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "doc_id": t[id_col].cast(pa.int64()),
+                    "keep": t["keep"].cast(pa.int64()),
+                    "reason": pa.nulls(n, pa.string()),
+                    "kept_as": t["group_id"].cast(pa.int64()),
+                    "is_sem": pa.array(np.ones(n, dtype=bool)),
+                }
+            )
+
+        def overlay(t: pa.Table) -> pa.Table:
+            """A surviving doc whose semantic group kept a different rep
+            is demoted to keep=0 reason='semantic' kept_as=group_id."""
+            if t.num_rows == 0:
+                return REPORT_SCHEMA.empty_table()
+            is_sem = t["is_sem"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = t["keep"].to_numpy(zero_copy_only=False)
+            kept_as = t["kept_as"].to_numpy(zero_copy_only=False)
+            sem_ids = ids[is_sem]
+            sem_drop = keep[is_sem] == 0
+            sem_group = kept_as[is_sem]
+            order = np.argsort(sem_ids)
+            sem_ids, sem_drop, sem_group = (
+                sem_ids[order], sem_drop[order], sem_group[order]
+            )
+            base = t.filter(pa.array(~is_sem))
+            if base.num_rows == 0:
+                return REPORT_SCHEMA.empty_table()
+            bids = base["doc_id"].to_numpy(zero_copy_only=False)
+            bkeep = base["keep"].to_numpy(zero_copy_only=False)
+            breason = base["reason"].to_numpy(zero_copy_only=False).astype(object)
+            bkept = base["kept_as"].to_numpy(zero_copy_only=False)
+            if len(sem_ids):
+                pos = np.clip(np.searchsorted(sem_ids, bids), 0, len(sem_ids) - 1)
+                hit = (sem_ids[pos] == bids) & sem_drop[pos] & (bkeep == 1)
+                bkeep = np.where(hit, 0, bkeep)
+                breason = np.where(hit, "semantic", breason)
+                bkept = np.where(hit, sem_group[pos], bkept)
+            return pa.table(
+                {
+                    "doc_id": pa.array(bids, pa.int64()),
+                    "keep": pa.array(bkeep, pa.int64()),
+                    "reason": pa.array(breason.astype(object), pa.string()),
+                    "kept_as": pa.array(bkept, pa.int64()),
+                }
+            )
+
+        union = report.map_batches(tag_base, batch_format="pyarrow").union(
+            sem.map_batches(tag_sem, batch_format="pyarrow")
+        )
+        report = hash_exchange(union, "doc_id", overlay, ccfg.num_buckets)
+
+    report = report.materialize()  # two consumers: report sink + cleaned filter
+    dropped = report.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], 0)), batch_format="pyarrow"
+    )
+    cleaned = anti_join_ids(winners, dropped, num_partitions=ccfg.num_buckets)
+    return CorpusDedupResult(report=report, cleaned=cleaned)

@@ -913,6 +913,54 @@ def verify_pairs_exact(
     return hash_exchange(hop1_out.union(sk_tagged), "key", hop2, p)
 
 
+def anti_join_ids(
+    ds: ray.data.Dataset,
+    drop_ids: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Distributed anti-join: rows of ``ds`` whose ``id_col`` value does
+    NOT appear in ``drop_ids`` (any dataset carrying that column).
+
+    One keyed exchange over the side-tagged union — marker rows are
+    null-padded to ``ds``'s schema so the union is schema-uniform, and
+    each reducer masks its own partition's rows against its own
+    partition's marker ids (vectorized ``np.isin``). The drop set never
+    touches the driver (contrast ``key_intersection``, which returns the
+    small-side intersection as a driver array); transfer volume is one
+    pass of ``ds`` plus the drop ids."""
+    schema = ds.schema().base_schema
+    DROP = "__drop__"
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        return t.append_column(DROP, pa.array(np.zeros(t.num_rows, dtype=bool)))
+
+    def tag_marker(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for f in schema:
+            if f.name == id_col:
+                cols[f.name] = t[id_col].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        cols[DROP] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns([DROP]) if DROP in t.column_names else t
+        dropm = t[DROP].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        banned = np.unique(ids[dropm])
+        keep = ~dropm & ~np.isin(ids, banned)
+        return t.filter(pa.array(keep)).drop_columns([DROP])
+
+    union = ds.map_batches(tag_data, batch_format="pyarrow").union(
+        drop_ids.select_columns([id_col]).map_batches(tag_marker, batch_format="pyarrow")
+    )
+    return hash_exchange(union, id_col, reduce, num_partitions)
+
+
 def key_intersection(
     left_ids: ray.data.Dataset,
     right_ids: ray.data.Dataset,

@@ -1,0 +1,150 @@
+"""End-to-end corpus dedup cascade (exact -> near -> semantic) and the
+distributed anti-join it rides on."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
+from rabbittclust_ray.stages.pairs import anti_join_ids
+
+SCFG = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=256, min_len=100)
+CCFG = ClusterConfig(threshold=0.05, max_posting=None, num_buckets=16)
+
+
+def test_anti_join_ids():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "payload": [f"p{i}" for i in range(10)],
+    }))
+    drop = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2, 5, 7, 99], pa.int64()),  # 99 not present: no-op
+    }))
+    out = anti_join_ids(ds, drop, num_partitions=4).to_pandas()
+    assert sorted(out.doc_id) == [0, 1, 3, 4, 6, 8, 9]
+    assert set(out.columns) == {"doc_id", "payload"}
+    assert out.set_index("doc_id").payload.to_dict()[3] == "p3"
+
+
+def test_dedup_corpus_cascade(small_corpus):
+    docs, gtp = small_corpus
+    res = dedup_corpus(
+        ray.data.from_arrow(docs), SCFG, CCFG, dedup_dist=0.05
+    )
+    rep = res.report.to_pandas()
+    cleaned = res.cleaned.to_pandas()
+
+    # every prepared (>= min_len) doc gets exactly one verdict row
+    n_long = sum(len(c) >= SCFG.min_len for c in docs["content"].to_pylist())
+    assert len(rep) == n_long
+    assert rep.doc_id.is_unique
+
+    kept = rep[rep.keep == 1]
+    assert sorted(cleaned.doc_id) == sorted(kept.doc_id)
+    # without a semantic stage every collapse target survives
+    assert set(rep.kept_as) <= set(kept.doc_id)
+    assert (kept.kept_as == kept.doc_id).all()
+    assert (kept.reason == "kept").all()
+
+    # exact dups collapse: identical content keeps exactly one copy
+    import hashlib
+    sha_counts = {}
+    for c in cleaned.content:
+        h = hashlib.sha256(c.encode()).hexdigest()
+        sha_counts[h] = sha_counts.get(h, 0) + 1
+    assert max(sha_counts.values()) == 1
+    assert (rep.reason == "exact").sum() >= 6  # fixture has 6 exact dups
+
+    # near dups collapse: each mutation family (mut_rate 0.01 << d=0.05)
+    # keeps ~1 representative
+    gtp = gtp[gtp.kind.isin(["seed", "mutant"])]
+    fam = gtp.merge(rep, on="doc_id")
+    per_family_kept = fam.groupby("true_cluster")["keep"].sum()
+    assert (per_family_kept <= 2).all()  # almost always exactly 1
+    assert (rep.reason == "near").sum() > 50
+
+    # idempotence: re-running on the cleaned output drops nothing
+    again = dedup_corpus(
+        ray.data.from_arrow(
+            pa.Table.from_pandas(
+                cleaned[["repo", "path", "commit", "lang", "content"]],
+                preserve_index=False,
+            )
+        ),
+        SCFG, CCFG, dedup_dist=0.05,
+    ).report.to_pandas()
+    assert (again.keep == 1).all()
+
+
+def test_dedup_corpus_cli(tmp_path):
+    """User surface: `dedup-corpus` verb writes partitioned cleaned/ +
+    report/ and prints the drop summary (subprocess, own Ray session)."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.corpus import make_corpus
+
+    docs, _ = make_corpus(num_seeds=4, per_cluster=4, doc_len=1500,
+                          num_exact_dups=2, num_noise=4, num_short=2)
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(inp))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "dedup-corpus",
+         "-i", str(inp), "-o", str(out), "-k", "12",
+         "--max-posting", "100000", "--num-buckets", "4", "--num-cpus", "2",
+         "--dedup-dist", "0.05"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = pq.read_table(str(out / "report")).to_pandas()
+    cleaned = pq.read_table(str(out / "cleaned")).to_pandas()
+    assert len(cleaned) == int(rep.keep.sum()) < len(rep)
+    assert "dedup-corpus:" in r.stdout
+    assert (rep[rep.keep == 0].reason != "kept").all()
+
+
+def test_dedup_corpus_semantic_overlay(small_corpus):
+    """Embeddings force two surviving docs into one semantic group: the
+    non-representative is demoted with reason='semantic'."""
+    docs, _ = small_corpus
+    base = dedup_corpus(
+        ray.data.from_arrow(docs), SCFG, CCFG, dedup_dist=0.05
+    ).report.to_pandas()
+    survivors = sorted(base[base.keep == 1].doc_id)[:4]
+    a, b = survivors[0], survivors[1]
+    other = survivors[2:]
+    # a and b share a direction (near-dup vectors); others orthogonal-ish
+    rng = np.random.default_rng(7)
+    vecs, ids = [], []
+    shared = rng.standard_normal(16)
+    for i, did in enumerate([a, b] + other):
+        v = shared + 0.01 * rng.standard_normal(16) if did in (a, b) \
+            else rng.standard_normal(16)
+        vecs.append(v)
+        ids.append(did)
+    m = np.asarray(vecs)
+    flat = pa.array(m.reshape(-1), pa.float64())
+    emb = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, 16).cast(
+            pa.list_(pa.float64())
+        ),
+    })
+    res = dedup_corpus(
+        ray.data.from_arrow(docs), SCFG, CCFG, dedup_dist=0.05,
+        embeddings=ray.data.from_arrow(emb), min_sim=0.95,
+    )
+    rep = res.report.to_pandas().set_index("doc_id")
+    lo, hi = min(a, b), max(a, b)
+    assert rep.loc[lo].keep == 1
+    assert rep.loc[hi].keep == 0
+    assert rep.loc[hi].reason == "semantic"
+    assert rep.loc[hi].kept_as == lo
+    # docs without embeddings / dissimilar embeddings are untouched
+    assert rep.loc[other[0]].keep == 1
+    cleaned_ids = set(res.cleaned.to_pandas().doc_id)
+    assert hi not in cleaned_ids and lo in cleaned_ids
