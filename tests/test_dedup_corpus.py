@@ -27,6 +27,34 @@ def test_anti_join_ids():
     assert out.set_index("doc_id").payload.to_dict()[3] == "p3"
 
 
+def test_anti_join_ids_property():
+    """Property (hypothesis): for arbitrary id multisets, the anti-join
+    equals the set difference, rows pass through intact, and ids present
+    only in the drop side are ignored."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        ids=st.lists(st.integers(-1000, 1000), min_size=0, max_size=60, unique=True),
+        drop=st.lists(st.integers(-1000, 1000), min_size=0, max_size=40),
+    )
+    def check(ids, drop):
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "val": pa.array([i * 3 for i in ids], pa.int64()),
+        }))
+        dd = ray.data.from_arrow(pa.table({"doc_id": pa.array(drop, pa.int64())}))
+        out = anti_join_ids(ds, dd, num_partitions=3).to_pandas()
+        expect = sorted(set(ids) - set(drop))
+        got = sorted(out["doc_id"]) if "doc_id" in out.columns else []
+        assert got == expect
+        if len(out):
+            assert (out.val == out.doc_id * 3).all()
+
+    check()
+
+
 def test_dedup_corpus_cascade(small_corpus):
     docs, gtp = small_corpus
     res = dedup_corpus(
@@ -105,6 +133,35 @@ def test_dedup_corpus_cli(tmp_path):
     assert len(cleaned) == int(rep.keep.sum()) < len(rep)
     assert "dedup-corpus:" in r.stdout
     assert (rep[rep.keep == 0].reason != "kept").all()
+
+    # --embeddings path: two survivors share a vector direction
+    import numpy as np
+
+    survivors = sorted(rep[rep.keep == 1].doc_id)[:3]
+    rng = np.random.default_rng(3)
+    shared = rng.standard_normal(8)
+    m = np.stack([shared, shared * 1.0001, rng.standard_normal(8)])
+    flat = pa.array(m.reshape(-1), pa.float64())
+    emb = pa.table({
+        "vec_id": pa.array(survivors, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, 8).cast(
+            pa.list_(pa.float64())
+        ),
+    })
+    embp = tmp_path / "emb.parquet"
+    pq.write_table(emb, str(embp))
+    out2 = tmp_path / "out2"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "dedup-corpus",
+         "-i", str(inp), "-o", str(out2), "-k", "12",
+         "--max-posting", "100000", "--num-buckets", "4", "--num-cpus", "2",
+         "--dedup-dist", "0.05", "--embeddings", str(embp), "--min-sim", "0.99"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep2 = pq.read_table(str(out2 / "report")).to_pandas().set_index("doc_id")
+    assert rep2.loc[survivors[1]].reason == "semantic"
+    assert rep2.loc[survivors[0]].keep == 1
 
 
 def test_dedup_corpus_semantic_overlay(small_corpus):
