@@ -237,6 +237,15 @@ def _q_token_count(sf_dir: str):
     return token_count(ds)
 
 
+def _q_token_count_bpe(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.text import token_count_bpe
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_count_bpe(ds)
+
+
 def _q_quality_score(sf_dir: str):
     """Integer ppm ratios so the DuckDB comparison is float-rounding-proof."""
     import pandas as pd
@@ -975,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_len_filter": _q_min_len_filter,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1392,6 +1402,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
+            FROM documents
+        """,
+        # same RE2 pattern string as text.BPE_TOKEN_RE — both engines are
+        # RE2, so non-overlapping match counts agree exactly
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality_score": r"""

@@ -52,6 +52,27 @@ def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer shape, simplified to RE2 (no lookahead, which
+# neither pyarrow nor DuckDB supports): an optional leading space fused to
+# a letter-run / digit-run / symbol-run. Both engines run the SAME pattern
+# (RE2 under pyarrow compute AND DuckDB), so counts are oracle-exact.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(id cols..., n_bpe_tokens) — BPE-ish subword-boundary token count:
+    non-overlapping matches of ``BPE_TOKEN_RE`` (vectorized
+    ``pc.count_substring_regex``; the whitespace between words rides along
+    as the match's optional leading space, GPT-2 pre-tokenizer style)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], BPE_TOKEN_RE), pa.int64())
+        return t.drop_columns([text_col]).append_column("n_bpe_tokens", n)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """Length/character-class ratios (rounded to 6 dp for oracle-exactness):
     (..., n_chars_q, alpha_ratio, digit_ratio, space_ratio)."""

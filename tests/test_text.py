@@ -116,3 +116,27 @@ def test_simhash_batch_matches_per_doc(ray_session):
             np.where(votes * 2 > len(h), np.uint64(1) << bits, np.uint64(0))
         )
         assert got[i] == want
+
+
+def test_token_count_bpe_matches_re():
+    """pc.count_substring_regex over BPE_TOKEN_RE == Python re.findall on
+    the same pattern (both RE2-compatible here), incl. edge cases."""
+    import re
+
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.stages.text import BPE_TOKEN_RE, token_count_bpe
+
+    texts = [
+        "", " ", "hello world", "def f(x): return x+1  # comment",
+        "  leading  spaces", "tabs\tand\nnewlines", "1234 56x7",
+        "unicode déjà vu", "!!!", "a" * 500,
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    out = token_count_bpe(ds).to_pandas().sort_values("doc_id")
+    for i, s in enumerate(texts):
+        want = len(re.findall(BPE_TOKEN_RE, s))
+        assert int(out.iloc[i].n_bpe_tokens) == want, (i, s)
