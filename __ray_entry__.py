@@ -246,6 +246,19 @@ def _q_token_count_bpe(sf_dir: str):
     return token_count_bpe(ds)
 
 
+def _q_winnow_fingerprint(sf_dir: str):
+    """MOSS winnowing in its sha-hasher oracle config (k=8, w=4): SQL
+    reproduces the selected-minimum set with a window-min over
+    sha256-gram hashes. The rolling fast path's winnowing guarantee is
+    pinned by tests/test_text.py."""
+    import ray.data
+
+    from rabbittclust_ray.stages.text import winnow_fingerprint
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_fingerprint(ds, k=8, w=4, hasher="sha")
+
+
 def _q_quality_score(sf_dir: str):
     """Integer ppm ratios so the DuckDB comparison is float-rounding-proof."""
     import pandas as pd
@@ -985,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1403,6 +1417,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        # MOSS winnowing, sha-hasher surface: min over each 4-window of
+        # sha256 8-gram hashes, distinct per doc (GREATEST handles docs
+        # with fewer than w grams: one whole-doc window at pos=1)
+        "winnow_fingerprint": """
+            WITH g AS MATERIALIZED (
+                SELECT d.doc_id, i.i AS pos,
+                       ('0x' || substr(sha256(substr(d.text, i.i, 8)), 1, 16))::UBIGINT AS h
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+                ) i(i)
+                WHERE length(d.text) >= 8
+            ),
+            n AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            wmin AS MATERIALIZED (
+                SELECT g.doc_id, g.pos,
+                       min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+                FROM g
+            )
+            SELECT DISTINCT w2.doc_id, w2.m AS fingerprint
+            FROM wmin w2 JOIN n USING (doc_id)
+            WHERE w2.pos <= GREATEST(n.n - 3, 1)
         """,
         # same RE2 pattern string as text.BPE_TOKEN_RE — both engines are
         # RE2, so non-overlapping match counts agree exactly

@@ -210,6 +210,56 @@ def _sha_gram_hashes(data: bytes, k: int) -> np.ndarray:
     return out
 
 
+def winnow_fingerprint(
+    ds: ray.data.Dataset, text_col: str = "text", k: int = 8, w: int = 4,
+    seed: int = 42, hasher: str = "rolling",
+) -> ray.data.Dataset:
+    """MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the classic source-code plagiarism/dup fingerprint): hash every
+    k-gram, slide a window of ``w`` consecutive hashes, keep each window's
+    MINIMUM; output the distinct selected hashes as (doc_id, fingerprint).
+
+    Winnowing guarantee (pinned by test): two documents sharing a
+    substring of length >= w + k - 1 share at least one fingerprint, while
+    only ~2/(w+1) of all grams are kept.
+
+    hasher="rolling" (vectorized rolling-hash fast path) | "sha" (sha256
+    gram hashes — the SQL-oracle surface, mirroring the simhash pattern).
+    A doc shorter than w grams keeps the minimum of what it has."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        bufs = [s.encode("utf-8", "surrogatepass") for s in texts]
+        if hasher == "sha":
+            segs = [_sha_gram_hashes(b, k) for b in bufs]
+        else:
+            valid, bounds = batch_window_hashes(bufs, k, seed)
+            segs = [valid[bounds[i]: bounds[i + 1]] for i in range(len(bufs))]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids, out_fp = [], []
+        for i, h in enumerate(segs):
+            if len(h) == 0:
+                continue
+            if len(h) < w:
+                sel = h.min(keepdims=True)
+            else:
+                sel = np.unique(sliding_window_view(h, w).min(axis=1))
+            out_ids.append(np.full(len(sel), ids[i], dtype=np.int64))
+            out_fp.append(sel)
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fingerprint": pa.array([], pa.uint64())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "fingerprint": pa.array(np.concatenate(out_fp), pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def simhash(
     ds: ray.data.Dataset, text_col: str = "text", k: int = 8, seed: int = 42,
     hasher: str = "rolling",

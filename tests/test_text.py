@@ -140,3 +140,38 @@ def test_token_count_bpe_matches_re():
     for i, s in enumerate(texts):
         want = len(re.findall(BPE_TOKEN_RE, s))
         assert int(out.iloc[i].n_bpe_tokens) == want, (i, s)
+
+
+def test_winnow_fingerprint_guarantee():
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share >= 1 fingerprint (both hashers); density ~ 2/(w+1) of grams;
+    short docs (< w grams) keep exactly their minimum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.stages.text import winnow_fingerprint
+
+    k, w = 8, 4
+    rng = np.random.default_rng(11)
+    def rand(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, n))
+
+    shared = rand(k + w - 1)  # minimal guaranteed-match substring
+    texts = [
+        rand(40) + shared + rand(40),
+        rand(55) + shared + rand(25),
+        rand(120),            # unrelated
+        "tiny56zz",           # exactly k chars -> 1 gram (< w windows)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    for hasher in ("rolling", "sha"):
+        out = winnow_fingerprint(ds, k=k, w=w, hasher=hasher).to_pandas()
+        by = {i: set(out[out.doc_id == i].fingerprint) for i in range(4)}
+        assert by[0] & by[1], hasher          # guarantee
+        assert len(by[3]) == 1                # short doc: its single gram
+        n_grams = len(texts[2]) - k + 1
+        assert len(by[2]) <= n_grams - w + 1
+        assert len(by[2]) >= n_grams / (w + 1) * 0.8  # density sanity
