@@ -259,6 +259,38 @@ def _q_winnow_fingerprint(sf_dir: str):
     return winnow_fingerprint(ds, k=8, w=4, hasher="sha")
 
 
+def _q_winnow_pairs(sf_dir: str):
+    """MOSS-style pair detection: docs sharing >= 1 winnowing fingerprint,
+    with exact shared-fingerprint counts and per-doc fingerprint-set
+    sizes — the full pair stack (explode -> keyed exchanges -> posting
+    caps) running on winnowing sketches. sha-hasher oracle config;
+    threshold=1.0 == the Mash-distance ceiling, so the emitter's J2 ratio
+    is permissive and no candidate is filtered (candidate_pairs applies
+    no score cut) — SQL reproduces the table exactly."""
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.stages.pairs import candidate_pairs
+    from rabbittclust_ray.stages.text import winnow_sketches
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sk = winnow_sketches(ds, k=8, w=4, hasher="sha")
+    out = candidate_pairs(
+        sk, SketchConfig(shingle_k=8),
+        ClusterConfig(threshold=1.0, max_posting=None, num_buckets=16),
+    )
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t["u"], "v": t["v"],
+                "common": t["common"].cast(pa.int64()),
+                "su": t["su"].cast(pa.int64()),
+                "sv": t["sv"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(ints, batch_format="pyarrow")
+
+
 def _q_quality_score(sf_dir: str):
     """Integer ppm ratios so the DuckDB comparison is float-rounding-proof."""
     import pandas as pd
@@ -999,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_pairs": _q_winnow_pairs,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1440,6 +1473,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT w2.doc_id, w2.m AS fingerprint
             FROM wmin w2 JOIN n USING (doc_id)
             WHERE w2.pos <= GREATEST(n.n - 3, 1)
+        """,
+        "winnow_pairs": """
+            WITH g AS MATERIALIZED (
+                SELECT d.doc_id, i.i AS pos,
+                       ('0x' || substr(sha256(substr(d.text, i.i, 8)), 1, 16))::UBIGINT AS h
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+                ) i(i)
+                WHERE length(d.text) >= 8
+            ),
+            n AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            wmin AS MATERIALIZED (
+                SELECT g.doc_id, g.pos,
+                       min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+                FROM g
+            ),
+            wf AS MATERIALIZED (
+                SELECT DISTINCT w2.doc_id, w2.m
+                FROM wmin w2 JOIN n USING (doc_id)
+                WHERE w2.pos <= GREATEST(n.n - 3, 1)
+            ),
+            sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM wf GROUP BY doc_id)
+            SELECT a.doc_id AS u, b.doc_id AS v,
+                   CAST(count(*) AS BIGINT) AS common,
+                   CAST(sa.sz AS BIGINT) AS su, CAST(sb.sz AS BIGINT) AS sv
+            FROM wf a JOIN wf b ON a.m = b.m AND a.doc_id < b.doc_id
+            JOIN sz sa ON sa.doc_id = a.doc_id
+            JOIN sz sb ON sb.doc_id = b.doc_id
+            GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
         """,
         # same RE2 pattern string as text.BPE_TOKEN_RE — both engines are
         # RE2, so non-overlapping match counts agree exactly

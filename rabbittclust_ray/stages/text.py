@@ -260,6 +260,48 @@ def winnow_fingerprint(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def winnow_sketches(
+    ds: ray.data.Dataset, text_col: str = "text", k: int = 8, w: int = 4,
+    seed: int = 42, hasher: str = "rolling", num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Winnowing fingerprints assembled into the engine's sketch-table
+    shape (doc_id, sketch list<uint64>, sketch_size) — one keyed exchange
+    on doc_id — so the whole pair stack (``pairs.candidate_pairs``,
+    posting caps, prefilters) runs on MOSS fingerprints unchanged.
+    Fingerprints are distinct per doc (winnow_fingerprint), which the
+    intersection counter requires."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    fp = winnow_fingerprint(ds, text_col, k, w, seed, hasher)
+
+    def build(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            offs = pa.array(np.zeros(1, dtype=np.int32), pa.int32())
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "sketch": pa.ListArray.from_arrays(offs, pa.array([], pa.uint64())),
+                 "sketch_size": pa.array([], pa.int32())}
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        f = t["fingerprint"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((f, ids))
+        ids, f = ids[order], f[order]
+        uids, counts = np.unique(ids, return_counts=True)
+        offsets = np.zeros(len(uids) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "sketch": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(f, pa.uint64())
+                ),
+                "sketch_size": pa.array(counts.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return hash_exchange(fp, "doc_id", build, num_partitions)
+
+
 def simhash(
     ds: ray.data.Dataset, text_col: str = "text", k: int = 8, seed: int = 42,
     hasher: str = "rolling",

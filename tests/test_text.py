@@ -175,3 +175,27 @@ def test_winnow_fingerprint_guarantee():
         n_grams = len(texts[2]) - k + 1
         assert len(by[2]) <= n_grams - w + 1
         assert len(by[2]) >= n_grams / (w + 1) * 0.8  # density sanity
+
+
+def test_winnow_sketches_groups_fingerprints():
+    """winnow_sketches == winnow_fingerprint grouped per doc into sorted
+    sketch lists with matching sizes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.stages.text import winnow_fingerprint, winnow_sketches
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(chr(c) for c in rng.integers(97, 123, n))
+             for n in (60, 200, 8, 3)]  # incl. 1-gram and no-gram docs
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    fp = winnow_fingerprint(ds, k=8, w=4).to_pandas()
+    sk = winnow_sketches(ds, k=8, w=4, num_partitions=3).to_pandas()
+    want = {i: sorted(fp[fp.doc_id == i].fingerprint) for i in fp.doc_id.unique()}
+    assert sorted(sk.doc_id) == sorted(want)  # doc 3 has no grams -> absent
+    for _, row in sk.iterrows():
+        assert sorted(row.sketch) == want[row.doc_id]
+        assert row.sketch_size == len(want[row.doc_id])
