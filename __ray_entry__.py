@@ -764,6 +764,23 @@ def _q_audio_frames(sf_dir: str):
     return out[["doc_id", "frame", "energy"]]
 
 
+def _q_video_frames(sf_dir: str):
+    """Temporal frame-sampling (every 3rd 64-byte frame, max 4) over the
+    document-derived payloads; byte-stats mode: per-sampled-frame checksum
+    = exact integer byte sum."""
+    import ray.data
+
+    from rabbittclust_ray.stages.multimodal import media_from_documents, video_frame_features
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents(docs, media_type="video/mp4")
+    out = video_frame_features(
+        media, frame_bytes=64, stride=3, max_frames=4, fake_mode="byte_stats"
+    ).to_pandas()
+    out["checksum"] = out["checksum"].astype("int64")
+    return out[["doc_id", "frame", "checksum"]]
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF probe with nprobe == num_centroids (exhaustive probe == exact
     top-k), so the full assign/probe/merge path is hash-checked against a
@@ -1021,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_matrix": _q_linkage_matrix,
         "image_features": _q_image_features,
         "audio_frames": _q_audio_frames,
+        "video_frames": _q_video_frames,
         "ann_ivf": _q_ann_ivf,
         "lang_distribution": _q_lang_distribution,
         "exact_dup_pairs": _q_exact_dup_pairs,
@@ -1406,6 +1424,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d ON d.doc_id = fr.doc_id,
             LATERAL (
                 SELECT ascii(substr(d.text, fr.f * 64 + i.i, 1)) AS b
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) i(i)
+            ) w
+            GROUP BY 1, 2
+        """,
+        # sampled frame s covers text chars [s*3*64+1, s*3*64+64]; frames
+        # exist while complete, capped at 4 samples (mirrors
+        # VideoFrameSampleActor byte_stats exactly; ASCII text == bytes)
+        "video_frames": """
+            WITH fr AS (
+                SELECT d.doc_id, f.s
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(
+                        0, least((length(d.text) // 64 - 1) // 3, 3))) AS s
+                ) f(s)
+                WHERE length(d.text) >= 64
+            )
+            SELECT fr.doc_id, fr.s AS frame, CAST(sum(w.b) AS BIGINT) AS checksum
+            FROM fr
+            JOIN documents d ON d.doc_id = fr.doc_id,
+            LATERAL (
+                SELECT ascii(substr(d.text, fr.s * 192 + i.i, 1)) AS b
                 FROM (SELECT unnest(generate_series(1, 64)) AS i) i(i)
             ) w
             GROUP BY 1, 2

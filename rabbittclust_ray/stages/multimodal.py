@@ -192,6 +192,90 @@ def audio_frame_features(
     )
 
 
+class VideoFrameSampleActor:
+    """Actor-pool stage: temporal frame-sampling of a video payload —
+    every ``stride``-th frame up to ``max_frames`` (the standard uniform
+    frame-subsample a vision pipeline feeds to a per-frame encoder).
+    Decode stubbed like image/audio (no video codecs in this container).
+
+    fake_mode "rng": payload sha seeds fake frames, per-frame mean pixel.
+    fake_mode "byte_stats": frame t covers payload bytes
+    [t*frame_bytes, (t+1)*frame_bytes); sampled frames are t = 0, stride,
+    2*stride, ... (complete frames only); 'checksum' = exact integer byte
+    sum a SQL oracle reproduces bit-for-bit."""
+
+    def __init__(
+        self,
+        frame_bytes: int = 64,
+        stride: int = 3,
+        max_frames: int = 4,
+        deterministic_fake: bool = True,
+        fake_mode: str = "rng",
+    ):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.max_frames = max_frames
+        self.fake_mode = fake_mode
+        if not deterministic_fake:  # pragma: no cover
+            raise NotImplementedError("video decoding requires pyav/opencv")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_doc, out_frame, out_val = [], [], []
+        for doc, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if self.fake_mode == "byte_stats":
+                b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n_complete = len(b) // self.frame_bytes
+                if n_complete < 1:
+                    continue
+                n_s = min(self.max_frames, (n_complete - 1) // self.stride + 1)
+                for s in range(n_s):
+                    t0 = s * self.stride * self.frame_bytes
+                    w = b[t0: t0 + self.frame_bytes]
+                    out_doc.append(doc)
+                    out_frame.append(s)
+                    out_val.append(float(w.sum()))
+                continue
+            seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            frames = rng.integers(
+                0, 256, size=(self.max_frames, self.frame_bytes), dtype=np.uint8
+            )
+            means = frames.astype(np.float64).mean(axis=1)
+            out_doc.extend([doc] * self.max_frames)
+            out_frame.extend(range(self.max_frames))
+            out_val.extend(np.round(means, 6).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "frame": pa.array(out_frame, pa.int64()),
+                "checksum": pa.array(out_val, pa.float64()),
+            }
+        )
+
+
+def video_frame_features(
+    media: ray.data.Dataset,
+    *,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    frame_bytes: int = 64,
+    stride: int = 3,
+    max_frames: int = 4,
+    fake_mode: str = "rng",
+) -> ray.data.Dataset:
+    """media table -> (doc_id, frame, checksum) — one row per SAMPLED
+    frame (uniform temporal stride). Small batches: binary payload rows."""
+    return media.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_args=(frame_bytes, stride, max_frames, True, fake_mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        max_restarts=0,
+    )
+
+
 def media_from_documents(ds: ray.data.Dataset, media_type: str = "image/png") -> ray.data.Dataset:
     """Documents table -> media table: payload = utf-8 text bytes (a stand-in
     binary column whose *content* a SQL oracle can also reach via the source

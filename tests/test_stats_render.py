@@ -130,3 +130,48 @@ def test_multimodal_pipelines():
     au = audio_frame_features(media).to_pandas()
     assert len(au) == 8 * 8  # max_frames per doc
     assert set(au.frame) == set(range(8))
+
+
+def test_video_frame_sampling():
+    """Temporal stride sampling: frame s covers bytes [s*stride*fb,
+    s*stride*fb+fb); complete frames only, capped at max_frames; rng mode
+    emits max_frames rows per doc deterministically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.multimodal import (
+        make_fake_media_table,
+        video_frame_features,
+    )
+
+    # crafted payloads: 10 frames of 4 bytes / 5 bytes (1 partial) / empty
+    payloads = [bytes(range(40)), bytes([7] * 5), b""]
+    media = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "media_type": ["video/mp4"] * 3,
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array([0] * 3, pa.int32()),
+        "height": pa.array([0] * 3, pa.int32()),
+        "sample_rate": pa.array([0] * 3, pa.int32()),
+    }))
+    out = video_frame_features(
+        media, frame_bytes=4, stride=2, max_frames=3, fake_mode="byte_stats"
+    ).to_pandas().sort_values(["doc_id", "frame"]).reset_index(drop=True)
+    # doc 0: 10 complete frames -> sampled t=0,2,4 (cap 3)
+    d0 = out[out.doc_id == 0]
+    assert d0.frame.tolist() == [0, 1, 2]
+    b = np.frombuffer(payloads[0], dtype=np.uint8).astype(int)
+    for s in range(3):
+        t0 = s * 2 * 4
+        assert int(d0.iloc[s].checksum) == int(b[t0:t0 + 4].sum())
+    # doc 1: one complete frame -> one sample; doc 2: none
+    assert out[out.doc_id == 1].frame.tolist() == [0]
+    assert int(out[out.doc_id == 1].checksum.iloc[0]) == 7 * 4
+    assert (out.doc_id == 2).sum() == 0
+    # rng mode: deterministic, max_frames rows per doc
+    media8 = ray.data.from_arrow(make_fake_media_table(4))
+    r1 = video_frame_features(media8, max_frames=4).to_pandas()
+    r2 = video_frame_features(media8, max_frames=4).to_pandas()
+    assert len(r1) == 4 * 4
+    assert r1.sort_values(["doc_id", "frame"]).checksum.tolist() == \
+           r2.sort_values(["doc_id", "frame"]).checksum.tolist()
