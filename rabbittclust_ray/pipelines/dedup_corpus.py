@@ -107,7 +107,7 @@ def dedup_corpus(
     """
     import ray
 
-    from rabbittclust_ray.stages.dedup import exact_dedup, exact_dedup_keep_first
+    from rabbittclust_ray.stages.dedup import exact_dedup_tagged
 
     scfg = scfg or SketchConfig()
     ccfg = ccfg or ClusterConfig()
@@ -119,10 +119,20 @@ def dedup_corpus(
     )
 
     prepared = prepare_documents(documents, scfg)
-    # ids+sha exchange: every doc's exact-group verdict (cheap rows)
-    exact_ds = exact_dedup(prepared)
-    # full-row exchange: the per-sha winners carry content into sketching
-    winners = exact_dedup_keep_first(prepared, num_buckets=ccfg.num_buckets)
+    # ONE fused exchange: full rows + per-doc exact verdict (content
+    # crosses the wire once; prepare executes once). Materialized because
+    # it feeds two consumers (verdicts + winner rows).
+    tagged = exact_dedup_tagged(prepared, num_buckets=ccfg.num_buckets).materialize()
+    exact_ds = tagged.map_batches(
+        lambda t: t.select(["doc_id", "group_rep", "is_exact_dup"]),
+        batch_format="pyarrow",
+    )
+    winners = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["is_exact_dup"], False)).drop_columns(
+            ["group_rep", "is_exact_dup"]
+        ),
+        batch_format="pyarrow",
+    )
     sketches = sketch_documents(winners, scfg).materialize()
     edges = candidate_edges(sketches, scfg, near_ccfg)
     labels = _near_labels(edges.materialize(), dedup_dist)

@@ -124,6 +124,30 @@ def exact_dedup_keep_first(prepared: ray.data.Dataset, num_buckets: int = 1024) 
     return hash_exchange(keyed, "sha_key", keep_first, num_buckets)
 
 
+def exact_dedup_tagged(prepared: ray.data.Dataset, num_buckets: int = 1024) -> ray.data.Dataset:
+    """prepared full rows + (group_rep, is_exact_dup) in ONE exchange —
+    the fused form for consumers that need BOTH the per-doc exact verdict
+    and the winner rows (filter ``~is_exact_dup``); content crosses the
+    wire once and prepare executes once (``pipelines/dedup_corpus``)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def tag(t: pa.Table) -> pa.Table:
+        out = t.drop_columns(["sha_key"])
+        if t.num_rows == 0:
+            return out.append_column(
+                "group_rep", pa.array([], pa.int64())
+            ).append_column("is_exact_dup", pa.array([], pa.bool_()))
+        order, new_grp, ids = _sha_groups(t)
+        rep = ids[np.flatnonzero(new_grp)][np.cumsum(new_grp) - 1]
+        out = out.take(pa.array(order))
+        return out.append_column(
+            "group_rep", pa.array(rep, pa.int64())
+        ).append_column("is_exact_dup", pa.array(ids != rep))
+
+    keyed = prepared.map_batches(_add_sha_key, batch_format="pyarrow")
+    return hash_exchange(keyed, "sha_key", tag, num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # tree passes over the cut forest (D5, D6)
 # ---------------------------------------------------------------------------

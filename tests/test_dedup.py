@@ -116,3 +116,18 @@ def test_pipeline_dedup_end_to_end(small_corpus):
     for c, reps in (res.reps or {}).items():
         assert 1 <= len(reps) <= 3
         assert set(reps) <= members[c]
+
+
+def test_exact_dedup_tagged_fused():
+    """One exchange carries full rows + verdicts: winners == keep_first,
+    verdict columns == exact_dedup."""
+    ds = _prepared([(5, SHA_A), (2, SHA_A), (9, SHA_B), (1, SHA_A), (7, SHA_C)])
+    from rabbittclust_ray.stages.dedup import exact_dedup_tagged
+
+    out = exact_dedup_tagged(ds, num_buckets=4).to_pandas()
+    assert len(out) == 5
+    rep = dict(zip(out.doc_id, out.group_rep))
+    assert rep == {1: 1, 2: 1, 5: 1, 9: 9, 7: 7}
+    winners = out[~out.is_exact_dup]
+    assert sorted(winners.doc_id) == [1, 7, 9]
+    assert set(out.columns) == {"doc_id", "content_sha256", "group_rep", "is_exact_dup"}
