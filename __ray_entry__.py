@@ -259,6 +259,15 @@ def _q_winnow_fingerprint(sf_dir: str):
     return winnow_fingerprint(ds, k=8, w=4, hasher="sha")
 
 
+def _q_gopher_quality(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.text import gopher_quality
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_quality(ds)
+
+
 def _q_winnow_pairs(sf_dir: str):
     """MOSS-style pair detection: docs sharing >= 1 winnowing fingerprint,
     with exact shared-fingerprint counts and per-doc fingerprint-set
@@ -1050,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _q_token_count_bpe,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_pairs": _q_winnow_pairs,
+        "gopher_quality": _q_gopher_quality,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1489,6 +1499,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        # Gopher rules, floor-ppm integers; '#'/'…' counts via the
+        # length-minus-replace trick (single-char needles)
+        "gopher_quality": r"""
+            WITH base AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                           AS n_words,
+                       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS wc,
+                       CAST(length(text) - length(replace(text, '#', ''))
+                            + length(text) - length(replace(text, chr(8230), ''))
+                            AS BIGINT) AS n_sym
+                FROM documents
+            ),
+            l AS MATERIALIZED (
+                SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(count(DISTINCT x.line) AS BIGINT) AS n_distinct
+                FROM documents d, LATERAL (
+                    SELECT unnest(string_split(d.text, chr(10))) AS line
+                ) x(line)
+                GROUP BY 1
+            ),
+            m AS (
+                SELECT b.doc_id, b.n_words,
+                       CASE WHEN b.n_words > 0
+                            THEN 1000000 * b.wc // b.n_words ELSE 0 END AS mean_word_len_ppm,
+                       1000000 * (l.n_lines - l.n_distinct) // l.n_lines AS dup_line_ppm,
+                       CASE WHEN b.n_words > 0
+                            THEN 1000000 * b.n_sym // b.n_words ELSE 0 END AS symbol_ppm
+                FROM base b JOIN l USING (doc_id)
+            )
+            SELECT doc_id, n_words, mean_word_len_ppm, dup_line_ppm, symbol_ppm,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000
+                        AND dup_line_ppm <= 300000 AND symbol_ppm <= 100000
+                        AS BIGINT) AS pass
+            FROM m
         """,
         # MOSS winnowing, sha-hasher surface: min over each 4-window of
         # sha256 8-gram hashes, distinct per doc (GREATEST handles docs

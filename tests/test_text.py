@@ -199,3 +199,31 @@ def test_winnow_sketches_groups_fingerprints():
     for _, row in sk.iterrows():
         assert sorted(row.sketch) == want[row.doc_id]
         assert row.sketch_size == len(want[row.doc_id])
+
+
+def test_gopher_quality_rules():
+    """Each Gopher rule flips pass on the crafted doc violating it."""
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.stages.text import gopher_quality
+
+    good = " ".join(f"word{i:03d}" for i in range(60))        # 60 words, mwl ~7
+    short = "only three words"                                 # < 50 words
+    longwords = " ".join("x" * 30 for _ in range(60))          # mwl 30 > 10
+    dup_lines = "\n".join(["same line here"] * 20 + ["uniq"])  # dup frac ~0.95
+    symbolic = " ".join(["#tag"] * 60)                         # 1 '#'/word > 0.1
+    texts = [good, short, longwords, dup_lines, symbolic, ""]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    out = gopher_quality(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "pass"] == 1
+    assert out.loc[1, "pass"] == 0 and out.loc[1].n_words == 3
+    assert out.loc[2, "pass"] == 0 and out.loc[2].mean_word_len_ppm == 30_000_000
+    assert out.loc[3, "pass"] == 0 and out.loc[3].dup_line_ppm > 300_000
+    assert out.loc[4, "pass"] == 0 and out.loc[4].symbol_ppm == 1_000_000
+    assert out.loc[5, "pass"] == 0 and out.loc[5].n_words == 0
+    # good doc's ppm fields are in the sane band
+    assert 3_000_000 <= out.loc[0].mean_word_len_ppm <= 10_000_000
+    assert out.loc[0].dup_line_ppm == 0 and out.loc[0].symbol_ppm == 0
