@@ -259,6 +259,28 @@ def _q_winnow_fingerprint(sf_dir: str):
     return winnow_fingerprint(ds, k=8, w=4, hasher="sha")
 
 
+def _q_source_dup_profile(sf_dir: str):
+    """Per-source duplication report (global exact-dup semantics, partial
+    aggregation before the group shuffle)."""
+    import hashlib
+
+    import ray.data
+
+    from rabbittclust_ray.stages.dedup import group_dup_profile
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "content_sha256": pa.array(shas, pa.string()),
+             "source": t["source"]}
+        )
+
+    prepared = ds.map_batches(add_sha, batch_format="pyarrow")
+    return group_dup_profile(prepared, group_col="source", num_buckets=16)
+
+
 def _q_gopher_quality(sf_dir: str):
     import ray.data
 
@@ -1060,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_pairs": _q_winnow_pairs,
         "gopher_quality": _q_gopher_quality,
+        "source_dup_profile": _q_source_dup_profile,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1499,6 +1522,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        "source_dup_profile": """
+            WITH ex AS MATERIALIZED (
+                SELECT source, doc_id,
+                       min(doc_id) OVER (PARTITION BY sha256(text)) AS grp
+                FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id <> grp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_exact_dups,
+                   1000000 * CAST(sum(CASE WHEN doc_id <> grp THEN 1 ELSE 0 END) AS BIGINT)
+                       // CAST(count(*) AS BIGINT) AS dup_ppm
+            FROM ex GROUP BY source
         """,
         # Gopher rules, floor-ppm integers; '#'/'…' counts via the
         # length-minus-replace trick (single-char needles)

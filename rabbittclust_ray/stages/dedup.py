@@ -148,6 +148,87 @@ def exact_dedup_tagged(prepared: ray.data.Dataset, num_buckets: int = 1024) -> r
     return hash_exchange(keyed, "sha_key", tag, num_buckets)
 
 
+def group_dup_profile(
+    prepared: ray.data.Dataset, group_col: str = "source", num_buckets: int = 1024
+) -> ray.data.Dataset:
+    """Per-group duplication profile — the corpus-curation report a data
+    engineer pulls before pruning a source: (group, n_docs, n_exact_dups,
+    dup_ppm) where a doc is an exact dup iff its sha already appears under
+    a smaller doc_id ANYWHERE in the corpus (global dedup semantics, so a
+    source full of copies of another source shows up).
+
+    Shape: one sha-keyed exchange for verdicts (``exact_dedup_tagged``
+    carrying the group column), then per-batch PARTIAL aggregation before
+    a tiny group-keyed exchange — the combine-before-shuffle rule: what
+    crosses the second wire is one row per (block, group), not per doc."""
+    import hashlib
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    tagged = exact_dedup_tagged(prepared, num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {group_col: pa.array([], pa.string()),
+             "gkey": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "nd": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        d = t["is_exact_dup"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, d = g[order], d[order]
+        new = np.empty(len(g), dtype=bool)
+        new[0:1] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(g)))
+        nd = np.add.reduceat(d.astype(np.int64), starts)
+        groups = g[starts]
+        key = np.array(
+            [int(hashlib.sha256(s.encode()).hexdigest()[:15], 16) for s in groups],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {group_col: pa.array(groups, pa.string()),
+             "gkey": pa.array(key, pa.int64()),
+             "n": pa.array(n, pa.int64()),
+             "nd": pa.array(nd, pa.int64())}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {group_col: pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_exact_dups": pa.array([], pa.int64()),
+             "dup_ppm": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        nd = t["nd"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, n, nd = g[order], n[order], nd[order]
+        new = np.empty(len(g), dtype=bool)
+        new[0:1] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(n, starts)
+        totd = np.add.reduceat(nd, starts)
+        return pa.table(
+            {group_col: pa.array(g[starts], pa.string()),
+             "n_docs": pa.array(tot, pa.int64()),
+             "n_exact_dups": pa.array(totd, pa.int64()),
+             "dup_ppm": pa.array(1_000_000 * totd // tot, pa.int64())}
+        )
+
+    partials = tagged.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, "gkey", final, num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # tree passes over the cut forest (D5, D6)
 # ---------------------------------------------------------------------------

@@ -131,3 +131,30 @@ def test_exact_dedup_tagged_fused():
     winners = out[~out.is_exact_dup]
     assert sorted(winners.doc_id) == [1, 7, 9]
     assert set(out.columns) == {"doc_id", "content_sha256", "group_rep", "is_exact_dup"}
+
+
+def test_group_dup_profile():
+    """Global dedup semantics per group: a source holding copies of
+    another source's docs is charged for them."""
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.dedup import group_dup_profile
+
+    rows = [  # (doc_id, sha, source)
+        (1, SHA_A, "s1"), (2, SHA_B, "s1"),          # s1: originals
+        (3, SHA_A, "s2"), (4, SHA_A, "s2"), (5, SHA_C, "s2"),  # s2: 2 copies of s1's A
+        (6, SHA_C, "s3"),                             # s3: copy of s2's C (id 5 < 6)
+    ]
+    ids, shas, srcs = zip(*rows)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(ids), pa.int64()),
+        "content_sha256": pa.array(list(shas), pa.string()),
+        "source": pa.array(list(srcs), pa.string()),
+    }))
+    out = group_dup_profile(ds, num_buckets=4).to_pandas().set_index("source")
+    assert out.loc["s1"].n_docs == 2 and out.loc["s1"].n_exact_dups == 0
+    assert out.loc["s2"].n_docs == 3 and out.loc["s2"].n_exact_dups == 2
+    assert out.loc["s2"].dup_ppm == 666_666
+    assert out.loc["s3"].n_docs == 1 and out.loc["s3"].n_exact_dups == 1
+    assert out.loc["s3"].dup_ppm == 1_000_000
