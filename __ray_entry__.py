@@ -281,6 +281,24 @@ def _q_source_dup_profile(sf_dir: str):
     return group_dup_profile(prepared, group_col="source", num_buckets=16)
 
 
+def _q_det_sample(sf_dir: str):
+    """Deterministic stratified sampling in the sha oracle surface:
+    src0 at 50%, every other source at 25% — pure function of
+    (doc_id, seed), so SQL reproduces the exact row set."""
+    import ray.data
+
+    from rabbittclust_ray.stages.sample import deterministic_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = deterministic_sample(
+        ds, fraction=0.25, seed=42, method="sha",
+        group_col="source", group_fractions={"src0": 0.5},
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
 def _q_gopher_quality(sf_dir: str):
     import ray.data
 
@@ -1083,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": _q_winnow_pairs,
         "gopher_quality": _q_gopher_quality,
         "source_dup_profile": _q_source_dup_profile,
+        "det_sample": _q_det_sample,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1522,6 +1541,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        "det_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '-42'), 1, 15))::UBIGINT
+                  < CASE WHEN source = 'src0' THEN {int(0.5 * 16**15)}
+                         ELSE {int(0.25 * 16**15)} END
         """,
         "source_dup_profile": """
             WITH ex AS MATERIALIZED (

@@ -1,0 +1,78 @@
+"""Deterministic, resume-stable sampling (O5 extension — the reference has
+no sampling; a 100-TB training pipeline needs it for train/val splits and
+per-source mixing ratios).
+
+The rule is a pure function of (id, seed): keep iff hash(id, seed) falls
+below fraction * 2^64. No RNG state, no coordination — a retried task, a
+resumed run, or a different partitioning produces the SAME sample, and the
+complement (1 - fraction with the same seed) is exactly disjoint.
+
+method="splitmix" (default): one vectorized splitmix64 pass — the scale
+path. method="sha": sha256 of the decimal id string — byte-identical to
+the SQL oracle (same dual-hasher pattern as simhash/winnowing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.hashing import splitmix64
+
+# 16^15: the sha surface thresholds on the first 15 hex digits (60 bits)
+_SHA_SPACE = 16 ** 15
+_U64_SPACE = 2 ** 64
+
+
+def _keep_mask(ids: np.ndarray, fraction: float, seed: int, method: str) -> np.ndarray:
+    if fraction <= 0.0:
+        return np.zeros(len(ids), dtype=bool)
+    if fraction >= 1.0:
+        return np.ones(len(ids), dtype=bool)
+    if method == "sha":
+        thr = int(fraction * _SHA_SPACE)
+        vals = np.array(
+            [int(hashlib.sha256(f"{int(i)}-{seed}".encode()).hexdigest()[:15], 16)
+             for i in ids],
+            dtype=np.uint64,
+        )
+        return vals < np.uint64(thr)
+    mixed = splitmix64(ids.astype(np.uint64) ^ splitmix64(np.array([seed], dtype=np.uint64))[0])
+    return mixed < np.uint64(int(fraction * _U64_SPACE))
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    fraction: float = 0.1,
+    seed: int = 42,
+    *,
+    id_col: str = "doc_id",
+    method: str = "splitmix",
+    group_col: str | None = None,
+    group_fractions: dict[str, float] | None = None,
+) -> ray.data.Dataset:
+    """Rows whose id-hash falls below the fraction threshold (see module
+    doc). With ``group_col`` + ``group_fractions``, each group gets its
+    own fraction (per-source mixing ratios); groups absent from the dict
+    fall back to ``fraction``. Pure map — no shuffle, no driver state."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if group_col is not None and group_fractions is not None:
+            groups = np.asarray(t[group_col].to_pylist(), dtype=object)
+            keep = np.zeros(len(ids), dtype=bool)
+            for g in np.unique(groups):
+                m = groups == g
+                keep[m] = _keep_mask(
+                    ids[m], group_fractions.get(g, fraction), seed, method
+                )
+        else:
+            keep = _keep_mask(ids, fraction, seed, method)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

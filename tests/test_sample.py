@@ -1,0 +1,50 @@
+"""Deterministic hash-rule sampling: stability, disjoint complement,
+stratified fractions, splitmix/sha agreement on the rule's properties."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.sample import deterministic_sample
+
+
+def _ds(n=4000, sources=4):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array([f"s{i % sources}" for i in range(n)], pa.string()),
+    }))
+
+
+def test_sample_deterministic_and_disjoint_complement():
+    ds = _ds()
+    for method in ("splitmix", "sha"):
+        a = set(deterministic_sample(ds, 0.3, seed=7, method=method)
+                .to_pandas().doc_id)
+        b = set(deterministic_sample(ds, 0.3, seed=7, method=method)
+                .to_pandas().doc_id)
+        assert a == b  # stable under re-execution
+        assert 0.25 < len(a) / 4000 < 0.35
+        # complement with the same seed: keep iff hash >= thr == NOT kept
+        rest = set(deterministic_sample(ds, 1.0, seed=7, method=method)
+                   .to_pandas().doc_id) - a
+        full = a | rest
+        assert len(full) == 4000 and not (a & rest)
+        # different seed: a different (overlapping ~fraction^2) sample
+        c = set(deterministic_sample(ds, 0.3, seed=8, method=method)
+                .to_pandas().doc_id)
+        assert c != a
+
+
+def test_sample_stratified_fractions():
+    ds = _ds()
+    out = deterministic_sample(
+        ds, fraction=0.1, seed=3,
+        group_col="source", group_fractions={"s0": 0.8},
+    ).to_pandas()
+    per = out.groupby("source").size()
+    assert 0.7 < per["s0"] / 1000 < 0.9
+    for s in ("s1", "s2", "s3"):
+        assert per.get(s, 0) / 1000 < 0.2
+    # fraction edge cases
+    assert deterministic_sample(ds, 0.0).count() == 0
+    assert deterministic_sample(ds, 1.0).count() == 4000
