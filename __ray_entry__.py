@@ -281,6 +281,17 @@ def _q_source_dup_profile(sf_dir: str):
     return group_dup_profile(prepared, group_col="source", num_buckets=16)
 
 
+def _q_clean_boilerplate(sf_dir: str):
+    """Cross-doc repeated-line stripping (C4-style boilerplate removal)
+    at max_doc_freq=1: any line occurring in >= 2 distinct docs drops."""
+    import ray.data
+
+    from rabbittclust_ray.stages.text import strip_repeated_lines
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return strip_repeated_lines(ds, max_doc_freq=1, num_partitions=16)
+
+
 def _q_det_sample(sf_dir: str):
     """Deterministic stratified sampling in the sha oracle surface:
     src0 at 50%, every other source at 25% — pure function of
@@ -1102,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "source_dup_profile": _q_source_dup_profile,
         "det_sample": _q_det_sample,
+        "clean_boilerplate": _q_clean_boilerplate,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1541,6 +1553,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        "clean_boilerplate": """
+            WITH lists AS MATERIALIZED (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ),
+            lx AS MATERIALIZED (
+                SELECT doc_id, i.i AS pos, ls[i.i] AS line
+                FROM lists, LATERAL (
+                    SELECT unnest(generate_series(1, len(ls))) AS i
+                ) i(i)
+            ),
+            freq AS MATERIALIZED (
+                SELECT line, count(DISTINCT doc_id) AS df FROM lx GROUP BY line
+            ),
+            rebuilt AS (
+                SELECT lx.doc_id,
+                       string_agg(lx.line, chr(10) ORDER BY lx.pos) AS t2
+                FROM lx JOIN freq USING (line)
+                WHERE freq.df <= 1
+                GROUP BY lx.doc_id
+            )
+            SELECT d.doc_id, coalesce(r.t2, '') AS cleaned_text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "det_sample": f"""
             SELECT doc_id, source FROM documents

@@ -326,6 +326,110 @@ def winnow_fingerprint(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def strip_repeated_lines(
+    ds: ray.data.Dataset,
+    max_doc_freq: int = 3,
+    text_col: str = "text",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Cross-document boilerplate removal (the C4/CCNet-style cleaning
+    rule): a LINE that occurs in more than ``max_doc_freq`` DISTINCT
+    documents is boilerplate (license headers, nav text, generated
+    banners) and every occurrence is dropped; all other lines keep their
+    order. Output: (doc_id, cleaned_text) for EVERY input doc (a doc
+    whose lines were all boilerplate comes back as '').
+
+    Two keyed exchanges, global state never on the driver:
+      1. keyed on a line hash — each reducer sees every occurrence of its
+         lines, counts distinct docs per line, and re-emits only the kept
+         occurrences (plus one sentinel row per doc so fully-stripped
+         docs survive to the rebuild);
+      2. keyed on doc_id — per-doc ordered join of the kept lines.
+    """
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lines = pc.split_pattern(txt, "\n")
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = lines.flatten()
+        doc_rep = np.repeat(ids, counts)
+        pos = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]) \
+            if len(counts) else np.array([], dtype=np.int64)
+        # sentinel row per doc: always kept, dropped at rebuild — keeps
+        # fully-stripped docs present in the output
+        all_ids = np.concatenate([doc_rep, ids])
+        all_pos = np.concatenate([pos, np.full(len(ids), -1, dtype=np.int64)])
+        all_lines = pa.concat_arrays(
+            [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+             pa.array([""] * len(ids), pa.string())]
+        )
+        lkey = pd.util.hash_array(
+            np.asarray(all_lines.to_pylist(), dtype=object)
+        ).view(np.int64)
+        lkey[all_pos == -1] = -1  # sentinels route together, kept anyway
+        return pa.table(
+            {"doc_id": pa.array(all_ids, pa.int64()),
+             "pos": pa.array(all_pos, pa.int64()),
+             "line": all_lines,
+             "lkey": pa.array(lkey, pa.int64())}
+        )
+
+    def freq_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64()),
+             "line": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+             "pos": t["pos"].to_numpy(zero_copy_only=False),
+             "line": t["line"].to_pylist()}
+        )
+        sent = df["pos"] == -1
+        freq = df[~sent].groupby("line")["doc_id"].nunique()
+        banned = set(freq[freq > max_doc_freq].index)
+        keep = df[sent | ~df["line"].isin(banned)]
+        return pa.table(
+            {"doc_id": pa.array(keep["doc_id"].to_numpy(), pa.int64()),
+             "pos": pa.array(keep["pos"].to_numpy(), pa.int64()),
+             "line": pa.array(keep["line"].to_numpy(dtype=object), pa.string())}
+        )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cleaned_text": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+             "pos": t["pos"].to_numpy(zero_copy_only=False),
+             "line": t["line"].to_pylist()}
+        ).sort_values(["doc_id", "pos"])
+        df = df[df["pos"] >= 0]  # drop sentinels AFTER they asserted presence
+        joined = df.groupby("doc_id")["line"].agg("\n".join)
+        all_ids = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))
+        joined = joined.reindex(all_ids, fill_value="")
+        return pa.table(
+            {"doc_id": pa.array(joined.index.to_numpy(), pa.int64()),
+             "cleaned_text": pa.array(joined.to_numpy(dtype=object), pa.string())}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    kept = hash_exchange(exploded, "lkey", freq_filter, num_partitions)
+    return hash_exchange(kept, "doc_id", rebuild, num_partitions)
+
+
 def winnow_sketches(
     ds: ray.data.Dataset, text_col: str = "text", k: int = 8, w: int = 4,
     seed: int = 42, hasher: str = "rolling", num_partitions: int = 1024,

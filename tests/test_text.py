@@ -227,3 +227,36 @@ def test_gopher_quality_rules():
     # good doc's ppm fields are in the sane band
     assert 3_000_000 <= out.loc[0].mean_word_len_ppm <= 10_000_000
     assert out.loc[0].dup_line_ppm == 0 and out.loc[0].symbol_ppm == 0
+
+
+def test_strip_repeated_lines():
+    """Lines in > max_doc_freq distinct docs drop everywhere; order kept;
+    fully-stripped docs come back as ''; within-doc repeats count once."""
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.stages.text import strip_repeated_lines
+
+    boiler = "// SPDX-License-Identifier: MIT"
+    texts = [
+        f"{boiler}\nunique a1\nunique a2",
+        f"{boiler}\nunique b1",
+        f"{boiler}\n{boiler}\nunique c1",   # within-doc repeat: one doc
+        boiler,                              # fully stripped -> ''
+        "standalone doc\nno boiler here",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    out = strip_repeated_lines(ds, max_doc_freq=3, num_partitions=4) \
+        .to_pandas().set_index("doc_id")["cleaned_text"]
+    assert out[0] == "unique a1\nunique a2"
+    assert out[1] == "unique b1"
+    assert out[2] == "unique c1"
+    assert out[3] == ""
+    assert out[4] == "standalone doc\nno boiler here"
+    # freq 4 > 3 dropped; at max_doc_freq=4 the same line survives
+    out4 = strip_repeated_lines(ds, max_doc_freq=4, num_partitions=4) \
+        .to_pandas().set_index("doc_id")["cleaned_text"]
+    assert out4[0] == texts[0]
+    assert out4[3] == boiler
