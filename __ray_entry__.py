@@ -281,6 +281,15 @@ def _q_source_dup_profile(sf_dir: str):
     return group_dup_profile(prepared, group_col="source", num_buckets=16)
 
 
+def _q_redact_pii(sf_dir: str):
+    import ray.data
+
+    from rabbittclust_ray.stages.text import redact_pii
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return redact_pii(ds)
+
+
 def _q_clean_boilerplate(sf_dir: str):
     """Cross-doc repeated-line stripping (C4-style boilerplate removal)
     at max_doc_freq=1: any line occurring in >= 2 distinct docs drops."""
@@ -1114,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_profile": _q_source_dup_profile,
         "det_sample": _q_det_sample,
         "clean_boilerplate": _q_clean_boilerplate,
+        "redact_pii": _q_redact_pii,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1553,6 +1563,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        # same RE2 pattern strings as text.PII_EMAIL_RE / PII_IPV4_RE
+        "redact_pii": r"""
+            WITH s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                           AS n_emails,
+                       regexp_replace(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t1
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                                  '<IP>', 'g') AS redacted_text,
+                   n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+            FROM s1
         """,
         "clean_boilerplate": """
             WITH lists AS MATERIALIZED (

@@ -326,6 +326,34 @@ def winnow_fingerprint(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# RE2-safe (no lookbehind) patterns shared verbatim with the SQL oracle —
+# the standard first-pass PII scrub of a web/code corpus
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """PII redaction pass: replace emails with ``<EMAIL>`` and IPv4
+    addresses with ``<IP>`` (emails first, so an address inside an email
+    host is consumed by the email rule). Output: (..., redacted_text,
+    n_emails, n_ips). Pure vectorized Arrow compute (RE2 — the same
+    engine DuckDB runs, so redacted text and counts are oracle-exact)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        n_email = pc.cast(pc.count_substring_regex(txt, PII_EMAIL_RE), pa.int64())
+        step1 = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+        n_ip = pc.cast(pc.count_substring_regex(step1, PII_IPV4_RE), pa.int64())
+        step2 = pc.replace_substring_regex(step1, PII_IPV4_RE, "<IP>")
+        out = t.drop_columns([text_col])
+        out = out.append_column("redacted_text", step2)
+        out = out.append_column("n_emails", n_email)
+        return out.append_column("n_ips", n_ip)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def strip_repeated_lines(
     ds: ray.data.Dataset,
     max_doc_freq: int = 3,

@@ -260,3 +260,27 @@ def test_strip_repeated_lines():
         .to_pandas().set_index("doc_id")["cleaned_text"]
     assert out4[0] == texts[0]
     assert out4[3] == boiler
+
+
+def test_redact_pii():
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.stages.text import redact_pii
+
+    texts = [
+        "contact alice.smith+dev@example.co.uk or 10.0.0.1 now",
+        "no pii here",
+        "host 192.168.1.255 and bob@test.io and carol@x.org",
+        "version 1.2.3.4.5 strings",   # 1.2.3.4 matches, .5 remains
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    out = redact_pii(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0].redacted_text == "contact <EMAIL> or <IP> now"
+    assert out.loc[0].n_emails == 1 and out.loc[0].n_ips == 1
+    assert out.loc[1].redacted_text == "no pii here"
+    assert out.loc[2].n_emails == 2 and out.loc[2].n_ips == 1
+    assert "<EMAIL>" in out.loc[2].redacted_text and "<IP>" in out.loc[2].redacted_text
+    assert out.loc[3].n_ips == 1
