@@ -281,6 +281,32 @@ def _q_source_dup_profile(sf_dir: str):
     return group_dup_profile(prepared, group_col="source", num_buckets=16)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination in the sha oracle surface: docs 0-9 act
+    as the eval suite; every other doc reports its distinct-8-gram
+    overlap with them."""
+    import ray.data
+
+    from rabbittclust_ray.stages.text import decontaminate
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(pred):
+        import pyarrow.compute as _pc
+
+        return ds.map_batches(
+            lambda t: t.filter(pred(t["doc_id"])), batch_format="pyarrow"
+        )
+
+    import pyarrow.compute as pc_
+
+    train = split(lambda c: pc_.greater_equal(c, 10))
+    ev = split(lambda c: pc_.less(c, 10))
+    # min_overlap=120 ~ the median overlap at check scale, so the flag
+    # splits the population (min_overlap=1 flags every generated doc)
+    return decontaminate(train, ev, k=8, min_overlap=120, hasher="sha")
+
+
 def _q_redact_pii(sf_dir: str):
     import ray.data
 
@@ -1124,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "det_sample": _q_det_sample,
         "clean_boilerplate": _q_clean_boilerplate,
         "redact_pii": _q_redact_pii,
+        "decontaminate": _q_decontaminate,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1563,6 +1590,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        # gram-string join == sha-hash membership (collision-free here,
+        # same assumption as every exact-mode oracle)
+        "decontaminate": """
+            WITH ev AS MATERIALIZED (
+                SELECT DISTINCT substr(d.text, i.i, 8) AS g
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+                ) i(i)
+                WHERE d.doc_id < 10 AND length(d.text) >= 8
+            ),
+            tg AS MATERIALIZED (
+                SELECT DISTINCT d.doc_id, substr(d.text, i.i, 8) AS g
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+                ) i(i)
+                WHERE d.doc_id >= 10 AND length(d.text) >= 8
+            ),
+            ov AS (
+                SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM tg JOIN ev USING (g) GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(o.n, 0) AS n_overlap,
+                   CAST(coalesce(o.n, 0) >= 120 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN ov o USING (doc_id)
+            WHERE d.doc_id >= 10
         """,
         # same RE2 pattern strings as text.PII_EMAIL_RE / PII_IPV4_RE
         "redact_pii": r"""

@@ -326,6 +326,72 @@ def winnow_fingerprint(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def decontaminate(
+    ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+    min_overlap: int = 1,
+    seed: int = 42,
+    hasher: str = "rolling",
+) -> ray.data.Dataset:
+    """Benchmark decontamination (the standard pre-training hygiene step,
+    e.g. GPT-3 appendix C / PaLM: drop training docs that share k-grams
+    with an evaluation set). Output: one row per ``ds`` doc —
+    (doc_id, n_overlap, contaminated) where n_overlap = number of the
+    doc's DISTINCT k-gram hashes that appear anywhere in ``eval_ds`` and
+    contaminated = 1 iff n_overlap >= min_overlap.
+
+    Scale shape: the eval side is the SMALL side — its distinct k-gram
+    hash set is built once and broadcast via ``ray.put`` (a benchmark
+    suite is MBs; never shuffled against the corpus); the corpus side is
+    one vectorized map with a sorted-array membership test per batch.
+    hasher="sha" is the SQL-oracle surface (grams compared as strings in
+    SQL <=> sha-hash equality, collision-free at corpus scale)."""
+
+    def _doc_hashes(bufs: list[bytes]) -> list[np.ndarray]:
+        if hasher == "sha":
+            return [_sha_gram_hashes(b, k) for b in bufs]
+        valid, bounds = batch_window_hashes(bufs, k, seed)
+        return [valid[bounds[i]: bounds[i + 1]] for i in range(len(bufs))]
+
+    eval_parts = []
+    for t in eval_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        bufs = [s.encode("utf-8", "surrogatepass") for s in t[text_col].to_pylist()]
+        segs = _doc_hashes(bufs)
+        if segs:
+            eval_parts.append(np.concatenate(segs) if segs else None)
+    eval_set = (
+        np.unique(np.concatenate(eval_parts))
+        if eval_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    import ray
+
+    eval_ref = ray.put(eval_set)
+
+    def f(t: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        bufs = [s.encode("utf-8", "surrogatepass") for s in t[text_col].to_pylist()]
+        segs = _doc_hashes(bufs)
+        n_overlap = np.zeros(len(bufs), dtype=np.int64)
+        for i, h in enumerate(segs):
+            if len(h) and len(ev):
+                hu = np.unique(h)
+                pos = np.searchsorted(ev, hu)
+                pos = np.clip(pos, 0, len(ev) - 1)
+                n_overlap[i] = int((ev[pos] == hu).sum())
+        out = t.drop_columns([text_col])
+        out = out.append_column("n_overlap", pa.array(n_overlap, pa.int64()))
+        return out.append_column(
+            "contaminated",
+            pa.array((n_overlap >= min_overlap).astype(np.int64), pa.int64()),
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # RE2-safe (no lookbehind) patterns shared verbatim with the SQL oracle —
 # the standard first-pass PII scrub of a web/code corpus
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -284,3 +284,37 @@ def test_redact_pii():
     assert out.loc[2].n_emails == 2 and out.loc[2].n_ips == 1
     assert "<EMAIL>" in out.loc[2].redacted_text and "<IP>" in out.loc[2].redacted_text
     assert out.loc[3].n_ips == 1
+
+
+def test_decontaminate():
+    """A training doc embedding an eval k-gram is flagged; clean docs are
+    not; overlap counts distinct shared grams (both hashers agree)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rabbittclust_ray.stages.text import decontaminate
+
+    rng = np.random.default_rng(13)
+    def rand(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, n))
+
+    eval_text = rand(50)
+    leaked = rand(20) + eval_text[10:25] + rand(20)  # 15-char shared span
+    clean = rand(80)
+    short = "tiny"                                    # < k: no grams
+    ev = ray.data.from_arrow(pa.table({"doc_id": [0], "text": [eval_text]}))
+    tr = ray.data.from_arrow(pa.table({
+        "doc_id": [10, 11, 12], "text": [leaked, clean, short],
+    }))
+    for hasher in ("rolling", "sha"):
+        out = decontaminate(tr, ev, k=8, min_overlap=1, hasher=hasher) \
+            .to_pandas().set_index("doc_id")
+        assert out.loc[10].contaminated == 1
+        assert out.loc[10].n_overlap == 15 - 8 + 1  # distinct grams of the span
+        assert out.loc[11].contaminated == 0 and out.loc[11].n_overlap == 0
+        assert out.loc[12].contaminated == 0
+    # min_overlap above the span's gram count clears the flag
+    strict = decontaminate(tr, ev, k=8, min_overlap=9, hasher="rolling") \
+        .to_pandas().set_index("doc_id")
+    assert strict.loc[10].contaminated == 0
