@@ -650,12 +650,63 @@ def _q_corpus_dedup(sf_dir: str):
     return res.report
 
 
-def _corpus_dedup_sql() -> str:
+def _corpus_dedup_sql(with_decon: bool = False) -> str:
     """exact stage = min-id per sha256(raw text); near stage = components
     of the exact-Jaccard <= EX_DEDUP_DIST graph over exact WINNERS only
     (identical texts have identical gram sets, so restricting to winners
-    loses nothing); kept_as = the winner's component min for every row."""
+    loses nothing); kept_as = the winner's component min for every row.
+    with_decon adds the contamination stage: surviving docs sharing >= 120
+    distinct 8-grams with docs 0-9 (the stand-in eval suite) are removed
+    with kept_as = -1."""
     k = EX_SHINGLE_K
+    decon_ctes = """,
+        evg AS MATERIALIZED (
+            SELECT DISTINCT substr(d.text, i.i, 8) AS g
+            FROM documents d, LATERAL (
+                SELECT unnest(generate_series(1, length(d.text) - 7)) AS i
+            ) i(i)
+            WHERE d.doc_id < 10 AND length(d.text) >= 8
+        ),
+        tg AS MATERIALIZED (
+            SELECT DISTINCT p.doc_id, substr(p.text, i.i, 8) AS g
+            FROM pop p, LATERAL (
+                SELECT unnest(generate_series(1, length(p.text) - 7)) AS i
+            ) i(i)
+            WHERE length(p.text) >= 8
+        ),
+        ov AS MATERIALIZED (
+            SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM tg JOIN evg USING (g) GROUP BY 1
+        ),
+        con AS MATERIALIZED (
+            SELECT p.doc_id, coalesce(o.n, 0) >= 120 AS c
+            FROM pop p LEFT JOIN ov o USING (doc_id)
+        )
+    """ if with_decon else ""
+    if with_decon:
+        verdict = """
+        SELECT e.doc_id,
+               CAST(e.doc_id = e.grp AND kc.c = e.doc_id AND NOT cn.c AS BIGINT) AS keep,
+               CASE WHEN e.doc_id = e.grp AND kc.c = e.doc_id AND NOT cn.c THEN 'kept'
+                    WHEN e.doc_id <> e.grp THEN 'exact'
+                    WHEN kc.c <> e.doc_id THEN 'near'
+                    ELSE 'contaminated' END AS reason,
+               CASE WHEN e.doc_id = e.grp AND kc.c = e.doc_id AND cn.c
+                    THEN -1 ELSE kc.c END AS kept_as
+        FROM ex e
+        JOIN comp kc ON kc.doc_id = e.grp
+        JOIN con cn ON cn.doc_id = e.doc_id
+        """
+    else:
+        verdict = """
+        SELECT e.doc_id,
+               CAST(e.doc_id = e.grp AND kc.c = e.doc_id AS BIGINT) AS keep,
+               CASE WHEN e.doc_id = e.grp AND kc.c = e.doc_id THEN 'kept'
+                    WHEN e.doc_id <> e.grp THEN 'exact'
+                    ELSE 'near' END AS reason,
+               kc.c AS kept_as
+        FROM ex e JOIN comp kc ON kc.doc_id = e.grp
+        """
     return f"""
         WITH RECURSIVE
         pop AS MATERIALIZED (
@@ -704,14 +755,33 @@ def _corpus_dedup_sql() -> str:
             SELECT r.a, g2.b FROM reach r JOIN ug g2 ON g2.a = r.b
         ),
         comp AS MATERIALIZED (SELECT a AS doc_id, min(b) AS c FROM reach GROUP BY a)
-        SELECT e.doc_id,
-               CAST(e.doc_id = e.grp AND kc.c = e.doc_id AS BIGINT) AS keep,
-               CASE WHEN e.doc_id = e.grp AND kc.c = e.doc_id THEN 'kept'
-                    WHEN e.doc_id <> e.grp THEN 'exact'
-                    ELSE 'near' END AS reason,
-               kc.c AS kept_as
-        FROM ex e JOIN comp kc ON kc.doc_id = e.grp
+        {decon_ctes}
+        {verdict}
     """
+
+
+def _q_corpus_dedup_decon(sf_dir: str):
+    """The cascade WITH benchmark decontamination: docs 0-9 act as the
+    eval suite (they are inside the corpus, so they remove themselves —
+    the intended semantics); sha hasher + min_overlap=120 mirror the
+    standalone decontaminate query."""
+    from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
+
+    docs = _docs(sf_dir)
+
+    def keep_low(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.filter(pc_.less(t["doc_id"], 10))
+
+    ev = docs.map_batches(keep_low, batch_format="pyarrow")
+    res = dedup_corpus(
+        docs, _exact_scfg(), _exact_ccfg(EX_DEDUP_DIST),
+        dedup_dist=EX_DEDUP_DIST,
+        eval_documents=ev, decon_k=8, decon_min_overlap=120,
+        decon_hasher="sha",
+    )
+    return res.report
 
 
 def _q_clusters_greedy(sf_dir: str):
@@ -1166,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_dedup": _q_corpus_dedup,
+        "corpus_dedup_decon": _q_corpus_dedup_decon,
     }
 
 
@@ -1182,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
         "corpus_dedup": _corpus_dedup_sql(),
+        "corpus_dedup_decon": _corpus_dedup_sql(with_decon=True),
         "simhash_pairs": _simhash_sql(),
         "hll_cardinality": _hll_sql(),
         "weighted_jaccard_pairs": _wjac_sql(),

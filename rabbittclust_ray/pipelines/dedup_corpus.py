@@ -11,10 +11,16 @@ starts with, composed from the engine's dedup tiers:
                component (the SemDeDup-free analogue of the reference's
                ``--dedup-dist`` tree collapse, without needing the full
                MST: components at the cut are identical either way).
-  3. semantic (optional) — SemDeDup embedding-level groups
+  3. contaminated (optional) — benchmark decontamination
+               (`stages/text.decontaminate`): a doc still standing after
+               1-2 sharing k-grams with the eval suite is removed
+               (kept_as = -1; the eval gram set is broadcast, never
+               shuffled).
+  4. semantic (optional) — SemDeDup embedding-level groups
                (`stages/ann.semantic_dedup`) overlaid on the survivors:
-               a doc still standing after 1-2 is dropped iff its vector's
-               semantic group kept a different representative.
+               a doc still standing after the earlier stages is dropped
+               iff its vector's semantic group kept a different
+               representative.
 
 Outputs
   report  — one row per prepared doc: (doc_id, keep, reason, kept_as)
@@ -87,6 +93,73 @@ def _near_labels(edges, threshold: float) -> dict[int, int]:
     return _labels_from_forest(_local_kruskal(allp.take(pa.array(order))))
 
 
+def _overlay_flags(
+    report: ray.data.Dataset,
+    flags: ray.data.Dataset,
+    reason: str,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Demote still-kept report rows flagged by a later stage: a row with
+    a flag ``drop == 1`` and base ``keep == 1`` becomes keep=0 with the
+    given ``reason`` and kept_as = the flag's ``new_rep``. One id-keyed
+    exchange over the side-tagged union (flag schema: doc_id, drop,
+    new_rep); earlier-stage verdicts always win."""
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"doc_id": t["doc_id"], "keep": t["keep"], "reason": t["reason"],
+             "kept_as": t["kept_as"],
+             "drop": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+             "is_flag": pa.array(np.zeros(n, dtype=bool))}
+        )
+
+    def tag_flag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"doc_id": t["doc_id"], "keep": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+             "reason": pa.nulls(n, pa.string()),
+             "kept_as": t["new_rep"], "drop": t["drop"],
+             "is_flag": pa.array(np.ones(n, dtype=bool))}
+        )
+
+    def overlay(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return REPORT_SCHEMA.empty_table()
+        is_flag = t["is_flag"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        kept_as = t["kept_as"].to_numpy(zero_copy_only=False)
+        f_ids = ids[is_flag]
+        f_drop = t["drop"].to_numpy(zero_copy_only=False)[is_flag] == 1
+        f_rep = kept_as[is_flag]
+        order = np.argsort(f_ids)
+        f_ids, f_drop, f_rep = f_ids[order], f_drop[order], f_rep[order]
+        base = t.filter(pa.array(~is_flag))
+        if base.num_rows == 0:
+            return REPORT_SCHEMA.empty_table()
+        bids = base["doc_id"].to_numpy(zero_copy_only=False)
+        bkeep = base["keep"].to_numpy(zero_copy_only=False)
+        breason = base["reason"].to_numpy(zero_copy_only=False).astype(object)
+        bkept = base["kept_as"].to_numpy(zero_copy_only=False)
+        if len(f_ids):
+            pos = np.clip(np.searchsorted(f_ids, bids), 0, len(f_ids) - 1)
+            hit = (f_ids[pos] == bids) & f_drop[pos] & (bkeep == 1)
+            bkeep = np.where(hit, 0, bkeep)
+            breason = np.where(hit, reason, breason)
+            bkept = np.where(hit, f_rep[pos], bkept)
+        return pa.table(
+            {"doc_id": pa.array(bids, pa.int64()),
+             "keep": pa.array(bkeep, pa.int64()),
+             "reason": pa.array(breason.astype(object), pa.string()),
+             "kept_as": pa.array(bkept, pa.int64())}
+        )
+
+    union = report.map_batches(tag_base, batch_format="pyarrow").union(
+        flags.map_batches(tag_flag, batch_format="pyarrow")
+    )
+    return hash_exchange(union, "doc_id", overlay, num_buckets)
+
+
 def dedup_corpus(
     documents: ray.data.Dataset,
     scfg: SketchConfig | None = None,
@@ -97,13 +170,22 @@ def dedup_corpus(
     min_sim: float = 0.9,
     semantic_clusters: int = 0,
     id_col: str = "vec_id",
+    eval_documents: ray.data.Dataset | None = None,
+    decon_k: int = 8,
+    decon_min_overlap: int = 1,
+    decon_hasher: str = "rolling",
 ) -> CorpusDedupResult:
-    """Run the exact -> near [-> semantic] dedup cascade; see module doc.
+    """Run the exact -> near [-> contaminated] [-> semantic] dedup
+    cascade; see module doc.
 
     ``embeddings`` (optional): a table with (``id_col``, embedding) where
     ``id_col`` values are doc_ids; enables the semantic stage.
     ``semantic_clusters`` = 0 is the exact SemDeDup grouping (oracle
     config), > 1 the sampled-k-means scale path.
+    ``eval_documents`` (optional): a (doc_id, text) benchmark table;
+    surviving docs sharing >= ``decon_min_overlap`` distinct
+    ``decon_k``-grams with it are removed with reason 'contaminated' and
+    kept_as = -1 (removed, no representative).
     """
     import ray
 
@@ -177,6 +259,31 @@ def dedup_corpus(
 
     report = exact_ds.map_batches(verdict, batch_format="pyarrow")
 
+    if eval_documents is not None:
+        from rabbittclust_ray.stages.text import decontaminate
+
+        con = decontaminate(
+            prepared.map_batches(
+                lambda t: t.select(["doc_id", "content"]), batch_format="pyarrow"
+            ),
+            eval_documents,
+            text_col="content",
+            k=decon_k,
+            min_overlap=decon_min_overlap,
+            hasher=decon_hasher,
+        )
+        con_flags = con.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"].cast(pa.int64()),
+                 "drop": t["contaminated"].cast(pa.int64()),
+                 "new_rep": pa.array(
+                     np.full(t.num_rows, -1, dtype=np.int64), pa.int64()
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        report = _overlay_flags(report, con_flags, "contaminated", ccfg.num_buckets)
+
     if embeddings is not None:
         from rabbittclust_ray.stages.ann import semantic_dedup
 
@@ -184,64 +291,17 @@ def dedup_corpus(
             embeddings, min_sim, id_col=id_col,
             num_clusters=semantic_clusters,
         )
-
-        def tag_base(t: pa.Table) -> pa.Table:
-            return t.append_column("is_sem", pa.array(np.zeros(t.num_rows, dtype=bool)))
-
-        def tag_sem(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table(
-                {
-                    "doc_id": t[id_col].cast(pa.int64()),
-                    "keep": t["keep"].cast(pa.int64()),
-                    "reason": pa.nulls(n, pa.string()),
-                    "kept_as": t["group_id"].cast(pa.int64()),
-                    "is_sem": pa.array(np.ones(n, dtype=bool)),
-                }
-            )
-
-        def overlay(t: pa.Table) -> pa.Table:
-            """A surviving doc whose semantic group kept a different rep
-            is demoted to keep=0 reason='semantic' kept_as=group_id."""
-            if t.num_rows == 0:
-                return REPORT_SCHEMA.empty_table()
-            is_sem = t["is_sem"].to_numpy(zero_copy_only=False)
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            keep = t["keep"].to_numpy(zero_copy_only=False)
-            kept_as = t["kept_as"].to_numpy(zero_copy_only=False)
-            sem_ids = ids[is_sem]
-            sem_drop = keep[is_sem] == 0
-            sem_group = kept_as[is_sem]
-            order = np.argsort(sem_ids)
-            sem_ids, sem_drop, sem_group = (
-                sem_ids[order], sem_drop[order], sem_group[order]
-            )
-            base = t.filter(pa.array(~is_sem))
-            if base.num_rows == 0:
-                return REPORT_SCHEMA.empty_table()
-            bids = base["doc_id"].to_numpy(zero_copy_only=False)
-            bkeep = base["keep"].to_numpy(zero_copy_only=False)
-            breason = base["reason"].to_numpy(zero_copy_only=False).astype(object)
-            bkept = base["kept_as"].to_numpy(zero_copy_only=False)
-            if len(sem_ids):
-                pos = np.clip(np.searchsorted(sem_ids, bids), 0, len(sem_ids) - 1)
-                hit = (sem_ids[pos] == bids) & sem_drop[pos] & (bkeep == 1)
-                bkeep = np.where(hit, 0, bkeep)
-                breason = np.where(hit, "semantic", breason)
-                bkept = np.where(hit, sem_group[pos], bkept)
-            return pa.table(
-                {
-                    "doc_id": pa.array(bids, pa.int64()),
-                    "keep": pa.array(bkeep, pa.int64()),
-                    "reason": pa.array(breason.astype(object), pa.string()),
-                    "kept_as": pa.array(bkept, pa.int64()),
-                }
-            )
-
-        union = report.map_batches(tag_base, batch_format="pyarrow").union(
-            sem.map_batches(tag_sem, batch_format="pyarrow")
+        sem_flags = sem.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t[id_col].cast(pa.int64()),
+                 "drop": pa.array(
+                     1 - t["keep"].to_numpy(zero_copy_only=False), pa.int64()
+                 ),
+                 "new_rep": t["group_id"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
         )
-        report = hash_exchange(union, "doc_id", overlay, ccfg.num_buckets)
+        report = _overlay_flags(report, sem_flags, "semantic", ccfg.num_buckets)
 
     report = report.materialize()  # two consumers: report sink + cleaned filter
     dropped = report.map_batches(

@@ -164,6 +164,41 @@ def test_dedup_corpus_cli(tmp_path):
     assert rep2.loc[survivors[0]].keep == 1
 
 
+def test_dedup_corpus_contamination_stage(small_corpus):
+    """eval_documents removes surviving docs that share k-grams with the
+    benchmark; exact/near verdicts keep precedence; kept_as = -1."""
+    docs, _ = small_corpus
+    base = dedup_corpus(
+        ray.data.from_arrow(docs), SCFG, CCFG, dedup_dist=0.05
+    ).report.to_pandas()
+    survivors = sorted(base[base.keep == 1].doc_id)
+    # eval suite = the full text of one surviving doc
+    docs_pd = ray.data.from_arrow(docs).to_pandas()
+    from rabbittclust_ray.hashing import stable_doc_id
+
+    docs_pd["doc_id"] = stable_doc_id(
+        docs_pd.repo.to_numpy(), docs_pd.path.to_numpy(), docs_pd.commit.to_numpy()
+    )
+    target = survivors[0]
+    ev_text = docs_pd.set_index("doc_id").loc[target, "content"]
+    ev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "content": pa.array([ev_text], pa.string()),
+    }))
+    res = dedup_corpus(
+        ray.data.from_arrow(docs), SCFG, CCFG, dedup_dist=0.05,
+        eval_documents=ev, decon_k=12, decon_min_overlap=50,
+    )
+    rep = res.report.to_pandas().set_index("doc_id")
+    assert rep.loc[target].keep == 0
+    assert rep.loc[target].reason == "contaminated"
+    assert rep.loc[target].kept_as == -1
+    # earlier verdicts keep precedence: exact/near losers stay labeled so
+    assert set(rep[rep.reason == "exact"].index) == \
+           set(base[base.reason == "exact"].doc_id)
+    assert target not in set(res.cleaned.to_pandas().doc_id)
+
+
 def test_dedup_corpus_semantic_overlay(small_corpus):
     """Embeddings force two surviving docs into one semantic group: the
     non-representative is demoted with reason='semantic'."""
