@@ -232,6 +232,10 @@ def main(argv: list[str] | None = None) -> int:
     pdc.add_argument("--min-sim", type=float, default=0.9)
     pdc.add_argument("--semantic-clusters", type=int, default=0,
                      help="0 = exact SemDeDup grouping, >1 = sampled-k-means cells")
+    pdc.add_argument("--eval-set", help="benchmark documents (any supported "
+                     "source format); surviving docs sharing k-grams with it "
+                     "are removed as 'contaminated'")
+    pdc.add_argument("--decon-min-overlap", type=int, default=1)
     args = parser.parse_args(argv)
 
     import ray
@@ -344,6 +348,11 @@ def main(argv: list[str] | None = None) -> int:
                 embeddings=emb,
                 min_sim=args.min_sim,
                 semantic_clusters=args.semantic_clusters,
+                eval_documents=(
+                    _read_documents(args.eval_set) if args.eval_set else None
+                ),
+                decon_k=args.shingle_k,
+                decon_min_overlap=args.decon_min_overlap,
             )
             os.makedirs(args.output, exist_ok=True)
             # partitioned writes: one file per block, resumable output path
@@ -353,7 +362,8 @@ def main(argv: list[str] | None = None) -> int:
             counts = rp.reason.value_counts().to_dict()
             print(f"dedup-corpus: {len(rp)} docs -> {int(rp.keep.sum())} kept "
                   f"({counts.get('exact', 0)} exact, {counts.get('near', 0)} near, "
-                  f"{counts.get('semantic', 0)} semantic dups dropped)")
+                  f"{counts.get('semantic', 0)} semantic dups dropped, "
+                  f"{counts.get('contaminated', 0)} contaminated removed)")
         elif args.cmd == "clust-greedy":
             from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
 
