@@ -292,8 +292,6 @@ def _q_decontaminate(sf_dir: str):
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def split(pred):
-        import pyarrow.compute as _pc
-
         return ds.map_batches(
             lambda t: t.filter(pred(t["doc_id"])), batch_format="pyarrow"
         )

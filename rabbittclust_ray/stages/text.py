@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from rabbittclust_ray.hashing import batch_window_hashes, rolling_shingle_hashes
+from rabbittclust_ray.hashing import batch_window_hashes
 from rabbittclust_ray.stages.pairs import _ragged_pairs, scan_complete_groups
 
 _TOKEN_SPLIT = re.compile(r"\s+")
