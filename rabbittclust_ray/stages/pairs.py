@@ -103,6 +103,15 @@ EXCHANGE_TARGET_ROWS = 1 << 20
 # parallelism floor: use every cluster CPU unless that would leave tasks
 # with fewer than this many rows (then task overhead beats parallelism)
 EXCHANGE_MIN_ROWS = 1 << 15
+# byte floor companion to EXCHANGE_MIN_ROWS: row-count sizing alone
+# collapses WIDE rows (2 KB documents) into a couple of giant partitions —
+# 120k content rows is "2 partitions" by rows but 240 MB of text, and
+# every downstream map_batches consumer then runs 2 tasks on a 32-CPU
+# cluster (measured: the dedup-corpus sketch stage sat at 44 s
+# single-streamed). A task is worth spawning if it gets EITHER enough
+# rows or enough bytes; narrow-row pair exchanges are unaffected (their
+# row rule already saturates the CPUs).
+EXCHANGE_MIN_BYTES = 4 << 20
 # default cap on auto-sized reducer count for the wide pair exchanges —
 # generous so row-count auto-sizing is the binding rule; at true 100-TB
 # scale the caller raises it with ClusterConfig.num_buckets
@@ -267,7 +276,12 @@ def hash_exchange(
     # the input is so small that tasks would drop under EXCHANGE_MIN_ROWS
     ncpu = int(ray.cluster_resources().get("CPU", 1) or 1)
     p_heap = -(-n_rows // EXCHANGE_TARGET_ROWS) or 1
-    p_par = min(ncpu, -(-n_rows // EXCHANGE_MIN_ROWS) or 1)
+    n_bytes = prepped.size_bytes() or 0
+    p_par = min(
+        ncpu,
+        max(-(-n_rows // EXCHANGE_MIN_ROWS) or 1,
+            -(-n_bytes // EXCHANGE_MIN_BYTES) or 1),
+    )
     p = max(1, min(num_partitions, max(p_heap, p_par)))
     sch = prepped.schema()
     base = sch.base_schema if sch is not None else pa.schema([])
