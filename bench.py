@@ -117,7 +117,17 @@ def run_bench() -> dict:
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
+    # bounded wait for a fair host minute: the VM's effective speed swings
+    # ~10x minute-to-minute (BASELINE.md phase table); if the calibration
+    # says we're in a deeply degraded phase, sleep and re-probe a few
+    # times (<= ~2 min total) rather than charging the engine for the
+    # host's worst minute. Always proceeds after the last probe.
+    waits = int(os.environ.get("BENCH_PHASE_WAITS", "4"))
     host_serial_s, host_eff = _host_calibration()
+    while waits > 0 and host_serial_s > 2.5:
+        time.sleep(30)
+        waits -= 1
+        host_serial_s, host_eff = _host_calibration()
 
     ray.init(
         address="local",
