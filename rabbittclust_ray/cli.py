@@ -353,6 +353,9 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 decon_k=args.shingle_k,
                 decon_min_overlap=args.decon_min_overlap,
+                # resumable by default: per-stage checkpoints under the
+                # output dir; a re-run with the same config skips compute
+                checkpoint_root=os.path.join(args.output, "state"),
             )
             os.makedirs(args.output, exist_ok=True)
             # partitioned writes: one file per block, resumable output path

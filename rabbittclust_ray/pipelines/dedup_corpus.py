@@ -174,6 +174,7 @@ def dedup_corpus(
     decon_k: int = 8,
     decon_min_overlap: int = 1,
     decon_hasher: str = "rolling",
+    checkpoint_root: str | None = None,
 ) -> CorpusDedupResult:
     """Run the exact -> near [-> contaminated] [-> semantic] dedup
     cascade; see module doc.
@@ -186,6 +187,14 @@ def dedup_corpus(
     surviving docs sharing >= ``decon_min_overlap`` distinct
     ``decon_k``-grams with it are removed with reason 'contaminated' and
     kept_as = -1 (removed, no representative).
+    ``checkpoint_root`` (optional): per-stage resumable checkpoints with
+    lineage+metrics manifests (state/checkpoint): 'sketches', 'edges',
+    'dedup_report' and 'dedup_cleaned' are persisted keyed by the config
+    hash; a re-run with valid final stages returns them without any
+    compute, and a partially-complete run resumes past the hash/edge
+    stages. Content-bearing intermediates (the winner exchange) are
+    recomputed from the source on resume — checkpointing them would
+    double corpus storage.
     """
     import ray
 
@@ -199,6 +208,30 @@ def dedup_corpus(
         max_posting=ccfg.max_posting,
         num_buckets=ccfg.num_buckets,
     )
+
+    ch = None
+    if checkpoint_root is not None:
+        import os
+
+        from rabbittclust_ray.config import config_hash
+        from rabbittclust_ray.state.checkpoint import (
+            load_stage,
+            save_stage,
+            stage_is_valid,
+        )
+
+        ch = config_hash(scfg, near_ccfg) + (
+            f"-s{min_sim}-c{semantic_clusters}-k{decon_k}-o{decon_min_overlap}"
+            f"-e{int(embeddings is not None)}-v{int(eval_documents is not None)}"
+        )
+        os.makedirs(checkpoint_root, exist_ok=True)
+        if stage_is_valid(checkpoint_root, "dedup_report", ch) and stage_is_valid(
+            checkpoint_root, "dedup_cleaned", ch
+        ):
+            return CorpusDedupResult(
+                report=load_stage(checkpoint_root, "dedup_report"),
+                cleaned=load_stage(checkpoint_root, "dedup_cleaned"),
+            )
 
     prepared = prepare_documents(documents, scfg)
     # ONE fused exchange: full rows + per-doc exact verdict (content
@@ -215,8 +248,22 @@ def dedup_corpus(
         ),
         batch_format="pyarrow",
     )
-    sketches = sketch_documents(winners, scfg).materialize()
-    edges = candidate_edges(sketches, scfg, near_ccfg)
+    if ch is not None:
+        from rabbittclust_ray.state.checkpoint import run_or_resume
+
+        sketches = run_or_resume(
+            checkpoint_root, "sketches", ch,
+            lambda: sketch_documents(winners, scfg),
+            lineage={"stage": "sketches", "source": "dedup_corpus"},
+        )
+        edges = run_or_resume(
+            checkpoint_root, "edges", ch,
+            lambda: candidate_edges(sketches, scfg, near_ccfg),
+            lineage={"stage": "edges", "after": "sketches"},
+        )
+    else:
+        sketches = sketch_documents(winners, scfg).materialize()
+        edges = candidate_edges(sketches, scfg, near_ccfg)
     labels = _near_labels(edges.materialize(), dedup_dist)
 
     keys = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
@@ -308,4 +355,13 @@ def dedup_corpus(
         lambda t: t.filter(pc.equal(t["keep"], 0)), batch_format="pyarrow"
     )
     cleaned = anti_join_ids(winners, dropped, num_partitions=ccfg.num_buckets)
+    if ch is not None:
+        save_stage(checkpoint_root, "dedup_report", report, config_hash=ch,
+                   lineage={"stage": "dedup_report", "after": "edges"})
+        save_stage(checkpoint_root, "dedup_cleaned", cleaned, config_hash=ch,
+                   lineage={"stage": "dedup_cleaned", "after": "dedup_report"})
+        return CorpusDedupResult(
+            report=load_stage(checkpoint_root, "dedup_report"),
+            cleaned=load_stage(checkpoint_root, "dedup_cleaned"),
+        )
     return CorpusDedupResult(report=report, cleaned=cleaned)

@@ -164,6 +164,37 @@ def test_dedup_corpus_cli(tmp_path):
     assert rep2.loc[survivors[0]].keep == 1
 
 
+def test_dedup_corpus_checkpoint_resume(small_corpus, tmp_path):
+    """checkpoint_root: a second run with the same config returns the
+    persisted result without recompute (the source can even change);
+    deleting the final stages resumes from sketches/edges; a different
+    config does not reuse stale stages."""
+    import shutil
+
+    docs, _ = small_corpus
+    root = str(tmp_path / "state")
+    r1 = dedup_corpus(ray.data.from_arrow(docs), SCFG, CCFG,
+                      dedup_dist=0.05, checkpoint_root=root)
+    rep1 = r1.report.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # second run: source replaced by an EMPTY table — result still served
+    # from the checkpoint, proving no recompute happened
+    empty = ray.data.from_arrow(docs.slice(0, 0))
+    r2 = dedup_corpus(empty, SCFG, CCFG, dedup_dist=0.05, checkpoint_root=root)
+    rep2 = r2.report.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert rep1.equals(rep2)
+    # partial resume: drop the final stages, keep sketches/edges
+    shutil.rmtree(f"{root}/dedup_report")
+    shutil.rmtree(f"{root}/dedup_cleaned")
+    r3 = dedup_corpus(ray.data.from_arrow(docs), SCFG, CCFG,
+                      dedup_dist=0.05, checkpoint_root=root)
+    rep3 = r3.report.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert rep1.equals(rep3)
+    # a different config must NOT serve the stale checkpoint
+    r4 = dedup_corpus(ray.data.from_arrow(docs), SCFG, CCFG,
+                      dedup_dist=0.02, checkpoint_root=root)
+    assert int(r4.report.to_pandas().keep.sum()) >= int(rep1.keep.sum())
+
+
 def test_dedup_corpus_contamination_stage(small_corpus):
     """eval_documents removes surviving docs that share k-grams with the
     benchmark; exact/near verdicts keep precedence; kept_as = -1."""
