@@ -24,9 +24,10 @@ starts with, composed from the engine's dedup tiers:
 
 Outputs
   report  — one row per prepared doc: (doc_id, keep, reason, kept_as)
-            where reason in {'kept','exact','near','semantic'} and
-            kept_as is the representative the doc collapsed into
-            (kept_as == doc_id iff keep == 1).
+            where reason in {'kept','exact','near','contaminated',
+            'semantic'} and kept_as is the representative the doc
+            collapsed into (kept_as == doc_id iff keep == 1;
+            contaminated rows carry kept_as = -1).
   cleaned — the surviving documents with their full prepared rows,
             produced by a distributed anti-join (`pairs.anti_join_ids`);
             written partitioned by the CLI for resumability.
