@@ -1187,6 +1187,56 @@ def _wjac_sql() -> str:
     """
 
 
+def _q_dedup_segments(sf_dir: str):
+    """Corpus-wide keep-first segment dedup (the paragraph variant of
+    exact-substring training-data dedup, Lee et al. arXiv:2107.06499)
+    at 10-word segments over the documents table."""
+    from rabbittclust_ray.stages.segments import dedup_segments
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_segments(ds, words_per_segment=10, num_partitions=64)
+
+
+def _q_chunk_docs(sf_dir: str):
+    """Fixed-size overlapping character chunking (embedding-pipeline
+    prep): 200-char chunks at stride 150."""
+    from rabbittclust_ray.stages.segments import chunk_docs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_docs(ds, size=200, stride=150)
+
+
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization over the events table (windowed-aggregate
+    operator class): 30-min inactivity gap, per-user 0-based session
+    index per event."""
+    from rabbittclust_ray.stages.events import sessionize
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ds, gap_s=1800.0, num_partitions=64)
+
+
+def _q_kmeans(sf_dir: str):
+    """Fixed-iteration Lloyd's k-means over the embeddings table
+    (k=8, 2 updates, deterministic min-id init + truncated centroids so
+    the SQL oracle replays it exactly)."""
+    from rabbittclust_ray.stages.kmeans import kmeans_embeddings
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
+    return kmeans_embeddings(ds, k=8, n_iter=2)
+
+
+def _q_vocab_top_tokens(sf_dir: str):
+    """Top-50 corpus vocabulary (count desc, token asc) with per-batch
+    partial aggregation before the groupby shuffle."""
+    from rabbittclust_ray.stages.text import vocab_top_tokens
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_top_tokens(ds, n=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1235,6 +1285,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "corpus_dedup": _q_corpus_dedup,
         "corpus_dedup_decon": _q_corpus_dedup_decon,
+        "dedup_segments": _q_dedup_segments,
+        "chunk_docs": _q_chunk_docs,
+        "sessionize": _q_sessionize,
+        "kmeans_embeddings": _q_kmeans,
+        "vocab_top_tokens": _q_vocab_top_tokens,
     }
 
 
@@ -1248,8 +1303,74 @@ def _lang_sql_lists() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rabbittclust_ray.stages.kmeans import kmeans_sql
+
     L = _lang_sql_lists()
     sql: dict[str, str] = {
+        "kmeans_embeddings": kmeans_sql(k=8, n_iter=2),
+        "dedup_segments": """
+            WITH words AS MATERIALIZED (
+                SELECT doc_id, g.i AS pos, w[g.i] AS word
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g(i)
+            ),
+            segs AS MATERIALIZED (
+                SELECT doc_id, CAST((pos - 1) // 10 AS BIGINT) AS seg_idx,
+                       string_agg(word, ' ' ORDER BY pos) AS seg
+                FROM words GROUP BY doc_id, CAST((pos - 1) // 10 AS BIGINT)
+            ),
+            ranked AS MATERIALIZED (
+                SELECT *, row_number() OVER (
+                    PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                FROM segs
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            totals AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+                FROM segs GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.cleaned_text, '') AS cleaned_text,
+                   t.n_segments, coalesce(r.n_kept, 0) AS n_kept
+            FROM documents d JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "chunk_docs": """
+            SELECT doc_id,
+                   CAST((g.i - 1) // 150 AS BIGINT) AS chunk_idx,
+                   substr(text, g.i, 200) AS chunk_text,
+                   CAST((greatest(length(text), 1) - 1) // 150 + 1
+                        AS BIGINT) AS n_chunks
+            FROM documents, LATERAL (
+                SELECT unnest(generate_series(1, greatest(length(text), 1),
+                                              150)) AS i
+            ) g(i)
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM e
+        """,
+        "vocab_top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS count FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) WHERE token <> '' GROUP BY token
+            ORDER BY count DESC, token LIMIT 50
+        """,
         "corpus_dedup": _corpus_dedup_sql(),
         "corpus_dedup_decon": _corpus_dedup_sql(with_decon=True),
         "simhash_pairs": _simhash_sql(),

@@ -1,0 +1,144 @@
+"""Event-stream windowed ops: gap-based sessionization.
+
+A training-data/analytics extension beyond the reference (the custom
+"windowed aggregate" operator class from the build brief): assign every
+event a per-user session index, where a new session starts whenever the
+gap to the user's previous event exceeds ``gap``.
+
+Ray-Data shape: one keyed exchange on ``user_id`` co-locates each user's
+events, then the reducer is a fully vectorized sort + diff + cumsum over
+its whole partition (no per-user Python loop). Partitioning assumption:
+one user's history fits a reducer partition — the classic sessionize
+contract; a user with more events than a partition can hold would need
+time-sliced salting, which no reference pipeline requires.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    gap_s: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Per-event session assignment: ``(event_id, user_id, session_idx)``.
+
+    Events of one user are ordered by ``(ts, event_id)`` (the id breaks
+    timestamp ties deterministically); ``session_idx`` is 0-based and
+    increments whenever the gap to the previous event exceeds ``gap_s``
+    seconds (strictly greater — a gap of exactly ``gap_s`` stays in the
+    session, matching SQL ``lag``-diff semantics).
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    gap_us = int(round(gap_s * 1_000_000))
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = ts.cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t[id_col].combine_chunks()
+                if isinstance(t[id_col], pa.ChunkedArray)
+                else t[id_col],
+                "user_id": t[user_col].combine_chunks()
+                if isinstance(t[user_col], pa.ChunkedArray)
+                else t[user_col],
+                "ts_us": ts_us,
+            }
+        )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "session_idx": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        eid, uid, ts = eid[order], uid[order], ts[order]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = np.empty(len(uid), dtype=np.int64)
+        brk[0] = 0
+        brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        brk[new_user] = 0
+        # running break count, reset at each user boundary
+        cum = np.cumsum(brk)
+        base = np.zeros(len(uid), dtype=np.int64)
+        base[new_user] = cum[new_user]  # == cum at first row (brk there is 0)
+        np.maximum.accumulate(base, out=base)
+        session_idx = cum - base
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "session_idx": pa.array(session_idx, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(prepped, "user_id", reduce, num_partitions)
+
+
+def session_stats(sessions: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-session aggregate over a ``sessionize`` result:
+    ``(user_id, session_idx, n_events)`` — a small composition on top of
+    the exchange (the heavy lifting is in ``sessionize``)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "session_idx": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "session_idx": t["session_idx"].to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = (
+            df.groupby(["user_id", "session_idx"], sort=True)
+            .size()
+            .reset_index(name="n_events")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "session_idx": pa.array(
+                    g["session_idx"].to_numpy(), pa.int64()
+                ),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return hash_exchange(sessions, "user_id", reduce, 1024)

@@ -1,0 +1,191 @@
+"""Distributed Lloyd's k-means over an embedding table.
+
+A first-class clustering-over-embeddings operator (training-data
+extension; the IVF index in ``stages/ann.py`` uses a sampled k-means for
+its coarse quantizer — this is the full-data, fixed-iteration variant
+exposed as its own operator with exactly reproducible semantics so a SQL
+oracle can replay it).
+
+Ray-Data shape (scale story): per iteration, ONE streaming pass of the
+embedding table — ``map_batches`` computes per-batch partial sums
+``(cluster, count, sum_vec)`` against the broadcast centroid matrix
+(k x d doubles, shipped by closure capture in the task spec; never
+re-shipped per batch), and only ``num_blocks x k`` tiny partial rows
+reach the driver for the centroid update. No shuffle at all; the final
+assignment pass streams once more. Centroids are truncated to
+``trunc_decimals`` decimals after every update so the update is exactly
+reproducible in SQL (same trick as the Gopher floor-ppm oracle).
+
+Determinism: initial centroids are the embeddings of the ``k`` smallest
+ids (in id order); assignment ties break toward the lower cluster index
+(numpy argmin == SQL ``row_number() ... ORDER BY dist, cl``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals.reshape(len(arr), -1)
+
+
+def _trunc(x: np.ndarray, decimals: int) -> np.ndarray:
+    scale = 10.0 ** decimals
+    return np.trunc(x * scale) / scale
+
+
+def kmeans_embeddings(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trunc_decimals: int = 6,
+) -> ray.data.Dataset:
+    """Fixed-iteration Lloyd's k-means; returns ``(vec_id, cluster)``.
+
+    ``n_iter`` centroid updates are applied (init -> assign -> mean,
+    repeated), then a final assignment pass labels every vector under the
+    last centroids. Empty clusters keep their previous centroid.
+    Distances are squared Euclidean in float64 (argmin-equivalent to the
+    Euclidean ``list_distance`` the SQL oracle uses).
+    """
+    if k <= 0 or n_iter < 0:
+        raise ValueError("k must be positive, n_iter non-negative")
+
+    init_rows = sorted(ds.sort(id_col).limit(k).take_all(),
+                       key=lambda r: r[id_col])
+    cents = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]
+    )
+    cents = _trunc(cents, trunc_decimals)
+    d = cents.shape[1]
+
+    for _ in range(n_iter):
+        c = cents  # captured by value in the task spec (k x d doubles)
+
+        def partial(t: pa.Table, c=c) -> pa.Table:
+            X = _emb_matrix(t, vec_col)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin unaffected
+            # by the ||x||^2 term but the full value is cheap at k*d
+            d2 = (
+                (X * X).sum(1)[:, None]
+                - 2.0 * (X @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "count": pa.array(counts, pa.int64()),
+                    "sums": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        # bounded driver pull: num_blocks x k rows of (int, int, d floats)
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        cl = parts["cluster"].to_numpy()
+        cn = parts["count"].to_numpy()
+        np.add.at(counts, cl, cn)
+        sm = np.stack(parts["sums"].to_numpy())
+        np.add.at(sums, cl, sm)
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = _trunc(sums[nz] / counts[nz, None], trunc_decimals)
+        cents = new
+
+    c = cents
+
+    def assign(t: pa.Table, c=c) -> pa.Table:
+        X = _emb_matrix(t, vec_col)
+        d2 = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * (X @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        a = d2.argmin(1).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trunc_decimals: int = 6,
+) -> str:
+    """DuckDB replay of :func:`kmeans_embeddings` — the iteration is
+    unrolled into one CTE pair (assign, update) per Lloyd step."""
+    scale = 10 ** trunc_decimals
+    cte = [
+        f"""c0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cl,
+                   list_transform({vec_col}::DOUBLE[],
+                                  x -> trunc(x * {scale}) / {scale}) AS c
+            FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {k})
+        )"""
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i - 1}"
+        cte.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT {id_col}, {vec_col}, cl FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.cl,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY list_distance(e.{vec_col}::DOUBLE[], c.c), c.cl
+                       ) AS rn
+                FROM {table} e CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        )"""
+        )
+        cte.append(
+            f"""m{i} AS MATERIALIZED (
+            SELECT cl, g.i AS dim,
+                   trunc(avg({vec_col}[g.i]::DOUBLE) * {scale}) / {scale} AS v
+            FROM a{i}, LATERAL (
+                SELECT unnest(generate_series(1, len({vec_col}))) AS i
+            ) g(i)
+            GROUP BY cl, g.i
+        )"""
+        )
+        cte.append(
+            f"""c{i} AS MATERIALIZED (
+            SELECT p.cl,
+                   coalesce(n.c, p.c) AS c
+            FROM {prev} p LEFT JOIN (
+                SELECT cl, list(v ORDER BY dim) AS c FROM m{i} GROUP BY cl
+            ) n USING (cl)
+        )"""
+        )
+    return f"""
+        WITH {', '.join(cte)}
+        SELECT {id_col}, cl AS cluster FROM (
+            SELECT e.{id_col}, c.cl,
+                   row_number() OVER (
+                       PARTITION BY e.{id_col}
+                       ORDER BY list_distance(e.{vec_col}::DOUBLE[], c.c), c.cl
+                   ) AS rn
+            FROM {table} e CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    """

@@ -1,0 +1,260 @@
+"""Sub-document segmentation ops: segment-level exact dedup + chunking.
+
+Training-data extensions beyond the reference (COVERAGE.md extension
+table): corpus-wide KEEP-FIRST deduplication at sub-document granularity
+— the paragraph/segment variant of exact-substring training-data dedup
+(Lee et al. 2021, arXiv:2107.06499) — and fixed-size overlapping
+character chunking for embedding pipelines.
+
+Ray-Data shape: segmentation explodes inside ``map_batches`` (vectorized
+split + pandas group-join), the ONE global decision (first occurrence of
+each segment corpus-wide) is a keyed exchange on the segment hash, and
+the per-doc rebuild is a second exchange on ``doc_id`` — the same
+two-exchange plan as ``text.strip_repeated_lines``, so the 100-TB
+transfer story is identical: two passes of the segment table, nothing on
+the driver.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _explode_segments(
+    t: pa.Table, text_col: str, words_per_segment: int
+) -> pa.Table:
+    """(doc_id, seg_idx, seg, n_segs, skey) rows + one sentinel row per
+    doc (seg_idx=-1, always kept) so fully-deduped docs survive rebuild."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    words = pc.split_pattern(txt, " ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = words.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_rep = np.repeat(ids, counts)
+    wpos = (
+        np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+        if len(counts)
+        else np.array([], dtype=np.int64)
+    )
+    seg_idx = wpos // words_per_segment
+    df = pd.DataFrame(
+        {"doc_id": doc_rep, "seg_idx": seg_idx, "w": flat.to_pandas()}
+    )
+    segs = (
+        df.groupby(["doc_id", "seg_idx"], sort=False)["w"]
+        .agg(" ".join)
+        .reset_index()
+    )
+    n_segs = (counts + words_per_segment - 1) // words_per_segment
+    n_map = pd.Series(n_segs.astype(np.int64), index=ids)
+    out_doc = np.concatenate([segs["doc_id"].to_numpy(), ids])
+    out_idx = np.concatenate(
+        [segs["seg_idx"].to_numpy(), np.full(len(ids), -1, dtype=np.int64)]
+    )
+    out_seg = np.concatenate(
+        [segs["w"].to_numpy(dtype=object), np.full(len(ids), "", dtype=object)]
+    )
+    out_n = n_map.reindex(out_doc).to_numpy()
+    skey = pd.util.hash_array(out_seg).view(np.int64)
+    skey[out_idx == -1] = -1  # sentinels route together; kept unconditionally
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "seg_idx": pa.array(out_idx, pa.int64()),
+            "seg": pa.array(out_seg, pa.string()),
+            "n_segs": pa.array(out_n, pa.int64()),
+            "skey": pa.array(skey, pa.int64()),
+        }
+    )
+
+
+def dedup_segments(
+    ds: ray.data.Dataset,
+    words_per_segment: int = 10,
+    text_col: str = "text",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Corpus-wide KEEP-FIRST segment dedup: split every document into
+    ``words_per_segment``-word segments; each distinct segment STRING
+    keeps only its first occurrence (lexicographic min of
+    ``(doc_id, seg_idx)``) — every other occurrence anywhere in the
+    corpus is dropped; surviving segments keep their in-doc order.
+
+    Output: ``(doc_id, cleaned_text, n_segments, n_kept)`` for EVERY
+    input doc (a doc whose segments were all seen earlier comes back as
+    ``''`` with ``n_kept = 0``).
+
+    Reducer 1 (keyed on the segment hash) sees every occurrence of its
+    segments, so the global min is a per-group vectorized first-row pick;
+    reducer 2 (keyed on doc_id) is the ordered rebuild. Skew note: the
+    worst key is one segment duplicated corpus-wide; its occurrence list
+    is (doc_id, seg_idx) pairs only — text rides once per occurrence, and
+    occurrences of one segment co-locate exactly like postings in the
+    pair stage.
+    """
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    W = words_per_segment
+
+    def explode(t: pa.Table) -> pa.Table:
+        return _explode_segments(t, text_col, W)
+
+    empty1 = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "seg_idx": pa.array([], pa.int64()),
+            "seg": pa.array([], pa.string()),
+            "n_segs": pa.array([], pa.int64()),
+        }
+    )
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty1
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "seg_idx": t["seg_idx"].to_numpy(zero_copy_only=False),
+                "seg": t["seg"].to_pandas(),
+                "n_segs": t["n_segs"].to_numpy(zero_copy_only=False),
+            }
+        )
+        sent = df["seg_idx"] < 0
+        body = df[~sent].sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        winners = body.drop_duplicates("seg", keep="first")
+        keep = pd.concat([winners, df[sent]], ignore_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["doc_id"].to_numpy(), pa.int64()),
+                "seg_idx": pa.array(keep["seg_idx"].to_numpy(), pa.int64()),
+                "seg": pa.array(
+                    keep["seg"].to_numpy(dtype=object), pa.string()
+                ),
+                "n_segs": pa.array(keep["n_segs"].to_numpy(), pa.int64()),
+            }
+        )
+
+    empty2 = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cleaned_text": pa.array([], pa.string()),
+            "n_segments": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+        }
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty2
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "seg_idx": t["seg_idx"].to_numpy(zero_copy_only=False),
+                "seg": t["seg"].to_pandas(),
+                "n_segs": t["n_segs"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        body = df[df["seg_idx"] >= 0]
+        joined = body.groupby("doc_id")["seg"].agg(" ".join)
+        n_kept = body.groupby("doc_id").size()
+        all_ids = np.unique(df["doc_id"].to_numpy())
+        joined = joined.reindex(all_ids, fill_value="")
+        n_kept = n_kept.reindex(all_ids, fill_value=0)
+        n_total = df.groupby("doc_id")["n_segs"].first().reindex(all_ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(all_ids, pa.int64()),
+                "cleaned_text": pa.array(
+                    joined.to_numpy(dtype=object), pa.string()
+                ),
+                "n_segments": pa.array(
+                    n_total.to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_kept": pa.array(
+                    n_kept.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    kept = hash_exchange(exploded, "skey", keep_first, num_partitions)
+    return hash_exchange(kept, "doc_id", rebuild, num_partitions)
+
+
+def chunk_docs(
+    ds: ray.data.Dataset,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Fixed-size overlapping character chunks (embedding-pipeline prep).
+
+    Chunk ``i`` of a doc covers ``text[i*stride : i*stride + size]``
+    (0-based); a doc emits ``floor((max(len,1)-1)/stride) + 1`` chunks, so
+    an empty/short doc still emits one chunk. Pure per-batch flat map — no
+    shuffle; at scale chunking is free relative to the embed stage that
+    consumes it. Output: (doc_id, chunk_idx, chunk_text, n_chunks).
+    """
+    import pandas as pd
+
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        texts = txt.to_pandas()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lens = texts.str.len().to_numpy()
+        n_chunks = (np.maximum(lens, 1) - 1) // stride + 1
+        out_id, out_idx, out_txt, out_n = [], [], [], []
+        # vectorized per chunk INDEX (few distinct values), not per row
+        for i in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            m = n_chunks > i
+            out_id.append(ids[m])
+            out_idx.append(np.full(int(m.sum()), i, dtype=np.int64))
+            out_txt.append(
+                texts[m].str.slice(i * stride, i * stride + size).to_numpy(
+                    dtype=object
+                )
+            )
+            out_n.append(n_chunks[m])
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_chunks": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort(
+            (np.concatenate(out_idx), np.concatenate(out_id))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)[order], pa.int64()),
+                "chunk_idx": pa.array(
+                    np.concatenate(out_idx)[order], pa.int64()
+                ),
+                "chunk_text": pa.array(
+                    np.concatenate(out_txt)[order], pa.string()
+                ),
+                "n_chunks": pa.array(
+                    np.concatenate(out_n)[order].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -690,3 +690,50 @@ def simhash_near_dups(
 
 
     return scan_complete_groups(pairs.sort("u"), "u", dedup_pairs)
+
+
+def vocab_top_tokens(
+    ds: ray.data.Dataset, n: int = 50, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus vocabulary statistics: the ``n`` most frequent whitespace
+    tokens with their occurrence counts, ordered ``(count desc, token
+    asc)`` for deterministic rank ties.
+
+    Scale shape: the per-batch map PRE-AGGREGATES to (token, count)
+    partials (np.unique over the flattened split — the combiner rule from
+    the build brief), so the groupby shuffle moves one row per distinct
+    token per block, not one per occurrence; the sort+limit runs over the
+    tiny distinct-token table."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat = pc.split_pattern(txt, " ").flatten()
+        toks = flat.to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        uniq, counts = np.unique(toks, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq, pa.string()),
+                "count": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("count")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": t["token"],
+                "count": t["sum(count)"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["count", "token"], descending=[True, False])
+        .limit(n)
+    )
