@@ -1187,6 +1187,22 @@ def _wjac_sql() -> str:
     """
 
 
+def _q_strip_dup_spans(sf_dir: str):
+    """North-star substring pass, removal half: cut every >=16-char exact
+    shared span out of the LATER doc of each duplicate pair (Lee et al.
+    arXiv:2107.06499 ExactSubstr removal at pair scope); earlier docs
+    keep their copy, untouched docs pass through."""
+    import ray.data
+
+    from rabbittclust_ray.stages.spans import strip_dup_spans
+
+    res = _exact_mst_cached(sf_dir, EX_THRESHOLD, dedup=True)
+    pairs = ray.data.from_arrow(res.dup_pairs.select(["u", "v"]))
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return strip_dup_spans(pairs, docs, w=16, id_col="doc_id",
+                           text_col="text", num_partitions=64)
+
+
 def _q_dedup_segments(sf_dir: str):
     """Corpus-wide keep-first segment dedup (the paragraph variant of
     exact-substring training-data dedup, Lee et al. arXiv:2107.06499)
@@ -1285,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "corpus_dedup": _q_corpus_dedup,
         "corpus_dedup_decon": _q_corpus_dedup_decon,
+        "strip_dup_spans": _q_strip_dup_spans,
         "dedup_segments": _q_dedup_segments,
         "chunk_docs": _q_chunk_docs,
         "sessionize": _q_sessionize,
@@ -1308,6 +1325,64 @@ def oracle_sql() -> dict[str, str]:
     L = _lang_sql_lists()
     sql: dict[str, str] = {
         "kmeans_embeddings": kmeans_sql(k=8, n_iter=2),
+        "strip_dup_spans": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_DEDUP_DIST)}, {_sql_components_cte()},
+            prs AS MATERIALIZED (
+                SELECT r.a AS u, r.b AS v FROM reach r WHERE r.a < r.b
+                UNION
+                SELECT a.doc_id, b.doc_id
+                FROM pop a JOIN pop b
+                  ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+            ),
+            gp AS MATERIALIZED (
+                SELECT d.doc_id, i.i AS pos, substr(d.text, i.i, 16) AS g
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text) - 15)) AS i
+                ) i(i)
+                WHERE d.doc_id IN (SELECT u FROM prs UNION SELECT v FROM prs)
+            ),
+            mt AS MATERIALIZED (
+                SELECT p.u, p.v, a.pos AS i, b.pos AS j
+                FROM prs p
+                JOIN gp a ON a.doc_id = p.u
+                JOIN gp b ON b.doc_id = p.v AND b.g = a.g
+            ),
+            runs AS MATERIALIZED (
+                SELECT u, v, i,
+                       i - row_number() OVER (
+                           PARTITION BY u, v, i - j ORDER BY i
+                       ) AS grp, i - j AS dg
+                FROM mt
+            ),
+            iv AS MATERIALIZED (
+                SELECT v AS doc_id,
+                       min(i) - dg AS s,
+                       min(i) - dg + count(*) + 14 AS e
+                FROM runs GROUP BY u, v, dg, grp
+            ),
+            chars AS MATERIALIZED (
+                SELECT d.doc_id, g.i AS p, substr(d.text, g.i, 1) AS ch
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text))) AS i
+                ) g(i)
+            ),
+            kept AS (
+                SELECT c.doc_id, c.p, c.ch FROM chars c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM iv
+                    WHERE iv.doc_id = c.doc_id AND c.p BETWEEN iv.s AND iv.e
+                )
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(ch, '' ORDER BY p) AS cleaned_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.cleaned_text, '') AS cleaned_text,
+                   CAST(length(d.text)
+                        - length(coalesce(r.cleaned_text, ''))
+                        AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
         "dedup_segments": """
             WITH words AS MATERIALIZED (
                 SELECT doc_id, g.i AS pos, w[g.i] AS word

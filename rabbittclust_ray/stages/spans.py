@@ -81,6 +81,47 @@ def pair_span_stats(a: bytes, b: bytes, w: int, seed: int = 0,
     return total, int(run_len.max()) + w - 1, capped
 
 
+def _tag_pair(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    return pa.table(
+        {
+            "key": t["u"].cast(pa.int64()),
+            "other": t["v"].cast(pa.int64()),
+            "txt": pa.array([""] * n, pa.string()),
+            "is_txt": pa.array(np.zeros(n, dtype=bool)),
+        }
+    )
+
+
+def _tag_text_fn(id_col: str, text_col: str):
+    def tag_text(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t[id_col].cast(pa.int64()),
+                "other": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "txt": t[text_col].cast(pa.string()),
+                "is_txt": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    return tag_text
+
+
+def _split(t: pa.Table):
+    is_txt = t["is_txt"].to_numpy(zero_copy_only=False)
+    pr = t.filter(pa.array(~is_txt))
+    tx = t.filter(pa.array(is_txt))
+    order = np.argsort(tx["key"].to_numpy(zero_copy_only=False), kind="stable")
+    return pr, tx.take(pa.array(order))
+
+
+def _gather_txt(tx_sorted: pa.Table, keys: np.ndarray) -> pa.Table:
+    tkeys = tx_sorted["key"].to_numpy(zero_copy_only=False)
+    pos = np.clip(np.searchsorted(tkeys, keys), 0, max(len(tkeys) - 1, 0))
+    return tx_sorted.take(pa.array(pos))
+
+
 def dup_spans(
     pairs: ray.data.Dataset,
     documents: ray.data.Dataset,
@@ -95,39 +136,8 @@ def dup_spans(
     """pairs (u, v) + documents (id, text) ->
     (u, v, n_matches, lcs_len, capped)."""
 
-    def tag_pair(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t["u"].cast(pa.int64()),
-                "other": t["v"].cast(pa.int64()),
-                "txt": pa.array([""] * n, pa.string()),
-                "is_txt": pa.array(np.zeros(n, dtype=bool)),
-            }
-        )
-
-    def tag_text(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t[id_col].cast(pa.int64()),
-                "other": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
-                "txt": t[text_col].cast(pa.string()),
-                "is_txt": pa.array(np.ones(n, dtype=bool)),
-            }
-        )
-
-    def _split(t: pa.Table):
-        is_txt = t["is_txt"].to_numpy(zero_copy_only=False)
-        pr = t.filter(pa.array(~is_txt))
-        tx = t.filter(pa.array(is_txt))
-        order = np.argsort(tx["key"].to_numpy(zero_copy_only=False), kind="stable")
-        return pr, tx.take(pa.array(order))
-
-    def _gather_txt(tx_sorted: pa.Table, keys: np.ndarray) -> pa.Table:
-        tkeys = tx_sorted["key"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(tkeys, keys), 0, max(len(tkeys) - 1, 0))
-        return tx_sorted.take(pa.array(pos))
+    tag_pair = _tag_pair
+    tag_text = _tag_text_fn(id_col, text_col)
 
     def hop1(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -184,3 +194,235 @@ def dup_spans(
     pr_tagged = pairs.map_batches(tag_pair, batch_format="pyarrow")
     hop1_out = hash_exchange(pr_tagged.union(tx_tagged), "key", hop1, num_partitions)
     return hash_exchange(hop1_out.union(tx_tagged), "key", hop2, num_partitions)
+
+
+def pair_span_intervals(
+    a: bytes, b: bytes, w: int, seed: int = 0, min_len: int | None = None,
+    max_matches: int = 1 << 22,
+) -> tuple[np.ndarray, bool]:
+    """Maximal exact shared spans of ``a`` found in ``b``: 0-based
+    half-open byte intervals ``[start, end)`` IN ``b`` (one per maximal
+    diagonal run of shared w-grams, char length >= ``min_len``; default
+    ``min_len = w``), plus the cap flag. Same seed-and-chain kernel as
+    :func:`pair_span_stats`."""
+    if min_len is None:
+        min_len = w
+    ha = rolling_shingle_hashes(a, w, seed)
+    hb = rolling_shingle_hashes(b, w, seed)
+    empty = np.empty((0, 2), dtype=np.int64)
+    if len(ha) == 0 or len(hb) == 0:
+        return empty, False
+    order_b = np.argsort(hb, kind="stable")
+    hb_s = hb[order_b]
+    lo = np.searchsorted(hb_s, ha, side="left")
+    hi = np.searchsorted(hb_s, ha, side="right")
+    spans = hi - lo
+    total = int(spans.sum())
+    if total == 0:
+        return empty, False
+    capped = total > max_matches
+    if capped:
+        order_hot = np.argsort(spans, kind="stable")
+        keep = np.zeros(len(ha), dtype=bool)
+        acc = 0
+        for idx in order_hot:
+            c = int(spans[idx])
+            if acc + c > max_matches:
+                break
+            acc += c
+            keep[idx] = True
+        spans = np.where(keep, spans, 0)
+        lo = np.where(keep, lo, 0)
+        total = int(spans.sum())
+        if total == 0:
+            return empty, True
+    i_idx = np.repeat(np.arange(len(ha), dtype=np.int64), spans)
+    csum = np.cumsum(spans) - spans
+    inner = np.arange(total, dtype=np.int64) - np.repeat(csum, spans)
+    j_idx = order_b[np.repeat(lo, spans) + inner]
+    d = i_idx - j_idx
+    order = np.lexsort((i_idx, d))
+    ds_, is_ = d[order], i_idx[order]
+    brk = np.empty(total, dtype=bool)
+    brk[0:1] = True
+    brk[1:] = (ds_[1:] != ds_[:-1]) | (is_[1:] != is_[:-1] + 1)
+    run_id = np.cumsum(brk) - 1
+    run_len = np.bincount(run_id)
+    starts_at = np.nonzero(brk)[0]
+    j_start = is_[starts_at] - ds_[starts_at]
+    char_len = run_len + w - 1
+    ok = char_len >= min_len
+    iv = np.stack([j_start[ok], j_start[ok] + char_len[ok]], axis=1)
+    return iv, capped
+
+
+def strip_dup_spans(
+    pairs: ray.data.Dataset,
+    documents: ray.data.Dataset,
+    *,
+    w: int = 16,
+    seed: int = 0,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_partitions: int = 1024,
+    max_matches: int = 1 << 22,
+) -> ray.data.Dataset:
+    """Corpus-level exact shared-span REMOVAL — the completion of the
+    north-star substring pass: for every duplicate pair ``(u, v)`` with
+    ``u < v`` the maximal spans of ``u``'s text found verbatim in ``v``
+    (length >= ``min_len``, default ``w``) are cut out of ``v``; ``u``
+    (the earlier doc) keeps its copy. The deduplicating-training-data
+    removal rule of Lee et al. 2021 (arXiv:2107.06499 §4, ExactSubstr) at
+    pair scope. Spans are always computed against the ORIGINAL partner
+    text (parallel semantics — a chain a<b<c removes from c the spans it
+    shares with the original b, not the cleaned b), which is what makes
+    the operator deterministic and order-free under any scheduling.
+
+    Output: ``(doc_id, cleaned_text, n_removed)`` for EVERY input doc
+    (untouched docs pass through with ``n_removed = 0``).
+
+    Distribution: the same two-hop keyed fetch join as :func:`dup_spans`
+    computes per-pair intervals (reducers hold only their partition's
+    pairs + referenced texts), then ONE more exchange on ``doc_id``
+    co-locates each doc's interval set with its text for the vectorized
+    byte-mask splice. Offsets are BYTE offsets (exact for ASCII corpora;
+    a multi-byte UTF-8 corpus would need char-indexed hashing).
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    if min_len is None:
+        min_len = w
+
+    tag_pair = _tag_pair
+    tag_text = _tag_text_fn(id_col, text_col)
+
+    def hop1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        pr, tx = _split(t)
+        if pr.num_rows == 0:
+            return pr
+        got = _gather_txt(tx, pr["key"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pr["other"],
+                "other": pr["key"],
+                "txt": got["txt"],
+                "is_txt": pr["is_txt"],
+            }
+        )
+
+    def hop2_intervals(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "start": pa.array([], pa.int64()),
+             "end": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        pr, tx = _split(t)
+        if pr.num_rows == 0:
+            return empty
+        got = _gather_txt(tx, pr["key"].to_numpy(zero_copy_only=False))
+        u_txts = pr["txt"].to_pylist()
+        v_txts = got["txt"].to_pylist()
+        v_ids = pr["key"].to_numpy(zero_copy_only=False)
+        out_doc, out_s, out_e = [], [], []
+        for i in range(pr.num_rows):
+            iv, _capped = pair_span_intervals(
+                u_txts[i].encode("utf-8", "surrogatepass"),
+                v_txts[i].encode("utf-8", "surrogatepass"),
+                w, seed, min_len, max_matches,
+            )
+            if len(iv):
+                out_doc.append(np.full(len(iv), v_ids[i], dtype=np.int64))
+                out_s.append(iv[:, 0])
+                out_e.append(iv[:, 1])
+        if not out_doc:
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "start": pa.array(np.concatenate(out_s), pa.int64()),
+                "end": pa.array(np.concatenate(out_e), pa.int64()),
+            }
+        )
+
+    def tag_span(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "start": t["start"],
+                "end": t["end"],
+                "txt": pa.array([""] * n, pa.string()),
+                "is_txt": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "start": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+                "end": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+                "txt": t[text_col].cast(pa.string()),
+                "is_txt": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def splice(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cleaned_text": pa.array([], pa.string()),
+             "n_removed": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        is_txt = t["is_txt"].to_numpy(zero_copy_only=False)
+        docs = t.filter(pa.array(is_txt))
+        spans = t.filter(pa.array(~is_txt))
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        txts = docs["txt"].to_pylist()
+        s_doc = spans["doc_id"].to_numpy(zero_copy_only=False)
+        s_s = spans["start"].to_numpy(zero_copy_only=False)
+        s_e = spans["end"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s_doc, kind="stable")
+        s_doc, s_s, s_e = s_doc[order], s_s[order], s_e[order]
+        lo = np.searchsorted(s_doc, ids, side="left")
+        hi = np.searchsorted(s_doc, ids, side="right")
+        out_txt: list[str] = []
+        out_rm = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            if lo[i] == hi[i]:
+                out_txt.append(txts[i])
+                continue
+            raw = txts[i].encode("utf-8", "surrogatepass")
+            mask = np.ones(len(raw), dtype=bool)
+            for s, e in zip(s_s[lo[i]:hi[i]], s_e[lo[i]:hi[i]]):
+                mask[max(0, int(s)):min(len(raw), int(e))] = False
+            kept = np.frombuffer(raw, dtype=np.uint8)[mask].tobytes()
+            out_txt.append(kept.decode("utf-8", "surrogatepass"))
+            out_rm[i] = len(raw) - len(kept)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cleaned_text": pa.array(out_txt, pa.string()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+            }
+        )
+
+    tx_tagged = documents.map_batches(tag_text, batch_format="pyarrow")
+    pr_tagged = pairs.map_batches(tag_pair, batch_format="pyarrow")
+    hop1_out = hash_exchange(
+        pr_tagged.union(tx_tagged), "key", hop1, num_partitions
+    )
+    intervals = hash_exchange(
+        hop1_out.union(tx_tagged), "key", hop2_intervals, num_partitions
+    )
+    merged = intervals.map_batches(tag_span, batch_format="pyarrow").union(
+        documents.map_batches(tag_doc, batch_format="pyarrow")
+    )
+    return hash_exchange(merged, "doc_id", splice, num_partitions)

@@ -80,3 +80,110 @@ def test_dup_spans_dataset():
     assert (row.u, row.v) == (1, 2)
     assert row.lcs_len == len(" SHARED COMMON SPAN HERE ")
     assert not row.capped
+
+
+def test_pair_span_intervals_positions():
+    from rabbittclust_ray.stages.spans import pair_span_intervals
+
+    u = b"xxxx SHARED COMMON SPAN HERE yyyy"
+    v = b"aa SHARED COMMON SPAN HERE bb"
+    iv, capped = pair_span_intervals(u, v, w=8)
+    assert not capped
+    assert len(iv) == 1
+    s, e = iv[0]
+    assert v[s:e] == b" SHARED COMMON SPAN HERE "
+
+
+def test_strip_dup_spans_removes_later_copy():
+    from rabbittclust_ray.stages.spans import strip_dup_spans
+
+    pairs = ray.data.from_arrow(
+        pa.table({"u": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())})
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "content": [
+                    "prefix SHARED COMMON SPAN HERE suffix one",
+                    "other SHARED COMMON SPAN HERE tail two",
+                    "unrelated document three",
+                ],
+            }
+        )
+    )
+    out = strip_dup_spans(pairs, docs, w=8, num_partitions=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # earlier doc untouched; later doc loses the shared span; bystander intact
+    assert out.loc[1, "cleaned_text"].startswith("prefix SHARED")
+    assert out.loc[1, "n_removed"] == 0
+    assert "SHARED COMMON SPAN" not in out.loc[2, "cleaned_text"]
+    assert out.loc[2, "cleaned_text"] == "othertail two"
+    assert out.loc[2, "n_removed"] == len(" SHARED COMMON SPAN HERE ")
+    assert out.loc[3, "cleaned_text"] == "unrelated document three"
+    assert len(out) == 3
+
+
+def test_strip_dup_spans_exact_dup_empties_later_doc():
+    from rabbittclust_ray.stages.spans import strip_dup_spans
+
+    text = "完全" if False else "identical twin document body with enough length"
+    pairs = ray.data.from_arrow(
+        pa.table({"u": pa.array([10], pa.int64()), "v": pa.array([20], pa.int64())})
+    )
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([10, 20], pa.int64()),
+                  "content": [text, text]})
+    )
+    out = strip_dup_spans(pairs, docs, w=8, num_partitions=4) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[10, "cleaned_text"] == text
+    assert out.loc[20, "cleaned_text"] == ""
+    assert out.loc[20, "n_removed"] == len(text)
+
+
+def test_strip_dup_spans_no_pairs_is_identity():
+    from rabbittclust_ray.stages.spans import strip_dup_spans
+
+    pairs = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "content": ["alpha beta gamma delta", "epsilon zeta"]})
+    )
+    out = strip_dup_spans(pairs, docs, w=8, num_partitions=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert list(out["cleaned_text"]) == ["alpha beta gamma delta", "epsilon zeta"]
+    assert (out["n_removed"] == 0).all()
+
+
+def test_strip_dup_spans_overlapping_intervals_union():
+    from rabbittclust_ray.stages.spans import strip_dup_spans
+
+    # two earlier docs share overlapping spans with doc 3: the removed
+    # region is the UNION of intervals, chars removed once
+    pairs = ray.data.from_arrow(
+        pa.table({"u": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([3, 3], pa.int64())})
+    )
+    mid = "ABCDEFGHIJKLMNOPQR"  # 18 chars
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "content": [
+                    "uu " + mid[:12] + " vv",      # shares first 12
+                    "ww " + mid[6:] + " xx",       # shares last 12
+                    "head " + mid + " tail",
+                ],
+            }
+        )
+    )
+    out = strip_dup_spans(pairs, docs, w=8, num_partitions=4) \
+        .to_pandas().set_index("doc_id")
+    cleaned = out.loc[3, "cleaned_text"]
+    assert mid not in cleaned
+    assert cleaned.startswith("head") and cleaned.endswith("tail")
+    # union semantics: overlap removed once, so the doc is not emptied
+    assert len(mid) <= out.loc[3, "n_removed"] < len("head " + mid + " tail")
