@@ -13,6 +13,8 @@ Reference CLI (/root/reference/src/main.cpp:60-240): ``clust-mst`` /
     python -m rabbittclust_ray dbscan       -i docs.parquet -o out/ --min-pts 3
     python -m rabbittclust_ray dedup-corpus -i docs.parquet -o out/ \
         [--dedup-dist 0.02] [--embeddings emb.parquet --min-sim 0.9]  (training-data cascade)
+    python -m rabbittclust_ray strip-spans  -i docs.parquet -o out/ \
+        --dedup-dist 0.02 [--span-w 16]    (exact shared-span removal from later dups)
 
 Owns the Ray session (guarded init — the driver contract path never
 reaches this module)."""
@@ -219,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
     pdb.add_argument("verb", choices=("build", "append", "query", "assign", "stats"))
     pdb.add_argument("--topk", type=int, default=5)
     _add_common(pdb)
+    # exact shared-span removal over the duplicate-pair set
+    pss = sub.add_parser(
+        "strip-spans",
+        help="cut exact shared spans (>= --span-w chars) out of the LATER "
+             "doc of every duplicate pair at --dedup-dist; writes "
+             "stripped/ parquet (doc_id, cleaned_text, n_removed)",
+    )
+    _add_common(pss)
+    pss.add_argument("--span-w", type=int, default=16,
+                     help="seed w-gram width == minimum span length removed")
     # training-corpus dedup cascade (exact -> near -> optional semantic)
     pdc = sub.add_parser(
         "dedup-corpus",
@@ -334,6 +346,44 @@ def main(argv: list[str] | None = None) -> int:
                 _pq.write_table(linkage_matrix(result.mst),
                                 os.path.join(args.output, "linkage.parquet"))
             _write_outputs(args.output, result, ccfg.threshold, stream=getattr(args, "stream_out", False))
+        elif args.cmd == "strip-spans":
+            import dataclasses
+
+            import ray.data as _rd
+
+            from rabbittclust_ray.pipelines.clust_mst import clust_mst
+            from rabbittclust_ray.stages.prepare import prepare_documents
+            from rabbittclust_ray.stages.spans import strip_dup_spans
+
+            dd = args.dedup_dist if args.dedup_dist is not None else args.threshold
+            result = clust_mst(
+                ds, scfg, dataclasses.replace(ccfg, dedup_dist=dd)
+            )
+            import pyarrow as _pa
+
+            if result.dup_pairs is None or result.dup_pairs.num_rows == 0:
+                print("no duplicate pairs at this distance; nothing to strip")
+                pairs = _rd.from_arrow(_pa.table(
+                    {"u": _pa.array([], _pa.int64()),
+                     "v": _pa.array([], _pa.int64())}
+                ))
+            else:
+                pairs = _rd.from_arrow(result.dup_pairs.select(["u", "v"]))
+            prepared = prepare_documents(ds, scfg).map_batches(
+                lambda t: t.select(["doc_id", "content"]),
+                batch_format="pyarrow",
+            )
+            stripped = strip_dup_spans(
+                pairs, prepared, w=args.span_w,
+                id_col="doc_id", text_col="content",
+                num_partitions=ccfg.num_buckets,
+            )
+            os.makedirs(os.path.join(args.output, "stripped"), exist_ok=True)
+            stripped.write_parquet(os.path.join(args.output, "stripped"))
+            n = stripped.count()
+            print(f"stripped corpus written: {n} docs -> "
+                  f"{os.path.join(args.output, 'stripped')}")
+            return 0
         elif args.cmd == "dedup-corpus":
             from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
 

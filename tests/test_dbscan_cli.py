@@ -102,3 +102,31 @@ def test_cli_stream_out(tmp_path):
     assert len(a) > 0 and "cluster_id" in a.columns
     assert not (out / "clusters.txt").exists()
     assert (out / "dup_pairs.parquet").exists()
+
+
+def test_cli_strip_spans(tmp_path):
+    """strip-spans verb: near-dup pair detection then exact shared-span
+    removal from the later doc of each pair."""
+    from rabbittclust_ray.corpus import make_corpus
+
+    docs, _ = make_corpus(num_seeds=3, per_cluster=3, doc_len=1500,
+                          num_exact_dups=2, num_noise=3, num_short=0)
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(inp))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "strip-spans",
+         "-i", str(inp), "-o", str(out), "-d", "0.05", "-k", "12",
+         "--dedup-dist", "0.05", "--span-w", "16",
+         "--max-posting", "100000", "--num-buckets", "8", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.dataset as pads
+
+    stripped = pads.dataset(str(out / "stripped")).to_table().to_pandas()
+    assert {"doc_id", "cleaned_text", "n_removed"} <= set(stripped.columns)
+    assert len(stripped) > 0
+    # exact dups exist in the corpus -> at least one doc lost bytes
+    assert (stripped["n_removed"] > 0).any()
+    assert (stripped["n_removed"] >= 0).all()
