@@ -1253,6 +1253,121 @@ def _q_vocab_top_tokens(sf_dir: str):
     return vocab_top_tokens(ds, n=50)
 
 
+def _q_last_purchase_asof(sf_dir: str):
+    """Backward as-of join (custom operator class from the build brief):
+    every event joined to the SAME user's most recent prior (inclusive)
+    'purchase' event — one keyed exchange, C-vectorized merge_asof kernel.
+    Events before the user's first purchase carry nulls."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.joins import asof_join
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    left = ev.select_columns(["event_id", "user_id", "ts"])
+
+    def only_purchases(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts", "value"]
+        )
+
+    right = ev.map_batches(only_purchases, batch_format="pyarrow")
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+        right_prefix="purchase_", num_partitions=64,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["user_id", "ts_us", "event_id", "purchase_event_id",
+             "purchase_value"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_order_value_range(sf_dir: str):
+    """Range join (count form): per event, how many of the same user's
+    orders have o_totalprice within [value*50, value*500] — rank-space
+    counting kernel, one keyed exchange, no pairwise blow-up."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.joins import range_count_join
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def orders_keyed(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "o_totalprice"])
+
+    out = range_count_join(
+        ev, orders.map_batches(orders_keyed, batch_format="pyarrow"),
+        key="user_id", left_val="value", right_val="o_totalprice",
+        lo_mul=50.0, hi_mul=500.0, left_cols=["event_id"],
+        num_partitions=64,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "event_id", "value", "n_in_range"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_window_user_stats(sf_dir: str):
+    """Tumbling 6-hour windows per user: event count + ppm-integer value
+    sum (order-independent, bit-exact vs SQL). Partial aggregation per
+    batch before the single keyed exchange."""
+    from rabbittclust_ray.stages.events import window_aggregate
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return window_aggregate(ev, window_s=21600.0, num_partitions=64)
+
+
+def _q_segment_rollup(sf_dir: str):
+    """Star-schema rollup: events enriched with the broadcast customer
+    dimension (ray.put once, fact stream never shuffled for the join),
+    exact distinct users via user-keyed pre-partial -> tiny segment
+    exchange."""
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.stages.joins import segment_rollup
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )  # small dimension side: driver read + broadcast is the plan
+    return segment_rollup(ev, cust, num_partitions=32)
+
+
+def _q_topk_docs_per_source(sf_dir: str):
+    """Top-3 documents per source by (n_chars desc, doc_id asc) with a
+    1-based rank — keyed exchange on a deterministic group hash + one
+    vectorized sort/head per partition."""
+    from rabbittclust_ray.stages.joins import topk_per_group
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return topk_per_group(
+        docs, group_col="source", order_cols=["n_chars", "doc_id"],
+        ascending=[False, True], k=3, keep_cols=["doc_id", "n_chars"],
+        num_partitions=32,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1307,6 +1422,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "kmeans_embeddings": _q_kmeans,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "last_purchase_asof": _q_last_purchase_asof,
+        "order_value_range": _q_order_value_range,
+        "window_user_stats": _q_window_user_stats,
+        "segment_rollup": _q_segment_rollup,
+        "topk_docs_per_source": _q_topk_docs_per_source,
     }
 
 
@@ -1445,6 +1565,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> '' GROUP BY token
             ORDER BY count DESC, token LIMIT 50
+        """,
+        "last_purchase_asof": """
+            WITH p AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+            j AS (
+                SELECT e.event_id, p.event_id AS pid, p.value AS pval,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY p.ts_us DESC, p.event_id DESC,
+                                    p.value DESC
+                       ) AS rn
+                FROM e JOIN p
+                  ON p.user_id = e.user_id AND p.ts_us <= e.ts_us
+            )
+            SELECT e.user_id, e.ts_us, e.event_id,
+                   j.pid AS purchase_event_id, j.pval AS purchase_value
+            FROM e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
+        """,
+        "order_value_range": """
+            SELECT e.user_id, e.event_id, e.value,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_in_range
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_totalprice >= e.value * 50.0
+             AND o.o_totalprice <= e.value * 500.0
+            GROUP BY e.user_id, e.event_id, e.value
+        """,
+        "window_user_stats": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) - epoch_us(ts) % 21600000000
+                        AS BIGINT) AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_value_ppm
+            FROM events GROUP BY 1, 2
+        """,
+        "segment_rollup": """
+            SELECT c.c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                   CAST(sum(CAST(floor(e.value * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_value_ppm
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            GROUP BY 1
+        """,
+        "topk_docs_per_source": """
+            SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank
+            FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
         """,
         "corpus_dedup": _corpus_dedup_sql(),
         "corpus_dedup_decon": _corpus_dedup_sql(with_decon=True),

@@ -97,6 +97,90 @@ def sessionize(
     return hash_exchange(prepped, "user_id", reduce, num_partitions)
 
 
+def window_aggregate(
+    ds: ray.data.Dataset,
+    window_s: float = 3600.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the event stream: per
+    ``(user_id, window_start_us)`` emit ``n_events`` and ``sum_value_ppm``
+    (value summed as floor(value*1e6) int64 micro-units, so the sum is
+    associative/order-independent and bit-exact vs a SQL oracle — no
+    float-summation-order hazard).
+
+    Scale shape: per-batch PARTIAL aggregation (pandas C groupby) shrinks
+    the stream to at most one row per (user, window) per batch BEFORE the
+    single keyed exchange on ``user_id`` that finalizes — the combiner-
+    before-shuffle rule. Windows are aligned to the epoch
+    (``ts_us - ts_us % W``), the standard tumbling-window convention.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    w_us = int(round(window_s * 1_000_000))
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "window_start_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def _agg(uid: np.ndarray, wstart: np.ndarray, n: np.ndarray,
+             ppm: np.ndarray) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"user_id": uid, "window_start_us": wstart, "n": n, "ppm": ppm}
+        )
+        g = df.groupby(["user_id", "window_start_us"], sort=False).agg(
+            n_events=("n", "sum"), sum_value_ppm=("ppm", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "window_start_us": pa.array(
+                    g["window_start_us"].to_numpy(), pa.int64()
+                ),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "sum_value_ppm": pa.array(
+                    g["sum_value_ppm"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wstart = ts_us - ts_us % w_us
+        uid = t[user_col].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False)
+        ppm = np.floor(val * 1e6).astype(np.int64)
+        return _agg(uid, wstart, np.ones(len(uid), np.int64), ppm)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return _agg(
+            t["user_id"].to_numpy(zero_copy_only=False),
+            t["window_start_us"].to_numpy(zero_copy_only=False),
+            t["n_events"].to_numpy(zero_copy_only=False),
+            t["sum_value_ppm"].to_numpy(zero_copy_only=False),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, "user_id", finalize, num_partitions)
+
+
 def session_stats(sessions: ray.data.Dataset) -> ray.data.Dataset:
     """Per-session aggregate over a ``sessionize`` result:
     ``(user_id, session_idx, n_events)`` — a small composition on top of

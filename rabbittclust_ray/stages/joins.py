@@ -1,0 +1,576 @@
+"""Relational operators Ray Data lacks natively: as-of join, range join,
+broadcast dimension lookup, top-k per group.
+
+Training-data/analytics extensions beyond the reference (the custom
+"as-of join / range join" operator classes from the build brief —
+SURVEY.md §2's custom-operator rule (a): compositions of keyed exchange +
+vectorized per-partition kernels).
+
+Shared shape: ONE keyed exchange co-locates both streams on the join key,
+then the per-partition kernel is fully vectorized (pandas ``merge_asof``
+C kernel, numpy rank-space counting, searchsorted lookups) — no per-row
+or per-group Python in the hot path. Partitioning assumption (documented
+per the brief): one key's rows fit a reducer partition — the classic
+keyed-join contract; a key hotter than a partition would need salting +
+a second merge pass, which none of the test corpora require.
+
+The broadcast lookup is the "small side broadcast, never shuffled" plan:
+the dimension table is ``ray.put`` once and each map task reads it
+zero-copy from plasma — the fact stream never moves.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_SIDE_LEFT = 1
+_SIDE_RIGHT = 0
+
+
+def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _ts_us(t: pa.Table, ts_col: str) -> pa.Array:
+    """Timestamp/int column -> int64 microseconds."""
+    ts = t[ts_col]
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    return ts.cast(pa.int64())
+
+
+def _tag_union(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    prep_left,
+    prep_right,
+) -> ray.data.Dataset:
+    """Union two streams into one exchange input with a ``side`` marker.
+    Both prep fns must emit the SAME schema (null-fill the other side's
+    payload columns) so downstream blocks unify without casts."""
+    lt = left.map_batches(prep_left, batch_format="pyarrow")
+    rt = right.map_batches(prep_right, batch_format="pyarrow")
+    return lt.union(rt)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    right_prefix: str = "r_",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Backward as-of join: for every left row, attach the right row of the
+    same ``key`` with the greatest ``ts`` <= left ``ts`` (inclusive), LEFT
+    semantics (no prior right row -> nulls).
+
+    Ties on right ``ts`` within a key break deterministically toward the
+    row with the LARGEST ``right_cols`` tuple (right is stably sorted by
+    ``right_cols`` then ``ts``; pandas ``merge_asof`` backward picks the
+    last qualifying row).
+
+    ``key`` must be an integer column (hash string keys to int64 first —
+    see ``topk_per_group`` for the pattern). Output columns:
+    ``key``, ``ts_us``, *left_cols, *[right_prefix + c for right_cols]
+    (right payload nullable).
+
+    Scale shape: one keyed exchange; per-partition work is two stable
+    sorts + one C-vectorized ``merge_asof``. Right stream is typically the
+    small marker stream (e.g. purchase events) but nothing requires it.
+    """
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    out_right = [right_prefix + c for c in right_cols]
+    if set(left_cols) & set(out_right):
+        raise ValueError("right_prefix does not disambiguate output columns")
+
+    # resolve payload types up front so both preps emit one unified schema
+    # (null-filled on the other side) and union blocks agree without casts.
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = {c: lschema.base_schema.field(c).type for c in left_cols}
+    rtypes = {c: rschema.base_schema.field(c).type for c in right_cols}
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t[key].cast(pa.int64())
+            if not isinstance(t[key], pa.ChunkedArray)
+            else t[key].combine_chunks().cast(pa.int64()),
+            "ts_us": _ts_us(t, ts),
+            "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+        }
+        for c in left_cols:
+            cols[c] = t[c]
+        for c, oc in zip(right_cols, out_right):
+            cols[oc] = pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t[key].cast(pa.int64())
+            if not isinstance(t[key], pa.ChunkedArray)
+            else t[key].combine_chunks().cast(pa.int64()),
+            "ts_us": _ts_us(t, ts),
+            "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c, oc in zip(right_cols, out_right):
+            cols[oc] = t[c]
+        return pa.table(cols)
+
+    out_fields = (
+        [("key", pa.int64()), ("ts_us", pa.int64())]
+        + [(c, ltypes[c]) for c in left_cols]
+        + [(oc, rtypes[c]) for c, oc in zip(right_cols, out_right)]
+    )
+    empty = pa.table({n_: pa.array([], t_) for n_, t_ in out_fields})
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = _np(t["side"]) if t.num_rows else np.array([], np.int8)
+        lmask = side == _SIDE_LEFT
+        if not lmask.any():
+            return empty
+        keys = _np(t["key"])
+        tsus = _np(t["ts_us"])
+        ldf = pd.DataFrame({"key": keys[lmask], "ts_us": tsus[lmask]})
+        for c in left_cols:
+            ldf[c] = _np(t[c])[lmask]
+        rmask = ~lmask
+        rdf = pd.DataFrame({"key": keys[rmask], "ts_us": tsus[rmask]})
+        for c, oc in zip(right_cols, out_right):
+            rdf[oc] = _np(t[oc])[rmask]
+        rdf["__m__"] = np.int8(1)
+        # merge_asof needs both frames globally sorted by the on column;
+        # stable pre-sort by the tie columns makes the last equal-ts right
+        # row (= merge_asof's pick) the max right_cols tuple.
+        ldf = ldf.sort_values("ts_us", kind="stable", ignore_index=True)
+        rdf = rdf.sort_values(out_right, kind="stable", ignore_index=True)
+        rdf = rdf.sort_values("ts_us", kind="stable", ignore_index=True)
+        merged = pd.merge_asof(
+            ldf, rdf, on="ts_us", by="key", direction="backward",
+            allow_exact_matches=True,
+        )
+        miss = merged["__m__"].isna().to_numpy()
+        cols: dict[str, pa.Array] = {
+            "key": pa.array(merged["key"].to_numpy(), pa.int64()),
+            "ts_us": pa.array(merged["ts_us"].to_numpy(), pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = pa.array(merged[c].to_numpy(), ltypes[c])
+        for c, oc in zip(right_cols, out_right):
+            vals = merged[oc].to_numpy()
+            typ = rtypes[c]
+            if pa.types.is_integer(typ):
+                filled = np.where(miss, 0, vals).astype(np.int64)
+                cols[oc] = pa.array(filled, typ, mask=miss)
+            else:
+                cols[oc] = pa.array(vals, typ, mask=miss, from_pandas=True)
+        return pa.table(cols)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    unioned = _tag_union(left, right, prep_left, prep_right)
+    return hash_exchange(unioned, "key", reduce, num_partitions)
+
+
+def range_count_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    left_val: str,
+    right_val: str,
+    lo_mul: float,
+    hi_mul: float,
+    left_cols: Sequence[str],
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Range join (count form): for every left row, the number of right
+    rows with the same ``key`` and ``right_val`` in the closed interval
+    ``[left_val * lo_mul, left_val * hi_mul]``.
+
+    Per-partition kernel is rank-space counting — ONE lexsort over
+    (rights + 2 query points per left row), no per-key slicing, no
+    pairwise blow-up even under key skew:
+
+      count(l) = |{r : r.val <= l.val*hi}| - |{r : r.val < l.val*lo}|
+
+    within l's key, computed by ranking each query bound among the sorted
+    rights. Bound multiplications are plain float64 ops so a SQL oracle
+    using the same literals reproduces them bit-exactly.
+
+    Output: ``key``, *left_cols, ``val`` (left_val), ``n_in_range``.
+    """
+    left_cols = list(left_cols)
+    lschema = left.schema()
+    ltypes = {c: lschema.base_schema.field(c).type for c in left_cols}
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t[key].combine_chunks().cast(pa.int64())
+            if isinstance(t[key], pa.ChunkedArray)
+            else t[key].cast(pa.int64()),
+            "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+            "val": t[left_val].combine_chunks().cast(pa.float64())
+            if isinstance(t[left_val], pa.ChunkedArray)
+            else t[left_val].cast(pa.float64()),
+        }
+        for c in left_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t[key].combine_chunks().cast(pa.int64())
+            if isinstance(t[key], pa.ChunkedArray)
+            else t[key].cast(pa.int64()),
+            "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+            "val": t[right_val].combine_chunks().cast(pa.float64())
+            if isinstance(t[right_val], pa.ChunkedArray)
+            else t[right_val].cast(pa.float64()),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(n, ltypes[c])
+        return pa.table(cols)
+
+    out_fields = (
+        [("key", pa.int64())]
+        + [(c, ltypes[c]) for c in left_cols]
+        + [("val", pa.float64()), ("n_in_range", pa.int64())]
+    )
+    empty = pa.table({n_: pa.array([], t_) for n_, t_ in out_fields})
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any():
+            return empty
+        keys = _np(t["key"])
+        vals = _np(t["val"])
+        lk, lv = keys[lmask], vals[lmask]
+        rk, rv = keys[~lmask], vals[~lmask]
+        nl, nr = len(lk), len(rk)
+        # rank-space counting: rights rank 1; inclusive-hi queries rank 2
+        # (sort AFTER equal-val rights); exclusive-lo queries rank 0
+        # (sort BEFORE equal-val rights).
+        ck = np.concatenate([rk, lk, lk])
+        cv = np.concatenate([rv, lv * np.float64(hi_mul), lv * np.float64(lo_mul)])
+        cr = np.concatenate(
+            [np.ones(nr, np.int8), np.full(nl, 2, np.int8), np.zeros(nl, np.int8)]
+        )
+        order = np.lexsort((cr, cv, ck))
+        is_right = (cr == 1)[order].astype(np.int64)
+        cum = np.cumsum(is_right)  # rights at positions <= p (sorted order)
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        # rights strictly before each query in sorted order; key< k terms
+        # cancel between the two bounds.
+        upto = cum[inv] - is_right[inv]
+        hi_upto = upto[nr : nr + nl]
+        lo_upto = upto[nr + nl :]
+        counts = hi_upto - lo_upto
+        cols = {"key": pa.array(lk, pa.int64())}
+        for c in left_cols:
+            cols[c] = pa.table({c: t[c]}).filter(pa.array(lmask))[c]
+        cols["val"] = pa.array(lv, pa.float64())
+        cols["n_in_range"] = pa.array(counts, pa.int64())
+        return pa.table(cols)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    unioned = _tag_union(left, right, prep_left, prep_right)
+    return hash_exchange(unioned, "key", reduce, num_partitions)
+
+
+def broadcast_lookup(
+    facts: ray.data.Dataset,
+    dim: pa.Table,
+    *,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: Sequence[str],
+) -> ray.data.Dataset:
+    """Broadcast (map-side) dimension join: attach ``dim_cols`` from the
+    small ``dim`` table to every fact row, LEFT semantics (unmatched keys
+    -> nulls). The dim table is ``ray.put`` ONCE; every map task reads it
+    zero-copy from plasma — the fact stream is never shuffled (the brief's
+    "broadcast small sides" rule; contrast with the keyed-exchange joins
+    above, which move both streams).
+
+    ``dim_key`` must be unique in ``dim`` (dimension-table contract;
+    violations raise at build time, not silently pick a row).
+    """
+    dim_cols = list(dim_cols)
+    dk = _np(dim[dim_key]).astype(np.int64)
+    order = np.argsort(dk, kind="stable")
+    dk = dk[order]
+    if len(dk) > 1 and (dk[1:] == dk[:-1]).any():
+        raise ValueError(f"broadcast_lookup: duplicate {dim_key} in dim table")
+    payload = {}
+    dtypes = {}
+    for c in dim_cols:
+        col = dim[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        payload[c] = col.take(pa.array(order))
+        dtypes[c] = col.type
+    ref = ray.put((dk, {c: a for c, a in payload.items()}))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        keys_np, cols_sorted = ray.get(ref)  # zero-copy plasma read
+        fk = _np(t[fact_key]).astype(np.int64)
+        idx = np.searchsorted(keys_np, fk)
+        idx_c = np.minimum(idx, len(keys_np) - 1) if len(keys_np) else idx
+        match = (
+            (idx < len(keys_np)) & (keys_np[idx_c] == fk)
+            if len(keys_np)
+            else np.zeros(len(fk), bool)
+        )
+        out = t
+        take_idx = pa.array(
+            np.where(match, idx_c, 0).astype(np.int64), pa.int64()
+        )
+        miss = ~match
+        match_arr = pa.array(match)
+        for c in dim_cols:
+            vals = cols_sorted[c].take(take_idx)
+            if miss.any():
+                vals = pa.compute.if_else(
+                    match_arr, vals, pa.nulls(len(match), dtypes[c])
+                )
+            out = out.append_column(c, vals)
+        return out
+
+    return facts.map_batches(lookup, batch_format="pyarrow")
+
+
+def segment_rollup(
+    events: ray.data.Dataset,
+    customer: pa.Table,
+    *,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Star-schema rollup: enrich events with the customer dimension via
+    ``broadcast_lookup`` and aggregate per market segment:
+    ``(segment, n_events, n_users, sum_value_ppm)``.
+
+    Exact COUNT DISTINCT users without a wide shuffle: per-batch partial
+    groupby (segment, user) -> keyed exchange on user_id (finalize one row
+    per (user, segment)) -> per-batch partial per segment -> tiny final
+    exchange on the segment code (cardinality = #segments). The fact
+    stream crosses the wire once, pre-reduced to per-(user,segment) rows.
+
+    value is summed in ppm integers (floor(value*1e6)) so the sum is
+    order-independent and bit-exact vs the SQL oracle.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    seg_col = customer["c_mktsegment"]
+    if isinstance(seg_col, pa.ChunkedArray):
+        seg_col = seg_col.combine_chunks()
+    seg_codes = seg_col.dictionary_encode()
+    uniques = seg_codes.dictionary.to_pylist()
+    codes = seg_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dim = pa.table(
+        {
+            "c_custkey": customer["c_custkey"],
+            "seg_code": pa.array(codes, pa.int64()),
+        }
+    )
+    enriched = broadcast_lookup(
+        events, dim, fact_key="user_id", dim_key="c_custkey",
+        dim_cols=["seg_code"],
+    )
+
+    def partial_user(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "seg_code": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ppm": pa.array([], pa.int64()),
+                }
+            )
+        uid = _np(t["user_id"])
+        seg = _np(t["seg_code"])  # nulls surface as NaN (float dtype)
+        keep = (  # inner-join semantics: drop unmatched fact rows
+            ~np.isnan(seg) if seg.dtype.kind == "f"
+            else np.ones(len(seg), bool)
+        )
+        ppm = np.floor(_np(t["value"]) * 1e6).astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": uid[keep], "seg_code": seg[keep].astype(np.int64),
+             "ppm": ppm[keep]}
+        )
+        g = df.groupby(["user_id", "seg_code"], sort=False).agg(
+            n=("ppm", "size"), ppm=("ppm", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "seg_code": pa.array(g["seg_code"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "ppm": pa.array(g["ppm"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_user(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        g = df.groupby(["user_id", "seg_code"], sort=False).agg(
+            n=("n", "sum"), ppm=("ppm", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def partial_seg(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "seg_code": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "ppm": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        g = df.groupby("seg_code", sort=False).agg(
+            n_events=("n", "sum"), n_users=("user_id", "size"),
+            ppm=("ppm", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final_seg(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "seg_code": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "sum_value_ppm": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        g = df.groupby("seg_code", sort=True).agg(
+            n_events=("n_events", "sum"), n_users=("n_users", "sum"),
+            sum_value_ppm=("ppm", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = enriched.map_batches(partial_user, batch_format="pyarrow")
+    by_user = hash_exchange(partials, "user_id", per_user, num_partitions)
+    seg_partials = by_user.map_batches(partial_seg, batch_format="pyarrow")
+    rolled = hash_exchange(seg_partials, "seg_code", final_seg, 8)
+
+    seg_names = pa.array(uniques, pa.string())
+
+    def name_segments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "segment": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "sum_value_ppm": pa.array([], pa.int64()),
+                }
+            )
+        code = _np(t["seg_code"]).astype(np.int64)
+        return pa.table(
+            {
+                "segment": seg_names.take(pa.array(code, pa.int64())),
+                "n_events": t["n_events"],
+                "n_users": t["n_users"],
+                "sum_value_ppm": t["sum_value_ppm"],
+            }
+        )
+
+    return rolled.map_batches(name_segments, batch_format="pyarrow")
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    order_cols: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+    keep_cols: Sequence[str],
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Top-k rows per group under a total order: one keyed exchange on a
+    deterministic int64 hash of ``group_col`` (``pd.util.hash_array``,
+    the engine's string-key convention — hash collisions are harmless
+    because the reducer groups on the REAL group values), then a single
+    per-partition sort + groupby-head. Emits ``rank`` (1-based).
+
+    Scale note: a group larger than a partition would need a per-map-task
+    local top-k pre-prune (keep k per group per batch) before the
+    exchange — add ``local_prune=True`` work here if a corpus ever has
+    such groups; the test corpora don't, and the prune is semantics-
+    preserving so the oracle stays valid.
+    """
+    order_cols = list(order_cols)
+    ascending = list(ascending)
+    keep_cols = list(keep_cols)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = _np(t[group_col])
+        gkey = pd.util.hash_array(g.astype(object)).astype(np.int64)
+        return t.append_column("__gkey__", pa.array(gkey, pa.int64()))
+
+    out_cols = [group_col] + keep_cols + ["rank"]
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return t.append_column("rank", pa.array([], pa.int64())).select(
+                out_cols
+            )
+        df = t.to_pandas()
+        df = df.sort_values(order_cols, ascending=ascending, kind="stable",
+                            ignore_index=True)
+        df["rank"] = df.groupby(group_col, sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        out = pa.Table.from_pandas(df[out_cols], preserve_index=False)
+        return out.set_column(
+            out.schema.get_field_index("rank"),
+            "rank",
+            out["rank"].cast(pa.int64()),
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)

@@ -1,0 +1,353 @@
+"""Relational join operators: as-of join, range-count join, broadcast
+lookup, segment rollup, top-k per group, tumbling windows — all pinned
+against brute-force Python replays on deterministic synthetic streams
+(the SQL oracles cover the sf tables; these cover null/tie/skew edges)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.events import window_aggregate
+from rabbittclust_ray.stages.joins import (
+    asof_join,
+    broadcast_lookup,
+    range_count_join,
+    segment_rollup,
+    topk_per_group,
+)
+
+
+def _events(n=400, n_users=7, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 10_000_000, size=n))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n).astype(np.int64), pa.int64()
+            ),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(
+                rng.choice(["view", "purchase", "click"], size=n), pa.string()
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0.01, 50.0, size=n), 2), pa.float64()
+            ),
+        }
+    )
+
+
+class TestAsofJoin:
+    def _brute(self, tbl: pa.Table) -> pd.DataFrame:
+        df = tbl.to_pandas()
+        df["ts_us"] = df["ts"].astype("int64")
+        p = df[df["event_type"] == "purchase"]
+        out = []
+        for _, e in df.iterrows():
+            cand = p[(p.user_id == e.user_id) & (p.ts_us <= e.ts_us)]
+            if len(cand):
+                best = cand.sort_values(["ts_us", "event_id"]).iloc[-1]
+                out.append((e.event_id, int(best.event_id), best.value))
+            else:
+                out.append((e.event_id, None, None))
+        return pd.DataFrame(
+            out, columns=["event_id", "p_event_id", "p_value"]
+        ).set_index("event_id")
+
+    def test_matches_bruteforce(self):
+        tbl = _events()
+        left = ray.data.from_arrow(tbl)
+        right = ray.data.from_arrow(
+            tbl.filter(pa.compute.equal(tbl["event_type"], "purchase"))
+        )
+        got = asof_join(
+            left, right, key="user_id", ts="ts",
+            left_cols=["event_id"], right_cols=["event_id", "value"],
+            right_prefix="p_", num_partitions=8,
+        ).to_pandas().set_index("event_id").sort_index()
+        want = self._brute(tbl).sort_index()
+        assert len(got) == len(want)
+        for eid in want.index:
+            w_id = want.loc[eid, "p_event_id"]
+            g_id = got.loc[eid, "p_event_id"]
+            if pd.isna(w_id):
+                assert pd.isna(g_id)
+                assert pd.isna(got.loc[eid, "p_value"])
+            else:
+                assert int(g_id) == int(w_id)
+                assert got.loc[eid, "p_value"] == want.loc[eid, "p_value"]
+
+    def test_exact_ts_match_is_inclusive(self):
+        # a purchase event matches itself (ts equal, inclusive backward)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "user_id": pa.array([5, 5], pa.int64()),
+                "ts": pa.array([100, 100], pa.timestamp("us")),
+                "event_type": pa.array(["purchase", "purchase"], pa.string()),
+                "value": pa.array([1.5, 2.5], pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        got = asof_join(
+            ds, ds, key="user_id", ts="ts",
+            left_cols=["event_id"], right_cols=["event_id", "value"],
+            right_prefix="p_", num_partitions=2,
+        ).to_pandas().set_index("event_id")
+        # tie on ts -> max right (event_id, value) tuple wins: event 1
+        assert int(got.loc[0, "p_event_id"]) == 1
+        assert int(got.loc[1, "p_event_id"]) == 1
+
+    def test_no_prior_right_rows_yield_nulls(self):
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([0], pa.int64()),
+                    "user_id": pa.array([1], pa.int64()),
+                    "ts": pa.array([10], pa.timestamp("us")),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([7], pa.int64()),
+                    "user_id": pa.array([1], pa.int64()),
+                    "ts": pa.array([999], pa.timestamp("us")),  # later only
+                    "value": pa.array([3.0], pa.float64()),
+                }
+            )
+        )
+        got = asof_join(
+            left, right, key="user_id", ts="ts",
+            left_cols=["event_id"], right_cols=["event_id", "value"],
+            right_prefix="p_", num_partitions=2,
+        ).to_pandas()
+        assert len(got) == 1
+        assert pd.isna(got.loc[0, "p_event_id"])
+        assert pd.isna(got.loc[0, "p_value"])
+
+
+class TestRangeCountJoin:
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(11)
+        nl, nr = 300, 500
+        left = pa.table(
+            {
+                "event_id": pa.array(np.arange(nl), pa.int64()),
+                "user_id": pa.array(
+                    rng.integers(0, 5, nl).astype(np.int64), pa.int64()
+                ),
+                "value": pa.array(rng.uniform(1, 100, nl), pa.float64()),
+            }
+        )
+        right = pa.table(
+            {
+                "o_custkey": pa.array(
+                    rng.integers(0, 5, nr).astype(np.int64), pa.int64()
+                ),
+                "o_totalprice": pa.array(
+                    rng.uniform(1, 5000, nr), pa.float64()
+                ),
+            }
+        )
+        got = range_count_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(
+                right.rename_columns(["user_id", "value"])
+            ),
+            key="user_id", left_val="value", right_val="value",
+            lo_mul=5.0, hi_mul=40.0, left_cols=["event_id"],
+            num_partitions=8,
+        ).to_pandas().set_index("event_id").sort_index()
+        ldf, rdf = left.to_pandas(), right.to_pandas()
+        for _, e in ldf.iterrows():
+            m = rdf[
+                (rdf.o_custkey == e.user_id)
+                & (rdf.o_totalprice >= e.value * 5.0)
+                & (rdf.o_totalprice <= e.value * 40.0)
+            ]
+            assert got.loc[e.event_id, "n_in_range"] == len(m)
+
+    def test_inclusive_bounds(self):
+        left = pa.table(
+            {
+                "event_id": pa.array([0], pa.int64()),
+                "user_id": pa.array([1], pa.int64()),
+                "value": pa.array([2.0], pa.float64()),
+            }
+        )
+        # rights exactly AT lo (2*3=6) and hi (2*7=14), one inside, two out
+        right = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 1], pa.int64()),
+                "value": pa.array([6.0, 14.0, 10.0, 5.999, 14.001],
+                                  pa.float64()),
+            }
+        )
+        got = range_count_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_val="value", right_val="value",
+            lo_mul=3.0, hi_mul=7.0, left_cols=["event_id"],
+            num_partitions=2,
+        ).to_pandas()
+        assert got.loc[0, "n_in_range"] == 3
+
+
+class TestBroadcastLookup:
+    def test_left_semantics_and_values(self):
+        facts = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1, 2], pa.int64()),
+                    "user_id": pa.array([10, 99, 20], pa.int64()),
+                }
+            )
+        )
+        dim = pa.table(
+            {
+                "c_custkey": pa.array([20, 10], pa.int64()),
+                "c_mktsegment": pa.array(["AUTO", "HOUSE"], pa.string()),
+            }
+        )
+        got = broadcast_lookup(
+            facts, dim, fact_key="user_id", dim_key="c_custkey",
+            dim_cols=["c_mktsegment"],
+        ).to_pandas().set_index("event_id").sort_index()
+        assert got.loc[0, "c_mktsegment"] == "HOUSE"
+        assert pd.isna(got.loc[1, "c_mktsegment"])  # unmatched -> null
+        assert got.loc[2, "c_mktsegment"] == "AUTO"
+
+    def test_duplicate_dim_key_raises(self):
+        facts = ray.data.from_arrow(
+            pa.table({"user_id": pa.array([1], pa.int64())})
+        )
+        dim = pa.table(
+            {
+                "c_custkey": pa.array([1, 1], pa.int64()),
+                "seg": pa.array(["A", "B"], pa.string()),
+            }
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            broadcast_lookup(
+                facts, dim, fact_key="user_id", dim_key="c_custkey",
+                dim_cols=["seg"],
+            )
+
+
+class TestSegmentRollup:
+    def test_matches_bruteforce(self):
+        tbl = _events(n=500, n_users=30, seed=9)
+        rng = np.random.default_rng(4)
+        cust = pa.table(
+            {
+                "c_custkey": pa.array(np.arange(40), pa.int64()),
+                "c_mktsegment": pa.array(
+                    rng.choice(["A", "B", "C"], 40), pa.string()
+                ),
+            }
+        )
+        got = segment_rollup(
+            ray.data.from_arrow(tbl), cust, num_partitions=8
+        ).to_pandas().set_index("segment").sort_index()
+        df = tbl.to_pandas().merge(
+            cust.to_pandas(), left_on="user_id", right_on="c_custkey"
+        )
+        df["ppm"] = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+        want = df.groupby("c_mktsegment").agg(
+            n_events=("event_id", "size"),
+            n_users=("user_id", "nunique"),
+            sum_value_ppm=("ppm", "sum"),
+        )
+        assert len(got) == len(want)
+        for seg in want.index:
+            for c in ("n_events", "n_users", "sum_value_ppm"):
+                assert got.loc[seg, c] == want.loc[seg, c], (seg, c)
+
+
+class TestTopkPerGroup:
+    def test_matches_window_replay(self):
+        rng = np.random.default_rng(21)
+        n = 400
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "source": pa.array(
+                    rng.choice(["s1", "s2", "s3", "s4"], n), pa.string()
+                ),
+                "n_chars": pa.array(
+                    rng.integers(0, 50, n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        got = topk_per_group(
+            ray.data.from_arrow(tbl), group_col="source",
+            order_cols=["n_chars", "doc_id"], ascending=[False, True],
+            k=5, keep_cols=["doc_id", "n_chars"], num_partitions=8,
+        ).to_pandas()
+        df = tbl.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        )
+        df["rank"] = df.groupby("source", sort=False).cumcount() + 1
+        want = df[df["rank"] <= 5]
+        g = got.sort_values(["source", "rank"]).reset_index(drop=True)
+        w = want.sort_values(["source", "rank"]).reset_index(drop=True)
+        assert len(g) == len(w)
+        assert (g["doc_id"].to_numpy() == w["doc_id"].to_numpy()).all()
+        assert (g["rank"].to_numpy() == w["rank"].to_numpy()).all()
+
+    def test_group_smaller_than_k(self):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "source": pa.array(["only", "only"], pa.string()),
+                "n_chars": pa.array([5, 9], pa.int64()),
+            }
+        )
+        got = topk_per_group(
+            ray.data.from_arrow(tbl), group_col="source",
+            order_cols=["n_chars", "doc_id"], ascending=[False, True],
+            k=10, keep_cols=["doc_id", "n_chars"], num_partitions=2,
+        ).to_pandas().sort_values("rank")
+        assert list(got["doc_id"]) == [1, 0]
+        assert list(got["rank"]) == [1, 2]
+
+
+class TestWindowAggregate:
+    def test_matches_bruteforce(self):
+        tbl = _events(n=600, n_users=9, seed=17)
+        got = window_aggregate(
+            ray.data.from_arrow(tbl), window_s=2.0, num_partitions=8
+        ).to_pandas().set_index(["user_id", "window_start_us"]).sort_index()
+        df = tbl.to_pandas()
+        ts_us = df["ts"].astype("int64")
+        df["w"] = ts_us - ts_us % 2_000_000
+        df["ppm"] = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+        want = df.groupby(["user_id", "w"]).agg(
+            n_events=("event_id", "size"), sum_value_ppm=("ppm", "sum")
+        )
+        assert len(got) == len(want)
+        for idx in want.index:
+            assert got.loc[idx, "n_events"] == want.loc[idx, "n_events"]
+            assert (
+                got.loc[idx, "sum_value_ppm"] == want.loc[idx, "sum_value_ppm"]
+            )
+
+    def test_block_layout_invariance(self):
+        # partial-agg + exchange must not depend on how input is blocked
+        tbl = _events(n=300, n_users=5, seed=23)
+        a = window_aggregate(
+            ray.data.from_arrow(tbl), window_s=5.0, num_partitions=4
+        ).to_pandas().sort_values(["user_id", "window_start_us"]).reset_index(
+            drop=True
+        )
+        b = window_aggregate(
+            ray.data.from_arrow(tbl).repartition(13), window_s=5.0,
+            num_partitions=2,
+        ).to_pandas().sort_values(["user_id", "window_start_us"]).reset_index(
+            drop=True
+        )
+        pd.testing.assert_frame_equal(a, b)
