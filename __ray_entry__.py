@@ -1368,6 +1368,89 @@ def _q_topk_docs_per_source(sf_dir: str):
     )
 
 
+def _q_event_customer_join(sf_dir: str):
+    """General distributed equi-join (shuffle hash join, both sides
+    exchanged — contrast with the broadcast plan in segment_rollup):
+    events LEFT JOIN customer on user_id."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.joins import equi_join
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    cust = _read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def cust_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"].cast(pa.int64())
+                if not isinstance(t["c_nationkey"], pa.ChunkedArray)
+                else t["c_nationkey"].combine_chunks().cast(pa.int64()),
+                "c_acctbal": t["c_acctbal"],
+            }
+        )
+
+    out = equi_join(
+        ev, cust.map_batches(cust_keyed, batch_format="pyarrow"),
+        key="user_id", left_cols=["event_id"],
+        right_cols=["c_nationkey", "c_acctbal"], how="left",
+        num_partitions=64,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["user_id", "event_id", "c_nationkey", "c_acctbal"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_user_event_pivot(sf_dir: str):
+    """Pivot / wide conditional aggregate: per user, one count column per
+    event type (fixed category list = stable schema) — per-batch partials
+    before the single keyed exchange."""
+    from rabbittclust_ray.stages.joins import pivot_count
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_count(
+        ev, group_col="user_id", pivot_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+        num_partitions=32,
+    )
+
+
+def _q_rolling_value_sum(sf_dir: str):
+    """Trailing window function (ROWS 2 PRECEDING): per event, ppm-integer
+    value sum over the user's last 3 events ordered by (ts, event_id)."""
+    from rabbittclust_ray.stages.events import rolling_value_sum
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_value_sum(ev, k=3, num_partitions=64)
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact per-source n_chars quantiles (p25/p50/p75, rank rule
+    ceil(q*n)) from mergeable value-count histograms — state per group is
+    its distinct-value count, not its row count."""
+    from rabbittclust_ray.stages.stats import grouped_quantiles
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return grouped_quantiles(
+        docs, group_col="source", value_col="n_chars",
+        qs=(0.25, 0.5, 0.75), num_partitions=32,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1427,6 +1510,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_user_stats": _q_window_user_stats,
         "segment_rollup": _q_segment_rollup,
         "topk_docs_per_source": _q_topk_docs_per_source,
+        "event_customer_join": _q_event_customer_join,
+        "user_event_pivot": _q_user_event_pivot,
+        "rolling_value_sum": _q_rolling_value_sum,
+        "length_quantiles_per_source": _q_length_quantiles,
     }
 
 
@@ -1623,6 +1710,63 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        "event_customer_join": """
+            SELECT e.user_id, e.event_id,
+                   CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   c.c_acctbal
+            FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type NOT IN
+                        ('click','error','purchase','signup','view'))
+                        AS BIGINT) AS n_other
+            FROM events GROUP BY user_id
+        """,
+        "rolling_value_sum": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS ppm
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(ppm) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling_value_ppm
+            FROM e
+        """,
+        "length_quantiles_per_source": """
+            WITH r AS (
+                SELECT source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY n_chars
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY source) AS cnt
+                FROM documents
+            )
+            SELECT source, CAST(max(cnt) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.25 * cnt) AS BIGINT))
+                        THEN n_chars END) AS BIGINT) AS q25,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.5 * cnt) AS BIGINT))
+                        THEN n_chars END) AS BIGINT) AS q50,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.75 * cnt) AS BIGINT))
+                        THEN n_chars END) AS BIGINT) AS q75
+            FROM r GROUP BY source
         """,
         "corpus_dedup": _corpus_dedup_sql(),
         "corpus_dedup_decon": _corpus_dedup_sql(with_decon=True),

@@ -181,6 +181,83 @@ def window_aggregate(
     return hash_exchange(partials, "user_id", finalize, num_partitions)
 
 
+def rolling_value_sum(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Per-event trailing-window sum (the ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW window-function class): for every event, the sum of
+    floor(value*1e6) ppm integers over the user's last ``k`` events
+    inclusive, ordered by ``(ts, event_id)``.
+
+    One keyed exchange on ``user_id``; the reducer is a single vectorized
+    pass — sort, prefix-sum, and a per-row window-start index computed
+    from user boundaries (no per-user loop). Integer sums keep the result
+    order-independent and bit-exact vs a SQL window oracle.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "rolling_value_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        val = t[value_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t[id_col],
+                "user_id": t[user_col],
+                "ts_us": ts.cast(pa.int64()),
+                "ppm": pa.array(
+                    np.floor(val * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        ppm = t["ppm"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        eid, uid, ppm = eid[order], uid[order], ppm[order]
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # index of each row's user-segment start, propagated vectorized
+        start = np.where(new_user, np.arange(n), 0)
+        np.maximum.accumulate(start, out=start)
+        cs = np.cumsum(ppm)
+        j = np.maximum(start, np.arange(n) - (k - 1))
+        prev = np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
+        out = cs - prev
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "rolling_value_ppm": pa.array(out, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(prepped, "user_id", reduce, num_partitions)
+
+
 def session_stats(sessions: ray.data.Dataset) -> ray.data.Dataset:
     """Per-session aggregate over a ``sessionize`` result:
     ``(user_id, session_idx, n_events)`` — a small composition on top of

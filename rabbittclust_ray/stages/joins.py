@@ -301,6 +301,196 @@ def range_count_join(
     return hash_exchange(unioned, "key", reduce, num_partitions)
 
 
+def equi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    how: str = "inner",
+    right_prefix: str = "",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """General distributed equi-join (shuffle hash join): both streams
+    exchanged on ``key``, per-partition C-vectorized pandas merge. Use
+    ``broadcast_lookup`` instead when one side is small — this is the
+    both-sides-large plan. ``how`` is ``inner`` or ``left``.
+
+    Many-to-many keys multiply rows INSIDE a partition (standard join
+    semantics); the partitioning assumption is that one key's match
+    product fits a reducer. A key hot enough to break that needs the
+    broadcast plan or a pre-aggregation — same contract as every shuffle
+    join.
+
+    Output columns: ``key``, *left_cols, *(right_prefix + right_cols),
+    right payload nullable under ``how="left"``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"equi_join: unsupported how={how!r}")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    out_right = [right_prefix + c for c in right_cols]
+    if set(left_cols) & set(out_right):
+        raise ValueError("right_prefix does not disambiguate output columns")
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = {c: lschema.base_schema.field(c).type for c in left_cols}
+    rtypes = {c: rschema.base_schema.field(c).type for c in right_cols}
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t[key].combine_chunks().cast(pa.int64())
+            if isinstance(t[key], pa.ChunkedArray)
+            else t[key].cast(pa.int64()),
+            "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+        }
+        for c in left_cols:
+            cols[c] = t[c]
+        for c, oc in zip(right_cols, out_right):
+            cols[oc] = pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t[key].combine_chunks().cast(pa.int64())
+            if isinstance(t[key], pa.ChunkedArray)
+            else t[key].cast(pa.int64()),
+            "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c, oc in zip(right_cols, out_right):
+            cols[oc] = t[c]
+        return pa.table(cols)
+
+    out_fields = (
+        [("key", pa.int64())]
+        + [(c, ltypes[c]) for c in left_cols]
+        + [(oc, rtypes[c]) for c, oc in zip(right_cols, out_right)]
+    )
+    empty = pa.table({n_: pa.array([], t_) for n_, t_ in out_fields})
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any():
+            return empty
+        keys = _np(t["key"])
+        ldf = pd.DataFrame({"key": keys[lmask]})
+        for c in left_cols:
+            ldf[c] = _np(t[c])[lmask]
+        rdf = pd.DataFrame({"key": keys[~lmask]})
+        for c, oc in zip(right_cols, out_right):
+            rdf[oc] = _np(t[oc])[~lmask]
+        rdf["__m__"] = np.int8(1)
+        merged = ldf.merge(rdf, on="key", how=how, sort=False)
+        miss = merged["__m__"].isna().to_numpy()
+        cols: dict[str, pa.Array] = {
+            "key": pa.array(merged["key"].to_numpy(), pa.int64())
+        }
+        for c in left_cols:
+            cols[c] = pa.array(
+                merged[c].to_numpy(), ltypes[c], from_pandas=True
+            )
+        for c, oc in zip(right_cols, out_right):
+            vals = merged[oc].to_numpy()
+            typ = rtypes[c]
+            if pa.types.is_integer(typ) and miss.any():
+                filled = np.where(miss, 0, vals).astype(np.int64)
+                cols[oc] = pa.array(filled, typ, mask=miss)
+            else:
+                cols[oc] = pa.array(vals, typ, mask=miss if miss.any()
+                                    else None, from_pandas=True)
+        return pa.table(cols)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    unioned = _tag_union(left, right, prep_left, prep_right)
+    return hash_exchange(unioned, "key", reduce, num_partitions)
+
+
+def pivot_count(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    pivot_col: str,
+    categories: Sequence[str],
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Pivot (wide conditional aggregate): one row per ``group_col`` with a
+    count column per category of ``pivot_col``. ``categories`` is the
+    FIXED output column list (stable schema — the pivot contract at scale;
+    values outside it are counted into ``other``).
+
+    Per-batch partial counts (one row per (group, category) per batch)
+    before the single keyed exchange — combiner-before-shuffle.
+    Output: ``group_col``, ``n_<category>``..., ``n_other``.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    categories = list(categories)
+    cat_cols = [f"n_{c}" for c in categories] + ["n_other"]
+    cat_index = {c: i for i, c in enumerate(categories)}
+    ncat = len(categories)
+
+    empty_partial = pa.table(
+        {
+            group_col: pa.array([], pa.int64()),
+            "cat_idx": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty_partial
+        g = _np(t[group_col])
+        pv = _np(t[pivot_col])
+        idx = np.array([cat_index.get(v, ncat) for v in pv], np.int64)
+        df = pd.DataFrame({group_col: g, "cat_idx": idx})
+        agg = df.groupby([group_col, "cat_idx"], sort=False).size()
+        agg = agg.reset_index(name="n")
+        return pa.table(
+            {
+                group_col: pa.array(agg[group_col].to_numpy(), pa.int64()),
+                "cat_idx": pa.array(agg["cat_idx"].to_numpy(), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy().astype(np.int64),
+                              pa.int64()),
+            }
+        )
+
+    empty_out = pa.table(
+        {group_col: pa.array([], pa.int64())}
+        | {c: pa.array([], pa.int64()) for c in cat_cols}
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        g = _np(t[group_col])
+        ci = _np(t["cat_idx"])
+        n = _np(t["n"])
+        ug, ginv = np.unique(g, return_inverse=True)
+        mat = np.zeros((len(ug), ncat + 1), np.int64)
+        np.add.at(mat, (ginv, ci), n)
+        cols = {group_col: pa.array(ug, pa.int64())}
+        for j, c in enumerate(cat_cols):
+            cols[c] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, group_col, finalize, num_partitions)
+
+
 def broadcast_lookup(
     facts: ray.data.Dataset,
     dim: pa.Table,

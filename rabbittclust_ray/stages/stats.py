@@ -194,3 +194,116 @@ def remove_noise(
     for d_ in labels:
         out.setdefault(d_, d_)
     return out
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Exact per-group discrete quantiles of an INTEGER column without
+    sorting the raw rows: per-batch partial value-count histograms
+    (one row per (group, value) per batch — the mergeable-sketch pattern,
+    same as the ANI histogram) are merged by ONE keyed exchange on a
+    deterministic hash of the group, then each group's quantiles are read
+    off its cumulative counts.
+
+    Quantile rule (deterministic, SQL-replayable): value at 1-based rank
+    ``ceil(q * n)`` (clamped to >= 1) of the group's values sorted
+    ascending. Output: ``group_col``, ``n``, ``q<pp>`` per requested q
+    (e.g. q25, q50, q75).
+
+    Scale note: state per group is its count of DISTINCT values, not its
+    row count — bounded for discretized columns (lengths, scores); a
+    continuous column should be bucketed first (that makes this the
+    classic fixed-width-histogram quantile).
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    qcols = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    empty_partial = pa.table(
+        {
+            "gkey": pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            "value": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty_partial
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({group_col: g, "value": v})
+        agg = df.groupby([group_col, "value"], sort=False).size()
+        agg = agg.reset_index(name="n")
+        gvals = agg[group_col].to_numpy()
+        gkey = pd.util.hash_array(gvals.astype(object)).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(gkey, pa.int64()),
+                group_col: pa.array(gvals, pa.string()),
+                "value": pa.array(agg["value"].to_numpy(), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy().astype(np.int64),
+                              pa.int64()),
+            }
+        )
+
+    empty_out = pa.table(
+        {group_col: pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+        | {c: pa.array([], pa.int64()) for c in qcols}
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty_out
+        df = pd.DataFrame(
+            {
+                group_col: t[group_col].to_numpy(zero_copy_only=False),
+                "value": t["value"].to_numpy(zero_copy_only=False),
+                "n": t["n"].to_numpy(zero_copy_only=False),
+            }
+        )
+        merged = df.groupby([group_col, "value"], sort=True)["n"].sum()
+        merged = merged.reset_index()
+        gvals = merged[group_col].to_numpy()
+        vals = merged["value"].to_numpy()
+        cnts = merged["n"].to_numpy()
+        new_g = np.empty(len(gvals), dtype=bool)
+        if len(gvals):
+            new_g[0] = True
+            new_g[1:] = gvals[1:] != gvals[:-1]
+        seg_start = np.where(new_g)[0]
+        seg_end = np.append(seg_start[1:], len(gvals))
+        rows: dict[str, list] = {group_col: [], "n": []}
+        for c in qcols:
+            rows[c] = []
+        cum = np.cumsum(cnts)
+        for s, e in zip(seg_start, seg_end):
+            base = cum[s - 1] if s > 0 else 0
+            seg_cum = cum[s:e] - base
+            total = int(seg_cum[-1])
+            rows[group_col].append(gvals[s])
+            rows["n"].append(total)
+            for q, c in zip(qs, qcols):
+                r = max(1, int(np.ceil(np.float64(q) * total)))
+                idx = int(np.searchsorted(seg_cum, r, side="left"))
+                rows[c].append(int(vals[s + idx]))
+        return pa.table(
+            {group_col: pa.array(rows[group_col], pa.string()),
+             "n": pa.array(rows["n"], pa.int64())}
+            | {c: pa.array(rows[c], pa.int64()) for c in qcols}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, "gkey", finalize, num_partitions)

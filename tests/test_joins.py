@@ -351,3 +351,179 @@ class TestWindowAggregate:
             drop=True
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestEquiJoin:
+    def test_inner_and_left_vs_pandas(self):
+        from rabbittclust_ray.stages.joins import equi_join
+
+        rng = np.random.default_rng(31)
+        left = pa.table(
+            {
+                "event_id": pa.array(np.arange(200), pa.int64()),
+                "user_id": pa.array(
+                    rng.integers(0, 12, 200).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        right = pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, 8, 30).astype(np.int64), pa.int64()
+                ),
+                "o_key": pa.array(np.arange(30) + 100, pa.int64()),
+            }
+        )
+        for how in ("inner", "left"):
+            got = equi_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                key="user_id", left_cols=["event_id"],
+                right_cols=["o_key"], how=how, num_partitions=4,
+            ).to_pandas()
+            want = left.to_pandas().merge(
+                right.to_pandas(), on="user_id", how=how
+            )
+            assert len(got) == len(want), how
+            gs = got.sort_values(["event_id", "o_key"]).reset_index(drop=True)
+            ws = want.sort_values(["event_id", "o_key"]).reset_index(drop=True)
+            assert (
+                gs["event_id"].to_numpy() == ws["event_id"].to_numpy()
+            ).all()
+            g_ok = gs["o_key"].to_numpy(dtype="float64", na_value=np.nan)
+            w_ok = ws["o_key"].to_numpy(dtype="float64", na_value=np.nan)
+            assert ((g_ok == w_ok) | (np.isnan(g_ok) & np.isnan(w_ok))).all()
+
+    def test_many_to_many_multiplies(self):
+        from rabbittclust_ray.stages.joins import equi_join
+
+        left = pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "user_id": pa.array([7, 7], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "user_id": pa.array([7, 7, 7], pa.int64()),
+                "o_key": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+        got = equi_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_cols=["event_id"], right_cols=["o_key"],
+            how="inner", num_partitions=2,
+        ).to_pandas()
+        assert len(got) == 6
+
+
+class TestPivotCount:
+    def test_matches_pandas_crosstab(self):
+        from rabbittclust_ray.stages.joins import pivot_count
+
+        tbl = _events(n=500, n_users=11, seed=41)
+        cats = ["view", "purchase"]  # 'click' falls into n_other
+        got = pivot_count(
+            ray.data.from_arrow(tbl), group_col="user_id",
+            pivot_col="event_type", categories=cats, num_partitions=4,
+        ).to_pandas().set_index("user_id").sort_index()
+        df = tbl.to_pandas()
+        for uid, grp in df.groupby("user_id"):
+            assert got.loc[uid, "n_view"] == (grp.event_type == "view").sum()
+            assert (
+                got.loc[uid, "n_purchase"]
+                == (grp.event_type == "purchase").sum()
+            )
+            assert got.loc[uid, "n_other"] == (grp.event_type == "click").sum()
+
+    def test_block_layout_invariance(self):
+        from rabbittclust_ray.stages.joins import pivot_count
+
+        tbl = _events(n=300, n_users=5, seed=43)
+        a = pivot_count(
+            ray.data.from_arrow(tbl), group_col="user_id",
+            pivot_col="event_type",
+            categories=["view", "purchase", "click"], num_partitions=4,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        b = pivot_count(
+            ray.data.from_arrow(tbl).repartition(17), group_col="user_id",
+            pivot_col="event_type",
+            categories=["view", "purchase", "click"], num_partitions=2,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestRollingValueSum:
+    def test_matches_pandas_rolling(self):
+        from rabbittclust_ray.stages.events import rolling_value_sum
+
+        tbl = _events(n=400, n_users=6, seed=51)
+        got = rolling_value_sum(
+            ray.data.from_arrow(tbl), k=3, num_partitions=4
+        ).to_pandas().set_index("event_id").sort_index()
+        df = tbl.to_pandas()
+        df["ts_us"] = df["ts"].astype("int64")
+        df["ppm"] = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        want = (
+            df.groupby("user_id")["ppm"]
+            .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+        )
+        df["want"] = want.astype(np.int64)
+        for _, r in df.iterrows():
+            assert got.loc[r.event_id, "rolling_value_ppm"] == r.want
+
+    def test_k1_is_identity(self):
+        from rabbittclust_ray.stages.events import rolling_value_sum
+
+        tbl = _events(n=100, n_users=4, seed=53)
+        got = rolling_value_sum(
+            ray.data.from_arrow(tbl), k=1, num_partitions=4
+        ).to_pandas().set_index("event_id").sort_index()
+        df = tbl.to_pandas()
+        ppm = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+        assert (got["rolling_value_ppm"].to_numpy() == ppm).all()
+
+
+class TestGroupedQuantiles:
+    def test_matches_bruteforce_rank_rule(self):
+        from rabbittclust_ray.stages.stats import grouped_quantiles
+
+        rng = np.random.default_rng(61)
+        n = 700
+        tbl = pa.table(
+            {
+                "source": pa.array(
+                    rng.choice(["a", "b", "c", "d", "e"], n), pa.string()
+                ),
+                "n_chars": pa.array(
+                    rng.integers(0, 80, n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        got = grouped_quantiles(
+            ray.data.from_arrow(tbl), group_col="source",
+            value_col="n_chars", qs=(0.25, 0.5, 0.75), num_partitions=4,
+        ).to_pandas().set_index("source").sort_index()
+        df = tbl.to_pandas()
+        for src, grp in df.groupby("source"):
+            v = np.sort(grp["n_chars"].to_numpy())
+            tot = len(v)
+            assert got.loc[src, "n"] == tot
+            for q, c in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]:
+                r = max(1, int(np.ceil(q * tot)))
+                assert got.loc[src, c] == v[r - 1], (src, c)
+
+    def test_single_value_group(self):
+        from rabbittclust_ray.stages.stats import grouped_quantiles
+
+        tbl = pa.table(
+            {
+                "source": pa.array(["x"], pa.string()),
+                "n_chars": pa.array([42], pa.int64()),
+            }
+        )
+        got = grouped_quantiles(
+            ray.data.from_arrow(tbl), group_col="source",
+            value_col="n_chars", num_partitions=2,
+        ).to_pandas()
+        assert list(got.loc[0, ["n", "q25", "q50", "q75"]]) == [1, 42, 42, 42]
