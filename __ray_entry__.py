@@ -53,6 +53,8 @@ MIN_LEN = 100  # min-len filter used by the SQL-checked ops (matches oracle)
 # oracle (scripts/validate_oracle.py); the driver check runs the SAME
 # pipeline code, just with the sampling turned off so DuckDB can follow.
 def _read_pq(path: str, **kw):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
 
     # strip_meta lives in the package (registered pickle-by-value) — a
@@ -60,6 +62,17 @@ def _read_pq(path: str, **kw):
     # which workers cannot import.
     from rabbittclust_ray.sources import strip_meta
 
+    if "schema" not in kw and path.endswith(".parquet"):
+        # hand read_parquet a metadata-FREE schema: pandas-written files
+        # carry b'pandas' schema metadata, which makes schemas unhashable
+        # and defeats Ray's schema-dedup fast path inside the read op
+        # itself ("Failed to hash the schemas" warning) — strip_meta only
+        # runs after the read.
+        full = pq.read_schema(path).remove_metadata()
+        cols = kw.get("columns")
+        kw["schema"] = (
+            pa.schema([full.field(c) for c in cols]) if cols else full
+        )
     return ray.data.read_parquet(path, **kw).map_batches(
         strip_meta, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -1451,6 +1464,64 @@ def _q_length_quantiles(sf_dir: str):
     )
 
 
+def _q_events_semi_join(sf_dir: str):
+    """Semi join (EXISTS): events of users having at least one order over
+    450k — right stream shuffled as DISTINCT keys only."""
+    return _semi_anti_events(sf_dir, anti=False)
+
+
+def _q_events_anti_join(sf_dir: str):
+    """Anti join (NOT EXISTS): events of users with NO order over 450k."""
+    return _semi_anti_events(sf_dir, anti=True)
+
+
+def _semi_anti_events(sf_dir: str, anti: bool):
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.relational import semi_anti_join
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def high_value(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t["o_totalprice"], 450000.0))
+        return pa.table({"user_id": t["o_custkey"]})
+
+    right = orders.map_batches(high_value, batch_format="pyarrow")
+    out = semi_anti_join(
+        ev, right, key="user_id", left_cols=["event_id"], anti=anti,
+        num_partitions=64,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "event_id"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over lineitem (the widest table):
+    shipdate cutoff filter, 6-group aggregate, ppm-integer sums — per-batch
+    partials reduce the table to <= 6 rows per batch before the exchange."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.relational import pricing_summary
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    cutoff_us = pd.Timestamp("1998-09-02").value // 1000
+    return pricing_summary(li, cutoff_us=cutoff_us, num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1514,6 +1585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": _q_user_event_pivot,
         "rolling_value_sum": _q_rolling_value_sum,
         "length_quantiles_per_source": _q_length_quantiles,
+        "events_semi_join": _q_events_semi_join,
+        "events_anti_join": _q_events_anti_join,
+        "pricing_summary": _q_pricing_summary,
     }
 
 
@@ -1746,6 +1820,39 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS rolling_value_ppm
             FROM e
+        """,
+        "events_semi_join": """
+            SELECT e.user_id, e.event_id FROM events e
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_totalprice > 450000.0
+            )
+        """,
+        "events_anti_join": """
+            SELECT e.user_id, e.event_id FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_totalprice > 450000.0
+            )
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_qty_ppm,
+                   CAST(sum(CAST(floor(l_extendedprice * 1000000.0)
+                        AS BIGINT)) AS BIGINT) AS sum_base_price_ppm,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                        * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_disc_price_ppm,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                        * (1.0 + l_tax) * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_charge_ppm,
+                   CAST(sum(CAST(floor(l_discount * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_disc_ppm,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "length_quantiles_per_source": """
             WITH r AS (

@@ -1,0 +1,220 @@
+"""Relational set-membership joins + a grouped pricing-summary aggregate.
+
+Training-data/analytics extensions beyond the reference: semi/anti join
+(the EXISTS / NOT EXISTS operator class) and a TPC-H-Q1-shaped grouped
+aggregate demonstrating the combiner-before-shuffle plan over the widest
+input table with bit-exact integer sums.
+
+Shapes:
+- semi/anti join: ONE keyed exchange co-locates left rows with the right
+  side's DISTINCT keys (the right stream is projected to its key column
+  and deduped per batch before the exchange, so the shuffled right volume
+  is its distinct-key count, not its row count); membership is a sorted
+  searchsorted per partition.
+- pricing summary: per-batch partial sums over ppm-integer per-row
+  expressions (float products are per-row deterministic; the SUM is over
+  int64 so it is order-independent and bit-exact vs SQL), then one tiny
+  exchange on the 6-value group key.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_SIDE_LEFT = 1
+_SIDE_RIGHT = 0
+
+
+def _np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def semi_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    left_cols: Sequence[str],
+    anti: bool = False,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Semi join (``anti=False``: keep left rows whose ``key`` EXISTS in
+    right) or anti join (``anti=True``: keep left rows whose ``key`` does
+    NOT exist in right). ``key`` must be an integer column.
+
+    Output: ``key`` + ``left_cols`` for the surviving left rows.
+    """
+    left_cols = list(left_cols)
+    lschema = left.schema()
+    ltypes = {c: lschema.base_schema.field(c).type for c in left_cols}
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t[key].combine_chunks().cast(pa.int64())
+            if isinstance(t[key], pa.ChunkedArray)
+            else t[key].cast(pa.int64()),
+            "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+        }
+        for c in left_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        k = np.unique(_np(t[key]).astype(np.int64))  # per-batch dedup
+        cols = {
+            "key": pa.array(k, pa.int64()),
+            "side": pa.array(np.full(len(k), _SIDE_RIGHT, np.int8),
+                             pa.int8()),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(len(k), ltypes[c])
+        return pa.table(cols)
+
+    empty = pa.table(
+        {"key": pa.array([], pa.int64())}
+        | {c: pa.array([], ltypes[c]) for c in left_cols}
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any():
+            return empty
+        keys = _np(t["key"])
+        rkeys = np.unique(keys[~lmask])
+        lk = keys[lmask]
+        idx = np.searchsorted(rkeys, lk)
+        idx_c = np.minimum(idx, max(len(rkeys) - 1, 0))
+        member = (
+            (idx < len(rkeys)) & (rkeys[idx_c] == lk)
+            if len(rkeys)
+            else np.zeros(len(lk), bool)
+        )
+        keep_l = ~member if anti else member
+        lt = t.filter(pa.array(lmask))
+        out = lt.filter(pa.array(keep_l))
+        return pa.table(
+            {"key": out["key"]}
+            | {c: out[c] for c in left_cols}
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow")
+    rt = right.map_batches(prep_right, batch_format="pyarrow")
+    return hash_exchange(lt.union(rt), "key", reduce, num_partitions)
+
+
+def pricing_summary(
+    lineitem: ray.data.Dataset,
+    *,
+    cutoff_us: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped pricing summary over lineitem: rows with
+    ``l_shipdate <= cutoff`` grouped by ``(l_returnflag, l_linestatus)``
+    with ppm-integer sums (floor(expr * 1e6) per row — the per-row float
+    products are identical in numpy and SQL; summing int64 removes the
+    float-accumulation-order hazard):
+
+      sum_qty_ppm, sum_base_price_ppm,
+      sum_disc_price_ppm  (extendedprice * (1 - discount)),
+      sum_charge_ppm      (extendedprice * (1 - discount) * (1 + tax)),
+      sum_disc_ppm, count_order
+
+    Scale shape: the wide table is reduced per batch to <= |groups| rows
+    (6 for TPC-H flags) BEFORE any exchange; the final exchange moves only
+    (#map_tasks x #groups) partial rows.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    num_cols = [
+        "sum_qty_ppm", "sum_base_price_ppm", "sum_disc_price_ppm",
+        "sum_charge_ppm", "sum_disc_ppm", "count_order",
+    ]
+    empty = pa.table(
+        {
+            "gkey": pa.array([], pa.int64()),
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+        }
+        | {c: pa.array([], pa.int64()) for c in num_cols}
+    )
+
+    def _group_agg(df) -> pa.Table:
+        import pandas as pd
+
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            {c: "sum" for c in num_cols}
+        ).reset_index()
+        gkey = pd.util.hash_array(
+            (g["l_returnflag"] + "|" + g["l_linestatus"])
+            .to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(gkey, pa.int64()),
+                "l_returnflag": pa.array(
+                    g["l_returnflag"].to_numpy(), pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    g["l_linestatus"].to_numpy(), pa.string()
+                ),
+            }
+            | {
+                c: pa.array(g[c].to_numpy().astype(np.int64), pa.int64())
+                for c in num_cols
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        ship = t["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        ship_us = ship.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship_us <= cutoff_us
+        if not keep.any():
+            return empty
+        qty = _np(t["l_quantity"])[keep]
+        ext = _np(t["l_extendedprice"])[keep]
+        disc = _np(t["l_discount"])[keep]
+        tax = _np(t["l_tax"])[keep]
+        df = pd.DataFrame(
+            {
+                "l_returnflag": _np(t["l_returnflag"])[keep],
+                "l_linestatus": _np(t["l_linestatus"])[keep],
+                "sum_qty_ppm": np.floor(qty * 1e6).astype(np.int64),
+                "sum_base_price_ppm": np.floor(ext * 1e6).astype(np.int64),
+                "sum_disc_price_ppm": np.floor(
+                    ext * (1.0 - disc) * 1e6
+                ).astype(np.int64),
+                "sum_charge_ppm": np.floor(
+                    ext * (1.0 - disc) * (1.0 + tax) * 1e6
+                ).astype(np.int64),
+                "sum_disc_ppm": np.floor(disc * 1e6).astype(np.int64),
+                "count_order": np.ones(int(keep.sum()), np.int64),
+            }
+        )
+        return _group_agg(df)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["gkey"])
+        df = t.drop_columns(["gkey"]).to_pandas()
+        out = _group_agg(df)
+        return out.drop_columns(["gkey"])
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, "gkey", finalize, num_partitions)

@@ -527,3 +527,128 @@ class TestGroupedQuantiles:
             value_col="n_chars", num_partitions=2,
         ).to_pandas()
         assert list(got.loc[0, ["n", "q25", "q50", "q75"]]) == [1, 42, 42, 42]
+
+
+class TestSemiAntiJoin:
+    def test_partition_of_left(self):
+        from rabbittclust_ray.stages.relational import semi_anti_join
+
+        rng = np.random.default_rng(71)
+        left = pa.table(
+            {
+                "event_id": pa.array(np.arange(300), pa.int64()),
+                "user_id": pa.array(
+                    rng.integers(0, 20, 300).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        right = pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, 10, 50).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        semi = semi_anti_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_cols=["event_id"], anti=False,
+            num_partitions=4,
+        ).to_pandas()
+        anti = semi_anti_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_cols=["event_id"], anti=True,
+            num_partitions=4,
+        ).to_pandas()
+        rset = set(right["user_id"].to_pylist())
+        ldf = left.to_pandas()
+        want_semi = set(ldf[ldf.user_id.isin(rset)].event_id)
+        want_anti = set(ldf[~ldf.user_id.isin(rset)].event_id)
+        assert set(semi["event_id"]) == want_semi
+        assert set(anti["event_id"]) == want_anti
+        # semi + anti partition the left exactly
+        assert len(semi) + len(anti) == len(ldf)
+
+    def test_empty_right_side(self):
+        from rabbittclust_ray.stages.relational import semi_anti_join
+
+        left = pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "user_id": pa.array([3, 4], pa.int64()),
+            }
+        )
+        right = pa.table({"user_id": pa.array([], pa.int64())})
+        anti = semi_anti_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_cols=["event_id"], anti=True,
+            num_partitions=2,
+        ).to_pandas()
+        assert set(anti["event_id"]) == {0, 1}
+
+
+class TestPricingSummary:
+    def test_matches_pandas(self):
+        from rabbittclust_ray.stages.relational import pricing_summary
+
+        rng = np.random.default_rng(81)
+        n = 2000
+        tbl = pa.table(
+            {
+                "l_quantity": pa.array(
+                    rng.integers(1, 50, n).astype(np.float64), pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    np.round(rng.uniform(100, 90000, n), 2), pa.float64()
+                ),
+                "l_discount": pa.array(
+                    np.round(rng.uniform(0, 0.1, n), 2), pa.float64()
+                ),
+                "l_tax": pa.array(
+                    np.round(rng.uniform(0, 0.08, n), 2), pa.float64()
+                ),
+                "l_returnflag": pa.array(
+                    rng.choice(["A", "N", "R"], n), pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    rng.choice(["F", "O"], n), pa.string()
+                ),
+                "l_shipdate": pa.array(
+                    rng.integers(0, 10_000_000, n), pa.timestamp("us")
+                ),
+            }
+        )
+        cutoff = 6_000_000
+        got = pricing_summary(
+            ray.data.from_arrow(tbl).repartition(7), cutoff_us=cutoff,
+            num_partitions=4,
+        ).to_pandas().set_index(["l_returnflag", "l_linestatus"]).sort_index()
+        df = tbl.to_pandas()
+        df = df[df["l_shipdate"].astype("int64") <= cutoff]
+        ext, disc, tax = (
+            df["l_extendedprice"].to_numpy(),
+            df["l_discount"].to_numpy(),
+            df["l_tax"].to_numpy(),
+        )
+        df["sum_qty_ppm"] = np.floor(
+            df["l_quantity"].to_numpy() * 1e6
+        ).astype(np.int64)
+        df["sum_base_price_ppm"] = np.floor(ext * 1e6).astype(np.int64)
+        df["sum_disc_price_ppm"] = np.floor(
+            ext * (1.0 - disc) * 1e6
+        ).astype(np.int64)
+        df["sum_charge_ppm"] = np.floor(
+            ext * (1.0 - disc) * (1.0 + tax) * 1e6
+        ).astype(np.int64)
+        df["sum_disc_ppm"] = np.floor(disc * 1e6).astype(np.int64)
+        want = df.groupby(["l_returnflag", "l_linestatus"]).agg(
+            sum_qty_ppm=("sum_qty_ppm", "sum"),
+            sum_base_price_ppm=("sum_base_price_ppm", "sum"),
+            sum_disc_price_ppm=("sum_disc_price_ppm", "sum"),
+            sum_charge_ppm=("sum_charge_ppm", "sum"),
+            sum_disc_ppm=("sum_disc_ppm", "sum"),
+            count_order=("l_tax", "size"),
+        ).sort_index()
+        assert len(got) == len(want)
+        for idx in want.index:
+            for c in want.columns:
+                assert got.loc[idx, c] == want.loc[idx, c], (idx, c)
