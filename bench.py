@@ -249,6 +249,48 @@ def run_bench() -> dict:
                              SketchConfig(min_len=0), apply_min_len=False)
     queries["q_exact_dedup"] = timed_best(lambda: exact_dedup(prep).count())
 
+    # relational family: TPC-H-Q1 pricing summary over lineitem (the widest
+    # sf table), tumbling windows + as-of join over events — the
+    # combiner-before-shuffle and keyed-exchange-join plans under timing
+    import pandas as pd
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.events import window_aggregate
+    from rabbittclust_ray.stages.joins import asof_join
+    from rabbittclust_ray.stages.relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    ev = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    cutoff_us = pd.Timestamp("1998-09-02").value // 1000
+
+    def run_relational():
+        pricing_summary(li, cutoff_us=cutoff_us, num_partitions=8).count()
+        window_aggregate(ev, window_s=21600.0, num_partitions=64).count()
+
+        def only_purchases(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["event_type"], "purchase")).select(
+                ["event_id", "user_id", "ts", "value"]
+            )
+
+        asof_join(
+            ev.select_columns(["event_id", "user_id", "ts"]),
+            ev.map_batches(only_purchases, batch_format="pyarrow"),
+            key="user_id", ts="ts", left_cols=["event_id"],
+            right_cols=["event_id", "value"], right_prefix="p_",
+            num_partitions=64,
+        ).count()
+
+    queries["q_relational"] = timed_best(run_relational)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",
