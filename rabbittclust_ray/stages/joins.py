@@ -37,6 +37,13 @@ def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def _cast(col: pa.ChunkedArray | pa.Array, typ: pa.DataType) -> pa.Array:
+    """Column -> single-chunk array of ``typ`` (shared prep-fn helper)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(typ)
+
+
 def _ts_us(t: pa.Table, ts_col: str) -> pa.Array:
     """Timestamp/int column -> int64 microseconds."""
     ts = t[ts_col]
@@ -104,9 +111,7 @@ def asof_join(
     def prep_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {
-            "key": t[key].cast(pa.int64())
-            if not isinstance(t[key], pa.ChunkedArray)
-            else t[key].combine_chunks().cast(pa.int64()),
+            "key": _cast(t[key], pa.int64()),
             "ts_us": _ts_us(t, ts),
             "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
         }
@@ -119,9 +124,7 @@ def asof_join(
     def prep_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {
-            "key": t[key].cast(pa.int64())
-            if not isinstance(t[key], pa.ChunkedArray)
-            else t[key].combine_chunks().cast(pa.int64()),
+            "key": _cast(t[key], pa.int64()),
             "ts_us": _ts_us(t, ts),
             "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
         }
@@ -171,7 +174,9 @@ def asof_join(
             "ts_us": pa.array(merged["ts_us"].to_numpy(), pa.int64()),
         }
         for c in left_cols:
-            cols[c] = pa.array(merged[c].to_numpy(), ltypes[c])
+            cols[c] = pa.array(
+                merged[c].to_numpy(), ltypes[c], from_pandas=True
+            )
         for c, oc in zip(right_cols, out_right):
             vals = merged[oc].to_numpy()
             typ = rtypes[c]
@@ -223,13 +228,9 @@ def range_count_join(
     def prep_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {
-            "key": t[key].combine_chunks().cast(pa.int64())
-            if isinstance(t[key], pa.ChunkedArray)
-            else t[key].cast(pa.int64()),
+            "key": _cast(t[key], pa.int64()),
             "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
-            "val": t[left_val].combine_chunks().cast(pa.float64())
-            if isinstance(t[left_val], pa.ChunkedArray)
-            else t[left_val].cast(pa.float64()),
+            "val": _cast(t[left_val], pa.float64()),
         }
         for c in left_cols:
             cols[c] = t[c]
@@ -238,13 +239,9 @@ def range_count_join(
     def prep_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {
-            "key": t[key].combine_chunks().cast(pa.int64())
-            if isinstance(t[key], pa.ChunkedArray)
-            else t[key].cast(pa.int64()),
+            "key": _cast(t[key], pa.int64()),
             "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
-            "val": t[right_val].combine_chunks().cast(pa.float64())
-            if isinstance(t[right_val], pa.ChunkedArray)
-            else t[right_val].cast(pa.float64()),
+            "val": _cast(t[right_val], pa.float64()),
         }
         for c in left_cols:
             cols[c] = pa.nulls(n, ltypes[c])
@@ -287,10 +284,14 @@ def range_count_join(
         upto = cum[inv] - is_right[inv]
         hi_upto = upto[nr : nr + nl]
         lo_upto = upto[nr + nl :]
-        counts = hi_upto - lo_upto
+        # clamp: a negative left value inverts the interval (lo > hi) and
+        # SQL BETWEEN then matches nothing — the raw difference would go
+        # negative there
+        counts = np.maximum(hi_upto - lo_upto, 0)
         cols = {"key": pa.array(lk, pa.int64())}
+        payload = t.select(left_cols).filter(pa.array(lmask))
         for c in left_cols:
-            cols[c] = pa.table({c: t[c]}).filter(pa.array(lmask))[c]
+            cols[c] = payload[c]
         cols["val"] = pa.array(lv, pa.float64())
         cols["n_in_range"] = pa.array(counts, pa.int64())
         return pa.table(cols)
@@ -341,9 +342,7 @@ def equi_join(
     def prep_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {
-            "key": t[key].combine_chunks().cast(pa.int64())
-            if isinstance(t[key], pa.ChunkedArray)
-            else t[key].cast(pa.int64()),
+            "key": _cast(t[key], pa.int64()),
             "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
         }
         for c in left_cols:
@@ -355,9 +354,7 @@ def equi_join(
     def prep_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {
-            "key": t[key].combine_chunks().cast(pa.int64())
-            if isinstance(t[key], pa.ChunkedArray)
-            else t[key].cast(pa.int64()),
+            "key": _cast(t[key], pa.int64()),
             "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
         }
         for c in left_cols:
@@ -437,7 +434,6 @@ def pivot_count(
 
     categories = list(categories)
     cat_cols = [f"n_{c}" for c in categories] + ["n_other"]
-    cat_index = {c: i for i, c in enumerate(categories)}
     ncat = len(categories)
 
     empty_partial = pa.table(
@@ -455,7 +451,10 @@ def pivot_count(
             return empty_partial
         g = _np(t[group_col])
         pv = _np(t[pivot_col])
-        idx = np.array([cat_index.get(v, ncat) for v in pv], np.int64)
+        # vectorized category mapping (C, not a per-row dict lookup):
+        # Categorical codes are the categories' positions, -1 for 'other'
+        codes = pd.Categorical(pv, categories=categories).codes
+        idx = np.where(codes >= 0, codes, ncat).astype(np.int64)
         df = pd.DataFrame({group_col: g, "cat_idx": idx})
         agg = df.groupby([group_col, "cat_idx"], sort=False).size()
         agg = agg.reset_index(name="n")

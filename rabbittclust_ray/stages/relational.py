@@ -24,14 +24,9 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-_SIDE_LEFT = 1
-_SIDE_RIGHT = 0
-
-
-def _np(col) -> np.ndarray:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col.to_numpy(zero_copy_only=False)
+# shared side-marker protocol + column helpers — single source of truth
+# with the other keyed-exchange joins
+from rabbittclust_ray.stages.joins import _SIDE_LEFT, _SIDE_RIGHT, _cast, _np
 
 
 def semi_anti_join(
@@ -56,9 +51,7 @@ def semi_anti_join(
     def prep_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {
-            "key": t[key].combine_chunks().cast(pa.int64())
-            if isinstance(t[key], pa.ChunkedArray)
-            else t[key].cast(pa.int64()),
+            "key": _cast(t[key], pa.int64()),
             "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
         }
         for c in left_cols:

@@ -170,6 +170,30 @@ class TestRangeCountJoin:
             ]
             assert got.loc[e.event_id, "n_in_range"] == len(m)
 
+    def test_negative_left_value_inverts_interval_to_empty(self):
+        # v=-1 with muls (3,7): BETWEEN -3 AND -7 matches nothing in SQL;
+        # the count must clamp to 0, not go negative
+        left = pa.table(
+            {
+                "event_id": pa.array([0], pa.int64()),
+                "user_id": pa.array([1], pa.int64()),
+                "value": pa.array([-1.0], pa.float64()),
+            }
+        )
+        right = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "value": pa.array([-6.0, -4.0, -5.0], pa.float64()),
+            }
+        )
+        got = range_count_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_val="value", right_val="value",
+            lo_mul=3.0, hi_mul=7.0, left_cols=["event_id"],
+            num_partitions=2,
+        ).to_pandas()
+        assert got.loc[0, "n_in_range"] == 0
+
     def test_inclusive_bounds(self):
         left = pa.table(
             {
