@@ -1347,6 +1347,20 @@ def _q_window_user_stats(sf_dir: str):
     return window_aggregate(ev, window_s=21600.0, num_partitions=64)
 
 
+def _q_hopping_window_stats(sf_dir: str):
+    """Hopping/sliding windows (6h window, 2h hop): every event lands in
+    the 3 hop-aligned windows covering it — vectorized per-batch replicate
+    BEFORE the partial aggregation, exchange volume unchanged."""
+    from rabbittclust_ray.stages.events import window_aggregate
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return window_aggregate(
+        ev, window_s=21600.0, hop_s=7200.0, num_partitions=64
+    )
+
+
 def _q_segment_rollup(sf_dir: str):
     """Star-schema rollup: events enriched with the broadcast customer
     dimension (ray.put once, fact stream never shuffled for the join),
@@ -1579,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_purchase_asof": _q_last_purchase_asof,
         "order_value_range": _q_order_value_range,
         "window_user_stats": _q_window_user_stats,
+        "hopping_window_stats": _q_hopping_window_stats,
         "segment_rollup": _q_segment_rollup,
         "topk_docs_per_source": _q_topk_docs_per_source,
         "event_customer_join": _q_event_customer_join,
@@ -1764,6 +1779,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
                         AS BIGINT) AS sum_value_ppm
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window_stats": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) - epoch_us(ts) % 7200000000
+                        - j.j * 7200000000 AS BIGINT) AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_value_ppm
+            FROM events, LATERAL (
+                SELECT unnest(generate_series(0, 2)) AS j
+            ) j(j)
+            GROUP BY 1, 2
         """,
         "segment_rollup": """
             SELECT c.c_mktsegment AS segment,

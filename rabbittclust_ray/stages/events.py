@@ -104,12 +104,20 @@ def window_aggregate(
     ts_col: str = "ts",
     value_col: str = "value",
     num_partitions: int = 1024,
+    hop_s: float | None = None,
 ) -> ray.data.Dataset:
-    """Tumbling-window aggregate over the event stream: per
+    """Tumbling- or hopping-window aggregate over the event stream: per
     ``(user_id, window_start_us)`` emit ``n_events`` and ``sum_value_ppm``
     (value summed as floor(value*1e6) int64 micro-units, so the sum is
     associative/order-independent and bit-exact vs a SQL oracle — no
     float-summation-order hazard).
+
+    ``hop_s=None`` (default) is the tumbling case. With ``hop_s`` set
+    (must divide ``window_s``), every event lands in the
+    ``window_s/hop_s`` hop-aligned windows covering it — the standard
+    hopping/sliding-window overlap, produced by a vectorized per-batch
+    replicate (np.repeat/tile), still BEFORE the partial aggregation so
+    the exchange volume stays one row per (user, window) per batch.
 
     Scale shape: per-batch PARTIAL aggregation (pandas C groupby) shrinks
     the stream to at most one row per (user, window) per batch BEFORE the
@@ -120,6 +128,13 @@ def window_aggregate(
     from rabbittclust_ray.stages.pairs import hash_exchange
 
     w_us = int(round(window_s * 1_000_000))
+    if hop_s is None:
+        hop_us, n_hops = w_us, 1
+    else:
+        hop_us = int(round(hop_s * 1_000_000))
+        if hop_us <= 0 or w_us % hop_us:
+            raise ValueError("hop_s must be positive and divide window_s")
+        n_hops = w_us // hop_us
     empty = pa.table(
         {
             "user_id": pa.array([], pa.int64()),
@@ -161,10 +176,20 @@ def window_aggregate(
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        wstart = ts_us - ts_us % w_us
         uid = t[user_col].to_numpy(zero_copy_only=False)
         val = t[value_col].to_numpy(zero_copy_only=False)
         ppm = np.floor(val * 1e6).astype(np.int64)
+        base = ts_us - ts_us % hop_us  # newest covering hop-aligned start
+        if n_hops == 1:
+            wstart = base
+        else:
+            # each event covers exactly n_hops windows: base - j*hop for
+            # j in [0, n_hops) — all satisfy start <= ts < start + window
+            offs = np.arange(n_hops, dtype=np.int64) * hop_us
+            wstart = (np.repeat(base, n_hops)
+                      - np.tile(offs, len(base)))
+            uid = np.repeat(uid, n_hops)
+            ppm = np.repeat(ppm, n_hops)
         return _agg(uid, wstart, np.ones(len(uid), np.int64), ppm)
 
     def finalize(t: pa.Table) -> pa.Table:

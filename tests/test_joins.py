@@ -360,6 +360,42 @@ class TestWindowAggregate:
                 got.loc[idx, "sum_value_ppm"] == want.loc[idx, "sum_value_ppm"]
             )
 
+    def test_hopping_windows_match_bruteforce(self):
+        tbl = _events(n=400, n_users=6, seed=29)
+        got = window_aggregate(
+            ray.data.from_arrow(tbl), window_s=4.0, hop_s=1.0,
+            num_partitions=4,
+        ).to_pandas().set_index(["user_id", "window_start_us"]).sort_index()
+        df = tbl.to_pandas()
+        ts_us = df["ts"].astype("int64").to_numpy()
+        ppm = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        W, H = 4_000_000, 1_000_000
+        # brute force: enumerate every hop-aligned window covering each event
+        from collections import defaultdict
+
+        want: dict = defaultdict(lambda: [0, 0])
+        for u, t, p in zip(uid, ts_us, ppm):
+            base = t - t % H
+            for j in range(W // H):
+                w = base - j * H
+                assert w <= t < w + W
+                want[(u, w)][0] += 1
+                want[(u, w)][1] += p
+        assert len(got) == len(want)
+        for (u, w), (n, s) in want.items():
+            assert got.loc[(u, w), "n_events"] == n
+            assert got.loc[(u, w), "sum_value_ppm"] == s
+
+    def test_hop_must_divide_window(self):
+        import pytest
+
+        tbl = _events(n=10)
+        with pytest.raises(ValueError):
+            window_aggregate(
+                ray.data.from_arrow(tbl), window_s=4.0, hop_s=3.0
+            )
+
     def test_block_layout_invariance(self):
         # partial-agg + exchange must not depend on how input is blocked
         tbl = _events(n=300, n_users=5, seed=23)
