@@ -712,3 +712,117 @@ class TestPricingSummary:
         for idx in want.index:
             for c in want.columns:
                 assert got.loc[idx, c] == want.loc[idx, c], (idx, c)
+
+
+class TestPartitionInvariance:
+    """Results must not depend on the exchange's partition count, even
+    under a hot key holding most rows (skew). Catches partition-boundary
+    and per-partition-state bugs in the whole join family."""
+
+    def _skewed_events(self, n=500, seed=91):
+        rng = np.random.default_rng(seed)
+        # 70% of rows on user 3 (hot key), rest spread over 0..9
+        uid = np.where(
+            rng.uniform(size=n) < 0.7, 3, rng.integers(0, 10, n)
+        ).astype(np.int64)
+        ts = np.sort(rng.integers(0, 5_000_000, size=n))
+        return pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(
+                    rng.choice(["view", "purchase"], n), pa.string()
+                ),
+                "value": pa.array(
+                    np.round(rng.uniform(0.01, 20.0, n), 2), pa.float64()
+                ),
+            }
+        )
+
+    def _canon(self, df):
+        return (
+            df[sorted(df.columns)]
+            .sort_values(sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    def test_asof_and_windows_and_rolling(self):
+        from rabbittclust_ray.stages.events import (
+            rolling_value_sum,
+            window_aggregate,
+        )
+
+        tbl = self._skewed_events()
+
+        def run_asof(p):
+            left = ray.data.from_arrow(tbl)
+            right = ray.data.from_arrow(
+                tbl.filter(pa.compute.equal(tbl["event_type"], "purchase"))
+            )
+            return asof_join(
+                left, right, key="user_id", ts="ts",
+                left_cols=["event_id"], right_cols=["event_id", "value"],
+                right_prefix="p_", num_partitions=p,
+            ).to_pandas()
+
+        def run_win(p):
+            return window_aggregate(
+                ray.data.from_arrow(tbl).repartition(5), window_s=3.0,
+                hop_s=1.0, num_partitions=p,
+            ).to_pandas()
+
+        def run_roll(p):
+            return rolling_value_sum(
+                ray.data.from_arrow(tbl), k=4, num_partitions=p
+            ).to_pandas()
+
+        for run in (run_asof, run_win, run_roll):
+            a, b = self._canon(run(1)), self._canon(run(16))
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_range_equi_semi(self):
+        from rabbittclust_ray.stages.joins import equi_join
+        from rabbittclust_ray.stages.relational import semi_anti_join
+
+        tbl = self._skewed_events()
+        rng = np.random.default_rng(93)
+        orders = pa.table(
+            {
+                "user_id": pa.array(
+                    np.where(rng.uniform(size=80) < 0.5, 3,
+                             rng.integers(0, 12, 80)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "value": pa.array(
+                    np.round(rng.uniform(1, 500, 80), 2), pa.float64()
+                ),
+            }
+        )
+
+        def run_range(p):
+            return range_count_join(
+                ray.data.from_arrow(tbl), ray.data.from_arrow(orders),
+                key="user_id", left_val="value", right_val="value",
+                lo_mul=2.0, hi_mul=30.0, left_cols=["event_id"],
+                num_partitions=p,
+            ).to_pandas()
+
+        def run_equi(p):
+            return equi_join(
+                ray.data.from_arrow(tbl), ray.data.from_arrow(orders),
+                key="user_id", left_cols=["event_id"],
+                right_cols=["value"], how="left", right_prefix="o_",
+                num_partitions=p,
+            ).to_pandas()
+
+        def run_semi(p):
+            return semi_anti_join(
+                ray.data.from_arrow(tbl), ray.data.from_arrow(orders),
+                key="user_id", left_cols=["event_id"], anti=True,
+                num_partitions=p,
+            ).to_pandas()
+
+        for run in (run_range, run_equi, run_semi):
+            a, b = self._canon(run(1)), self._canon(run(16))
+            pd.testing.assert_frame_equal(a, b)
