@@ -1435,6 +1435,45 @@ def _q_event_customer_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_event_customer_outer(sf_dir: str):
+    """FULL OUTER equi-join: events x customer keeps the 90% of customers
+    with no events as right-only null-event rows."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.joins import equi_join
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    cust = _read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def cust_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"].cast(pa.int64())
+                if not isinstance(t["c_nationkey"], pa.ChunkedArray)
+                else t["c_nationkey"].combine_chunks().cast(pa.int64()),
+                "c_acctbal": t["c_acctbal"],
+            }
+        )
+
+    out = equi_join(
+        ev, cust.map_batches(cust_keyed, batch_format="pyarrow"),
+        key="user_id", left_cols=["event_id"],
+        right_cols=["c_nationkey", "c_acctbal"], how="outer",
+        num_partitions=64,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["user_id", "event_id", "c_nationkey", "c_acctbal"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_user_event_pivot(sf_dir: str):
     """Pivot / wide conditional aggregate: per user, one count column per
     event type (fixed category list = stable schema) — per-batch partials
@@ -1597,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_rollup": _q_segment_rollup,
         "topk_docs_per_source": _q_topk_docs_per_source,
         "event_customer_join": _q_event_customer_join,
+        "event_customer_outer": _q_event_customer_outer,
         "user_event_pivot": _q_user_event_pivot,
         "rolling_value_sum": _q_rolling_value_sum,
         "length_quantiles_per_source": _q_length_quantiles,
@@ -1817,6 +1857,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
                    c.c_acctbal
             FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        """,
+        "event_customer_outer": """
+            SELECT COALESCE(e.user_id, c.c_custkey) AS user_id,
+                   e.event_id,
+                   CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   c.c_acctbal
+            FROM events e FULL OUTER JOIN customer c
+              ON c.c_custkey = e.user_id
         """,
         "user_event_pivot": """
             SELECT user_id,

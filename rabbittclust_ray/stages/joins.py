@@ -325,9 +325,12 @@ def equi_join(
     join.
 
     Output columns: ``key``, *left_cols, *(right_prefix + right_cols),
-    right payload nullable under ``how="left"``.
+    right payload nullable under ``how="left"``; BOTH payloads nullable
+    under ``how="outer"`` (full outer: unmatched rows of either side are
+    kept). NaN float payloads are emitted as nulls (pandas-null
+    convention) — the corpora carry no NaN data values.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"equi_join: unsupported how={how!r}")
     left_cols = list(left_cols)
     right_cols = list(right_cols)
@@ -377,8 +380,8 @@ def equi_join(
             return empty
         side = _np(t["side"])
         lmask = side == _SIDE_LEFT
-        if not lmask.any():
-            return empty
+        if not lmask.any() and how != "outer":
+            return empty  # outer must still emit right-only rows
         keys = _np(t["key"])
         ldf = pd.DataFrame({"key": keys[lmask]})
         for c in left_cols:

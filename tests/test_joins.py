@@ -826,3 +826,49 @@ class TestPartitionInvariance:
         for run in (run_range, run_equi, run_semi):
             a, b = self._canon(run(1)), self._canon(run(16))
             pd.testing.assert_frame_equal(a, b)
+
+
+class TestEquiJoinOuter:
+    def test_full_outer_vs_pandas(self):
+        from rabbittclust_ray.stages.joins import equi_join
+
+        rng = np.random.default_rng(97)
+        left = pa.table(
+            {
+                "event_id": pa.array(np.arange(120), pa.int64()),
+                "user_id": pa.array(
+                    rng.integers(0, 15, 120).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        # keys 10..24: some match, some right-only; keys 0..9 may be left-only
+        right = pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(10, 25, 40).astype(np.int64), pa.int64()
+                ),
+                "o_key": pa.array(np.arange(40) + 500, pa.int64()),
+            }
+        )
+        got = equi_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="user_id", left_cols=["event_id"], right_cols=["o_key"],
+            how="outer", num_partitions=4,
+        ).to_pandas().rename(columns={"key": "user_id"})
+        want = left.to_pandas().merge(
+            right.to_pandas(), on="user_id", how="outer"
+        )
+        assert len(got) == len(want)
+        def canon(df):
+            out = df[["user_id", "event_id", "o_key"]].copy()
+            for c in ("event_id", "o_key"):
+                out[c] = out[c].astype("float64")
+            return out.sort_values(
+                ["user_id", "event_id", "o_key"]
+            ).reset_index(drop=True)
+        g, w = canon(got), canon(want)
+        for c in g.columns:
+            gv, wv = g[c].to_numpy(), w[c].to_numpy()
+            assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
+        # both unmatched classes must actually occur in this fixture
+        assert got["event_id"].isna().any() and got["o_key"].isna().any()
