@@ -1517,6 +1517,40 @@ def _q_length_quantiles(sf_dir: str):
     )
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Grouped quantiles over a CONTINUOUS column via the documented
+    bucket-first path: o_totalprice discretized to cents integers
+    (floor(x*100), identical doubles in numpy and SQL), then exact
+    p25/p50/p75 per order priority from mergeable value-count
+    histograms."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.stats import grouped_quantiles
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": pa.array(
+                    np.floor(p * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_quantiles(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        group_col="o_orderpriority", value_col="price_cents",
+        qs=(0.25, 0.5, 0.75), num_partitions=32,
+    )
+
+
 def _q_events_semi_join(sf_dir: str):
     """Semi join (EXISTS): events of users having at least one order over
     450k — right stream shuffled as DISTINCT keys only."""
@@ -1640,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": _q_user_event_pivot,
         "rolling_value_sum": _q_rolling_value_sum,
         "length_quantiles_per_source": _q_length_quantiles,
+        "price_quantiles_per_priority": _q_price_quantiles,
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
         "pricing_summary": _q_pricing_summary,
@@ -1895,6 +1930,30 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS rolling_value_ppm
             FROM e
+        """,
+        "price_quantiles_per_priority": """
+            WITH r AS (
+                SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                           AS price_cents,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY floor(o_totalprice * 100.0)
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM orders
+            )
+            SELECT o_orderpriority, CAST(max(cnt) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.25 * cnt) AS BIGINT))
+                        THEN price_cents END) AS BIGINT) AS q25,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.5 * cnt) AS BIGINT))
+                        THEN price_cents END) AS BIGINT) AS q50,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.75 * cnt) AS BIGINT))
+                        THEN price_cents END) AS BIGINT) AS q75
+            FROM r GROUP BY o_orderpriority
         """,
         "events_semi_join": """
             SELECT e.user_id, e.event_id FROM events e
