@@ -170,6 +170,14 @@ def hash_exchange(
     skips its own map pass + materialization entirely — one fewer full
     dataset execution per chained exchange (fixed scheduling latency is
     the serial fraction that caps scaling on small-per-core inputs).
+
+    Note on Ray's "new schema: ." warning: when ANY map task in the plan
+    emits a zero-row output, Ray 2.49 records that RefBundle's schema as
+    None and logs "Operator produced a RefBundle with a different schema".
+    Our empty tables all carry the full column set (``_prep_table`` appends
+    HKEY even to empties; ``finish`` builds fn-schema empties), so the
+    warning is cosmetic — it reflects Ray's bundle-metadata representation
+    of empty outputs, not a schema mismatch in the data.
     """
     import ray
 

@@ -66,7 +66,12 @@ def save_stage(
         # file carrying the schema so load_stage never sees an empty path
         # list (ray.data.read_parquet([]) raises)
         if schema is None and not isinstance(ds, pa.Table):
-            schema = ds.schema().base_schema  # falls back to dataset metadata
+            s = ds.schema(fetch_if_missing=True)  # dataset metadata fallback
+            schema = getattr(s, "base_schema", s) if s is not None else None
+        # schema can STILL be None (e.g. a filter()-derived dataset whose
+        # every block is empty); a zero-column zero-row parquet round-trips
+        # through pq and ray.data.read_parquet, so degrade to that rather
+        # than crash — the stage is honestly "empty, schema unknown"
         empty = pa.table({f.name: pa.array([], f.type) for f in (schema or pa.schema([]))})
         path = os.path.join(tmp_dir, "part-00000.parquet")
         pq.write_table(empty, path)

@@ -148,3 +148,26 @@ def test_empty_edge_checkpoint_append_recluster(tmp_path):
     assert r2.assignments.count() == 3
     r3 = recluster_from_checkpoint(root, 0.05)
     assert r3.assignments.count() == 3
+
+
+def test_save_stage_schemaless_empty_dataset(tmp_path):
+    """A dataset that is empty AND whose schema Ray cannot determine
+    (filter()-derived, every block empty) must still checkpoint + load
+    instead of crashing on schema().base_schema (round-2 advice)."""
+    from rabbittclust_ray.state.checkpoint import load_stage_table
+
+    ds = ray.data.range(8).filter(lambda r: False)
+    save_stage(str(tmp_path), "s0", ds, config_hash="h")
+    assert stage_is_valid(str(tmp_path), "s0", "h")
+    assert load_stage(str(tmp_path), "s0").count() == 0
+    assert load_stage_table(str(tmp_path), "s0").num_rows == 0
+
+
+def test_save_stage_empty_with_known_schema_preserves_it(tmp_path):
+    ds = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "d": pa.array([], pa.float64())})
+    )
+    save_stage(str(tmp_path), "s0", ds, config_hash="h")
+    out = load_stage(str(tmp_path), "s0")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"u", "d"}
