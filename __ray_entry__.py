@@ -1609,6 +1609,104 @@ def _q_pricing_summary(sf_dir: str):
     return pricing_summary(li, cutoff_us=cutoff_us, num_partitions=8)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: documents ordered by doc_id within each
+    source, whitespace-token streams concatenated and cut into 256-token
+    training windows; emits the doc->window assignment (docs span
+    windows). Token counts travel as ints through ONE keyed exchange —
+    the text never crosses the wire."""
+    from rabbittclust_ray.stages.pack import pack_sequences
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return pack_sequences(
+        docs, window=256, group_col="source", num_partitions=16
+    )
+
+
+def _q_event_gap_stats(sf_dir: str):
+    """Per-user inter-event gap stats (the LAG window-function class):
+    n_events, sum_gap_us (telescopes to last-first), max_gap_us over
+    (ts, event_id)-ordered events. One keyed exchange; vectorized
+    diff + maximum.reduceat reducer."""
+    from rabbittclust_ray.stages.events import event_gap_stats
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return event_gap_stats(ev, num_partitions=64)
+
+
+def _q_source_except_shas(sf_dir: str):
+    """Distinct-set EXCEPT on a STRING key: content sha256 values present
+    in source src0 but in no other source — both streams deduped per
+    batch before the single keyed exchange."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.relational import except_distinct
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def sha(t: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(s.encode()).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"source": t["source"],
+             "content_sha256": pa.array(shas, pa.string())}
+        )
+
+    hashed = docs.map_batches(sha, batch_format="pyarrow")
+    left = hashed.map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src0")),
+        batch_format="pyarrow",
+    )
+    right = hashed.map_batches(
+        lambda t: t.filter(pc.not_equal(t["source"], "src0")),
+        batch_format="pyarrow",
+    )
+    return except_distinct(
+        left, right, key="content_sha256", num_partitions=32
+    )
+
+
+def _q_top_revenue_orders(sf_dir: str):
+    """TPC-H-Q3-shaped composed pipeline: top-10 highest-revenue
+    unshipped BUILDING-segment orders — broadcast customer-key semi
+    filter, per-batch lineitem revenue partials, ONE keyed exchange,
+    per-partition local top-k, driver merge of <= partitions*k rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.stages.relational import top_revenue_orders
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )  # small dimension: driver read + broadcast is the plan
+    import pyarrow.compute as pc
+
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].combine_chunks()
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff_us = pd.Timestamp("1995-03-15").value // 1000
+    return top_revenue_orders(
+        orders, li, keys, cutoff_us=cutoff_us, k=10, num_partitions=32
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1678,6 +1776,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
         "pricing_summary": _q_pricing_summary,
+        "pack_sequences": _q_pack_sequences,
+        "event_gap_stats": _q_event_gap_stats,
+        "source_except_shas": _q_source_except_shas,
+        "top_revenue_orders": _q_top_revenue_orders,
     }
 
 
@@ -1987,6 +2089,64 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "pack_sequences": r"""
+            WITH tok AS (
+                SELECT doc_id, source,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                            END AS BIGINT) AS n
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, source, n,
+                       CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s,
+                       CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+                FROM tok WHERE n > 0
+            )
+            SELECT source, doc_id, CAST(w AS BIGINT) AS window_id,
+                   CAST(LEAST(e, (w+1)*256) - GREATEST(s, w*256) AS BIGINT)
+                       AS n_window_tokens
+            FROM pos, LATERAL (
+                SELECT unnest(generate_series(s // 256, (e-1) // 256)) AS w
+            ) t(w)
+        """,
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+                   CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+            FROM g GROUP BY user_id
+        """,
+        "source_except_shas": """
+            SELECT sha256(text) AS content_sha256
+            FROM documents WHERE source = 'src0'
+            EXCEPT
+            SELECT sha256(text) AS content_sha256
+            FROM documents WHERE source <> 'src0'
+        """,
+        "top_revenue_orders": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS revenue_ppm
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_ppm DESC, o.o_orderkey
+            LIMIT 10
         """,
         "length_quantiles_per_source": """
             WITH r AS (

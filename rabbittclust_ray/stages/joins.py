@@ -766,3 +766,40 @@ def topk_per_group(
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
     return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def global_topk(
+    ds: ray.data.Dataset,
+    *,
+    order_cols: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+) -> pa.Table:
+    """Global top-k rows under a total order, without a global sort: each
+    block is pruned to its local top-k inside ``map_batches`` (semantics-
+    preserving — a row outside its block's top-k cannot be in the global
+    top-k), then the driver merges the surviving ``<= num_blocks * k``
+    rows.  The returned table is small by construction (``k`` rows), the
+    distributed input is never materialized.
+
+    ``order_cols`` must be a total order (include a unique id as the last
+    column) so the result is deterministic across block boundaries.
+    """
+    order_cols = list(order_cols)
+    ascending = list(ascending)
+
+    def local(t: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401 — pandas sort kernel
+
+        if t.num_rows <= k:
+            return t
+        df = t.to_pandas().sort_values(
+            order_cols, ascending=ascending, kind="stable", ignore_index=True
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    pruned = pruned.sort_values(
+        order_cols, ascending=ascending, kind="stable", ignore_index=True
+    ).head(k)
+    return pa.Table.from_pandas(pruned, preserve_index=False)

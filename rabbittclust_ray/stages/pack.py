@@ -1,0 +1,140 @@
+"""Sequence packing: map documents into fixed-size training token windows.
+
+A training-data extension beyond the reference (COVERAGE.md extension
+table): GPT-style example packing — documents are conceptually
+concatenated in a deterministic order within each pack group (a shard:
+``source``, a file, or any caller-chosen key) and the token stream is cut
+into fixed ``window`` token windows; a document spans however many windows
+its tokens cover.  The output is the doc→window assignment table
+``(group, doc_id, window_id, n_window_tokens)`` that a training loader
+consumes to build batches: every non-final window of a group is exactly
+full, so there is no padding waste (the measurable packing objective).
+
+Ray-Data shape: token counts are computed vectorized per batch (same
+Arrow-compute whitespace rule as ``text.token_count``, so the result is
+SQL-oracle-exact), the (group, doc_id, n_tokens) rows — ints only, never
+the text — go through ONE keyed exchange on the group, and each reducer
+runs a vectorized prefix-sum + window expansion over its groups (no
+per-document Python loop).  Partitioning assumption (documented, same as
+``sessionize``): one pack group's COUNT rows fit a reducer — at 100 TB
+the pack group is a shard (e.g. ``doc_id % num_shards``), whose row count
+the caller controls, never the whole corpus.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    window: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Assign each document its training windows.
+
+    Within each ``group_col`` value, documents are ordered by ``id_col``
+    and their whitespace-token streams concatenated; window ``w`` of a
+    group covers tokens ``[w*window, (w+1)*window)``.  Emits one row per
+    (document, covered window): ``(group, doc_id, window_id,
+    n_window_tokens)`` with ``n_window_tokens`` = how many of the doc's
+    tokens land in that window.  Zero-token documents are dropped (they
+    contribute nothing to any window).
+
+    Invariant (pinned by tests): summing ``n_window_tokens`` over a
+    non-final window of any group gives exactly ``window``.
+    """
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    if window <= 0:
+        raise ValueError("window must be positive")
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "window_id": pa.array([], pa.int64()),
+            "n_window_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # same rule as text.token_count: #whitespace runs in trimmed text,
+        # 0 for empty/whitespace-only — keeps the SQL oracle shared
+        trimmed = pc.utf8_trim_whitespace(t[text_col])
+        runs = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(
+            pc.equal(trimmed, pa.scalar("")),
+            pa.scalar(0, pa.int64()),
+            pc.cast(runs, pa.int64()),
+        )
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        gkey = pd.util.hash_array(g.astype(object)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "__gkey__": pa.array(gkey, pa.int64()),
+                "doc_id": t[id_col].cast(pa.int64())
+                if not isinstance(t[id_col], pa.ChunkedArray)
+                else t[id_col].combine_chunks().cast(pa.int64()),
+                "n_tokens": n,
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if "__gkey__" in t.column_names:
+            t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return empty
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        keep = n > 0
+        grp, ids, n = grp[keep], ids[keep], n[keep]
+        if len(ids) == 0:
+            return empty
+        order = np.lexsort((ids, grp))
+        grp, ids, n = grp[order], ids[order], n[order]
+        m = len(ids)
+        # per-group token prefix sums: global cumsum minus the cumsum at
+        # each row's group start (propagated via maximum.accumulate)
+        new_grp = np.empty(m, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = grp[1:] != grp[:-1]
+        cs = np.cumsum(n)
+        gstart_cs = np.where(new_grp, cs - n, 0)
+        np.maximum.accumulate(gstart_cs, out=gstart_cs)
+        start = cs - n - gstart_cs
+        end = cs - gstart_cs
+        first_w = start // window
+        last_w = (end - 1) // window
+        nw = (last_w - first_w + 1).astype(np.int64)
+        rep = np.repeat(np.arange(m), nw)
+        # window offsets within each doc: global arange minus each doc's
+        # first output position
+        offs = np.arange(len(rep), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nw)[:-1])), nw
+        )
+        w = first_w[rep] + offs
+        tok = np.minimum(end[rep], (w + 1) * window) - np.maximum(
+            start[rep], w * window
+        )
+        return pa.table(
+            {
+                group_col: pa.array(grp[rep]),
+                "doc_id": pa.array(ids[rep], pa.int64()),
+                "window_id": pa.array(w, pa.int64()),
+                "n_window_tokens": pa.array(tok, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    return hash_exchange(counted, "__gkey__", reduce, num_partitions)

@@ -211,3 +211,230 @@ def pricing_summary(
 
     partials = lineitem.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(partials, "gkey", finalize, num_partitions)
+
+
+def except_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    intersect: bool = False,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT`` / ``INTERSECT`` over one column: the DISTINCT
+    ``key`` values present in ``left`` but not ``right`` (default), or
+    present in both (``intersect=True``).  Works for integer AND string
+    keys (strings are exchanged on a deterministic int64 hash, the
+    engine's string-key convention; the reducer decides on the REAL
+    values, so hash collisions are harmless).
+
+    Scale shape: both streams are projected to the key column and deduped
+    PER BATCH before the single keyed exchange, so the shuffled volume of
+    each side is its per-block distinct-key count — the same
+    combiner-before-shuffle contract as ``semi_anti_join``.  The result is
+    a distributed Dataset (one column, named ``key``), never a driver
+    collection.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(side: np.int8):
+        def f(t: pa.Table) -> pa.Table:
+            col = t[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = pc.unique(col)  # per-batch dedup before the exchange
+            if pa.types.is_integer(vals.type):
+                gkey = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                gkey = pd.util.hash_array(
+                    vals.to_numpy(zero_copy_only=False).astype(object)
+                ).astype(np.int64)
+            return pa.table(
+                {
+                    key: vals,
+                    "__gkey__": pa.array(gkey, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(vals), side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    def reduce(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return pa.table({key: t[key]})
+        side = _np(t["side"])
+        vals = t[key].to_numpy(zero_copy_only=False)
+        lv = np.unique(vals[side == _SIDE_LEFT])
+        rv = np.unique(vals[side == _SIDE_RIGHT])
+        out = (
+            lv[np.isin(lv, rv, assume_unique=True)]
+            if intersect
+            else np.setdiff1d(lv, rv, assume_unique=True)
+        )
+        return pa.table({key: pa.array(out, t.schema.field(key).type)})
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    lt = left.map_batches(tag(_SIDE_LEFT), batch_format="pyarrow")
+    rt = right.map_batches(tag(_SIDE_RIGHT), batch_format="pyarrow")
+    return hash_exchange(lt.union(rt), "__gkey__", reduce, num_partitions)
+
+
+def top_revenue_orders(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    customer_keys: "pa.Array | np.ndarray",
+    *,
+    cutoff_us: int,
+    k: int = 10,
+    num_partitions: int = 256,
+) -> pa.Table:
+    """TPC-H-Q3-shaped composed pipeline: the ``k`` highest-revenue
+    unshipped orders for a customer segment.
+
+    ``customer_keys`` is the (small) set of qualifying c_custkey values —
+    the caller reads + filters the customer dimension and passes the key
+    column; it is broadcast ONCE via ``ray.put`` and each orders batch
+    probes it with a sorted membership test (the broadcast-semi-join
+    plan; at a scale where the dimension itself is large, filter orders
+    with ``semi_anti_join`` instead — same downstream).
+
+    Plan (one keyed exchange total):
+    - orders: filter ``o_orderdate < cutoff`` + segment membership, emit
+      ``(o_orderkey, o_orderdate, o_orderpriority)`` tagged LEFT;
+    - lineitem: filter ``l_shipdate > cutoff``, pre-aggregate revenue
+      ``floor(l_extendedprice*(1-l_discount)*1e6)`` int64 ppm per
+      ``l_orderkey`` PER BATCH (combiner-before-shuffle: the widest table
+      crosses the wire as one row per order per block), tagged RIGHT;
+    - one exchange on the order key: reducer sums revenue per order,
+      inner-joins the order attributes, keeps its local top-k;
+    - driver merges ``<= partitions * k`` rows to the global top-k
+      (revenue desc, orderkey asc — a total order).
+
+    Returns a ``k``-row pa.Table ``(o_orderkey, o_orderdate,
+    o_orderpriority, revenue_ppm)``.
+    """
+    import ray
+
+    import pandas as pd
+
+    from rabbittclust_ray.stages.joins import global_topk
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keys = np.sort(
+        customer_keys.to_numpy(zero_copy_only=False)
+        if isinstance(customer_keys, (pa.Array, pa.ChunkedArray))
+        else np.asarray(customer_keys, dtype=np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        ck = ray.get(keys_ref)
+        odate = _cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cust = _np(t["o_custkey"])
+        pos = np.clip(np.searchsorted(ck, cust), 0, max(len(ck) - 1, 0))
+        member = (ck[pos] == cust) if len(ck) else np.zeros(len(cust), bool)
+        m = member & (odate < cutoff_us)
+        sel = t.filter(pa.array(m))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "okey": _cast(sel["o_orderkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "odate_us": _cast(sel["o_orderdate"], pa.int64()),
+                "o_orderpriority": sel["o_orderpriority"],
+                "rev_ppm": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        ship = _cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = ship > cutoff_us
+        sel = t.filter(pa.array(m))
+        okey = _np(sel["l_orderkey"]).astype(np.int64)
+        rev = np.floor(
+            sel["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - sel["l_discount"].to_numpy(zero_copy_only=False))
+            * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame({"okey": okey, "rev": rev})
+        g = df.groupby("okey", sort=False)["rev"].sum().reset_index()
+        n = len(g)
+        return pa.table(
+            {
+                "okey": pa.array(g["okey"].to_numpy(), pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "odate_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "rev_ppm": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "odate_us": pa.array([], pa.int64()),
+            "o_orderpriority": pa.array([], pa.string()),
+            "revenue_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any() or lmask.all():
+            return empty  # inner join: need both sides
+        lt = t.filter(pa.array(lmask))
+        rkey = _np(t["okey"])[~lmask]
+        rrev = _np(t["rev_ppm"])[~lmask]
+        order = np.argsort(rkey, kind="stable")
+        rkey, rrev = rkey[order], rrev[order]
+        uk, start = np.unique(rkey, return_index=True)
+        sums = np.add.reduceat(rrev, start)
+        lk = _np(lt["okey"])
+        pos = np.clip(np.searchsorted(uk, lk), 0, len(uk) - 1)
+        member = uk[pos] == lk
+        sel = lt.filter(pa.array(member))
+        out = pa.table(
+            {
+                "o_orderkey": sel["okey"],
+                "odate_us": sel["odate_us"],
+                "o_orderpriority": sel["o_orderpriority"],
+                "revenue_ppm": pa.array(sums[pos[member]], pa.int64()),
+            }
+        )
+        # local top-k: only k rows per partition reach the driver merge
+        if out.num_rows > k:
+            df = out.to_pandas().sort_values(
+                ["revenue_ppm", "o_orderkey"], ascending=[False, True],
+                kind="stable", ignore_index=True,
+            ).head(k)
+            out = pa.Table.from_pandas(df, preserve_index=False)
+        return out
+
+    o = orders.map_batches(prep_orders, batch_format="pyarrow")
+    li = lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
+    joined = hash_exchange(o.union(li), "okey", reduce, num_partitions)
+    top = global_topk(
+        joined, order_cols=["revenue_ppm", "o_orderkey"],
+        ascending=[False, True], k=k,
+    )
+    # restore the timestamp type for the date column
+    return pa.table(
+        {
+            "o_orderkey": top["o_orderkey"],
+            "o_orderdate": top["odate_us"].cast(pa.timestamp("us")),
+            "o_orderpriority": top["o_orderpriority"],
+            "revenue_ppm": top["revenue_ppm"],
+        }
+    )

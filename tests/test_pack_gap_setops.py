@@ -1,0 +1,291 @@
+"""Sequence packing, per-user gap stats, distinct set ops, and the
+composed top-revenue pipeline — pinned against brute-force Python/pandas
+replays on deterministic synthetic inputs (the SQL oracles cover the sf
+tables; these cover empty/tie/boundary/partition-invariance edges)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.events import event_gap_stats
+from rabbittclust_ray.stages.pack import pack_sequences
+from rabbittclust_ray.stages.relational import except_distinct
+
+
+def _docs(n=60, seed=5):
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(0, 40))
+        texts.append(" ".join(f"w{j}" for j in range(k)))
+    # sprinkle empty and whitespace-only docs
+    texts[3] = ""
+    texts[7] = "   "
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(
+                [f"s{i % 3}" for i in range(n)], pa.string()
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _pack_brute(t: pa.Table, window: int) -> pd.DataFrame:
+    df = t.to_pandas()
+    df["n"] = df.text.str.strip().map(lambda s: len(s.split()) if s else 0)
+    rows = []
+    for src, g in df.groupby("source"):
+        g = g.sort_values("doc_id")
+        pos = 0
+        for _, r in g.iterrows():
+            if r.n == 0:
+                continue
+            start, end = pos, pos + r.n
+            for w in range(start // window, (end - 1) // window + 1):
+                rows.append(
+                    (src, r.doc_id, w,
+                     min(end, (w + 1) * window) - max(start, w * window))
+                )
+            pos = end
+    return pd.DataFrame(
+        rows, columns=["source", "doc_id", "window_id", "n_window_tokens"]
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_pack_sequences_matches_brute_force():
+    t = _docs()
+    got = pack_sequences(
+        ray.data.from_arrow(t), window=16, group_col="source",
+        num_partitions=8,
+    ).to_pandas()
+    want = _pack_brute(t, 16)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False
+    )
+
+
+def test_pack_sequences_full_window_invariant():
+    t = _docs(n=90, seed=11)
+    got = pack_sequences(
+        ray.data.from_arrow(t), window=32, group_col="source",
+        num_partitions=4,
+    ).to_pandas()
+    per_win = got.groupby(["source", "window_id"]).n_window_tokens.sum()
+    last = got.groupby("source").window_id.max()
+    for (src, w), tot in per_win.items():
+        if w != last[src]:
+            assert tot == 32, (src, w, tot)
+    # per-doc token conservation
+    per_doc = got.groupby("doc_id").n_window_tokens.sum()
+    df = t.to_pandas()
+    df["n"] = df.text.str.strip().map(lambda s: len(s.split()) if s else 0)
+    for did, n in zip(df.doc_id, df.n):
+        if n > 0:
+            assert per_doc[did] == n
+
+
+def test_pack_sequences_block_invariance():
+    t = _docs(n=50, seed=7)
+    a = pack_sequences(
+        ray.data.from_arrow(t), window=16, group_col="source",
+        num_partitions=2,
+    ).to_pandas()
+    b = pack_sequences(
+        ray.data.from_arrow(t).repartition(13), window=16,
+        group_col="source", num_partitions=9,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b), check_dtype=False)
+
+
+def _gap_events(n=300, n_users=6, seed=4):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 1_000_000, size=n)
+    ts[10] = ts[11] = ts[12]  # timestamp ties
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n).astype(np.int64), pa.int64()
+            ),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def test_event_gap_stats_matches_brute_force():
+    t = _gap_events()
+    got = event_gap_stats(
+        ray.data.from_arrow(t), num_partitions=4
+    ).to_pandas()
+    df = t.to_pandas()
+    df["ts_us"] = df.ts.astype("int64")
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        gaps = np.diff(g.ts_us.to_numpy())
+        rows.append(
+            (uid, len(g), int(gaps.sum()) if len(gaps) else 0,
+             int(gaps.max()) if len(gaps) else 0)
+        )
+    want = pd.DataFrame(
+        rows, columns=["user_id", "n_events", "sum_gap_us", "max_gap_us"]
+    )
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False
+    )
+
+
+def test_event_gap_stats_single_event_user():
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([5, 5, 9], pa.int64()),
+            "ts": pa.array([100, 400, 777], pa.timestamp("us")),
+        }
+    )
+    got = (
+        event_gap_stats(ray.data.from_arrow(t), num_partitions=2)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert got.loc[9].tolist() == [1, 0, 0]
+    assert got.loc[5].tolist() == [2, 300, 300]
+
+
+def _setop_tables():
+    left = pa.table({"k": pa.array(["a", "b", "c", "c", "d"], pa.string())})
+    right = pa.table({"k": pa.array(["b", "d", "e"], pa.string())})
+    return left, right
+
+
+def test_except_distinct_string_keys():
+    left, right = _setop_tables()
+    out = except_distinct(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), key="k",
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(out.k) == ["a", "c"]
+
+
+def test_intersect_distinct_string_keys():
+    left, right = _setop_tables()
+    out = except_distinct(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), key="k",
+        intersect=True, num_partitions=4,
+    ).to_pandas()
+    assert sorted(out.k) == ["b", "d"]
+
+
+def test_except_distinct_int_keys_and_empty_result():
+    left = pa.table({"k": pa.array([1, 2, 2], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    out = except_distinct(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), key="k",
+        num_partitions=3,
+    ).to_pandas()
+    assert len(out) == 0
+    both = except_distinct(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), key="k",
+        intersect=True, num_partitions=3,
+    ).to_pandas()
+    assert sorted(both.k) == [1, 2]
+
+
+def test_top_revenue_orders_matches_brute_force():
+    from rabbittclust_ray.stages.relational import top_revenue_orders
+
+    rng = np.random.default_rng(9)
+    n_orders, n_li = 80, 400
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, 20, n_orders).astype(np.int64), pa.int64()
+            ),
+            "o_orderdate": pa.array(
+                rng.integers(0, 1000, n_orders).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                rng.choice(["1-URGENT", "2-HIGH"], n_orders), pa.string()
+            ),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(
+                rng.integers(0, n_orders, n_li).astype(np.int64), pa.int64()
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(10, 1000, n_li), 2), pa.float64()
+            ),
+            "l_discount": pa.array(
+                np.round(rng.uniform(0, 0.1, n_li), 2), pa.float64()
+            ),
+            "l_shipdate": pa.array(
+                rng.integers(0, 1000, n_li).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    keys = np.arange(0, 20, 2, dtype=np.int64)  # even custkeys qualify
+    cutoff = 500
+    got = top_revenue_orders(
+        ray.data.from_arrow(orders), ray.data.from_arrow(li), keys,
+        cutoff_us=cutoff, k=5, num_partitions=6,
+    ).to_pandas()
+
+    od = orders.to_pandas()
+    ld = li.to_pandas()
+    od["odate_us"] = od.o_orderdate.astype("int64")
+    ld["ship_us"] = ld.l_shipdate.astype("int64")
+    od = od[(od.o_custkey % 2 == 0) & (od.odate_us < cutoff)]
+    ld = ld[ld.ship_us > cutoff].copy()
+    ld["rev"] = np.floor(
+        ld.l_extendedprice * (1.0 - ld.l_discount) * 1e6
+    ).astype(np.int64)
+    j = od.merge(
+        ld.groupby("l_orderkey").rev.sum().reset_index(),
+        left_on="o_orderkey", right_on="l_orderkey",
+    )
+    want = (
+        j.sort_values(["rev", "o_orderkey"], ascending=[False, True])
+        .head(5)
+        .rename(columns={"rev": "revenue_ppm"})[
+            ["o_orderkey", "o_orderdate", "o_orderpriority", "revenue_ppm"]
+        ]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_global_topk_total_order():
+    from rabbittclust_ray.stages.joins import global_topk
+
+    rng = np.random.default_rng(2)
+    t = pa.table(
+        {
+            "v": pa.array(
+                rng.integers(0, 50, 200).astype(np.int64), pa.int64()
+            ),
+            "id": pa.array(np.arange(200), pa.int64()),
+        }
+    )
+    out = global_topk(
+        ray.data.from_arrow(t).repartition(11),
+        order_cols=["v", "id"], ascending=[False, True], k=7,
+    ).to_pandas()
+    df = t.to_pandas().sort_values(
+        ["v", "id"], ascending=[False, True], ignore_index=True
+    ).head(7)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), df, check_dtype=False
+    )
