@@ -83,6 +83,8 @@ EX_MIN_LEN = 50
 EX_THRESHOLD = 0.1      # clustering cut d
 EX_DEDUP_DIST = 0.05    # near-dup collapse radius
 EX_STATS_THRESHOLD = 0.2  # wider cut for the histogram queries
+GROUP_PAIRS_THRESHOLD = 0.055  # group-level cut (jmin ~0.475, splits the
+# ~0.43-0.51 group-Jaccard range of the doc_id%20 grouping at sf tables)
 
 
 def _exact_scfg():
@@ -1707,6 +1709,52 @@ def _q_top_revenue_orders(sf_dir: str):
     )
 
 
+def _q_group_jaccard_pairs(sf_dir: str):
+    """Group-level (repo-level) near-dup pairs via MERGEABLE sketch
+    algebra: per-doc exact-mode sketches are unioned into one sketch per
+    group (group id = doc_id % 20, the SQL-reproducible stand-in for a
+    repo key) by ``merge_sketches_by`` — no re-sketching, text never
+    re-read — then the standard pair stack scores group pairs. mod_bits=0
+    keeps all shingles, so ``common``/sizes are exact distinct-gram
+    counts (integer-only output, same contract as ngram_jaccard_pairs)."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.pairs import candidate_pairs, mash_distance
+    from rabbittclust_ray.stages.sketch import merge_sketches_by, sketch_documents
+
+    scfg = _exact_scfg()
+    ccfg = _exact_ccfg(GROUP_PAIRS_THRESHOLD)
+    sk = sketch_documents(_prepared(sf_dir, min_len=EX_MIN_LEN), scfg)
+
+    def add_gid(t: pa.Table) -> pa.Table:
+        gid = t["doc_id"].to_numpy(zero_copy_only=False) % 20
+        return t.append_column("gid", pa.array(gid, pa.int64()))
+
+    merged = merge_sketches_by(
+        sk.map_batches(add_gid, batch_format="pyarrow"), "gid", scfg,
+        num_partitions=16,
+    )
+    pairs = candidate_pairs(merged, scfg, ccfg)
+
+    def score(t: pa.Table) -> pa.Table:
+        common = t["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = t["su"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = mash_distance(common, su, sv, scfg.distance_k)
+        ok = d <= ccfg.threshold
+        return pa.table(
+            {
+                "u": t["u"].filter(pa.array(ok)),
+                "v": t["v"].filter(pa.array(ok)),
+                "common": pa.array(common[ok], pa.int64()),
+                "su": pa.array(su[ok], pa.int64()),
+                "sv": pa.array(sv[ok], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1780,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_stats": _q_event_gap_stats,
         "source_except_shas": _q_source_except_shas,
         "top_revenue_orders": _q_top_revenue_orders,
+        "group_jaccard_pairs": _q_group_jaccard_pairs,
     }
 
 
@@ -2147,6 +2196,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue_ppm DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "group_jaccard_pairs": f"""
+            WITH pop AS MATERIALIZED (
+                SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS nt
+                FROM documents WHERE length(text) >= {EX_MIN_LEN}
+            ),
+            grams AS MATERIALIZED (
+                SELECT DISTINCT p.doc_id % 20 AS gid,
+                       substr(p.nt, g.i, {EX_SHINGLE_K}) AS g
+                FROM pop p, LATERAL (
+                    SELECT unnest(generate_series(1,
+                        length(p.nt) - {EX_SHINGLE_K - 1}))
+                ) AS g(i)
+                WHERE length(p.nt) >= {EX_SHINGLE_K}
+            ),
+            sizes AS (SELECT gid, count(*) AS sz FROM grams GROUP BY gid),
+            inter AS (
+                SELECT a.gid AS u, b.gid AS v,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM grams a JOIN grams b ON a.g = b.g AND a.gid < b.gid
+                GROUP BY 1, 2
+            )
+            SELECT u, v, common, CAST(sa.sz AS BIGINT) AS su,
+                   CAST(sb.sz AS BIGINT) AS sv
+            FROM inter
+            JOIN sizes sa ON sa.gid = u
+            JOIN sizes sb ON sb.gid = v
+            WHERE common >= {_jmin(GROUP_PAIRS_THRESHOLD)!r}
+                  * (sa.sz + sb.sz - common)
         """,
         "length_quantiles_per_source": """
             WITH r AS (

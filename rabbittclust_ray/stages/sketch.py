@@ -135,3 +135,121 @@ def sketch_documents(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def merge_sketches_by(
+    sketches: ray.data.Dataset,
+    group_col: str,
+    cfg: SketchConfig,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Group-level sketch union (mergeable-sketch algebra): collapse
+    per-document sketches into ONE sketch per ``group_col`` value (a repo,
+    a source shard, a license bucket ...), emitted in the standard sketch
+    schema (``doc_id`` = group id) so the whole pair/cluster stack runs
+    unchanged at group granularity.
+
+    Correctness of the merge (both modes exact, no re-sketching):
+    - ``bottomk``: bottom-k of a union of sets == bottom-k of the union of
+      the sets' bottom-k sketches — so the merged sketch is EXACTLY the
+      sketch that would have been computed from the concatenated group
+      text (modulo shingles spanning document boundaries, which we define
+      away: a group is a SET of documents, not a concatenation).
+    - ``mod`` (KSSD analogue): the mod-sampling rule is a per-hash
+      predicate, so the union of per-doc sketches IS the group's
+      mod-sketch; with ``mod_bits=0`` it is the group's exact distinct
+      shingle set (the SQL-oracle configuration).
+
+    Ray-Data shape: ONE keyed exchange on the group id; the reducer is a
+    single lexsort + consecutive-dedup + per-group rank pass over its
+    whole partition (no per-group Python loop). Only sketch rows move —
+    never text. Reference analogue: RabbitTClust sketches one genome from
+    many sequence records (/root/reference/src/SketchInfo.cpp:193-267,
+    the per-genome k-mer union); ours generalizes it to any grouping key
+    post-sketch, which the reference cannot (it fixes the group at read
+    time).
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    bottomk = cfg.mode == "bottomk"
+    k = cfg.sketch_size
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "sketch": pa.array([], pa.list_(pa.uint64())),
+            "sketch_size": pa.array([], pa.int32()),
+            "length": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        gid = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        values = sk.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        counts = np.diff(sk.offsets.to_numpy(zero_copy_only=False))
+        lengths = t["length"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(gid, counts)
+        # sort by (group, hash): lexsort keys are (minor=hash, major=group)
+        order = np.lexsort((values, rep))
+        g, h = rep[order], values[order]
+        m = len(g)
+        if m:
+            keep = np.empty(m, dtype=bool)
+            keep[0] = True
+            keep[1:] = (g[1:] != g[:-1]) | (h[1:] != h[:-1])
+            g, h = g[keep], h[keep]
+        if bottomk and len(g):
+            new_g = np.empty(len(g), dtype=bool)
+            new_g[0] = True
+            new_g[1:] = g[1:] != g[:-1]
+            idx = np.arange(len(g))
+            seg = np.where(new_g, idx, 0)
+            np.maximum.accumulate(seg, out=seg)
+            rank = idx - seg
+            sel = rank < k
+            g, h = g[sel], h[sel]
+        # per-group doc counts / total length (group rows, sorted by gid)
+        gorder = np.argsort(gid, kind="stable")
+        gs, ls = gid[gorder], lengths[gorder]
+        ug, start = np.unique(gs, return_index=True)
+        ndocs = np.diff(np.append(start, len(gs))).astype(np.int64)
+        tot_len = np.add.reduceat(ls, start) if len(gs) else np.array([], np.int64)
+        # sketch list offsets per group (g sorted, groups contiguous)
+        if len(g):
+            ug2, start2 = np.unique(g, return_index=True)
+            sizes = np.diff(np.append(start2, len(g))).astype(np.int32)
+        else:
+            ug2 = np.array([], np.int64)
+            sizes = np.array([], np.int32)
+        # groups whose every member sketch was empty still get a row
+        # (ug2 is a sorted subset of ug: scatter sizes by searchsorted)
+        out_sizes = np.zeros(len(ug), dtype=np.int32)
+        if len(ug2):
+            out_sizes[np.searchsorted(ug, ug2)] = sizes
+        offsets = np.zeros(len(ug) + 1, dtype=np.int32)
+        np.cumsum(out_sizes, out=offsets[1:])
+        sketch_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(h, pa.uint64())
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ug, pa.int64()),
+                "sketch": sketch_col,
+                "sketch_size": pa.array(out_sizes, pa.int32()),
+                "length": pa.array(tot_len, pa.int64()),
+                "n_docs": pa.array(ndocs, pa.int64()),
+            }
+        )
+
+    cols = [group_col, "sketch", "length"]
+    proj = sketches.select_columns(
+        [c for c in cols if c in sketches.schema().names]
+        + (["sketch_size"] if "sketch_size" in sketches.schema().names else [])
+    )
+    return hash_exchange(proj, group_col, reduce, num_partitions)

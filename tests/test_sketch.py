@@ -73,3 +73,69 @@ def test_normalize_ws_collapses_runs():
     col = pa.array(["a   b\t\tc\n\nd", "x y"])
     out = normalize_column(col, "ws").to_pylist()
     assert out == ["a b c d", "x y"]
+
+
+def _merge_fixture(mode, sketch_size=8):
+    import ray.data
+
+    from rabbittclust_ray.stages.sketch import merge_sketches_by
+
+    cfg = SketchConfig(
+        shingle_k=4, mode=mode, sketch_size=sketch_size,
+        mod_bits=0 if mode == "mod" else 8, normalize="none", min_len=0,
+    )
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "sphinx of black quartz judge my vow",
+        "the five boxing wizards jump quickly",
+    ]
+    gids = [0, 0, 1, 1, 1]
+    sk = sketch_batch(_mk_batch(texts), cfg)
+    sk = sk.append_column("gid", pa.array(gids, pa.int64()))
+    merged = (
+        merge_sketches_by(
+            ray.data.from_arrow(sk).repartition(3), "gid", cfg,
+            num_partitions=2,
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    return cfg, texts, gids, merged
+
+
+def test_merge_sketches_mod_is_group_union():
+    cfg, texts, gids, merged = _merge_fixture("mod")
+    for g in (0, 1):
+        want = np.unique(
+            np.concatenate(
+                [
+                    rolling_shingle_hashes(t.encode(), cfg.shingle_k, cfg.seed)
+                    for t, gg in zip(texts, gids) if gg == g
+                ]
+            )
+        )
+        got = np.array(merged.loc[g, "sketch"], dtype=np.uint64)
+        assert np.array_equal(got, want)
+        assert merged.loc[g, "n_docs"] == gids.count(g)
+        assert merged.loc[g, "length"] == sum(
+            len(t) for t, gg in zip(texts, gids) if gg == g
+        )
+
+
+def test_merge_sketches_bottomk_equals_group_resketch():
+    cfg, texts, gids, merged = _merge_fixture("bottomk", sketch_size=6)
+    for g in (0, 1):
+        # bottom-k of the union of the group's full shingle sets == the
+        # sketch that a direct group-level sketch would produce
+        want = np.unique(
+            np.concatenate(
+                [
+                    rolling_shingle_hashes(t.encode(), cfg.shingle_k, cfg.seed)
+                    for t, gg in zip(texts, gids) if gg == g
+                ]
+            )
+        )[:6]
+        got = np.array(merged.loc[g, "sketch"], dtype=np.uint64)
+        assert np.array_equal(got, want)
+        assert merged.loc[g, "sketch_size"] == len(want)
