@@ -1755,6 +1755,22 @@ def _q_group_jaccard_pairs(sf_dir: str):
     return pairs.map_batches(score, batch_format="pyarrow")
 
 
+def _q_bigram_fluency(sf_dir: str):
+    """Perplexity-filter class scoring with a self-trained bigram model:
+    per doc, the sum of floor(1e6 * c(w1,w2)/c(w1,*)) over its bigram
+    positions (integer ppm conditional probabilities — monotone proxy for
+    log-perplexity without cross-engine libm hazards). Train and score are
+    FUSED: exchange 1 keys on the context word, so the reducer owns every
+    instance of its contexts and scores in the same pass; exchange 2 sums
+    per doc."""
+    from rabbittclust_ray.stages.lm import bigram_fluency
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_fluency(docs, num_partitions=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1829,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_except_shas": _q_source_except_shas,
         "top_revenue_orders": _q_top_revenue_orders,
         "group_jaccard_pairs": _q_group_jaccard_pairs,
+        "bigram_fluency": _q_bigram_fluency,
     }
 
 
@@ -2225,6 +2242,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.gid = v
             WHERE common >= {_jmin(GROUP_PAIRS_THRESHOLD)!r}
                   * (sa.sz + sb.sz - common)
+        """,
+        "bigram_fluency": r"""
+            WITH pop AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''
+            ),
+            toks AS MATERIALIZED (
+                SELECT doc_id, i.i AS i, arr[i.i] AS w
+                FROM pop, LATERAL (
+                    SELECT unnest(generate_series(1, len(arr))) AS i
+                ) i(i)
+            ),
+            big AS MATERIALIZED (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ),
+            uc AS (SELECT w1, count(*) AS c FROM big GROUP BY w1),
+            bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum((1000000 * bc.c) // uc.c) AS BIGINT)
+                       AS fluency_ppm_sum
+            FROM big g
+            JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+            JOIN uc ON uc.w1 = g.w1
+            GROUP BY g.doc_id
         """,
         "length_quantiles_per_source": """
             WITH r AS (

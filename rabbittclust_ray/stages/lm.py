@@ -1,0 +1,173 @@
+"""Bigram language-model fluency scoring (perplexity-filter class).
+
+A training-data extension beyond the reference: CCNet/Gopher-style corpora
+are filtered by language-model perplexity; this implements the
+distributed-shape version with a self-trained bigram model.  To stay
+bit-exact against a SQL oracle the score avoids floating-point logs: each
+bigram position contributes ``floor(1e6 * c(w1,w2) / c(w1,*))`` — the
+conditional probability in ppm, computed with INTEGER division — and the
+per-document output is ``(n_bigrams, fluency_ppm_sum)``; a reader derives
+the average conditional probability as ``sum / n``.  Low average ppm ==
+unusual token transitions == the same docs a log-perplexity filter flags
+(monotone in the per-position probabilities), without the cross-engine
+libm hazard.
+
+Ray-Data shape — fully distributed, NO broadcast model and no driver
+state, because the model is trained on the data being scored:
+
+1. per-batch vectorized tokenization (Arrow split + numpy offsets) emits
+   one row per bigram INSTANCE ``(doc_id, w1, w2)``;
+2. exchange 1, keyed on ``hash(w1)``: every instance of a context word
+   lands in one reducer, so the reducer computes the exact model counts
+   ``c(w1,w2)`` and ``c(w1,*)`` for its contexts AND scores its instances
+   in the same pass (train and score fused — the join with the model is
+   free because the partitioning key IS the model key), then pre-sums per
+   document;
+3. exchange 2, keyed on ``doc_id``: final per-document sums.
+
+Skew note: a hot context word (``the``) concentrates its instances in one
+partition; the per-partition work is a pandas C groupby, so the bound is
+that one context's INSTANCE rows fit a reducer — the same contract as the
+engine's other keyed reducers, with posting-cap-style salting the
+documented upgrade if a corpus ever breaks it.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def bigram_fluency(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Score documents by self-trained bigram conditional probability.
+
+    Output: ``(doc_id, n_bigrams, fluency_ppm_sum)``; one row per document
+    with >= 2 whitespace tokens.  Tokens are the whitespace runs of the
+    trimmed text (same rule as ``text.token_count``).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def explode_bigrams(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t[text_col])
+        words = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        raw_counts = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        )
+        # whitespace-only/empty text splits to [""] — zero real tokens, but
+        # the flat array still carries that "" element: drop those docs'
+        # flat positions so w and doc_rep stay aligned
+        nonempty = pc.not_equal(trimmed, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        flat = words.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        w = flat.to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(ids, raw_counts)
+        keep = np.repeat(nonempty, raw_counts)
+        w, doc_rep = w[keep], doc_rep[keep]
+        # bigram positions: consecutive tokens of the SAME document
+        if len(w) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "__gkey__": pa.array([], pa.int64()),
+                }
+            )
+        same_doc = doc_rep[1:] == doc_rep[:-1]
+        w1 = w[:-1][same_doc]
+        w2 = w[1:][same_doc]
+        did = doc_rep[1:][same_doc]
+        gkey = pd.util.hash_array(w1.astype(object)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "__gkey__": pa.array(gkey, pa.int64()),
+            }
+        )
+
+    empty_partial = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
+    )
+
+    def score_contexts(t: pa.Table) -> pa.Table:
+        if "__gkey__" in t.column_names:
+            t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return empty_partial
+        df = t.to_pandas()
+        # model counts for the contexts owned by this partition (ALL
+        # instances of each w1 are co-located, so these are exact)
+        cu = df.groupby("w1", sort=False).w2.transform("size").to_numpy()
+        cb = (
+            df.groupby(["w1", "w2"], sort=False)
+            .doc_id.transform("size")
+            .to_numpy()
+        )
+        term = (1_000_000 * cb.astype(np.int64)) // cu.astype(np.int64)
+        part = pd.DataFrame({"doc_id": df.doc_id.to_numpy(), "t": term})
+        g = part.groupby("doc_id", sort=False).agg(
+            n=("t", "size"), s=("t", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(g.doc_id.to_numpy(), pa.int64()),
+                "n": pa.array(g.n.to_numpy().astype(np.int64), pa.int64()),
+                "s": pa.array(g.s.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "fluency_ppm_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        import pandas as pd
+
+        g = (
+            t.to_pandas()
+            .groupby("doc_id", sort=False)
+            .agg(n_bigrams=("n", "sum"), fluency_ppm_sum=("s", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g.doc_id.to_numpy(), pa.int64()),
+                "n_bigrams": pa.array(
+                    g.n_bigrams.to_numpy().astype(np.int64), pa.int64()
+                ),
+                "fluency_ppm_sum": pa.array(
+                    g.fluency_ppm_sum.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    bigrams = ds.map_batches(explode_bigrams, batch_format="pyarrow")
+    partials = hash_exchange(bigrams, "__gkey__", score_contexts,
+                             num_partitions)
+    return hash_exchange(partials, "doc_id", finalize, num_partitions)

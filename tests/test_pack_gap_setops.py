@@ -289,3 +289,48 @@ def test_global_topk_total_order():
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), df, check_dtype=False
     )
+
+
+def test_bigram_fluency_matches_brute_force():
+    from collections import Counter
+
+    from rabbittclust_ray.stages.lm import bigram_fluency
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog",                      # 2 tokens -> 1 bigram
+        "hello",                      # 1 token -> no row
+        "",                           # empty -> no row
+        "   ",                        # whitespace-only -> no row
+        "the cat sat on the mat the cat",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        bigram_fluency(
+            ray.data.from_arrow(t).repartition(3), num_partitions=4
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # brute force: global bigram/context counts, then per-doc sums
+    docs = {i: s.split() for i, s in enumerate(texts) if s.strip()}
+    bigrams = [
+        (i, w1, w2)
+        for i, ws in docs.items()
+        for w1, w2 in zip(ws, ws[1:])
+    ]
+    bc = Counter((w1, w2) for _, w1, w2 in bigrams)
+    uc = Counter(w1 for _, w1, _ in bigrams)
+    want = {}
+    for i, w1, w2 in bigrams:
+        n, s = want.get(i, (0, 0))
+        want[i] = (n + 1, s + (1_000_000 * bc[(w1, w2)]) // uc[w1])
+    assert set(got.index) == set(want)
+    for i, (n, s) in want.items():
+        assert got.loc[i, "n_bigrams"] == n
+        assert got.loc[i, "fluency_ppm_sum"] == s
