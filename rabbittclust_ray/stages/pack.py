@@ -55,14 +55,16 @@ def pack_sequences(
     if window <= 0:
         raise ValueError("window must be positive")
 
-    empty = pa.table(
-        {
-            group_col: pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "window_id": pa.array([], pa.int64()),
-            "n_window_tokens": pa.array([], pa.int64()),
-        }
-    )
+    def _empty(gtype: pa.DataType) -> pa.Table:
+        # group column keeps the INPUT type (string source, int shard ...)
+        return pa.table(
+            {
+                group_col: pa.array([], gtype),
+                "doc_id": pa.array([], pa.int64()),
+                "window_id": pa.array([], pa.int64()),
+                "n_window_tokens": pa.array([], pa.int64()),
+            }
+        )
 
     def count_tokens(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -93,14 +95,14 @@ def pack_sequences(
         if "__gkey__" in t.column_names:
             t = t.drop_columns(["__gkey__"])
         if t.num_rows == 0:
-            return empty
+            return _empty(t.schema.field(group_col).type)
         grp = t[group_col].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         n = t["n_tokens"].to_numpy(zero_copy_only=False)
         keep = n > 0
         grp, ids, n = grp[keep], ids[keep], n[keep]
         if len(ids) == 0:
-            return empty
+            return _empty(t.schema.field(group_col).type)
         order = np.lexsort((ids, grp))
         grp, ids, n = grp[order], ids[order], n[order]
         m = len(ids)
