@@ -1771,6 +1771,20 @@ def _q_bigram_fluency(sf_dir: str):
     return bigram_fluency(docs, num_partitions=32)
 
 
+def _q_curate_pack(sf_dir: str):
+    """End-to-end curation flagship: Gopher quality filter (streaming, no
+    shuffle) -> exact sha dedup keep-first (one sha-keyed exchange) ->
+    sequence packing (int-counts-only exchange). The text crosses the wire
+    exactly once; each stage is individually oracle-checked elsewhere and
+    the composition is hash-checked here."""
+    from rabbittclust_ray.pipelines.curate import curate_and_pack
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return curate_and_pack(docs, window=256, num_partitions=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1846,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "group_jaccard_pairs": _q_group_jaccard_pairs,
         "bigram_fluency": _q_bigram_fluency,
+        "curate_pack": _q_curate_pack,
     }
 
 
@@ -2270,6 +2285,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
             JOIN uc ON uc.w1 = g.w1
             GROUP BY g.doc_id
+        """,
+        # curate_pack = gopher pass -> min-doc_id-per-sha -> pack windows
+        "curate_pack": r"""
+            WITH base AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                            END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                            AS BIGINT) AS wc,
+                       CAST(length(text) - length(replace(text, '#', ''))
+                            + length(text)
+                            - length(replace(text, chr(8230), ''))
+                            AS BIGINT) AS n_sym
+                FROM documents
+            ),
+            l AS MATERIALIZED (
+                SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(count(DISTINCT x.line) AS BIGINT) AS n_distinct
+                FROM documents d, LATERAL (
+                    SELECT unnest(string_split(d.text, chr(10))) AS line
+                ) x(line)
+                GROUP BY 1
+            ),
+            verdict AS (
+                SELECT b.doc_id,
+                       (b.n_words >= 50 AND b.n_words <= 100000
+                        AND (CASE WHEN b.n_words > 0
+                             THEN 1000000 * b.wc // b.n_words ELSE 0 END)
+                            BETWEEN 3000000 AND 10000000
+                        AND 1000000 * (l.n_lines - l.n_distinct)
+                            // l.n_lines <= 300000
+                        AND (CASE WHEN b.n_words > 0
+                             THEN 1000000 * b.n_sym // b.n_words ELSE 0 END)
+                            <= 100000) AS ok
+                FROM base b JOIN l USING (doc_id)
+            ),
+            surv AS MATERIALIZED (
+                SELECT doc_id, source, text FROM (
+                    SELECT d.doc_id, d.source, d.text,
+                           min(d.doc_id) OVER (PARTITION BY sha256(d.text))
+                               AS grp
+                    FROM documents d JOIN verdict v USING (doc_id)
+                    WHERE v.ok
+                ) WHERE doc_id = grp
+            ),
+            tok AS (
+                SELECT doc_id, source,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                            END AS BIGINT) AS n
+                FROM surv
+            ),
+            pos AS (
+                SELECT doc_id, source, n,
+                       CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s,
+                       CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+                FROM tok WHERE n > 0
+            )
+            SELECT source, doc_id, CAST(w AS BIGINT) AS window_id,
+                   CAST(LEAST(e, (w+1)*256) - GREATEST(s, w*256) AS BIGINT)
+                       AS n_window_tokens
+            FROM pos, LATERAL (
+                SELECT unnest(generate_series(s // 256, (e-1) // 256)) AS w
+            ) t(w)
         """,
         "length_quantiles_per_source": """
             WITH r AS (

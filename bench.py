@@ -291,6 +291,24 @@ def run_bench() -> dict:
 
     queries["q_relational"] = timed_best(run_relational)
 
+    # LLM-data family: sequence packing + self-trained bigram fluency over
+    # the sf documents table — the int-only-exchange and fused-train+score
+    # plans under timing
+    from rabbittclust_ray.stages.lm import bigram_fluency
+    from rabbittclust_ray.stages.pack import pack_sequences
+
+    docs_llm = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def run_llm_ops():
+        pack_sequences(
+            docs_llm, window=2048, group_col="source", num_partitions=64
+        ).count()
+        bigram_fluency(txt, num_partitions=64).count()
+
+    queries["q_llm_ops"] = timed_best(run_llm_ops)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",

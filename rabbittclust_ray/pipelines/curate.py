@@ -1,0 +1,69 @@
+"""End-to-end training-data curation: quality filter → exact dedup → pack.
+
+The composed flagship for the LLM-data family — the pipeline a real corpus
+run executes before tokenization:
+
+1. **Gopher quality filter** (``text.gopher_filter``): drop documents
+   failing the public Gopher heuristics — a pure streaming map, no
+   shuffle, text stays in its block.
+2. **Exact dedup, keep-first** (``dedup.exact_dedup_keep_first``): one
+   sha-keyed exchange collapses byte-identical survivors to the min-id
+   winner.
+3. **Sequence packing** (``pack.pack_sequences``): the survivors'
+   token counts — ints only, never text — cross one group-keyed exchange
+   and come back as the doc→training-window assignment.
+
+Total cost: the text crosses the wire ONCE (the dedup exchange); the
+filter runs where the data already is, and packing ships only counts.
+Every stage is individually DuckDB-oracle-checked; the composition is
+oracle-checked end-to-end by the ``curate_pack`` driver query (filter →
+min-id-per-sha → window prefix sums, all SQL-expressible).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def curate_and_pack(
+    docs: ray.data.Dataset,
+    window: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """documents (id, group, text) → packed training-window assignment
+    ``(group, doc_id, window_id, n_window_tokens)`` over the
+    quality-passing, exact-deduplicated survivors."""
+    from rabbittclust_ray.stages.dedup import exact_dedup_keep_first
+    from rabbittclust_ray.stages.pack import pack_sequences
+    from rabbittclust_ray.stages.text import gopher_filter
+
+    kept = gopher_filter(docs, text_col=text_col)
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
+            for s in t[text_col].to_pylist()
+        ]
+        cols = {
+            "doc_id": t[id_col].cast(pa.int64())
+            if not isinstance(t[id_col], pa.ChunkedArray)
+            else t[id_col].combine_chunks().cast(pa.int64()),
+            group_col: t[group_col],
+            text_col: t[text_col],
+            "content_sha256": pa.array(shas, pa.string()),
+        }
+        return pa.table(cols)
+
+    hashed = kept.map_batches(add_sha, batch_format="pyarrow")
+    unique = exact_dedup_keep_first(hashed, num_buckets=num_partitions)
+    return pack_sequences(
+        unique.drop_columns(["content_sha256"]),
+        window=window, group_col=group_col, id_col="doc_id",
+        text_col=text_col, num_partitions=num_partitions,
+    )

@@ -109,44 +109,8 @@ def gopher_quality(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
     word splitting matches the oracle on any input); duplicate-line
     counting via one flatten + pandas groupby-nunique (C-hashed), no
     Python per-line loop."""
-    import pyarrow.compute as pc
-
     def f(t: pa.Table) -> pa.Table:
-        txt = t[text_col]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        trimmed = pc.utf8_trim_whitespace(txt)
-        runs = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
-        n_words = pc.if_else(
-            pc.equal(trimmed, pa.scalar("")), pa.scalar(0, pa.int64()),
-            pc.cast(runs, pa.int64()),
-        ).to_numpy(zero_copy_only=False)
-        word_chars = pc.utf8_length(
-            pc.replace_substring_regex(txt, r"\s+", "")
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        safe_w = np.maximum(n_words, 1)
-        mwl_ppm = np.where(n_words > 0, 1_000_000 * word_chars // safe_w, 0)
-        lines = pc.split_pattern(txt, "\n")
-        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = lines.flatten().to_pandas()
-        ldf = pd.DataFrame(
-            {"i": np.repeat(np.arange(len(n_lines)), n_lines), "line": flat}
-        )
-        distinct = (
-            ldf.groupby("i")["line"].nunique()
-            .reindex(range(len(n_lines)), fill_value=0).to_numpy()
-        )
-        dup_ppm = 1_000_000 * (n_lines - distinct) // np.maximum(n_lines, 1)
-        n_sym = (
-            pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
-            + pc.count_substring(txt, "…").to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        sym_ppm = np.where(n_words > 0, 1_000_000 * n_sym // safe_w, 0)
-        ok = (
-            (n_words >= 50) & (n_words <= 100_000)
-            & (mwl_ppm >= 3_000_000) & (mwl_ppm <= 10_000_000)
-            & (dup_ppm <= 300_000) & (sym_ppm <= 100_000)
-        )
+        n_words, mwl_ppm, dup_ppm, sym_ppm, ok = _gopher_metrics(t[text_col])
         out = t.drop_columns([text_col])
         for name, arr in (
             ("n_words", n_words), ("mean_word_len_ppm", mwl_ppm),
@@ -157,6 +121,61 @@ def gopher_quality(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
         return out
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def gopher_filter(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Rows that PASS the Gopher rules, all columns kept (incl. the text)
+    — the inline-filter form of ``gopher_quality`` for pipeline
+    composition (``pipelines/curate.py``): one streaming pass, no verdict
+    broadcast or self-join."""
+
+    def f(t: pa.Table) -> pa.Table:
+        *_, ok = _gopher_metrics(t[text_col])
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _gopher_metrics(txt):
+    """Shared Gopher-rule kernel: (n_words, mean_word_len_ppm,
+    dup_line_ppm, symbol_ppm, pass_mask) as numpy arrays."""
+    import pyarrow.compute as pc
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(txt)
+    runs = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    n_words = pc.if_else(
+        pc.equal(trimmed, pa.scalar("")), pa.scalar(0, pa.int64()),
+        pc.cast(runs, pa.int64()),
+    ).to_numpy(zero_copy_only=False)
+    word_chars = pc.utf8_length(
+        pc.replace_substring_regex(txt, r"\s+", "")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    safe_w = np.maximum(n_words, 1)
+    mwl_ppm = np.where(n_words > 0, 1_000_000 * word_chars // safe_w, 0)
+    lines = pc.split_pattern(txt, "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lines.flatten().to_pandas()
+    ldf = pd.DataFrame(
+        {"i": np.repeat(np.arange(len(n_lines)), n_lines), "line": flat}
+    )
+    distinct = (
+        ldf.groupby("i")["line"].nunique()
+        .reindex(range(len(n_lines)), fill_value=0).to_numpy()
+    )
+    dup_ppm = 1_000_000 * (n_lines - distinct) // np.maximum(n_lines, 1)
+    n_sym = (
+        pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(txt, "…").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    sym_ppm = np.where(n_words > 0, 1_000_000 * n_sym // safe_w, 0)
+    ok = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mwl_ppm >= 3_000_000) & (mwl_ppm <= 10_000_000)
+        & (dup_ppm <= 300_000) & (sym_ppm <= 100_000)
+    )
+    return n_words, mwl_ppm, dup_ppm, sym_ppm, ok
 
 
 class LangIdActor:

@@ -334,3 +334,34 @@ def test_bigram_fluency_matches_brute_force():
     for i, (n, s) in want.items():
         assert got.loc[i, "n_bigrams"] == n
         assert got.loc[i, "fluency_ppm_sum"] == s
+
+
+def test_curate_and_pack_composition():
+    from rabbittclust_ray.pipelines.curate import curate_and_pack
+
+    good = " ".join(f"tok{i % 97}" for i in range(120))     # passes Gopher
+    good2 = " ".join(f"alt{i % 89}" for i in range(200))
+    short = "too short"                                      # fails n_words
+    symbols = " ".join(["#word#"] * 120)                     # fails symbol ratio
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "source": pa.array(["s0"] * 6, pa.string()),
+            "text": pa.array(
+                [good, good, good2, short, symbols, good], pa.string()
+            ),  # 0,1,5 byte-identical; 3,4 fail quality
+        }
+    )
+    out = curate_and_pack(
+        ray.data.from_arrow(t), window=64, group_col="source",
+        num_partitions=4,
+    ).to_pandas()
+    # survivors: doc 0 (min-id winner of the identical family) + doc 2
+    assert set(out.doc_id) == {0, 2}
+    # conservation: packed token counts equal survivors' token counts
+    per_doc = out.groupby("doc_id").n_window_tokens.sum()
+    assert per_doc[0] == 120 and per_doc[2] == 200
+    # windows fill contiguously across the deduped, filtered stream
+    assert out.n_window_tokens.sum() == 320
+    full = out.groupby("window_id").n_window_tokens.sum()
+    assert all(full[w] == 64 for w in full.index if w != full.index.max())
