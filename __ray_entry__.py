@@ -1785,6 +1785,86 @@ def _q_curate_pack(sf_dir: str):
     return curate_and_pack(docs, window=256, num_partitions=32)
 
 
+def _q_norm_dedup_keep_best(sf_dir: str):
+    """Fuzzy-exact dedup on whitespace/case-NORMALIZED content with the
+    keep-BEST rule (longest raw doc wins its family, ties -> min id). The
+    testdata corpus has no normalized dups, so the query deterministically
+    augments it: every doc_id % 3 == 0 doc gets a mangled twin (spaces
+    doubled + trailing '\\n ', id + 10_000_000) that normalizes back to the
+    same text — the SQL oracle applies the identical augmentation, so the
+    keep-best winner choice is actually exercised."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.dedup import dedup_normalized
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": t["text"]}
+        )
+        sub = t.filter(pa.array(ids % 3 == 0))
+        mang = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub["doc_id"].to_numpy(zero_copy_only=False) + 10_000_000,
+                    pa.int64(),
+                ),
+                "text": pc.binary_join_element_wise(
+                    pc.replace_substring(sub["text"], " ", "  "),
+                    pa.scalar("\n "),
+                    "",
+                ),
+            }
+        )
+        return pa.concat_tables([base, mang]).combine_chunks()
+
+    aug = ds.map_batches(augment, batch_format="pyarrow")
+    return dedup_normalized(aug, keep="best", num_buckets=64)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (tokens with corpus frequency > n/200) via the
+    two-pass local-HH candidate scheme — no full-vocabulary shuffle; only
+    the <= k-per-block candidate set and <= k exact partials move."""
+    from rabbittclust_ray.stages.text import heavy_hitters
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return heavy_hitters(ds, k=200)
+
+
+def _q_length_ntiles(sf_dir: str):
+    """NTILE(4) length stratification per source (ANSI tile-size rule,
+    total order (length, doc_id)) — one group-keyed exchange."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.relational import ntile_by
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "length": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(proj, batch_format="pyarrow")
+    return ntile_by(
+        slim,
+        group_col="source",
+        order_cols=["length", "doc_id"],
+        n_tiles=4,
+        keep_cols=["doc_id", "length"],
+        num_partitions=32,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1861,6 +1941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_jaccard_pairs": _q_group_jaccard_pairs,
         "bigram_fluency": _q_bigram_fluency,
         "curate_pack": _q_curate_pack,
+        "norm_dedup_keep_best": _q_norm_dedup_keep_best,
+        "heavy_hitters": _q_heavy_hitters,
+        "length_ntiles": _q_length_ntiles,
     }
 
 
@@ -3021,6 +3104,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS vec_id, min(b) AS group_id,
                    CAST(a = min(b) AS BIGINT) AS keep
             FROM reach GROUP BY a
+        """,
+        # same deterministic dup augmentation as _q_norm_dedup_keep_best;
+        # keep-best = longest raw doc per normalized-sha family, ties min id
+        "norm_dedup_keep_best": r"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       replace(text, ' ', '  ') || chr(10) || ' '
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            n AS (
+                SELECT doc_id,
+                       sha256(trim(regexp_replace(lower(text),
+                                                  '[ \t\n\r\f\v]+', ' ',
+                                                  'g'))) AS norm_sha256,
+                       CAST(length(text) AS BIGINT) AS length
+                FROM aug
+            ),
+            w AS (
+                SELECT *, first_value(doc_id) OVER (
+                           PARTITION BY norm_sha256
+                           ORDER BY length DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS group_rep
+                FROM n
+            )
+            SELECT doc_id, norm_sha256, group_rep,
+                   doc_id <> group_rep AS is_dup, length
+            FROM w
+        """,
+        "heavy_hitters": """
+            WITH t AS (
+                SELECT token FROM (
+                    SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            tot AS (SELECT count(*) AS n FROM t)
+            SELECT token, CAST(count(*) AS BIGINT) AS count
+            FROM t, tot
+            GROUP BY token, tot.n HAVING count(*) * 200 > tot.n
+            ORDER BY count DESC, token
+        """,
+        "length_ntiles": """
+            SELECT source, doc_id,
+                   CAST(length(text) AS BIGINT) AS length,
+                   CAST(ntile(4) OVER (
+                        PARTITION BY source
+                        ORDER BY length(text), doc_id) AS BIGINT) AS tile
+            FROM documents
         """,
     })
     return sql

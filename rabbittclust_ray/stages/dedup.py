@@ -148,6 +148,99 @@ def exact_dedup_tagged(prepared: ray.data.Dataset, num_buckets: int = 1024) -> r
     return hash_exchange(keyed, "sha_key", tag, num_buckets)
 
 
+NORM_WS_RE = r"[ \t\n\r\f\v]+"
+
+
+def dedup_normalized(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "best",
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Fuzzy-exact dedup on NORMALIZED content with a keep-rule — the
+    curation variant of D7: two docs are duplicates iff their texts are
+    byte-identical after lowercasing, collapsing whitespace runs to one
+    space and trimming (the normalizer family of stages/sketch.py M2, made
+    a dedup key). ``keep="best"`` picks the LONGEST raw doc per family
+    (ties -> min id): real pipelines keep the best-formatted copy, not the
+    first-seen one. ``keep="first"`` = min id (exact_dedup's rule).
+
+    Output: (id_col, norm_sha256, group_rep, is_dup, length), one row per
+    input doc. Shape: normalization + sha in ONE vectorized map (RE2
+    kernels — `pc.replace_substring_regex` and DuckDB `regexp_replace`
+    share RE2, which is what makes the SQL oracle bit-exact), then one
+    hash exchange keyed on the sha prefix; winner selection vectorized
+    per partition (lexsort on decoded 256-bit keys, no per-group Python).
+    Content never crosses the wire — only (id, sha, length)."""
+    from rabbittclust_ray.hashing import sha256_hex
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    if keep not in ("best", "first"):
+        raise ValueError(f"keep must be 'best' or 'first', got {keep!r}")
+
+    def norm_sha(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = t[text_col]
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(txt), NORM_WS_RE, " ")
+        )
+        sha = sha256_hex(norm.to_pylist())
+        key = np.array([int(s[:15], 16) for s in sha], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "content_sha256": pa.array(sha, pa.string()),
+                "length": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "sha_key": pa.array(key, pa.int64()),
+            }
+        )
+
+    def collapse(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "norm_sha256": pa.array([], pa.string()),
+                    "group_rep": pa.array([], pa.int64()),
+                    "is_dup": pa.array([], pa.bool_()),
+                    "length": pa.array([], pa.int64()),
+                }
+            )
+        shas = t["content_sha256"].to_pylist()
+        raw = b"".join(bytes.fromhex(s) for s in shas)
+        keys = np.frombuffer(raw, dtype=">u8").reshape(len(shas), 4).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ln = t["length"].to_numpy(zero_copy_only=False)
+        # within a sha family: (length desc, id asc) for "best", id asc
+        # for "first" — np.lexsort sorts by LAST key first
+        if keep == "best":
+            order = np.lexsort((ids, -ln, keys[:, 3], keys[:, 2], keys[:, 1], keys[:, 0]))
+        else:
+            order = np.lexsort((ids, keys[:, 3], keys[:, 2], keys[:, 1], keys[:, 0]))
+        ks = keys[order]
+        new_grp = np.empty(len(shas), dtype=bool)
+        new_grp[0:1] = True
+        new_grp[1:] = (ks[1:] != ks[:-1]).any(axis=1)
+        ids_s = ids[order]
+        rep = ids_s[np.flatnonzero(new_grp)][np.cumsum(new_grp) - 1]
+        sha_s = np.array(shas, dtype=object)[order]
+        return pa.table(
+            {
+                id_col: pa.array(ids_s, pa.int64()),
+                "norm_sha256": pa.array(sha_s, pa.string()),
+                "group_rep": pa.array(rep, pa.int64()),
+                "is_dup": pa.array(ids_s != rep),
+                "length": pa.array(ln[order], pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(norm_sha, batch_format="pyarrow")
+    return hash_exchange(keyed, "sha_key", collapse, num_buckets)
+
+
 def group_dup_profile(
     prepared: ray.data.Dataset, group_col: str = "source", num_buckets: int = 1024
 ) -> ray.data.Dataset:

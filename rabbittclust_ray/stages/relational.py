@@ -438,3 +438,71 @@ def top_revenue_orders(
             "revenue_ppm": top["revenue_ppm"],
         }
     )
+
+
+def ntile_by(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    keep_cols: Sequence[str],
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """NTILE(n) OVER (PARTITION BY group ORDER BY order_cols ASC) — the
+    stratification window function: each group's rows are ranked under a
+    caller-supplied TOTAL order (make the last order col a unique id, or
+    ties make NTILE non-deterministic in any engine) and split into
+    ``n_tiles`` buckets, the first ``n % n_tiles`` buckets one row larger
+    (ANSI NTILE rule). Output = group + keep_cols + ``tile`` (1-based).
+
+    Used for per-group quantile stratification — e.g. split every source's
+    docs into length quartiles, then sample per (source, tile) for a
+    balanced eval set.
+
+    Shape: ONE keyed exchange on a deterministic int64 hash of the group
+    (groups co-located; collisions harmless — the reducer computes per
+    REAL group value), then one vectorized lexsort per partition + a
+    closed-form tile formula from the within-group rank (no per-group
+    loop, no driver state)."""
+    order_cols = list(order_cols)
+    keep_cols = list(keep_cols)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = _np(t[group_col])
+        gkey = pd.util.hash_array(g.astype(object)).astype(np.int64)
+        return t.append_column("__gkey__", pa.array(gkey, pa.int64()))
+
+    out_cols = [group_col] + keep_cols + ["tile"]
+
+    def reduce(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return t.append_column("tile", pa.array([], pa.int64())).select(out_cols)
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values(
+            [group_col] + order_cols, kind="stable", ignore_index=True
+        )
+        grp = df.groupby(group_col, sort=False)
+        rank = grp.cumcount().to_numpy()  # 0-based within-group rank
+        size = grp[group_col].transform("size").to_numpy()
+        # ANSI NTILE: first (size % n) tiles hold q+1 rows, rest hold q
+        q, rem = size // n_tiles, size % n_tiles
+        big = rem * (q + 1)  # rows covered by the larger tiles
+        in_big = rank < big
+        tile = np.where(
+            in_big,
+            rank // np.maximum(q + 1, 1),
+            rem + np.where(q > 0, (rank - big) // np.maximum(q, 1), 0),
+        )
+        df["tile"] = (tile + 1).astype(np.int64)
+        return pa.Table.from_pandas(df[out_cols], preserve_index=False)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)

@@ -756,3 +756,103 @@ def vocab_top_tokens(
         .sort(["count", "token"], descending=[True, False])
         .limit(n)
     )
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, k: int, text_col: str = "text"
+) -> ray.data.Dataset:
+    """EXACT heavy hitters: all whitespace tokens whose corpus frequency
+    exceeds n/k (n = total token count), with their exact counts, ordered
+    (count desc, token asc). Two streaming passes, NO full-vocabulary
+    shuffle — the scale answer to ``vocab_top_tokens`` when the tail
+    vocabulary is billions of distinct tokens but only the >n/k head is
+    wanted.
+
+    Pass 1 (candidates): each batch emits its LOCAL heavy hitters — tokens
+    with local count * k > local n — plus one sentinel row ('' is never a
+    token) carrying the batch's token total. Pigeonhole guarantee: if a
+    token's global count exceeds n/k then in at least one batch its local
+    count exceeds that batch's n_b/k, so the candidate union is a SUPERSET
+    of the true heavy hitters (the classic local-HH lemma behind
+    Misra-Gries merging — at most k survivors per batch, all vectorized).
+    The driver collects <= blocks x k candidate rows (tiny by
+    construction) and broadcasts the sorted candidate array via `ray.put`.
+
+    Pass 2 (exact counts): per-batch partial counts restricted to the
+    candidate set (sorted-membership via np.searchsorted), a groupby-sum
+    over <= k distinct tokens, then the exact count*k > n filter."""
+    import pyarrow.compute as pc
+    import ray
+
+    def _tokens(t: pa.Table) -> np.ndarray:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat = pc.split_pattern(txt, " ").flatten()
+        toks = flat.to_numpy(zero_copy_only=False)
+        return toks[toks != ""]
+
+    def local_hh(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        n_b = len(toks)
+        if n_b == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        uniq, counts = np.unique(toks, return_counts=True)
+        keepm = counts * k > n_b
+        return pa.table(
+            {
+                "token": pa.array(np.append(uniq[keepm], [""]), pa.string()),
+                "count": pa.array(
+                    np.append(counts[keepm], [n_b]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cand_refs = ds.map_batches(local_hh, batch_format="pyarrow").to_arrow_refs()
+    cand_tbl = pa.concat_tables([ray.get(r) for r in cand_refs])
+    toks = np.array(cand_tbl["token"].to_pylist(), dtype=object)
+    cnts = cand_tbl["count"].to_numpy(zero_copy_only=False)
+    sentinel = toks == ""
+    n_total = int(cnts[sentinel].sum())
+    cand = np.unique(toks[~sentinel].astype(str))
+    if len(cand) == 0 or n_total == 0:
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "count": pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(cand)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        toks_b = _tokens(t).astype(str)
+        pos = np.searchsorted(c, toks_b)
+        pos_c = np.minimum(pos, len(c) - 1)
+        hit = c[pos_c] == toks_b
+        if not hit.any():
+            return pa.table({"token": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        idx, counts = np.unique(pos_c[hit], return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(c[idx], pa.string()),
+                "count": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum("count")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cnt = t["sum(count)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keepm = cnt * k > n_total
+        return pa.table(
+            {
+                "token": t["token"].filter(pa.array(keepm)),
+                "count": pa.array(cnt[keepm], pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["count", "token"], descending=[True, False])
+    )

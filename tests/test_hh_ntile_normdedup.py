@@ -1,0 +1,121 @@
+"""Unit tests for heavy_hitters (exact local-HH two-pass), ntile_by
+(ANSI NTILE window) and dedup_normalized (keep-best fuzzy-exact dedup)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def test_heavy_hitters_exact_vs_counter():
+    """Two-pass local-HH result == brute-force Counter with the same
+    count*k > n rule, across a skewed corpus split over many blocks."""
+    from collections import Counter
+
+    from rabbittclust_ray.stages.text import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    # zipf-ish: token i appears with weight 1/(i+1)
+    w = 1.0 / (np.arange(50) + 1)
+    docs = [
+        " ".join(rng.choice(vocab, size=30, p=w / w.sum()))
+        for _ in range(200)
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(200), "text": docs})
+    ).repartition(8)
+    k = 20
+    got = heavy_hitters(ds, k=k).to_pandas()
+
+    cnt = Counter(t for d in docs for t in d.split(" ") if t)
+    n = sum(cnt.values())
+    want = sorted(
+        ((t, c) for t, c in cnt.items() if c * k > n),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert list(map(tuple, got[["token", "count"]].itertuples(index=False))) == want
+    assert len(want) > 0  # fixture actually exercises the filter
+
+
+def test_heavy_hitters_no_hitters():
+    """A perfectly uniform corpus with k smaller than vocab size yields
+    zero heavy hitters (empty result, stable schema)."""
+    from rabbittclust_ray.stages.text import heavy_hitters
+
+    docs = [" ".join(f"tok{i}" for i in range(100))] * 4  # each tok: 4/400
+    ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(4)
+    got = heavy_hitters(ds, k=50)  # threshold 400/50=8 > 4
+    assert got.count() == 0
+    # Ray's to_pandas drops columns at 0 rows; the Arrow schema is the API
+    assert set(got.schema().names) == {"token", "count"}
+
+
+def test_ntile_ansi_rule():
+    """NTILE(3) over 7 rows -> tile sizes (3,2,2); order and group
+    partitioning respected; matches pandas qcut-free closed form."""
+    from rabbittclust_ray.stages.relational import ntile_by
+
+    rows = []
+    for g, n in (("a", 7), ("b", 3), ("c", 1)):
+        for i in range(n):
+            rows.append((g, i, (i * 37) % n))  # scrambled order col
+    df = pd.DataFrame(rows, columns=["source", "doc_id", "length"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        ntile_by(
+            ds,
+            group_col="source",
+            order_cols=["length", "doc_id"],
+            n_tiles=3,
+            keep_cols=["doc_id", "length"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["source", "length", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # group a: 7 rows -> 3,2,2
+    a = got[got.source == "a"].tile.to_numpy()
+    assert list(a) == [1, 1, 1, 2, 2, 3, 3]
+    # group b: 3 rows -> 1,1,1 (one per tile)
+    assert list(got[got.source == "b"].tile) == [1, 2, 3]
+    # group c: 1 row -> tile 1
+    assert list(got[got.source == "c"].tile) == [1]
+
+
+def test_dedup_normalized_keep_best_and_first():
+    """Docs identical after lower+ws-collapse+trim form one family;
+    keep=best picks the longest raw (ties min id), keep=first min id."""
+    from rabbittclust_ray.stages.dedup import dedup_normalized
+
+    docs = [
+        (1, "Hello   World"),      # family F: len 13
+        (2, "hello world"),        # family F: len 11
+        (3, "  HELLO\tworld \n"),  # family F: len 16  <- best
+        (4, "unique doc"),         # singleton
+        (5, "HELLO   WORLD"),      # family F: len 13 (tie with 1 on len)
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    best = dedup_normalized(ds, keep="best", num_buckets=4).to_pandas()
+    fam = best[best.doc_id != 4]
+    assert fam.norm_sha256.nunique() == 1
+    assert (fam.group_rep == 3).all()  # longest raw wins
+    assert sorted(fam[fam.is_dup].doc_id) == [1, 2, 5]
+    assert not best[best.doc_id == 4].is_dup.iloc[0]
+
+    first = dedup_normalized(ds, keep="first", num_buckets=4).to_pandas()
+    famf = first[first.doc_id != 4]
+    assert (famf.group_rep == 1).all()  # min id wins
+    assert sorted(famf[famf.is_dup].doc_id) == [2, 3, 5]
+
+
+def test_dedup_normalized_bad_keep():
+    import pytest
+
+    from rabbittclust_ray.stages.dedup import dedup_normalized
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        dedup_normalized(ds, keep="last")
