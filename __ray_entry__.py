@@ -1865,6 +1865,117 @@ def _q_length_ntiles(sf_dir: str):
     )
 
 
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped composed multi-way join: per-nation revenue where
+    customer nation == lineitem-supplier nation within ASIA, orders in
+    [1996, 1998). nation/region driver constants, supplier broadcast,
+    customer+orders+lineitem each cross the wire once (2 keyed
+    exchanges, lineitem pre-aggregated inside its map task)."""
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.stages.relational import nation_revenue
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    customer = _read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    return nation_revenue(
+        customer, orders, li, supplier, nation, region,
+        region_name="ASIA", date_lo="1996-01-01", date_hi="1998-01-01",
+        num_partitions=32,
+    )
+
+
+def _q_user_mode_event(sf_dir: str):
+    """Deterministic grouped MODE: each user's most frequent event_type
+    (ties -> lexicographically smallest). Per-batch partial counts before
+    the one group-keyed exchange."""
+    from rabbittclust_ray.stages.relational import mode_by
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return mode_by(ev, group_col="user_id", value_col="event_type",
+                   num_partitions=32)
+
+
+def _q_length_pct_rank(sf_dir: str):
+    """ROW_NUMBER + integer PERCENT_RANK of each doc's length within its
+    source (total order (length, doc_id)) — the rank-window complement to
+    length_ntiles; pct_ppm = (rn-1)*1e6 // (n-1) avoids any float hazard."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.relational import rank_by
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "length": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(proj, batch_format="pyarrow")
+    return rank_by(
+        slim, group_col="source", order_cols=["length", "doc_id"],
+        keep_cols=["doc_id", "length"], num_partitions=32,
+    )
+
+
+def _q_price_qty_corr_stats(sf_dir: str):
+    """Per-returnflag correlation sufficient statistics between quantity
+    and (whole-unit) extended price — exact int64 moments, bit-exact vs
+    SQL at any parallelism (the thing distributed float CORR can't be)."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.relational import group_corr_stats
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": pc.cast(pc.floor(t["l_quantity"]), pa.int64()),
+                "y": pc.cast(pc.floor(t["l_extendedprice"]), pa.int64()),
+            }
+        )
+
+    slim = li.map_batches(proj, batch_format="pyarrow")
+    return group_corr_stats(
+        slim, group_col="l_returnflag", x_col="x", y_col="y",
+        num_partitions=8,
+    )
+
+
+def _q_doc_term_stats(sf_dir: str):
+    """TF-IDF core table: exact per-(doc, token) term frequency + corpus
+    document frequency (min_df=2 drops the hapax tail at the reducer).
+    tf never shuffles (a doc is one row); ONE token-keyed exchange."""
+    from rabbittclust_ray.stages.text import doc_term_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_term_stats(ds, min_df=2, num_partitions=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -1944,6 +2055,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_dedup_keep_best": _q_norm_dedup_keep_best,
         "heavy_hitters": _q_heavy_hitters,
         "length_ntiles": _q_length_ntiles,
+        "nation_revenue": _q_nation_revenue,
+        "user_mode_event": _q_user_mode_event,
+        "length_pct_rank": _q_length_pct_rank,
+        "price_qty_corr_stats": _q_price_qty_corr_stats,
+        "doc_term_stats": _q_doc_term_stats,
     }
 
 
@@ -3155,6 +3271,81 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY source
                         ORDER BY length(text), doc_id) AS BIGINT) AS tile
             FROM documents
+        """,
+        "nation_revenue": """
+            WITH n AS (
+                SELECT n_nationkey, n_name FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            )
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 1000000) AS BIGINT)) AS BIGINT)
+                       AS revenue_ppm
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN n ON c.c_nationkey = n.n_nationkey
+                  AND s.s_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+        """,
+        "user_mode_event": """
+            SELECT user_id, event_type AS mode_value,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM (
+                SELECT user_id, event_type, count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "length_pct_rank": """
+            SELECT source, doc_id,
+                   CAST(length(text) AS BIGINT) AS length,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(CASE WHEN count(*) OVER (PARTITION BY source) > 1
+                        THEN (row_number() OVER w - 1) * 1000000
+                             // (count(*) OVER (PARTITION BY source) - 1)
+                        ELSE 0 END AS BIGINT) AS pct_ppm
+            FROM documents
+            WINDOW w AS (PARTITION BY source ORDER BY length(text), doc_id)
+        """,
+        "price_qty_corr_stats": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y * y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy
+            FROM (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice) AS BIGINT) AS y
+                FROM lineitem
+            ) GROUP BY l_returnflag
+        """,
+        "doc_term_stats": """
+            WITH t AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+                GROUP BY doc_id, token
+            ),
+            d AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM t GROUP BY token
+            )
+            SELECT t.doc_id, t.token, t.tf, d.df
+            FROM t JOIN d USING (token)
+            WHERE d.df >= 2
         """,
     })
     return sql

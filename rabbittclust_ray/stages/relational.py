@@ -506,3 +506,398 @@ def ntile_by(
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
     return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def nation_revenue(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    supplier_keys: "pa.Table",
+    nation_tbl: "pa.Table",
+    region_tbl: "pa.Table",
+    *,
+    region_name: str,
+    date_lo: str,
+    date_hi: str,
+    num_partitions: int = 256,
+) -> "pa.Table":
+    """TPC-H Q5 shape: per-nation revenue where the CUSTOMER's nation and
+    the lineitem SUPPLIER's nation are the same nation of ``region_name``,
+    over orders in [date_lo, date_hi). Output (n_name, revenue_ppm),
+    revenue = sum of floor(extendedprice*(1-discount)*1e6) as int64 — the
+    per-row float product is deterministic, the SUM is integer, so the
+    result is bit-exact vs SQL at any parallelism.
+
+    The composed-join plan at scale (the three big tables each cross the
+    wire ONCE; no star-join shuffle cascade):
+    - nation+region are driver-side constants (≤ 25 rows each).
+    - supplier is the BROADCAST dim (TPC-H |supplier| = SF x 10k, 16 B/row
+      → worst case ~1.6 GB at SF 100k; above that, swap the suppkey lookup
+      for a third keyed exchange) — passed pre-projected as
+      (s_suppkey, s_nationkey), shipped once via ``ray.put``.
+    - exchange 1 (custkey): date-filtered orders ⋈ region-filtered
+      customers → (o_orderkey, cust_nationkey).
+    - lineitem map: suppkey → s_nationkey via the broadcast (region-filter
+      early), revenue pre-aggregated per (orderkey, supp_nation) INSIDE
+      the map task — the widest table enters its only exchange already
+      combined.
+    - exchange 2 (orderkey): join the two, keep cust_nation == supp_nation,
+      emit per-partition (nationkey, revenue) partials → tiny driver sum.
+    """
+    import pyarrow.compute as pc
+
+    rk = {
+        r["r_regionkey"]
+        for r in region_tbl.to_pylist()
+        if r["r_name"] == region_name
+    }
+    nrows = [n for n in nation_tbl.to_pylist() if n["n_regionkey"] in rk]
+    nat_keys = np.array(sorted(n["n_nationkey"] for n in nrows), np.int64)
+    nat_names = {n["n_nationkey"]: n["n_name"] for n in nrows}
+    lo = int(np.datetime64(date_lo, "us").astype(np.int64))
+    hi = int(np.datetime64(date_hi, "us").astype(np.int64))
+
+    sk = np.asarray(_np(supplier_keys["s_suppkey"]), np.int64)
+    sn = np.asarray(_np(supplier_keys["s_nationkey"]), np.int64)
+    so = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[so], sn[so]))
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        od_col = t["o_orderdate"]
+        if isinstance(od_col, pa.ChunkedArray):
+            od_col = od_col.combine_chunks()
+        if pa.types.is_timestamp(od_col.type):  # normalize ns/us inputs
+            od_col = od_col.cast(pa.timestamp("us"))
+        od = od_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array((od >= lo) & (od < hi)))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "key": _cast(sel["o_custkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "okey": _cast(sel["o_orderkey"], pa.int64()),
+                "nkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def prep_customer(t: pa.Table) -> pa.Table:
+        nk = _np(t["c_nationkey"]).astype(np.int64)
+        m = np.isin(nk, nat_keys)
+        sel = t.filter(pa.array(m))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "key": _cast(sel["c_custkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "nkey": pa.array(nk[m], pa.int64()),
+            }
+        )
+
+    empty1 = pa.table(
+        {"okey": pa.array([], pa.int64()), "cnat": pa.array([], pa.int64())}
+    )
+
+    def join_cust(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty1
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any() or lmask.all():
+            return empty1
+        ck = _np(t["key"])[~lmask]
+        cn = _np(t["nkey"])[~lmask]
+        o = np.argsort(ck, kind="stable")
+        ck, cn = ck[o], cn[o]
+        lk = _np(t["key"])[lmask]
+        pos = np.clip(np.searchsorted(ck, lk), 0, len(ck) - 1)
+        hit = ck[pos] == lk
+        return pa.table(
+            {
+                "okey": pa.array(_np(t["okey"])[lmask][hit], pa.int64()),
+                "cnat": pa.array(cn[pos[hit]], pa.int64()),
+            }
+        )
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        skey, snat = ray.get(supp_ref)
+        lk = _np(t["l_suppkey"]).astype(np.int64)
+        pos = np.clip(np.searchsorted(skey, lk), 0, max(len(skey) - 1, 0))
+        nat = snat[pos] if len(skey) else np.zeros(len(lk), np.int64)
+        m = (skey[pos] == lk) & np.isin(nat, nat_keys) if len(skey) else np.zeros(len(lk), bool)
+        sel = t.filter(pa.array(m))
+        rev = np.floor(
+            sel["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - sel["l_discount"].to_numpy(zero_copy_only=False))
+            * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "okey": _np(sel["l_orderkey"]).astype(np.int64),
+                "snat": nat[m],
+                "rev": rev,
+            }
+        )
+        g = df.groupby(["okey", "snat"], sort=False)["rev"].sum().reset_index()
+        n = len(g)
+        return pa.table(
+            {
+                "okey": pa.array(g["okey"].to_numpy(), pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "cnat": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "snat": pa.array(g["snat"].to_numpy(), pa.int64()),
+                "rev_ppm": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def tag_joined(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t["okey"],
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "cnat": t["cnat"],
+                "snat": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "rev_ppm": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    empty2 = pa.table(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "revenue_ppm": pa.array([], pa.int64())}
+    )
+
+    def join_rev(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty2
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any() or lmask.all():
+            return empty2
+        ok_l = _np(t["okey"])[lmask]
+        cn_l = _np(t["cnat"])[lmask]
+        o = np.argsort(ok_l, kind="stable")
+        ok_l, cn_l = ok_l[o], cn_l[o]
+        rt = t.filter(pa.array(~lmask))
+        ok_r = _np(rt["okey"])
+        pos = np.clip(np.searchsorted(ok_l, ok_r), 0, len(ok_l) - 1)
+        hit = (ok_l[pos] == ok_r) & (cn_l[pos] == _np(rt["snat"]))
+        df = pd.DataFrame(
+            {
+                "nk": _np(rt["snat"])[hit],
+                "rev": _np(rt["rev_ppm"])[hit],
+            }
+        )
+        g = df.groupby("nk", sort=False)["rev"].sum().reset_index()
+        return pa.table(
+            {
+                "n_nationkey": pa.array(g["nk"].to_numpy(), pa.int64()),
+                "revenue_ppm": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    o = orders.map_batches(prep_orders, batch_format="pyarrow")
+    c = customer.map_batches(prep_customer, batch_format="pyarrow")
+    oc = hash_exchange(o.union(c), "key", join_cust, num_partitions)
+    li = lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
+    ocl = oc.map_batches(tag_joined, batch_format="pyarrow").union(li)
+    partials = hash_exchange(ocl, "okey", join_rev, num_partitions)
+    # driver finalize over <= partitions x |nations| partial rows
+    agg: dict[int, int] = {}
+    for row in partials.take_all():
+        agg[int(row["n_nationkey"])] = agg.get(int(row["n_nationkey"]), 0) + int(
+            row["revenue_ppm"]
+        )
+    items = sorted(agg.items(), key=lambda kv: (-kv[1], nat_names[kv[0]]))
+    return pa.table(
+        {
+            "n_name": pa.array([nat_names[k] for k, _ in items], pa.string()),
+            "revenue_ppm": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+def mode_by(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Deterministic grouped MODE: for each group, the most frequent value
+    of ``value_col`` (ties broken by MIN value — lexicographic for
+    strings). Output (group_col, mode_value, mode_count).
+
+    Shape: per-batch (group, value) partial counts BEFORE the one
+    group-keyed exchange — shuffled volume is the per-block distinct
+    (group, value) count, not the row count; the reducer re-sums partials
+    and picks each group's winner with one lexsort (no per-group loop)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table({group_col: t[group_col], value_col: t[value_col]}).to_pandas()
+        g = df.groupby([group_col, value_col], sort=False).size().reset_index(name="cnt")
+        gkey = pd.util.hash_array(
+            g[group_col].to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            g.assign(__gkey__=gkey), preserve_index=False
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "mode_value": pa.array([], t.schema.field(value_col).type),
+                    "mode_count": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        g = df.groupby([group_col, value_col], sort=False)["cnt"].sum().reset_index()
+        g = g.sort_values(
+            [group_col, "cnt", value_col], ascending=[True, False, True],
+            kind="stable", ignore_index=True,
+        )
+        win = g.drop_duplicates(group_col, keep="first")
+        return pa.table(
+            {
+                group_col: pa.array(win[group_col].to_numpy()),
+                "mode_value": pa.array(win[value_col].to_numpy()),
+                "mode_count": pa.array(
+                    win["cnt"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def rank_by(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    order_cols: Sequence[str],
+    keep_cols: Sequence[str],
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """ROW_NUMBER + integer PERCENT_RANK per group under a caller-supplied
+    TOTAL order (make the last order col unique, same contract as
+    ``ntile_by``). Output = group + keep_cols + ``rn`` (1-based) +
+    ``pct_ppm`` = (rn-1)*1e6 // (n-1) (0 for singleton groups) — integer
+    division keeps it bit-exact vs SQL with no float rounding hazard.
+
+    Same one-exchange shape as ``ntile_by``."""
+    order_cols = list(order_cols)
+    keep_cols = list(keep_cols)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = _np(t[group_col])
+        gkey = pd.util.hash_array(g.astype(object)).astype(np.int64)
+        return t.append_column("__gkey__", pa.array(gkey, pa.int64()))
+
+    out_cols = [group_col] + keep_cols + ["rn", "pct_ppm"]
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            e = t.append_column("rn", pa.array([], pa.int64()))
+            return e.append_column("pct_ppm", pa.array([], pa.int64())).select(out_cols)
+        df = t.to_pandas().sort_values(
+            [group_col] + order_cols, kind="stable", ignore_index=True
+        )
+        grp = df.groupby(group_col, sort=False)
+        rank = grp.cumcount().to_numpy()
+        size = grp[group_col].transform("size").to_numpy()
+        df["rn"] = (rank + 1).astype(np.int64)
+        df["pct_ppm"] = np.where(
+            size > 1, rank * 1_000_000 // np.maximum(size - 1, 1), 0
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df[out_cols], preserve_index=False)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def group_corr_stats(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-group correlation/regression SUFFICIENT STATISTICS over two
+    integer columns: (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy), all exact
+    int64 — corr/cov/slope are one driver-side formula away, and because
+    the moments are integers the distributed result is bit-exact vs SQL
+    regardless of summation order (the float-accumulation hazard that
+    makes distributed CORR() unreproducible is gone).
+
+    Caller pre-scales x/y to ints (e.g. price -> whole currency units);
+    int64 overflow bound: max|y|^2 * rows_per_group < 2^63 — document the
+    scaling at call sites.
+
+    Shape: per-batch np/pandas partials (6 sums per group per block) ->
+    ONE tiny keyed exchange -> re-sum. Shuffle volume = blocks x groups."""
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = _np(t[x_col]).astype(np.int64)
+        y = _np(t[y_col]).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                group_col: _np(t[group_col]),
+                "n": np.ones(len(x), np.int64),
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": x * x,
+                "sum_yy": y * y,
+                "sum_xy": x * y,
+            }
+        )
+        g = df.groupby(group_col, sort=False)[cols].sum().reset_index()
+        gkey = pd.util.hash_array(
+            g[group_col].to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            g.assign(__gkey__=gkey), preserve_index=False
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        g = df.groupby(group_col, sort=False)[cols].sum().reset_index()
+        for c in cols:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)

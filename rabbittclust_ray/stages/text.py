@@ -856,3 +856,86 @@ def heavy_hitters(
         agg.map_batches(finalize, batch_format="pyarrow")
         .sort(["count", "token"], descending=[True, False])
     )
+
+
+def doc_term_stats(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """The TF-IDF core table: one row per (doc, whitespace token) with the
+    exact term frequency ``tf`` and the exact corpus document frequency
+    ``df`` — all-integer, so the weighting formula (idf = log(N/df) etc.)
+    stays a cheap local map for the consumer and the heavy part is
+    hash-checkable. ``min_df`` drops hapax-dominated tail tokens at the
+    REDUCER (after df is known), bounding output volume.
+
+    Shape: tf is computed entirely inside the map task (a document is one
+    row, so its term counts never need a shuffle — vectorized explode +
+    one lexsort per batch); the ONE exchange keys on the token hash and
+    the reducer computes df = rows per token (inputs are already unique
+    (doc, token)) and attaches it — no second pass, no broadcast vocab."""
+    import pyarrow.compute as pc
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lists = pc.split_pattern(txt, " ")
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False),
+        )
+        toks = lists.flatten().to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        df = pd.DataFrame({"doc_id": ids[keep], "token": toks[keep]})
+        g = df.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        tkey = pd.util.hash_array(
+            g["token"].to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "tkey": pa.array(tkey, pa.int64()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "token": pa.array(g["token"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        df = t.drop_columns(["tkey"]).to_pandas()
+        # df per REAL token value (hash collisions co-locate, never merge)
+        df["df"] = df.groupby("token", sort=False)["token"].transform("size")
+        df = df[df["df"] >= min_df]
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "token": out["token"],
+                "tf": out["tf"].cast(pa.int64()),
+                "df": out["df"].cast(pa.int64()),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(tf_rows, batch_format="pyarrow")
+    return hash_exchange(keyed, "tkey", attach_df, num_partitions)

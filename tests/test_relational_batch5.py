@@ -1,0 +1,280 @@
+"""Unit tests for nation_revenue (TPC-H-Q5 composed join), mode_by
+(deterministic grouped mode), rank_by (row_number + integer percent
+rank), group_corr_stats (exact integer correlation moments) and
+doc_term_stats (TF/DF table)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _synth_q5(seed=3, n_orders=120, n_lines=400, n_cust=25, n_supp=10):
+    rng = np.random.default_rng(seed)
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+            "n_name": ["N_A", "N_B", "N_C", "N_D"],
+            "n_regionkey": pa.array([0, 0, 1, 1], pa.int32()),
+        }
+    )
+    region = pa.table(
+        {"r_regionkey": pa.array([0, 1], pa.int32()), "r_name": ["EAST", "WEST"]}
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_nationkey": rng.integers(0, 4, n_cust).astype(np.int32),
+        }
+    )
+    supp = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_nationkey": rng.integers(0, 4, n_supp).astype(np.int32),
+        }
+    )
+    days = rng.integers(0, 1000, n_orders)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_orders).astype(np.int64),
+            "o_orderdate": pd.Timestamp("1995-01-01")
+            + pd.to_timedelta(days, unit="D"),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, n_lines).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, n_lines).astype(np.int64),
+            "l_extendedprice": rng.uniform(10, 5000, n_lines).round(2),
+            "l_discount": rng.uniform(0, 0.1, n_lines).round(2),
+        }
+    )
+    return nation, region, cust, supp, orders, li
+
+
+def _q5_brute(nation, region, cust, supp, orders, li, region_name, lo, hi):
+    nat = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
+    )
+    nat = nat[nat["r_name"] == region_name]
+    df = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    df = df[
+        (df["s_nationkey"] == df["c_nationkey"])
+        & (df["o_orderdate"] >= pd.Timestamp(lo))
+        & (df["o_orderdate"] < pd.Timestamp(hi))
+    ]
+    df["rev"] = np.floor(
+        df["l_extendedprice"].to_numpy()
+        * (1.0 - df["l_discount"].to_numpy())
+        * 1e6
+    ).astype(np.int64)
+    out = df.groupby("n_name")["rev"].sum().reset_index()
+    return out.sort_values(
+        ["rev", "n_name"], ascending=[False, True], ignore_index=True
+    )
+
+
+def test_nation_revenue_vs_brute():
+    from rabbittclust_ray.stages.relational import nation_revenue
+
+    nation, region, cust, supp, orders, li = _synth_q5()
+    got = nation_revenue(
+        ray.data.from_pandas(cust).repartition(4),
+        ray.data.from_pandas(orders).repartition(4),
+        ray.data.from_pandas(li).repartition(4),
+        pa.Table.from_pandas(supp),
+        nation,
+        region,
+        region_name="EAST",
+        date_lo="1995-06-01",
+        date_hi="1997-01-01",
+        num_partitions=8,
+    ).to_pandas()
+    want = _q5_brute(
+        nation, region, cust, supp, orders, li,
+        "EAST", "1995-06-01", "1997-01-01",
+    )
+    assert len(want) > 0
+    assert list(got["n_name"]) == list(want["n_name"])
+    assert list(got["revenue_ppm"]) == list(want["rev"])
+
+
+def test_nation_revenue_empty_window():
+    from rabbittclust_ray.stages.relational import nation_revenue
+
+    nation, region, cust, supp, orders, li = _synth_q5()
+    got = nation_revenue(
+        ray.data.from_pandas(cust),
+        ray.data.from_pandas(orders),
+        ray.data.from_pandas(li),
+        pa.Table.from_pandas(supp),
+        nation,
+        region,
+        region_name="EAST",
+        date_lo="2010-01-01",
+        date_hi="2011-01-01",
+        num_partitions=4,
+    )
+    assert got.num_rows == 0
+
+
+def test_mode_by_deterministic_ties():
+    from rabbittclust_ray.stages.relational import mode_by
+
+    # group 1: b x2, a x2 -> tie, min value 'a' wins; group 2: z x3
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 2, 2, 2, 2],
+            "v": ["b", "a", "b", "a", "z", "z", "z", "y"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        mode_by(ds, group_col="g", value_col="v", num_partitions=4)
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    assert list(got["mode_value"]) == ["a", "z"]
+    assert list(got["mode_count"]) == [2, 3]
+
+
+def test_mode_by_block_invariance():
+    from rabbittclust_ray.stages.relational import mode_by
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 20, 500),
+            "v": rng.choice(list("abcde"), 500),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(
+            mode_by(ds, group_col="g", value_col="v", num_partitions=4)
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # brute force
+    cnt = df.groupby(["g", "v"]).size().reset_index(name="c")
+    cnt = cnt.sort_values(["g", "c", "v"], ascending=[True, False, True])
+    want = cnt.drop_duplicates("g", keep="first").reset_index(drop=True)
+    assert list(outs[0]["mode_value"]) == list(want["v"])
+    assert list(outs[0]["mode_count"]) == list(want["c"])
+
+
+def test_rank_by_vs_pandas():
+    from rabbittclust_ray.stages.relational import rank_by
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 100),
+            "id": np.arange(100, dtype=np.int64),
+            "val": rng.integers(0, 30, 100).astype(np.int64),
+        }
+    )
+    # singleton group exercises the pct=0 branch
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["solo"], "id": [999], "val": [5]})],
+        ignore_index=True,
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        rank_by(
+            ds, group_col="g", order_cols=["val", "id"],
+            keep_cols=["id", "val"], num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "rn"], ignore_index=True)
+    )
+    df = df.sort_values(["g", "val", "id"], ignore_index=True)
+    rn = df.groupby("g").cumcount().to_numpy()
+    size = df.groupby("g")["g"].transform("size").to_numpy()
+    df["rn"] = rn + 1
+    df["pct_ppm"] = np.where(size > 1, rn * 1_000_000 // np.maximum(size - 1, 1), 0)
+    assert list(got["rn"]) == list(df["rn"])
+    assert list(got["pct_ppm"]) == list(df["pct_ppm"])
+    assert list(got["id"]) == list(df["id"])
+    solo = got[got["g"] == "solo"]
+    assert list(solo["pct_ppm"]) == [0] and list(solo["rn"]) == [1]
+
+
+def test_group_corr_stats_exact():
+    from rabbittclust_ray.stages.relational import group_corr_stats
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, 300),
+            "x": rng.integers(-50, 50, 300).astype(np.int64),
+            "y": rng.integers(0, 1000, 300).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (
+        group_corr_stats(ds, group_col="g", x_col="x", y_col="y",
+                         num_partitions=4)
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    for _, row in got.iterrows():
+        sub = df[df["g"] == row["g"]]
+        assert row["n"] == len(sub)
+        assert row["sum_x"] == sub["x"].sum()
+        assert row["sum_y"] == sub["y"].sum()
+        assert row["sum_xx"] == (sub["x"] ** 2).sum()
+        assert row["sum_yy"] == (sub["y"] ** 2).sum()
+        assert row["sum_xy"] == (sub["x"] * sub["y"]).sum()
+    # the moments reproduce pandas corr to float precision
+    r = got.iloc[0]
+    n, sx, sy, sxx, syy, sxy = (
+        float(r["n"]), float(r["sum_x"]), float(r["sum_y"]),
+        float(r["sum_xx"]), float(r["sum_yy"]), float(r["sum_xy"]),
+    )
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    sub = df[df["g"] == got.iloc[0]["g"]]
+    assert abs(corr - sub["x"].corr(sub["y"])) < 1e-12
+
+
+def test_doc_term_stats_vs_brute():
+    from rabbittclust_ray.stages.text import doc_term_stats
+
+    docs = [
+        "a b b c",
+        "b c c  d",  # double space -> empty token dropped
+        "a a a",
+        "",
+        "e",
+    ]
+    df = pd.DataFrame({"doc_id": range(5), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        doc_term_stats(ds, min_df=1, num_partitions=4)
+        .to_pandas()
+        .sort_values(["doc_id", "token"], ignore_index=True)
+    )
+    rows = []
+    for i, d in enumerate(docs):
+        toks = [t for t in d.split(" ") if t]
+        for t in sorted(set(toks)):
+            rows.append((i, t, toks.count(t)))
+    want = pd.DataFrame(rows, columns=["doc_id", "token", "tf"])
+    dfreq = want.groupby("token")["doc_id"].nunique()
+    want["df"] = want["token"].map(dfreq)
+    pd.testing.assert_frame_equal(
+        got.astype({"tf": np.int64, "df": np.int64}),
+        want.astype({"doc_id": np.int64, "tf": np.int64, "df": np.int64}),
+    )
+    # min_df=2 drops tokens that appear in only one doc ('d', 'e')
+    got2 = doc_term_stats(ds, min_df=2, num_partitions=4).to_pandas()
+    assert set(got2["token"]) == {"a", "b", "c"}
