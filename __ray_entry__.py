@@ -1976,6 +1976,37 @@ def _q_doc_term_stats(sf_dir: str):
     return doc_term_stats(ds, min_df=2, num_partitions=32)
 
 
+def _q_source_lang_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (grouping-sets ladder) over (source, lang): doc
+    count + char sum at every prefix level, sentinel '(all)' for
+    grouped-out columns. Per-batch finest-level partials, ONE exchange
+    keyed on source."""
+    from rabbittclust_ray.stages.relational import rollup_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    return rollup_counts(
+        ds,
+        group_cols=["source", "lang"],
+        value_col="n_chars",
+        count_name="n_docs",
+        sum_name="sum_chars",
+    )
+
+
+def _q_per_source_sample(sf_dir: str):
+    """Deterministic fixed-size per-group sample: the 20 docs per source
+    with the smallest sha-rank hash(doc_id, seed) — resume/partition
+    invariant, SQL-reproducible (sha surface)."""
+    from rabbittclust_ray.stages.sample import group_sample_topk
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return group_sample_topk(
+        ds, group_col="source", k=20, seed=7, method="sha"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -2060,6 +2091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_pct_rank": _q_length_pct_rank,
         "price_qty_corr_stats": _q_price_qty_corr_stats,
         "doc_term_stats": _q_doc_term_stats,
+        "source_lang_rollup": _q_source_lang_rollup,
+        "per_source_sample": _q_per_source_sample,
     }
 
 
@@ -3346,6 +3379,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.token, t.tf, d.df
             FROM t JOIN d USING (token)
             WHERE d.df >= 2
+        """,
+        "source_lang_rollup": """
+            SELECT COALESCE(source, '(all)') AS source,
+                   COALESCE(lang, '(all)') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "per_source_sample": """
+            SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+            FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(sha256(
+                               CAST(doc_id AS VARCHAR) || '-7'), 1, 15)
+                           )::UBIGINT, doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
     })
     return sql

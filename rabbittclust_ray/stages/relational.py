@@ -901,3 +901,85 @@ def group_corr_stats(
 
     keyed = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    *,
+    group_cols: Sequence[str],
+    value_col: str | None = None,
+    sentinel: str = "(all)",
+    count_name: str = "n_rows",
+    sum_name: str = "sum_value",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP (grouping-sets ladder): one aggregate row per prefix
+    level of ``group_cols`` — for (a, b): (a, b), (a, ·), (·, ·) — with
+    grouped-out columns carrying ``sentinel`` (matching the SQL oracle's
+    ``COALESCE(col, '(all)')`` over ``GROUP BY ROLLUP``; input values must
+    not collide with the sentinel). Counts + an optional int64 SUM.
+
+    Shape: per-batch partials at the FINEST level only (each block
+    collapses to its distinct finest-key combinations before any
+    exchange), ONE exchange keyed on the FIRST rollup column — all finest
+    rows sharing a level-1 prefix co-locate, so every non-grand level is
+    re-aggregated inside the reducer with no second shuffle. The grand
+    total is folded from the level-1 rows, which are pulled to the driver
+    bounded by the level-1 key cardinality (same bounded-pull contract as
+    ``heavy_hitters``) — at 100 TB that is |distinct a| rows, not data.
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+    if len(gcols) < 2:
+        raise ValueError("rollup_counts needs >= 2 group columns")
+    vals = [count_name] + ([sum_name] if value_col is not None else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: _np(t[c]) for c in gcols})
+        df[count_name] = np.ones(t.num_rows, np.int64)
+        if value_col is not None:
+            df[sum_name] = _np(t[value_col]).astype(np.int64)
+        g = df.groupby(gcols, sort=False)[vals].sum().reset_index()
+        gkey = pd.util.hash_array(
+            g[gcols[0]].to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g.assign(__gkey__=gkey), preserve_index=False)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        out = []
+        for lvl in range(len(gcols), 0, -1):  # finest ... level-1
+            keep = gcols[:lvl]
+            g = df.groupby(keep, sort=False)[vals].sum().reset_index()
+            for c in gcols[lvl:]:
+                g[c] = sentinel
+            out.append(g[gcols + vals])
+        res = pd.concat(out, ignore_index=True)
+        for c in vals:
+            res[c] = res[c].astype(np.int64)
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow")
+    levels = hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+    # grand total: fold the level-1 rows (sentinel in every non-first col)
+    lvl1 = levels.filter(
+        expr=" and ".join(f"{c} == '{sentinel}'" for c in gcols[1:])
+    )
+    l1t = lvl1.to_pandas()  # bounded by |distinct gcols[0]|
+    grand = {c: [sentinel] for c in gcols}
+    for c in vals:
+        grand[c] = [np.int64(l1t[c].sum()) if len(l1t) else np.int64(0)]
+    grand_t = pa.table(
+        {
+            **{c: pa.array(grand[c], pa.string()) for c in gcols},
+            **{c: pa.array(grand[c], pa.int64()) for c in vals},
+        }
+    )
+    return levels.union(ray.data.from_arrow(grand_t))

@@ -76,3 +76,81 @@ def deterministic_sample(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def group_sample_topk(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    method: str = "splitmix",
+    keep_cols: tuple[str, ...] = (),
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic fixed-size per-group sample: rank rows within each
+    group by hash(id, seed) (ties by id) and keep the ``k`` smallest —
+    a 'reservoir of exactly k' that is a pure function of the ids, so
+    retries, resumes and different partitionings pick the SAME rows, and
+    growing a group only ever swaps members in/out by hash rank.
+
+    Output: (group_col, id_col, keep_cols..., sample_rank) with 1-based
+    rank. Shape: each block is pruned to its own per-group k smallest
+    BEFORE the one group-keyed exchange (the global per-group top-k is a
+    subset of the union of per-block top-ks), so shuffled volume is
+    <= blocks x groups x k rows; the reducer is one lexsort + cumcount.
+    """
+    import pandas as pd
+
+    def rank_hash(ids: np.ndarray) -> np.ndarray:
+        if method == "sha":
+            import hashlib
+            return np.array(
+                [int(hashlib.sha256(f"{int(i)}-{seed}".encode()).hexdigest()[:15], 16)
+                 for i in ids], dtype=np.uint64)
+        return splitmix64(
+            ids.astype(np.uint64)
+            ^ splitmix64(np.array([seed], dtype=np.uint64))[0]
+        )
+
+    cols = [group_col, id_col, *keep_cols]
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], t.schema.field(c).type) for c in cols},
+                    "__hv__": pa.array([], pa.uint64()),
+                    "__gkey__": pa.array([], pa.int64()),
+                }
+            )
+        df = pa.table({c: t[c] for c in cols}).to_pandas()
+        df["__hv__"] = rank_hash(t[id_col].to_numpy(zero_copy_only=False))
+        df = df.sort_values(
+            [group_col, "__hv__", id_col], kind="stable", ignore_index=True
+        )
+        df = df.groupby(group_col, sort=False).head(k)
+        gkey = pd.util.hash_array(
+            df[group_col].to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df.assign(__gkey__=gkey), preserve_index=False)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__gkey__"])
+        if t.num_rows == 0:
+            return t.drop_columns(["__hv__"]).append_column(
+                "sample_rank", pa.array([], pa.int64())
+            )
+        df = t.to_pandas().sort_values(
+            [group_col, "__hv__", id_col], kind="stable", ignore_index=True
+        )
+        df["sample_rank"] = df.groupby(group_col, sort=False).cumcount() + 1
+        df = df[df["sample_rank"] <= k].drop(columns="__hv__")
+        df["sample_rank"] = df["sample_rank"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(prune, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)

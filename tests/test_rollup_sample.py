@@ -1,0 +1,127 @@
+"""Unit tests for rollup_counts (GROUP BY ROLLUP ladder) and
+group_sample_topk (deterministic per-group fixed-size sample)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.hashing import splitmix64
+from rabbittclust_ray.stages.relational import rollup_counts
+from rabbittclust_ray.stages.sample import group_sample_topk
+
+
+def _fixture(n=300, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64) * 7 + 1,
+            "source": rng.choice(["gh", "so", "wiki", "cc"], size=n),
+            "lang": rng.choice(["py", "js", "go"], size=n),
+            "n_chars": rng.integers(10, 5000, size=n).astype(np.int64),
+        }
+    )
+
+
+def _brute_rollup(df):
+    fine = (
+        df.groupby(["source", "lang"])
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    lvl1 = (
+        df.groupby("source")
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+        .reset_index()
+        .assign(lang="(all)")
+    )
+    grand = pd.DataFrame(
+        {
+            "source": ["(all)"],
+            "lang": ["(all)"],
+            "n_docs": [len(df)],
+            "sum_chars": [int(df["n_chars"].sum())],
+        }
+    )
+    out = pd.concat([fine, lvl1, grand], ignore_index=True)
+    return out.sort_values(["source", "lang"], ignore_index=True)
+
+
+def test_rollup_matches_brute_force():
+    df = _fixture()
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        rollup_counts(
+            ds,
+            group_cols=["source", "lang"],
+            value_col="n_chars",
+            count_name="n_docs",
+            sum_name="sum_chars",
+        )
+        .to_pandas()
+        .sort_values(["source", "lang"], ignore_index=True)
+    )
+    want = _brute_rollup(df)
+    pd.testing.assert_frame_equal(
+        got[["source", "lang", "n_docs", "sum_chars"]].astype(
+            {"n_docs": np.int64, "sum_chars": np.int64}
+        ),
+        want.astype({"n_docs": np.int64, "sum_chars": np.int64}),
+    )
+
+
+def test_rollup_block_invariance():
+    """Same result regardless of input partitioning (partials re-sum)."""
+    df = _fixture(n=120, seed=9)
+    outs = []
+    for parts in (1, 13):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(
+            rollup_counts(
+                ds, group_cols=["source", "lang"], value_col="n_chars"
+            )
+            .to_pandas()
+            .sort_values(["source", "lang"], ignore_index=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_group_sample_is_k_smallest_hashes():
+    """The sample per group is EXACTLY the k ids with the smallest
+    splitmix64(id ^ mixed-seed), rank order preserved."""
+    df = _fixture(n=400, seed=5)
+    seed, k = 11, 15
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = group_sample_topk(
+        ds, group_col="source", k=k, seed=seed, id_col="doc_id"
+    ).to_pandas()
+
+    mix = splitmix64(np.array([seed], dtype=np.uint64))[0]
+    hv = splitmix64(df["doc_id"].to_numpy().astype(np.uint64) ^ mix)
+    ref = df.assign(__hv__=hv).sort_values(
+        ["source", "__hv__", "doc_id"], ignore_index=True
+    )
+    ref["rank"] = ref.groupby("source").cumcount() + 1
+    ref = ref[ref["rank"] <= k]
+
+    got = got.sort_values(["source", "sample_rank"], ignore_index=True)
+    ref = ref.sort_values(["source", "rank"], ignore_index=True)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["sample_rank"].tolist() == ref["rank"].tolist()
+
+
+def test_group_sample_partition_invariant_and_bounded():
+    df = _fixture(n=200, seed=8)
+    res = []
+    for parts in (1, 17):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = group_sample_topk(
+            ds, group_col="source", k=10, seed=3
+        ).to_pandas()
+        res.append(out.sort_values(["source", "sample_rank"], ignore_index=True))
+    pd.testing.assert_frame_equal(res[0], res[1])
+    sizes = res[0].groupby("source").size()
+    assert (sizes <= 10).all()
+    # small groups keep everything
+    want_sizes = df.groupby("source").size().clip(upper=10)
+    assert sizes.reindex(want_sizes.index).fillna(0).astype(int).tolist() == \
+        want_sizes.tolist()
