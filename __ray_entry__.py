@@ -1976,6 +1976,20 @@ def _q_doc_term_stats(sf_dir: str):
     return doc_term_stats(ds, min_df=2, num_partitions=32)
 
 
+def _q_edit_dist_pairs(sf_dir: str):
+    """Levenshtein-verified near-dup pairs: exact-shingle candidates at
+    the stats threshold, then capped edit distance over normalized texts;
+    keep rule ed*1e6 <= 200000*max(len) is integer-only (bit-exact vs the
+    SQL oracle's levenshtein())."""
+    from rabbittclust_ray.stages.fuzzy import edit_distance_pairs
+
+    scfg = _exact_scfg()
+    ccfg = _exact_ccfg(EX_STATS_THRESHOLD)
+    return edit_distance_pairs(
+        _prepared(sf_dir, min_len=EX_MIN_LEN), scfg, ccfg, max_ed_ppm=200_000
+    )
+
+
 def _q_source_lang_rollup(sf_dir: str):
     """GROUP BY ROLLUP (grouping-sets ladder) over (source, lang): doc
     count + char sum at every prefix level, sentinel '(all)' for
@@ -2093,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_stats": _q_doc_term_stats,
         "source_lang_rollup": _q_source_lang_rollup,
         "per_source_sample": _q_per_source_sample,
+        "edit_dist_pairs": _q_edit_dist_pairs,
     }
 
 
@@ -3386,6 +3401,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "edit_dist_pairs": f"""
+            WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
+            txt AS (SELECT doc_id, nt, length(nt) AS ln FROM pop)
+            SELECT e.u, e.v,
+                   CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS ed
+            FROM edges e
+            JOIN txt ta ON ta.doc_id = e.u
+            JOIN txt tb ON tb.doc_id = e.v
+            WHERE levenshtein(ta.nt, tb.nt) * 1000000
+                  <= 200000 * greatest(ta.ln, tb.ln)
         """,
         "per_source_sample": """
             SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank

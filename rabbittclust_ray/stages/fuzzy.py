@@ -1,0 +1,156 @@
+"""Edit-distance (Levenshtein) verification of near-dup candidate pairs.
+
+The classic code-dedup verify step: candidate generation by sketch/shingle
+overlap is cheap but approximate; the EXACT edit distance on the surviving
+pairs is the ground-truth near-dup decision (reference analogue: the
+alignment-free distances in /root/reference/src/MST.cpp are themselves the
+final answer for genomes; for code/text corpora the byte-level edit
+distance is the audit-grade verify the reference never needed).
+
+Shape (all stages streaming):
+1. candidates: the unchanged exact-shingle pair stack
+   (``pairs.candidate_pairs``) + the Mash-threshold cut — pair volume is
+   bounded BEFORE any text moves.
+2. text fetch: two keyed-exchange equi-joins attach the whitespace-
+   normalized text of u then v to each candidate row (``joins.equi_join``;
+   the doc side of each join shuffles once — same transfer class as the
+   boilerplate/segment passes, no driver materialization).
+3. verify: per-pair capped Levenshtein. The DP row recurrence is fully
+   vectorized (the in-row left-neighbor dependency resolves via the
+   ``min-accumulate of (g[i] - i)`` identity), runs on unicode CODEPOINTS
+   (byte==codepoint for ASCII corpora; the SQL oracle's ``levenshtein()``
+   agrees on ASCII), early-exits as soon as a full DP row exceeds the
+   cap, and skips the DP entirely when ``|len_u - len_v| > cap``.
+
+Keep rule (integer-only, bit-exact vs SQL):
+    ed * 1_000_000 <= max_ed_ppm * max(len_u, len_v)
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def levenshtein_capped(a: np.ndarray, b: np.ndarray, cap: int) -> int:
+    """Exact Levenshtein distance if <= cap, else any value > cap.
+    Row-vectorized DP with early exit; O(len(a) * len(b)) worst case."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        sub = prev[:-1] + (b != a[i - 1])
+        cur = np.empty(lb + 1, dtype=np.int64)
+        cur[0] = i
+        np.minimum(prev[1:] + 1, sub, out=cur[1:])
+        # cur[j] = min_{i<=j} (cur[i] + (j-i)): left-neighbor insertions
+        np.minimum.accumulate(cur - idx, out=cur)
+        cur += idx
+        if cur.min() > cap:
+            return cap + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_distance_pairs(
+    prepared: ray.data.Dataset,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    *,
+    max_ed_ppm: int = 200_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs verified by exact capped edit distance.
+
+    Output (u, v, ed) int64, one row per candidate pair passing
+    ``ed * 1e6 <= max_ed_ppm * max(|nt_u|, |nt_v|)`` over the
+    whitespace-normalized texts. Candidates = the exact-shingle pair
+    stack at ``ccfg.threshold`` (u < v)."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.joins import equi_join
+    from rabbittclust_ray.stages.pairs import candidate_pairs, mash_distance
+    from rabbittclust_ray.stages.sketch import normalize_column, sketch_documents
+
+    sk = sketch_documents(prepared, scfg)
+    cands = candidate_pairs(sk, scfg, ccfg)
+
+    thr = ccfg.threshold
+    dk = scfg.distance_k
+
+    def cut(t: pa.Table) -> pa.Table:
+        common = t["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = t["su"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = mash_distance(common, su, sv, dk) <= thr
+        return pa.table(
+            {
+                "u": pc.cast(t["u"].filter(pa.array(ok)), pa.int64()),
+                "v": pc.cast(t["v"].filter(pa.array(ok)), pa.int64()),
+            }
+        )
+
+    pairs = cands.map_batches(cut, batch_format="pyarrow")
+
+    norm_mode = scfg.normalize
+
+    def nt_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "nt": normalize_column(t["content"], norm_mode),
+            }
+        )
+
+    texts = prepared.map_batches(nt_rows, batch_format="pyarrow")
+
+    def rn(t: pa.Table, m: dict[str, str]) -> pa.Table:
+        return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+    left = pairs.map_batches(lambda t: rn(t, {"u": "doc_id"}), batch_format="pyarrow")
+    j1 = equi_join(
+        left, texts, key="doc_id", left_cols=["v"], right_cols=["nt"],
+        right_prefix="u_", num_partitions=num_partitions,
+    )
+    j1 = j1.map_batches(
+        lambda t: rn(t, {"key": "u", "v": "doc_id"}), batch_format="pyarrow"
+    )
+    j2 = equi_join(
+        j1, texts, key="doc_id", left_cols=["u", "u_nt"], right_cols=["nt"],
+        right_prefix="v_", num_partitions=num_partitions,
+    )
+    j2 = j2.map_batches(lambda t: rn(t, {"key": "v"}), batch_format="pyarrow")
+
+    ppm = int(max_ed_ppm)
+
+    def verify(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ua = t["u_nt"].to_pylist()
+        va = t["v_nt"].to_pylist()
+        ou, ov, oe = [], [], []
+        for i in range(len(u)):
+            a, b = _codepoints(ua[i]), _codepoints(va[i])
+            cap = (ppm * max(len(a), len(b))) // 1_000_000
+            ed = levenshtein_capped(a, b, cap)
+            if ed * 1_000_000 <= ppm * max(len(a), len(b)):
+                ou.append(u[i]); ov.append(v[i]); oe.append(ed)
+        return pa.table(
+            {
+                "u": pa.array(ou, pa.int64()),
+                "v": pa.array(ov, pa.int64()),
+                "ed": pa.array(oe, pa.int64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow", batch_size=64)

@@ -1,0 +1,88 @@
+"""Unit tests for levenshtein_capped (exact capped edit distance) and
+edit_distance_pairs (candidate generation + distributed text fetch +
+verify)."""
+import numpy as np
+import pandas as pd
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.stages.fuzzy import (
+    _codepoints,
+    edit_distance_pairs,
+    levenshtein_capped,
+)
+
+
+def _brute_lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            d[i][j] = min(
+                d[i - 1][j] + 1,
+                d[i][j - 1] + 1,
+                d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[la][lb]
+
+
+def test_levenshtein_capped_matches_brute_force():
+    rng = np.random.default_rng(4)
+    alpha = list("abcd")
+    for _ in range(60):
+        a = "".join(rng.choice(alpha, size=rng.integers(0, 15)))
+        b = "".join(rng.choice(alpha, size=rng.integers(0, 15)))
+        want = _brute_lev(a, b)
+        got = levenshtein_capped(_codepoints(a), _codepoints(b), cap=30)
+        assert got == want, (a, b, got, want)
+
+
+def test_levenshtein_cap_early_exit():
+    a, b = "aaaaaaaaaa", "bbbbbbbbbb"  # distance 10
+    assert levenshtein_capped(_codepoints(a), _codepoints(b), cap=3) > 3
+    # length gap alone exceeds the cap -> no DP
+    assert levenshtein_capped(_codepoints("x" * 50), _codepoints("x"), cap=5) == 6
+    assert levenshtein_capped(_codepoints(""), _codepoints("abc"), cap=5) == 3
+
+
+def test_edit_distance_pairs_end_to_end():
+    """Near-identical docs (one word swapped) are found with the exact
+    small edit distance; unrelated docs emit no pair."""
+    base = " ".join(f"token{i:03d}" for i in range(60))
+    variant = base.replace("token030", "tokenXXX")  # ed == 3 over nt
+    other = " ".join(f"zzz{i:04d}" for i in range(60, 140))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, variant, other],
+            "lang": ["py"] * 3,
+            "source": ["t"] * 3,
+        }
+    )
+
+    def adapt(t):
+        from rabbittclust_ray.corpus import adapt_testdata_documents
+
+        return adapt_testdata_documents(t).append_column("doc_id", t["doc_id"])
+
+    ds = ray.data.from_pandas(df).map_batches(adapt, batch_format="pyarrow")
+    from rabbittclust_ray.stages.prepare import prepare_documents
+
+    scfg = SketchConfig(shingle_k=8, mode="mod", mod_bits=0, min_len=0)
+    ccfg = ClusterConfig(threshold=0.2, max_posting=None, num_buckets=4)
+    prepared = prepare_documents(ds, scfg, apply_min_len=False)
+    out = (
+        edit_distance_pairs(
+            prepared, scfg, ccfg, max_ed_ppm=200_000, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values(["u", "v"], ignore_index=True)
+    )
+    assert len(out) == 1
+    u, v = sorted((1, 2))
+    assert (out.loc[0, "u"], out.loc[0, "v"]) == (u, v)
+    assert out.loc[0, "ed"] == 3  # 030 -> XXX, three substitutions
