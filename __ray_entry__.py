@@ -1976,6 +1976,30 @@ def _q_doc_term_stats(sf_dir: str):
     return doc_term_stats(ds, min_df=2, num_partitions=32)
 
 
+def _q_bm25_topk(sf_dir: str):
+    """BM25-class keyword retrieval: top-20 docs for the corpus's
+    rank-11..15 tokens (mid-frequency query terms, derived identically in
+    SQL) under the integer-rational BM25 variant — bit-exact vs the
+    oracle, no float IDF."""
+    from rabbittclust_ray.stages.retrieval import bm25_topk
+    from rabbittclust_ray.stages.text import vocab_top_tokens
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    terms = vocab_top_tokens(ds, n=15).to_pandas()["token"].tolist()[10:15]
+    return bm25_topk(ds, terms, topn=20)
+
+
+def _q_cms_token_counts(sf_dir: str):
+    """Count-min sketch over whitespace tokens: exact top-30 tokens with
+    their CMS estimates (4x1024 integer matrix, sha column hashes —
+    bit-exact vs the SQL oracle; cms_count >= exact_count by the CMS
+    guarantee)."""
+    from rabbittclust_ray.stages.alt_sketch import cms_token_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_token_counts(ds, depth=4, width=1024, topn=30, hasher="sha")
+
+
 def _q_edit_dist_pairs(sf_dir: str):
     """Levenshtein-verified near-dup pairs: exact-shingle candidates at
     the stats threshold, then capped edit distance over normalized texts;
@@ -2108,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_rollup": _q_source_lang_rollup,
         "per_source_sample": _q_per_source_sample,
         "edit_dist_pairs": _q_edit_dist_pairs,
+        "cms_token_counts": _q_cms_token_counts,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -3401,6 +3427,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "bm25_topk": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            dl AS MATERIALIZED (
+                SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+            ),
+            tot AS MATERIALIZED (
+                SELECT CAST(sum(dl) AS HUGEINT) AS L,
+                       CAST(count(*) AS HUGEINT) AS N FROM dl
+            ),
+            terms AS MATERIALIZED (
+                SELECT token FROM (
+                    SELECT token,
+                           row_number() OVER (
+                               ORDER BY count(*) DESC, token) AS rn
+                    FROM tok GROUP BY token
+                ) WHERE rn BETWEEN 11 AND 15
+            ),
+            tf AS MATERIALIZED (
+                SELECT t.doc_id, t.token, CAST(count(*) AS HUGEINT) AS tf
+                FROM tok t JOIN terms USING (token) GROUP BY 1, 2
+            ),
+            dfr AS (
+                SELECT token, CAST(count(*) AS HUGEINT) AS df
+                FROM tf GROUP BY token
+            ),
+            contrib AS (
+                SELECT tf.doc_id,
+                       (22 * tf.tf * tot.L *
+                        ((1000000::HUGEINT * (tot.N - dfr.df + 1))
+                         // (dfr.df + 1)))
+                       // (10 * tf.tf * tot.L + 3 * tot.L
+                           + 9 * CAST(dl.dl AS HUGEINT) * tot.N) AS c
+                FROM tf JOIN dfr USING (token)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN tot
+            ),
+            score AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_ppm
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, score_ppm
+            FROM score ORDER BY score_ppm DESC, doc_id LIMIT 20
+        """,
+        "cms_token_counts": """
+            WITH tok AS (
+                SELECT token FROM (
+                    SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            cnt AS MATERIALIZED (
+                SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+                FROM tok GROUP BY token
+            ),
+            rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+            cells AS MATERIALIZED (
+                SELECT r.r AS r,
+                       CAST(('0x' || substr(sha256(c.token || '-' || r.r), 1, 15))
+                            ::UBIGINT % 1024 AS BIGINT) AS col,
+                       CAST(sum(c.exact_count) AS BIGINT) AS cell
+                FROM cnt c CROSS JOIN rws r
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT token, exact_count FROM cnt
+                ORDER BY exact_count DESC, token LIMIT 30
+            )
+            SELECT t.token, t.exact_count,
+                   CAST(min(ce.cell) AS BIGINT) AS cms_count
+            FROM top t CROSS JOIN rws r
+            JOIN cells ce ON ce.r = r.r
+             AND ce.col = CAST(('0x' || substr(sha256(t.token || '-' || r.r), 1, 15))
+                               ::UBIGINT % 1024 AS BIGINT)
+            GROUP BY 1, 2
         """,
         "edit_dist_pairs": f"""
             WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},

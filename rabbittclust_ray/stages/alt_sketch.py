@@ -511,3 +511,123 @@ def omh_pairs(
         )
 
     return scan_complete_groups(partials.sort("u"), "u", finalize)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): the mergeable frequency
+# sketch — depth x width integer matrix, est(x) = min_r M[r, h_r(x)], an
+# OVERESTIMATE-only guarantee (est >= true count always; est <= true +
+# eps*N with prob 1-delta for width=e/eps, depth=ln(1/delta)).
+# ---------------------------------------------------------------------------
+
+def _cms_cols(tokens: np.ndarray, r: int, width: int, hasher: str) -> np.ndarray:
+    """Column index of each token under row-r's hash. hasher="sha" is the
+    SQL-reproducible surface (('0x'||substr(sha256(token||'-'||r),1,15))
+    ::UBIGINT % width in DuckDB); "splitmix" is the vectorized scale path
+    (pandas stable string hash mixed with the row index)."""
+    if hasher == "sha":
+        import hashlib
+
+        return np.array(
+            [int(hashlib.sha256(f"{t}-{r}".encode()).hexdigest()[:15], 16) % width
+             for t in tokens],
+            dtype=np.int64,
+        )
+    import pandas as pd
+
+    base = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    mixed = splitmix64(base ^ splitmix64(np.array([r + 1], dtype=np.uint64))[0])
+    return (mixed % np.uint64(width)).astype(np.int64)
+
+
+def cms_token_counts(
+    ds: ray.data.Dataset,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    topn: int = 30,
+    hasher: str = "splitmix",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Corpus-wide count-min sketch over whitespace tokens + the exact
+    top-``topn`` tokens with their CMS estimates: (token, exact_count,
+    cms_count), ordered (exact_count desc, token asc).
+
+    Shape: each batch pre-aggregates to (token, count) partials, then
+    bincounts them into its own sparse cell rows (cell = r*width + col) —
+    shuffled volume <= blocks x depth x width rows, never the token
+    stream; ONE keyed exchange sums cells; the finished matrix is
+    depth x width ints (driver pull bounded by the sketch size, not the
+    data). The exact top-n side reuses ``vocab_top_tokens`` (a second
+    corpus scan; at 100 TB fuse the two partials if the extra read
+    matters). cms_count >= exact_count always (CMS guarantee, pinned by
+    test)."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+    from rabbittclust_ray.stages.text import vocab_top_tokens
+
+    def cells(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat = pc.split_pattern(txt, " ").flatten()
+        toks = flat.to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        uniq, counts = np.unique(toks, return_counts=True)
+        cell_ids, cell_cnt = [], []
+        for r in range(depth):
+            cols = _cms_cols(uniq, r, width, hasher)
+            m = np.bincount(cols, weights=counts, minlength=width).astype(np.int64)
+            nz = np.nonzero(m)[0]
+            cell_ids.append(nz + r * width)
+            cell_cnt.append(m[nz])
+        cid = np.concatenate(cell_ids) if cell_ids else np.array([], np.int64)
+        cct = np.concatenate(cell_cnt) if cell_cnt else np.array([], np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cid.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cct, pa.int64()),
+            }
+        )
+
+    def sum_cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        out = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(out, inv, cnt)
+        return pa.table(
+            {
+                "cell": pa.array(uniq.astype(np.int64), pa.int64()),
+                "cnt": pa.array(out, pa.int64()),
+            }
+        )
+
+    summed = hash_exchange(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        "cell", sum_cells, num_partitions,
+    ).to_pandas()  # <= depth*width rows — the sketch itself, not data
+
+    M = np.zeros(depth * width, dtype=np.int64)
+    if len(summed):
+        M[summed["cell"].to_numpy()] = summed["cnt"].to_numpy()
+    M = M.reshape(depth, width)
+
+    top = vocab_top_tokens(ds, n=topn, text_col=text_col).to_pandas()
+    toks = top["token"].to_numpy()
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        est = np.minimum(est, M[r, _cms_cols(toks, r, width, hasher)])
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "exact_count": pa.array(top["count"].to_numpy().astype(np.int64), pa.int64()),
+            "cms_count": pa.array(est, pa.int64()),
+        }
+    )

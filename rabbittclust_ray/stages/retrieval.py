@@ -1,0 +1,194 @@
+"""Keyword retrieval: BM25-class ranked search over the document corpus.
+
+The retrieval operator class a training-data engine needs next to ANN:
+given a bag of query terms, rank documents by a BM25-shaped relevance
+score (Robertson & Zaragoza 2009: tf saturation via k1, length
+normalization via b, rarity via IDF).
+
+Integer-rational scoring variant (audit mode, bit-exact vs the SQL
+oracle): with k1 = 12/10, b = 3/4, corpus totals N docs / L tokens,
+per-doc length dl and per-term document frequency df,
+
+    idf_ppm      = (1_000_000 * (N - df + 1)) // (df + 1)
+    contrib_ppm  = (22 * tf * L * idf_ppm)
+                   // (10 * tf * L + 3 * L + 9 * dl * N)
+    score_ppm    = sum over matched query terms of contrib_ppm
+
+which is the BM25 tf-saturation/length-normalization fraction with both
+sides multiplied by 10 * L and a rational (N - df + 1)/(df + 1) IDF in
+place of the usual log (log needs float ln(); the rational form keeps the
+whole score integer — same rarity ordering, different spacing; a
+production ranker would use float log-IDF, which this variant exists to
+audit). Scored in exact Python ints (no int64 overflow at any corpus
+size; the matched-row count, not the corpus, bounds the Python loop).
+
+Shape: one stats scan (per-batch partial N/L -> tiny agg), one matched-tf
+scan (per-batch tf of QUERY TERMS only — the posting volume is bounded by
+|terms|, nothing else leaves the map task), a |terms|-row df exchange,
+then per-doc score partials through ONE doc-keyed exchange and a
+per-block-pruned global top-n (driver merges <= blocks x n rows).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _token_lists(t: pa.Table, text_col: str):
+    import pyarrow.compute as pc
+
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern(txt, " ")
+    return lists
+
+
+def corpus_token_totals(ds: ray.data.Dataset, *, text_col: str = "text") -> tuple[int, int]:
+    """(N docs, L total non-empty tokens) via per-batch partials."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = _token_lists(t, text_col)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "l": pa.array([int((flat != "").sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["n", "l"])
+    return int(agg["sum(n)"]), int(agg["sum(l)"])
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    *,
+    topn: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Top-``topn`` documents by integer-rational BM25 score over
+    ``terms``. Output (rank, doc_id, score_ppm), rank 1-based, ties
+    (score desc, doc_id asc)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    n_docs, total_len = corpus_token_totals(ds, text_col=text_col)
+    term_set = sorted(set(terms))
+
+    def matched_tf(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lists = _token_lists(t, text_col)
+        lens = pa.compute.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        toks = lists.flatten().to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        ids, toks = ids[keep], toks[keep]
+        # per-doc token length (dl) from the kept stream
+        df_all = pd.DataFrame({"doc_id": ids})
+        dl = df_all.groupby("doc_id", sort=False).size()
+        m = np.isin(toks, term_set)
+        g = (
+            pd.DataFrame({"doc_id": ids[m], "token": toks[m]})
+            .groupby(["doc_id", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["dl"] = dl.reindex(g["doc_id"]).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "token": pa.array(g["token"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "dl": pa.array(g["dl"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    matched = ds.map_batches(matched_tf, batch_format="pyarrow").materialize()
+    # ^ bounded by |terms| x matching docs — the postings of the query only
+
+    # df per term: tiny (<= |terms| rows after reduce)
+    import pandas as pd
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["token"]).to_pandas().groupby("token", sort=False)
+            .size().reset_index(name="df")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df_tab = (
+        matched.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token").sum("df").to_pandas()
+    )
+    if len(df_tab) == 0 or "token" not in df_tab.columns:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score_ppm": pa.array([], pa.int64()),
+            }
+        )
+    df_map = dict(zip(df_tab["token"], df_tab["sum(df)"].astype(int)))
+
+    N, L = n_docs, total_len
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = t["token"].to_pylist()
+        tfs = t["tf"].to_numpy(zero_copy_only=False)
+        dls = t["dl"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):  # exact bignum ints; bounded by matches
+            df = int(df_map[toks[i]])
+            tf, dl = int(tfs[i]), int(dls[i])
+            idf_ppm = (1_000_000 * (N - df + 1)) // (df + 1)
+            out[i] = (22 * tf * L * idf_ppm) // (
+                10 * tf * L + 3 * L + 9 * dl * N
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "c": pa.array(out, pa.int64()),
+            }
+        )
+
+    contribs = matched.map_batches(score_rows, batch_format="pyarrow")
+
+    def sum_scores(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score_ppm": pa.array([], pa.int64())}
+            )
+        g = (
+            t.to_pandas().groupby("doc_id", sort=False)["c"].sum().reset_index()
+        )
+        # per-partition prune to topn: global topn is within union of these
+        g = g.sort_values(["c", "doc_id"], ascending=[False, True]).head(topn)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "score_ppm": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    pruned = hash_exchange(contribs, "doc_id", sum_scores, num_partitions)
+    top = pruned.to_pandas()  # <= partitions x topn rows
+    top = top.sort_values(
+        ["score_ppm", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(topn)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "score_ppm": pa.array(top["score_ppm"].to_numpy(), pa.int64()),
+        }
+    )

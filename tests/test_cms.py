@@ -1,0 +1,50 @@
+"""Unit tests for cms_token_counts (count-min sketch: overestimate
+guarantee, block invariance, hasher surfaces)."""
+import numpy as np
+import pandas as pd
+import ray.data
+
+from rabbittclust_ray.stages.alt_sketch import cms_token_counts
+
+
+def _corpus(n=150, seed=2):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(80)]
+    w = 1.0 / (np.arange(80) + 1)
+    return pd.DataFrame(
+        {
+            "text": [
+                " ".join(rng.choice(vocab, size=25, p=w / w.sum()))
+                for _ in range(n)
+            ]
+        }
+    )
+
+
+def test_cms_overestimates_and_is_tight_for_heavy_tokens():
+    df = _corpus()
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = cms_token_counts(ds, depth=4, width=512, topn=20).to_pandas()
+    assert len(out) == 20
+    # CMS guarantee: estimate never under the true count
+    assert (out["cms_count"] >= out["exact_count"]).all()
+    # exact side agrees with a brute-force count
+    from collections import Counter
+
+    cnt = Counter(t for d in df["text"] for t in d.split(" ") if t)
+    want = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:20]
+    assert list(map(tuple, out[["token", "exact_count"]].itertuples(index=False))) \
+        == want
+
+
+def test_cms_block_invariance_and_sha_surface():
+    df = _corpus(n=60, seed=9)
+    outs = []
+    for parts in (1, 11):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(
+            cms_token_counts(ds, depth=3, width=256, topn=10, hasher="sha")
+            .to_pandas()
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["cms_count"] >= outs[0]["exact_count"]).all()

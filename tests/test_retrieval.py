@@ -1,0 +1,70 @@
+"""Unit tests for bm25_topk (integer-rational BM25 retrieval)."""
+import numpy as np
+import pandas as pd
+import ray.data
+
+from rabbittclust_ray.stages.retrieval import bm25_topk, corpus_token_totals
+
+
+def _corpus(n=120, seed=6):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    w = 1.0 / (np.arange(60) + 1)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64) + 100,
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.integers(8, 40), p=w / w.sum()))
+                for _ in range(n)
+            ],
+        }
+    )
+
+
+def _brute_bm25(df, terms, topn):
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t]
+            for r in df.itertuples()}
+    N = len(toks)
+    L = sum(len(v) for v in toks.values())
+    dfreq = {
+        q: sum(1 for v in toks.values() if q in v) for q in terms
+    }
+    scores = {}
+    for d, v in toks.items():
+        s = 0
+        for q in terms:
+            tf = v.count(q)
+            if tf == 0 or dfreq[q] == 0:
+                continue
+            idf = (1_000_000 * (N - dfreq[q] + 1)) // (dfreq[q] + 1)
+            s += (22 * tf * L * idf) // (10 * tf * L + 3 * L + 9 * len(v) * N)
+        if s > 0:
+            scores[d] = s
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:topn]
+    return ranked
+
+
+def test_bm25_matches_brute_force_and_partitioning():
+    df = _corpus()
+    terms = ["w3", "w17", "w40"]
+    want = _brute_bm25(df, terms, topn=15)
+    for parts in (1, 9):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = bm25_topk(ds, terms, topn=15, num_partitions=8).to_pandas()
+        assert list(map(tuple, got[["doc_id", "score_ppm"]].itertuples(index=False))) \
+            == want
+        assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_corpus_token_totals():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b  c", "d e"]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    n, l = corpus_token_totals(ds)
+    assert (n, l) == (2, 5)
+
+
+def test_bm25_no_matching_terms():
+    df = _corpus(n=20, seed=1)
+    ds = ray.data.from_pandas(df)
+    out = bm25_topk(ds, ["zzz_not_present"], topn=5).to_pandas()
+    assert len(out) == 0
