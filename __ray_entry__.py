@@ -1976,6 +1976,43 @@ def _q_doc_term_stats(sf_dir: str):
     return doc_term_stats(ds, min_df=2, num_partitions=32)
 
 
+def _q_token_cooccurrence(sf_dir: str):
+    """GloVe-style co-occurrence: top-40 document-co-occurring pairs of
+    the corpus's top-25 tokens. Per-doc pair expansion never leaves the
+    map task; shuffled volume <= blocks x |V|^2/2."""
+    from rabbittclust_ray.stages.text import cooccurrence_pairs, vocab_top_tokens
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    voc = vocab_top_tokens(ds, n=25).to_pandas()["token"].tolist()
+    return cooccurrence_pairs(ds, vocab=voc, topn=40)
+
+
+def _q_event_value_outliers(sf_dir: str):
+    """Per-event-type Tukey-fence outliers on value (as integer cents):
+    quartiles from the mergeable value-count histogram, fences broadcast
+    into a plain filter map (stream never shuffles)."""
+    from rabbittclust_ray.stages.stats import iqr_outliers
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "v": pa.array(np.floor(v * 100.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return iqr_outliers(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        group_col="event_type", value_col="v", id_col="event_id",
+    )
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25-class keyword retrieval: top-20 docs for the corpus's
     rank-11..15 tokens (mid-frequency query terms, derived identically in
@@ -2134,6 +2171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_dist_pairs": _q_edit_dist_pairs,
         "cms_token_counts": _q_cms_token_counts,
         "bm25_topk": _q_bm25_topk,
+        "token_cooccurrence": _q_token_cooccurrence,
+        "event_value_outliers": _q_event_value_outliers,
     }
 
 
@@ -3427,6 +3466,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "token_cooccurrence": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            voc AS MATERIALIZED (
+                SELECT token FROM (
+                    SELECT token,
+                           row_number() OVER (
+                               ORDER BY count(*) DESC, token) AS rn
+                    FROM tok GROUP BY token
+                ) WHERE rn <= 25
+            ),
+            dt AS MATERIALIZED (
+                SELECT DISTINCT doc_id, token FROM tok JOIN voc USING (token)
+            ),
+            p AS (
+                SELECT a.token AS tok_a, b.token AS tok_b,
+                       CAST(count(*) AS BIGINT) AS pair_count
+                FROM dt a JOIN dt b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            )
+            SELECT tok_a, tok_b, pair_count FROM p
+            ORDER BY pair_count DESC, tok_a, tok_b LIMIT 40
+        """,
+        "event_value_outliers": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, v,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM e
+            ),
+            q AS (
+                SELECT event_type,
+                       max(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.25 * cnt) AS BIGINT))
+                           THEN v END) AS q25,
+                       max(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.75 * cnt) AS BIGINT))
+                           THEN v END) AS q75
+                FROM r GROUP BY event_type
+            )
+            SELECT e.event_type, e.event_id, CAST(e.v AS BIGINT) AS value
+            FROM e JOIN q USING (event_type)
+            WHERE 2 * e.v < 5 * q.q25 - 3 * q.q75
+               OR 2 * e.v > 5 * q.q75 - 3 * q.q25
         """,
         "bm25_topk": """
             WITH tok AS MATERIALIZED (

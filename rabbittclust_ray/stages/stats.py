@@ -307,3 +307,54 @@ def grouped_quantiles(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(partials, "gkey", finalize, num_partitions)
+
+
+def iqr_outliers(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Per-group Tukey-fence outliers over an INTEGER column: rows with
+    value outside [q1 - 1.5*IQR, q3 + 1.5*IQR], quartiles by the same
+    ceil-rank rule as ``grouped_quantiles``. The fence test is kept
+    integer (x2): ``2*v < 5*q25 - 3*q75  or  2*v > 5*q75 - 3*q25`` — no
+    float boundary can disagree with the SQL oracle.
+
+    Shape: quartiles come from the mergeable value-count histogram
+    exchange (state per group = distinct values); the per-group fence
+    table is a SMALL side pulled once and closed over by a plain filter
+    map — the data stream itself is never shuffled. Output
+    (group_col, id_col, value)."""
+    q = grouped_quantiles(
+        ds, group_col=group_col, value_col=value_col, qs=(0.25, 0.75),
+        num_partitions=num_partitions,
+    ).to_pandas()  # one row per group — the broadcast side
+    lo2 = dict(zip(q[group_col], 5 * q["q25"] - 3 * q["q75"]))
+    hi2 = dict(zip(q[group_col], 5 * q["q75"] - 3 * q["q25"]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.full(len(g), np.iinfo(np.int64).min, np.int64)
+        hi = np.full(len(g), np.iinfo(np.int64).max, np.int64)
+        for grp in np.unique(g):  # vectorized per group, groups are few
+            if grp in lo2:
+                m = g == grp
+                lo[m] = lo2[grp]
+                hi[m] = hi2[grp]
+        keep = (2 * v < lo) | (2 * v > hi)
+        return pa.table(
+            {
+                group_col: pa.array(g[keep], pa.string()),
+                id_col: pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False)[keep].astype(np.int64),
+                    pa.int64(),
+                ),
+                "value": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

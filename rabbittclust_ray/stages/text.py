@@ -939,3 +939,103 @@ def doc_term_stats(
 
     keyed = ds.map_batches(tf_rows, batch_format="pyarrow")
     return hash_exchange(keyed, "tkey", attach_df, num_partitions)
+
+
+def cooccurrence_pairs(
+    ds: ray.data.Dataset,
+    *,
+    vocab: list[str],
+    topn: int = 50,
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> pa.Table:
+    """GloVe-style document co-occurrence over a FIXED vocabulary: for
+    each unordered vocab pair (tok_a < tok_b... by vocab index), the
+    number of documents containing BOTH tokens; output the global top-n
+    by (pair_count desc, tok_a asc, tok_b asc).
+
+    Shape: a document is one row, so its distinct-vocab-token set never
+    leaves the map task — each batch expands within-doc vocab pairs
+    (vectorized ``_ragged_pairs``) and pre-aggregates to (pair, count)
+    partials; shuffled volume <= blocks x |V|^2/2 rows regardless of
+    corpus size. ONE keyed exchange sums; each reducer prunes to its own
+    top-n under the SAME total order as the final cut (each pair key
+    lives in exactly one partition, so the global top-n is a subset of
+    the per-partition top-ns); the driver merges <= partitions x topn
+    rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import _ragged_pairs, hash_exchange
+
+    voc = np.array(sorted(set(vocab)))
+    V = len(voc)
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lists = pc.split_pattern(txt, " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        docpos = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        toks = lists.flatten().to_numpy(zero_copy_only=False)
+        vi = np.searchsorted(voc, toks)
+        np.clip(vi, 0, V - 1, out=vi)
+        m = voc[vi] == toks
+        docpos, vi = docpos[m], vi[m]
+        key = np.unique(docpos * V + vi)          # distinct (doc, vocab idx)
+        dp, vidx = key // V, key % V              # doc-major, vidx asc in doc
+        _, counts = np.unique(dp, return_counts=True)
+        i, j = _ragged_pairs(counts)
+        pk = vidx[i] * V + vidx[j]                # a < b by construction
+        upk, ucnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "pk": pa.array(upk.astype(np.int64), pa.int64()),
+                "cnt": pa.array(ucnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "pair_count": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas().groupby("pk", sort=False)["cnt"].sum().reset_index()
+        df["tok_a"] = voc[(df["pk"] // V).to_numpy()]
+        df["tok_b"] = voc[(df["pk"] % V).to_numpy()]
+        df = df.sort_values(
+            ["cnt", "tok_a", "tok_b"], ascending=[False, True, True],
+            kind="stable",
+        ).head(topn)
+        return pa.table(
+            {
+                "tok_a": pa.array(df["tok_a"].to_numpy(), pa.string()),
+                "tok_b": pa.array(df["tok_b"].to_numpy(), pa.string()),
+                "pair_count": pa.array(
+                    df["cnt"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pruned = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "pk", reduce, num_partitions,
+    ).to_pandas()  # <= partitions x topn rows
+    pruned = pruned.sort_values(
+        ["pair_count", "tok_a", "tok_b"], ascending=[False, True, True],
+        kind="stable", ignore_index=True,
+    ).head(topn)
+    return pa.table(
+        {
+            "tok_a": pa.array(pruned["tok_a"].to_numpy(), pa.string()),
+            "tok_b": pa.array(pruned["tok_b"].to_numpy(), pa.string()),
+            "pair_count": pa.array(
+                pruned["pair_count"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )

@@ -1,0 +1,70 @@
+"""Unit tests for cooccurrence_pairs (vocab co-occurrence) and
+iqr_outliers (Tukey fences per group)."""
+import numpy as np
+import pandas as pd
+import ray.data
+
+from rabbittclust_ray.stages.stats import iqr_outliers
+from rabbittclust_ray.stages.text import cooccurrence_pairs
+
+
+def test_cooccurrence_matches_brute_force():
+    rng = np.random.default_rng(12)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        " ".join(rng.choice(vocab + ["zzz", "yyy"], size=rng.integers(3, 10)))
+        for _ in range(150)
+    ]
+    df = pd.DataFrame({"text": docs})
+
+    from itertools import combinations
+
+    brute = {}
+    for d in docs:
+        present = sorted({t for t in d.split(" ") if t in set(vocab)})
+        for a, b in combinations(present, 2):
+            brute[(a, b)] = brute.get((a, b), 0) + 1
+    want = sorted(brute.items(), key=lambda x: (-x[1], x[0]))[:15]
+    want = [(a, b, c) for (a, b), c in want]
+
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = cooccurrence_pairs(ds, vocab=vocab, topn=15, num_partitions=4)
+        rows = list(
+            map(tuple, got.to_pandas().itertuples(index=False))
+        )
+        assert rows == want
+
+
+def test_iqr_outliers_matches_brute_force():
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "grp": rng.choice(["a", "b"], size=n),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(100, 200, size=n).astype(np.int64),
+        }
+    )
+    # plant extreme outliers
+    df.loc[0, "v"] = 10_000
+    df.loc[1, "v"] = -5_000
+
+    def brute(sub):
+        vs = np.sort(sub["v"].to_numpy())
+        nn = len(vs)
+        q25 = vs[max(1, int(np.ceil(0.25 * nn))) - 1]
+        q75 = vs[max(1, int(np.ceil(0.75 * nn))) - 1]
+        m = (2 * sub["v"] < 5 * q25 - 3 * q75) | (2 * sub["v"] > 5 * q75 - 3 * q25)
+        return set(sub.loc[m, "id"])
+
+    want = set()
+    for g in ("a", "b"):
+        want |= brute(df[df["grp"] == g])
+
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = iqr_outliers(
+        ds, group_col="grp", value_col="v", id_col="id", num_partitions=4
+    ).to_pandas()
+    assert set(got["id"]) == want
+    assert {0, 1} <= want
