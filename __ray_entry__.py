@@ -2082,6 +2082,142 @@ def _q_per_source_sample(sf_dir: str):
     )
 
 
+def _q_secret_scan(sf_dir: str):
+    """Credential scan + redaction over code-shaped content: docs
+    doc_id%7==0 carry an api_key assignment, doc_id%11==0 an AWS-style
+    access key id, both derived from sha256(doc_id) so the SQL oracle
+    rebuilds byte-identical inputs AND outputs."""
+    import hashlib
+
+    from rabbittclust_ray.stages.code import scan_secrets
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            h = hashlib.sha256(str(int(i)).encode()).hexdigest()
+            if i % 7 == 0:
+                s = s + '\napi_key = "' + h[:12] + '"'
+            if i % 11 == 0:
+                s = s + "\nAKIA" + h[16:32].upper()
+            out.append(s)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    aug = ds.map_batches(augment, batch_format="pyarrow")
+    return scan_secrets(aug)
+
+
+def _q_license_scan(sf_dir: str):
+    """License-header classification: docs get one of four real license
+    header lines (or none) prepended by doc_id%5; the classifier reads
+    only the first 400 code units."""
+    from rabbittclust_ray.stages.code import classify_license
+
+    headers = [
+        '// Licensed under the Apache License, Version 2.0 (the "License");\n',
+        "// Permission is hereby granted, free of charge, to any person\n",
+        "// under the terms of the GNU General Public License as published\n",
+        "// Redistribution and use in source and binary forms, with or without\n",
+        "",
+    ]
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [headers[int(i) % 5] + s for i, s in zip(ids, texts)]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return classify_license(ds.map_batches(augment, batch_format="pyarrow"))
+
+
+def _q_import_graph(sf_dir: str):
+    """Import/dependency extraction + per-module rollup: each doc gets
+    three deterministic import statements (two `import modX`, one
+    `from pkgY`); output is (module, n_docs, n_imports) — doc_id%13==0
+    docs import the same module twice, so n_imports > n_docs
+    distinguishes the two counts."""
+    from rabbittclust_ray.stages.code import extract_imports
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [
+            f"import mod{int(i) % 13}\nfrom pkg{int(i) % 5} import thing\n"
+            f"import mod{(int(i) * 3) % 13}\n" + s
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return extract_imports(
+        ds.map_batches(augment, batch_format="pyarrow"), num_partitions=16
+    )
+
+
+def _q_identifier_stats(sf_dir: str):
+    """Identifier subtoken vocabulary (camelCase + snake_case splitting):
+    every doc carries two injected identifiers (`getValue{d%9}Fast`,
+    `parse_json_row{d%4}`) on top of its word soup; global top-40
+    subtokens by (n_docs desc, n_occurrences desc, subtoken asc)."""
+    from rabbittclust_ray.stages.code import identifier_subtokens
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [
+            s + f" getValue{int(i) % 9}Fast parse_json_row{int(i) % 4}"
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return identifier_subtokens(
+        ds.map_batches(augment, batch_format="pyarrow"),
+        top_k=40,
+        num_partitions=16,
+    )
+
+
+def _q_latest_version(sf_dir: str):
+    """Per-(repo, path) latest-version dedup: synthetic file coordinates
+    repo=r{d%23}, path=p{d%17}, version=(d*40503)%99991 are pure functions
+    of doc_id (the input_hint (repo, path, commit) shape at check scale);
+    keep the argmax(version, doc_id) per group, report every row's
+    winner."""
+    from rabbittclust_ray.stages.code import latest_version_dedup
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "repo": pa.array([f"r{i % 23}" for i in ids], pa.string()),
+                "path": pa.array([f"p{i % 17}" for i in ids], pa.string()),
+                "version": pa.array((ids * 40503) % 99991, pa.int64()),
+            }
+        )
+
+    return latest_version_dedup(
+        ds.map_batches(augment, batch_format="pyarrow"), num_partitions=16
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -2173,6 +2309,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "token_cooccurrence": _q_token_cooccurrence,
         "event_value_outliers": _q_event_value_outliers,
+        "secret_scan": _q_secret_scan,
+        "license_scan": _q_license_scan,
+        "import_graph": _q_import_graph,
+        "identifier_stats": _q_identifier_stats,
+        "latest_version": _q_latest_version,
     }
 
 
@@ -3629,4 +3770,132 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 20
         """,
     })
+    sql.update(_code_ops_sql())
     return sql
+
+
+def _code_ops_sql() -> dict[str, str]:
+    """Oracles for the payload=code family — every regex is embedded from
+    the SAME module constant the engine compiles (pyarrow.compute and
+    DuckDB both run RE2, so counts/replacements are bit-exact)."""
+    from rabbittclust_ray.stages.code import (
+        CAMEL_SPLIT_RE,
+        IMPORT_RE,
+        LICENSE_PATTERNS,
+        SECRET_ASSIGNED_RE,
+        SECRET_AWS_RE,
+    )
+
+    license_cases = "\n".join(
+        f"WHEN regexp_matches(substr(t, 1, 400), '{pat}') THEN '{name}'"
+        for name, pat in LICENSE_PATTERNS
+    )
+    return {
+        "secret_scan": """
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 7 = 0
+                            THEN chr(10) || 'api_key = "' ||
+                                 substr(sha256(CAST(doc_id AS VARCHAR)), 1, 12)
+                                 || '"'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 11 = 0
+                            THEN chr(10) || 'AKIA' || upper(substr(
+                                 sha256(CAST(doc_id AS VARCHAR)), 17, 16))
+                            ELSE '' END AS t
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '"""
+        + SECRET_AWS_RE
+        + """')) AS BIGINT) AS n_aws,
+                       regexp_replace(t, '"""
+        + SECRET_AWS_RE
+        + """', '<SECRET>', 'g') AS t1
+                FROM aug
+            )
+            SELECT doc_id,
+                   n_aws + CAST(len(regexp_extract_all(t1, '"""
+        + SECRET_ASSIGNED_RE
+        + """')) AS BIGINT) AS n_secrets,
+                   regexp_replace(t1, '"""
+        + SECRET_ASSIGNED_RE
+        + """', '<SECRET>', 'g') AS redacted_text
+            FROM s1
+        """,
+        "license_scan": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                           WHEN 0 THEN '// Licensed under the Apache License, Version 2.0 (the "License");' || chr(10)
+                           WHEN 1 THEN '// Permission is hereby granted, free of charge, to any person' || chr(10)
+                           WHEN 2 THEN '// under the terms of the GNU General Public License as published' || chr(10)
+                           WHEN 3 THEN '// Redistribution and use in source and binary forms, with or without' || chr(10)
+                           ELSE '' END || text AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE """
+        + license_cases
+        + """
+                       ELSE 'unknown' END AS license
+            FROM aug
+        """,
+        "import_graph": """
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id,
+                       'import mod' || (doc_id % 13) || chr(10) ||
+                       'from pkg' || (doc_id % 5) || ' import thing' || chr(10) ||
+                       'import mod' || ((doc_id * 3) % 13) || chr(10) || text AS t
+                FROM documents
+            ),
+            lx AS MATERIALIZED (
+                SELECT doc_id, regexp_extract(l, '"""
+        + IMPORT_RE
+        + """', 1) AS module
+                FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS l
+                      FROM aug)
+            )
+            SELECT module, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_imports
+            FROM lx WHERE module <> '' GROUP BY module
+        """,
+        "identifier_stats": r"""
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id,
+                       text || ' getValue' || (doc_id % 9) ||
+                       'Fast parse_json_row' || (doc_id % 4) AS t
+                FROM documents
+            ),
+            tok AS MATERIALIZED (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    lower(replace(regexp_replace(t, '"""
+        + CAMEL_SPLIT_RE
+        + r"""', '\1 \2', 'g'), '_', ' ')), '\s+')) AS subtoken
+                FROM aug
+            )
+            SELECT subtoken, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM tok WHERE subtoken <> ''
+            GROUP BY subtoken
+            ORDER BY n_docs DESC, n_occurrences DESC, subtoken
+            LIMIT 40
+        """,
+        "latest_version": """
+            WITH f AS (
+                SELECT doc_id,
+                       'r' || (doc_id % 23) AS repo,
+                       'p' || (doc_id % 17) AS path,
+                       (doc_id * 40503) % 99991 AS version
+                FROM documents
+            )
+            SELECT doc_id, repo, path, CAST(version AS BIGINT) AS version,
+                   doc_id = first_value(doc_id) OVER w AS is_latest,
+                   first_value(doc_id) OVER w AS latest_id
+            FROM f
+            WINDOW w AS (PARTITION BY repo, path
+                         ORDER BY version DESC, doc_id DESC)
+        """,
+    }

@@ -1,0 +1,398 @@
+"""Source-code corpus curation stages (the payload=code operator family).
+
+Operators a code-corpus curator runs before training: credential scanning /
+redaction, license-header classification, import-graph extraction,
+identifier subtoken statistics, and latest-version dedup per (repo, path).
+Everything is a vectorized Arrow-RE2 kernel inside ``map_batches``; the wide
+steps (module document frequency, per-(repo, path) argmax) go through the
+one keyed-exchange primitive with partial aggregation on the map side, so
+shuffled volume is bounded by vocabulary / group cardinality, not corpus
+size.
+
+RabbitTClust itself has no code-curation surface (its unit is a genome
+sequence, `/root/reference/src/main.cpp:63-118`); these stages are the
+LLM-training-data additions the round brief names, built on the same
+exchange/partial-aggregation skeleton as the sketch pipeline. The regex
+kernels share RE2 between pyarrow.compute and DuckDB, which is what lets
+every operator carry a bit-exact SQL oracle in ``__ray_entry__.py``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+# Credential-shaped patterns, applied IN ORDER (each pattern scans the text
+# produced by the previous redaction, exactly like the PII pass in
+# stages/text.py). Kept as module constants so the SQL oracles embed the
+# same RE2 strings.
+SECRET_AWS_RE = r"AKIA[0-9A-Z]{16}"
+SECRET_ASSIGNED_RE = (
+    r"(?:api_key|secret|token|password)\s*=\s*\"[A-Za-z0-9/+_\-]{8,}\""
+)
+
+# License-header classification table, first match wins. Patterns are
+# mutually exclusive on real headers; order still fixed for determinism.
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("apache-2.0", r"Apache License,? Version 2\.0"),
+    ("gpl", r"GNU (?:Lesser )?General Public License"),
+    ("mit", r"MIT License|Permission is hereby granted, free of charge"),
+    ("bsd-3-clause", r"Redistribution and use in source and binary forms"),
+]
+
+IMPORT_RE = r"^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)"
+# pyarrow's extract_regex needs a named group; DuckDB regexp_extract takes
+# the positional group — same RE2 body either way.
+_IMPORT_RE_NAMED = r"^\s*(?:import|from)\s+(?P<module>[A-Za-z_][A-Za-z0-9_.]*)"
+
+CAMEL_SPLIT_RE = r"([a-z0-9])([A-Z])"
+
+
+def scan_secrets(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Detect and redact credential-shaped tokens (AWS access-key ids,
+    quoted ``api_key/secret/token/password = "..."`` assignments).
+
+    Output: ``(doc_id, n_secrets, redacted_text)`` — one row per doc,
+    ``n_secrets`` = total matches across both patterns. Pure map stage
+    (two RE2 count+replace kernels per batch), no shuffle; at 100 TB this
+    streams block-by-block like every other narrow pass.
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        n_aws = pc.cast(pc.count_substring_regex(txt, SECRET_AWS_RE), pa.int64())
+        step1 = pc.replace_substring_regex(txt, SECRET_AWS_RE, "<SECRET>")
+        n_asn = pc.cast(
+            pc.count_substring_regex(step1, SECRET_ASSIGNED_RE), pa.int64()
+        )
+        step2 = pc.replace_substring_regex(step1, SECRET_ASSIGNED_RE, "<SECRET>")
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "n_secrets": pc.add(n_aws, n_asn),
+                "redacted_text": step2,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def classify_license(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    header_chars: int = 400,
+) -> ray.data.Dataset:
+    """Classify each file's license from its header prefix (first
+    ``header_chars`` code units) against ``LICENSE_PATTERNS``; first match
+    wins, no match -> ``"unknown"``.
+
+    Output: ``(doc_id, license)``. Pure map stage: one slice kernel + one
+    boolean RE2 match per pattern per batch, combined with a single
+    ``np.select`` — no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(t[text_col], 0, header_chars)
+        conds = [
+            pc.match_substring_regex(head, pat).to_numpy(zero_copy_only=False)
+            for _, pat in LICENSE_PATTERNS
+        ]
+        names = [name for name, _ in LICENSE_PATTERNS]
+        lic = np.select(conds, names, default="unknown")
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "license": pa.array(lic, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _token_key(values: np.ndarray) -> np.ndarray:
+    """Deterministic int64 key for string tokens (same helper family as
+    doc_term_stats): pandas' SipHash-based hash_array, stable across
+    processes. Collisions only co-locate — reducers group by the real
+    string."""
+    import pandas as pd
+
+    return pd.util.hash_array(values.astype(object)).astype(np.int64)
+
+
+def extract_imports(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Import/dependency graph: pull every ``import X`` / ``from X ...``
+    statement out of each file and aggregate per module.
+
+    Output: ``(module, n_docs, n_imports)`` — distinct importing files and
+    total import statements per module.
+
+    Shape: line split -> flatten -> one vectorized RE2 extract per batch;
+    because a document is one row, per-batch partials
+    ``(module, n_docs, n_imports)`` sum exactly, so the ONE exchange moves
+    <= blocks x |modules| partial rows regardless of corpus size.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lines = pc.split_pattern(txt, "\n")
+        par = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        flat = lines.flatten()
+        ex = pc.extract_regex(flat, _IMPORT_RE_NAMED)
+        ok = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+        mods = ex.field("module").to_numpy(zero_copy_only=False)[ok]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[par[ok]]
+        df = pd.DataFrame({"doc_id": ids, "module": mods})
+        g = (
+            df.groupby("module", sort=False)
+            .agg(n_docs=("doc_id", "nunique"), n_imports=("doc_id", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "mkey": pa.array(_token_key(g["module"].to_numpy()), pa.int64()),
+                "module": pa.array(g["module"].to_numpy(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_imports": pa.array(
+                    g["n_imports"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "module": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_imports": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        df = t.drop_columns(["mkey"]).to_pandas()
+        g = df.groupby("module", sort=False, as_index=False).sum()
+        return pa.table(
+            {
+                "module": pa.array(g["module"].to_numpy(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_imports": pa.array(
+                    g["n_imports"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(keyed, "mkey", reduce, num_partitions)
+
+
+def identifier_subtokens(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Identifier subtoken vocabulary: split camelCase at case boundaries
+    and snake_case at underscores, lowercase, and report the global top-k
+    subtokens by ``(n_docs desc, n_occurrences desc, subtoken asc)``.
+
+    Shape mirrors ``cooccurrence_pairs``: per-batch partials (a doc is one
+    row, so distinct-doc counts sum exactly), ONE keyed exchange, each
+    reducer prunes to its own top-k under the same total order as the final
+    cut (every subtoken lives in exactly one range partition, so the global
+    top-k is a subset of the per-partition top-ks), driver merges
+    <= partitions x top_k rows.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        s = pc.replace_substring_regex(txt, CAMEL_SPLIT_RE, r"\1 \2")
+        s = pc.utf8_lower(pc.replace_substring(s, "_", " "))
+        lists = pc.split_pattern_regex(s, r"\s+")
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        toks = lists.flatten().to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        df = pd.DataFrame({"doc": par[keep], "subtoken": toks[keep]})
+        g = (
+            df.groupby("subtoken", sort=False)
+            .agg(n_docs=("doc", "nunique"), n_occurrences=("doc", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "tkey": pa.array(_token_key(g["subtoken"].to_numpy()), pa.int64()),
+                "subtoken": pa.array(g["subtoken"].to_numpy(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_occurrences": pa.array(
+                    g["n_occurrences"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "subtoken": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_occurrences": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        df = t.drop_columns(["tkey"]).to_pandas()
+        g = df.groupby("subtoken", sort=False, as_index=False).sum()
+        g = g.sort_values(
+            ["n_docs", "n_occurrences", "subtoken"],
+            ascending=[False, False, True],
+        ).head(top_k)
+        return pa.table(
+            {
+                "subtoken": pa.array(g["subtoken"].to_numpy(), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_occurrences": pa.array(
+                    g["n_occurrences"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_exchange(keyed, "tkey", reduce, num_partitions)
+    merged = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    import pandas as pd
+
+    df = merged.to_pandas()
+    df = df.sort_values(
+        ["n_docs", "n_occurrences", "subtoken"], ascending=[False, False, True]
+    ).head(top_k)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def latest_version_dedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    repo_col: str = "repo",
+    path_col: str = "path",
+    order_col: str = "version",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Per-file history dedup: keep the NEWEST version of each
+    ``(repo, path)`` — argmax of ``(order_col, id_col)`` per group (the
+    id tie-break makes the winner total-ordered). The code-corpus variant
+    of exact dedup: a crawl holds every commit's copy of a file; training
+    wants one.
+
+    Output: one row per input — ``(doc_id, repo, path, <order_col>,
+    is_latest, latest_id)``. Shape: ONE exchange keyed on the hashed
+    ``(repo, path)`` pair; winner selection is a vectorized lexsort per
+    partition (no per-group Python). Only ``(id, repo, path, order)``
+    rows move — never content.
+    """
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        repo = t[repo_col].to_numpy(zero_copy_only=False)
+        path = t[path_col].to_numpy(zero_copy_only=False)
+        joined = np.char.add(
+            np.char.add(repo.astype(str), "\x1f"), path.astype(str)
+        )
+        gkey = pd.util.hash_array(joined.astype(object)).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(gkey, pa.int64()),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                repo_col: t[repo_col],
+                path_col: t[path_col],
+                order_col: pc.cast(t[order_col], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            repo_col: pa.array([], pa.string()),
+            path_col: pa.array([], pa.string()),
+            order_col: pa.array([], pa.int64()),
+            "is_latest": pa.array([], pa.bool_()),
+            "latest_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def winners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        repo = t[repo_col].to_numpy(zero_copy_only=False).astype(str)
+        path = t[path_col].to_numpy(zero_copy_only=False).astype(str)
+        order = t[order_col].to_numpy(zero_copy_only=False)
+        grp = np.char.add(np.char.add(repo, "\x1f"), path)
+        # lexsort: group asc, then order desc, id desc -> first row per
+        # group is the winner
+        perm = np.lexsort((-ids, -order, grp))
+        g_sorted = grp[perm]
+        first = np.ones(len(perm), dtype=bool)
+        first[1:] = g_sorted[1:] != g_sorted[:-1]
+        # winner id per group, broadcast back via cumulative fill
+        win_ids = ids[perm].copy()
+        idx = np.where(first, np.arange(len(perm)), 0)
+        np.maximum.accumulate(idx, out=idx)
+        latest_sorted = win_ids[idx]
+        latest = np.empty(len(perm), dtype=np.int64)
+        latest[perm] = latest_sorted
+        is_latest = np.empty(len(perm), dtype=bool)
+        is_latest[perm] = first
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                repo_col: t[repo_col],
+                path_col: t[path_col],
+                order_col: pa.array(order.astype(np.int64), pa.int64()),
+                "is_latest": pa.array(is_latest),
+                "latest_id": pa.array(latest, pa.int64()),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(keyed, "gkey", winners, num_partitions)
