@@ -2218,6 +2218,63 @@ def _q_latest_version(sf_dir: str):
     )
 
 
+def _q_function_chunks(sf_dir: str):
+    """Code-aware chunking: each doc is rebuilt as a file with a header
+    line and 1+(doc_id%3) function definitions whose bodies are slices of
+    the original text; chunk boundaries are the `def` lines (preamble =
+    chunk 0)."""
+    from rabbittclust_ray.stages.code import function_chunks
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            parts = [f"# file {int(i) % 2}"]
+            for j in range(1 + int(i) % 3):
+                parts.append(f"def f{j}():")
+                parts.append("    " + s[40 * j : 40 * j + 40])
+            out.append("\n".join(parts))
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return function_chunks(ds.map_batches(augment, batch_format="pyarrow"))
+
+
+def _q_comment_density(sf_dir: str):
+    """Comment-line density over code-shaped content: docs get 0-2
+    comment lines (plain, //-style, indented) prepended by doc_id%4."""
+    from rabbittclust_ray.stages.code import comment_density
+
+    prefixes = ["# c\n", "// c\n/* block\n", "   # indented\n", ""]
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [prefixes[int(i) % 4] + s for i, s in zip(ids, texts)]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return comment_density(ds.map_batches(augment, batch_format="pyarrow"))
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic global training-order shuffle into 8 shards (sha
+    oracle surface): shard + within-shard position are pure functions of
+    (doc_id, seed) — resume-stable, no all-to-all sort."""
+    from rabbittclust_ray.stages.sample import shuffle_shards
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_shards(
+        ds, num_shards=8, seed=42, method="sha", num_partitions=16
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -2314,6 +2371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_graph": _q_import_graph,
         "identifier_stats": _q_identifier_stats,
         "latest_version": _q_latest_version,
+        "function_chunks": _q_function_chunks,
+        "comment_density": _q_comment_density,
+        "shuffle_shards": _q_shuffle_shards,
     }
 
 
@@ -3780,11 +3840,14 @@ def _code_ops_sql() -> dict[str, str]:
     DuckDB both run RE2, so counts/replacements are bit-exact)."""
     from rabbittclust_ray.stages.code import (
         CAMEL_SPLIT_RE,
+        COMMENT_LINE_RE,
+        DEF_LINE_RE,
         IMPORT_RE,
         LICENSE_PATTERNS,
         SECRET_ASSIGNED_RE,
         SECRET_AWS_RE,
     )
+
 
     license_cases = "\n".join(
         f"WHEN regexp_matches(substr(t, 1, 400), '{pat}') THEN '{name}'"
@@ -3897,5 +3960,77 @@ def _code_ops_sql() -> dict[str, str]:
             FROM f
             WINDOW w AS (PARTITION BY repo, path
                          ORDER BY version DESC, doc_id DESC)
+        """,
+        "function_chunks": """
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id,
+                       '# file ' || (doc_id % 2) || chr(10) ||
+                       'def f0():' || chr(10) || '    ' || substr(text, 1, 40) ||
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN chr(10) || 'def f1():' || chr(10) || '    '
+                                 || substr(text, 41, 40)
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 3 >= 2
+                            THEN chr(10) || 'def f2():' || chr(10) || '    '
+                                 || substr(text, 81, 40)
+                            ELSE '' END AS t
+                FROM documents
+            ),
+            lx AS MATERIALIZED (
+                SELECT doc_id, i.i AS pos, ls[i.i] AS line,
+                       CASE WHEN regexp_matches(ls[i.i], '"""
+        + DEF_LINE_RE
+        + """') THEN 1 ELSE 0 END AS d
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+                     LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) i(i)
+            ),
+            cx AS (
+                SELECT doc_id, pos, line,
+                       CAST(sum(d) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+                           AS chunk_id
+                FROM lx
+            )
+            SELECT doc_id, chunk_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS chunk_text,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM cx GROUP BY doc_id, chunk_id
+        """,
+        "comment_density": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                           WHEN 0 THEN '# c' || chr(10)
+                           WHEN 1 THEN '// c' || chr(10) || '/* block' || chr(10)
+                           WHEN 2 THEN '   # indented' || chr(10)
+                           ELSE '' END || text AS t
+                FROM documents
+            ),
+            lx AS (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+                FROM aug
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN regexp_matches(line, '"""
+        + COMMENT_LINE_RE
+        + """') THEN 1 ELSE 0 END) AS BIGINT) AS n_comment_lines,
+                   CAST(1000000 * sum(CASE WHEN regexp_matches(line, '"""
+        + COMMENT_LINE_RE
+        + """') THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS comment_ppm
+            FROM lx GROUP BY doc_id
+        """,
+        "shuffle_shards": """
+            WITH r AS (
+                SELECT doc_id,
+                       ('0x' || substr(sha256(
+                           CAST(doc_id AS VARCHAR) || '-42'), 1, 15))::UBIGINT
+                           AS rk
+                FROM documents
+            )
+            SELECT doc_id, CAST(rk % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY rk % 8 ORDER BY rk, doc_id) - 1
+                       AS BIGINT) AS pos
+            FROM r
         """,
     }

@@ -305,6 +305,124 @@ def identifier_subtokens(
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+DEF_LINE_RE = r"^\s*def\s"
+COMMENT_LINE_RE = r"^\s*(?:#|//|/\*)"
+
+
+def function_chunks(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    def_re: str = DEF_LINE_RE,
+) -> ray.data.Dataset:
+    """Code-aware chunking: split each file at function-definition lines
+    (every line matching ``def_re`` starts a new chunk; anything before the
+    first definition is the preamble chunk). The embedding-prep variant of
+    ``segments.chunk_docs`` that respects code structure instead of a fixed
+    stride.
+
+    Output: ``(doc_id, chunk_id, chunk_text, n_lines)`` where ``chunk_id``
+    = number of definition lines at-or-before the chunk's first line (so
+    the preamble is chunk 0 and ids are stable under re-chunking a doc
+    independently). Entirely LOCAL — a document is one row, so chunking
+    never shuffles; one vectorized pass per batch (line split -> one RE2
+    match -> offset algebra -> ``pc.binary_join``), no per-doc Python.
+    """
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_lines": pa.array([], pa.int64()),
+        }
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lines = pc.split_pattern(txt, "\n")
+        par = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        flat = lines.flatten()
+        n = len(flat)
+        if n == 0:
+            return empty
+        is_def = pc.match_substring_regex(flat, def_re).to_numpy(
+            zero_copy_only=False
+        )
+        first = np.ones(n, dtype=bool)
+        first[1:] = par[1:] != par[:-1]
+        # within-doc cumulative def count (global cumsum minus the value
+        # carried in from previous docs, propagated forward per doc)
+        cum = np.cumsum(is_def)
+        base_at_first = np.where(first, cum - is_def, 0)
+        idx = np.where(first, np.arange(n), 0)
+        np.maximum.accumulate(idx, out=idx)
+        cum_in_doc = cum - base_at_first[idx]
+        starts = np.flatnonzero(is_def | first)
+        offsets = np.append(starts, n).astype(np.int32)
+        chunks = pa.ListArray.from_arrays(pa.array(offsets), flat)
+        text_out = pc.binary_join(chunks, "\n")
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[par[starts]], pa.int64()),
+                "chunk_id": pa.array(
+                    cum_in_doc[starts].astype(np.int64), pa.int64()
+                ),
+                "chunk_text": text_out,
+                "n_lines": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def comment_density(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    comment_re: str = COMMENT_LINE_RE,
+) -> ray.data.Dataset:
+    """Per-file comment-line density — the code-corpus quality signal
+    (files that are almost entirely comments or entirely uncommented are
+    both curation flags). Output: ``(doc_id, n_lines, n_comment_lines,
+    comment_ppm)`` with ``comment_ppm = 1e6 * comments // lines``
+    (floor-ppm integers, the same bit-exact convention as gopher_quality).
+    Pure map stage: line split + one RE2 match + a bincount per batch."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lines = pc.split_pattern(txt, "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        is_c = pc.match_substring_regex(lines.flatten(), comment_re).to_numpy(
+            zero_copy_only=False
+        )
+        n_comment = np.bincount(
+            par[is_c], minlength=t.num_rows
+        ).astype(np.int64)
+        nl = n_lines.astype(np.int64)
+        ppm = np.where(nl > 0, 1_000_000 * n_comment // np.maximum(nl, 1), 0)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "n_lines": pa.array(nl, pa.int64()),
+                "n_comment_lines": pa.array(n_comment, pa.int64()),
+                "comment_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def latest_version_dedup(
     ds: ray.data.Dataset,
     *,

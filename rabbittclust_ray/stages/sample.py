@@ -154,3 +154,89 @@ def group_sample_topk(
 
     keyed = ds.map_batches(prune, batch_format="pyarrow")
     return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def shuffle_shards(
+    ds: ray.data.Dataset,
+    *,
+    num_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    method: str = "splitmix",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic global training-order shuffle: every row gets a
+    pseudo-random rank = hash(id, seed), its output shard = rank %
+    num_shards, and its position within the shard = rank order (ties ->
+    id). This is how a 100-TB pipeline randomizes training order WITHOUT
+    ``random_shuffle``'s all-to-all total sort: the rule is a pure
+    function of (id, seed), so it is resume-stable, partition-invariant,
+    and the complementary epoch (seed+1) is a fresh permutation. ONE
+    exchange keyed on the shard, per-shard local sort — each shard is an
+    independently consumable, internally-shuffled output partition.
+
+    Output: ``(doc_id, shard, pos)``; ``method="sha"`` is the SQL-oracle
+    surface, ``"splitmix"`` the vectorized scale path (same dual-hasher
+    convention as deterministic_sample)."""
+    import hashlib
+
+    def rank_hash(ids: np.ndarray) -> np.ndarray:
+        if method == "sha":
+            return np.array(
+                [int(hashlib.sha256(f"{int(i)}-{seed}".encode()).hexdigest()[:15], 16)
+                 for i in ids], dtype=np.uint64)
+        return splitmix64(
+            ids.astype(np.uint64)
+            ^ splitmix64(np.array([seed], dtype=np.uint64))[0]
+        )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = rank_hash(ids)
+        shard = (rank % np.uint64(num_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "rank": pa.array(rank.astype(np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def order(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        shard = t["shard"].to_numpy(zero_copy_only=False)
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ids, rank, shard))
+        s_sorted = shard[perm]
+        first = np.ones(len(perm), dtype=bool)
+        first[1:] = s_sorted[1:] != s_sorted[:-1]
+        # position within shard = index since the shard's first row
+        start_idx = np.where(first, np.arange(len(perm)), 0)
+        np.maximum.accumulate(start_idx, out=start_idx)
+        pos_sorted = np.arange(len(perm)) - start_idx
+        pos = np.empty(len(perm), dtype=np.int64)
+        pos[perm] = pos_sorted
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "shard": pa.array(shard.astype(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(keyed, "shard", order, num_partitions)

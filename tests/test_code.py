@@ -182,3 +182,98 @@ def test_latest_version_partition_invariance(parallelism):
         d == latest[(r, p)]
         for d, r, p in zip(rows["doc_id"], rows["repo"], rows["path"])
     ]
+
+
+def test_function_chunks_boundaries_and_ids():
+    texts = [
+        "# head\ndef a():\n    x\n    y\ndef b():\n    z",
+        "def first():\n    body",      # no preamble -> ids start at 1
+        "only preamble\nno defs here",  # single chunk 0
+        "",                             # empty doc -> one empty chunk 0
+    ]
+    from rabbittclust_ray.stages.code import function_chunks
+
+    out = (
+        function_chunks(_ds({"doc_id": [0, 1, 2, 3], "text": texts}, 2))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_lines) for r in out.itertuples()
+    ]
+    assert got == [
+        (0, 0, "# head", 1),
+        (0, 1, "def a():\n    x\n    y", 3),
+        (0, 2, "def b():\n    z", 2),
+        (1, 1, "def first():\n    body", 2),
+        (2, 0, "only preamble\nno defs here", 2),
+        (3, 0, "", 1),
+    ]
+
+
+def test_function_chunks_reassembles_input():
+    # joining a doc's chunks with '\n' reproduces the original text
+    from rabbittclust_ray.stages.code import function_chunks
+
+    texts = ["a\ndef f():\n  b\ndef g():\n  c", "def x():\n  y\nz"]
+    out = (
+        function_chunks(_ds({"doc_id": [0, 1], "text": texts}, 1))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    for i, t in enumerate(texts):
+        parts = out[out.doc_id == i]["chunk_text"].tolist()
+        assert "\n".join(parts) == t
+
+
+def test_comment_density():
+    from rabbittclust_ray.stages.code import comment_density
+
+    texts = [
+        "# a\ncode\n// b\n  /* c\nmore",
+        "no comments\nat all",
+        "",
+    ]
+    out = (
+        comment_density(_ds({"doc_id": [0, 1, 2], "text": texts}, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["n_lines"].tolist() == [5, 2, 1]
+    assert out["n_comment_lines"].tolist() == [3, 0, 0]
+    assert out["comment_ppm"].tolist() == [600000, 0, 0]
+
+
+def test_shuffle_shards_is_permutation_and_invariant():
+    from rabbittclust_ray.stages.sample import shuffle_shards
+
+    n = 300
+    for method in ("splitmix", "sha"):
+        outs = []
+        for par in (1, 4):
+            ds = _ds({"doc_id": list(range(n))}, par)
+            df = (
+                shuffle_shards(ds, num_shards=4, seed=1, method=method,
+                               num_partitions=8)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        # partition-layout invariance
+        assert outs[0].equals(outs[1])
+        df = outs[0]
+        assert sorted(df["doc_id"]) == list(range(n))
+        # positions within each shard are exactly 0..size-1
+        for s, grp in df.groupby("shard"):
+            assert sorted(grp["pos"]) == list(range(len(grp)))
+        # different seed -> different order (overwhelmingly)
+        df2 = (
+            shuffle_shards(_ds({"doc_id": list(range(n))}, 2), num_shards=4,
+                           seed=2, method=method, num_partitions=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert not df.equals(df2)
