@@ -2275,6 +2275,71 @@ def _q_shuffle_shards(sf_dir: str):
     )
 
 
+def _q_pagerank(sf_dir: str):
+    """Fixed-iteration integer-ppm PageRank over the exact threshold graph
+    (2 iterations, damping 0.85) — the iterative-graph-analytics class the
+    reference's single-box MST phase cannot express; 2 keyed exchanges per
+    iteration, no driver rows, bit-exact vs the unrolled SQL ladder."""
+    from rabbittclust_ray.stages.graph_ops import pagerank_ppm
+
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
+    nodes = _prepared(sf_dir, min_len=EX_MIN_LEN).select_columns(["doc_id"])
+    return pagerank_ppm(res.edges, nodes, n_iter=2, num_partitions=16)
+
+
+def _q_triangle_counts(sf_dir: str):
+    """Exact per-node triangle counts over the exact threshold graph
+    (oriented-wedge algorithm, 3 keyed exchanges; near-dup families are
+    triangle-dense, chains are triangle-free)."""
+    from rabbittclust_ray.stages.graph_ops import triangle_counts
+
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
+    return triangle_counts(res.edges, num_partitions=16)
+
+
+def _pagerank_sql(n_iter: int, damping_ppm: int) -> str:
+    """Unrolled fixed-iteration PageRank ladder over the shared edges CTE
+    (same generator idea as kmeans_sql): all-integer ppm arithmetic, so
+    every floor division matches the engine bit-for-bit."""
+    base = 1_000_000 - damping_ppm
+    parts = [
+        """
+        ug AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS d FROM ug GROUP BY src
+        ),
+        r0 AS MATERIALIZED (
+            SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM pop
+        )"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+        c{i} AS MATERIALIZED (
+            SELECT g.dst AS node, CAST(sum({prev}.r // deg.d) AS BIGINT) AS s
+            FROM ug g
+            JOIN deg ON deg.src = g.src
+            JOIN {prev} ON {prev}.node = g.src
+            GROUP BY g.dst
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT b.node,
+                   CAST({base} + {damping_ppm} * coalesce(c{i}.s, 0)
+                        // 1000000 AS BIGINT) AS r
+            FROM r0 b LEFT JOIN c{i} USING (node)
+        )"""
+        )
+        prev = f"r{i}"
+    return (
+        ",".join(parts)
+        + f"\nSELECT node AS doc_id, r AS rank_ppm FROM {prev}"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -2374,6 +2439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_chunks": _q_function_chunks,
         "comment_density": _q_comment_density,
         "shuffle_shards": _q_shuffle_shards,
+        "pagerank": _q_pagerank,
+        "triangle_counts": _q_triangle_counts,
     }
 
 
@@ -3831,6 +3898,31 @@ def oracle_sql() -> dict[str, str]:
         """,
     })
     sql.update(_code_ops_sql())
+    sql["pagerank"] = (
+        f"WITH {_sql_edges_cte(EX_STATS_THRESHOLD)}," + _pagerank_sql(2, 850_000)
+    )
+    sql["triangle_counts"] = f"""
+        WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
+        tri AS MATERIALIZED (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        pernode AS MATERIALIZED (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        ),
+        verts AS (
+            SELECT DISTINCT u AS node FROM edges
+            UNION SELECT DISTINCT v FROM edges
+        )
+        SELECT v.node AS doc_id, coalesce(p.n_triangles, 0) AS n_triangles
+        FROM verts v LEFT JOIN pernode p USING (node)
+    """
     return sql
 
 

@@ -1,0 +1,338 @@
+"""Distributed graph analytics over the candidate/threshold edge list —
+iterative operators the reference's single-box graph phase cannot express
+at 10^12-file scale (reference loads all edges into RAM for Kruskal,
+`/root/reference/src/MST.cpp`; here every iteration is a pair of keyed
+exchanges, the same skeleton as cluster.components_labelprop).
+
+All arithmetic is int64 ppm (parts-per-million), so results are
+order-independent and bit-exact against an unrolled SQL oracle — the same
+convention as kmeans/bigram_fluency.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+# module-scope import: worker-executed closures (wedges) must not import
+# the package by name at call time — workers receive it pickle-by-value
+# and have no rabbittclust_ray on their path
+from rabbittclust_ray.stages.pairs import _ragged_pairs  # noqa: E402
+
+_EMPTY = pa.table(
+    {
+        "key": pa.array([], pa.int64()),
+        "other": pa.array([], pa.int64()),
+        "val": pa.array([], pa.int64()),
+        "is_rank": pa.array([], pa.bool_()),
+    }
+)
+
+
+def pagerank_ppm(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    *,
+    n_iter: int = 2,
+    damping_ppm: int = 850_000,
+    id_col: str = "doc_id",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank over the UNDIRECTED edge list, integer-ppm:
+
+        r0(v) = 1_000_000
+        contrib(u->v) = r(u) // deg(u)                (floor)
+        r'(v) = (1_000_000 - damping_ppm)
+                + damping_ppm * sum(contrib) // 1_000_000
+
+    (the unnormalized per-node form; isolated nodes settle at
+    1e6 - damping_ppm). Output: ``(doc_id, rank_ppm)`` for every node.
+
+    Shape: per iteration, exchange 1 co-locates rank rows with adjacency
+    rows on the SOURCE node (degree is counted locally inside the
+    partition — every adjacency row of a source lives there) and emits
+    per-edge contributions keyed on the destination; exchange 2 sums
+    contributions into the next rank table. No driver rows, no convergence
+    scalar — the iteration count is fixed, so the whole ladder is a lazy
+    chain of 2*n_iter exchanges. Adjacency is re-exchanged each iteration
+    (the standard label-propagation trade: edges stream, ranks stay tiny).
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def seed_adj(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        return pa.table(
+            {
+                "key": pa.array(src, pa.int64()),
+                "other": pa.array(dst, pa.int64()),
+                "val": pa.array(np.zeros(len(src), dtype=np.int64), pa.int64()),
+                "is_rank": pa.array(np.zeros(len(src), dtype=bool)),
+            }
+        )
+
+    def seed_ranks(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "other": pa.array(ids, pa.int64()),
+                "val": pa.array(
+                    np.full(len(ids), 1_000_000, dtype=np.int64), pa.int64()
+                ),
+                "is_rank": pa.array(np.ones(len(ids), dtype=bool)),
+            }
+        )
+
+    def push(t: pa.Table) -> pa.Table:
+        """Exchange-1 reducer: per-edge contribution = rank(src)//deg(src),
+        keyed on dst; rank rows pass through keyed on their node."""
+        if t.num_rows == 0:
+            return _EMPTY
+        is_rank = t["is_rank"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        rk, rv = key[is_rank], val[is_rank]
+        order = np.argsort(rk, kind="stable")
+        rk, rv = rk[order], rv[order]
+        asrc, adst = key[~is_rank], other[~is_rank]
+        if len(asrc):
+            srcs, inv, deg = np.unique(
+                asrc, return_inverse=True, return_counts=True
+            )
+            pos = np.searchsorted(rk, asrc)
+            contrib = rv[pos] // deg[inv]
+        else:
+            adst = np.array([], dtype=np.int64)
+            contrib = np.array([], dtype=np.int64)
+        out_key = np.concatenate([adst, rk])
+        out_val = np.concatenate([contrib, rv])
+        out_rank = np.zeros(len(out_key), dtype=bool)
+        out_rank[len(adst):] = True
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "other": pa.array(out_key, pa.int64()),
+                "val": pa.array(out_val, pa.int64()),
+                "is_rank": pa.array(out_rank),
+            }
+        )
+
+    base_ppm = 1_000_000 - damping_ppm
+
+    def fold(t: pa.Table) -> pa.Table:
+        """Exchange-2 reducer: next rank per node from summed contribs."""
+        if t.num_rows == 0:
+            return _EMPTY
+        is_rank = t["is_rank"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        nodes_ = np.sort(key[is_rank])
+        s = np.zeros(len(nodes_), dtype=np.int64)
+        ck, cv = key[~is_rank], val[~is_rank]
+        if len(ck):
+            pos = np.searchsorted(nodes_, ck)
+            np.add.at(s, pos, cv)
+        new_r = base_ppm + damping_ppm * s // 1_000_000
+        return pa.table(
+            {
+                "key": pa.array(nodes_, pa.int64()),
+                "other": pa.array(nodes_, pa.int64()),
+                "val": pa.array(new_r.astype(np.int64), pa.int64()),
+                "is_rank": pa.array(np.ones(len(nodes_), dtype=bool)),
+            }
+        )
+
+    adj = edges.map_batches(seed_adj, batch_format="pyarrow")
+    ranks = nodes.map_batches(seed_ranks, batch_format="pyarrow")
+    for _ in range(n_iter):
+        pushed = hash_exchange(
+            adj.union(ranks), "key", push, num_partitions
+        )
+        ranks = hash_exchange(pushed, "key", fold, num_partitions)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t["key"], "rank_ppm": t["val"]}
+        )
+
+    return ranks.map_batches(out, batch_format="pyarrow")
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    *,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Exact per-node triangle counts over the undirected simple graph —
+    the clustering-coefficient numerator, a standard near-dup-graph
+    diagnostic (dense families triangle-heavy, chains triangle-free).
+
+    Oriented wedge algorithm (no per-key pair blow-up beyond the wedge
+    set): orient every edge low->high, exchange 1 groups oriented edges by
+    their LOW endpoint and emits each wedge (a<b<c from edges a-b, a-c) as
+    a candidate keyed on its closing pair hash; the original oriented
+    edges travel through the same key space; exchange 2 intersects
+    candidates with real edges and emits one count row per triangle
+    corner; a final exchange sums per node. Wedges are the theoretical
+    cost of exact triangle counting; orientation by degree-proxy (node id)
+    bounds the hot-vertex wedge count.
+
+    Output: ``(doc_id, n_triangles)`` for every vertex that appears in an
+    edge (vertices in no triangle report 0)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange, splitmix_pair
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        return pa.table(
+            {
+                "key": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+            }
+        )
+
+    _E2 = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "is_edge": pa.array([], pa.bool_()),
+        }
+    )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        """Per low endpoint: emit all wedge candidates (b, c) with b<c,
+        keyed on hash(b, c); edges re-keyed on hash(lo, hi)."""
+        if t.num_rows == 0:
+            return _E2
+        lo = t["key"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        uniq, counts = np.unique(lo, return_counts=True)
+        bi, ci = _ragged_pairs(counts)  # within-group hi-pairs, i<j
+        if len(bi):
+            wa = np.repeat(uniq, counts * (counts - 1) // 2)
+            wb, wc = hi[bi], hi[ci]  # hi sorted within group => wb < wc
+        else:
+            wa = wb = wc = np.array([], dtype=np.int64)
+        wkey = splitmix_pair(wb.astype(np.uint64), wc.astype(np.uint64)).astype(
+            np.int64
+        )
+        ekey = splitmix_pair(lo.astype(np.uint64), hi.astype(np.uint64)).astype(
+            np.int64
+        )
+        key = np.concatenate([wkey, ekey])
+        a = np.concatenate([wa, lo])
+        b = np.concatenate([wb, lo])
+        c = np.concatenate([wc, hi])
+        is_edge = np.zeros(len(key), dtype=bool)
+        is_edge[len(wkey):] = True
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "is_edge": pa.array(is_edge),
+            }
+        )
+
+    _E3 = pa.table(
+        {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+
+    def close(t: pa.Table) -> pa.Table:
+        """Intersect wedge candidates with real edges (collision-safe: on
+        the actual (b, c) values); one row per triangle corner."""
+        if t.num_rows == 0:
+            return _E3
+        is_edge = t["is_edge"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        eb, ec = b[is_edge], c[is_edge]
+        wb, wc, wa = b[~is_edge], c[~is_edge], a[~is_edge]
+        if len(wb) == 0 or len(eb) == 0:
+            return _E3
+        # exact 2-column membership: dense-rank both sides together
+        # (np.unique row-sorts the void view — no 64-bit packing overflow)
+        pairs = np.stack(
+            [np.concatenate([eb, wb]), np.concatenate([ec, wc])], axis=1
+        )
+        _, inv = np.unique(pairs, axis=0, return_inverse=True)
+        is_real = np.zeros(len(pairs) + 1, dtype=bool)
+        is_real[inv[: len(eb)]] = True
+        hit = is_real[inv[len(eb):]]
+        ta, tb, tc = wa[hit], wb[hit], wc[hit]
+        nodes_ = np.concatenate([ta, tb, tc])
+        ones = np.ones(len(nodes_), dtype=np.int64)
+        return pa.table(
+            {"key": pa.array(nodes_, pa.int64()), "n": pa.array(ones, pa.int64())}
+        )
+
+    _E4 = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())}
+    )
+
+    def tally(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _E4
+        key = t["key"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        nodes_, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(nodes_), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes_, pa.int64()),
+                "n_triangles": pa.array(s, pa.int64()),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    grouped = hash_exchange(oriented, "key", wedges, num_partitions)
+    corners = hash_exchange(grouped, "key", close, num_partitions)
+    counts = hash_exchange(corners, "key", tally, num_partitions)
+    # vertices with no triangles: union zero rows for every edge endpoint
+
+    def zeros(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes_ = np.unique(np.concatenate([u, v]))
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes_, pa.int64()),
+                "n_triangles": pa.array(
+                    np.zeros(len(nodes_), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _E4
+        key = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n_triangles"].to_numpy(zero_copy_only=False)
+        nodes_, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(nodes_), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes_, pa.int64()),
+                "n_triangles": pa.array(s, pa.int64()),
+            }
+        )
+
+    zero_rows = edges.map_batches(zeros, batch_format="pyarrow")
+    return hash_exchange(
+        counts.union(zero_rows), "doc_id", merge, num_partitions
+    )

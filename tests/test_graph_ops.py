@@ -1,0 +1,95 @@
+"""Tests for stages/graph_ops.py: integer-ppm PageRank and exact triangle
+counts vs brute-force Python references, plus partition-layout invariance."""
+from __future__ import annotations
+
+import collections
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.stages.graph_ops import pagerank_ppm, triangle_counts
+
+
+def _rand_graph(n_nodes: int, n_edges: int, seed: int):
+    rng = np.random.default_rng(seed)
+    seen = set()
+    while len(seen) < n_edges:
+        u, v = rng.integers(0, n_nodes, 2)
+        if u != v:
+            seen.add((min(int(u), int(v)), max(int(u), int(v))))
+    u, v = zip(*sorted(seen))
+    return list(u), list(v)
+
+
+def _pagerank_ref(edges, nodes, n_iter, damping_ppm=850_000):
+    adj = collections.defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(n_iter):
+        s = collections.defaultdict(int)
+        for u in adj:
+            for v in adj[u]:
+                s[v] += r[u] // len(adj[u])
+        r = {
+            n: (1_000_000 - damping_ppm) + damping_ppm * s[n] // 1_000_000
+            for n in r
+        }
+    return r
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_pagerank_matches_reference(parallelism):
+    u, v = _rand_graph(40, 90, seed=3)
+    nodes = list(range(45))  # 5 isolated nodes
+    eds = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(parallelism)
+    nds = ray.data.from_arrow(pa.table({"doc_id": nodes})).repartition(2)
+    out = (
+        pagerank_ppm(eds, nds, n_iter=3, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    ref = _pagerank_ref(list(zip(u, v)), nodes, n_iter=3)
+    assert dict(zip(out["doc_id"], out["rank_ppm"])) == ref
+    # isolated nodes settle at 1e6 - damping
+    assert out[out.doc_id >= 40]["rank_ppm"].tolist() == [150_000] * 5
+
+
+def test_pagerank_zero_iters_is_init():
+    eds = ray.data.from_arrow(pa.table({"u": [1], "v": [2]}))
+    nds = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
+    out = pagerank_ppm(eds, nds, n_iter=0, num_partitions=4).to_pandas()
+    assert sorted(out["rank_ppm"]) == [1_000_000] * 3
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_triangle_counts_vs_bruteforce(parallelism):
+    u, v = _rand_graph(25, 80, seed=11)
+    eds = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(parallelism)
+    out = (
+        triangle_counts(eds, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    es = set(zip(u, v))
+    nodes = sorted({*u, *v})
+    ref = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            ref[a] += 1
+            ref[b] += 1
+            ref[c] += 1
+    assert dict(zip(out["doc_id"], out["n_triangles"])) == ref
+    assert sum(ref.values()) > 0  # fixture actually has triangles
+
+
+def test_triangle_counts_no_triangles():
+    # a path graph has none, but every vertex still reports 0
+    eds = ray.data.from_arrow(pa.table({"u": [1, 2, 3], "v": [2, 3, 4]}))
+    out = triangle_counts(eds, num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4]
+    assert out["n_triangles"].tolist() == [0, 0, 0, 0]
