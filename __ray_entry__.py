@@ -2275,6 +2275,32 @@ def _q_shuffle_shards(sf_dir: str):
     )
 
 
+def _q_stack_filters(sf_dir: str):
+    """The Stack / StarCoder mechanical filters over code-shaped content:
+    doc_id%13==0 docs carry an over-long line, doc_id%9==0 an
+    auto-generated marker; verdict = max-line + alnum-ratio + autogen
+    rules, floor-ppm integers."""
+    from rabbittclust_ray.stages.code import stack_filters
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            if i % 13 == 0:
+                s = s + "\n" + "x" * 1200
+            if i % 9 == 0:
+                s = "// AUTO-GENERATED do not edit\n" + s
+            out.append(s)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return stack_filters(ds.map_batches(augment, batch_format="pyarrow"))
+
+
 def _q_pagerank(sf_dir: str):
     """Fixed-iteration integer-ppm PageRank over the exact threshold graph
     (2 iterations, damping 0.85) — the iterative-graph-analytics class the
@@ -2441,6 +2467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": _q_shuffle_shards,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
+        "stack_filters": _q_stack_filters,
     }
 
 
@@ -4124,5 +4151,40 @@ def _code_ops_sql() -> dict[str, str]:
                        PARTITION BY rk % 8 ORDER BY rk, doc_id) - 1
                        AS BIGINT) AS pos
             FROM r
+        """,
+        "stack_filters": """
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 9 = 0
+                            THEN '// AUTO-GENERATED do not edit' || chr(10)
+                            ELSE '' END ||
+                       text ||
+                       CASE WHEN doc_id % 13 = 0
+                            THEN chr(10) || repeat('x', 1200)
+                            ELSE '' END AS t
+                FROM documents
+            ),
+            per_line AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(max(length(l)) AS BIGINT) AS max_line
+                FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS l
+                      FROM aug)
+                GROUP BY doc_id
+            ),
+            per_doc AS (
+                SELECT a.doc_id, p.max_line,
+                       CAST(1000000 * length(regexp_replace(
+                                a.t, '[^A-Za-z0-9]', '', 'g'))
+                            // greatest(length(a.t), 1) AS BIGINT)
+                           AS alnum_ppm,
+                       regexp_matches(a.t,
+                           '(?i)auto-?generated|do not edit|generated by')
+                           AS is_autogen
+                FROM aug a JOIN per_line p USING (doc_id)
+            )
+            SELECT doc_id, max_line, alnum_ppm, is_autogen,
+                   (max_line <= 1000 AND alnum_ppm >= 250000
+                    AND NOT is_autogen) AS keep
+            FROM per_doc
         """,
     }

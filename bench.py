@@ -309,6 +309,61 @@ def run_bench() -> dict:
 
     queries["q_llm_ops"] = timed_best(run_llm_ops)
 
+    # code-curation family over the 120k-doc synthetic code corpus: the
+    # Stack-style mechanical filters, secret redaction, comment density
+    # and code-aware chunking (all pure map stages — this group measures
+    # per-batch RE2 kernel throughput), plus the (repo, path) argmax dedup
+    # (one keyed exchange)
+    from rabbittclust_ray.stages.code import (
+        comment_density,
+        function_chunks,
+        latest_version_dedup,
+        scan_secrets,
+        stack_filters,
+    )
+
+    def to_code(t: pa.Table) -> pa.Table:
+        from rabbittclust_ray.hashing import stable_doc_id
+
+        ids = stable_doc_id(
+            t["repo"].to_numpy(zero_copy_only=False),
+            t["path"].to_numpy(zero_copy_only=False),
+            t["commit"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": t["content"]}
+        )
+
+    # id derivation untimed (the corpus enters every group pre-identified)
+    code_ds = corpus.map_batches(to_code, batch_format="pyarrow").materialize()
+
+    def add_coords(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "repo": pa.array([f"r{i % 977}" for i in ids], pa.string()),
+                "path": pa.array([f"p{i % 499}" for i in ids], pa.string()),
+                "version": pa.array(
+                    (ids % 100_000) * 40503 % 99991, pa.int64()
+                ),
+            }
+        )
+
+    def run_code_ops():
+        stack_filters(code_ds).count()
+        scan_secrets(code_ds).count()
+        comment_density(code_ds).count()
+        function_chunks(code_ds).count()
+        latest_version_dedup(
+            code_ds.map_batches(add_coords, batch_format="pyarrow"),
+            num_partitions=64,
+        ).count()
+
+    queries["q_code_ops"] = timed_best(run_code_ops)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",

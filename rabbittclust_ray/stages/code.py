@@ -307,6 +307,78 @@ def identifier_subtokens(
 
 DEF_LINE_RE = r"^\s*def\s"
 COMMENT_LINE_RE = r"^\s*(?:#|//|/\*)"
+AUTOGEN_RE = r"(?i)auto-?generated|do not edit|generated by"
+ALNUM_RE = r"[A-Za-z0-9]"
+
+
+def stack_filters(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_len: int = 1000,
+    min_alnum_ppm: int = 250_000,
+) -> ray.data.Dataset:
+    """The Stack / StarCoder-class mechanical code filters (public filter
+    recipe: drop files with any line longer than ``max_line_len``, files
+    whose alphanumeric fraction is below ``min_alnum_ppm`` (minified /
+    binary-ish blobs), and files carrying an auto-generated marker).
+
+    Output: ``(doc_id, max_line, alnum_ppm, is_autogen, keep)`` —
+    floor-ppm integers, one row per file, pure map stage (line split +
+    two RE2 kernels + a reduceat per batch)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "max_line": pa.array([], pa.int64()),
+            "alnum_ppm": pa.array([], pa.int64()),
+            "is_autogen": pa.array([], pa.bool_()),
+            "keep": pa.array([], pa.bool_()),
+        }
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lines = pc.split_pattern(txt, "\n")
+        nl = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        line_len = pc.utf8_length(lines.flatten()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(nl)[:-1]))
+        max_line = np.maximum.reduceat(line_len, starts)
+        max_line[nl == 0] = 0
+        total = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_alnum = pc.count_substring_regex(txt, ALNUM_RE).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        alnum_ppm = 1_000_000 * n_alnum // np.maximum(total, 1)
+        autogen = pc.match_substring_regex(txt, AUTOGEN_RE).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (
+            (max_line <= max_line_len)
+            & (alnum_ppm >= min_alnum_ppm)
+            & ~autogen
+        )
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "max_line": pa.array(max_line, pa.int64()),
+                "alnum_ppm": pa.array(alnum_ppm, pa.int64()),
+                "is_autogen": pa.array(autogen),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def function_chunks(

@@ -277,3 +277,29 @@ def test_shuffle_shards_is_permutation_and_invariant():
             .reset_index(drop=True)
         )
         assert not df.equals(df2)
+
+
+def test_stack_filters_rules():
+    from rabbittclust_ray.stages.code import stack_filters
+
+    texts = [
+        "normal code file\nshort lines only",          # keeps
+        "has a long line\n" + "y" * 1500,              # max_line fails
+        "// AUTO-GENERATED do not edit\ncode here",    # autogen fails
+        "!!! ### $$$ %%% ^^^ &&& *** ((( )))",         # alnum fails
+        "",                                            # empty: alnum 0 -> drop
+    ]
+    out = (
+        stack_filters(_ds({"doc_id": [0, 1, 2, 3, 4], "text": texts}, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["keep"].tolist() == [True, False, False, False, False]
+    assert out["max_line"].tolist()[1] == 1500
+    assert bool(out["is_autogen"].iloc[2])
+    assert out["alnum_ppm"].iloc[3] < 250_000
+    # mixed-case marker also detected ((?i))
+    m = stack_filters(
+        _ds({"doc_id": [9], "text": ["# Generated By protoc"]})
+    ).to_pandas()
+    assert bool(m["is_autogen"].iloc[0])
