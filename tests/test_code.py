@@ -303,3 +303,58 @@ def test_stack_filters_rules():
         _ds({"doc_id": [9], "text": ["# Generated By protoc"]})
     ).to_pandas()
     assert bool(m["is_autogen"].iloc[0])
+
+
+# ---- property tests (hypothesis) over the pure per-batch kernels ----
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texty = st.text(
+    alphabet=st.sampled_from("ab def(): #/\n_ XY"), min_size=0, max_size=120
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=8))
+def test_function_chunks_reassembly_property(texts):
+    """Invariant: per doc, chunks joined by newline == original text,
+    n_lines sums to the doc's line count, chunk ids strictly increase."""
+    from rabbittclust_ray.stages.code import function_chunks
+
+    ds = _ds({"doc_id": list(range(len(texts))), "text": texts}, 2)
+    out = (
+        function_chunks(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    for i, t in enumerate(texts):
+        g = out[out.doc_id == i]
+        assert "\n".join(g["chunk_text"]) == t
+        assert g["n_lines"].sum() == t.count("\n") + 1
+        assert g["chunk_id"].is_monotonic_increasing
+        assert g["chunk_id"].is_unique
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    st.integers(1, 6),
+    st.integers(0, 2**31),
+)
+def test_shuffle_shards_property(ids, num_shards, seed):
+    """Invariant: output is a permutation partitioned into shards with
+    dense 0..k-1 positions, identical across block layouts."""
+    from rabbittclust_ray.stages.sample import shuffle_shards
+
+    ds = _ds({"doc_id": ids}, 3)
+    df = (
+        shuffle_shards(ds, num_shards=num_shards, seed=seed,
+                       method="splitmix", num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(df["doc_id"]) == sorted(ids)
+    assert (df["shard"] >= 0).all() and (df["shard"] < num_shards).all()
+    for _, grp in df.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
