@@ -248,6 +248,17 @@ def main(argv: list[str] | None = None) -> int:
                      "source format); surviving docs sharing k-grams with it "
                      "are removed as 'contaminated'")
     pdc.add_argument("--decon-min-overlap", type=int, default=1)
+    # Stack-style mechanical code curation (filters + secret redaction)
+    pcf = sub.add_parser(
+        "code-filters",
+        help="Stack-style mechanical filters (max line length, alnum "
+             "ratio, auto-generated marker) + credential redaction; "
+             "writes report/ (per-doc verdict) and cleaned/ (kept docs, "
+             "secrets redacted)",
+    )
+    _add_common(pcf)
+    pcf.add_argument("--max-line-len", type=int, default=1000)
+    pcf.add_argument("--min-alnum-ppm", type=int, default=250_000)
     args = parser.parse_args(argv)
 
     import ray
@@ -384,6 +395,39 @@ def main(argv: list[str] | None = None) -> int:
             print(f"stripped corpus written: {n} docs -> "
                   f"{os.path.join(args.output, 'stripped')}")
             return 0
+        elif args.cmd == "code-filters":
+            import pyarrow as pa
+
+            from rabbittclust_ray.stages.code import scan_secrets, stack_filters
+            from rabbittclust_ray.stages.pairs import anti_join_ids
+            from rabbittclust_ray.stages.prepare import prepare_documents
+
+            prep = prepare_documents(ds, scfg, apply_min_len=False)
+            report = stack_filters(
+                prep, text_col="content",
+                max_line_len=args.max_line_len,
+                min_alnum_ppm=args.min_alnum_ppm,
+            )
+            # drop set is the small side (most files keep): distributed
+            # anti-join, then redact secrets in the survivors only
+            dropped = report.map_batches(
+                lambda t: t.filter(pa.compute.invert(t["keep"])).select(
+                    ["doc_id"]
+                ),
+                batch_format="pyarrow",
+            )
+            kept = anti_join_ids(prep, dropped, num_partitions=64)
+            cleaned = scan_secrets(kept, text_col="content")
+            os.makedirs(args.output, exist_ok=True)
+            report.write_parquet(os.path.join(args.output, "report"))
+            cleaned.write_parquet(os.path.join(args.output, "cleaned"))
+            rp = report.to_pandas()
+            print(
+                f"code-filters: {len(rp)} docs -> {int(rp.keep.sum())} kept "
+                f"({int((rp.max_line > args.max_line_len).sum())} long-line, "
+                f"{int((rp.alnum_ppm < args.min_alnum_ppm).sum())} low-alnum, "
+                f"{int(rp.is_autogen.sum())} auto-generated)"
+            )
         elif args.cmd == "dedup-corpus":
             from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
 

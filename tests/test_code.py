@@ -358,3 +358,37 @@ def test_shuffle_shards_property(ids, num_shards, seed):
     assert (df["shard"] >= 0).all() and (df["shard"] < num_shards).all()
     for _, grp in df.groupby("shard"):
         assert sorted(grp["pos"]) == list(range(len(grp)))
+
+
+def test_code_filters_cli(tmp_path):
+    """End-to-end CLI verb: report + cleaned outputs, drop rules applied,
+    secrets redacted in survivors."""
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.cli import main
+
+    docs = pa.table(
+        {
+            "repo": ["r"] * 4,
+            "path": [f"f{i}.py" for i in range(4)],
+            "commit": ["c"] * 4,
+            "lang": ["python"] * 4,
+            "content": [
+                'ok file\napi_key = "abcdef123456"\nmore code',
+                "x" * 2000,                              # long line -> drop
+                "// AUTO-GENERATED do not edit\nstuff",  # autogen -> drop
+                "plain keeper file with words",
+            ],
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+    out = tmp_path / "out"
+    rc = main(["code-filters", "-i", str(src), "-o", str(out)])
+    assert rc in (0, None)
+    rep = pq.read_table(str(out / "report")).to_pandas()
+    assert len(rep) == 4 and int(rep.keep.sum()) == 2
+    cleaned = pq.read_table(str(out / "cleaned")).to_pandas()
+    assert len(cleaned) == 2
+    assert all("<SECRET>" in t or "api_key" not in t
+               for t in cleaned.redacted_text)
