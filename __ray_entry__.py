@@ -2301,6 +2301,99 @@ def _q_stack_filters(sf_dir: str):
     return stack_filters(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_repo_pack(sf_dir: str):
+    """StarCoder-style repo-context packing: files grouped per synthetic
+    repo r{d%23} (path p{doc_id} unique), concatenated in (path, text)
+    order with chr(30); emit per-repo file count + packed length + packed
+    sha256 — the sha pins every byte of the pack against the SQL
+    string_agg."""
+    from rabbittclust_ray.stages.repo_ops import repo_context_pack
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 23}" for i in ids], pa.string()),
+                "path": pa.array([f"p{i}" for i in ids], pa.string()),
+                "text": t["text"],
+            }
+        )
+
+    return repo_context_pack(
+        ds.map_batches(augment, batch_format="pyarrow"), num_partitions=8
+    )
+
+
+def _q_fork_candidates(sf_dir: str):
+    """Fork/mirror detection: repos r{d%11} share synthetic file keys
+    k{d%97}, plus a hot boilerplate key 'LICENSE' on every doc_id%5==0 doc
+    (present in all 11 repos -> dropped by the cap of 8, the deterministic
+    HAVING rule shared with SQL); surviving repo pairs with >= 2 shared
+    keys are reported."""
+    from rabbittclust_ray.stages.repo_ops import fork_candidates
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [
+            "LICENSE" if i % 5 == 0 else f"k{i % 97}" for i in ids
+        ]
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 11}" for i in ids], pa.string()),
+                "file_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    return fork_candidates(
+        ds.map_batches(augment, batch_format="pyarrow"),
+        max_repos_per_key=8,
+        min_shared=2,
+        num_partitions=8,
+    )
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff: old = docs with doc_id%3 in (0,1), new = (1,2),
+    file coordinates (r{d%7}, p{d%50}); per side the argmax(doc_id) row
+    represents a (repo, path); classify added/deleted/modified/unchanged
+    by content sha equality."""
+    import hashlib as _hl
+
+    from rabbittclust_ray.stages.repo_ops import snapshot_diff
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shas = [
+            _hl.sha256(s.encode()).hexdigest() for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 7}" for i in ids], pa.string()),
+                "path": pa.array([f"p{i % 50}" for i in ids], pa.string()),
+                "content_sha256": pa.array(shas, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def side(mods: tuple[int, int]):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(np.isin(ids % 3, mods)))
+
+        return f
+
+    tagged = ds.map_batches(augment, batch_format="pyarrow")
+    old = tagged.map_batches(side((0, 1)), batch_format="pyarrow")
+    new = tagged.map_batches(side((1, 2)), batch_format="pyarrow")
+    return snapshot_diff(old, new, num_partitions=8)
+
+
 def _q_pagerank(sf_dir: str):
     """Fixed-iteration integer-ppm PageRank over the exact threshold graph
     (2 iterations, damping 0.85) — the iterative-graph-analytics class the
@@ -2468,6 +2561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
+        "repo_pack": _q_repo_pack,
+        "fork_candidates": _q_fork_candidates,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -4186,5 +4282,74 @@ def _code_ops_sql() -> dict[str, str]:
                    (max_line <= 1000 AND alnum_ppm >= 250000
                     AND NOT is_autogen) AS keep
             FROM per_doc
+        """,
+        "repo_pack": """
+            WITH f AS (
+                SELECT 'r' || (doc_id % 23) AS repo,
+                       'p' || doc_id AS path,
+                       text AS content
+                FROM documents
+            )
+            SELECT repo,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(length(string_agg(content, chr(30)
+                        ORDER BY path, content)) AS BIGINT) AS packed_chars,
+                   sha256(string_agg(content, chr(30)
+                        ORDER BY path, content)) AS packed_sha256
+            FROM f GROUP BY repo
+        """,
+        "fork_candidates": """
+            WITH rs AS (
+                SELECT DISTINCT 'r' || (doc_id % 11) AS repo,
+                                CASE WHEN doc_id % 5 = 0 THEN 'LICENSE'
+                                     ELSE 'k' || (doc_id % 97)
+                                END AS file_key
+                FROM documents
+            ),
+            ok AS (
+                SELECT file_key FROM rs
+                GROUP BY file_key HAVING count(*) <= 8
+            )
+            SELECT a.repo AS repo_a, b.repo AS repo_b,
+                   CAST(count(*) AS BIGINT) AS shared_files
+            FROM rs a
+            JOIN rs b USING (file_key)
+            JOIN ok USING (file_key)
+            WHERE a.repo < b.repo
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
+        "snapshot_diff": """
+            WITH base AS (
+                SELECT doc_id,
+                       'r' || (doc_id % 7) AS repo,
+                       'p' || (doc_id % 50) AS path,
+                       sha256(text) AS sha
+                FROM documents
+            ),
+            o AS (
+                SELECT repo, path, sha, doc_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY repo, path ORDER BY doc_id DESC) AS rn
+                    FROM base WHERE doc_id % 3 IN (0, 1)
+                ) WHERE rn = 1
+            ),
+            n AS (
+                SELECT repo, path, sha, doc_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY repo, path ORDER BY doc_id DESC) AS rn
+                    FROM base WHERE doc_id % 3 IN (1, 2)
+                ) WHERE rn = 1
+            )
+            SELECT coalesce(o.repo, n.repo) AS repo,
+                   coalesce(o.path, n.path) AS path,
+                   CASE WHEN o.repo IS NULL THEN 'added'
+                        WHEN n.repo IS NULL THEN 'deleted'
+                        WHEN o.sha = n.sha THEN 'unchanged'
+                        ELSE 'modified' END AS status,
+                   coalesce(o.doc_id, -1) AS old_id,
+                   coalesce(n.doc_id, -1) AS new_id
+            FROM o FULL OUTER JOIN n
+              ON o.repo = n.repo AND o.path = n.path
         """,
     }

@@ -1,0 +1,210 @@
+"""Tests for the repo-level curation family (stages/repo_ops.py):
+repo-context packing, fork-candidate detection (with the deterministic
+hot-key cap), and CDC snapshot diff — each vs a straightforward Python
+reference, plus partition-layout invariance."""
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.stages.repo_ops import (
+    fork_candidates,
+    repo_context_pack,
+    snapshot_diff,
+)
+
+
+def _ds(rows: dict, parallelism: int = 3) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table(rows)).repartition(parallelism)
+
+
+def _pack_ref(rows, sep="\x1e"):
+    by_repo = {}
+    for r, p, t in rows:
+        by_repo.setdefault(r, []).append((p, t))
+    out = {}
+    for r, files in by_repo.items():
+        files.sort()
+        packed = sep.join(t for _, t in files)
+        out[r] = (len(files), len(packed),
+                  hashlib.sha256(packed.encode()).hexdigest())
+    return out
+
+
+def test_repo_context_pack_matches_reference():
+    rows = [
+        ("ra", "src/b.py", "bbb"),
+        ("ra", "src/a.py", "aaa"),
+        ("rb", "main.py", "zz"),
+        ("ra", "src/a.py", "AAA"),  # duplicate path: text breaks the tie
+    ]
+    ds = _ds(
+        {
+            "repo": [r for r, _, _ in rows],
+            "path": [p for _, p, _ in rows],
+            "text": [t for _, _, t in rows],
+        }
+    )
+    out = repo_context_pack(ds, num_partitions=4).to_pandas()
+    ref = _pack_ref(rows)
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        n, chars, sha = ref[row["repo"]]
+        assert row["n_files"] == n
+        assert row["packed_chars"] == chars
+        assert row["packed_sha256"] == sha
+
+
+@pytest.mark.parametrize("parallelism", [1, 7])
+def test_repo_context_pack_partition_invariance(parallelism):
+    rng = np.random.default_rng(5)
+    rows = [
+        (f"r{int(rng.integers(4))}", f"p{int(rng.integers(9))}",
+         f"t{int(rng.integers(100))}")
+        for _ in range(60)
+    ]
+    ds = _ds(
+        {
+            "repo": [r for r, _, _ in rows],
+            "path": [p for _, p, _ in rows],
+            "text": [t for _, _, t in rows],
+        },
+        parallelism,
+    )
+    out = (
+        repo_context_pack(ds, num_partitions=3)
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    ref = _pack_ref(rows)
+    assert out["repo"].tolist() == sorted(ref)
+    for _, row in out.iterrows():
+        assert row["packed_sha256"] == ref[row["repo"]][2]
+
+
+def _fork_ref(pairs, cap, min_shared):
+    by_key = {}
+    for repo, key in set(pairs):
+        by_key.setdefault(key, set()).add(repo)
+    counts = {}
+    for key, repos in by_key.items():
+        if len(repos) > cap:
+            continue
+        for a, b in itertools.combinations(sorted(repos), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return {k: v for k, v in counts.items() if v >= min_shared}
+
+
+def test_fork_candidates_matches_reference_and_caps_hot_keys():
+    rows = []
+    # ra and rb share 3 files; rb/rc share 1; a boilerplate key is in all 5
+    for k in ["f1", "f2", "f3"]:
+        rows += [("ra", k), ("rb", k)]
+    rows += [("rb", "f4"), ("rc", "f4")]
+    for r in ["ra", "rb", "rc", "rd", "re"]:
+        rows.append((r, "LICENSE"))
+    rows.append(("ra", "f1"))  # duplicate (repo, key) row must not double-count
+    ds = _ds({"repo": [r for r, _ in rows], "file_key": [k for _, k in rows]})
+    out = fork_candidates(
+        ds, max_repos_per_key=4, min_shared=1, num_partitions=4
+    ).to_pandas()
+    got = {
+        (r.repo_a, r.repo_b): r.shared_files for r in out.itertuples()
+    }
+    assert got == _fork_ref(rows, cap=4, min_shared=1)
+    # min_shared filter
+    out2 = fork_candidates(
+        ds, max_repos_per_key=4, min_shared=2, num_partitions=4
+    ).to_pandas()
+    assert {(r.repo_a, r.repo_b) for r in out2.itertuples()} == {("ra", "rb")}
+
+
+@pytest.mark.parametrize("parallelism", [1, 6])
+def test_fork_candidates_partition_invariance(parallelism):
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"r{int(rng.integers(6))}", f"k{int(rng.integers(15))}")
+        for _ in range(120)
+    ]
+    ds = _ds(
+        {"repo": [r for r, _ in rows], "file_key": [k for _, k in rows]},
+        parallelism,
+    )
+    out = fork_candidates(
+        ds, max_repos_per_key=5, min_shared=2, num_partitions=3
+    ).to_pandas()
+    got = {(r.repo_a, r.repo_b): r.shared_files for r in out.itertuples()}
+    assert got == _fork_ref(rows, cap=5, min_shared=2)
+
+
+def test_snapshot_diff_classifies_all_four_statuses():
+    old = _ds(
+        {
+            "repo": ["r", "r", "r", "r"],
+            "path": ["keep", "mod", "del", "multi"],
+            "content_sha256": ["s1", "s2", "s3", "old-low"],
+            "doc_id": [1, 2, 3, 4],
+        }
+    )
+    # "multi" has two old rows: the argmax(doc_id) one (sha "old-hi") wins
+    old = old.union(
+        _ds(
+            {
+                "repo": ["r"],
+                "path": ["multi"],
+                "content_sha256": ["old-hi"],
+                "doc_id": [9],
+            },
+            1,
+        )
+    )
+    new = _ds(
+        {
+            "repo": ["r", "r", "r", "r"],
+            "path": ["keep", "mod", "add", "multi"],
+            "content_sha256": ["s1", "s2x", "s5", "old-hi"],
+            "doc_id": [11, 12, 13, 14],
+        }
+    )
+    out = (
+        snapshot_diff(old, new, num_partitions=4)
+        .to_pandas()
+        .set_index("path")
+    )
+    assert out.loc["keep", "status"] == "unchanged"
+    assert out.loc["mod", "status"] == "modified"
+    assert out.loc["del", "status"] == "deleted"
+    assert out.loc["add", "status"] == "added"
+    assert out.loc["multi", "status"] == "unchanged"  # rep is doc_id 9
+    assert out.loc["del", "new_id"] == -1
+    assert out.loc["add", "old_id"] == -1
+    assert out.loc["mod", "old_id"] == 2 and out.loc["mod", "new_id"] == 12
+
+
+def test_snapshot_diff_empty_sides():
+    empty = _ds(
+        {
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "content_sha256": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+        },
+        1,
+    )
+    new = _ds(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "content_sha256": ["s"],
+            "doc_id": [1],
+        },
+        1,
+    )
+    out = snapshot_diff(empty, new, num_partitions=2).to_pandas()
+    assert out["status"].tolist() == ["added"]
