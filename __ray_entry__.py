@@ -2394,6 +2394,35 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new, num_partitions=8)
 
 
+def _q_dependency_layers(sf_dir: str):
+    """Kahn-style dependency layering over a synthetic intra-repo import
+    graph (repo g{d%5}, DAG edge m{d%13} -> m{d%13 + 1 + d%3}): layer =
+    longest import chain below a module, truncated at 3 fixed iterations
+    (deep chains clip identically in both implementations) — bit-exact vs
+    the unrolled SQL ladder."""
+    from rabbittclust_ray.stages.graph_ops import dependency_layers
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "repo": pa.array([f"g{i % 5}" for i in ids], pa.string()),
+                "src": pa.array([f"m{i % 13}" for i in ids], pa.string()),
+                "dst": pa.array(
+                    [f"m{i % 13 + 1 + i % 3}" for i in ids], pa.string()
+                ),
+            }
+        )
+
+    return dependency_layers(
+        ds.map_batches(augment, batch_format="pyarrow"),
+        n_iter=3,
+        num_partitions=8,
+    )
+
+
 def _q_pagerank(sf_dir: str):
     """Fixed-iteration integer-ppm PageRank over the exact threshold graph
     (2 iterations, damping 0.85) — the iterative-graph-analytics class the
@@ -2564,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_pack": _q_repo_pack,
         "fork_candidates": _q_fork_candidates,
         "snapshot_diff": _q_snapshot_diff,
+        "dependency_layers": _q_dependency_layers,
     }
 
 
@@ -2577,11 +2607,21 @@ def _lang_sql_lists() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rabbittclust_ray.stages.graph_ops import dependency_layers_sql
     from rabbittclust_ray.stages.kmeans import kmeans_sql
 
     L = _lang_sql_lists()
     sql: dict[str, str] = {
         "kmeans_embeddings": kmeans_sql(k=8, n_iter=2),
+        "dependency_layers": dependency_layers_sql(
+            """e AS (
+                SELECT 'g' || (doc_id % 5) AS repo,
+                       'm' || (doc_id % 13) AS src,
+                       'm' || (doc_id % 13 + 1 + doc_id % 3) AS dst
+                FROM documents
+            )""",
+            n_iter=3,
+        ),
         "strip_dup_spans": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_DEDUP_DIST)}, {_sql_components_cte()},
             prs AS MATERIALIZED (

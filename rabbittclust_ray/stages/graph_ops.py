@@ -336,3 +336,291 @@ def triangle_counts(
     return hash_exchange(
         counts.union(zero_rows), "doc_id", merge, num_partitions
     )
+
+
+_LAYER_EMPTY = pa.table(
+    {
+        "key": pa.array([], pa.int64()),
+        "other_key": pa.array([], pa.int64()),
+        "repo": pa.array([], pa.string()),
+        "module": pa.array([], pa.string()),
+        "val": pa.array([], pa.int64()),
+        "is_layer": pa.array([], pa.bool_()),
+    }
+)
+
+
+def _repo_module_key(repo: np.ndarray, module: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    joined = np.char.add(
+        np.char.add(repo.astype(str), "\x1f"), module.astype(str)
+    )
+    return pd.util.hash_array(joined.astype(object)).astype(np.int64)
+
+
+def dependency_layers(
+    edges: ray.data.Dataset,
+    *,
+    repo_col: str = "repo",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Kahn-style dependency layering of the intra-repo import graph:
+    ``layer(v)`` = length of the longest import chain below module ``v``,
+    via the fixed-point recurrence
+
+        layer_0(v)       = 0
+        layer_{i+1}(v)   = max(layer_i(v), 1 + max_{v imports u} layer_i(u))
+
+    run for ``n_iter`` FIXED iterations — exact when the longest
+    dependency chain is ≤ n_iter; modules on import CYCLES keep growing
+    and saturate at n_iter (deterministic, and the unrolled SQL ladder
+    from ``dependency_layers_sql`` reproduces it bit-exactly). The layer
+    is the build/vendoring order: layer-0 modules are leaves a curator can
+    pack first, and saturated modules flag cyclic imports.
+
+    Input: one row per import edge ``(repo, src, dst)`` = "src imports
+    dst" (self-edges ignored). Output: ``(repo, module, layer)`` for every
+    module seen as src or dst.
+
+    Shape: the pagerank skeleton — 2 keyed exchanges per iteration
+    (edge rows co-locate with the DEPENDENCY's layer row, candidates key
+    back on the importer), no driver rows, edges re-exchanged per
+    iteration while the layer table stays 3 skinny columns.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def seed(t: pa.Table) -> pa.Table:
+        repo = t[repo_col].to_numpy(zero_copy_only=False).astype(str)
+        src = t[src_col].to_numpy(zero_copy_only=False).astype(str)
+        dst = t[dst_col].to_numpy(zero_copy_only=False).astype(str)
+        keep = src != dst
+        repo, src, dst = repo[keep], src[keep], dst[keep]
+        src_key = _repo_module_key(repo, src)
+        dst_key = _repo_module_key(repo, dst)
+        # edge rows keyed on the dependency (dst); node-seed rows for both
+        # endpoints (layer 0), deduped per batch
+        n_repo = np.concatenate([repo, repo])
+        n_mod = np.concatenate([src, dst])
+        n_key = np.concatenate([src_key, dst_key])
+        _, uniq = np.unique(n_key, return_index=True)
+        n_repo, n_mod, n_key = n_repo[uniq], n_mod[uniq], n_key[uniq]
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate([dst_key, n_key]), pa.int64()
+                ),
+                "other_key": pa.array(
+                    np.concatenate([src_key, n_key]), pa.int64()
+                ),
+                "repo": pa.array(
+                    np.concatenate([repo, n_repo]), pa.string()
+                ),
+                "module": pa.array(
+                    np.concatenate([dst, n_mod]), pa.string()
+                ),
+                "val": pa.array(
+                    np.zeros(len(dst_key) + len(n_key), dtype=np.int64),
+                    pa.int64(),
+                ),
+                "is_layer": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(dst_key), dtype=bool),
+                            np.ones(len(n_key), dtype=bool),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    def dedup_seeds(t: pa.Table) -> pa.Table:
+        """First exchange folds duplicate node seeds (and passes edges)."""
+        if t.num_rows == 0:
+            return _LAYER_EMPTY
+        is_layer = t["is_layer"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        lk = key[is_layer]
+        _, uniq = np.unique(lk, return_index=True)
+        keep = np.flatnonzero(is_layer)[uniq]
+        keep = np.concatenate([np.flatnonzero(~is_layer), keep])
+        return t.take(pa.array(np.sort(keep)))
+
+    def push(t: pa.Table) -> pa.Table:
+        """Keyed on a node: emit layer(dst)+1 candidates to each importer;
+        pass layer rows through."""
+        if t.num_rows == 0:
+            return _LAYER_EMPTY
+        is_layer = t["is_layer"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        other = t["other_key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        lk, lv = key[is_layer], val[is_layer]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        e_dst, e_src = key[~is_layer], other[~is_layer]
+        pos = np.searchsorted(lk, e_dst)
+        cand = lv[pos] + 1
+        n_e, n_l = len(e_src), int(is_layer.sum())
+        lay_idx = np.flatnonzero(is_layer)
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate([e_src, lk]), pa.int64()
+                ),
+                "other_key": pa.array(
+                    np.concatenate([e_src, lk]), pa.int64()
+                ),
+                "repo": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(n_e, "", dtype=object),
+                            t["repo"].to_numpy(zero_copy_only=False)[
+                                lay_idx
+                            ][order],
+                        ]
+                    ).tolist(),
+                    pa.string(),
+                ),
+                "module": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(n_e, "", dtype=object),
+                            t["module"].to_numpy(zero_copy_only=False)[
+                                lay_idx
+                            ][order],
+                        ]
+                    ).tolist(),
+                    pa.string(),
+                ),
+                "val": pa.array(np.concatenate([cand, lv]), pa.int64()),
+                "is_layer": pa.array(
+                    np.concatenate(
+                        [np.zeros(n_e, dtype=bool), np.ones(n_l, dtype=bool)]
+                    )
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        """Keyed on a node: layer' = max(layer, max candidate)."""
+        if t.num_rows == 0:
+            return _LAYER_EMPTY
+        is_layer = t["is_layer"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        lay_idx = np.flatnonzero(is_layer)
+        lk = key[lay_idx]
+        order = np.argsort(lk, kind="stable")
+        lay_idx = lay_idx[order]
+        lk, lv = lk[order], val[lay_idx].copy()
+        ck, cv = key[~is_layer], val[~is_layer]
+        if len(ck):
+            pos = np.searchsorted(lk, ck)
+            np.maximum.at(lv, pos, cv)
+        return pa.table(
+            {
+                "key": pa.array(lk, pa.int64()),
+                "other_key": pa.array(lk, pa.int64()),
+                "repo": pa.array(
+                    t["repo"].take(pa.array(lay_idx))
+                ),
+                "module": pa.array(
+                    t["module"].take(pa.array(lay_idx))
+                ),
+                "val": pa.array(lv, pa.int64()),
+                "is_layer": pa.array(np.ones(len(lk), dtype=bool)),
+            }
+        )
+
+    seeded = hash_exchange(
+        edges.map_batches(seed, batch_format="pyarrow"),
+        "key",
+        dedup_seeds,
+        num_partitions,
+    )
+    state = seeded
+    for _ in range(n_iter):
+        pushed = hash_exchange(state, "key", push, num_partitions)
+        state = hash_exchange(pushed, "key", fold, num_partitions)
+        # fold drops edge rows; re-union the (still keyed) edge stream by
+        # re-seeding edges from the original dataset each iteration
+        state = state.union(
+            edges.map_batches(_edges_only(repo_col, src_col, dst_col),
+                              batch_format="pyarrow")
+        )
+
+    def out(t: pa.Table) -> pa.Table:
+        is_layer = t["is_layer"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(is_layer))
+        return pa.table(
+            {
+                "repo": kept["repo"],
+                "module": kept["module"],
+                "layer": kept["val"],
+            }
+        )
+
+    return state.map_batches(out, batch_format="pyarrow")
+
+
+def _edges_only(repo_col: str, src_col: str, dst_col: str):
+    def f(t: pa.Table) -> pa.Table:
+        repo = t[repo_col].to_numpy(zero_copy_only=False).astype(str)
+        src = t[src_col].to_numpy(zero_copy_only=False).astype(str)
+        dst = t[dst_col].to_numpy(zero_copy_only=False).astype(str)
+        keep = src != dst
+        repo, src, dst = repo[keep], src[keep], dst[keep]
+        src_key = _repo_module_key(repo, src)
+        dst_key = _repo_module_key(repo, dst)
+        return pa.table(
+            {
+                "key": pa.array(dst_key, pa.int64()),
+                "other_key": pa.array(src_key, pa.int64()),
+                "repo": pa.array(repo, pa.string()),
+                "module": pa.array(dst, pa.string()),
+                "val": pa.array(np.zeros(len(dst), dtype=np.int64), pa.int64()),
+                "is_layer": pa.array(np.zeros(len(dst), dtype=bool)),
+            }
+        )
+
+    return f
+
+
+def dependency_layers_sql(
+    edges_cte: str, n_iter: int = 3
+) -> str:
+    """The unrolled-ladder DuckDB oracle for ``dependency_layers``:
+    ``edges_cte`` must define a relation ``e(repo, src, dst)``; the
+    returned query yields ``(repo, module, layer)``."""
+    parts = [
+        f"WITH {edges_cte},",
+        """n AS (
+            SELECT DISTINCT repo, module FROM (
+                SELECT repo, src AS module FROM e WHERE src <> dst
+                UNION
+                SELECT repo, dst AS module FROM e WHERE src <> dst
+            )
+        ),
+        l0 AS (SELECT repo, module, CAST(0 AS BIGINT) AS layer FROM n)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", l{i} AS (
+            SELECT p.repo, p.module,
+                   greatest(p.layer, coalesce(mx.m, 0)) AS layer
+            FROM l{i - 1} p LEFT JOIN (
+                SELECT e.repo, e.src AS module,
+                       max(d.layer) + 1 AS m
+                FROM e
+                JOIN l{i - 1} d ON d.repo = e.repo AND d.module = e.dst
+                WHERE e.src <> e.dst
+                GROUP BY 1, 2
+            ) mx ON mx.repo = p.repo AND mx.module = p.module
+        )"""
+        )
+    parts.append(f"SELECT repo, module, layer FROM l{n_iter}")
+    return "\n".join(parts)

@@ -93,3 +93,69 @@ def test_triangle_counts_no_triangles():
     out = triangle_counts(eds, num_partitions=4).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2, 3, 4]
     assert out["n_triangles"].tolist() == [0, 0, 0, 0]
+
+
+from rabbittclust_ray.stages.graph_ops import dependency_layers
+
+
+def _layers_ref(edges, n_iter):
+    """Brute-force recurrence: layer_{i+1}(v) = max(layer_i(v),
+    1 + max over deps of layer_i(dep)); self-edges ignored."""
+    edges = [(r, s, d) for r, s, d in edges if s != d]
+    nodes = sorted({(r, s) for r, s, _ in edges} | {(r, d) for r, _, d in edges})
+    lay = {n: 0 for n in nodes}
+    imports = collections.defaultdict(list)
+    for r, s, d in set(edges):
+        imports[(r, s)].append((r, d))
+    for _ in range(n_iter):
+        nxt = dict(lay)
+        for v in nodes:
+            deps = imports.get(v, [])
+            if deps:
+                nxt[v] = max(lay[v], 1 + max(lay[u] for u in deps))
+        lay = nxt
+    return lay
+
+
+@pytest.mark.parametrize("parallelism", [1, 5])
+def test_dependency_layers_matches_reference(parallelism):
+    rng = np.random.default_rng(3)
+    edges = [
+        (f"g{int(rng.integers(3))}", f"m{int(rng.integers(8))}",
+         f"m{int(rng.integers(8))}")
+        for _ in range(60)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": [e[0] for e in edges],
+                "src": [e[1] for e in edges],
+                "dst": [e[2] for e in edges],
+            }
+        )
+    ).repartition(parallelism)
+    out = dependency_layers(ds, n_iter=3, num_partitions=3).to_pandas()
+    got = {(r.repo, r.module): r.layer for r in out.itertuples()}
+    assert got == _layers_ref(edges, 3)
+
+
+def test_dependency_layers_chain_and_cycle():
+    # chain a->b->c (a imports b imports c): layer c=0, b=1, a=2;
+    # cycle x<->y saturates at n_iter
+    edges = [
+        ("g", "a", "b"), ("g", "b", "c"),
+        ("g", "x", "y"), ("g", "y", "x"),
+        ("g", "z", "z"),  # self-edge ignored -> z absent
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": [e[0] for e in edges],
+                "src": [e[1] for e in edges],
+                "dst": [e[2] for e in edges],
+            }
+        )
+    )
+    out = dependency_layers(ds, n_iter=4, num_partitions=2).to_pandas()
+    got = {r.module: r.layer for r in out.itertuples()}
+    assert got == {"a": 2, "b": 1, "c": 0, "x": 4, "y": 4}
