@@ -129,16 +129,24 @@ def _jmin(threshold: float) -> float:
     return x / (2.0 - x)
 
 
-def _sql_edges_cte(threshold: float, with_j: bool = False) -> str:
+def _sql_edges_cte(
+    threshold: float,
+    with_j: bool = False,
+    source: str = "documents",
+    min_len: int | None = None,
+) -> str:
     """Shared SQL prefix: ws-normalized text -> distinct 8-grams -> exact
     Jaccard threshold edges (u < v). Mirrors prepare+sketch+candidate_edges
-    in exact mode."""
+    in exact mode. ``source`` is any relation with (doc_id, text) —
+    the function_clones oracle passes a chunk CTE instead of documents."""
+    if min_len is None:
+        min_len = EX_MIN_LEN
     jcol = ", common * 1.0 / (sa.sz + sb.sz - common) AS j" if with_j else ""
     return f"""
         pop AS MATERIALIZED (
             SELECT doc_id, text,
                    regexp_replace(text, '\\s+', ' ', 'g') AS nt
-            FROM documents WHERE length(text) >= {EX_MIN_LEN}
+            FROM {source} WHERE length(text) >= {min_len}
         ),
         grams AS MATERIALIZED (
             SELECT DISTINCT p.doc_id, substr(p.nt, g.i, {EX_SHINGLE_K}) AS g
@@ -2244,6 +2252,82 @@ def _q_function_chunks(sf_dir: str):
     return function_chunks(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_function_clones(sf_dir: str):
+    """Function-level clone detection (type-2-ish): the function_chunks
+    synthetic files are chunked at their `def` lines, each chunk becomes a
+    pseudo-document (cid = doc_id*4 + chunk_id), and the EXACT n-gram
+    Jaccard pair stack (mod_bits=0) reports chunk pairs within Mash
+    distance 0.2 — near-duplicate FUNCTIONS across files, the granularity
+    file-level dedup misses. Preamble chunks (< 20 chars) fall to the
+    min-len filter in both implementations."""
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.code import function_chunks
+    from rabbittclust_ray.stages.pairs import candidate_pairs, mash_distance
+    from rabbittclust_ray.stages.prepare import prepare_documents
+    from rabbittclust_ray.stages.sketch import sketch_documents
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            parts = [f"# file {int(i) % 2}"]
+            for j in range(1 + int(i) % 3):
+                parts.append(f"def f{j}():")
+                parts.append("    " + s[40 * j : 40 * j + 40])
+            out.append("\n".join(parts))
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    chunks = function_chunks(ds.map_batches(augment, batch_format="pyarrow"))
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cidx = t["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = ids * 4 + cidx
+        n = len(cid)
+        return pa.table(
+            {
+                "doc_id": pa.array(cid, pa.int64()),
+                "repo": pa.array(["c"] * n, pa.string()),
+                "path": pa.array([str(x) for x in cid], pa.string()),
+                "commit": pa.array([""] * n, pa.string()),
+                "lang": pa.array(["code"] * n, pa.string()),
+                "content": t["chunk_text"],
+            }
+        )
+
+    scfg = SketchConfig(
+        shingle_k=EX_SHINGLE_K, mode="mod", mod_bits=0, min_len=20
+    )
+    ccfg = _exact_ccfg(EX_STATS_THRESHOLD)
+    prepared = prepare_documents(
+        chunks.map_batches(to_docs, batch_format="pyarrow"), scfg
+    )
+    pairs = candidate_pairs(sketch_documents(prepared, scfg), scfg, ccfg)
+
+    def score(t: pa.Table) -> pa.Table:
+        common = t["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = t["su"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = mash_distance(common, su, sv, scfg.distance_k)
+        ok = d <= ccfg.threshold
+        return pa.table(
+            {
+                "u": t["u"].filter(pa.array(ok)),
+                "v": t["v"].filter(pa.array(ok)),
+                "common": pa.array(common[ok], pa.int64()),
+                "su": pa.array(su[ok], pa.int64()),
+                "sv": pa.array(sv[ok], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 def _q_comment_density(sf_dir: str):
     """Comment-line density over code-shaped content: docs get 0-2
     comment lines (plain, //-style, indented) prepended by doc_id%4."""
@@ -2594,6 +2678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fork_candidates": _q_fork_candidates,
         "snapshot_diff": _q_snapshot_diff,
         "dependency_layers": _q_dependency_layers,
+        "function_clones": _q_function_clones,
     }
 
 
@@ -4250,6 +4335,48 @@ def _code_ops_sql() -> dict[str, str]:
                    string_agg(line, chr(10) ORDER BY pos) AS chunk_text,
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM cx GROUP BY doc_id, chunk_id
+        """,
+        "function_clones": """
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id,
+                       '# file ' || (doc_id % 2) || chr(10) ||
+                       'def f0():' || chr(10) || '    ' || substr(text, 1, 40) ||
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN chr(10) || 'def f1():' || chr(10) || '    '
+                                 || substr(text, 41, 40)
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 3 >= 2
+                            THEN chr(10) || 'def f2():' || chr(10) || '    '
+                                 || substr(text, 81, 40)
+                            ELSE '' END AS t
+                FROM documents
+            ),
+            lx AS MATERIALIZED (
+                SELECT doc_id, i.i AS pos, ls[i.i] AS line,
+                       CASE WHEN regexp_matches(ls[i.i], '"""
+        + DEF_LINE_RE
+        + """') THEN 1 ELSE 0 END AS d
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+                     LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) i(i)
+            ),
+            cx AS (
+                SELECT doc_id, pos, line,
+                       CAST(sum(d) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+                           AS chunk_id
+                FROM lx
+            ),
+            chunks AS MATERIALIZED (
+                SELECT doc_id * 4 + chunk_id AS doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM cx GROUP BY doc_id, chunk_id
+            ),
+            """
+        + _sql_edges_cte(EX_STATS_THRESHOLD, source="chunks", min_len=20)
+        + """
+            SELECT u, v, common, CAST(su AS BIGINT) AS su,
+                   CAST(sv AS BIGINT) AS sv
+            FROM edges
         """,
         "comment_density": """
             WITH aug AS (
