@@ -364,6 +364,52 @@ def run_bench() -> dict:
 
     queries["q_code_ops"] = timed_best(run_code_ops)
 
+    # repo-level family: context packing (the one content-moving exchange),
+    # fork detection on exact sha overlap, CDC snapshot diff
+    from rabbittclust_ray.stages.repo_ops import (
+        fork_candidates,
+        repo_context_pack,
+        snapshot_diff,
+    )
+
+    # sha/id derivation untimed (every group consumes the same identified rows)
+    slim_ds = (
+        prepare_documents(corpus, SketchConfig(min_len=0), apply_min_len=False)
+        .map_batches(
+            lambda t: t.select(["doc_id", "repo", "path", "content_sha256"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def side(mods):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(np.isin(ids % 3, mods)))
+
+        return f
+
+    def run_repo_ops():
+        repo_context_pack(
+            corpus, text_col="content", num_partitions=64
+        ).count()
+        fork_candidates(
+            slim_ds,
+            key_col="content_sha256",
+            max_repos_per_key=64,
+            min_shared=2,
+            num_partitions=64,
+        ).count()
+        snapshot_diff(
+            slim_ds.map_batches(side((0, 1)), batch_format="pyarrow"),
+            slim_ds.map_batches(side((1, 2)), batch_format="pyarrow"),
+            num_partitions=64,
+        ).count()
+
+    queries["q_repo_ops"] = timed_best(run_repo_ops)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",

@@ -1,0 +1,135 @@
+"""CDC-driven incremental ingest: snapshot diff -> append only the churn.
+
+The reference's append paths re-read the whole new input and sketch every
+row (`/root/reference/src/sub_command.cpp:1286-1530`); its state path (I3)
+at least skips old sketches but still sketches every row of the append
+batch. For a corpus that arrives as periodic full snapshots (a crawl, a
+forge dump), almost all rows are UNCHANGED — so the 100-TB ingest
+front-door is a CDC pass: classify (repo, path) rows into added / deleted /
+modified / unchanged via ``stages.repo_ops.snapshot_diff``, then run the
+rep-state append (I3, ``pipelines.mst_state.mst_state_append``) over ONLY
+the added+modified rows. The daily cost is O(churn), not O(corpus).
+
+Deleted files are reported but NOT removed from the clustering state —
+matching the reference, which has no tombstone concept (append-only state);
+a curator acts on the report (e.g. excludes deleted ids when exporting).
+
+Equivalence: ``mst_state_append`` itself anti-joins known identities (I4),
+so appending the churn gives the SAME final memberships as appending the
+whole new snapshot — pinned by ``tests/test_ingest.py`` — while sketching
+(the expensive stage) runs on the churn only.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from rabbittclust_ray.config import SketchConfig
+from rabbittclust_ray.pipelines.mst_state import (
+    StateAppendResult,
+    load_state_config,
+    mst_state_append,
+)
+from rabbittclust_ray.stages.prepare import prepare_documents
+from rabbittclust_ray.stages.repo_ops import snapshot_diff
+
+
+@dataclass
+class IngestResult:
+    append: StateAppendResult | None     # None when the diff had no churn
+    diff: ray.data.Dataset               # (repo, path, status, old_id, new_id)
+    n_added: int
+    n_modified: int
+    n_deleted: int
+    n_unchanged: int
+
+
+def _slim(ds: ray.data.Dataset, scfg: SketchConfig) -> ray.data.Dataset:
+    prepared = prepare_documents(ds, scfg, apply_min_len=False)
+    return prepared.map_batches(
+        lambda t: t.select(["doc_id", "repo", "path", "content_sha256"]),
+        batch_format="pyarrow",
+    )
+
+
+def incremental_ingest(
+    root: str,
+    old_snapshot: ray.data.Dataset,
+    new_snapshot: ray.data.Dataset,
+    *,
+    num_partitions: int = 64,
+) -> IngestResult:
+    """Diff two full snapshots and append only added+modified rows to the
+    mst rep-state at ``root`` (built by ``save_mst_state``).
+
+    ``old_snapshot`` must be the snapshot the state was built from (or any
+    later ingested one); both snapshots are canonical documents tables.
+    The changed-id set is bounded by the CHURN size, so broadcasting it
+    into the row filter (sorted array + searchsorted, the same plan as the
+    append's own identity anti-join) holds at 10^12-file corpora as long
+    as a single delta stays machine-bounded — the same assumption the
+    reference makes for one append batch.
+    """
+    scfg, _ = load_state_config(root)
+    diff = snapshot_diff(
+        _slim(old_snapshot, scfg),
+        _slim(new_snapshot, scfg),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    counts: dict[str, int] = {"added": 0, "modified": 0, "deleted": 0,
+                              "unchanged": 0}
+    changed: list[np.ndarray] = []
+    for b in diff.iter_batches(batch_size=None, batch_format="pyarrow"):
+        st = b["status"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(st, return_counts=True)
+        for s, c in zip(uniq, cnt):
+            counts[str(s)] += int(c)
+        m = (st == "added") | (st == "modified")
+        changed.append(
+            b["new_id"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        )
+    changed_ids = np.sort(np.concatenate(changed)) if changed else np.empty(
+        0, dtype=np.int64
+    )
+
+    if len(changed_ids) == 0:
+        return IngestResult(
+            append=None, diff=diff, n_added=0, n_modified=0,
+            n_deleted=counts["deleted"], n_unchanged=counts["unchanged"],
+        )
+
+    cref = ray.put(changed_ids)
+
+    def keep_changed(t: pa.Table) -> pa.Table:
+        kn = ray.get(cref)
+        if "doc_id" in t.column_names:
+            # same id rule prepare_documents applies when the input carries
+            # a native id (driver testdata shape)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            from rabbittclust_ray.hashing import stable_doc_id
+
+            ids = stable_doc_id(
+                t["repo"].to_numpy(zero_copy_only=False),
+                t["path"].to_numpy(zero_copy_only=False),
+                t["commit"].to_numpy(zero_copy_only=False),
+            )
+        pos = np.clip(np.searchsorted(kn, ids), 0, len(kn) - 1)
+        return t.filter(pa.array(kn[pos] == ids))
+
+    churn = new_snapshot.map_batches(keep_changed, batch_format="pyarrow")
+    append = mst_state_append(root, churn)
+    return IngestResult(
+        append=append,
+        diff=diff,
+        n_added=counts["added"],
+        n_modified=counts["modified"],
+        n_deleted=counts["deleted"],
+        n_unchanged=counts["unchanged"],
+    )

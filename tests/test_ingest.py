@@ -1,0 +1,123 @@
+"""CDC-driven incremental ingest (pipelines/ingest.py): diff two full
+snapshots, append only the churn, and land on the same memberships as
+appending the whole new snapshot."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.config import ClusterConfig, SketchConfig
+from rabbittclust_ray.pipelines.clust_mst import clust_mst
+from rabbittclust_ray.pipelines.ingest import incremental_ingest
+from rabbittclust_ray.pipelines.mst_state import (
+    mst_state_append,
+    save_mst_state,
+)
+
+SCFG = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=128, min_len=10)
+CCFG = ClusterConfig(threshold=0.1, num_buckets=8)
+
+
+def _docs_table(rows):
+    """rows: list of (path, commit, content)."""
+    return pa.table(
+        {
+            "repo": ["r"] * len(rows),
+            "path": [p for p, _, _ in rows],
+            "commit": [c for _, c, _ in rows],
+            "lang": ["python"] * len(rows),
+            "content": [t for _, _, t in rows],
+        }
+    )
+
+
+def _family(seed: int, n: int, length: int = 800):
+    rng = np.random.default_rng(seed)
+    words = [f"tok{seed}_{i}" for i in range(60)]
+    base = [words[rng.integers(0, len(words))] for _ in range(length // 8)]
+    out = [" ".join(base)]
+    for c in range(1, n):
+        crng = np.random.default_rng(seed * 1000 + c)
+        toks = list(base)
+        for _ in range(2):
+            toks[int(crng.integers(0, len(toks)))] = words[
+                int(crng.integers(0, len(words)))
+            ]
+        out.append(" ".join(toks))
+    return out
+
+
+def _labels_of(assignments):
+    pdf = assignments.to_pandas()
+    return dict(zip(pdf["doc_id"].astype(int), pdf["cluster_id"].astype(int)))
+
+
+def _partition(labels):
+    by = {}
+    for d, c in labels.items():
+        by.setdefault(c, set()).add(d)
+    return {frozenset(v) for v in by.values()}
+
+
+def test_incremental_ingest_counts_and_equivalence(tmp_path):
+    fam_a = _family(1, 5)
+    fam_b = _family(2, 4)
+    old_rows = (
+        [(f"a{i}.py", "c1", t) for i, t in enumerate(fam_a)]
+        + [(f"b{i}.py", "c1", t) for i, t in enumerate(fam_b)]
+        + [("gone.py", "c1", _family(3, 1)[0])]
+    )
+    # new snapshot: a0 modified (new commit, mutated content), gone.py
+    # deleted, fresh.py added, everything else byte-identical
+    new_rows = [
+        ("a0.py", "c2", _family(1, 6)[5]),
+    ] + [r for r in old_rows if r[0] not in ("a0.py", "gone.py")] + [
+        ("fresh.py", "c2", _family(9, 1)[0])
+    ]
+
+    old_ds = ray.data.from_arrow(_docs_table(old_rows))
+    new_ds = ray.data.from_arrow(_docs_table(new_rows))
+
+    root = str(tmp_path / "state")
+    res = clust_mst(old_ds, SCFG, CCFG)
+    save_mst_state(root, res, SCFG, CCFG, reps_per_cluster=3)
+
+    out = incremental_ingest(root, old_ds, new_ds, num_partitions=4)
+    assert (out.n_added, out.n_modified, out.n_deleted, out.n_unchanged) == (
+        1, 1, 1, len(old_rows) - 2,
+    )
+    assert out.append is not None
+
+    # equivalence: appending only the churn == appending the full snapshot
+    # (the state's own identity anti-join drops unchanged rows)
+    root2 = str(tmp_path / "state2")
+    save_mst_state(root2, res, SCFG, CCFG, reps_per_cluster=3)
+    ref = mst_state_append(root2, new_ds)
+    assert _partition(_labels_of(out.append.assignments)) == _partition(
+        _labels_of(ref.assignments)
+    )
+    # the modified a0 revision must cluster with its family; fresh.py is a
+    # singleton
+    labels = _labels_of(out.append.assignments)
+    pdf = out.diff.to_pandas().set_index("path")
+    mod_id = int(pdf.loc["a0.py", "new_id"])
+    fam_ids = [
+        int(pdf.loc[f"a{i}.py", "new_id"] if f"a{i}.py" in pdf.index else -1)
+        for i in range(1, 5)
+    ]
+    anchor = [i for i in fam_ids if i in labels]
+    assert anchor and labels[mod_id] == labels[anchor[0]]
+
+
+def test_incremental_ingest_no_churn(tmp_path):
+    rows = [(f"d{i}.py", "c1", t) for i, t in enumerate(_family(7, 4))]
+    ds = ray.data.from_arrow(_docs_table(rows))
+    root = str(tmp_path / "state")
+    res = clust_mst(ds, SCFG, CCFG)
+    save_mst_state(root, res, SCFG, CCFG, reps_per_cluster=2)
+    out = incremental_ingest(root, ds, ds, num_partitions=2)
+    assert out.append is None
+    assert out.n_added == out.n_modified == out.n_deleted == 0
+    assert out.n_unchanged == len(rows)
