@@ -2146,6 +2146,83 @@ def _q_license_scan(sf_dir: str):
     return classify_license(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_path_classes(sf_dir: str):
+    """Path-based file classification (The Stack's cheapest filter —
+    content never read): synthetic paths cycle through 7 templates by
+    doc_id%7; vendored/generated/test/docs patterns first-match, else
+    source."""
+    from rabbittclust_ray.stages.code import classify_path
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tpl = [
+            "src/mod{x}.py",
+            "vendor/lib{x}.c",
+            "tests/test_{x}.py",
+            "gen/api{x}.pb.go",
+            "docs/ch{x}.md",
+            "pkg/util{x}.go",
+            "third_party/t{x}.h",
+        ]
+        paths = [tpl[int(i) % 7].format(x=int(i) % 50) for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+
+    return classify_path(ds.map_batches(augment, batch_format="pyarrow"))
+
+
+def _q_repo_license(sf_dir: str):
+    """Repo-level license propagation: per-file license headers (the
+    license_scan synth) roll up to each synthetic repo r{d%9} as the
+    deterministic MODE ((count desc, license asc) winner) — the license a
+    curator assigns to the whole repo."""
+    from rabbittclust_ray.stages.code import classify_license
+    from rabbittclust_ray.stages.relational import mode_by
+
+    headers = [
+        '// Licensed under the Apache License, Version 2.0 (the "License");\n',
+        "// Permission is hereby granted, free of charge, to any person\n",
+        "// under the terms of the GNU General Public License as published\n",
+        "// Redistribution and use in source and binary forms, with or without\n",
+        "",
+    ]
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [headers[int(i) % 5] + s for i, s in zip(ids, texts)]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    lic = classify_license(ds.map_batches(augment, batch_format="pyarrow"))
+
+    def add_repo(t: pa.Table) -> pa.Table:
+        # repo is a pure function of doc_id (classify_license projects to
+        # (doc_id, license), so rehydrate the coordinate instead of joining)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 9}" for i in ids], pa.string()),
+                "license": t["license"],
+            }
+        )
+
+    return mode_by(
+        lic.map_batches(add_repo, batch_format="pyarrow"),
+        group_col="repo",
+        value_col="license",
+        num_partitions=8,
+    )
+
+
 def _q_import_graph(sf_dir: str):
     """Import/dependency extraction + per-module rollup: each doc gets
     three deterministic import statements (two `import modX`, one
@@ -2679,6 +2756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "dependency_layers": _q_dependency_layers,
         "function_clones": _q_function_clones,
+        "path_classes": _q_path_classes,
+        "repo_license": _q_repo_license,
     }
 
 
@@ -4193,7 +4272,60 @@ def _code_ops_sql() -> dict[str, str]:
         f"WHEN regexp_matches(substr(t, 1, 400), '{pat}') THEN '{name}'"
         for name, pat in LICENSE_PATTERNS
     )
+    from rabbittclust_ray.stages.code import PATH_CLASS_PATTERNS
+
+    path_cases = "\n".join(
+        f"WHEN regexp_matches(path, '{pat}') THEN '{name}'"
+        for name, pat in PATH_CLASS_PATTERNS
+    )
     return {
+        "path_classes": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE doc_id % 7
+                           WHEN 0 THEN 'src/mod' || (doc_id % 50) || '.py'
+                           WHEN 1 THEN 'vendor/lib' || (doc_id % 50) || '.c'
+                           WHEN 2 THEN 'tests/test_' || (doc_id % 50) || '.py'
+                           WHEN 3 THEN 'gen/api' || (doc_id % 50) || '.pb.go'
+                           WHEN 4 THEN 'docs/ch' || (doc_id % 50) || '.md'
+                           WHEN 5 THEN 'pkg/util' || (doc_id % 50) || '.go'
+                           ELSE 'third_party/t' || (doc_id % 50) || '.h'
+                       END AS path
+                FROM documents
+            )
+            SELECT doc_id, path,
+                   CASE """ + path_cases + """
+                       ELSE 'source' END AS path_class
+            FROM p
+        """,
+        "repo_license": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                           WHEN 0 THEN '// Licensed under the Apache License, Version 2.0 (the "License");' || chr(10)
+                           WHEN 1 THEN '// Permission is hereby granted, free of charge, to any person' || chr(10)
+                           WHEN 2 THEN '// under the terms of the GNU General Public License as published' || chr(10)
+                           WHEN 3 THEN '// Redistribution and use in source and binary forms, with or without' || chr(10)
+                           ELSE '' END || text AS t
+                FROM documents
+            ),
+            lic AS (
+                SELECT 'r' || (doc_id % 9) AS repo,
+                       CASE """ + license_cases + """
+                           ELSE 'unknown' END AS license
+                FROM aug
+            ),
+            cnt AS (
+                SELECT repo, license, CAST(count(*) AS BIGINT) AS c
+                FROM lic GROUP BY 1, 2
+            )
+            SELECT repo, license AS mode_value, c AS mode_count
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo ORDER BY c DESC, license ASC) AS rn
+                FROM cnt
+            ) WHERE rn = 1
+        """,
         "secret_scan": """
             WITH aug AS MATERIALIZED (
                 SELECT doc_id,

@@ -15,6 +15,8 @@ Reference CLI (/root/reference/src/main.cpp:60-240): ``clust-mst`` /
         [--dedup-dist 0.02] [--embeddings emb.parquet --min-sim 0.9]  (training-data cascade)
     python -m rabbittclust_ray strip-spans  -i docs.parquet -o out/ \
         --dedup-dist 0.02 [--span-w 16]    (exact shared-span removal from later dups)
+    python -m rabbittclust_ray ingest --state state/ --old a.parquet \
+        --new b.parquet -o out/            (CDC diff -> churn-only rep-state append)
 
 Owns the Ray session (guarded init — the driver contract path never
 reaches this module)."""
@@ -259,6 +261,21 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(pcf)
     pcf.add_argument("--max-line-len", type=int, default=1000)
     pcf.add_argument("--min-alnum-ppm", type=int, default=250_000)
+    # CDC-driven incremental ingest: diff two full snapshots, append only
+    # the churn to an existing mst rep-state (`db build` / clust-mst
+    # --save-rep output); config comes from the state dir
+    pin = sub.add_parser(
+        "ingest",
+        help="diff --old vs --new snapshots and append only added+modified "
+             "rows to the rep-state at --state; writes diff/ parquet and "
+             "prints churn counts",
+    )
+    pin.add_argument("--state", required=True, help="mst rep-state directory")
+    pin.add_argument("--old", required=True, help="previous snapshot (Parquet)")
+    pin.add_argument("--new", required=True, help="new snapshot (Parquet)")
+    pin.add_argument("-o", "--output", required=True)
+    pin.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = parser.parse_args(argv)
 
     import ray
@@ -276,6 +293,36 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     try:
+        if args.cmd == "ingest":
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from rabbittclust_ray.pipelines.ingest import incremental_ingest
+
+            out = incremental_ingest(
+                args.state,
+                _read_documents(args.old),
+                _read_documents(args.new),
+            )
+            os.makedirs(args.output, exist_ok=True)
+            _pq.write_table(
+                _pa.Table.from_pandas(
+                    out.diff.to_pandas(), preserve_index=False
+                ),
+                os.path.join(args.output, "diff.parquet"),
+            )
+            print(
+                f"ingest: added={out.n_added} modified={out.n_modified} "
+                f"deleted={out.n_deleted} unchanged={out.n_unchanged}"
+            )
+            if out.append is not None:
+                print(
+                    f"append: {out.append.new_clusters} new clusters, "
+                    f"{out.append.merged_clusters} old clusters merged"
+                )
+            else:
+                print("append: no churn, state unchanged")
+            return 0
         scfg, ccfg = _configs(args)
         if args.cmd == "db":
             return _db_verb(args, parser, scfg, ccfg)

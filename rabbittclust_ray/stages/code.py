@@ -586,3 +586,52 @@ def latest_version_dedup(
 
     keyed = ds.map_batches(prep, batch_format="pyarrow")
     return hash_exchange(keyed, "gkey", winners, num_partitions)
+
+
+# Path-based file classification, FIRST match wins (The Stack's curation
+# drops test/vendored/generated trees before content filters ever run —
+# it's the cheapest filter in the stack because it never touches content).
+# Order fixed for determinism; patterns are RE2 shared with the SQL oracle.
+PATH_CLASS_PATTERNS: list[tuple[str, str]] = [
+    ("vendored", r"(^|/)(vendor|third_party|node_modules|extern(al)?)/"),
+    ("generated", r"(\.pb\.go|_pb2\.py|\.g\.cs|\.min\.js)$|(^|/)gen(erated)?/"),
+    ("test", r"(^|/)tests?/|(^|/)test_[^/]*$|_test\.[A-Za-z0-9]+$"),
+    ("docs", r"(^|/)docs?/|\.(md|rst|txt)$"),
+]
+PATH_CLASS_DEFAULT = "source"
+
+
+def classify_path(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    path_col: str = "path",
+    patterns: list[tuple[str, str]] | None = None,
+) -> ray.data.Dataset:
+    """Classify each file by its PATH into vendored / generated / test /
+    docs / source (first matching pattern of ``PATH_CLASS_PATTERNS`` wins,
+    ``source`` otherwise). Content never read — the op runs on the path
+    column alone, so at 10^12 files it is a metadata-only scan (pair it
+    with ``read_parquet(columns=[...])``).
+
+    Output: input columns + ``path_class``. Pure map stage (one boolean
+    RE2 per class + ``np.select``), same kernel shape as
+    ``classify_license``.
+    """
+    import pyarrow.compute as pc
+
+    pats = PATH_CLASS_PATTERNS if patterns is None else patterns
+
+    def f(t: pa.Table) -> pa.Table:
+        paths = t[path_col]
+        if isinstance(paths, pa.ChunkedArray):
+            paths = paths.combine_chunks()
+        conds = [
+            pc.match_substring_regex(paths, rx).to_numpy(zero_copy_only=False)
+            for _, rx in pats
+        ]
+        cls = np.select(conds, [name for name, _ in pats],
+                        default=PATH_CLASS_DEFAULT)
+        return t.append_column("path_class", pa.array(cls.tolist(), pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

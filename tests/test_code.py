@@ -392,3 +392,31 @@ def test_code_filters_cli(tmp_path):
     assert len(cleaned) == 2
     assert all("<SECRET>" in t or "api_key" not in t
                for t in cleaned.redacted_text)
+
+
+def test_classify_path_first_match_and_default():
+    from rabbittclust_ray.stages.code import classify_path
+
+    rows = {
+        "doc_id": list(range(8)),
+        "path": [
+            "src/main.py",                 # source
+            "vendor/lib/util.c",           # vendored
+            "tests/test_util.py",          # test (not vendored)
+            "proto/api.pb.go",             # generated
+            "docs/guide.md",               # docs
+            "README.md",                   # docs (.md)
+            "vendor/tests/test_x.py",      # vendored wins (first match)
+            "pkg/gen/models.go",           # generated (gen/ dir)
+        ],
+    }
+    out = (
+        classify_path(_ds(rows))
+        .to_pandas()
+        .sort_values("doc_id")["path_class"]
+        .tolist()
+    )
+    assert out == [
+        "source", "vendored", "test", "generated",
+        "docs", "docs", "vendored", "generated",
+    ]

@@ -121,3 +121,34 @@ def test_incremental_ingest_no_churn(tmp_path):
     assert out.append is None
     assert out.n_added == out.n_modified == out.n_deleted == 0
     assert out.n_unchanged == len(rows)
+
+
+def test_ingest_cli(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.cli import main
+
+    fam = _family(11, 4)
+    old_rows = [(f"f{i}.py", "c1", t) for i, t in enumerate(fam[:3])]
+    new_rows = old_rows[1:] + [("f9.py", "c2", fam[3])]
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(_docs_table(old_rows), old_p)
+    pq.write_table(_docs_table(new_rows), new_p)
+
+    state = str(tmp_path / "state")
+    res = clust_mst(
+        ray.data.from_arrow(_docs_table(old_rows)), SCFG, CCFG
+    )
+    save_mst_state(state, res, SCFG, CCFG, reps_per_cluster=2)
+
+    out = str(tmp_path / "out")
+    rc = main(
+        ["ingest", "--state", state, "--old", old_p, "--new", new_p,
+         "-o", out]
+    )
+    assert rc == 0
+    diff = pq.read_table(f"{out}/diff.parquet").to_pandas().set_index("path")
+    assert diff.loc["f9.py", "status"] == "added"
+    assert diff.loc["f0.py", "status"] == "deleted"
+    assert (diff["status"] == "unchanged").sum() == 2
