@@ -2146,6 +2146,40 @@ def _q_license_scan(sf_dir: str):
     return classify_license(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_notebook_cells(sf_dir: str):
+    """Notebook flattening: each doc is wrapped as an .ipynb JSON with a
+    code cell (text[:40]), a markdown cell, and — on even doc_ids — a
+    second code cell (text[80:120]); the extractor parses the JSON back
+    and emits the code cells, which the oracle reproduces directly from
+    the substr formulas (escaping round-trips through json.dumps/loads)."""
+    import json as _json
+
+    from rabbittclust_ray.stages.code import extract_notebook_cells
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            cells = [
+                {"cell_type": "code", "source": [s[:40]]},
+                {"cell_type": "markdown", "source": [s[40:80]]},
+            ]
+            if i % 2 == 0:
+                cells.append({"cell_type": "code", "source": s[80:120]})
+            out.append(_json.dumps({"cells": cells}))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(out, pa.string())}
+        )
+
+    return extract_notebook_cells(
+        ds.map_batches(augment, batch_format="pyarrow")
+    )
+
+
 def _q_path_classes(sf_dir: str):
     """Path-based file classification (The Stack's cheapest filter —
     content never read): synthetic paths cycle through 7 templates by
@@ -2758,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_clones": _q_function_clones,
         "path_classes": _q_path_classes,
         "repo_license": _q_repo_license,
+        "notebook_cells": _q_notebook_cells,
     }
 
 
@@ -4297,6 +4332,17 @@ def _code_ops_sql() -> dict[str, str]:
                    CASE """ + path_cases + """
                        ELSE 'source' END AS path_class
             FROM p
+        """,
+        "notebook_cells": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS cell_idx,
+                   substr(text, 1, 40) AS source,
+                   CAST(length(substr(text, 1, 40)) AS BIGINT) AS n_chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT),
+                   substr(text, 81, 40),
+                   CAST(length(substr(text, 81, 40)) AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 0
         """,
         "repo_license": """
             WITH aug AS (

@@ -635,3 +635,75 @@ def classify_path(
         return t.append_column("path_class", pa.array(cls.tolist(), pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def extract_notebook_cells(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cell_types: tuple[str, ...] = ("code",),
+) -> ray.data.Dataset:
+    """Jupyter-notebook flattening: parse each ``.ipynb`` JSON document and
+    emit one row per kept cell — the Stack-style "convert notebooks to
+    scripts" curation step (a crawl's notebooks hide most of their code
+    inside JSON ``cells[*].source``).
+
+    Output: ``(doc_id, cell_idx, source, n_chars)`` where ``cell_idx`` is
+    the cell's position in the notebook's cells array (stable across
+    filtering) and ``source`` joins the ipynb line-list form (a plain
+    string source is passed through). Documents that fail to parse as JSON
+    emit nothing (a malformed notebook carries no extractable code).
+
+    Pure map stage — no shuffle; the per-document loop is irreducible
+    (JSON decode is per-document by nature, via the C json parser), which
+    is why this stays a task pool rather than pretending to vectorize.
+    """
+    import json
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "cell_idx": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    keep = set(cell_types)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_src: list[str] = []
+        for i, s in zip(ids, texts):
+            try:
+                nb = json.loads(s)
+            except (ValueError, TypeError):
+                continue
+            cells = nb.get("cells", []) if isinstance(nb, dict) else []
+            for j, c in enumerate(cells):
+                if not isinstance(c, dict) or c.get("cell_type") not in keep:
+                    continue
+                src = c.get("source", "")
+                if isinstance(src, list):
+                    src = "".join(str(x) for x in src)
+                out_id.append(int(i))
+                out_idx.append(j)
+                out_src.append(str(src))
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "cell_idx": pa.array(out_idx, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+                "n_chars": pa.array(
+                    [len(s) for s in out_src], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

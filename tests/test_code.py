@@ -420,3 +420,39 @@ def test_classify_path_first_match_and_default():
         "source", "vendored", "test", "generated",
         "docs", "docs", "vendored", "generated",
     ]
+
+
+def test_extract_notebook_cells():
+    import json
+
+    from rabbittclust_ray.stages.code import extract_notebook_cells
+
+    nb0 = json.dumps(
+        {
+            "cells": [
+                {"cell_type": "code", "source": ["x = 1\n", "y = 2"]},
+                {"cell_type": "markdown", "source": ["# title"]},
+                {"cell_type": "code", "source": "print(x)"},
+            ]
+        }
+    )
+    nb1 = json.dumps({"cells": [{"cell_type": "markdown", "source": "m"}]})
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [nb0, nb1, "not json at all", json.dumps({"no_cells": 1})],
+    }
+    out = (
+        extract_notebook_cells(_ds(rows))
+        .to_pandas()
+        .sort_values(["doc_id", "cell_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 0]
+    assert out["cell_idx"].tolist() == [0, 2]
+    assert out["source"].tolist() == ["x = 1\ny = 2", "print(x)"]
+    assert out["n_chars"].tolist() == [11, 8]
+    # markdown kept when requested
+    out2 = extract_notebook_cells(
+        _ds(rows), cell_types=("code", "markdown")
+    ).to_pandas()
+    assert len(out2) == 4
