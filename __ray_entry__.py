@@ -2470,6 +2470,36 @@ def _q_shuffle_shards(sf_dir: str):
     )
 
 
+def _q_mixture_plan(sf_dir: str):
+    """Temperature-mixture sampling plan (T=2, Conneau et al. XLM-R
+    rebalancing) over the skewed lang column: weight = isqrt(n),
+    target = total*w//sum(w), rate in floor-ppm — all-integer so the
+    SQL oracle is bit-exact."""
+    from rabbittclust_ray.stages.sample import mixture_plan, source_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang"])
+    counts = source_counts(ds, source_col="lang", num_partitions=8).take_all()
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pylist(counts)
+    return mixture_plan(tbl, target_total=200, source_col="lang")
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Apply the T=2 lang-mixture plan (sha oracle surface): keep a doc
+    iff sha(doc_id||'-42') falls under its lang's ppm threshold."""
+    from rabbittclust_ray.stages.sample import plan_and_sample
+
+    counts_ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang"])
+    rows_ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return plan_and_sample(
+        counts_ds, rows_ds, target_total=200, seed=42,
+        source_col="lang", method="sha", num_partitions=8,
+    )
+
+
 def _q_stack_filters(sf_dir: str):
     """The Stack / StarCoder mechanical filters over code-shaped content:
     doc_id%13==0 docs carry an over-long line, doc_id%9==0 an
@@ -2782,6 +2812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_chunks": _q_function_chunks,
         "comment_density": _q_comment_density,
         "shuffle_shards": _q_shuffle_shards,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_sample": _q_mixture_sample,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
@@ -4592,6 +4624,61 @@ def _code_ops_sql() -> dict[str, str]:
                        PARTITION BY rk % 8 ORDER BY rk, doc_id) - 1
                        AS BIGINT) AS pos
             FROM r
+        """,
+        # T=2 temperature mixture: isqrt via floor(sqrt()) + off-by-one
+        # correction (exact for all BIGINT n), floor-division targets/ppm
+        "mixture_plan": """
+            WITH counts AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang
+            ),
+            w AS (
+                SELECT lang, n_docs,
+                       CAST(CASE WHEN (s+1)*(s+1) <= n_docs THEN s+1
+                                 WHEN s*s > n_docs THEN s-1
+                                 ELSE s END AS BIGINT) AS weight
+                FROM (SELECT lang, n_docs,
+                             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)))
+                                  AS BIGINT) AS s
+                      FROM counts)
+            ),
+            tot AS (SELECT CAST(sum(weight) AS BIGINT) AS sw FROM w)
+            SELECT lang, n_docs, weight,
+                   CAST(200 * weight // sw AS BIGINT) AS target_rows,
+                   CAST(least(1000000,
+                              1000000 * (200 * weight // sw) // n_docs)
+                        AS BIGINT) AS rate_ppm
+            FROM w, tot ORDER BY lang
+        """,
+        "mixture_sample": """
+            WITH counts AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang
+            ),
+            w AS (
+                SELECT lang, n_docs,
+                       CAST(CASE WHEN (s+1)*(s+1) <= n_docs THEN s+1
+                                 WHEN s*s > n_docs THEN s-1
+                                 ELSE s END AS BIGINT) AS weight
+                FROM (SELECT lang, n_docs,
+                             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)))
+                                  AS BIGINT) AS s
+                      FROM counts)
+            ),
+            tot AS (SELECT CAST(sum(weight) AS BIGINT) AS sw FROM w),
+            plan AS (
+                SELECT lang,
+                       CAST(least(1000000,
+                                  1000000 * (200 * weight // sw) // n_docs)
+                            AS BIGINT) AS rate_ppm
+                FROM w, tot
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN plan p USING (lang)
+            WHERE ('0x' || substr(sha256(
+                      CAST(d.doc_id AS VARCHAR) || '-42'), 1, 15))::UBIGINT
+                  < CAST(p.rate_ppm AS HUGEINT)
+                    * 1152921504606846976 // 1000000
         """,
         "stack_filters": """
             WITH aug AS MATERIALIZED (

@@ -78,6 +78,184 @@ def deterministic_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def source_counts(
+    ds: ray.data.Dataset,
+    *,
+    source_col: str = "source",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-source row counts: per-batch ``value_counts`` partials (each
+    batch collapses to <= #sources rows) then ONE source-keyed exchange
+    that sums the partials — the shuffled volume is O(blocks x sources),
+    never O(rows)."""
+    import pandas as pd
+
+    empty = pa.table(
+        {
+            source_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t[source_col])
+        src = vc.field("values").cast(pa.string())
+        gkey = pd.util.hash_array(
+            np.asarray(src.to_pylist(), dtype=object)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                source_col: src,
+                "n_docs": vc.field("counts").cast(pa.int64()),
+                "__gkey__": pa.array(gkey, pa.int64()),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        df = (
+            t.to_pandas()
+            .groupby(source_col, sort=True, as_index=False)["n_docs"]
+            .sum()
+        )
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def mixture_plan(counts: pa.Table, *, target_total: int,
+                 source_col: str = "source") -> pa.Table:
+    """Temperature-mixture sampling plan (T=2, i.e. alpha=1/2 — the
+    standard multilingual rebalancing of Conneau et al. XLM-R / mC4):
+    source s with n_s rows gets weight w_s = isqrt(n_s), a row target
+    t_s = target_total * w_s // sum(w), and a keep rate in ppm
+    r_s = min(1e6, 1e6 * t_s // n_s). All-integer (math.isqrt + floor
+    division) so a SQL oracle reproduces it bit-exactly.
+
+    The plan is inherently tiny (one row per source), so it is computed
+    on the driver from the already-reduced ``source_counts`` table; the
+    expensive pass is the count, the plan itself is O(#sources).
+
+    Output: (source, n_docs, weight, target_rows, rate_ppm), sorted by
+    source."""
+    import math
+
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(counts, sort_keys=[(source_col, "ascending")])
+    counts = counts.take(idx)
+    n = counts["n_docs"].to_pylist()
+    w = [math.isqrt(max(int(x), 0)) for x in n]
+    sw = sum(w) or 1
+    tgt = [int(target_total) * wi // sw for wi in w]
+    ppm = [
+        min(1_000_000, 1_000_000 * ti // ni) if ni > 0 else 0
+        for ti, ni in zip(tgt, n)
+    ]
+    return pa.table(
+        {
+            source_col: counts[source_col],
+            "n_docs": pa.array([int(x) for x in n], pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+            "target_rows": pa.array(tgt, pa.int64()),
+            "rate_ppm": pa.array(ppm, pa.int64()),
+        }
+    )
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    rate_ppm: dict[str, int],
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    method: str = "splitmix",
+) -> ray.data.Dataset:
+    """Apply a mixture plan: keep a row iff hash(id, seed) falls under its
+    source's ppm threshold. The plan dict is tiny (one entry per source)
+    and rides the closure — broadcast once per task, never per batch. The
+    threshold is integer ppm ON the hash space (thr = ppm * space // 1e6),
+    so the sha surface matches SQL bit-for-bit with no float rounding.
+    Pure map: no shuffle, resume- and partition-stable like
+    ``deterministic_sample``."""
+
+    def thr_of(ppm: int) -> int:
+        space = _SHA_SPACE if method == "sha" else _U64_SPACE
+        return min(int(ppm), 1_000_000) * space // 1_000_000
+
+    thrs = {s: thr_of(p) for s, p in rate_ppm.items()}
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        groups = np.asarray(t[source_col].to_pylist(), dtype=object)
+        if method == "sha":
+            vals = np.array(
+                [int(hashlib.sha256(f"{int(i)}-{seed}".encode()).hexdigest()[:15], 16)
+                 for i in ids],
+                dtype=np.uint64,
+            )
+        else:
+            vals = splitmix64(
+                ids.astype(np.uint64)
+                ^ splitmix64(np.array([seed], dtype=np.uint64))[0]
+            )
+        space = _SHA_SPACE if method == "sha" else _U64_SPACE
+        keep = np.zeros(len(ids), dtype=bool)
+        for g in np.unique(groups):
+            m = groups == g
+            thr = thrs.get(g, 0)
+            # ppm = 1e6 makes thr == space, which overflows uint64 in the
+            # splitmix surface — keep-all short-circuit
+            keep[m] = True if thr >= space else vals[m] < np.uint64(thr)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def plan_and_sample(
+    ds_counts: ray.data.Dataset,
+    ds_rows: ray.data.Dataset,
+    *,
+    target_total: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    method: str = "splitmix",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Two-pass temperature mixture: count pass over ``ds_counts`` (read
+    with just the source column), plan on the driver (tiny), sample pass
+    over ``ds_rows``. Separate datasets so the count pass prunes to one
+    column while the sample pass carries the payload."""
+    counts = source_counts(
+        ds_counts, source_col=source_col, num_partitions=num_partitions
+    ).take_all()
+    counts_tbl = pa.Table.from_pylist(counts) if counts else pa.table(
+        {source_col: pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+    )
+    plan = mixture_plan(counts_tbl, target_total=target_total, source_col=source_col)
+    rates = dict(
+        zip(plan[source_col].to_pylist(), plan["rate_ppm"].to_pylist())
+    )
+    return mixture_sample(
+        ds_rows, rates, seed=seed, id_col=id_col,
+        source_col=source_col, method=method,
+    )
+
+
 def group_sample_topk(
     ds: ray.data.Dataset,
     *,

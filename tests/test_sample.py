@@ -48,3 +48,64 @@ def test_sample_stratified_fractions():
     # fraction edge cases
     assert deterministic_sample(ds, 0.0).count() == 0
     assert deterministic_sample(ds, 1.0).count() == 4000
+
+
+def _skewed_ds(counts={"en": 900, "de": 400, "zh": 100}):
+    rows_src, rows_id = [], []
+    i = 0
+    for s, n in counts.items():
+        for _ in range(n):
+            rows_src.append(s)
+            rows_id.append(i)
+            i += 1
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows_id, pa.int64()),
+        "source": pa.array(rows_src, pa.string()),
+    }))
+
+
+def test_mixture_plan_matches_brute_force():
+    import math
+
+    from rabbittclust_ray.stages.sample import mixture_plan, source_counts
+
+    counts = {"en": 900, "de": 400, "zh": 100}
+    ds = _skewed_ds(counts)
+    got = source_counts(ds, num_partitions=4).to_pandas()
+    assert dict(zip(got.source, got.n_docs)) == counts
+
+    plan = mixture_plan(
+        pa.Table.from_pandas(got), target_total=500
+    ).to_pandas()
+    w = {s: math.isqrt(n) for s, n in counts.items()}   # 30, 20, 10
+    sw = sum(w.values())
+    for _, r in plan.iterrows():
+        assert r.weight == w[r.source]
+        assert r.target_rows == 500 * w[r.source] // sw
+        assert r.rate_ppm == min(
+            10**6, 10**6 * (500 * w[r.source] // sw) // counts[r.source]
+        )
+    # temperature flattens: rare source oversampled relative to size
+    ppm = dict(zip(plan.source, plan.rate_ppm))
+    assert ppm["zh"] > ppm["en"]
+
+
+def test_mixture_sample_rates_and_partition_invariance():
+    from rabbittclust_ray.stages.sample import mixture_sample, plan_and_sample
+
+    ds = _skewed_ds()
+    out = plan_and_sample(
+        ds, ds, target_total=700, seed=5, num_partitions=4
+    ).to_pandas()
+    per = out.groupby("source").size()
+    # targets: w = 30/20/10, sw=60 -> en 350/900, de 233/400, zh 116/100->all
+    assert abs(per["en"] - 350) < 80
+    assert abs(per["de"] - 233) < 70
+    assert per["zh"] == 100  # rate capped at 1e6 -> keeps every row
+    # pure function of (id, seed): repartitioning yields the same rows
+    a = set(mixture_sample(ds, {"en": 250_000}, seed=5).to_pandas().doc_id)
+    b = set(
+        mixture_sample(ds.repartition(13), {"en": 250_000}, seed=5)
+        .to_pandas().doc_id
+    )
+    assert a == b
