@@ -2500,6 +2500,61 @@ def _q_mixture_sample(sf_dir: str):
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE-merge training (Sennrich et al. 2016): 4 merge
+    rounds over the word-frequency table; each round = one pair-keyed
+    exchange with argmax-only reducers + one vectorized literal-replace
+    map. Bit-exact vs an unrolled SQL ladder."""
+    from rabbittclust_ray.stages.bpe import bpe_merges
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_merges(ds, num_merges=4, num_partitions=8)
+
+
+def _bpe_oracle_sql(k: int = 4) -> str:
+    """Unrolled k-round BPE ladder: words -> v0 (sentinel-spaced chars),
+    then per round pair counts (lateral unnest), argmax (cnt desc, lhs,
+    rhs), and a literal replace — the same semantics as the engine."""
+    parts = [
+        """
+        WITH words AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS w
+                  FROM documents)
+            GROUP BY w
+        ),
+        v0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                       AS seq, f
+            FROM words
+        )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""
+        p{r} AS (
+            SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(sum(f) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(seq), ' ') AS s, f
+                  FROM v{r-1}) t,
+                 LATERAL (SELECT unnest(generate_series(1, len(s)-1)) AS i) g
+            GROUP BY 1, 2
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT lhs, rhs, cnt FROM p{r}
+            ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT replace(seq, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ') AS seq, f
+            FROM v{r-1}, m{r} m
+        )""")
+    union = "\n UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, cnt FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return ",".join(parts) + f"\n SELECT * FROM ({union}) ORDER BY rank"
+
+
 def _q_stack_filters(sf_dir: str):
     """The Stack / StarCoder mechanical filters over code-shaped content:
     doc_id%13==0 docs carry an over-long line, doc_id%9==0 an
@@ -2814,6 +2869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": _q_shuffle_shards,
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
+        "bpe_merges": _q_bpe_merges,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
@@ -4625,6 +4681,7 @@ def _code_ops_sql() -> dict[str, str]:
                        AS BIGINT) AS pos
             FROM r
         """,
+        "bpe_merges": _bpe_oracle_sql(4),
         # T=2 temperature mixture: isqrt via floor(sqrt()) + off-by-one
         # correction (exact for all BIGINT n), floor-division targets/ppm
         "mixture_plan": """

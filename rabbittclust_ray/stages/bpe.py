@@ -1,0 +1,223 @@
+"""Distributed BPE-merge training (Sennrich et al. 2016, arXiv:1508.07909)
+— the tokenizer-training step of an LLM data pipeline, expressed
+Ray-Data-first.
+
+The corpus collapses to a word-frequency table first (the classic BPE
+shrink: pair statistics only depend on distinct words x counts), so the
+per-round cost is O(vocab), not O(corpus). Each merge round is ONE
+pair-keyed exchange whose reducers emit only their local argmax — the
+driver sees <= P candidate rows per round, never the pair table.
+
+Symbol sequences ride as sentinel-spaced strings (`' a b c '`); applying
+merge (l, r) is a literal, non-overlapping, left-to-right
+``replace(' l r ' -> ' lr ')`` — exactly SQL ``replace`` semantics, so a
+DuckDB oracle reproduces every round bit-for-bit. The sentinels make a
+pair pattern match whole symbols only (`' a b '` cannot match inside
+`' xa b '`). Merge application matches canonical greedy BPE except for
+SELF-pairs (l == r) over runs of >= 3 identical symbols, where the
+shared sentinel space makes occurrences overlap and ``replace`` takes
+every other one (canonical takes ceil(run/2) pairs); the engine adopts
+replace semantics on BOTH sides so oracle equality is exact — the pair
+*statistics* (positional counts) are canonical either way.
+
+Words are the `[a-z]+` runs of the lowercased text (RE2 on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def word_freqs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """(word, f) over the `[a-z]+` runs of lowercased text: per-batch
+    value_counts partials (each batch collapses to its distinct words),
+    then ONE word-keyed exchange summing the partials."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "w": pa.array([], pa.string()),
+            "f": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        w = w[w != ""]
+        if len(w) == 0:
+            return empty
+        vals, cnts = np.unique(w, return_counts=True)
+        gkey = pd.util.hash_array(vals.astype(object)).astype(np.int64)
+        return pa.table(
+            {
+                "w": pa.array(vals, pa.string()),
+                "f": pa.array(cnts.astype(np.int64), pa.int64()),
+                "__gkey__": pa.array(gkey, pa.int64()),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        df = t.to_pandas().groupby("w", sort=True, as_index=False)["f"].sum()
+        df["f"] = df["f"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    keyed = ds.map_batches(explode, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def _pairs_partial(t: pa.Table) -> pa.Table:
+    """Adjacent symbol pairs of every sequence, freq-weighted, collapsed
+    to per-batch partial sums."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "lhs": pa.array([], pa.string()),
+            "rhs": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    trimmed = pc.utf8_trim(t["seq"], " ")
+    lists = pc.split_pattern(trimmed, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    n_sym = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    w = lists.flatten().to_numpy(zero_copy_only=False)
+    f = np.repeat(t["f"].to_numpy(zero_copy_only=False), n_sym)
+    word_idx = np.repeat(np.arange(len(n_sym)), n_sym)
+    if len(w) < 2:
+        return empty
+    same = word_idx[1:] == word_idx[:-1]
+    lhs, rhs, wt = w[:-1][same], w[1:][same], f[:-1][same]
+    if len(lhs) == 0:
+        return empty
+    df = (
+        pd.DataFrame({"lhs": lhs, "rhs": rhs, "cnt": wt})
+        .groupby(["lhs", "rhs"], sort=False, as_index=False)["cnt"]
+        .sum()
+    )
+    key = (df["lhs"] + "\x1f" + df["rhs"]).to_numpy().astype(object)
+    df["__gkey__"] = pd.util.hash_array(key).astype(np.int64)
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _top1_reduce(t: pa.Table) -> pa.Table:
+    """Sum partials within the partition and keep only the partition's
+    argmax pair (cnt desc, lhs, rhs) — the driver merges <= P rows."""
+    empty = pa.table(
+        {
+            "lhs": pa.array([], pa.string()),
+            "rhs": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    df = (
+        t.to_pandas()
+        .groupby(["lhs", "rhs"], sort=False, as_index=False)["cnt"]
+        .sum()
+        .sort_values(["cnt", "lhs", "rhs"], ascending=[False, True, True],
+                     kind="stable")
+        .head(1)
+    )
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def bpe_merges(
+    ds: ray.data.Dataset,
+    *,
+    num_merges: int = 4,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Train ``num_merges`` BPE merges over the corpus. Returns the tiny
+    merge table (rank, lhs, rhs, cnt) — rank is 1-based merge order.
+
+    Per round: one exchange over the vocab's adjacent pairs with
+    argmax-only reducers, a driver pick over <= P candidates, and one
+    vectorized literal-replace map over the vocab. The vocab dataset is
+    materialized between rounds (it is the collapsed word-frequency
+    table, orders of magnitude smaller than the corpus) so round r+1
+    does not replay round r's lineage."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def init_seq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"seq": pa.array([], pa.string()),
+                 "f": pa.array([], pa.int64())}
+            )
+        spaced = pc.replace_substring_regex(t["w"], "(.)", r"\1 ")
+        seq = pc.binary_join_element_wise(pa.scalar(" "), spaced, "")
+        return pa.table({"seq": seq, "f": t["f"]})
+
+    vocab = (
+        word_freqs(ds, text_col=text_col, num_partitions=num_partitions)
+        .map_batches(init_seq, batch_format="pyarrow")
+        .materialize()
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        cands = hash_exchange(
+            vocab.map_batches(_pairs_partial, batch_format="pyarrow"),
+            "__gkey__",
+            _top1_reduce,
+            num_partitions,
+        ).take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["cnt"], r["lhs"], r["rhs"]))
+        lhs, rhs, cnt = best["lhs"], best["rhs"], int(best["cnt"])
+        merges.append((rank, lhs, rhs, cnt))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+
+        def apply(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("seq"),
+                "seq",
+                pc.replace_substring(t["seq"], pat, rep),
+            )
+
+        vocab = vocab.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "lhs": pa.array([m[1] for m in merges], pa.string()),
+            "rhs": pa.array([m[2] for m in merges], pa.string()),
+            "cnt": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )

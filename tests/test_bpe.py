@@ -1,0 +1,77 @@
+"""BPE-merge training vs a pure-Python brute force with identical
+(replace-semantics) merge application."""
+import collections
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.bpe import bpe_merges, word_freqs
+
+
+def _brute(texts, k):
+    freq = collections.Counter(
+        w for t in texts for w in re.findall(r"[a-z]+", t.lower())
+    )
+    seqs = {w: " " + " ".join(w) + " " for w in freq}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = collections.Counter()
+        for w, f in freq.items():
+            syms = seqs[w].split()
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w in seqs:
+            seqs[w] = seqs[w].replace(f" {l} {r} ", f" {l}{r} ")
+    return merges
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the THE thesis there then",
+    "wwww soooo wwwwww aaa",          # self-pair runs (replace semantics)
+    "Data, pipelines; 123 --- !!",    # punctuation/digits stripped
+    "",                                # empty doc
+    "the the the then thesis cat",
+]
+
+
+def test_word_freqs_matches_counter():
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(TEXTS, pa.string())})
+    ).repartition(3)
+    got = word_freqs(ds, num_partitions=4).to_pandas()
+    want = collections.Counter(
+        w for t in TEXTS for w in re.findall(r"[a-z]+", t.lower())
+    )
+    assert dict(zip(got.w, got.f)) == dict(want)
+
+
+def test_bpe_merges_matches_brute_force():
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(TEXTS, pa.string())})
+    ).repartition(4)
+    got = bpe_merges(ds, num_merges=5, num_partitions=4).to_pandas()
+    want = _brute(TEXTS, 5)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # 'the' dominates: ('h','e') and ('t','h') tie on count, lexicographic
+    # tie-break picks ('h','e') first
+    assert (got.lhs[0], got.rhs[0]) == ("h", "e")
+
+
+def test_bpe_empty_and_degenerate():
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(["123 !!!", ""], pa.string())})
+    )
+    out = bpe_merges(ds, num_merges=3, num_partitions=2)
+    assert out.num_rows == 0
+    # single-letter words only -> no adjacent pairs -> no merges
+    ds2 = ray.data.from_arrow(
+        pa.table({"text": pa.array(["a b c a b", "c a"], pa.string())})
+    )
+    assert bpe_merges(ds2, num_merges=3, num_partitions=2).num_rows == 0
