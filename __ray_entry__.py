@@ -2555,6 +2555,16 @@ def _bpe_oracle_sql(k: int = 4) -> str:
     return ",".join(parts) + f"\n SELECT * FROM ({union}) ORDER BY rank"
 
 
+def _q_ngram_novelty(sf_dir: str):
+    """Corpus-level trigram novelty: per doc, the fraction of its
+    distinct word 3-grams first seen (min doc_id) in that doc. One
+    posting explode + two keyed exchanges."""
+    from rabbittclust_ray.stages.novelty import ngram_novelty
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_novelty(ds, n=3, num_partitions=16)
+
+
 def _q_stack_filters(sf_dir: str):
     """The Stack / StarCoder mechanical filters over code-shaped content:
     doc_id%13==0 docs carry an over-long line, doc_id%9==0 an
@@ -2870,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
         "bpe_merges": _q_bpe_merges,
+        "ngram_novelty": _q_ngram_novelty,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
@@ -4682,6 +4693,30 @@ def _code_ops_sql() -> dict[str, str]:
             FROM r
         """,
         "bpe_merges": _bpe_oracle_sql(4),
+        "ngram_novelty": """
+            WITH d AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ),
+            tri AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws) - 2)) AS i) t
+                WHERE len(ws) >= 3
+            ),
+            firsts AS (SELECT g, min(doc_id) AS fd FROM tri GROUP BY g)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS novel_ngrams,
+                   CAST(1000000 * sum(CASE WHEN f.fd = t.doc_id
+                                           THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS novelty_ppm
+            FROM tri t JOIN firsts f USING (g)
+            GROUP BY t.doc_id
+        """,
         # T=2 temperature mixture: isqrt via floor(sqrt()) + off-by-one
         # correction (exact for all BIGINT n), floor-division targets/ppm
         "mixture_plan": """

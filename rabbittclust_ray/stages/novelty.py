@@ -1,0 +1,140 @@
+"""Corpus-level n-gram novelty scoring — for each document, the fraction
+of its DISTINCT word n-grams whose corpus-wide first occurrence (minimum
+doc_id) is that document. A redundancy/novelty signal for dedup-aware
+curation: boilerplate-heavy or near-duplicate documents score low, fresh
+content scores high (cf. the n-gram overlap metrics of Lee et al. 2022,
+arXiv:2107.06499).
+
+Shape: one posting explode (distinct (doc, ngram) per document — a doc
+lives wholly inside one batch, so per-batch dedup IS global dedup), then
+TWO keyed exchanges: ngram-keyed to decide each n-gram's first document
+and collapse to per-(partition, doc) partial counts, then doc-keyed to
+sum the partials. Shuffled volume is O(distinct postings) then
+O(partitions x docs); nothing materializes on the driver.
+
+Words are the `[a-z]+` runs of the lowercased text (same RE2 rule as
+``stages.bpe``), so the DuckDB oracle reproduces every count exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def ngram_novelty(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """(doc_id, n_ngrams, novel_ngrams, novelty_ppm) per document with at
+    least one word n-gram; novelty_ppm = floor(1e6 * novel / n_ngrams)."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_post = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "g": pa.array([], pa.string()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tok)
+        keep = w != ""
+        w, ids = w[keep], ids[keep]
+        if len(w) < n:
+            return empty_post
+        # n-gram start positions: the next n-1 tokens share the doc
+        same = np.ones(len(w) - (n - 1), dtype=bool)
+        for j in range(1, n):
+            same &= ids[j : len(w) - (n - 1) + j] == ids[: len(w) - (n - 1)]
+        g = w[: len(w) - (n - 1)].astype(object)
+        for j in range(1, n):
+            g = g + " " + w[j : len(w) - (n - 1) + j].astype(object)
+        df = pd.DataFrame(
+            {"doc_id": ids[: len(w) - (n - 1)][same], "g": g[same]}
+        ).drop_duplicates()
+        if df.empty:
+            return empty_post
+        df["__gkey__"] = pd.util.hash_array(
+            df["g"].to_numpy().astype(object)
+        ).astype(np.int64)
+        df["doc_id"] = df["doc_id"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_partial = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_ngrams": pa.array([], pa.int64()),
+            "novel_ngrams": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def first_and_partial(t: pa.Table) -> pa.Table:
+        """All rows of an n-gram are co-located: decide its first doc,
+        then collapse to per-doc partials before the second exchange."""
+        if t.num_rows == 0:
+            return empty_partial
+        df = t.to_pandas()
+        first = df.groupby("g", sort=False)["doc_id"].transform("min")
+        df["novel"] = (df["doc_id"] == first).astype(np.int64)
+        out = df.groupby("doc_id", sort=False, as_index=False).agg(
+            n_ngrams=("g", "size"), novel_ngrams=("novel", "sum")
+        )
+        out["n_ngrams"] = out["n_ngrams"].astype(np.int64)
+        out["novel_ngrams"] = out["novel_ngrams"].astype(np.int64)
+        out["__gkey__"] = out["doc_id"].to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_ngrams": pa.array([], pa.int64()),
+            "novel_ngrams": pa.array([], pa.int64()),
+            "novelty_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def total(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = (
+            t.to_pandas()
+            .groupby("doc_id", sort=False, as_index=False)[
+                ["n_ngrams", "novel_ngrams"]
+            ]
+            .sum()
+        )
+        df["novelty_ppm"] = (
+            1_000_000 * df["novel_ngrams"] // df["n_ngrams"]
+        ).astype(np.int64)
+        for c in ("doc_id", "n_ngrams", "novel_ngrams"):
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    posts = ds.map_batches(explode, batch_format="pyarrow")
+    partials = hash_exchange(posts, "__gkey__", first_and_partial,
+                             num_partitions)
+    return hash_exchange(partials, "__gkey__", total, num_partitions)

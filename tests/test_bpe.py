@@ -75,3 +75,49 @@ def test_bpe_empty_and_degenerate():
         pa.table({"text": pa.array(["a b c a b", "c a"], pa.string())})
     )
     assert bpe_merges(ds2, num_merges=3, num_partitions=2).num_rows == 0
+
+
+def test_ngram_novelty_brute_force_and_partition_invariance():
+    from rabbittclust_ray.stages.novelty import ngram_novelty
+
+    texts = [
+        "alpha beta gamma delta",          # doc 0: all trigrams novel
+        "alpha beta gamma epsilon",        # doc 1: shares 'alpha beta gamma'
+        "zeta eta theta",                  # doc 2: novel single trigram
+        "alpha beta gamma delta",          # doc 3: exact dup of doc 0
+        "one two",                         # doc 4: too short -> no row
+        "x x x x x",                       # doc 5: repeated trigram, distinct=1
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+    def brute(texts, n=3):
+        tris = {}
+        for d, t in enumerate(texts):
+            ws = re.findall(r"[a-z]+", t.lower())
+            tris[d] = {" ".join(ws[i:i+n]) for i in range(len(ws) - n + 1)}
+        first = {}
+        for d in sorted(tris):
+            for g in tris[d]:
+                first.setdefault(g, d)
+        out = {}
+        for d, gs in tris.items():
+            if gs:
+                nov = sum(first[g] == d for g in gs)
+                out[d] = (len(gs), nov, 10**6 * nov // len(gs))
+        return out
+
+    want = brute(texts)
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = ngram_novelty(ds, n=3, num_partitions=4).to_pandas()
+        gmap = {
+            int(r.doc_id): (int(r.n_ngrams), int(r.novel_ngrams),
+                            int(r.novelty_ppm))
+            for r in got.itertuples()
+        }
+        assert gmap == want
+    assert want[3] == (2, 0, 0)        # exact dup: zero novelty
+    assert want[5] == (1, 1, 10**6)    # self-repeated trigram distinct once
