@@ -2565,6 +2565,15 @@ def _q_ngram_novelty(sf_dir: str):
     return ngram_novelty(ds, n=3, num_partitions=16)
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher repetition-removal signals: top 2-/3-gram char fraction +
+    duplicated 5-gram positional char coverage, floor-ppm integers."""
+    from rabbittclust_ray.stages.text import gopher_repetition
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_repetition(ds)
+
+
 def _q_stack_filters(sf_dir: str):
     """The Stack / StarCoder mechanical filters over code-shaped content:
     doc_id%13==0 docs carry an over-long line, doc_id%9==0 an
@@ -2881,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "bpe_merges": _q_bpe_merges,
         "ngram_novelty": _q_ngram_novelty,
+        "gopher_repetition": _q_gopher_repetition,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
@@ -4693,6 +4703,87 @@ def _code_ops_sql() -> dict[str, str]:
             FROM r
         """,
         "bpe_merges": _bpe_oracle_sql(4),
+        "gopher_repetition": """
+            WITH d AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ),
+            tok AS MATERIALIZED (
+                SELECT doc_id, i, length(ws[i]) AS wl
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws))) AS i) t
+            ),
+            dc AS (SELECT doc_id, CAST(sum(wl) AS BIGINT) AS chars
+                   FROM tok GROUP BY doc_id),
+            g2 AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g,
+                       length(ws[i]) + length(ws[i+1]) AS gl
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws) - 1)) AS i) t
+                WHERE len(ws) >= 2
+            ),
+            t2 AS (
+                SELECT doc_id, CAST(cnt * gl AS BIGINT) AS cov
+                FROM (SELECT doc_id, g, gl, count(*) AS cnt
+                      FROM g2 GROUP BY 1, 2, 3)
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, g) = 1
+            ),
+            g3 AS (
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g,
+                       length(ws[i]) + length(ws[i+1]) + length(ws[i+2])
+                           AS gl
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws) - 2)) AS i) t
+                WHERE len(ws) >= 3
+            ),
+            t3 AS (
+                SELECT doc_id, CAST(cnt * gl AS BIGINT) AS cov
+                FROM (SELECT doc_id, g, gl, count(*) AS cnt
+                      FROM g3 GROUP BY 1, 2, 3)
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, g) = 1
+            ),
+            g5 AS MATERIALIZED (
+                SELECT doc_id, i,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4] AS g
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws) - 4)) AS i) t
+                WHERE len(ws) >= 5
+            ),
+            c5 AS (SELECT doc_id, g FROM g5
+                   GROUP BY doc_id, g HAVING count(*) > 1),
+            p5 AS (
+                SELECT DISTINCT g5.doc_id, j
+                FROM g5 JOIN c5 USING (doc_id, g),
+                     LATERAL (SELECT unnest(
+                         generate_series(g5.i, g5.i + 4)) AS j) t
+            ),
+            cov5 AS (
+                SELECT p5.doc_id, CAST(sum(tok.wl) AS BIGINT) AS cov
+                FROM p5 JOIN tok ON tok.doc_id = p5.doc_id
+                               AND tok.i = p5.j
+                GROUP BY p5.doc_id
+            )
+            SELECT docs.doc_id,
+                   CAST(1000000 * coalesce(t2.cov, 0)
+                        // greatest(coalesce(dc.chars, 0), 1) AS BIGINT)
+                       AS top2_char_ppm,
+                   CAST(1000000 * coalesce(t3.cov, 0)
+                        // greatest(coalesce(dc.chars, 0), 1) AS BIGINT)
+                       AS top3_char_ppm,
+                   CAST(1000000 * coalesce(cov5.cov, 0)
+                        // greatest(coalesce(dc.chars, 0), 1) AS BIGINT)
+                       AS dup5_char_ppm
+            FROM (SELECT doc_id FROM documents) docs
+            LEFT JOIN dc USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN cov5 USING (doc_id)
+        """,
         "ngram_novelty": """
             WITH d AS MATERIALIZED (
                 SELECT doc_id,

@@ -136,6 +136,143 @@ def gopher_filter(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def gopher_repetition(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1, the public
+    'repetition removal' rules): per document,
+
+    - ``top2_char_ppm`` / ``top3_char_ppm``: fraction of word characters
+      inside the most frequent word 2-/3-gram (count x n-gram word chars
+      over total word chars; ties -> lexicographically smallest n-gram);
+    - ``dup5_char_ppm``: fraction of word characters covered by any word
+      5-gram occurring more than once (positional coverage — overlapping
+      occurrences union, not double-count).
+
+    Words are `[a-z]+` runs of the lowercased text; "word characters"
+    exclude spaces/punctuation, so the SQL oracle reproduces each ppm
+    exactly. Docs with fewer than n words score 0 for that signal. Pure
+    per-doc map — no shuffle."""
+    import pyarrow.compute as pc
+
+    def _doc_words(t: pa.Table):
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        keep = w != ""
+        n_tok = np.where(
+            np.asarray(txt.to_pandas()) == "", 0, n_tok
+        ).astype(np.int64)
+        return w[keep], n_tok
+
+    def _top_ngram_cov(w, doc_of, wl, n):
+        """Per doc: count(top n-gram) * word-chars(top n-gram)."""
+        L = len(w) - (n - 1)
+        if L <= 0:
+            return {}
+        same = np.ones(L, dtype=bool)
+        for j in range(1, n):
+            same &= doc_of[j : L + j] == doc_of[:L]
+        g = w[:L].astype(object)
+        glen = wl[:L].copy()
+        for j in range(1, n):
+            g = g + " " + w[j : L + j].astype(object)
+            glen += wl[j : L + j]
+        df = pd.DataFrame(
+            {"d": doc_of[:L][same], "g": g[same], "gl": glen[same]}
+        )
+        if df.empty:
+            return {}
+        c = df.groupby(["d", "g"], sort=False).agg(
+            cnt=("g", "size"), gl=("gl", "first")
+        ).reset_index()
+        c = c.sort_values(["d", "cnt", "g"], ascending=[True, False, True],
+                          kind="stable")
+        top = c.groupby("d", sort=False).head(1)
+        return dict(zip(top.d, (top.cnt * top.gl).astype(np.int64)))
+
+    def _dup_ngram_cov(w, doc_of, wl, n):
+        """Per doc: word-chars covered by >=2x n-grams (position union)."""
+        L = len(w) - (n - 1)
+        if L <= 0:
+            return {}
+        same = np.ones(L, dtype=bool)
+        for j in range(1, n):
+            same &= doc_of[j : L + j] == doc_of[:L]
+        g = w[:L].astype(object)
+        for j in range(1, n):
+            g = g + " " + w[j : L + j].astype(object)
+        start = np.arange(L)[same]
+        df = pd.DataFrame({"d": doc_of[:L][same], "g": g[same], "i": start})
+        if df.empty:
+            return {}
+        dup = df.groupby(["d", "g"], sort=False)["i"].transform("size") > 1
+        starts = df["i"].to_numpy()[dup.to_numpy()]
+        covered = np.zeros(len(w), dtype=bool)
+        for j in range(n):
+            covered[starts + j] = True
+        out: dict[int, int] = {}
+        if covered.any():
+            cw = pd.DataFrame(
+                {"d": doc_of[covered], "wl": wl[covered]}
+            ).groupby("d", sort=False)["wl"].sum()
+            out = {int(k): int(v) for k, v in cw.items()}
+        return out
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "top2_char_ppm": pa.array([], pa.int64()),
+                    "top3_char_ppm": pa.array([], pa.int64()),
+                    "dup5_char_ppm": pa.array([], pa.int64()),
+                }
+            )
+        w, n_tok = _doc_words(t)
+        doc_of = np.repeat(ids, n_tok)
+        wl = np.char.str_len(w.astype(str)).astype(np.int64)
+        dc = pd.DataFrame({"d": doc_of, "wl": wl}).groupby(
+            "d", sort=False)["wl"].sum()
+        doc_chars = {int(k): int(v) for k, v in dc.items()}
+        top2 = _top_ngram_cov(w, doc_of, wl, 2)
+        top3 = _top_ngram_cov(w, doc_of, wl, 3)
+        dup5 = _dup_ngram_cov(w, doc_of, wl, 5)
+
+        def ppm(cov: dict) -> np.ndarray:
+            return np.array(
+                [
+                    1_000_000 * cov.get(int(d), 0) // doc_chars[int(d)]
+                    if doc_chars.get(int(d), 0) > 0 else 0
+                    for d in ids
+                ],
+                dtype=np.int64,
+            )
+
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "top2_char_ppm": pa.array(ppm(top2), pa.int64()),
+                "top3_char_ppm": pa.array(ppm(top3), pa.int64()),
+                "dup5_char_ppm": pa.array(ppm(dup5), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _gopher_metrics(txt):
     """Shared Gopher-rule kernel: (n_words, mean_word_len_ppm,
     dup_line_ppm, symbol_ppm, pass_mask) as numpy arrays."""

@@ -318,3 +318,60 @@ def test_decontaminate():
     strict = decontaminate(tr, ev, k=8, min_overlap=9, hasher="rolling") \
         .to_pandas().set_index("doc_id")
     assert strict.loc[10].contaminated == 0
+
+
+def test_gopher_repetition_brute_force():
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.text import gopher_repetition
+
+    texts = [
+        "spam spam spam spam eggs",            # heavy 2-gram repetition
+        "a b c d e a b c d e a b c d e",       # repeated 5-gram
+        "all unique words here today friend",  # no repetition
+        "???",                                  # no words at all
+        "one two three four",                  # < 5 words: dup5 = 0
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+    def brute(t):
+        ws = re.findall(r"[a-z]+", t.lower())
+        chars = sum(len(w) for w in ws)
+        if chars == 0:
+            return (0, 0, 0)
+
+        def top(n):
+            grams = {}
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i:i+n])
+                gl = sum(len(x) for x in ws[i:i+n])
+                c, _ = grams.get(g, (0, gl))
+                grams[g] = (c + 1, gl)
+            if not grams:
+                return 0
+            g, (c, gl) = min(grams.items(), key=lambda kv: (-kv[1][0], kv[0]))
+            return 10**6 * (c * gl) // chars
+
+        cnt5 = {}
+        for i in range(len(ws) - 4):
+            cnt5[" ".join(ws[i:i+5])] = cnt5.get(" ".join(ws[i:i+5]), 0) + 1
+        cov = np.zeros(len(ws), dtype=bool)
+        for i in range(len(ws) - 4):
+            if cnt5[" ".join(ws[i:i+5])] > 1:
+                cov[i:i+5] = True
+        dup5 = 10**6 * sum(len(w) for w, c in zip(ws, cov) if c) // chars
+        return (top(2), top(3), dup5)
+
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = gopher_repetition(ds).to_pandas().sort_values("doc_id")
+        for row, t in zip(got.itertuples(index=False), texts):
+            assert (row.top2_char_ppm, row.top3_char_ppm,
+                    row.dup5_char_ppm) == brute(t), t
