@@ -2574,6 +2574,29 @@ def _q_gopher_repetition(sf_dir: str):
     return gopher_repetition(ds)
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023) with lang='en' as the
+    target domain: integer-ppm per-token likelihood ratios summed per
+    doc. Totals from per-batch partials, token stream moves once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.dsir import dsir_scores, token_totals
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", pc.equal(t["lang"], pa.scalar("en"))
+        )
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(flag, batch_format="pyarrow")
+    nr, nt = token_totals(ds)
+    return dsir_scores(
+        ds, n_raw_tokens=nr, n_target_tokens=nt, num_partitions=16
+    )
+
+
 def _q_stack_filters(sf_dir: str):
     """The Stack / StarCoder mechanical filters over code-shaped content:
     doc_id%13==0 docs carry an over-long line, doc_id%9==0 an
@@ -2891,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "ngram_novelty": _q_ngram_novelty,
         "gopher_repetition": _q_gopher_repetition,
+        "dsir_scores": _q_dsir_scores,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
@@ -4703,6 +4727,36 @@ def _code_ops_sql() -> dict[str, str]:
             FROM r
         """,
         "bpe_merges": _bpe_oracle_sql(4),
+        "dsir_scores": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, (lang = 'en') AS tgt,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS w
+                FROM documents
+            ),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS nr,
+                       CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nt
+                FROM tok
+            ),
+            ws AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS cr,
+                       CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ct
+                FROM tok GROUP BY w
+            ),
+            r AS (
+                SELECT w,
+                       CAST(1000000 * (ct + 1) * nr // ((cr + 1) * nt)
+                            AS BIGINT) AS ppm
+                FROM ws, tot
+            )
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(r.ppm) AS BIGINT) AS dsir_score_sum
+            FROM tok t JOIN r USING (w)
+            GROUP BY t.doc_id
+        """,
         "gopher_repetition": """
             WITH d AS MATERIALIZED (
                 SELECT doc_id,

@@ -1,0 +1,183 @@
+"""DSIR-style importance scoring for data selection (Xie et al. 2023,
+arXiv:2302.03169 "Data Selection for Language Models via Importance
+Resampling") — score every raw document by how target-like its unigram
+distribution is, so a downstream sampler can resample the raw corpus
+toward the target domain.
+
+Deterministic integer formulation (so a DuckDB oracle is bit-exact):
+with N_r total raw tokens, N_t total target-side tokens, and per-word
+counts c_r(w) / c_t(w), each token scores
+
+    r(w) = floor( 1e6 * (c_t(w)+1) * N_r / ((c_r(w)+1) * N_t) )
+
+(add-one smoothing on the counts; ratios > 1e6 ppm mean the word is
+over-represented in the target). A document's score is the sum of r(w)
+over its TOKENS (not distinct words) — the integer analogue of the
+paper's sum of per-token log-likelihood ratios, monotone in the same
+ordering for single-word deviations and exactly reproducible in SQL.
+
+Shape: token totals come from per-batch partials (no shuffle); the token
+stream moves ONCE through a word-keyed exchange whose reducers compute
+c_r/c_t and r(w) in place and collapse to per-(partition, doc) partial
+sums; a second doc-keyed exchange adds them up. Nothing materializes on
+the driver except the two token totals.
+
+The per-word ratio is computed with Python-int (object-dtype) math over
+the partition's DISTINCT words — exact at any corpus size where
+1e6 * c_t * N_r overflows int64 (the totals are corpus-scale numbers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _explode_tokens(t: pa.Table, id_col: str, text_col: str,
+                    target_col: str) -> tuple:
+    import pyarrow.compute as pc
+
+    txt = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+        ),
+        " ",
+    )
+    lists = pc.split_pattern(txt, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    w = lists.flatten().to_numpy(zero_copy_only=False)
+    ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tok)
+    tgt = np.repeat(
+        t[target_col].to_numpy(zero_copy_only=False).astype(bool), n_tok
+    )
+    keep = w != ""
+    return w[keep], ids[keep], tgt[keep]
+
+
+def token_totals(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+) -> tuple[int, int]:
+    """(N_r, N_t): total raw tokens and total target-side tokens, from
+    per-batch partials — each batch collapses to one row, the driver
+    sums a handful of rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        w, _, tgt = _explode_tokens(t, id_col, text_col, target_col)
+        return pa.table(
+            {
+                "nr": pa.array([len(w)], pa.int64()),
+                "nt": pa.array([int(tgt.sum())], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return (sum(r["nr"] for r in rows), sum(r["nt"] for r in rows))
+
+
+def dsir_scores(
+    ds: ray.data.Dataset,
+    *,
+    n_raw_tokens: int,
+    n_target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, dsir_score_sum) per document with >= 1 word.
+    Pass the totals from ``token_totals`` (or known corpus stats)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    nr, nt = int(n_raw_tokens), max(int(n_target_tokens), 1)
+
+    empty_tok = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "w": pa.array([], pa.string()),
+            "tgt": pa.array([], pa.int8()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_tok
+        w, ids, tgt = _explode_tokens(t, id_col, text_col, target_col)
+        if len(w) == 0:
+            return empty_tok
+        gkey = pd.util.hash_array(w.astype(object)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "w": pa.array(w, pa.string()),
+                "tgt": pa.array(tgt.astype(np.int8), pa.int8()),
+                "__gkey__": pa.array(gkey, pa.int64()),
+            }
+        )
+
+    empty_partial = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def ratio_and_partial(t: pa.Table) -> pa.Table:
+        """All rows of a word are co-located: count c_r/c_t, price the
+        word, sum per doc."""
+        if t.num_rows == 0:
+            return empty_partial
+        df = t.to_pandas()
+        grp = df.groupby("w", sort=False)
+        stats = grp.agg(cr=("w", "size"), ct=("tgt", "sum"))
+        # Python-int math: exact even when the products pass int64
+        ppm = {
+            w: (1_000_000 * (int(ct) + 1) * nr) // ((int(cr) + 1) * nt)
+            for w, cr, ct in zip(stats.index, stats.cr, stats.ct)
+        }
+        df["score"] = df["w"].map(ppm).astype(np.int64)
+        out = df.groupby("doc_id", sort=False, as_index=False).agg(
+            n_tokens=("w", "size"), score=("score", "sum")
+        )
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        out["score"] = out["score"].astype(np.int64)
+        out["__gkey__"] = out["doc_id"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "dsir_score_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def total(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = (
+            t.to_pandas()
+            .groupby("doc_id", sort=False, as_index=False)[
+                ["n_tokens", "score"]
+            ]
+            .sum()
+            .rename(columns={"score": "dsir_score_sum"})
+        )
+        for c in df.columns:
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    toks = ds.map_batches(explode, batch_format="pyarrow")
+    partials = hash_exchange(toks, "__gkey__", ratio_and_partial,
+                             num_partitions)
+    return hash_exchange(partials, "__gkey__", total, num_partitions)

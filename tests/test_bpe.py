@@ -121,3 +121,51 @@ def test_ngram_novelty_brute_force_and_partition_invariance():
         assert gmap == want
     assert want[3] == (2, 0, 0)        # exact dup: zero novelty
     assert want[5] == (1, 1, 10**6)    # self-repeated trigram distinct once
+
+
+def test_dsir_scores_brute_force():
+    from rabbittclust_ray.stages.dsir import dsir_scores, token_totals
+
+    texts = [
+        ("the quick brown fox", True),
+        ("the lazy dog sleeps", True),
+        ("le chat noir dort", False),
+        ("der hund schlaeft the", False),
+        ("???", False),                     # no tokens -> no row
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([t for t, _ in texts], pa.string()),
+        "is_target": pa.array([f for _, f in texts], pa.bool_()),
+    })
+
+    toks = [
+        (d, w, f)
+        for d, (t, f) in enumerate(texts)
+        for w in re.findall(r"[a-z]+", t.lower())
+    ]
+    nr = len(toks)
+    nt = sum(1 for *_, f in toks if f)
+    cr = collections.Counter(w for _, w, _ in toks)
+    ct = collections.Counter(w for _, w, f in toks if f)
+    ppm = {w: 10**6 * (ct[w] + 1) * nr // ((cr[w] + 1) * nt) for w in cr}
+    want = {}
+    for d, w, _ in toks:
+        n, s = want.get(d, (0, 0))
+        want[d] = (n + 1, s + ppm[w])
+
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        gnr, gnt = token_totals(ds)
+        assert (gnr, gnt) == (nr, nt)
+        got = dsir_scores(
+            ds, n_raw_tokens=gnr, n_target_tokens=gnt, num_partitions=4
+        ).to_pandas()
+        gmap = {
+            int(r.doc_id): (int(r.n_tokens), int(r.dsir_score_sum))
+            for r in got.itertuples()
+        }
+        assert gmap == want
+    # target-side docs must outscore the non-English ones per token
+    avg = {d: s / n for d, (n, s) in want.items()}
+    assert min(avg[0], avg[1]) > max(avg[2], avg[3])
