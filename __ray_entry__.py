@@ -2597,6 +2597,26 @@ def _q_dsir_scores(sf_dir: str):
     )
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """Top-50 collocations by integer-ratio PMI (Church & Hanks 1990):
+    pmi_ppm = 1e6*cxy*M^2 // (N*cx*cy), min bigram count 5. Unigram
+    stats fetch-joined to bigram facts via two tagged-union exchanges."""
+    from rabbittclust_ray.stages.lm import pmi_bigrams
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_bigrams(ds, min_count=5, k=50, num_partitions=16)
+
+
+def _q_source_overlap(sf_dir: str):
+    """Cross-source trigram contamination matrix: shared distinct
+    trigrams + Jaccard ppm per source pair; ONE ngram-keyed exchange,
+    driver sees only O(P x sources^2) partials."""
+    from rabbittclust_ray.stages.novelty import source_overlap
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_overlap(ds, n=3, num_partitions=16)
+
+
 def _q_stack_filters(sf_dir: str):
     """The Stack / StarCoder mechanical filters over code-shaped content:
     doc_id%13==0 docs carry an over-long line, doc_id%9==0 an
@@ -2915,6 +2935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "gopher_repetition": _q_gopher_repetition,
         "dsir_scores": _q_dsir_scores,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "source_overlap": _q_source_overlap,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
@@ -4727,6 +4749,69 @@ def _code_ops_sql() -> dict[str, str]:
             FROM r
         """,
         "bpe_merges": _bpe_oracle_sql(4),
+        "source_overlap": """
+            WITH d AS MATERIALIZED (
+                SELECT source,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ),
+            tri AS MATERIALIZED (
+                SELECT DISTINCT source,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws) - 2)) AS i) t
+                WHERE len(ws) >= 3
+            ),
+            cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                    FROM tri GROUP BY source),
+            inter AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS shared_ngrams
+                FROM tri a JOIN tri b
+                  ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, shared_ngrams,
+                   CAST(1000000 * shared_ngrams
+                        // (ca.c + cb.c - shared_ngrams) AS BIGINT)
+                       AS jaccard_ppm
+            FROM inter
+            JOIN cnt ca ON ca.source = source_a
+            JOIN cnt cb ON cb.source = source_b
+            ORDER BY source_a, source_b
+        """,
+        "pmi_bigrams": """
+            WITH d AS MATERIALIZED (
+                SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ),
+            big AS MATERIALIZED (
+                SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws) - 1)) AS i) t
+                WHERE len(ws) >= 2
+            ),
+            uni AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w
+            ),
+            tot AS (
+                SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS m,
+                       (SELECT CAST(count(*) AS BIGINT) FROM big) AS n
+            ),
+            bc AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+                FROM big GROUP BY w1, w2 HAVING count(*) >= 5
+            )
+            SELECT w1, w2, cxy,
+                   CAST(1000000::HUGEINT * cxy * m * m
+                        // (n * ux.c * uy.c) AS BIGINT) AS pmi_ppm
+            FROM bc
+            JOIN uni ux ON ux.w = bc.w1
+            JOIN uni uy ON uy.w = bc.w2
+            CROSS JOIN tot
+            ORDER BY pmi_ppm DESC, w1, w2 LIMIT 50
+        """,
         "dsir_scores": """
             WITH tok AS MATERIALIZED (
                 SELECT doc_id, (lang = 'en') AS tgt,

@@ -410,6 +410,53 @@ def run_bench() -> dict:
 
     queries["q_repo_ops"] = timed_best(run_repo_ops)
 
+    # training-data curation family over the 120k-doc code corpus:
+    # corpus trigram novelty + DSIR importance scoring (each one
+    # token/posting explode through keyed exchanges), BPE-merge training
+    # (vocab-collapsed rounds), Gopher repetition (pure map), and the
+    # temperature-mixture two-pass over the sf documents table
+    from rabbittclust_ray.stages.bpe import bpe_merges
+    from rabbittclust_ray.stages.dsir import dsir_scores, token_totals
+    from rabbittclust_ray.stages.novelty import ngram_novelty
+    from rabbittclust_ray.stages.sample import plan_and_sample
+    from rabbittclust_ray.stages.text import gopher_repetition
+
+    def add_ids(t: pa.Table) -> pa.Table:
+        from rabbittclust_ray.hashing import stable_doc_id
+
+        ids = stable_doc_id(
+            t["repo"].to_numpy(zero_copy_only=False),
+            t["path"].to_numpy(zero_copy_only=False),
+            t["commit"].to_numpy(zero_copy_only=False),
+        )
+        out = t.append_column("doc_id", pa.array(ids, pa.int64()))
+        return out.append_column(
+            "is_target",
+            pa.array((ids % 4 == 0)),
+        )
+
+    cur_ds = corpus.map_batches(add_ids, batch_format="pyarrow")
+
+    def run_curation_ops():
+        gopher_repetition(cur_ds, text_col="content").count()
+        ngram_novelty(
+            cur_ds, n=3, text_col="content", num_partitions=64
+        ).count()
+        nr, nt = token_totals(cur_ds, text_col="content")
+        dsir_scores(
+            cur_ds, n_raw_tokens=nr, n_target_tokens=nt,
+            text_col="content", num_partitions=64,
+        ).count()
+        bpe_merges(
+            corpus, num_merges=3, text_col="content", num_partitions=64
+        )
+        plan_and_sample(
+            docs_llm, docs_llm, target_total=2000,
+            source_col="source", num_partitions=16,
+        ).count()
+
+    queries["q_curation_ops"] = timed_best(run_curation_ops)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",

@@ -34,6 +34,7 @@ documented upgrade if a corpus ever breaks it.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -171,3 +172,270 @@ def bigram_fluency(
     partials = hash_exchange(bigrams, "__gkey__", score_contexts,
                              num_partitions)
     return hash_exchange(partials, "doc_id", finalize, num_partitions)
+
+
+def pmi_bigrams(
+    ds: ray.data.Dataset,
+    *,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Top-k collocations by pointwise mutual information (Church & Hanks
+    1990) over adjacent `[a-z]+` word pairs.
+
+    Integer formulation: with M total tokens, N total bigrams, unigram
+    counts c(x) and bigram counts c(x,y),
+
+        pmi_ppm = floor( 1e6 * c(x,y) * M^2 / (N * c(x) * c(y)) )
+
+    — a monotone transform of PMI (no float log), bit-exact in SQL.
+    Bigrams with c(x,y) < ``min_count`` are dropped (the classic noise
+    guard); ties break on (w1, w2).
+
+    Shape: bigram partials -> pair-keyed exchange (c_xy); the unigram
+    table rides the SAME exchange pattern and is fetch-joined twice by
+    re-keying the bigram rows on w1 then w2 (tagged-union reducers —
+    stats rows and fact rows co-partitioned, no broadcast). Totals come
+    from per-batch partials. The result is k rows via per-block top-k +
+    driver merge (``joins.global_topk``)."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.joins import global_topk
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def _tokens(t: pa.Table):
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(n_tok)), n_tok)
+        keep = w != ""
+        return w[keep], doc_of[keep]
+
+    # ---- totals (per-batch partials, no shuffle) -------------------------
+    def totals_partial(t: pa.Table) -> pa.Table:
+        w, doc_of = _tokens(t)
+        nb = 0
+        if len(w) >= 2:
+            nb = int((doc_of[1:] == doc_of[:-1]).sum())
+        return pa.table(
+            {"m": pa.array([len(w)], pa.int64()),
+             "n": pa.array([nb], pa.int64())}
+        )
+
+    rows = ds.map_batches(totals_partial, batch_format="pyarrow").take_all()
+    M = sum(r["m"] for r in rows)
+    N = max(sum(r["n"] for r in rows), 1)
+
+    # ---- unigram counts --------------------------------------------------
+    empty_uni = pa.table(
+        {"w": pa.array([], pa.string()), "c": pa.array([], pa.int64()),
+         "__gkey__": pa.array([], pa.int64())}
+    )
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        w, _ = _tokens(t)
+        if len(w) == 0:
+            return empty_uni
+        vals, cnts = np.unique(w, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(vals, pa.string()),
+                "c": pa.array(cnts.astype(np.int64), pa.int64()),
+                "__gkey__": pa.array(
+                    pd.util.hash_array(vals.astype(object)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def uni_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_uni.drop_columns(["__gkey__"])
+        df = t.to_pandas().groupby("w", sort=False, as_index=False)["c"].sum()
+        df["c"] = df["c"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uni = hash_exchange(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        "__gkey__", uni_reduce, num_partitions,
+    ).materialize()
+
+    # ---- bigram counts ---------------------------------------------------
+    empty_big = pa.table(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+         "cxy": pa.array([], pa.int64()),
+         "__gkey__": pa.array([], pa.int64())}
+    )
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        w, doc_of = _tokens(t)
+        if len(w) < 2:
+            return empty_big
+        same = doc_of[1:] == doc_of[:-1]
+        df = (
+            pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="cxy")
+        )
+        if df.empty:
+            return empty_big
+        key = (df["w1"] + "\x1f" + df["w2"]).to_numpy().astype(object)
+        df["__gkey__"] = pd.util.hash_array(key).astype(np.int64)
+        df["cxy"] = df["cxy"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def big_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_big.drop_columns(["__gkey__"])
+        df = (
+            t.to_pandas()
+            .groupby(["w1", "w2"], sort=False, as_index=False)["cxy"]
+            .sum()
+        )
+        df = df[df["cxy"] >= min_count]
+        df["cxy"] = df["cxy"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    big = hash_exchange(
+        ds.map_batches(big_partial, batch_format="pyarrow"),
+        "__gkey__", big_reduce, num_partitions,
+    )
+
+    # ---- fetch-join c(x) then c(y) via tagged unions ---------------------
+    def keyed_on(col: str, tbl_cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("__gkey__", pa.array([], pa.int64()))
+            key = pd.util.hash_array(
+                t[col].to_numpy(zero_copy_only=False).astype(object)
+            ).astype(np.int64)
+            return t.append_column("__gkey__", pa.array(key, pa.int64()))
+        return f
+
+    def join_side(side_col: str, out_col: str, fact_cols: list[str]):
+        """Reducer: stats rows (w, c) + fact rows co-partitioned on the
+        same word hash; attach c to every fact row. Emits a FIXED schema
+        (fact_cols + out_col) so empty partitions union cleanly."""
+        out_schema = pa.schema(
+            [(c, pa.string() if c in ("w1", "w2") else pa.int64())
+             for c in [*fact_cols, out_col]]
+        )
+
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            df = t.to_pandas()
+            stats = df[df["w"].notna()]
+            facts = df[df["w"].isna()].copy()
+            cmap = dict(zip(stats["w"], stats["c"]))
+            facts[out_col] = (
+                facts[side_col].map(cmap).fillna(0).astype(np.int64)
+            )
+            for c in fact_cols:
+                if c not in ("w1", "w2"):
+                    facts[c] = facts[c].astype(np.int64)
+            return pa.Table.from_pandas(
+                facts[[*fact_cols, out_col]], preserve_index=False
+            )
+        return f
+
+    def tag_facts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column(
+            "w", pa.array([None] * n, pa.string())
+        ).append_column("c", pa.array([0] * n, pa.int64()))
+
+    def tag_stats_like(fact_schema: list[tuple[str, pa.DataType]]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            for name, typ in fact_schema:
+                t = t.append_column(name, pa.nulls(n, typ))
+            return t
+        return f
+
+    def in_order(cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select(cols)
+        return f
+
+    # join 1: key facts on w1
+    cols1 = ["w1", "w2", "cxy", "w", "c", "__gkey__"]
+    facts1 = (
+        big.map_batches(tag_facts, batch_format="pyarrow")
+        .map_batches(keyed_on("w1", []), batch_format="pyarrow")
+        .map_batches(in_order(cols1), batch_format="pyarrow")
+    )
+    stats1 = (
+        uni.map_batches(
+            tag_stats_like([("w1", pa.string()), ("w2", pa.string()),
+                            ("cxy", pa.int64())]),
+            batch_format="pyarrow",
+        )
+        .map_batches(keyed_on("w", []), batch_format="pyarrow")
+        .map_batches(in_order(cols1), batch_format="pyarrow")
+    )
+    j1 = hash_exchange(
+        facts1.union(stats1), "__gkey__",
+        join_side("w1", "cx", ["w1", "w2", "cxy"]),
+        num_partitions,
+    )
+
+    # join 2: key on w2
+    cols2 = ["w1", "w2", "cxy", "cx", "w", "c", "__gkey__"]
+    facts2 = (
+        j1.map_batches(tag_facts, batch_format="pyarrow")
+        .map_batches(keyed_on("w2", []), batch_format="pyarrow")
+        .map_batches(in_order(cols2), batch_format="pyarrow")
+    )
+    stats2 = (
+        uni.map_batches(
+            tag_stats_like([("w1", pa.string()), ("w2", pa.string()),
+                            ("cxy", pa.int64()), ("cx", pa.int64())]),
+            batch_format="pyarrow",
+        )
+        .map_batches(keyed_on("w", []), batch_format="pyarrow")
+        .map_batches(in_order(cols2), batch_format="pyarrow")
+    )
+    j2 = hash_exchange(
+        facts2.union(stats2), "__gkey__",
+        join_side("w2", "cy", ["w1", "w2", "cxy", "cx"]),
+        num_partitions,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "cxy": pa.array([], pa.int64()),
+                 "pmi_ppm": pa.array([], pa.int64())}
+            )
+        df = t.to_pandas()
+        # Python-int exact: 1e6 * cxy * M^2 overflows int64 at corpus scale
+        df["pmi_ppm"] = [
+            (1_000_000 * int(cxy) * M * M) // (N * int(cx) * int(cy))
+            for cxy, cx, cy in zip(df.cxy, df.cx, df.cy)
+        ]
+        df["pmi_ppm"] = df["pmi_ppm"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["w1", "w2", "cxy", "pmi_ppm"]], preserve_index=False
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return global_topk(
+        scored,
+        order_cols=["pmi_ppm", "w1", "w2"],
+        ascending=[False, True, True],
+        k=k,
+    )

@@ -138,3 +138,135 @@ def ngram_novelty(
     partials = hash_exchange(posts, "__gkey__", first_and_partial,
                              num_partitions)
     return hash_exchange(partials, "__gkey__", total, num_partitions)
+
+
+def source_overlap(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Cross-source n-gram contamination matrix: for every source pair
+    (a < b), the number of distinct word n-grams they share and the
+    Jaccard overlap in floor-ppm — the corpus-curation view of "how much
+    does source A leak into source B" (inter-source duplication drives
+    dedup priorities and mixture weights).
+
+    Shape: per-batch distinct (source, ngram) postings -> ONE ngram-keyed
+    exchange; inside each partition every posting row of an n-gram is
+    co-located, so the reducer dedups globally, self-merges per n-gram to
+    source pairs, and collapses to per-partition partial counts. What
+    reaches the driver is O(P x sources^2) bookkeeping rows — the matrix
+    is bounded by the source vocabulary (tens), never the corpus, which
+    is why a driver-side finalize is legitimate here."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_post = pa.table(
+        {
+            "src": pa.array([], pa.string()),
+            "g": pa.array([], pa.string()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        src = np.repeat(
+            np.asarray(t[source_col].to_pylist(), dtype=object), n_tok
+        )
+        row = np.repeat(np.arange(t.num_rows), n_tok)
+        keep = w != ""
+        w, src, row = w[keep], src[keep], row[keep]
+        if len(w) < n:
+            return empty_post
+        L = len(w) - (n - 1)
+        # n-grams must not span documents (row boundaries), even when
+        # adjacent docs share a source
+        same = np.ones(L, dtype=bool)
+        for j in range(1, n):
+            same &= row[j : L + j] == row[:L]
+        g = w[:L].astype(object)
+        for j in range(1, n):
+            g = g + " " + w[j : L + j].astype(object)
+        df = pd.DataFrame({"src": src[:L][same], "g": g[same]})
+        df = df.drop_duplicates()
+        if df.empty:
+            return empty_post
+        df["__gkey__"] = pd.util.hash_array(
+            df["g"].to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_part = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_part
+        df = t.to_pandas()[["src", "g"]].drop_duplicates()
+        per_src = df.groupby("src", sort=False).size().reset_index(name="cnt")
+        per_src.columns = ["a", "cnt"]
+        per_src["b"] = ""
+        m = df.merge(df, on="g")
+        m = m[m["src_x"] < m["src_y"]]
+        pairs = (
+            m.groupby(["src_x", "src_y"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .rename(columns={"src_x": "a", "src_y": "b"})
+        )
+        out = pd.concat(
+            [pairs[["a", "b", "cnt"]], per_src[["a", "b", "cnt"]]],
+            ignore_index=True,
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rows = hash_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "__gkey__",
+        pair_partial,
+        num_partitions,
+    ).take_all()
+
+    srcs: dict[str, int] = {}
+    pairs: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r["b"] == "":
+            srcs[r["a"]] = srcs.get(r["a"], 0) + int(r["cnt"])
+        else:
+            k = (r["a"], r["b"])
+            pairs[k] = pairs.get(k, 0) + int(r["cnt"])
+    out = sorted(
+        (a, b, c, 1_000_000 * c // (srcs[a] + srcs[b] - c))
+        for (a, b), c in pairs.items()
+    )
+    return pa.table(
+        {
+            "source_a": pa.array([o[0] for o in out], pa.string()),
+            "source_b": pa.array([o[1] for o in out], pa.string()),
+            "shared_ngrams": pa.array([o[2] for o in out], pa.int64()),
+            "jaccard_ppm": pa.array([o[3] for o in out], pa.int64()),
+        }
+    )

@@ -169,3 +169,73 @@ def test_dsir_scores_brute_force():
     # target-side docs must outscore the non-English ones per token
     avg = {d: s / n for d, (n, s) in want.items()}
     assert min(avg[0], avg[1]) > max(avg[2], avg[3])
+
+
+def test_pmi_bigrams_brute_force():
+    from rabbittclust_ray.stages.lm import pmi_bigrams
+
+    texts = [
+        "san francisco is far from new york",
+        "san francisco and new york and paris",
+        "new york is big san francisco is cold",
+        "the the the the san francisco new york",
+        "paris is nice san francisco new york again",
+    ] * 3  # replicate so pairs clear min_count
+    toks = [re.findall(r"[a-z]+", t.lower()) for t in texts]
+    uni = collections.Counter(w for ws in toks for w in ws)
+    big = collections.Counter(
+        (a, b) for ws in toks for a, b in zip(ws, ws[1:])
+    )
+    M = sum(uni.values())
+    N = sum(big.values())
+    scored = [
+        (a, b, c, (10**6 * c * M * M) // (N * uni[a] * uni[b]))
+        for (a, b), c in big.items() if c >= 3
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = scored[:10]
+
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = pmi_bigrams(
+        ds, min_count=3, k=10, num_partitions=4
+    ).to_pandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_source_overlap_brute_force():
+    from rabbittclust_ray.stages.novelty import source_overlap
+
+    texts = [
+        ("s1", "alpha beta gamma delta"),
+        ("s1", "one two three"),
+        ("s2", "alpha beta gamma epsilon"),   # shares 'alpha beta gamma'
+        ("s2", "beta gamma delta"),           # shares with s1 doc 0
+        ("s3", "totally different words here"),
+        ("s1", "gamma delta alpha"),          # same source adjacency guard
+    ]
+    tbl = pa.table({
+        "source": pa.array([s for s, _ in texts], pa.string()),
+        "text": pa.array([t for _, t in texts], pa.string()),
+    })
+
+    tris = {}
+    for s, t in texts:
+        ws = re.findall(r"[a-z]+", t.lower())
+        tris.setdefault(s, set()).update(
+            " ".join(ws[i:i+3]) for i in range(len(ws) - 2)
+        )
+    want = []
+    for a in sorted(tris):
+        for b in sorted(tris):
+            if a < b and tris[a] & tris[b]:
+                inter = len(tris[a] & tris[b])
+                want.append((a, b, inter,
+                             10**6 * inter // len(tris[a] | tris[b])))
+
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = source_overlap(ds, n=3, num_partitions=4).to_pandas()
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # s3 shares nothing: absent from the matrix
+    assert not any("s3" in (a, b) for a, b, *_ in want)
