@@ -438,14 +438,20 @@ def run_bench() -> dict:
     cur_ds = corpus.map_batches(add_ids, batch_format="pyarrow")
 
     def run_curation_ops():
-        gopher_repetition(cur_ds, text_col="content").count()
+        # key_mode="hash": the dual-surface scale path (uint64 combined
+        # token hashes through the exchange; string keys are the oracle
+        # surface exercised by the driver correctness check)
+        gopher_repetition(
+            cur_ds, text_col="content", key_mode="hash"
+        ).count()
         ngram_novelty(
-            cur_ds, n=3, text_col="content", num_partitions=64
+            cur_ds, n=3, text_col="content", num_partitions=64,
+            key_mode="hash",
         ).count()
         nr, nt = token_totals(cur_ds, text_col="content")
         dsir_scores(
             cur_ds, n_raw_tokens=nr, n_target_tokens=nt,
-            text_col="content", num_partitions=64,
+            text_col="content", num_partitions=64, key_mode="hash",
         ).count()
         bpe_merges(
             corpus, num_merges=3, text_col="content", num_partitions=64

@@ -91,17 +91,23 @@ def dsir_scores(
     text_col: str = "text",
     target_col: str = "is_target",
     num_partitions: int = 64,
+    key_mode: str = "string",
 ) -> ray.data.Dataset:
     """(doc_id, n_tokens, dsir_score_sum) per document with >= 1 word.
-    Pass the totals from ``token_totals`` (or known corpus stats)."""
+    Pass the totals from ``token_totals`` (or known corpus stats).
+
+    ``key_mode="hash"`` replaces the shuffled word strings with their
+    64-bit hashes (dual-hasher convention — same counts up to birthday
+    collisions, 8-byte rows instead of strings through the exchange)."""
     from rabbittclust_ray.stages.pairs import hash_exchange
 
     nr, nt = int(n_raw_tokens), max(int(n_target_tokens), 1)
 
+    w_type = pa.string() if key_mode == "string" else pa.int64()
     empty_tok = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
-            "w": pa.array([], pa.string()),
+            "w": pa.array([], w_type),
             "tgt": pa.array([], pa.int8()),
             "__gkey__": pa.array([], pa.int64()),
         }
@@ -114,10 +120,14 @@ def dsir_scores(
         if len(w) == 0:
             return empty_tok
         gkey = pd.util.hash_array(w.astype(object)).astype(np.int64)
+        wcol = (
+            pa.array(w, pa.string()) if key_mode == "string"
+            else pa.array(gkey, pa.int64())
+        )
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-                "w": pa.array(w, pa.string()),
+                "w": wcol,
                 "tgt": pa.array(tgt.astype(np.int8), pa.int8()),
                 "__gkey__": pa.array(gkey, pa.int64()),
             }

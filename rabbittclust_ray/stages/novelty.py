@@ -24,6 +24,20 @@ import pyarrow as pa
 import ray.data
 
 
+def _combine_hashes(th: np.ndarray, L: int, n: int) -> np.ndarray:
+    """Positional 64-bit combine of n consecutive token hashes — the
+    vectorized scale surface for n-gram keys (dual-hasher convention:
+    string keys are the SQL-oracle surface, splitmix-combined uint64
+    keys the scale path; a 64-bit collision merges two n-grams with
+    ~birthday probability, negligible below ~10^9 distinct n-grams)."""
+    from rabbittclust_ray.hashing import splitmix64
+
+    h = th[:L].copy()
+    for j in range(1, n):
+        h = splitmix64(h ^ (th[j : L + j] * np.uint64(0x100000001B3)))
+    return h.astype(np.int64)
+
+
 def ngram_novelty(
     ds: ray.data.Dataset,
     *,
@@ -31,17 +45,25 @@ def ngram_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 64,
+    key_mode: str = "string",
 ) -> ray.data.Dataset:
     """(doc_id, n_ngrams, novel_ngrams, novelty_ppm) per document with at
-    least one word n-gram; novelty_ppm = floor(1e6 * novel / n_ngrams)."""
+    least one word n-gram; novelty_ppm = floor(1e6 * novel / n_ngrams).
+
+    ``key_mode="string"`` (default) keys the exchange on the literal
+    n-gram text — the SQL-oracle surface. ``key_mode="hash"`` keys on a
+    splitmix-combined uint64 of the token hashes: same answer up to
+    64-bit collisions, no per-position object concat, and the shuffled
+    posting rows carry 8-byte ints instead of strings — the scale path."""
     import pyarrow.compute as pc
 
     from rabbittclust_ray.stages.pairs import hash_exchange
 
+    g_type = pa.string() if key_mode == "string" else pa.int64()
     empty_post = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
-            "g": pa.array([], pa.string()),
+            "g": pa.array([], g_type),
             "__gkey__": pa.array([], pa.int64()),
         }
     )
@@ -65,21 +87,29 @@ def ngram_novelty(
         w, ids = w[keep], ids[keep]
         if len(w) < n:
             return empty_post
+        L = len(w) - (n - 1)
         # n-gram start positions: the next n-1 tokens share the doc
-        same = np.ones(len(w) - (n - 1), dtype=bool)
+        same = np.ones(L, dtype=bool)
         for j in range(1, n):
-            same &= ids[j : len(w) - (n - 1) + j] == ids[: len(w) - (n - 1)]
-        g = w[: len(w) - (n - 1)].astype(object)
-        for j in range(1, n):
-            g = g + " " + w[j : len(w) - (n - 1) + j].astype(object)
+            same &= ids[j : L + j] == ids[:L]
+        if key_mode == "string":
+            g = w[:L].astype(object)
+            for j in range(1, n):
+                g = g + " " + w[j : L + j].astype(object)
+        else:
+            th = pd.util.hash_array(w.astype(object)).astype(np.uint64)
+            g = _combine_hashes(th, L, n)
         df = pd.DataFrame(
-            {"doc_id": ids[: len(w) - (n - 1)][same], "g": g[same]}
+            {"doc_id": ids[:L][same], "g": g[same]}
         ).drop_duplicates()
         if df.empty:
             return empty_post
-        df["__gkey__"] = pd.util.hash_array(
-            df["g"].to_numpy().astype(object)
-        ).astype(np.int64)
+        if key_mode == "string":
+            df["__gkey__"] = pd.util.hash_array(
+                df["g"].to_numpy().astype(object)
+            ).astype(np.int64)
+        else:
+            df["__gkey__"] = df["g"].astype(np.int64)
         df["doc_id"] = df["doc_id"].astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 

@@ -141,6 +141,7 @@ def gopher_repetition(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_mode: str = "string",
 ) -> ray.data.Dataset:
     """Gopher repetition signals (Rae et al. 2021 §A1.1, the public
     'repetition removal' rules): per document,
@@ -155,7 +156,13 @@ def gopher_repetition(
     Words are `[a-z]+` runs of the lowercased text; "word characters"
     exclude spaces/punctuation, so the SQL oracle reproduces each ppm
     exactly. Docs with fewer than n words score 0 for that signal. Pure
-    per-doc map — no shuffle."""
+    per-doc map — no shuffle.
+
+    ``key_mode="hash"`` groups n-grams by splitmix-combined uint64 token
+    hashes instead of concatenated strings (the scale surface): same
+    counts up to 64-bit collisions, but equal-count ties for the TOP
+    n-gram break on hash order instead of lexicographic order — the ppm
+    differs only when tied n-grams have different word-char lengths."""
     import pyarrow.compute as pc
 
     def _doc_words(t: pa.Table):
@@ -176,7 +183,17 @@ def gopher_repetition(
         ).astype(np.int64)
         return w[keep], n_tok
 
-    def _top_ngram_cov(w, doc_of, wl, n):
+    def _ngram_keys(w, th, L, n):
+        if key_mode == "string":
+            g = w[:L].astype(object)
+            for j in range(1, n):
+                g = g + " " + w[j : L + j].astype(object)
+            return g
+        from rabbittclust_ray.stages.novelty import _combine_hashes
+
+        return _combine_hashes(th, L, n)
+
+    def _top_ngram_cov(w, th, doc_of, wl, n):
         """Per doc: count(top n-gram) * word-chars(top n-gram)."""
         L = len(w) - (n - 1)
         if L <= 0:
@@ -184,10 +201,9 @@ def gopher_repetition(
         same = np.ones(L, dtype=bool)
         for j in range(1, n):
             same &= doc_of[j : L + j] == doc_of[:L]
-        g = w[:L].astype(object)
+        g = _ngram_keys(w, th, L, n)
         glen = wl[:L].copy()
         for j in range(1, n):
-            g = g + " " + w[j : L + j].astype(object)
             glen += wl[j : L + j]
         df = pd.DataFrame(
             {"d": doc_of[:L][same], "g": g[same], "gl": glen[same]}
@@ -202,7 +218,7 @@ def gopher_repetition(
         top = c.groupby("d", sort=False).head(1)
         return dict(zip(top.d, (top.cnt * top.gl).astype(np.int64)))
 
-    def _dup_ngram_cov(w, doc_of, wl, n):
+    def _dup_ngram_cov(w, th, doc_of, wl, n):
         """Per doc: word-chars covered by >=2x n-grams (position union)."""
         L = len(w) - (n - 1)
         if L <= 0:
@@ -210,9 +226,7 @@ def gopher_repetition(
         same = np.ones(L, dtype=bool)
         for j in range(1, n):
             same &= doc_of[j : L + j] == doc_of[:L]
-        g = w[:L].astype(object)
-        for j in range(1, n):
-            g = g + " " + w[j : L + j].astype(object)
+        g = _ngram_keys(w, th, L, n)
         start = np.arange(L)[same]
         df = pd.DataFrame({"d": doc_of[:L][same], "g": g[same], "i": start})
         if df.empty:
@@ -244,12 +258,16 @@ def gopher_repetition(
         w, n_tok = _doc_words(t)
         doc_of = np.repeat(ids, n_tok)
         wl = np.char.str_len(w.astype(str)).astype(np.int64)
+        th = (
+            pd.util.hash_array(w.astype(object)).astype(np.uint64)
+            if key_mode == "hash" else None
+        )
         dc = pd.DataFrame({"d": doc_of, "wl": wl}).groupby(
             "d", sort=False)["wl"].sum()
         doc_chars = {int(k): int(v) for k, v in dc.items()}
-        top2 = _top_ngram_cov(w, doc_of, wl, 2)
-        top3 = _top_ngram_cov(w, doc_of, wl, 3)
-        dup5 = _dup_ngram_cov(w, doc_of, wl, 5)
+        top2 = _top_ngram_cov(w, th, doc_of, wl, 2)
+        top3 = _top_ngram_cov(w, th, doc_of, wl, 3)
+        dup5 = _dup_ngram_cov(w, th, doc_of, wl, 5)
 
         def ppm(cov: dict) -> np.ndarray:
             return np.array(

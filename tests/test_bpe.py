@@ -239,3 +239,50 @@ def test_source_overlap_brute_force():
         assert [tuple(r) for r in got.itertuples(index=False)] == want
     # s3 shares nothing: absent from the matrix
     assert not any("s3" in (a, b) for a, b, *_ in want)
+
+
+def test_hash_surface_matches_string_surface():
+    """key_mode='hash' (scale path) must reproduce the string surface on
+    collision-free fixtures; gopher ties are excluded by construction."""
+    from rabbittclust_ray.stages.dsir import dsir_scores, token_totals
+    from rabbittclust_ray.stages.novelty import ngram_novelty
+    from rabbittclust_ray.stages.text import gopher_repetition
+
+    texts = [
+        "alpha beta gamma delta alpha beta gamma",
+        "alpha beta gamma epsilon zeta",
+        "one two three four five six seven",
+        "spam spam spam spam eggs ham",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "is_target": pa.array([True, False, True, False], pa.bool_()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+
+    a = ngram_novelty(ds, n=3, num_partitions=4).to_pandas()
+    b = ngram_novelty(
+        ds, n=3, num_partitions=4, key_mode="hash"
+    ).to_pandas()
+    key = ["doc_id", "n_ngrams", "novel_ngrams", "novelty_ppm"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist()))
+
+    nr, nt = token_totals(ds)
+    sa = dsir_scores(
+        ds, n_raw_tokens=nr, n_target_tokens=nt, num_partitions=4
+    ).to_pandas()
+    sb = dsir_scores(
+        ds, n_raw_tokens=nr, n_target_tokens=nt, num_partitions=4,
+        key_mode="hash",
+    ).to_pandas()
+    cols = ["doc_id", "n_tokens", "dsir_score_sum"]
+    assert sorted(map(tuple, sa[cols].values.tolist())) == sorted(
+        map(tuple, sb[cols].values.tolist()))
+
+    ga = gopher_repetition(ds).to_pandas().sort_values("doc_id")
+    gb = gopher_repetition(
+        ds, key_mode="hash"
+    ).to_pandas().sort_values("doc_id")
+    assert ga.values.tolist() == gb.values.tolist()
