@@ -2511,10 +2511,11 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merges(ds, num_merges=4, num_partitions=8)
 
 
-def _bpe_oracle_sql(k: int = 4) -> str:
-    """Unrolled k-round BPE ladder: words -> v0 (sentinel-spaced chars),
-    then per round pair counts (lateral unnest), argmax (cnt desc, lhs,
-    rhs), and a literal replace — the same semantics as the engine."""
+def _bpe_ladder_sql(k: int = 4) -> str:
+    """Shared unrolled k-round BPE ladder CTEs: words -> v0
+    (sentinel-spaced chars, word carried through), then per round pair
+    counts (lateral unnest), argmax (cnt desc, lhs, rhs), and a literal
+    replace — the same semantics as the engine."""
     parts = [
         """
         WITH words AS MATERIALIZED (
@@ -2525,7 +2526,8 @@ def _bpe_oracle_sql(k: int = 4) -> str:
             GROUP BY w
         ),
         v0 AS MATERIALIZED (
-            SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+            SELECT w,
+                   ' ' || array_to_string(string_split(w, ''), ' ') || ' '
                        AS seq, f
             FROM words
         )"""
@@ -2544,15 +2546,47 @@ def _bpe_oracle_sql(k: int = 4) -> str:
             ORDER BY cnt DESC, lhs, rhs LIMIT 1
         ),
         v{r} AS MATERIALIZED (
-            SELECT replace(seq, ' ' || m.lhs || ' ' || m.rhs || ' ',
-                           ' ' || m.lhs || m.rhs || ' ') AS seq, f
+            SELECT w, replace(seq, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                              ' ' || m.lhs || m.rhs || ' ') AS seq, f
             FROM v{r-1}, m{r} m
         )""")
+    return ",".join(parts)
+
+
+def _bpe_oracle_sql(k: int = 4) -> str:
     union = "\n UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, cnt FROM m{r}"
         for r in range(1, k + 1)
     )
-    return ",".join(parts) + f"\n SELECT * FROM ({union}) ORDER BY rank"
+    return _bpe_ladder_sql(k) + f"\n SELECT * FROM ({union}) ORDER BY rank"
+
+
+def _bpe_token_count_oracle_sql(k: int = 4) -> str:
+    """Apply the k-merge ladder back to the token stream: per doc, word
+    count and BPE symbol count under the trained merges."""
+    return _bpe_ladder_sql(k) + f"""
+        , tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents
+        )
+        SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(trim(v.seq), ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM tok JOIN v{k} v USING (w)
+        GROUP BY tok.doc_id
+    """
+
+
+def _q_bpe_token_count(sf_dir: str):
+    """Train 4 BPE merges, then apply them back to the corpus: per-doc
+    word + BPE token counts (the train -> encode user story)."""
+    from rabbittclust_ray.stages.bpe import bpe_merges, bpe_token_count
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    m = bpe_merges(ds, num_merges=4, num_partitions=8)
+    pairs = list(zip(m["lhs"].to_pylist(), m["rhs"].to_pylist()))
+    return bpe_token_count(ds, pairs)
 
 
 def _q_ngram_novelty(sf_dir: str):
@@ -2932,6 +2966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_count": _q_bpe_token_count,
         "ngram_novelty": _q_ngram_novelty,
         "gopher_repetition": _q_gopher_repetition,
         "dsir_scores": _q_dsir_scores,
@@ -4749,6 +4784,7 @@ def _code_ops_sql() -> dict[str, str]:
             FROM r
         """,
         "bpe_merges": _bpe_oracle_sql(4),
+        "bpe_token_count": _bpe_token_count_oracle_sql(4),
         "source_overlap": """
             WITH d AS MATERIALIZED (
                 SELECT source,

@@ -221,3 +221,85 @@ def bpe_merges(
             "cnt": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+def bpe_token_count(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Apply trained merges (from ``bpe_merges``) and count the resulting
+    BPE tokens per document: (doc_id, n_words, n_bpe_tokens) for every
+    doc with >= 1 word. The merge list is tiny and rides the closure;
+    each batch applies the replace ladder to its DISTINCT words only
+    (vectorized literal replaces), then maps word -> symbol count back
+    onto the token stream. Pure map — no shuffle."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "n_bpe_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tok)
+        keep = w != ""
+        w, ids = w[keep], ids[keep]
+        if len(w) == 0:
+            return empty
+        uniq = np.unique(w)
+        seq = pc.binary_join_element_wise(
+            pa.scalar(" "),
+            pc.replace_substring_regex(pa.array(uniq, pa.string()),
+                                       "(.)", r"\1 "),
+            "",
+        )
+        for lhs, rhs in merges:
+            seq = pc.replace_substring(seq, f" {lhs} {rhs} ", f" {lhs}{rhs} ")
+        # symbols = space count - 1 (sentinel-spaced form ' a b c ')
+        nsym = (
+            pc.count_substring(seq, " ").to_numpy(zero_copy_only=False)
+            - 1
+        ).astype(np.int64)
+        cnt_of = dict(zip(uniq, nsym))
+        per_tok = pd.Series(w).map(cnt_of).to_numpy().astype(np.int64)
+        df = (
+            pd.DataFrame({"doc_id": ids, "n": per_tok})
+            .groupby("doc_id", sort=False, as_index=False)
+            .agg(n_words=("n", "size"), n_bpe_tokens=("n", "sum"))
+        )
+        out = pa.table(
+            {
+                id_col: pa.array(
+                    df["doc_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_words": pa.array(
+                    df["n_words"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_bpe_tokens": pa.array(
+                    df["n_bpe_tokens"].to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -286,3 +286,40 @@ def test_hash_surface_matches_string_surface():
         ds, key_mode="hash"
     ).to_pandas().sort_values("doc_id")
     assert ga.values.tolist() == gb.values.tolist()
+
+
+def test_bpe_token_count_matches_brute_force():
+    from rabbittclust_ray.stages.bpe import bpe_merges, bpe_token_count
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    m = bpe_merges(ds, num_merges=4, num_partitions=4)
+    pairs = list(zip(m["lhs"].to_pylist(), m["rhs"].to_pylist()))
+
+    # brute: apply the same replace-semantics merges per word
+    def encode(word):
+        seq = " " + " ".join(word) + " "
+        for l, r in pairs:
+            seq = seq.replace(f" {l} {r} ", f" {l}{r} ")
+        return len(seq.split())
+
+    want = {}
+    for d, t in enumerate(TEXTS):
+        ws = re.findall(r"[a-z]+", t.lower())
+        if ws:
+            want[d] = (len(ws), sum(encode(w) for w in ws))
+
+    got = bpe_token_count(ds, pairs).to_pandas()
+    gmap = {
+        int(r.doc_id): (int(r.n_words), int(r.n_bpe_tokens))
+        for r in got.itertuples()
+    }
+    assert gmap == want
+    # merging strictly shrinks token counts vs raw chars
+    for d, (nw, nb) in want.items():
+        assert nb <= sum(
+            len(w) for w in re.findall(r"[a-z]+", TEXTS[d].lower())
+        )
