@@ -531,6 +531,24 @@ def _q_clusters_mst(sf_dir: str):
     return _exact_mst_cached(sf_dir, EX_THRESHOLD).assignments
 
 
+def _q_cluster_size_histogram(sf_dir: str):
+    """Dedup report: histogram of MST cluster sizes (shares the memoized
+    exact-mode clust_mst run)."""
+    from rabbittclust_ray.stages.stats import cluster_size_histogram
+
+    asg = _exact_mst_cached(sf_dir, EX_THRESHOLD).assignments
+    return cluster_size_histogram(asg, num_partitions=16)
+
+
+def _q_dedup_savings(sf_dir: str):
+    """One-row dedup economics: docs/chars removed by exact sha dedup
+    keep-first over the documents table."""
+    from rabbittclust_ray.stages.dedup import dedup_savings
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_savings(ds, num_partitions=16)
+
+
 def _q_communities_louvain(sf_dir: str):
     """Louvain communities over the exact-mode threshold graph
     (reference parity: the leiden mode, /root/reference/src/leiden.cpp).
@@ -2967,6 +2985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_count": _q_bpe_token_count,
+        "cluster_size_histogram": _q_cluster_size_histogram,
+        "dedup_savings": _q_dedup_savings,
         "ngram_novelty": _q_ngram_novelty,
         "gopher_repetition": _q_gopher_repetition,
         "dsir_scores": _q_dsir_scores,
@@ -3611,6 +3631,33 @@ def oracle_sql() -> dict[str, str]:
                    sha256(p.text) AS content_sha256,
                    CAST(length(p.text) AS BIGINT) AS length
             FROM pop p JOIN comp c USING (doc_id)
+        """,
+        "cluster_size_histogram": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (SELECT cluster_id, count(*) AS sz
+                  FROM comp GROUP BY cluster_id)
+            GROUP BY sz ORDER BY sz
+        """,
+        "dedup_savings": """
+            WITH d AS MATERIALIZED (
+                SELECT sha256(text) AS s, doc_id,
+                       CAST(length(text) AS BIGINT) AS len
+                FROM documents
+            ),
+            k AS (SELECT s, min(doc_id) AS keep_id FROM d GROUP BY s)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN d.doc_id = k.keep_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(len) AS BIGINT) AS chars_total,
+                   CAST(sum(CASE WHEN d.doc_id = k.keep_id
+                                 THEN len ELSE 0 END) AS BIGINT)
+                       AS chars_kept,
+                   CAST(1000000 * (sum(len) - sum(CASE WHEN d.doc_id =
+                            k.keep_id THEN len ELSE 0 END))
+                        // greatest(sum(len), 1) AS BIGINT) AS savings_ppm
+            FROM d JOIN k USING (s)
         """,
         "communities_louvain": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()}

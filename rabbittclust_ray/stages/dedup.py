@@ -576,3 +576,102 @@ def k_center_reps(
                 mind[x] = min(mind[x], dn.get(x, float("inf")))
         out[c] = sorted(chosen)
     return out
+
+
+def dedup_savings(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> pa.Table:
+    """One-row dedup economics report: how many docs / chars exact
+    (sha256) dedup-keep-first removes. Output (n_docs, n_kept,
+    chars_total, chars_kept, savings_ppm).
+
+    Shape: only (sha, doc_id, length) ships — content is hashed in the
+    map and never moves. The sha-keyed exchange reducers see whole
+    groups, pick min-doc_id survivors, and collapse to ONE partial row
+    per partition; the driver sums <= P rows."""
+    import hashlib as _hl
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_keyed = pa.table(
+        {
+            "sha": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "len": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_keyed
+        txt = t[text_col].to_pylist()
+        sha = [_hl.sha256(x.encode()).hexdigest() for x in txt]
+        lens = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sha": pa.array(sha, pa.string()),
+                "doc_id": pa.array(
+                    t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "len": pa.array(lens.astype(np.int64), pa.int64()),
+                "__gkey__": pa.array(
+                    pd.util.hash_array(np.asarray(sha, dtype=object))
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    empty_part = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "chars_total": pa.array([], pa.int64()),
+            "chars_kept": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_part
+        df = t.to_pandas()
+        keep = df.groupby("sha", sort=False)["doc_id"].transform("min")
+        kept = df["doc_id"] == keep
+        return pa.table(
+            {
+                "n_docs": pa.array([len(df)], pa.int64()),
+                "n_kept": pa.array([int(kept.sum())], pa.int64()),
+                "chars_total": pa.array([int(df["len"].sum())], pa.int64()),
+                "chars_kept": pa.array(
+                    [int(df.loc[kept, "len"].sum())], pa.int64()
+                ),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    nd = sum(r["n_docs"] for r in rows)
+    nk = sum(r["n_kept"] for r in rows)
+    ct = sum(r["chars_total"] for r in rows)
+    ck = sum(r["chars_kept"] for r in rows)
+    ppm = 1_000_000 * (ct - ck) // max(ct, 1)
+    return pa.table(
+        {
+            "n_docs": pa.array([nd], pa.int64()),
+            "n_kept": pa.array([nk], pa.int64()),
+            "chars_total": pa.array([ct], pa.int64()),
+            "chars_kept": pa.array([ck], pa.int64()),
+            "savings_ppm": pa.array([ppm], pa.int64()),
+        }
+    )

@@ -358,3 +358,84 @@ def iqr_outliers(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def cluster_size_histogram(
+    assignments: ray.data.Dataset,
+    *,
+    cluster_col: str = "cluster_id",
+    num_partitions: int = 32,
+) -> pa.Table:
+    """Dedup report: (cluster_size, n_clusters) histogram over an
+    assignments table. One cluster-keyed exchange whose reducers emit
+    per-partition HISTOGRAM partials (a cluster lives wholly inside one
+    partition, so its size is exact there); the driver combines
+    <= P x distinct_sizes bookkeeping rows — bounded by the largest
+    cluster, never the corpus."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_part = pa.table(
+        {
+            "ckey": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_part
+        vc = (
+            pd.Series(t[cluster_col].to_numpy(zero_copy_only=False))
+            .value_counts()
+        )
+        return pa.table(
+            {
+                "ckey": pa.array(vc.index.to_numpy().astype(np.int64),
+                                 pa.int64()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    empty_hist = pa.table(
+        {
+            "cluster_size": pa.array([], pa.int64()),
+            "n_clusters": pa.array([], pa.int64()),
+        }
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_hist
+        sizes = (
+            t.to_pandas().groupby("ckey", sort=False)["n"].sum()
+        )
+        hist = sizes.value_counts()
+        return pa.table(
+            {
+                "cluster_size": pa.array(
+                    hist.index.to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_clusters": pa.array(
+                    hist.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = hash_exchange(
+        assignments.map_batches(partial, batch_format="pyarrow"),
+        "ckey", hist_partial, num_partitions,
+    ).take_all()
+    agg: dict[int, int] = {}
+    for r in rows:
+        agg[int(r["cluster_size"])] = (
+            agg.get(int(r["cluster_size"]), 0) + int(r["n_clusters"])
+        )
+    ks = sorted(agg)
+    return pa.table(
+        {
+            "cluster_size": pa.array(ks, pa.int64()),
+            "n_clusters": pa.array([agg[k] for k in ks], pa.int64()),
+        }
+    )

@@ -158,3 +158,33 @@ def test_group_dup_profile():
     assert out.loc["s2"].dup_ppm == 666_666
     assert out.loc["s3"].n_docs == 1 and out.loc["s3"].n_exact_dups == 1
     assert out.loc["s3"].dup_ppm == 1_000_000
+
+
+def test_dedup_savings_and_histogram_brute_force():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.dedup import dedup_savings
+    from rabbittclust_ray.stages.stats import cluster_size_histogram
+
+    texts = ["aaa", "bbb", "aaa", "cccc", "bbb", "aaa", "unique"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = dedup_savings(ds, num_partitions=4).to_pandas().iloc[0]
+    # groups: aaa x3 (keep 3), bbb x2 (keep 3), cccc, unique -> kept 4
+    assert int(out.n_docs) == 7 and int(out.n_kept) == 4
+    assert int(out.chars_total) == 3*3 + 3*2 + 4 + 6
+    assert int(out.chars_kept) == 3 + 3 + 4 + 6
+    assert int(out.savings_ppm) == 10**6 * (25 - 16) // 25
+
+    # histogram over a synthetic assignments table
+    asg = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "cluster_id": pa.array([0, 0, 0, 3, 3, 5, 6, 7, 8, 9], pa.int64()),
+    })).repartition(4)
+    h = cluster_size_histogram(asg, num_partitions=4).to_pandas()
+    assert dict(zip(h.cluster_size, h.n_clusters)) == {1: 5, 2: 1, 3: 1}
