@@ -2607,6 +2607,25 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_token_count(ds, pairs)
 
 
+def _q_top_ngrams(sf_dir: str):
+    """C4-style boilerplate detector: corpus-wide top-50 word trigrams
+    with total + document frequency; argtop-k reducers, <= P x k driver
+    rows."""
+    from rabbittclust_ray.stages.novelty import top_ngrams
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_ngrams(ds, n=3, k=50, num_partitions=16)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: new + cumulative distinct words per
+    doc_id//100 ingestion bucket."""
+    from rabbittclust_ray.stages.bpe import vocab_growth
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_growth(ds, bucket_size=100, num_partitions=16)
+
+
 def _q_ngram_novelty(sf_dir: str):
     """Corpus-level trigram novelty: per doc, the fraction of its
     distinct word 3-grams first seen (min doc_id) in that doc. One
@@ -2986,6 +3005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_count": _q_bpe_token_count,
         "cluster_size_histogram": _q_cluster_size_histogram,
+        "top_ngrams": _q_top_ngrams,
+        "vocab_growth": _q_vocab_growth,
         "dedup_savings": _q_dedup_savings,
         "ngram_novelty": _q_ngram_novelty,
         "gopher_repetition": _q_gopher_repetition,
@@ -5005,6 +5026,41 @@ def _code_ops_sql() -> dict[str, str]:
             LEFT JOIN t2 USING (doc_id)
             LEFT JOIN t3 USING (doc_id)
             LEFT JOIN cov5 USING (doc_id)
+        """,
+        "top_ngrams": """
+            WITH d AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ),
+            tri AS MATERIALIZED (
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM d, LATERAL (SELECT unnest(
+                             generate_series(1, len(ws) - 2)) AS i) t
+                WHERE len(ws) >= 3
+            )
+            SELECT g AS ngram, CAST(count(*) AS BIGINT) AS total_count,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM tri GROUP BY g
+            ORDER BY total_count DESC, ngram LIMIT 50
+        """,
+        "vocab_growth": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id // 100 AS b,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS w
+                FROM documents
+            ),
+            firsts AS (SELECT w, min(b) AS b FROM tok GROUP BY w),
+            hist AS (
+                SELECT b AS bucket, CAST(count(*) AS BIGINT) AS new_words
+                FROM firsts GROUP BY b
+            )
+            SELECT bucket, new_words,
+                   CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT)
+                       AS cum_words
+            FROM hist ORDER BY bucket
         """,
         "ngram_novelty": """
             WITH d AS MATERIALIZED (

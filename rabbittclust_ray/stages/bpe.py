@@ -303,3 +303,110 @@ def bpe_token_count(
         return out
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def vocab_growth(
+    ds: ray.data.Dataset,
+    *,
+    bucket_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Heaps-law vocabulary growth curve: bucket the corpus by
+    doc_id // bucket_size (a deterministic ingestion order) and report,
+    per bucket, how many DISTINCT words appear there for the first time
+    plus the running vocabulary size. Output (bucket, new_words,
+    cum_words) sorted by bucket — the table a tokenizer-sizing or
+    dedup-saturation analysis reads.
+
+    Shape: per-batch (word, min-bucket) partials (each batch collapses
+    to its distinct words), ONE word-keyed exchange whose reducers take
+    the global min bucket per word and collapse to per-partition bucket
+    histograms; the driver merges <= P x buckets rows and prefix-sums."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_post = pa.table(
+        {
+            "w": pa.array([], pa.string()),
+            "b": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tok)
+        keep = w != ""
+        w, ids = w[keep], ids[keep]
+        if len(w) == 0:
+            return empty_post
+        b = (ids // bucket_size).astype(np.int64)
+        df = (
+            pd.DataFrame({"w": w, "b": b})
+            .groupby("w", sort=False, as_index=False)["b"]
+            .min()
+        )
+        df["__gkey__"] = pd.util.hash_array(
+            df["w"].to_numpy().astype(object)
+        ).astype(np.int64)
+        df["b"] = df["b"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_hist = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "new_words": pa.array([], pa.int64()),
+        }
+    )
+
+    def first_bucket_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_hist
+        firsts = (
+            t.to_pandas().groupby("w", sort=False)["b"].min()
+        )
+        hist = firsts.value_counts()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    hist.index.to_numpy().astype(np.int64), pa.int64()
+                ),
+                "new_words": pa.array(
+                    hist.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "__gkey__", first_bucket_hist, num_partitions,
+    ).take_all()
+    agg: dict[int, int] = {}
+    for r in rows:
+        agg[int(r["bucket"])] = agg.get(int(r["bucket"]), 0) + int(
+            r["new_words"]
+        )
+    ks = sorted(agg)
+    cum = np.cumsum([agg[k] for k in ks]).astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(ks, pa.int64()),
+            "new_words": pa.array([agg[k] for k in ks], pa.int64()),
+            "cum_words": pa.array(cum, pa.int64()),
+        }
+    )

@@ -300,3 +300,113 @@ def source_overlap(
             "jaccard_ppm": pa.array([o[3] for o in out], pa.int64()),
         }
     )
+
+
+def top_ngrams(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 3,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Corpus-wide most frequent word n-grams with document frequency —
+    the C4-style boilerplate detector at n-gram granularity (the top
+    entries are the templates/headers worth stripping). Output
+    (ngram, total_count, doc_freq) top-k by (count desc, ngram).
+
+    Shape: per-batch partial counts (positional count + per-batch doc
+    set collapsed to distinct doc count via (g, doc) dedup), ONE
+    ngram-keyed exchange whose reducers emit only their local top-k, and
+    a driver merge of <= P x k rows."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_post = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tok)
+        keep = w != ""
+        w, ids = w[keep], ids[keep]
+        if len(w) < n:
+            return empty_post
+        L = len(w) - (n - 1)
+        same = np.ones(L, dtype=bool)
+        for j in range(1, n):
+            same &= ids[j : L + j] == ids[:L]
+        g = w[:L].astype(object)
+        for j in range(1, n):
+            g = g + " " + w[j : L + j].astype(object)
+        df = pd.DataFrame({"g": g[same], "d": ids[:L][same]})
+        cnt = df.groupby("g", sort=False).agg(
+            cnt=("g", "size"), df=("d", "nunique")
+        ).reset_index()
+        cnt["__gkey__"] = pd.util.hash_array(
+            cnt["g"].to_numpy().astype(object)
+        ).astype(np.int64)
+        for c in ("cnt", "df"):
+            cnt[c] = cnt[c].astype(np.int64)
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    empty_top = pa.table(
+        {
+            "ngram": pa.array([], pa.string()),
+            "total_count": pa.array([], pa.int64()),
+            "doc_freq": pa.array([], pa.int64()),
+        }
+    )
+
+    def topk_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_top
+        df = (
+            t.to_pandas()
+            .groupby("g", sort=False, as_index=False)[["cnt", "df"]]
+            .sum()
+            .sort_values(["cnt", "g"], ascending=[False, True],
+                         kind="stable")
+            .head(k)
+            .rename(columns={"g": "ngram", "cnt": "total_count",
+                             "df": "doc_freq"})
+        )
+        for c in ("total_count", "doc_freq"):
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = hash_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "__gkey__", topk_reduce, num_partitions,
+    ).take_all()
+    rows.sort(key=lambda r: (-r["total_count"], r["ngram"]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "ngram": pa.array([r["ngram"] for r in rows], pa.string()),
+            "total_count": pa.array(
+                [r["total_count"] for r in rows], pa.int64()
+            ),
+            "doc_freq": pa.array([r["doc_freq"] for r in rows], pa.int64()),
+        }
+    )

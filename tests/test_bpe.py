@@ -323,3 +323,101 @@ def test_bpe_token_count_matches_brute_force():
         assert nb <= sum(
             len(w) for w in re.findall(r"[a-z]+", TEXTS[d].lower())
         )
+
+
+def test_top_ngrams_and_vocab_growth_brute_force():
+    from rabbittclust_ray.stages.bpe import vocab_growth
+    from rabbittclust_ray.stages.novelty import top_ngrams
+
+    texts = {
+        0: "header line one alpha beta",
+        1: "header line one gamma delta",
+        2: "header line one header line one",   # trigram twice in one doc
+        150: "fresh words appear here later",
+        151: "header line one returns again",
+        310: "alpha beta gamma fresh words appear",
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    # --- top_ngrams brute ---
+    cnt, docs = collections.Counter(), collections.defaultdict(set)
+    for d, t in texts.items():
+        ws = re.findall(r"[a-z]+", t.lower())
+        for i in range(len(ws) - 2):
+            g = " ".join(ws[i:i+3])
+            cnt[g] += 1
+            docs[g].add(d)
+    want = sorted(
+        ((g, c, len(docs[g])) for g, c in cnt.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:5]
+    got = top_ngrams(ds, n=3, k=5, num_partitions=4).to_pandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert got.ngram[0] == "header line one"          # the boilerplate
+    assert int(got.total_count[0]) == 5 and int(got.doc_freq[0]) == 4
+
+    # --- vocab_growth brute ---
+    first = {}
+    for d in sorted(texts):
+        for w in re.findall(r"[a-z]+", texts[d].lower()):
+            first.setdefault(w, d // 100)
+    hist = collections.Counter(first.values())
+    wantv, cum = [], 0
+    for b in sorted(hist):
+        cum += hist[b]
+        wantv.append((b, hist[b], cum))
+    gv = vocab_growth(ds, bucket_size=100, num_partitions=4).to_pandas()
+    assert [tuple(r) for r in gv.itertuples(index=False)] == wantv
+
+
+def test_novelty_and_dsir_conservation_properties():
+    """Cross-op invariants: sum(novel_ngrams) == corpus distinct trigrams;
+    sum(n_tokens) == N_r; bpe pair counts never increase across ranks."""
+    from rabbittclust_ray.stages.dsir import dsir_scores, token_totals
+    from rabbittclust_ray.stages.novelty import ngram_novelty
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["red", "blue", "green", "cat", "dog", "sun", "moon"])
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), size=rng.integers(3, 30))])
+        for _ in range(40)
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "is_target": pa.array([i % 3 == 0 for i in range(len(texts))]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    distinct_tris = {
+        " ".join(ws[i:i+3])
+        for t in texts
+        for ws in [t.split()]
+        for i in range(len(ws) - 2)
+    }
+    for mode in ("string", "hash"):
+        nov = ngram_novelty(
+            ds, n=3, num_partitions=4, key_mode=mode
+        ).to_pandas()
+        assert int(nov.novel_ngrams.sum()) == len(distinct_tris)
+
+    nr, nt = token_totals(ds)
+    sc = dsir_scores(
+        ds, n_raw_tokens=nr, n_target_tokens=nt, num_partitions=4
+    ).to_pandas()
+    assert int(sc.n_tokens.sum()) == nr
+
+
+def test_bpe_counts_monotone_nonincreasing():
+    from rabbittclust_ray.stages.bpe import bpe_merges
+
+    tbl = pa.table({"text": pa.array(TEXTS * 4, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    m = bpe_merges(ds, num_merges=6, num_partitions=4).to_pandas()
+    # each merge consumes pair occurrences: the best count can only drop
+    # or hold as ranks advance
+    assert list(m.cnt) == sorted(m.cnt, reverse=True)
