@@ -2607,6 +2607,17 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_token_count(ds, pairs)
 
 
+def _q_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility per language: train 4 BPE merges, apply them,
+    roll up tokens-per-word by lang (integer ppm)."""
+    from rabbittclust_ray.stages.bpe import bpe_fertility, bpe_merges
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    m = bpe_merges(ds, num_merges=4, num_partitions=8)
+    pairs = list(zip(m["lhs"].to_pylist(), m["rhs"].to_pylist()))
+    return bpe_fertility(ds, pairs, group_col="lang")
+
+
 def _q_top_ngrams(sf_dir: str):
     """C4-style boilerplate detector: corpus-wide top-50 word trigrams
     with total + document frequency; argtop-k reducers, <= P x k driver
@@ -2712,6 +2723,29 @@ def _q_stack_filters(sf_dir: str):
         )
 
     return stack_filters(ds.map_batches(augment, batch_format="pyarrow"))
+
+
+def _q_indentation_profile(sf_dir: str):
+    """Per-file indentation style over deterministically indented docs
+    (spaces become line breaks, then doc_id%4 selects tab / 2-space /
+    4-space / none line prefixes): tab/space line counts, class verdict,
+    modal space width."""
+    from rabbittclust_ray.stages.code import indentation_profile
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            p = ["\t", "  ", "    ", ""][int(i) % 4]
+            out.append(s.replace(" ", "\n" + p))
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return indentation_profile(ds.map_batches(augment, batch_format="pyarrow"))
 
 
 def _q_repo_pack(sf_dir: str):
@@ -3004,6 +3038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_count": _q_bpe_token_count,
+        "bpe_fertility": _q_bpe_fertility,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "top_ngrams": _q_top_ngrams,
         "vocab_growth": _q_vocab_growth,
@@ -3016,6 +3051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
+        "indentation_profile": _q_indentation_profile,
         "repo_pack": _q_repo_pack,
         "fork_candidates": _q_fork_candidates,
         "snapshot_diff": _q_snapshot_diff,
@@ -4853,6 +4889,22 @@ def _code_ops_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_oracle_sql(4),
         "bpe_token_count": _bpe_token_count_oracle_sql(4),
+        "bpe_fertility": _bpe_ladder_sql(4) + """
+            , tok AS (
+                SELECT lang,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS w
+                FROM documents
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(string_split(trim(v.seq), ' ')))
+                        AS BIGINT) AS n_bpe_tokens,
+                   CAST((1000000 *
+                         sum(len(string_split(trim(v.seq), ' '))))
+                        // count(*) AS BIGINT) AS fertility_ppm
+            FROM tok JOIN v4 v USING (w)
+            GROUP BY lang ORDER BY lang
+        """,
         "source_overlap": """
             WITH d AS MATERIALIZED (
                 SELECT source,
@@ -5175,6 +5227,48 @@ def _code_ops_sql() -> dict[str, str]:
                    (max_line <= 1000 AND alnum_ppm >= 250000
                     AND NOT is_autogen) AS keep
             FROM per_doc
+        """,
+        "indentation_profile": """
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id, CASE doc_id % 4
+                    WHEN 0 THEN replace(text, ' ', chr(10) || chr(9))
+                    WHEN 1 THEN replace(text, ' ', chr(10) || '  ')
+                    WHEN 2 THEN replace(text, ' ', chr(10) || '    ')
+                    ELSE replace(text, ' ', chr(10)) END AS t
+                FROM documents
+            ),
+            ind AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN ln LIKE chr(9) || '%' THEN 1 ELSE 0 END
+                           AS is_tab,
+                       length(ln) - length(ltrim(ln, ' ')) AS sp
+                FROM (SELECT doc_id,
+                             unnest(string_split(t, chr(10))) AS ln
+                      FROM aug)
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(sum(is_tab) AS BIGINT) AS tab_lines,
+                       CAST(sum(CASE WHEN sp > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS space_lines
+                FROM ind GROUP BY doc_id
+            ),
+            modal AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id, sp AS w, row_number() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY count(*) DESC, sp) AS rn
+                    FROM ind WHERE sp > 0 GROUP BY doc_id, sp)
+                WHERE rn = 1
+            )
+            SELECT a.doc_id, a.tab_lines, a.space_lines,
+                   CASE WHEN tab_lines = 0 AND space_lines = 0 THEN 'none'
+                        WHEN tab_lines > space_lines THEN 'tabs'
+                        WHEN space_lines > tab_lines THEN 'spaces'
+                        ELSE 'mixed' END AS indent_class,
+                   CAST(coalesce(m.w, 0) AS BIGINT) AS modal_width
+            FROM agg a LEFT JOIN modal m USING (doc_id)
+            ORDER BY a.doc_id
         """,
         "repo_pack": """
             WITH f AS (

@@ -410,3 +410,96 @@ def vocab_growth(
             "cum_words": pa.array(cum, pa.int64()),
         }
     )
+
+
+def bpe_fertility(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> pa.Table:
+    """Tokenizer fertility per group (usually language): after applying
+    the trained merge ladder, how many BPE tokens does each word cost on
+    average? Output (group, n_words, n_bpe_tokens, fertility_ppm) sorted
+    by group — fertility_ppm = floor(1e6 * tokens / words), the table a
+    tokenizer-per-language budget review reads (high fertility = the
+    vocabulary underserves that language).
+
+    Shape: pure map — each batch applies the ladder to its DISTINCT
+    words and collapses to per-group partials; the driver merges
+    <= blocks x groups rows (groups = languages, tens). No shuffle."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "grp": pa.array([], pa.string()),
+            "n_words": pa.array([], pa.int64()),
+            "n_bpe_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        txt = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+            ),
+            " ",
+        )
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        w = lists.flatten().to_numpy(zero_copy_only=False)
+        grp = np.repeat(
+            t[group_col].to_numpy(zero_copy_only=False), n_tok
+        )
+        keep = w != ""
+        w, grp = w[keep], grp[keep]
+        if len(w) == 0:
+            return empty
+        uniq = np.unique(w)
+        seq = pc.binary_join_element_wise(
+            pa.scalar(" "),
+            pc.replace_substring_regex(pa.array(uniq, pa.string()),
+                                       "(.)", r"\1 "),
+            "",
+        )
+        for lhs, rhs in merges:
+            seq = pc.replace_substring(seq, f" {lhs} {rhs} ", f" {lhs}{rhs} ")
+        nsym = (
+            pc.count_substring(seq, " ").to_numpy(zero_copy_only=False)
+            - 1
+        ).astype(np.int64)
+        cnt_of = dict(zip(uniq, nsym))
+        per_tok = pd.Series(w).map(cnt_of).to_numpy().astype(np.int64)
+        df = (
+            pd.DataFrame({"grp": grp, "n": per_tok})
+            .groupby("grp", sort=False, as_index=False)
+            .agg(n_words=("n", "size"), n_bpe_tokens=("n", "sum"))
+        )
+        for c in ("n_words", "n_bpe_tokens"):
+            df[c] = df[c].astype(np.int64)
+        df["grp"] = df["grp"].astype(str)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = ds.map_batches(f, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        a = agg.setdefault(str(r["grp"]), [0, 0])
+        a[0] += int(r["n_words"])
+        a[1] += int(r["n_bpe_tokens"])
+    ks = sorted(agg)
+    return pa.table(
+        {
+            group_col: pa.array(ks, pa.string()),
+            "n_words": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "n_bpe_tokens": pa.array([agg[k][1] for k in ks], pa.int64()),
+            "fertility_ppm": pa.array(
+                [(1_000_000 * agg[k][1]) // agg[k][0] for k in ks],
+                pa.int64(),
+            ),
+        }
+    )

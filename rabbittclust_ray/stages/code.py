@@ -707,3 +707,90 @@ def extract_notebook_cells(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def indentation_profile(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-file indentation style (the Stack-style formatting signal a
+    code-corpus quality filter reads): counts of tab-indented and
+    space-indented lines, a class verdict
+    ('tabs'/'spaces'/'mixed'/'none'; 'mixed' = equal nonzero counts),
+    and the modal leading-space run width (most frequent; ties to the
+    smallest width; 0 when no space-indented lines). Pure map, zero
+    shuffle — one vectorized lines pass per batch."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "tab_lines": pa.array([], pa.int64()),
+            "space_lines": pa.array([], pa.int64()),
+            "indent_class": pa.array([], pa.string()),
+            "modal_width": pa.array([], pa.int64()),
+        }
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        n_ln = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = lines.flatten()
+        doc = np.repeat(ids, n_ln)
+        is_tab = pc.starts_with(flat, "\t").to_numpy(zero_copy_only=False)
+        # leading-space run width = len(line) - len(ltrim(line, ' '))
+        sp = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            - pc.utf8_length(pc.utf8_ltrim(flat, " ")).to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        df = pd.DataFrame({"d": doc, "tab": is_tab, "sp": sp})
+        agg = df.groupby("d", sort=True).agg(
+            tab_lines=("tab", "sum"), space_lines=("sp", lambda s: int((s > 0).sum()))
+        )
+        spaced = df[df.sp > 0]
+        if len(spaced):
+            wc = (
+                spaced.groupby(["d", "sp"], sort=True)
+                .size()
+                .reset_index(name="c")
+                .sort_values(["d", "c", "sp"],
+                             ascending=[True, False, True], kind="stable")
+                .drop_duplicates("d")
+                .set_index("d")["sp"]
+            )
+        else:
+            wc = pd.Series(dtype=np.int64)
+        tl = agg["tab_lines"].to_numpy().astype(np.int64)
+        sl = agg["space_lines"].to_numpy().astype(np.int64)
+        cls = np.where(
+            (tl == 0) & (sl == 0), "none",
+            np.where(tl > sl, "tabs", np.where(sl > tl, "spaces", "mixed")),
+        )
+        mw = agg.index.map(wc).fillna(0).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    agg.index.to_numpy().astype(np.int64), pa.int64()
+                ),
+                "tab_lines": pa.array(tl, pa.int64()),
+                "space_lines": pa.array(sl, pa.int64()),
+                "indent_class": pa.array(cls.astype(object), pa.string()),
+                "modal_width": pa.array(mw, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -421,3 +421,41 @@ def test_bpe_counts_monotone_nonincreasing():
     # each merge consumes pair occurrences: the best count can only drop
     # or hold as ranks advance
     assert list(m.cnt) == sorted(m.cnt, reverse=True)
+
+
+def test_bpe_fertility_brute_force():
+    from rabbittclust_ray.stages.bpe import bpe_fertility
+
+    merges = [("l", "o"), ("lo", "w")]
+    texts = [
+        ("en", "low lower lowest low"),
+        ("en", "slow glow"),
+        ("fr", "eau lune low"),
+        ("de", ""),
+    ]
+    tbl = pa.table({
+        "lang": pa.array([t[0] for t in texts], pa.string()),
+        "text": pa.array([t[1] for t in texts], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    def enc(w):
+        seq = " " + " ".join(w) + " "
+        for l, r in merges:
+            seq = seq.replace(f" {l} {r} ", f" {l}{r} ")
+        return len(seq.split())
+
+    want = {}
+    for lang, t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            a = want.setdefault(lang, [0, 0])
+            a[0] += 1
+            a[1] += enc(w)
+    got = bpe_fertility(ds, merges, group_col="lang").to_pandas()
+    assert list(got.lang) == sorted(want)
+    for _, r in got.iterrows():
+        nw, nt = want[r.lang]
+        assert (int(r.n_words), int(r.n_bpe_tokens)) == (nw, nt)
+        assert int(r.fertility_ppm) == (1_000_000 * nt) // nw
+    # 'de' has no words: must be absent, not a zero-division row
+    assert "de" not in set(got.lang)

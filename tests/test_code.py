@@ -456,3 +456,53 @@ def test_extract_notebook_cells():
         _ds(rows), cell_types=("code", "markdown")
     ).to_pandas()
     assert len(out2) == 4
+
+
+def test_indentation_profile_brute_force():
+    from rabbittclust_ray.stages.code import indentation_profile
+
+    texts = {
+        0: "def f():\n    a = 1\n    b = 2\n  c",       # spaces, modal 4
+        1: "x\n\ty\n\tz",                               # tabs
+        2: "plain\nlines\nonly",                        # none
+        3: "a\n\tb\n  c",                               # mixed (1 tab, 1 sp)
+        4: "",                                          # single empty line
+        5: "  a\n  b\n    c\n\td",                      # spaces, modal 2
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        indentation_profile(ds).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+    want = []
+    for d, t in sorted(texts.items()):
+        lines = t.split("\n")
+        tab = sum(1 for ln in lines if ln.startswith("\t"))
+        sps = [len(ln) - len(ln.lstrip(" ")) for ln in lines]
+        spl = sum(1 for s in sps if s > 0)
+        if tab == 0 and spl == 0:
+            cls = "none"
+        elif tab > spl:
+            cls = "tabs"
+        elif spl > tab:
+            cls = "spaces"
+        else:
+            cls = "mixed"
+        pos = [s for s in sps if s > 0]
+        if pos:
+            import collections as _c
+            cnt = _c.Counter(pos)
+            mw = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        else:
+            mw = 0
+        want.append((d, tab, spl, cls, mw))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert got.indent_class.tolist() == [
+        "spaces", "tabs", "none", "mixed", "none", "spaces"
+    ]
+    assert got.modal_width.tolist() == [4, 0, 0, 2, 0, 2]
