@@ -2748,6 +2748,15 @@ def _q_indentation_profile(sf_dir: str):
     return indentation_profile(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_char_stats(sf_dir: str):
+    """Binary/garbage detector signals per doc: distinct codepoints,
+    top-codepoint share and non-alphanumeric share (floor ppm)."""
+    from rabbittclust_ray.stages.code import char_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return char_stats(ds)
+
+
 def _q_repo_pack(sf_dir: str):
     """StarCoder-style repo-context packing: files grouped per synthetic
     repo r{d%23} (path p{doc_id} unique), concatenated in (path, text)
@@ -3052,6 +3061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "stack_filters": _q_stack_filters,
         "indentation_profile": _q_indentation_profile,
+        "char_stats": _q_char_stats,
         "repo_pack": _q_repo_pack,
         "fork_candidates": _q_fork_candidates,
         "snapshot_diff": _q_snapshot_diff,
@@ -5269,6 +5279,33 @@ def _code_ops_sql() -> dict[str, str]:
                    CAST(coalesce(m.w, 0) AS BIGINT) AS modal_width
             FROM agg a LEFT JOIN modal m USING (doc_id)
             ORDER BY a.doc_id
+        """,
+        "char_stats": """
+            WITH per AS MATERIALIZED (
+                SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM documents WHERE length(text) > 0)
+                GROUP BY doc_id, c
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS distinct_chars,
+                       CAST(max(k) AS BIGINT) AS topk,
+                       CAST(sum(k) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN regexp_matches(c, '^[A-Za-z0-9]$')
+                                     THEN 0 ELSE k END) AS BIGINT) AS na
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+                   CAST(coalesce(a.distinct_chars, 0) AS BIGINT)
+                       AS distinct_chars,
+                   CAST(coalesce((1000000 * a.topk) // a.n, 0) AS BIGINT)
+                       AS top_char_ppm,
+                   CAST(coalesce((1000000 * a.na) // a.n, 0) AS BIGINT)
+                       AS non_alnum_ppm
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "repo_pack": """
             WITH f AS (

@@ -794,3 +794,91 @@ def indentation_profile(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def char_stats(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-doc character-distribution stats — the integer-exact
+    binary/garbage detector a code-corpus filter runs before anything
+    tokenizes: distinct codepoints, most-frequent-codepoint share (ppm,
+    floor), and non-alphanumeric share (ppm, floor). A near-uniform or
+    single-char-dominated file (minified bundles, embedded blobs,
+    base64) shows up as extreme values on these axes. Pure map, one
+    vectorized codepoint pass per batch."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "distinct_chars": pa.array([], pa.int64()),
+            "top_char_ppm": pa.array([], pa.int64()),
+            "non_alnum_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = txt.to_pylist()
+        # one concatenated codepoint array per batch; per-doc slices via
+        # offsets (vectorized np.frombuffer over UTF-32)
+        cps = (
+            np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+            if texts
+            else np.array([], dtype=np.uint32)
+        )
+        doc = np.repeat(np.arange(len(texts), dtype=np.int64), n)
+        alnum = (
+            ((cps >= 48) & (cps <= 57))
+            | ((cps >= 65) & (cps <= 90))
+            | ((cps >= 97) & (cps <= 122))
+        )
+        df = pd.DataFrame({"i": doc, "c": cps})
+        per = df.groupby(["i", "c"], sort=False).size().reset_index(name="k")
+        g = per.groupby("i", sort=True)
+        distinct = g.size()
+        topk = g["k"].max()
+        na = (
+            pd.Series(~alnum, index=None)
+            .groupby(doc)
+            .sum()
+            if len(cps)
+            else pd.Series(dtype=np.int64)
+        )
+        idx = np.arange(len(texts), dtype=np.int64)
+        dc = distinct.reindex(idx, fill_value=0).to_numpy().astype(np.int64)
+        tk = topk.reindex(idx, fill_value=0).to_numpy().astype(np.int64)
+        nv = na.reindex(idx, fill_value=0).to_numpy().astype(np.int64)
+        safe = np.maximum(n, 1)
+        nonempty = n > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "n_chars": pa.array(n, pa.int64()),
+                "distinct_chars": pa.array(
+                    np.where(nonempty, dc, 0), pa.int64()
+                ),
+                "top_char_ppm": pa.array(
+                    np.where(nonempty, (1_000_000 * tk) // safe, 0),
+                    pa.int64(),
+                ),
+                "non_alnum_ppm": pa.array(
+                    np.where(nonempty, (1_000_000 * nv) // safe, 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -506,3 +506,40 @@ def test_indentation_profile_brute_force():
         "spaces", "tabs", "none", "mixed", "none", "spaces"
     ]
     assert got.modal_width.tolist() == [4, 0, 0, 2, 0, 2]
+
+
+def test_char_stats_brute_force():
+    import collections
+
+    from rabbittclust_ray.stages.code import char_stats
+
+    texts = {
+        0: "aaab",             # top=a 3/4, distinct 2, non-alnum 0
+        1: "é é é",            # unicode + spaces
+        2: "",                 # empty doc -> zeros
+        3: "a1!a1!a1!",
+        4: "zzzzzzzz",         # single char
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = (
+        char_stats(ds).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        t = texts[int(r.doc_id)]
+        assert int(r.n_chars) == len(t)
+        if not t:
+            assert (int(r.distinct_chars), int(r.top_char_ppm),
+                    int(r.non_alnum_ppm)) == (0, 0, 0)
+            continue
+        cnt = collections.Counter(t)
+        assert int(r.distinct_chars) == len(cnt)
+        assert int(r.top_char_ppm) == (1_000_000 * max(cnt.values())) // len(t)
+        na = sum(1 for c in t if not ("a" <= c <= "z" or "A" <= c <= "Z"
+                                      or "0" <= c <= "9"))
+        assert int(r.non_alnum_ppm) == (1_000_000 * na) // len(t)
+    assert int(got.loc[4, "top_char_ppm"]) == 1_000_000
