@@ -2748,6 +2748,66 @@ def _q_indentation_profile(sf_dir: str):
     return indentation_profile(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def _make_augment_urls():
+    """Deterministic URL injection shared by the web-curation queries
+    (sf docs carry no URLs): every doc gets a d{id%97}.example.com URL;
+    id%3==0 docs also a m{id%13}.mirror.net one. Returned as a closure
+    so Ray pickles it by value (workers can't import __ray_entry__)."""
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            s = f"{s} http://d{int(i) % 97}.example.com/p{int(i)}"
+            if i % 3 == 0:
+                s = f"{s} https://m{int(i) % 13}.mirror.net"
+            out.append(s)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return augment
+
+
+_AUG_URLS_SQL = """
+            aug AS MATERIALIZED (
+                SELECT doc_id,
+                       text || ' http://d' || (doc_id % 97) ||
+                       '.example.com/p' || doc_id ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' https://m' || (doc_id % 13) ||
+                                 '.mirror.net'
+                            ELSE '' END AS t
+                FROM documents
+            )
+"""
+
+
+def _q_domain_counts(sf_dir: str):
+    """Per-domain corpus accounting over deterministically injected
+    URLs: (domain, n_urls, n_docs) through one domain-keyed exchange."""
+    from rabbittclust_ray.stages.web import domain_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return domain_counts(
+        ds.map_batches(_make_augment_urls(), batch_format="pyarrow"),
+        num_partitions=16,
+    )
+
+
+def _q_domain_cap(sf_dir: str):
+    """Per-domain document cap (keep the 3 lowest doc_ids per first-URL
+    domain): the Common-Crawl-style rebalancing verdict table."""
+    from rabbittclust_ray.stages.web import cap_per_domain
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cap_per_domain(
+        ds.map_batches(_make_augment_urls(), batch_format="pyarrow"),
+        k=3, num_partitions=16,
+    )
+
+
 def _q_char_stats(sf_dir: str):
     """Binary/garbage detector signals per doc: distinct codepoints,
     top-codepoint share and non-alphanumeric share (floor ppm)."""
@@ -3062,6 +3122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stack_filters": _q_stack_filters,
         "indentation_profile": _q_indentation_profile,
         "char_stats": _q_char_stats,
+        "domain_counts": _q_domain_counts,
+        "domain_cap": _q_domain_cap,
         "repo_pack": _q_repo_pack,
         "fork_candidates": _q_fork_candidates,
         "snapshot_diff": _q_snapshot_diff,
@@ -5279,6 +5341,33 @@ def _code_ops_sql() -> dict[str, str]:
                    CAST(coalesce(m.w, 0) AS BIGINT) AS modal_width
             FROM agg a LEFT JOIN modal m USING (doc_id)
             ORDER BY a.doc_id
+        """,
+        "domain_counts": "WITH " + _AUG_URLS_SQL + """
+            , u AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(t,
+                           'https?://[a-z0-9.-]+(?:/[^ ]*)?')) AS url
+                FROM aug
+            )
+            SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)', 1)
+                       AS domain,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM u GROUP BY domain ORDER BY domain
+        """,
+        "domain_cap": "WITH " + _AUG_URLS_SQL + """
+            , first_u AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract(
+                           list_extract(regexp_extract_all(t,
+                               'https?://[a-z0-9.-]+(?:/[^ ]*)?'), 1),
+                           'https?://([a-z0-9.-]+)', 1) AS domain
+                FROM aug
+            )
+            SELECT doc_id, domain,
+                   row_number() OVER (PARTITION BY domain
+                                      ORDER BY doc_id) <= 3 AS keep
+            FROM first_u ORDER BY doc_id
         """,
         "char_stats": """
             WITH per AS MATERIALIZED (

@@ -1,0 +1,205 @@
+"""Web-curation operators: URL extraction, per-domain corpus accounting
+and per-domain document caps — the Common-Crawl-style rebalancing tier a
+web-scale pipeline runs between raw ingest and quality filtering (a few
+hot domains otherwise dominate the token budget; cf. the per-domain
+caps in C4/RefinedWeb-style pipelines).
+
+All three ops share one URL grammar (RE2 on both sides, so the DuckDB
+oracle reproduces every row): a URL is `https?://<host>[/path]` with
+host = `[a-z0-9.-]+`; the domain is the host alone.
+
+Shapes:
+- ``extract_urls`` — pure map: one vectorized findall pass per batch,
+  output exploded (doc_id, url, domain) rows.
+- ``domain_counts`` — per-batch partial (domain, n_urls, doc set →
+  distinct doc count) rows, ONE domain-keyed exchange whose reducers
+  sum; output streams back as a Dataset (domains can be hundreds of
+  millions at web scale — never a driver merge).
+- ``cap_per_domain`` — ONE domain-keyed exchange; each reducer ranks its
+  complete domain groups by (doc_id) and keeps the first k — the
+  deterministic keep-lowest rule an incremental re-run reproduces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+URL_RE = r"https?://[a-z0-9.-]+(?:/[^ ]*)?"
+DOMAIN_RE = r"https?://([a-z0-9.-]+)"
+
+
+def extract_urls(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Explode every URL occurrence: (doc_id, url, domain), document
+    order preserved within a doc. Pure map, zero shuffle."""
+    import re
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "domain": pa.array([], pa.string()),
+        }
+    )
+    rx = re.compile(URL_RE)
+    dx = re.compile(DOMAIN_RE)
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        s = pd.Series(t[text_col].to_pandas())
+        found = s.str.findall(rx)
+        n = found.str.len().to_numpy()
+        if int(n.sum()) == 0:
+            return empty
+        urls = np.concatenate([np.array(u, dtype=object) for u in found])
+        doc = np.repeat(ids, n)
+        dom = pd.Series(urls).str.extract(dx, expand=False).to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(doc.astype(np.int64), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "domain": pa.array(dom, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def domain_counts(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-domain corpus accounting: (domain, n_urls, n_docs) with n_docs
+    exact (a doc lives wholly inside one batch, so per-batch distinct
+    (domain, doc) partials sum to the global distinct count after the
+    domain-keyed exchange). Output is a Dataset — the domain table is
+    itself web-scale and never lands on the driver."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    urls = extract_urls(ds, id_col=id_col, text_col=text_col)
+
+    empty_post = pa.table(
+        {
+            "domain": pa.array([], pa.string()),
+            "n_urls": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        df = t.to_pandas()
+        g = df.groupby("domain", sort=False).agg(
+            n_urls=("url", "size"), n_docs=(id_col, "nunique")
+        ).reset_index()
+        g["__gkey__"] = pd.util.hash_array(
+            g["domain"].to_numpy().astype(object)
+        ).astype(np.int64)
+        for c in ("n_urls", "n_docs"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            "domain": pa.array([], pa.string()),
+            "n_urls": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = (
+            t.to_pandas()
+            .groupby("domain", sort=True, as_index=False)[
+                ["n_urls", "n_docs"]
+            ]
+            .sum()
+        )
+        for c in ("n_urls", "n_docs"):
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["domain", "n_urls", "n_docs"]], preserve_index=False
+        )
+
+    return hash_exchange(
+        urls.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    )
+
+
+def cap_per_domain(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-domain document cap: keep each domain's k lowest doc_ids (a
+    doc's domain = the domain of its FIRST URL; docs with no URL are
+    always kept). Output (doc_id, domain, keep) for every doc that has a
+    URL — the verdict table an anti-join applies to the corpus. ONE
+    domain-keyed exchange; reducers see complete domain groups and rank
+    by doc_id (deterministic, resume-stable)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    urls = extract_urls(ds, id_col=id_col, text_col=text_col)
+
+    empty_post = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "domain": pa.array([], pa.string()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def first_url(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        df = t.to_pandas().drop_duplicates(id_col, keep="first")[
+            [id_col, "domain"]
+        ]
+        df["__gkey__"] = pd.util.hash_array(
+            df["domain"].to_numpy().astype(object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "domain": pa.array([], pa.string()),
+            "keep": pa.array([], pa.bool_()),
+        }
+    )
+
+    def rank_keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = t.to_pandas().sort_values([("domain"), (id_col)],
+                                       kind="stable")
+        rank = df.groupby("domain", sort=False).cumcount()
+        df["keep"] = (rank < k).to_numpy()
+        return pa.Table.from_pandas(
+            df[[id_col, "domain", "keep"]], preserve_index=False
+        )
+
+    return hash_exchange(
+        urls.map_batches(first_url, batch_format="pyarrow"),
+        "__gkey__", rank_keep, num_partitions,
+    )

@@ -1,0 +1,83 @@
+"""Web-curation ops: URL extraction, domain accounting, per-domain caps
+(brute-force oracles on hand-built fixtures)."""
+import collections
+import re
+
+import pyarrow as pa
+import ray.data
+
+
+TEXTS = {
+    0: "intro http://a.com/x then https://b.org/y end",
+    1: "only http://a.com/z here",
+    2: "no urls at all",
+    3: "dup domain http://a.com/1 http://a.com/2",
+    4: "https://c.net trailing",
+    5: "http://b.org/path/deep?q=1 mixed",
+}
+URL_RE = re.compile(r"https?://[a-z0-9.-]+(?:/[^ ]*)?")
+DOM_RE = re.compile(r"https?://([a-z0-9.-]+)")
+
+
+def _ds():
+    tbl = pa.table({
+        "doc_id": pa.array(list(TEXTS), pa.int64()),
+        "text": pa.array(list(TEXTS.values()), pa.string()),
+    })
+    return ray.data.from_arrow(tbl).repartition(3)
+
+
+def test_extract_urls_brute_force():
+    from rabbittclust_ray.stages.web import extract_urls
+
+    got = extract_urls(_ds()).to_pandas().sort_values(
+        ["doc_id", "url"]).reset_index(drop=True)
+    want = []
+    for d, t in TEXTS.items():
+        for u in URL_RE.findall(t):
+            want.append((d, u, DOM_RE.match(u).group(1)))
+    want.sort()
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_domain_counts_brute_force():
+    from rabbittclust_ray.stages.web import domain_counts
+
+    got = domain_counts(_ds(), num_partitions=4).to_pandas().sort_values(
+        "domain").reset_index(drop=True)
+    urls, docs = collections.Counter(), collections.defaultdict(set)
+    for d, t in TEXTS.items():
+        for u in URL_RE.findall(t):
+            dom = DOM_RE.match(u).group(1)
+            urls[dom] += 1
+            docs[dom].add(d)
+    want = sorted((k, urls[k], len(docs[k])) for k in urls)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert dict(zip(got.domain, got.n_urls))["a.com"] == 4
+    assert dict(zip(got.domain, got.n_docs))["a.com"] == 3
+
+
+def test_cap_per_domain_rule():
+    from rabbittclust_ray.stages.web import cap_per_domain
+
+    got = cap_per_domain(_ds(), k=2, num_partitions=4).to_pandas()
+    by_doc = {int(r.doc_id): (r.domain, bool(r.keep))
+              for _, r in got.iterrows()}
+    # doc 2 has no URL: absent from the verdict table
+    assert 2 not in by_doc
+    # first-URL domain a.com holds docs 0,1,3 -> keep 0,1 drop 3
+    assert by_doc[0] == ("a.com", True)
+    assert by_doc[1] == ("a.com", True)
+    assert by_doc[3] == ("a.com", False)
+    assert by_doc[4] == ("c.net", True)
+    assert by_doc[5] == ("b.org", True)
+
+
+def test_cap_partition_invariance():
+    from rabbittclust_ray.stages.web import cap_per_domain
+
+    a = cap_per_domain(_ds(), k=1, num_partitions=2).to_pandas()
+    b = cap_per_domain(_ds(), k=1, num_partitions=7).to_pandas()
+    ka = sorted(map(tuple, a[["doc_id", "keep"]].itertuples(index=False)))
+    kb = sorted(map(tuple, b[["doc_id", "keep"]].itertuples(index=False)))
+    assert ka == kb
