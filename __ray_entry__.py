@@ -2808,6 +2808,29 @@ def _q_domain_cap(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    """Strictly-ordered first-occurrence funnel view -> click ->
+    purchase over the events table."""
+    from rabbittclust_ray.stages.events import funnel_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_counts(
+        ds, ["view", "click", "purchase"], num_partitions=16
+    )
+
+
+def _q_retention(sf_dir: str):
+    """Day-cohort retention matrix over the events table (integer
+    days since epoch)."""
+    from rabbittclust_ray.stages.events import retention_cohorts
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ds, num_partitions=16)
+
+
 def _q_char_stats(sf_dir: str):
     """Binary/garbage detector signals per doc: distinct codepoints,
     top-codepoint share and non-alphanumeric share (floor ppm)."""
@@ -3123,6 +3146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indentation_profile": _q_indentation_profile,
         "char_stats": _q_char_stats,
         "domain_counts": _q_domain_counts,
+        "funnel": _q_funnel,
+        "retention_cohorts": _q_retention,
         "domain_cap": _q_domain_cap,
         "repo_pack": _q_repo_pack,
         "fork_candidates": _q_fork_candidates,
@@ -5341,6 +5366,47 @@ def _code_ops_sql() -> dict[str, str]:
                    CAST(coalesce(m.w, 0) AS BIGINT) AS modal_width
             FROM agg a LEFT JOIN modal m USING (doc_id)
             ORDER BY a.doc_id
+        """,
+        "funnel": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           AS t0,
+                       min(CASE WHEN event_type = 'click' THEN ts END)
+                           AS t1,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS t2
+                FROM events GROUP BY user_id
+            )
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                   CAST(count(*) FILTER (t0 IS NOT NULL) AS BIGINT)
+                       AS n_users
+            FROM f
+            UNION ALL
+            SELECT 1, 'click',
+                   CAST(count(*) FILTER (t0 IS NOT NULL AND t1 > t0)
+                        AS BIGINT)
+            FROM f
+            UNION ALL
+            SELECT 2, 'purchase',
+                   CAST(count(*) FILTER (t0 IS NOT NULL AND t1 > t0
+                                         AND t2 > t1) AS BIGINT)
+            FROM f
+            ORDER BY step_idx
+        """,
+        "retention_cohorts": """
+            WITH d AS MATERIALIZED (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            c AS (SELECT user_id, min(day) AS cohort FROM d
+                  GROUP BY user_id)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort_day,
+                   CAST(d.day - c.cohort AS BIGINT) AS offset_days,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "domain_counts": "WITH " + _AUG_URLS_SQL + """
             , u AS MATERIALIZED (

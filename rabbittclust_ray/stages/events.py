@@ -406,3 +406,210 @@ def event_gap_stats(
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     return hash_exchange(prepped, "user_id", reduce, num_partitions)
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Strictly-ordered first-occurrence funnel: a user reaches step j
+    when the first occurrence of every step i <= j exists and each
+    first-occurrence timestamp is strictly later than the previous
+    step's. Output (step_idx, step, n_users) — the classic conversion
+    table.
+
+    Shape: per-batch (user, step) min-ts partials, ONE user-keyed
+    exchange; each reducer holds complete users, walks the step ladder
+    vectorized, and emits exact per-step partial counts (users partition
+    disjointly, so partials are additive); the driver merges
+    <= partitions x steps bookkeeping rows."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    empty_post = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[type_col], value_set=pa.array(steps))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty_post
+        df = pd.DataFrame(
+            {
+                "u": t[user_col].to_numpy(zero_copy_only=False),
+                "s": pd.Series(
+                    t[type_col].to_pandas()
+                ).map(step_idx).to_numpy(),
+                "t": t[ts_col].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby(["u", "s"], sort=False, as_index=False)["t"].min()
+        for c in ("u", "s", "t"):
+            g[c] = g[c].astype(np.int64)
+        g["__gkey__"] = g["u"].to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            "s": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = (
+            t.to_pandas()
+            .groupby(["u", "s"], sort=False, as_index=False)["t"]
+            .min()
+        )
+        # wide (users x steps) first-ts matrix; NaN = step never reached
+        wide = df.pivot(index="u", columns="s", values="t")
+        counts = []
+        alive = np.ones(len(wide), dtype=bool)
+        prev = np.full(len(wide), -np.inf)
+        for j in range(k):
+            col = (
+                wide[j].to_numpy(dtype=float)
+                if j in wide.columns
+                else np.full(len(wide), np.nan)
+            )
+            alive = alive & ~np.isnan(col) & (col > prev)
+            counts.append(int(alive.sum()))
+            prev = np.where(alive, col, prev)
+        return pa.table(
+            {
+                "s": pa.array(range(k), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    agg = [0] * k
+    for r in rows:
+        agg[int(r["s"])] += int(r["n"])
+    return pa.table(
+        {
+            "step_idx": pa.array(range(k), pa.int64()),
+            "step": pa.array(steps, pa.string()),
+            "n_users": pa.array(agg, pa.int64()),
+        }
+    )
+
+
+def retention_cohorts(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Day-cohort retention matrix: cohort_day = each user's first
+    active day (integer days since epoch), offset_days = active day -
+    cohort day, n_users = distinct users active at that (cohort,
+    offset). The warehouse retention table, exactly.
+
+    Shape: per-batch (user, day)-distinct partials, ONE user-keyed
+    exchange; reducers hold complete users so per-(cohort, offset)
+    distinct-user counts are exact and additive; the driver merges
+    <= partitions x cohorts x offsets rows (bounded by days^2, not
+    users)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    US_PER_DAY = 86_400_000_000
+
+    empty_post = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        df = pd.DataFrame(
+            {
+                "u": t[user_col].to_numpy(zero_copy_only=False),
+                "d": t[ts_col].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                // US_PER_DAY,
+            }
+        ).drop_duplicates()
+        for c in ("u", "d"):
+            df[c] = df[c].astype(np.int64)
+        df["__gkey__"] = df["u"].to_numpy()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            "cohort_day": pa.array([], pa.int64()),
+            "offset_days": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = t.to_pandas()[["u", "d"]].drop_duplicates()
+        cohort = df.groupby("u", sort=False)["d"].transform("min")
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_day": cohort.to_numpy(),
+                    "offset_days": (df["d"] - cohort).to_numpy(),
+                    "u": df["u"].to_numpy(),
+                }
+            )
+            .groupby(["cohort_day", "offset_days"], sort=True)["u"]
+            .nunique()
+            .reset_index(name="n_users")
+        )
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    agg: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (int(r["cohort_day"]), int(r["offset_days"]))
+        agg[key] = agg.get(key, 0) + int(r["n_users"])
+    ks = sorted(agg)
+    return pa.table(
+        {
+            "cohort_day": pa.array([a for a, _ in ks], pa.int64()),
+            "offset_days": pa.array([b for _, b in ks], pa.int64()),
+            "n_users": pa.array([agg[k] for k in ks], pa.int64()),
+        }
+    )

@@ -207,3 +207,82 @@ class TestVocab:
     def test_limit_tie_breaks_by_token(self):
         out = vocab_top_tokens(_docs(["z y x w"]), n=3).to_pandas()
         assert list(out["token"]) == ["w", "x", "y"]
+
+
+class TestFunnelRetention:
+    def _events(self, rows):
+        uid, ts, et = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "event_type": pa.array(et, pa.string()),
+        }))
+
+    def test_funnel_strict_order(self):
+        from rabbittclust_ray.stages.events import funnel_counts
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        m = np.timedelta64(60_000_000, "us")
+        rows = [
+            # user 1: full ordered funnel
+            (1, base, "view"), (1, base + m, "click"),
+            (1, base + 2 * m, "purchase"),
+            # user 2: click BEFORE view -> stops at view
+            (2, base + m, "click"), (2, base + 2 * m, "view"),
+            # user 3: view only
+            (3, base, "view"),
+            # user 4: purchase same instant as click -> not strictly later
+            (4, base, "view"), (4, base + m, "click"),
+            (4, base + m, "purchase"),
+            # user 5: never views
+            (5, base, "purchase"),
+        ]
+        out = funnel_counts(self._events(rows),
+                            ["view", "click", "purchase"],
+                            num_partitions=4).to_pandas()
+        assert list(out["step"]) == ["view", "click", "purchase"]
+        assert list(out["n_users"]) == [4, 2, 1]
+
+    def test_funnel_block_invariant(self):
+        from rabbittclust_ray.stages.events import funnel_counts
+        rng = np.random.default_rng(3)
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        rows = [
+            (int(rng.integers(0, 40)),
+             base + np.timedelta64(int(rng.integers(0, 10**6)), "us"),
+             ["view", "click", "purchase"][int(rng.integers(0, 3))])
+            for _ in range(600)
+        ]
+        a = funnel_counts(self._events(rows), ["view", "click", "purchase"],
+                          num_partitions=3).to_pandas()
+        ds = self._events(rows).repartition(17)
+        b = funnel_counts(ds, ["view", "click", "purchase"],
+                          num_partitions=9).to_pandas()
+        assert a.equals(b)
+
+    def test_retention_brute_force(self):
+        from rabbittclust_ray.stages.events import retention_cohorts
+        rng = np.random.default_rng(7)
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        day = np.timedelta64(86_400_000_000, "us")
+        rows = [
+            (int(rng.integers(0, 25)),
+             base + int(rng.integers(0, 6)) * day
+             + np.timedelta64(int(rng.integers(0, 86_400_000_000)), "us"),
+             "view")
+            for _ in range(400)
+        ]
+        out = retention_cohorts(self._events(rows),
+                                num_partitions=5).to_pandas()
+        # brute force
+        import collections
+        per_user_days = collections.defaultdict(set)
+        for u, ts, _ in rows:
+            per_user_days[u].add(int(ts.astype("datetime64[D]").astype(int)))
+        exp = collections.Counter()
+        for u, days in per_user_days.items():
+            c = min(days)
+            for d in days:
+                exp[(c, d - c)] += 1
+        got = {(int(r.cohort_day), int(r.offset_days)): int(r.n_users)
+               for r in out.itertuples()}
+        assert got == dict(exp)
