@@ -1285,6 +1285,31 @@ def _q_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=8, n_iter=2)
 
 
+def _q_table_profile(sf_dir: str):
+    """Data-quality profile of the widest table: per-column row/null/
+    EXACT-distinct counts and min/max in one pass + one value-keyed
+    exchange (shuffled volume = per-batch distinct values, not rows)."""
+    from rabbittclust_ray.stages.profile import table_profile
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_shipdate"]
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return table_profile(ds, cols, num_partitions=16)
+
+
+def _q_embedding_moments(sf_dir: str):
+    """Exact integer-quantized first/second moments of the embedding
+    column — the all-data pass of distributed PCA (covariance is a
+    driver-side d x d divide; see stages/pca.py). Bit-exact vs SQL via
+    floor(v*1000) int64 sums."""
+    from rabbittclust_ray.stages.pca import embedding_moments
+
+    ds = _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_moments(ds, num_partitions=8)
+
+
 def _q_vocab_top_tokens(sf_dir: str):
     """Top-50 corpus vocabulary (count desc, token asc) with per-batch
     partial aggregation before the groupby shuffle."""
@@ -3147,6 +3172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_stats": _q_char_stats,
         "domain_counts": _q_domain_counts,
         "funnel": _q_funnel,
+        "table_profile": _q_table_profile,
+        "embedding_moments": _q_embedding_moments,
         "retention_cohorts": _q_retention,
         "domain_cap": _q_domain_cap,
         "repo_pack": _q_repo_pack,
@@ -4676,7 +4703,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT v.node AS doc_id, coalesce(p.n_triangles, 0) AS n_triangles
         FROM verts v LEFT JOIN pernode p USING (node)
     """
+    sql.update(_profile_sql())
     return sql
+
+
+def _profile_sql() -> dict[str, str]:
+    """Oracles for the profiling/moments tier."""
+    prof_cols = [
+        ("l_orderkey", "int"),
+        ("l_linenumber", "int"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ]
+    parts = []
+    for name, kind in prof_cols:
+        if kind == "ts":
+            mn = f"CAST(epoch_us(min({name})) AS VARCHAR)"
+            mx = f"CAST(epoch_us(max({name})) AS VARCHAR)"
+        else:
+            mn = f"CAST(min({name}) AS VARCHAR)"
+            mx = f"CAST(max({name}) AS VARCHAR)"
+        parts.append(f"""
+            SELECT '{name}' AS col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_val, {mx} AS max_val
+            FROM lineitem""")
+    table_profile = " UNION ALL ".join(parts)
+    return {
+        "table_profile": table_profile,
+        "embedding_moments": """
+            WITH q AS MATERIALIZED (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) - 1
+                            AS INTEGER) AS i,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000.0) AS BIGINT) AS qv
+                FROM embeddings
+            )
+            SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT i, CAST(-1 AS INTEGER), CAST(sum(qv) AS BIGINT)
+            FROM q GROUP BY i
+            UNION ALL
+            SELECT a.i, b.i, CAST(sum(a.qv * b.qv) AS BIGINT)
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+            ORDER BY i, j
+        """,
+    }
 
 
 def _code_ops_sql() -> dict[str, str]:

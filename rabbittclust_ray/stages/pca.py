@@ -1,0 +1,175 @@
+"""Distributed PCA over an embedding column: exact integer-quantized
+first/second moments (the all-data pass), driver-side eigendecomposition
+(d x d only), and a streaming projection pass.
+
+Training-data/analytics extension beyond the reference (its sketches are
+set-based; embedding analytics live in stages/ann.py / kmeans.py here).
+
+Scale shape: the ONLY pass that touches every row computes per-batch
+integer partials — n, sum(q), and the upper triangle of q^T q where
+q = floor(vec * scale) — as a tiny (d(d+1)/2 + d + 1)-row table per
+batch. Those partials are summed by ONE keyed exchange on the moment
+index (a few thousand groups regardless of data size), so the driver
+sees <= partitions x moments bookkeeping rows and the eigensolve is a
+d x d numpy call. Quantization makes every sum order-independent int64
+arithmetic: bit-exact vs SQL, block-layout invariant, and mergeable
+across appends.
+
+Overflow bound: |q| <= scale * max|v|, so sum of n products needs
+n * (scale * max|v|)^2 < 2^63 — at the default scale=1000 and |v| <= 1
+that is n < 9.2e12 rows, comfortably past the 1e9-doc target; callers
+with larger corpora or wider value ranges lower ``scale``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_MOM_SCHEMA = pa.schema(
+    [
+        ("i", pa.int32()),        # row index, -1 for the count row
+        ("j", pa.int32()),        # col index, -1 for count/sum rows
+        ("v", pa.int64()),        # integer moment value
+        ("__gkey__", pa.int64()),
+    ]
+)
+
+
+def _batch_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.float64)
+    d = len(arr[0]) if len(arr) else 0
+    return flat.reshape(len(arr), d) if d else flat.reshape(0, 0)
+
+
+def embedding_moments(
+    ds: ray.data.Dataset,
+    *,
+    col: str = "embedding",
+    scale: float = 1000.0,
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Exact integer moments of ``floor(vec * scale)``.
+
+    Returns (i, j, v): (-1,-1) -> n_rows; (i,-1) -> sum of q_i;
+    (i,j) with i<=j -> sum of q_i * q_j. All int64, bit-exact and
+    order-independent.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, col)
+        if m.size == 0:
+            return _MOM_SCHEMA.empty_table()
+        q = np.floor(m * scale).astype(np.int64)
+        d = q.shape[1]
+        s = q.sum(axis=0)
+        mm = q.T @ q
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate(([-1], np.arange(d), iu)).astype(np.int32)
+        j = np.concatenate(([-1], np.full(d, -1), ju)).astype(np.int32)
+        v = np.concatenate(([q.shape[0]], s, mm[iu, ju])).astype(np.int64)
+        gkey = (i.astype(np.int64) + 1) * np.int64(d + 2) + (
+            j.astype(np.int64) + 1
+        )
+        return pa.table(
+            {"i": i, "j": j, "v": v, "__gkey__": gkey}, schema=_MOM_SCHEMA
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MOM_SCHEMA.empty_table()
+        import pandas as pd  # noqa: F401
+
+        df = t.to_pandas().groupby(["i", "j", "__gkey__"], sort=True,
+                                   as_index=False)["v"].sum()
+        return pa.table(
+            {
+                "i": df["i"].to_numpy(np.int32),
+                "j": df["j"].to_numpy(np.int32),
+                "v": df["v"].to_numpy(np.int64),
+                "__gkey__": df["__gkey__"].to_numpy(np.int64),
+            },
+            schema=_MOM_SCHEMA,
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__",
+        reduce,
+        num_partitions,
+    ).take_all()
+    agg: dict[tuple[int, int], int] = {}
+    for r in rows:
+        k = (int(r["i"]), int(r["j"]))
+        agg[k] = agg.get(k, 0) + int(r["v"])
+    ks = sorted(agg)
+    return pa.table(
+        {
+            "i": pa.array([k[0] for k in ks], pa.int32()),
+            "j": pa.array([k[1] for k in ks], pa.int32()),
+            "v": pa.array([agg[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def moments_to_cov(moments: pa.Table) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, covariance) from an ``embedding_moments`` table, in the
+    quantized q-space (divide by scale**2 outside for vec-space units)."""
+    i = moments["i"].to_numpy()
+    j = moments["j"].to_numpy()
+    v = moments["v"].to_numpy()
+    n = int(v[(i == -1) & (j == -1)][0])
+    d = int(i.max()) + 1
+    s = np.zeros(d)
+    s[i[(j == -1) & (i >= 0)]] = v[(j == -1) & (i >= 0)]
+    m2 = np.zeros((d, d))
+    pairs = (j >= 0)
+    m2[i[pairs], j[pairs]] = v[pairs]
+    m2[j[pairs], i[pairs]] = v[pairs]
+    mean = s / n
+    cov = m2 / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    *,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+    scale: float = 1000.0,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Project every vector onto the top-``k`` principal components of
+    the quantized covariance. Eigensolve is a d x d driver call on the
+    exchanged moments; the projection pass streams (components are
+    broadcast once via the task closure). Sign convention: each
+    component's largest-|coordinate| entry is made positive, so output
+    is deterministic across eigensolver sign flips.
+    """
+    moments = embedding_moments(
+        ds, col=col, scale=scale, num_partitions=num_partitions
+    )
+    _, mean, cov = moments_to_cov(moments)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = vecs[:, order]
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                         np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+
+    def project(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, col)
+        q = np.floor(m * scale)
+        proj = (q - mean) @ comps
+        cols = {id_col: t[id_col]}
+        for c in range(comps.shape[1]):
+            cols[f"pc{c}"] = pa.array(proj[:, c], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1,0 +1,259 @@
+"""Table profiling: per-column row/null/distinct counts and min/max —
+the data-quality surface (Deequ/Great-Expectations class) a curation
+engine needs before trusting a 100-TB drop.
+
+Training-data/analytics extension beyond the reference (no profiling
+verbs in /root/reference; closest is the size scan, src/ референс
+``calSize`` — see stages/prepare.py). Design:
+
+- ONE pass over the input: each batch emits, per profiled column, its
+  batch-DISTINCT values (value-typed sort keys + per-batch occurrence
+  counts) plus one null-count bookkeeping row. Shuffled volume is the
+  per-batch distinct count, not the row count — for low-cardinality
+  columns (flags, dates, enums) that is a ~constant number of rows per
+  batch regardless of batch size.
+- ONE keyed exchange on the value hash co-locates equal values, so each
+  reducer computes EXACT distinct counts (dedup on the value itself, not
+  its hash — hash collisions cannot undercount), partition min/max, and
+  additive row/null sums.
+- Driver merges <= partitions x columns bookkeeping rows.
+
+Supported column kinds: integer, timestamp (profiled as epoch
+microseconds), and string. min/max are rendered as strings so one output
+schema covers all kinds: (col, n_rows, n_nulls, n_distinct, min_val,
+max_val).
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("c", pa.int32()),        # column ordinal
+        ("__gkey__", pa.int64()), # value-hash partition key
+        ("is_null", pa.int8()),   # 1 => null bookkeeping row
+        ("cnt", pa.int64()),      # occurrences of this value in the batch
+        ("ikey", pa.int64()),     # typed value (int/epoch-us kinds)
+        ("skey", pa.string()),    # typed value (string kind)
+    ]
+)
+
+_PART_OUT_SCHEMA = pa.schema(
+    [
+        ("c", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("min_i", pa.int64()),
+        ("max_i", pa.int64()),
+        ("min_s", pa.string()),
+        ("max_s", pa.string()),
+    ]
+)
+
+
+def _column_kind(typ: pa.DataType) -> str:
+    if pa.types.is_timestamp(typ):
+        return "ts"
+    if pa.types.is_integer(typ):
+        return "int"
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return "str"
+    raise TypeError(
+        f"table_profile supports int/timestamp/string columns, got {typ} "
+        "(floats need a format-stable rendering; profile them via an "
+        "integer quantization column instead)"
+    )
+
+
+def table_profile(
+    ds: ray.data.Dataset,
+    columns: Sequence[str],
+    *,
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Profile ``columns`` of ``ds`` in one pass + one keyed exchange.
+
+    Returns an arrow table (col, n_rows, n_nulls, n_distinct, min_val,
+    max_val) with min/max rendered as strings (timestamps as epoch
+    microseconds), matching ``CAST(min(col) AS VARCHAR)`` semantics for
+    int/string columns and ``CAST(epoch_us(min(col)) AS VARCHAR)`` for
+    timestamps.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    cols = list(columns)
+    schema = ds.schema()
+    name_to_type = dict(zip(schema.names, schema.types))
+    kinds = [_column_kind(name_to_type[c]) for c in cols]
+
+    def partials(t: pa.Table) -> pa.Table:
+        outs = []
+        for ci, (name, kind) in enumerate(zip(cols, kinds)):
+            arr = t[name]
+            n = len(arr)
+            n_null = arr.null_count
+            if kind == "ts":
+                vals = arr.cast(pa.int64())
+            else:
+                vals = arr
+            valid = vals.drop_null()
+            if kind == "str":
+                s = pd.Series(valid.to_pandas(), dtype=object)
+                vc = s.value_counts(sort=False)
+                keys = vc.index.to_numpy(dtype=object)
+                gkey = pd.util.hash_array(keys).astype(np.int64)
+                ik = np.zeros(len(keys), dtype=np.int64)
+                sk = pa.array(keys, pa.string())
+                ik_arr = pa.array(ik, pa.int64())
+            else:
+                v = np.asarray(
+                    valid.combine_chunks()
+                    if isinstance(valid, pa.ChunkedArray)
+                    else valid
+                ).astype(np.int64)
+                keys, counts = np.unique(v, return_counts=True)
+                vc = None
+                gkey = pd.util.hash_array(keys.astype(np.uint64)).astype(
+                    np.int64
+                )
+                ik_arr = pa.array(keys, pa.int64())
+                sk = pa.nulls(len(keys), pa.string())
+            cnt = (
+                vc.to_numpy().astype(np.int64)
+                if vc is not None
+                else counts.astype(np.int64)
+            )
+            m = len(gkey)
+            outs.append(
+                pa.table(
+                    {
+                        "c": pa.array(np.full(m, ci, np.int32)),
+                        "__gkey__": pa.array(gkey, pa.int64()),
+                        "is_null": pa.array(np.zeros(m, np.int8)),
+                        "cnt": pa.array(cnt, pa.int64()),
+                        "ikey": ik_arr,
+                        "skey": sk,
+                    },
+                    schema=_PARTIAL_SCHEMA,
+                )
+            )
+            # one bookkeeping row carrying this batch's null count (and
+            # implicitly the row count: n_rows = sum(cnt) + sum(nulls))
+            if n_null:
+                outs.append(
+                    pa.table(
+                        {
+                            "c": pa.array([ci], pa.int32()),
+                            "__gkey__": pa.array([np.int64(ci)], pa.int64()),
+                            "is_null": pa.array([1], pa.int8()),
+                            "cnt": pa.array([n_null], pa.int64()),
+                            "ikey": pa.array([0], pa.int64()),
+                            "skey": pa.nulls(1, pa.string()),
+                        },
+                        schema=_PARTIAL_SCHEMA,
+                    )
+                )
+        if not outs:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART_OUT_SCHEMA.empty_table()
+        df = t.to_pandas()
+        rows = []
+        for ci, g in df.groupby("c", sort=True):
+            nulls = g[g["is_null"] == 1]
+            vals = g[g["is_null"] == 0]
+            n_nulls = int(nulls["cnt"].sum())
+            n_rows = int(vals["cnt"].sum()) + n_nulls
+            kind = kinds[int(ci)]
+            if kind == "str":
+                uniq = vals["skey"].drop_duplicates()
+                n_distinct = len(uniq)
+                mn_s = uniq.min() if n_distinct else None
+                mx_s = uniq.max() if n_distinct else None
+                mn_i = mx_i = 0
+            else:
+                uniq = vals["ikey"].drop_duplicates()
+                n_distinct = len(uniq)
+                mn_i = int(uniq.min()) if n_distinct else 0
+                mx_i = int(uniq.max()) if n_distinct else 0
+                mn_s = mx_s = None
+            rows.append(
+                (int(ci), n_rows, n_nulls, n_distinct, mn_i, mx_i, mn_s, mx_s)
+            )
+        arrays = list(zip(*rows))
+        return pa.table(
+            {
+                f.name: pa.array(arrays[i], f.type)
+                for i, f in enumerate(_PART_OUT_SCHEMA)
+            },
+            schema=_PART_OUT_SCHEMA,
+        )
+
+    parts = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__",
+        reduce,
+        num_partitions,
+    ).take_all()
+
+    agg: dict[int, list] = {}
+    for r in parts:
+        ci = int(r["c"])
+        cur = agg.get(ci)
+        if cur is None:
+            agg[ci] = [
+                r["n_rows"], r["n_nulls"], r["n_distinct"],
+                r["min_i"], r["max_i"], r["min_s"], r["max_s"],
+            ]
+            continue
+        cur[0] += r["n_rows"]
+        cur[1] += r["n_nulls"]
+        cur[2] += r["n_distinct"]
+        if r["n_distinct"]:
+            if cur[2] == r["n_distinct"]:  # cur had no values before
+                cur[3], cur[4], cur[5], cur[6] = (
+                    r["min_i"], r["max_i"], r["min_s"], r["max_s"],
+                )
+            else:
+                cur[3] = min(cur[3], r["min_i"])
+                cur[4] = max(cur[4], r["max_i"])
+                for idx, pick in ((5, min), (6, max)):
+                    a, b = cur[idx], r[["min_s", "max_s"][idx - 5]]
+                    cur[idx] = b if a is None else (
+                        a if b is None else pick(a, b)
+                    )
+    out_cols, out_rows, out_nulls, out_dist, out_min, out_max = (
+        [], [], [], [], [], []
+    )
+    for ci in range(len(cols)):
+        v = agg.get(ci, [0, 0, 0, 0, 0, None, None])
+        out_cols.append(cols[ci])
+        out_rows.append(v[0])
+        out_nulls.append(v[1])
+        out_dist.append(v[2])
+        if kinds[ci] == "str":
+            out_min.append(v[5])
+            out_max.append(v[6])
+        else:
+            out_min.append(str(v[3]) if v[2] else None)
+            out_max.append(str(v[4]) if v[2] else None)
+    return pa.table(
+        {
+            "col": pa.array(out_cols, pa.string()),
+            "n_rows": pa.array(out_rows, pa.int64()),
+            "n_nulls": pa.array(out_nulls, pa.int64()),
+            "n_distinct": pa.array(out_dist, pa.int64()),
+            "min_val": pa.array(out_min, pa.string()),
+            "max_val": pa.array(out_max, pa.string()),
+        }
+    )

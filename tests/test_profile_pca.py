@@ -1,0 +1,121 @@
+"""table_profile and embedding-moments/PCA: brute-force replays, null
+handling, and block-layout invariance."""
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.pca import (
+    embedding_moments,
+    moments_to_cov,
+    pca_project,
+)
+from rabbittclust_ray.stages.profile import table_profile
+
+
+class TestTableProfile:
+    def _tbl(self):
+        return pa.table(
+            {
+                "k": pa.array([3, 1, 1, None, 7, 3], pa.int64()),
+                "s": pa.array(["b", None, "a", "a", "c", "b"], pa.string()),
+                "t": pa.array(
+                    np.array(
+                        ["2026-01-02", "2026-01-01", "2026-01-01",
+                         "2026-01-03", "2026-01-02", "2026-01-01"],
+                        dtype="datetime64[us]",
+                    )
+                ),
+            }
+        )
+
+    def test_counts_nulls_minmax(self):
+        out = table_profile(
+            ray.data.from_arrow(self._tbl()), ["k", "s", "t"],
+            num_partitions=4,
+        ).to_pandas().set_index("col")
+        assert out.loc["k"].tolist() == [6, 1, 3, "1", "7"]
+        assert out.loc["s"].tolist() == [6, 1, 3, "a", "c"]
+        day = 86_400_000_000
+        d0 = (np.datetime64("2026-01-01") - np.datetime64("1970-01-01")
+              ).astype("timedelta64[D]").astype(int) * day
+        assert out.loc["t"].tolist() == [6, 0, 3, str(d0), str(d0 + 2 * day)]
+
+    def test_block_invariant(self):
+        rng = np.random.default_rng(2)
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 50, 3000), pa.int64()),
+                "s": pa.array(
+                    [f"v{x}" for x in rng.integers(0, 20, 3000)], pa.string()
+                ),
+            }
+        )
+        a = table_profile(ray.data.from_arrow(t), ["k", "s"],
+                          num_partitions=3).to_pandas()
+        b = table_profile(
+            ray.data.from_arrow(t).repartition(17), ["k", "s"],
+            num_partitions=9,
+        ).to_pandas()
+        assert a.equals(b)
+        assert int(a.set_index("col").loc["k", "n_distinct"]) == len(
+            np.unique(t["k"].to_numpy())
+        )
+
+
+class TestEmbeddingMoments:
+    def _emb(self, X):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(X)), pa.int64()),
+                    "embedding": pa.array(
+                        [row.astype(np.float32) for row in X],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+
+    def test_brute_force_and_block_invariant(self):
+        rng = np.random.default_rng(4)
+        X = rng.standard_normal((200, 6)) * 0.4
+        ds = self._emb(X)
+        out = embedding_moments(ds, num_partitions=4).to_pandas()
+        q = np.floor(X.astype(np.float32).astype(np.float64) * 1000.0
+                     ).astype(np.int64)
+        mm = q.T @ q
+        got = {(int(r.i), int(r.j)): int(r.v) for r in out.itertuples()}
+        assert got[(-1, -1)] == 200
+        for i in range(6):
+            assert got[(i, -1)] == int(q[:, i].sum())
+            for j in range(i, 6):
+                assert got[(i, j)] == int(mm[i, j])
+        out2 = embedding_moments(ds.repartition(13),
+                                 num_partitions=7).to_pandas()
+        assert out.equals(out2)
+
+    def test_pca_project_matches_numpy(self):
+        rng = np.random.default_rng(9)
+        # anisotropic cloud: dominant direction recoverable
+        base = rng.standard_normal((300, 4)) * np.array([5.0, 1.0, 0.2, 0.1])
+        ds = self._emb(base * 0.05)
+        proj = pca_project(ds, k=2, num_partitions=4).to_pandas()
+        proj = proj.sort_values("vec_id").reset_index(drop=True)
+
+        q = np.floor(
+            (base * 0.05).astype(np.float32).astype(np.float64) * 1000.0
+        )
+        c = q - q.mean(0)
+        cov = (q.T @ q) / len(q) - np.outer(q.mean(0), q.mean(0))
+        w, vecs = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:2]
+        comps = vecs[:, order]
+        flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                             np.arange(2)])
+        expected = c @ (comps * flip)
+        np.testing.assert_allclose(
+            proj[["pc0", "pc1"]].to_numpy(), expected, rtol=1e-9, atol=1e-6
+        )
+        # moments_to_cov round-trips the count
+        n, _, _ = moments_to_cov(embedding_moments(ds, num_partitions=2))
+        assert n == 300
