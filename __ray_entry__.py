@@ -2856,6 +2856,17 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(ds, num_partitions=16)
 
 
+def _q_concurrency(sf_dir: str):
+    """Peak concurrent sessions per hour — the distributed prefix-scan
+    operator: per-bucket (total, max-prefix) partials + a driver carry
+    scan over active buckets only."""
+    from rabbittclust_ray.stages.events import concurrency_curve
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return concurrency_curve(ds, gap_s=1800.0, bucket_s=3600,
+                             num_partitions=16)
+
+
 def _q_char_stats(sf_dir: str):
     """Binary/garbage detector signals per doc: distinct codepoints,
     top-codepoint share and non-alphanumeric share (floor ppm)."""
@@ -3172,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_stats": _q_char_stats,
         "domain_counts": _q_domain_counts,
         "funnel": _q_funnel,
+        "concurrency_curve": _q_concurrency,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
         "retention_cohorts": _q_retention,
@@ -4733,6 +4745,30 @@ def _profile_sql() -> dict[str, str]:
             FROM lineitem""")
     table_profile = " UNION ALL ".join(parts)
     return {
+        "concurrency_curve": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, t,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            ),
+            b AS (SELECT user_id, sid, min(t) AS st, max(t) AS en
+                  FROM s GROUP BY 1, 2),
+            d AS (SELECT st AS t, 1 AS d FROM b
+                  UNION ALL SELECT en, -1 FROM b),
+            r AS (SELECT t, sum(d) OVER (ORDER BY t, d DESC
+                             ROWS UNBOUNDED PRECEDING) AS c FROM d)
+            SELECT CAST(t // 3600000000 AS BIGINT) AS bucket,
+                   CAST(max(c) AS BIGINT) AS peak_concurrent
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
         "table_profile": table_profile,
         "embedding_moments": """
             WITH q AS MATERIALIZED (

@@ -613,3 +613,145 @@ def retention_cohorts(
             "n_users": pa.array([agg[k] for k in ks], pa.int64()),
         }
     )
+
+
+def concurrency_curve(
+    ds: ray.data.Dataset,
+    *,
+    gap_s: float = 1800.0,
+    bucket_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Peak concurrent sessions per time bucket — a GLOBAL running sum
+    over the corpus, i.e. the distributed prefix-scan operator class.
+
+    Sessions are gap-split per user (same semantics as ``sessionize``);
+    each session contributes a +1 delta at its start and a -1 at its end
+    (ties order +1 before -1, so a single-event session still counts).
+    Output ``(bucket, peak_concurrent)`` for every bucket containing at
+    least one delta; ``bucket = floor(epoch_us / bucket_s)``.
+
+    Shape: exchange 1 (user-keyed) builds session bounds and emits 2
+    delta rows per session; exchange 2 (bucket-keyed) computes, per
+    bucket, the delta TOTAL and the running-sum MAX PREFIX — both
+    order-invariant under the (t, d desc) tie rule. The driver then does
+    an exclusive scan over per-bucket totals (rows = active buckets,
+    bounded by the time span — hours in a year, not events) and adds the
+    carry to each bucket's max prefix. No stage ever sees the global
+    ordered stream."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    gap_us = int(round(gap_s * 1_000_000))
+    bucket_us = int(bucket_s) * 1_000_000
+
+    empty_delta = pa.table(
+        {
+            "t": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "u": t[user_col].cast(pa.int64()),
+                "t": ts.cast(pa.int64()),
+            }
+        )
+
+    def to_deltas(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_delta
+        df = t.to_pandas().sort_values(["u", "t"], kind="mergesort")
+        u = df["u"].to_numpy()
+        tv = df["t"].to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (tv[1:] - tv[:-1]) > gap_us
+        starts = tv[brk]
+        last = np.empty(len(brk), dtype=bool)  # row is its session's last
+        last[:-1] = brk[1:]
+        last[-1] = True
+        ends = tv[last]
+        t_out = np.concatenate([starts, ends])
+        d_out = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        return pa.table(
+            {
+                "t": pa.array(t_out, pa.int64()),
+                "d": pa.array(d_out, pa.int64()),
+                "__gkey__": pa.array(t_out // bucket_us, pa.int64()),
+            }
+        )
+
+    empty_part = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "total": pa.array([], pa.int64()),
+            "max_prefix": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_part
+        df = t.to_pandas()
+        df["b"] = df["t"].to_numpy() // bucket_us
+        out = []
+        for b, g in df.groupby("b", sort=True):
+            g = g.sort_values(["t", "d"], ascending=[True, False],
+                              kind="mergesort")
+            c = g["d"].to_numpy().cumsum()
+            out.append((int(b), int(c[-1]), int(c.max())))
+        bs, tot, mp = zip(*out)
+        return pa.table(
+            {
+                "bucket": pa.array(bs, pa.int64()),
+                "total": pa.array(tot, pa.int64()),
+                "max_prefix": pa.array(mp, pa.int64()),
+            }
+        )
+
+    # exchange 1: user-keyed session building (complete users per
+    # reducer); exchange 2: bucket-keyed prefix partials
+    sessions = hash_exchange(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "u", to_deltas, num_partitions,
+    )
+    parts = hash_exchange(
+        sessions, "__gkey__", bucket_reduce, num_partitions
+    ).take_all()
+
+    agg: dict[int, list[int]] = {}
+    for r in parts:
+        b = int(r["bucket"])
+        cur = agg.get(b)
+        if cur is None:
+            agg[b] = [int(r["total"]), int(r["max_prefix"])]
+        else:
+            cur[0] += int(r["total"])
+            cur[1] = max(cur[1], int(r["max_prefix"]))
+    buckets = sorted(agg)
+    carry = 0
+    peaks = []
+    for b in buckets:
+        tot, mp = agg[b]
+        peaks.append(carry + mp)
+        carry += tot
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int64()),
+            "peak_concurrent": pa.array(peaks, pa.int64()),
+        }
+    )

@@ -286,3 +286,62 @@ class TestFunnelRetention:
         got = {(int(r.cohort_day), int(r.offset_days)): int(r.n_users)
                for r in out.itertuples()}
         assert got == dict(exp)
+
+
+class TestConcurrencyCurve:
+    def _events(self, rows):
+        uid, ts = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+        }))
+
+    def test_brute_force_replay(self):
+        from rabbittclust_ray.stages.events import concurrency_curve
+        rng = np.random.default_rng(13)
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        rows = [
+            (int(rng.integers(0, 30)),
+             base + np.timedelta64(int(rng.integers(0, 3 * 86_400_000_000)),
+                                   "us"))
+            for _ in range(800)
+        ]
+        out = concurrency_curve(self._events(rows), gap_s=1800.0,
+                                bucket_s=3600, num_partitions=5).to_pandas()
+        # brute force: sessions -> deltas -> global running sum
+        import collections
+        per_user = collections.defaultdict(list)
+        for u, ts in rows:
+            per_user[u].append(int(ts.astype(int)))
+        deltas = []
+        gap = 1_800_000_000
+        for u, tss in per_user.items():
+            tss.sort()
+            st = tss[0]
+            prev = tss[0]
+            for t in tss[1:]:
+                if t - prev > gap:
+                    deltas += [(st, 1), (prev, -1)]
+                    st = t
+                prev = t
+            deltas += [(st, 1), (prev, -1)]
+        deltas.sort(key=lambda x: (x[0], -x[1]))
+        c = 0
+        peak = collections.defaultdict(lambda: -10**9)
+        for t, d in deltas:
+            c += d
+            b = t // 3_600_000_000
+            peak[b] = max(peak[b], c)
+        exp = {b: peak[b] for b in sorted(peak)}
+        got = {int(r.bucket): int(r.peak_concurrent)
+               for r in out.itertuples()}
+        assert got == exp
+
+    def test_block_invariant_and_single_event_session(self):
+        from rabbittclust_ray.stages.events import concurrency_curve
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        rows = [(1, base), (2, base)]  # two single-event sessions, same t
+        out = concurrency_curve(self._events(rows),
+                                num_partitions=2).to_pandas()
+        # +1,+1 before -1,-1 at equal ts: both count concurrently
+        assert list(out["peak_concurrent"]) == [2]
