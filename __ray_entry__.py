@@ -2856,6 +2856,18 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(ds, num_partitions=16)
 
 
+def _q_user_trend(sf_dir: str):
+    """Per-user OLS value-vs-time trend as exact integer rationals
+    (normal-equation numerator/denominator) — the grouped-regression
+    operator class, combiner-before-shuffle."""
+    from rabbittclust_ray.stages.events import user_value_trend
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return user_value_trend(ds, num_partitions=16)
+
+
 def _q_concurrency(sf_dir: str):
     """Peak concurrent sessions per hour — the distributed prefix-scan
     operator: per-bucket (total, max-prefix) partials + a driver carry
@@ -3184,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_counts": _q_domain_counts,
         "funnel": _q_funnel,
         "concurrency_curve": _q_concurrency,
+        "user_value_trend": _q_user_trend,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
         "retention_cohorts": _q_retention,
@@ -4745,6 +4758,21 @@ def _profile_sql() -> dict[str, str]:
             FROM lineitem""")
     table_profile = " UNION ALL ".join(parts)
     return {
+        "user_value_trend": """
+            WITH p AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 3600000000) - 438288 AS x,
+                       CAST(floor(value * 1000.0) AS BIGINT) AS y
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                        AS BIGINT) AS slope_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                        AS BIGINT) AS slope_den
+            FROM p GROUP BY user_id ORDER BY user_id
+        """,
         "concurrency_curve": """
             WITH e AS (
                 SELECT user_id, epoch_us(ts) AS t,

@@ -345,3 +345,46 @@ class TestConcurrencyCurve:
                                 num_partitions=2).to_pandas()
         # +1,+1 before -1,-1 at equal ts: both count concurrently
         assert list(out["peak_concurrent"]) == [2]
+
+
+class TestUserValueTrend:
+    def test_brute_force_and_block_invariance(self):
+        from rabbittclust_ray.stages.events import (
+            _TREND_X_ORIGIN_HOURS,
+            user_value_trend,
+        )
+        rng = np.random.default_rng(21)
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        rows = [
+            (int(rng.integers(0, 12)),
+             base + np.timedelta64(int(rng.integers(0, 30 * 86_400_000_000)),
+                                   "us"),
+             float(rng.normal(50, 20)))
+            for _ in range(600)
+        ]
+        uid, ts, val = zip(*rows)
+        tbl = pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "value": pa.array(val, pa.float64()),
+        })
+        out = user_value_trend(ray.data.from_arrow(tbl),
+                               num_partitions=4).to_pandas()
+        out2 = user_value_trend(
+            ray.data.from_arrow(tbl).repartition(11), num_partitions=7
+        ).to_pandas()
+        a = out.sort_values("user_id").reset_index(drop=True)
+        assert a.equals(out2.sort_values("user_id").reset_index(drop=True))
+        # brute force with python bigints (no overflow by construction)
+        import collections
+        acc = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+        for u, t, v in rows:
+            x = int(t.astype(int)) // 3_600_000_000 - _TREND_X_ORIGIN_HOURS
+            y = int(np.floor(v * 1000.0))
+            s = acc[u]
+            s[0] += 1; s[1] += x; s[2] += y; s[3] += x * x; s[4] += x * y
+        for r in a.itertuples():
+            n, sx, sy, sxx, sxy = acc[int(r.user_id)]
+            assert int(r.n_events) == n
+            assert int(r.slope_num) == n * sxy - sx * sy
+            assert int(r.slope_den) == n * sxx - sx * sx
