@@ -463,6 +463,47 @@ def run_bench() -> dict:
 
     queries["q_curation_ops"] = timed_best(run_curation_ops)
 
+    # analytics family: the global prefix scan (concurrency curve),
+    # grouped OLS trend, funnel/retention, table profiling, and the PCA
+    # moments pass — the exchange-partial plans added late round 2
+    from rabbittclust_ray.stages.events import (
+        concurrency_curve,
+        funnel_counts,
+        retention_cohorts,
+        user_value_trend,
+    )
+    from rabbittclust_ray.stages.pca import embedding_moments
+    from rabbittclust_ray.stages.profile import table_profile
+
+    prof_cols = ["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_linestatus", "l_shipdate"]
+    li_prof = ray.data.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=prof_cols
+    )
+    emb = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ev_small = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def run_analytics_ops():
+        concurrency_curve(
+            ev_small.select_columns(["user_id", "ts"]), num_partitions=64
+        )
+        user_value_trend(ev_small, num_partitions=64).count()
+        funnel_counts(
+            ev.select_columns(["user_id", "ts", "event_type"]),
+            ["view", "click", "purchase"], num_partitions=64,
+        )
+        retention_cohorts(
+            ev_small.select_columns(["user_id", "ts"]), num_partitions=64
+        )
+        table_profile(li_prof, prof_cols, num_partitions=64)
+        embedding_moments(emb, num_partitions=16)
+
+    queries["q_analytics_ops"] = timed_best(run_analytics_ops)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",
