@@ -2856,6 +2856,31 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(ds, num_partitions=16)
 
 
+def _q_melt(sf_dir: str):
+    """UNPIVOT the lineitem measures to long form — zero-shuffle k-fold
+    in-batch expansion, values passed through bit-exact."""
+    from rabbittclust_ray.stages.relational import melt
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return melt(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _q_simpson(sf_dir: str):
+    """Per-doc Simpson token-diversity (floor-ppm, log-free) — the
+    rational diversity quality signal."""
+    from rabbittclust_ray.stages.text import simpson_diversity
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simpson_diversity(ds)
+
+
 def _q_user_trend(sf_dir: str):
     """Per-user OLS value-vs-time trend as exact integer rationals
     (normal-equation numerator/denominator) — the grouped-regression
@@ -3197,6 +3222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "concurrency_curve": _q_concurrency,
         "user_value_trend": _q_user_trend,
+        "melt_lineitem": _q_melt,
+        "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
         "retention_cohorts": _q_retention,
@@ -4757,7 +4784,35 @@ def _profile_sql() -> dict[str, str]:
                    {mn} AS min_val, {mx} AS max_val
             FROM lineitem""")
     table_profile = " UNION ALL ".join(parts)
+    melt_parts = [
+        f"""SELECT l_orderkey, l_linenumber, '{m}' AS measure,
+                   CAST({m} AS DOUBLE) AS value FROM lineitem"""
+        for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    ]
     return {
+        "melt_lineitem": " UNION ALL ".join(melt_parts),
+        "simpson_diversity": """
+            WITH d AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+                GROUP BY doc_id, w
+            ),
+            s AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(c * c) AS BIGINT) AS s2
+                FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(CAST(1000000 * (s.n * s.n - s.s2)
+                                 // (s.n * s.n) AS BIGINT), 0)
+                       AS simpson_ppm
+            FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+        """,
         "user_value_trend": """
             WITH p AS (
                 SELECT user_id,

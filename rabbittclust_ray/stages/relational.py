@@ -983,3 +983,38 @@ def rollup_counts(
         }
     )
     return levels.union(ray.data.from_arrow(grand_t))
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    measure_col: str = "measure",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT: widen-to-long over ``value_cols`` — one output row per
+    (input row, measure), value passed through bit-exact (no arithmetic,
+    so doubles hash-match SQL UNION ALL semantics).
+
+    Pure map stage, zero shuffle: the k-fold row expansion happens
+    inside the batch (column concat + measure tag), so block count and
+    streaming behavior are unchanged; output rows = k x input rows by
+    construction."""
+    ids = list(id_cols)
+    vals = list(value_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = []
+        for m in vals:
+            cols = {c: t[c] for c in ids}
+            cols[measure_col] = pa.array(
+                np.full(t.num_rows, m, dtype=object), pa.string()
+            )
+            cols[value_col] = t[m].cast(pa.float64())
+            parts.append(pa.table(cols))
+        if not parts:
+            return pa.table({c: t[c] for c in ids})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1194,3 +1194,51 @@ def cooccurrence_pairs(
             ),
         }
     )
+
+
+def simpson_diversity(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc Simpson diversity of the `[a-z]+` token distribution,
+    floor-ppm: 1e6 * (n^2 - sum(c^2)) / n^2 (0 for token-less docs).
+
+    The log-free diversity quality signal (entropy's rational cousin —
+    exactly SQL-expressible, unlike entropy's float ln): near 0 =>
+    one token dominates (boilerplate/generated), near 1e6 => uniform
+    vocabulary. Pure map stage, zero shuffle; the token explode stays
+    inside the batch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        txt = pc.replace_substring_regex(
+            pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+        )
+        lists = pc.split_pattern(txt, " ")
+        flat = np.asarray(pc.list_flatten(lists))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"i": np.repeat(np.arange(len(ids)), lens), "w": flat}
+        )
+        df = df[df["w"] != ""]
+        c = df.groupby(["i", "w"], sort=False).size().astype(np.int64)
+        per = c.groupby(level=0).agg(["sum", lambda s: int((s * s).sum())])
+        n = np.zeros(len(ids), dtype=np.int64)
+        s2 = np.zeros(len(ids), dtype=np.int64)
+        idx = per.index.to_numpy()
+        n[idx] = per.iloc[:, 0].to_numpy(np.int64)
+        s2[idx] = per.iloc[:, 1].to_numpy(np.int64)
+        nn = n * n
+        ppm = np.where(n > 0, (1_000_000 * (nn - s2)) // np.maximum(nn, 1), 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "simpson_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

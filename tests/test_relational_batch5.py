@@ -278,3 +278,37 @@ def test_doc_term_stats_vs_brute():
     # min_df=2 drops tokens that appear in only one doc ('d', 'e')
     got2 = doc_term_stats(ds, min_df=2, num_partitions=4).to_pandas()
     assert set(got2["token"]) == {"a", "b", "c"}
+
+
+class TestMelt:
+    def test_long_form_bit_exact(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.relational import melt
+
+        t = pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "a": pa.array([0.1, 0.2], pa.float64()),
+            "b": pa.array([1.5, np.nan], pa.float64()),
+        })
+        out = melt(ray.data.from_arrow(t), ["k"], ["a", "b"]).to_pandas()
+        out = out.sort_values(["measure", "k"]).reset_index(drop=True)
+        assert len(out) == 4
+        assert list(out["measure"]) == ["a", "a", "b", "b"]
+        assert out["value"][0] == 0.1 and out["value"][2] == 1.5
+        assert np.isnan(out["value"][3])
+
+    def test_block_invariant_count(self):
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.relational import melt
+
+        t = pa.table({
+            "k": pa.array(range(100), pa.int64()),
+            "a": pa.array([float(i) for i in range(100)], pa.float64()),
+        })
+        ds = ray.data.from_arrow(t).repartition(7)
+        assert melt(ds, ["k"], ["a"]).count() == 100

@@ -375,3 +375,49 @@ def test_gopher_repetition_brute_force():
         for row, t in zip(got.itertuples(index=False), texts):
             assert (row.top2_char_ppm, row.top3_char_ppm,
                     row.dup5_char_ppm) == brute(t), t
+
+
+class TestSimpsonDiversity:
+    def _docs(self, texts):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_known_values(self):
+        from rabbittclust_ray.stages.text import simpson_diversity
+
+        out = simpson_diversity(self._docs([
+            "a a a a",        # one token: ppm 0
+            "a b c d",        # uniform 4: 1e6*(16-4)/16 = 750000
+            "a a b",          # (9-5)/9 -> 444444
+            "",               # no tokens -> 0
+            "123 !!!",        # no [a-z] tokens -> 0
+        ])).to_pandas().sort_values("doc_id")
+        assert list(out["simpson_ppm"]) == [0, 750000, 444444, 0, 0]
+
+    def test_brute_force(self):
+        import collections
+        import re
+
+        import numpy as np
+
+        from rabbittclust_ray.stages.text import simpson_diversity
+
+        rng = np.random.default_rng(6)
+        vocab = ["foo", "bar", "baz", "qux", "zap"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+            for _ in range(50)
+        ]
+        out = simpson_diversity(self._docs(texts)).to_pandas()
+        got = dict(zip(out["doc_id"], out["simpson_ppm"]))
+        for i, tx in enumerate(texts):
+            c = collections.Counter(re.findall("[a-z]+", tx.lower()))
+            n = sum(c.values())
+            exp = (10**6 * (n * n - sum(v * v for v in c.values()))
+                   ) // (n * n) if n else 0
+            assert got[i] == exp
