@@ -2795,6 +2795,49 @@ def _make_augment_urls():
     return augment
 
 
+def _make_augment_tracking():
+    """Deterministic tracking-suffix URL injection for the
+    canonicalization query: one example.com URL per doc with a
+    doc_id%4-selected fragment/utm/gclid suffix."""
+
+    _SUFFIXES = [
+        "?utm_source=feed&x={i}",
+        "/?gclid=g{i}",
+        "?a=1&utm_medium=m&b=2#s",
+        "#frag",
+    ]
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, s in zip(ids, texts):
+            suf = _SUFFIXES[int(i) % 4].format(i=int(i))
+            out.append(
+                f"{s} http://d{int(i) % 97}.example.com/p{int(i)}{suf}"
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return augment
+
+
+_AUG_TRACKING_SQL = """
+            aug AS MATERIALIZED (
+                SELECT doc_id,
+                       text || ' http://d' || (doc_id % 97) ||
+                       '.example.com/p' || doc_id ||
+                       CASE doc_id % 4
+                            WHEN 0 THEN '?utm_source=feed&x=' || doc_id
+                            WHEN 1 THEN '/?gclid=g' || doc_id
+                            WHEN 2 THEN '?a=1&utm_medium=m&b=2#s'
+                            ELSE '#frag' END AS t
+                FROM documents
+            )
+"""
+
+
 _AUG_URLS_SQL = """
             aug AS MATERIALIZED (
                 SELECT doc_id,
@@ -2819,6 +2862,19 @@ def _q_domain_counts(sf_dir: str):
         ds.map_batches(_make_augment_urls(), batch_format="pyarrow"),
         num_partitions=16,
     )
+
+
+def _q_url_canon(sf_dir: str):
+    """URL canonicalization (fragment/tracking-param strip, artifact
+    cleanup, trailing-slash drop) over deterministically injected
+    tracking URLs — the pre-dedup normalization of web pipelines."""
+    from rabbittclust_ray.stages.web import canonicalize_urls, extract_urls
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    urls = extract_urls(
+        ds.map_batches(_make_augment_tracking(), batch_format="pyarrow")
+    )
+    return canonicalize_urls(urls.drop_columns(["domain"]))
 
 
 def _q_domain_cap(sf_dir: str):
@@ -3223,6 +3279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrency_curve": _q_concurrency,
         "user_value_trend": _q_user_trend,
         "melt_lineitem": _q_melt,
+        "url_canon": _q_url_canon,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -4759,6 +4816,21 @@ def oracle_sql() -> dict[str, str]:
     return sql
 
 
+def _url_canon_sql() -> str:
+    from rabbittclust_ray.stages.web import canon_steps_sql
+
+    return ("WITH " + _AUG_TRACKING_SQL + """
+            , u AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(t,
+                           'https?://[a-z0-9.-]+(?:/[^ ]*)?')) AS url
+                FROM aug
+            )
+            SELECT doc_id, url, """
+            + canon_steps_sql("url")
+            + " AS canon_url FROM u ORDER BY doc_id")
+
+
 def _profile_sql() -> dict[str, str]:
     """Oracles for the profiling/moments tier."""
     prof_cols = [
@@ -4791,6 +4863,7 @@ def _profile_sql() -> dict[str, str]:
     ]
     return {
         "melt_lineitem": " UNION ALL ".join(melt_parts),
+        "url_canon": _url_canon_sql(),
         "simpson_diversity": """
             WITH d AS MATERIALIZED (
                 SELECT doc_id,

@@ -203,3 +203,61 @@ def cap_per_domain(
         urls.map_batches(first_url, batch_format="pyarrow"),
         "__gkey__", rank_keep, num_partitions,
     )
+
+
+# URL canonicalization rewrite chain — RE2 syntax, applied IN ORDER with
+# global replacement. pyarrow.compute and DuckDB regexp_replace both run
+# RE2, so the engine and the SQL oracle execute the IDENTICAL chain.
+# The tracking-pair step appears 3x because RE2 global replace does not
+# rescan replaced regions (consecutive tracking params need one pass
+# each; 3 bounds any sane URL).
+_TRACK = r"([?&])(?:utm_[a-z0-9_]+|gclid|fbclid|ref)=[^&#]*&"
+_TRACK_LAST = r"[?&](?:utm_[a-z0-9_]+|gclid|fbclid|ref)=[^&#]*$"
+CANON_STEPS: list[tuple[str, str]] = [
+    (r"#.*$", ""),          # strip fragment
+    (_TRACK, r"\1"),        # tracking pair followed by another param
+    (_TRACK, r"\1"),
+    (_TRACK, r"\1"),
+    (_TRACK_LAST, ""),      # trailing tracking pair
+    (r"\?&", "?"),          # artifacts
+    (r"[?&]$", ""),
+    (r"/+\?", "?"),         # trailing slashes before query / at end
+    (r"/+$", ""),
+]
+
+
+def canonicalize_urls(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+) -> ray.data.Dataset:
+    """Append ``canon_url``: fragment stripped, utm_*/gclid/fbclid/ref
+    tracking params removed, ?/& artifacts cleaned, trailing slashes
+    dropped — the standard pre-dedup URL normalization of web-curation
+    pipelines (canonical URLs are the dedup key, raw URLs the evidence).
+
+    Pure map stage, zero shuffle; the whole chain is vectorized RE2
+    (`pc.replace_substring_regex`) and mirrored verbatim by the SQL
+    oracle from the same ``CANON_STEPS`` constant."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        u = t[url_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        c = u
+        for pat, repl in CANON_STEPS:
+            c = pc.replace_substring_regex(c, pat, repl)
+        return t.append_column("canon_url", c)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def canon_steps_sql(expr: str) -> str:
+    """Nest the CANON_STEPS chain as DuckDB regexp_replace calls around
+    ``expr`` — the single-source-of-truth oracle builder."""
+    out = expr
+    for pat, repl in CANON_STEPS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out

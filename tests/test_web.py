@@ -81,3 +81,65 @@ def test_cap_partition_invariance():
     ka = sorted(map(tuple, a[["doc_id", "keep"]].itertuples(index=False)))
     kb = sorted(map(tuple, b[["doc_id", "keep"]].itertuples(index=False)))
     assert ka == kb
+
+
+class TestCanonicalizeUrls:
+    def test_chain_cases(self):
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.web import canonicalize_urls
+
+        urls = [
+            "http://a.com/p?utm_source=feed&x=1",
+            "http://a.com/p/?gclid=g1",
+            "http://a.com/p?a=1&utm_medium=m&b=2#s",
+            "http://a.com/p#frag",
+            "http://a.com/p?utm_a=1&utm_b=2&utm_c=3",
+            "http://a.com/p?href=x&y=1",   # href is NOT a tracking param
+            "http://a.com/",
+        ]
+        expected = [
+            "http://a.com/p?x=1",
+            "http://a.com/p",
+            "http://a.com/p?a=1&b=2",
+            "http://a.com/p",
+            "http://a.com/p",
+            "http://a.com/p?href=x&y=1",
+            "http://a.com",
+        ]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(urls)), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        }))
+        out = canonicalize_urls(ds).to_pandas().sort_values("doc_id")
+        assert list(out["canon_url"]) == expected
+
+    def test_sql_builder_matches_engine(self):
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.web import (
+            canon_steps_sql,
+            canonicalize_urls,
+        )
+
+        urls = [
+            "https://h.io/a/b/?utm_x=1&q=2&fbclid=f#top",
+            "http://h.io/?ref=rss",
+            "https://h.io/x?utm_1=a&utm_2=b",
+        ]
+        t = pa.table({
+            "doc_id": pa.array(range(len(urls)), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        })
+        eng = canonicalize_urls(
+            ray.data.from_arrow(t)
+        ).to_pandas().sort_values("doc_id")["canon_url"].tolist()
+        con = duckdb.connect()
+        con.register("u", t)
+        sql = con.sql(
+            f"SELECT {canon_steps_sql('url')} AS c FROM u ORDER BY doc_id"
+        ).fetchall()
+        assert eng == [r[0] for r in sql]
