@@ -2877,6 +2877,25 @@ def _q_url_canon(sf_dir: str):
     return canonicalize_urls(urls.drop_columns(["domain"]))
 
 
+def _q_url_dedup(sf_dir: str):
+    """URL-level dedup on the canonical form: one row per canonical URL
+    with occurrence count + min-doc keeper — canonicalize composed into
+    the dedup tier."""
+    from rabbittclust_ray.stages.web import (
+        canonicalize_urls,
+        extract_urls,
+        url_dedup,
+    )
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    urls = extract_urls(
+        ds.map_batches(_make_augment_tracking(), batch_format="pyarrow")
+    )
+    return url_dedup(
+        canonicalize_urls(urls.drop_columns(["domain"])), num_partitions=16
+    )
+
+
 def _q_domain_cap(sf_dir: str):
     """Per-domain document cap (keep the 3 lowest doc_ids per first-URL
     domain): the Common-Crawl-style rebalancing verdict table."""
@@ -3280,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": _q_user_trend,
         "melt_lineitem": _q_melt,
         "url_canon": _q_url_canon,
+        "url_dedup": _q_url_dedup,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -4831,6 +4851,24 @@ def _url_canon_sql() -> str:
             + " AS canon_url FROM u ORDER BY doc_id")
 
 
+def _url_dedup_sql() -> str:
+    from rabbittclust_ray.stages.web import canon_steps_sql
+
+    return ("WITH " + _AUG_TRACKING_SQL + """
+            , u AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(t,
+                           'https?://[a-z0-9.-]+(?:/[^ ]*)?')) AS url
+                FROM aug
+            ), c AS (SELECT doc_id, """
+            + canon_steps_sql("url")
+            + """ AS canon_url FROM u)
+            SELECT canon_url,
+                   CAST(min(doc_id) AS BIGINT) AS kept_doc,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM c GROUP BY canon_url ORDER BY canon_url""")
+
+
 def _profile_sql() -> dict[str, str]:
     """Oracles for the profiling/moments tier."""
     prof_cols = [
@@ -4864,6 +4902,7 @@ def _profile_sql() -> dict[str, str]:
     return {
         "melt_lineitem": " UNION ALL ".join(melt_parts),
         "url_canon": _url_canon_sql(),
+        "url_dedup": _url_dedup_sql(),
         "simpson_diversity": """
             WITH d AS MATERIALIZED (
                 SELECT doc_id,

@@ -261,3 +261,80 @@ def canon_steps_sql(expr: str) -> str:
         p = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
     return out
+
+
+def url_dedup(
+    urls: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    canon_col: str = "canon_url",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Collapse URL occurrences onto their canonical form: one row per
+    canonical URL with the occurrence count and the lowest doc_id as the
+    keeper — the web-pipeline URL-level dedup verdict (canonical URL is
+    the key, min-id the deterministic representative).
+
+    Shape: per-batch (canon, min-id, count) partials — the combiner —
+    then ONE exchange keyed on hash(canon); shuffled volume is distinct
+    canonical URLs per batch, not occurrences."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "canon_url": pa.array([], pa.string()),
+            "kept_doc": pa.array([], pa.int64()),
+            "n_occurrences": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "canon_url": pd.Series(t[canon_col].to_pandas(),
+                                       dtype=object),
+                "kept_doc": t[id_col].to_numpy(zero_copy_only=False),
+                "n_occurrences": np.ones(t.num_rows, np.int64),
+            }
+        )
+        g = df.groupby("canon_url", sort=False, as_index=False).agg(
+            kept_doc=("kept_doc", "min"),
+            n_occurrences=("n_occurrences", "sum"),
+        )
+        g["kept_doc"] = g["kept_doc"].astype(np.int64)
+        g["n_occurrences"] = g["n_occurrences"].astype(np.int64)
+        g["__gkey__"] = pd.util.hash_array(
+            g["canon_url"].to_numpy(dtype=object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        g = (
+            t.to_pandas()
+            .groupby("canon_url", sort=True, as_index=False)
+            .agg(kept_doc=("kept_doc", "min"),
+                 n_occurrences=("n_occurrences", "sum"))
+        )
+        return pa.table(
+            {
+                "canon_url": pa.array(g["canon_url"], pa.string()),
+                "kept_doc": pa.array(
+                    g["kept_doc"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_occurrences": pa.array(
+                    g["n_occurrences"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return hash_exchange(
+        urls.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    )

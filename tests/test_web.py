@@ -143,3 +143,25 @@ class TestCanonicalizeUrls:
             f"SELECT {canon_steps_sql('url')} AS c FROM u ORDER BY doc_id"
         ).fetchall()
         assert eng == [r[0] for r in sql]
+
+
+class TestUrlDedup:
+    def test_min_keeper_and_counts(self):
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.web import url_dedup
+
+        t = pa.table({
+            "doc_id": pa.array([5, 3, 9, 1], pa.int64()),
+            "canon_url": pa.array(
+                ["http://a/x", "http://a/x", "http://b/y", "http://a/x"],
+                pa.string(),
+            ),
+        })
+        out = url_dedup(ray.data.from_arrow(t).repartition(3),
+                        num_partitions=4).to_pandas()
+        out = out.sort_values("canon_url").reset_index(drop=True)
+        assert list(out["canon_url"]) == ["http://a/x", "http://b/y"]
+        assert list(out["kept_doc"]) == [1, 9]
+        assert list(out["n_occurrences"]) == [3, 1]
