@@ -2864,6 +2864,17 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_ks_drift(sf_dir: str):
+    """Exact integer-rational two-sample KS distance between src0 and
+    src1 doc-length distributions — the ingest drift monitor."""
+    from rabbittclust_ray.stages.stats import ks_drift
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return ks_drift(ds, "src0", "src1", num_partitions=16)
+
+
 def _q_url_canon(sf_dir: str):
     """URL canonicalization (fragment/tracking-param strip, artifact
     cleanup, trailing-slash drop) over deterministically injected
@@ -3300,6 +3311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_lineitem": _q_melt,
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
+        "ks_drift": _q_ks_drift,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -4903,6 +4915,37 @@ def _profile_sql() -> dict[str, str]:
         "melt_lineitem": " UNION ALL ".join(melt_parts),
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
+        "ks_drift": """
+            WITH c AS (
+                SELECT n_chars AS v,
+                       CAST(count(*) FILTER (source = 'src0')
+                            AS BIGINT) AS ca,
+                       CAST(count(*) FILTER (source = 'src1')
+                            AS BIGINT) AS cb
+                FROM documents WHERE source IN ('src0', 'src1')
+                GROUP BY v
+            ),
+            r AS (
+                SELECT v,
+                       sum(ca) OVER (ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS fa,
+                       sum(cb) OVER (ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS fb
+                FROM c
+            ),
+            tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                           CAST(sum(cb) AS BIGINT) AS nb FROM c),
+            d AS (SELECT r.v,
+                         abs(r.fa * tot.nb - r.fb * tot.na) AS dd
+                  FROM r, tot),
+            m AS (SELECT max(dd) AS mx FROM d)
+            SELECT CAST(m.mx AS BIGINT) AS ks_num,
+                   CAST(tot.na * tot.nb AS BIGINT) AS ks_den,
+                   CAST((SELECT min(v) FROM d WHERE dd = m.mx)
+                        AS BIGINT) AS at_value,
+                   tot.na AS n_a, tot.nb AS n_b
+            FROM m, tot
+        """,
         "simpson_diversity": """
             WITH d AS MATERIALIZED (
                 SELECT doc_id,

@@ -439,3 +439,115 @@ def cluster_size_histogram(
             "n_clusters": pa.array([agg[k] for k in ks], pa.int64()),
         }
     )
+
+
+def ks_drift(
+    ds: ray.data.Dataset,
+    group_a: str,
+    group_b: str,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Exact two-sample Kolmogorov-Smirnov distance between two groups'
+    integer-value distributions, as an integer rational:
+
+        KS = ks_num / ks_den,  ks_num = max over distinct v of
+        |F_a(v) * n_b - F_b(v) * n_a|,  ks_den = n_a * n_b
+
+    (F = cumulative count). The distribution-drift monitor a 100-TB
+    ingest runs between sources / snapshots — all-integer, so bit-exact
+    and layout-invariant. ``at_value`` is the smallest v attaining the
+    max.
+
+    Shape: per-batch (v, c_a, c_b) count partials — the combiner — then
+    ONE value-keyed exchange sums them; the driver's cumsum touches one
+    row per DISTINCT value (the value domain, e.g. doc lengths — bounded
+    by data semantics, not corpus size). Overflow: n_a * n_b < 2^63
+    caps either group at ~3e9 rows; rescale/bucket v beyond that."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "v": pa.array([], pa.int64()),
+            "ca": pa.array([], pa.int64()),
+            "cb": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            t[group_col], value_set=pa.array([group_a, group_b])
+        )
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        side = pc.equal(t[group_col], group_a).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "v": t[value_col].to_numpy(zero_copy_only=False),
+                "ca": side.astype(np.int64),
+                "cb": (~side).astype(np.int64),
+            }
+        )
+        g = df.groupby("v", sort=False, as_index=False).sum()
+        for c in ("v", "ca", "cb"):
+            g[c] = g[c].astype(np.int64)
+        g["__gkey__"] = pd.util.hash_array(
+            g["v"].to_numpy().astype(np.uint64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        g = t.to_pandas().groupby("v", sort=True, as_index=False)[
+            ["ca", "cb"]
+        ].sum()
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "ca": pa.array(g["ca"].to_numpy(np.int64)),
+                "cb": pa.array(g["cb"].to_numpy(np.int64)),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    if not rows:
+        return pa.table(
+            {
+                "ks_num": pa.array([0], pa.int64()),
+                "ks_den": pa.array([0], pa.int64()),
+                "at_value": pa.array([0], pa.int64()),
+                "n_a": pa.array([0], pa.int64()),
+                "n_b": pa.array([0], pa.int64()),
+            }
+        )
+    df = pd.DataFrame(rows).groupby("v", sort=True, as_index=False)[
+        ["ca", "cb"]
+    ].sum()
+    fa = df["ca"].to_numpy(np.int64).cumsum()
+    fb = df["cb"].to_numpy(np.int64).cumsum()
+    na, nb = int(fa[-1]), int(fb[-1])
+    diff = np.abs(fa * nb - fb * na)
+    best = int(diff.argmax())  # first occurrence = smallest v
+    return pa.table(
+        {
+            "ks_num": pa.array([int(diff[best])], pa.int64()),
+            "ks_den": pa.array([na * nb], pa.int64()),
+            "at_value": pa.array([int(df["v"].iloc[best])], pa.int64()),
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+        }
+    )

@@ -159,3 +159,52 @@ def test_dependency_layers_chain_and_cycle():
     out = dependency_layers(ds, n_iter=4, num_partitions=2).to_pandas()
     got = {r.module: r.layer for r in out.itertuples()}
     assert got == {"a": 2, "b": 1, "c": 0, "x": 4, "y": 4}
+
+
+class TestKsDrift:
+    def test_brute_force_scipy_free(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.stats import ks_drift
+
+        rng = np.random.default_rng(17)
+        va = rng.integers(0, 40, 300)            # uniform-ish
+        vb = rng.integers(10, 30, 200)           # shifted/narrow
+        t = pa.table({
+            "source": pa.array(["a"] * 300 + ["b"] * 200 + ["z"] * 50),
+            "n_chars": pa.array(
+                np.concatenate([va, vb, rng.integers(0, 40, 50)]),
+                pa.int64(),
+            ),
+        })
+        out = ks_drift(ray.data.from_arrow(t).repartition(9), "a", "b",
+                       num_partitions=5).to_pandas().iloc[0]
+        # brute force over the union of values
+        vals = np.unique(np.concatenate([va, vb]))
+        best_num, best_v = -1, None
+        for v in vals:
+            num = abs(int((va <= v).sum()) * 200 - int((vb <= v).sum()) * 300)
+            if num > best_num:
+                best_num, best_v = num, int(v)
+        assert int(out["ks_num"]) == best_num
+        assert int(out["ks_den"]) == 300 * 200
+        assert int(out["at_value"]) == best_v
+        assert int(out["n_a"]) == 300 and int(out["n_b"]) == 200
+
+    def test_identical_distributions_zero(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.stats import ks_drift
+
+        v = np.arange(50)
+        t = pa.table({
+            "source": pa.array(["a"] * 50 + ["b"] * 50),
+            "n_chars": pa.array(np.concatenate([v, v]), pa.int64()),
+        })
+        out = ks_drift(ray.data.from_arrow(t), "a", "b",
+                       num_partitions=3).to_pandas().iloc[0]
+        assert int(out["ks_num"]) == 0
