@@ -2933,6 +2933,21 @@ def _q_funnel(sf_dir: str):
     )
 
 
+def _q_funnel_windowed(sf_dir: str):
+    """Windowed funnel: each step must convert within 6 h of the
+    previous step's match (sequential as-of matching)."""
+    from rabbittclust_ray.stages.events import funnel_counts_windowed
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_counts_windowed(
+        ds, ["view", "click", "purchase"], window_s=21600.0,
+        num_partitions=16,
+    )
+
+
 def _q_retention(sf_dir: str):
     """Day-cohort retention matrix over the events table (integer
     days since epoch)."""
@@ -3312,6 +3327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
         "ks_drift": _q_ks_drift,
+        "funnel_windowed": _q_funnel_windowed,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -5745,6 +5761,33 @@ def _code_ops_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (t0 IS NOT NULL AND t1 > t0
                                          AND t2 > t1) AS BIGINT)
             FROM f
+            ORDER BY step_idx
+        """,
+        "funnel_windowed": """
+            WITH e AS MATERIALIZED (
+                SELECT user_id, epoch_us(ts) AS t, event_type
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s0 AS (SELECT user_id, min(t) AS t0 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.t) AS t1
+                   FROM e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.t > s0.t0
+                     AND e.t <= s0.t0 + 21600000000
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.t) AS t2
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.t > s1.t1
+                     AND e.t <= s1.t1 + 21600000000
+                   GROUP BY e.user_id)
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                   CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+            UNION ALL
+            SELECT 2, 'purchase',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
             ORDER BY step_idx
         """,
         "retention_cohorts": """

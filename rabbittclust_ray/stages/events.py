@@ -871,3 +871,127 @@ def user_value_trend(
         ds.map_batches(partials, batch_format="pyarrow"),
         "u", reduce, num_partitions,
     )
+
+
+def funnel_counts_windowed(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    window_s: float,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Funnel with a per-step conversion deadline: step j matches the
+    FIRST step-j event strictly after the step-(j-1) match and within
+    ``window_s`` of it (sequential matching — the industry-standard
+    windowed-funnel semantics, which per-step global minima cannot
+    express). Output (step_idx, step, n_users).
+
+    Shape: per-batch DISTINCT (user, step, ts) rows (exact dedup is the
+    only volume reduction sequential matching allows), ONE user-keyed
+    exchange; each reducer walks the step ladder with a vectorized
+    grouped forward as-of match (C merge_asof, tolerance = window), and
+    partial counts are additive because users partition disjointly."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    w_us = int(round(window_s * 1_000_000))
+
+    empty_post = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[type_col], value_set=pa.array(steps))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty_post
+        df = pd.DataFrame(
+            {
+                "u": t[user_col].to_numpy(zero_copy_only=False),
+                "s": pd.Series(
+                    t[type_col].to_pandas()
+                ).map(step_idx).to_numpy(),
+                "t": t[ts_col].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).drop_duplicates()
+        for c in ("u", "s", "t"):
+            df[c] = df[c].astype(np.int64)
+        df["__gkey__"] = df["u"].to_numpy()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            "s": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = t.to_pandas()[["u", "s", "t"]].drop_duplicates()
+        counts = []
+        cur = (
+            df[df["s"] == 0].groupby("u", as_index=False)["t"].min()
+            .rename(columns={"t": "prev"})
+        )
+        counts.append(len(cur))
+        for j in range(1, k):
+            if cur.empty:
+                counts.append(0)
+                continue
+            right = df[df["s"] == j][["u", "t"]].sort_values("t",
+                                                             kind="mergesort")
+            cur = cur.assign(key=cur["prev"] + 1).sort_values(
+                "key", kind="mergesort"
+            )
+            if right.empty:
+                counts.append(0)
+                cur = cur.iloc[0:0]
+                continue
+            m = pd.merge_asof(
+                cur, right, left_on="key", right_on="t", by="u",
+                direction="forward", tolerance=w_us - 1,
+            )
+            cur = (
+                m[m["t"].notna()][["u", "t"]]
+                .astype({"t": np.int64})
+                .rename(columns={"t": "prev"})
+            )
+            counts.append(len(cur))
+        return pa.table(
+            {
+                "s": pa.array(range(k), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    agg = [0] * k
+    for r in rows:
+        agg[int(r["s"])] += int(r["n"])
+    return pa.table(
+        {
+            "step_idx": pa.array(range(k), pa.int64()),
+            "step": pa.array(steps, pa.string()),
+            "n_users": pa.array(agg, pa.int64()),
+        }
+    )
