@@ -2864,6 +2864,18 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_grouped_hll(sf_dir: str):
+    """Merged-register HLL distinct-user estimate per event type — the
+    mergeable-sketch aggregation (register rows through the exchange,
+    never values)."""
+    from rabbittclust_ray.stages.alt_sketch import grouped_hll
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_hll(ds, "event_type", "user_id", num_partitions=16)
+
+
 def _q_ks_drift(sf_dir: str):
     """Exact integer-rational two-sample KS distance between src0 and
     src1 doc-length distributions — the ingest drift monitor."""
@@ -3328,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "ks_drift": _q_ks_drift,
         "funnel_windowed": _q_funnel_windowed,
+        "grouped_hll": _q_grouped_hll,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -4864,6 +4877,46 @@ def oracle_sql() -> dict[str, str]:
     return sql
 
 
+def _grouped_hll_sql() -> str:
+    from rabbittclust_ray.stages.alt_sketch import (
+        HLL_REG_CLAMP,
+        _hll_alpha_c,
+    )
+
+    c_lit = repr(_hll_alpha_c(8))
+    mask56 = (1 << 56) - 1
+    two54 = 1 << HLL_REG_CLAMP
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT DISTINCT event_type AS g, user_id AS v FROM events
+        ),
+        h AS (
+            SELECT g,
+                   ('0x' || substr(sha256(CAST(v AS VARCHAR)), 1, 16)
+                   )::UBIGINT AS h
+            FROM d
+        ),
+        reg AS (
+            SELECT g, CAST(h >> 56 AS BIGINT) AS bucket,
+                   least(max(CASE WHEN (h & {mask56}) = 0 THEN 57
+                             ELSE CAST(bit_count(xor(h & {mask56},
+                                  (h & {mask56}) - 1)) AS BIGINT) END),
+                         {HLL_REG_CLAMP}) AS r
+            FROM h GROUP BY g, bucket
+        ),
+        agg AS (
+            SELECT g,
+                   sum((1::BIGINT << ({HLL_REG_CLAMP} - r)))::BIGINT
+                     + (256 - count(*)) * {two54}::BIGINT AS hll_sum,
+                   (256 - count(*))::BIGINT AS hll_zeros
+            FROM reg GROUP BY g
+        )
+        SELECT g AS "group", hll_sum, hll_zeros,
+               round({c_lit} / hll_sum, 6) AS est_distinct
+        FROM agg ORDER BY g
+    """
+
+
 def _url_canon_sql() -> str:
     from rabbittclust_ray.stages.web import canon_steps_sql
 
@@ -4931,6 +4984,7 @@ def _profile_sql() -> dict[str, str]:
         "melt_lineitem": " UNION ALL ".join(melt_parts),
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
+        "grouped_hll": _grouped_hll_sql(),
         "ks_drift": """
             WITH c AS (
                 SELECT n_chars AS v,

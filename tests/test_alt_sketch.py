@@ -195,3 +195,38 @@ def test_omh_pairs_block_layout_invariance():
         else:
             assert out.equals(ref)
     assert len(ref) > 0
+
+
+class TestGroupedHll:
+    def test_accuracy_and_block_invariance(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.alt_sketch import grouped_hll
+
+        rng = np.random.default_rng(31)
+        # group 'a': 2000 distinct values, 'b': 100 distinct (repeated)
+        va = np.arange(2000)
+        vb = rng.integers(10**6, 10**6 + 100, 3000)
+        t = pa.table({
+            "g": pa.array(["a"] * 2000 + ["b"] * 3000, pa.string()),
+            "v": pa.array(np.concatenate([va, vb]), pa.int64()),
+        })
+        out = grouped_hll(ray.data.from_arrow(t).repartition(7), "g", "v",
+                          num_partitions=4).to_pandas()
+        out = out.sort_values("group").reset_index(drop=True)
+        est = dict(zip(out["group"], out["est_distinct"]))
+        assert abs(est["a"] - 2000) / 2000 < 0.15   # ~6.5% std at m=256
+        nb = len(np.unique(vb))
+        # small-range regime: apply the standard linear-counting
+        # correction from the exposed zeros count (raw HLL overshoots
+        # below ~2.5m distinct — same contract as hll_cardinality)
+        zb = int(out.set_index("group").loc["b", "hll_zeros"])
+        est_b = 256 * np.log(256 / zb)
+        assert abs(est_b - nb) / nb < 0.15
+        # merge across different layouts is identical (register max is
+        # associative/commutative)
+        out2 = grouped_hll(ray.data.from_arrow(t).repartition(23), "g",
+                           "v", num_partitions=9).to_pandas()
+        assert out.equals(out2.sort_values("group").reset_index(drop=True))
