@@ -2864,6 +2864,18 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_zorder(sf_dir: str):
+    """Z-order (Morton) locality keys over (orderkey, partkey) low bits
+    — the lakehouse multi-column layout primitive."""
+    from rabbittclust_ray.stages.relational import zorder_key
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+    )
+    return zorder_key(ds, "l_orderkey", "l_partkey", bits=16)
+
+
 def _q_grouped_hll(sf_dir: str):
     """Merged-register HLL distinct-user estimate per event type — the
     mergeable-sketch aggregation (register rows through the exchange,
@@ -3341,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": _q_ks_drift,
         "funnel_windowed": _q_funnel_windowed,
         "grouped_hll": _q_grouped_hll,
+        "zorder_keys": _q_zorder,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -4877,6 +4890,16 @@ def oracle_sql() -> dict[str, str]:
     return sql
 
 
+def _zorder_sql() -> str:
+    from rabbittclust_ray.stages.relational import zorder_sql_expr
+
+    return f"""
+        SELECT l_orderkey, l_partkey, l_linenumber,
+               {zorder_sql_expr('l_orderkey', 'l_partkey', 16)} AS zkey
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """
+
+
 def _grouped_hll_sql() -> str:
     from rabbittclust_ray.stages.alt_sketch import (
         HLL_REG_CLAMP,
@@ -4985,6 +5008,7 @@ def _profile_sql() -> dict[str, str]:
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
         "grouped_hll": _grouped_hll_sql(),
+        "zorder_keys": _zorder_sql(),
         "ks_drift": """
             WITH c AS (
                 SELECT n_chars AS v,

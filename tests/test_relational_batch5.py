@@ -312,3 +312,48 @@ class TestMelt:
         })
         ds = ray.data.from_arrow(t).repartition(7)
         assert melt(ds, ["k"], ["a"]).count() == 100
+
+
+class TestZorder:
+    def test_interleave_and_locality(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.relational import zorder_key
+
+        t = pa.table({
+            "x": pa.array([0, 1, 2, 3, 0xFFFF], pa.int64()),
+            "y": pa.array([0, 1, 2, 3, 0xFFFF], pa.int64()),
+        })
+        out = zorder_key(ray.data.from_arrow(t), "x", "y",
+                         bits=16).to_pandas().sort_values("x")
+        # z(1,1) = 0b11 = 3, z(2,2) = 0b1100 = 12, z(3,3) = 15,
+        # z(0xFFFF,0xFFFF) = 2^32 - 1
+        assert list(out["zkey"]) == [0, 3, 12, 15, 2**32 - 1]
+
+    def test_morton_brute_force(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.relational import zorder_key
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 2**16, 200)
+        y = rng.integers(0, 2**16, 200)
+        t = pa.table({"x": pa.array(x, pa.int64()),
+                      "y": pa.array(y, pa.int64())})
+        out = zorder_key(ray.data.from_arrow(t).repartition(5), "x", "y",
+                         bits=16).to_pandas()
+
+        def morton(a, b):
+            z = 0
+            for i in range(16):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        got = {(int(r.x), int(r.y)): int(r.zkey) for r in out.itertuples()}
+        for a, b in zip(x, y):
+            assert got[(int(a), int(b))] == morton(int(a), int(b))
