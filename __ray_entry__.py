@@ -2864,6 +2864,46 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_bloom(sf_dir: str):
+    """Bloom-join pruning primitive: build an 8 KiB filter over a third
+    of the customer keys (distributed partial bitmaps, OR-merge), probe
+    every distinct event user — False verdicts are safe to drop before
+    an exchange join; false positives are sha-deterministic so SQL
+    reproduces every bit."""
+    from rabbittclust_ray.stages.joins import bloom_build, bloom_probe
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def keep_third(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 3 == 0))
+
+    bits = bloom_build(
+        cust.map_batches(keep_third, batch_format="pyarrow"), "c_custkey"
+    )
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "__gkey__": pa.array(u, pa.int64()),
+            }
+        )
+
+    def red(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    dist = hash_exchange(
+        ev.map_batches(prep, batch_format="pyarrow"), "__gkey__", red, 8
+    )
+    return bloom_probe(dist, "user_id", bits)
+
+
 def _q_zorder(sf_dir: str):
     """Z-order (Morton) locality keys over (orderkey, partkey) low bits
     — the lakehouse multi-column layout primitive."""
@@ -3354,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_windowed": _q_funnel_windowed,
         "grouped_hll": _q_grouped_hll,
         "zorder_keys": _q_zorder,
+        "bloom_probe": _q_bloom,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -5009,6 +5050,36 @@ def _profile_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_sql(),
         "grouped_hll": _grouped_hll_sql(),
         "zorder_keys": _zorder_sql(),
+        "bloom_probe": """
+            WITH build AS (
+                SELECT DISTINCT c_custkey AS k FROM customer
+                WHERE c_custkey % 3 = 0
+            ),
+            hb AS (
+                SELECT ('0x' || substr(sha256(CAST(k AS VARCHAR)), 1, 16)
+                       )::UBIGINT AS h
+                FROM build
+            ),
+            pos AS (
+                SELECT CAST(h & 65535 AS BIGINT) AS p FROM hb
+                UNION SELECT CAST((h >> 16) & 65535 AS BIGINT) FROM hb
+                UNION SELECT CAST((h >> 32) & 65535 AS BIGINT) FROM hb
+            ),
+            probe AS (SELECT DISTINCT user_id AS k FROM events),
+            hp AS (
+                SELECT k,
+                       ('0x' || substr(sha256(CAST(k AS VARCHAR)), 1, 16)
+                       )::UBIGINT AS h
+                FROM probe
+            )
+            SELECT k AS user_id,
+                   (CAST(h & 65535 AS BIGINT) IN (SELECT p FROM pos))
+                   AND (CAST((h >> 16) & 65535 AS BIGINT)
+                        IN (SELECT p FROM pos))
+                   AND (CAST((h >> 32) & 65535 AS BIGINT)
+                        IN (SELECT p FROM pos)) AS bloom_pass
+            FROM hp ORDER BY k
+        """,
         "ks_drift": """
             WITH c AS (
                 SELECT n_chars AS v,

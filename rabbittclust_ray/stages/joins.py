@@ -803,3 +803,80 @@ def global_topk(
         order_cols, ascending=ascending, kind="stable", ignore_index=True
     ).head(k)
     return pa.Table.from_pandas(pruned, preserve_index=False)
+
+
+# --- Bloom-join pruning primitive -----------------------------------
+
+BLOOM_M_BITS = 1 << 16      # 65,536-bit filter (8 KiB broadcast)
+BLOOM_K = 3                 # positions per key, carved from ONE sha256
+
+
+def _bloom_positions(keys) -> "np.ndarray":
+    """k x n position matrix: three 16-bit slices of the sha256-derived
+    64-bit hash of each key's decimal string — the same carving the SQL
+    oracle applies, so filter bits match exactly."""
+    import hashlib
+
+    h = np.array(
+        [
+            int.from_bytes(
+                hashlib.sha256(str(int(k)).encode()).digest()[:8], "big"
+            )
+            for k in keys
+        ],
+        dtype=np.uint64,
+    )
+    return np.stack(
+        [
+            ((h >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_build(
+    build: ray.data.Dataset,
+    key: str,
+) -> np.ndarray:
+    """Distributed Bloom-filter build: per-batch partial bitmaps (8 KiB
+    each, OR-merged on the driver — the merge state is the FILTER SIZE,
+    never the key count). Returns the bit array (bool[m])."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = np.unique(t[key].to_numpy(zero_copy_only=False))
+        bits = np.zeros(BLOOM_M_BITS, dtype=bool)
+        if len(ks):
+            bits[_bloom_positions(ks).ravel()] = True
+        packed = np.packbits(bits)
+        return pa.table({"bm": pa.array([packed.tobytes()], pa.binary())})
+
+    parts = build.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = np.zeros(BLOOM_M_BITS // 8, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return np.unpackbits(acc).astype(bool)
+
+
+def bloom_probe(
+    probe: ray.data.Dataset,
+    key: str,
+    bits: np.ndarray,
+) -> ray.data.Dataset:
+    """Probe a Bloom filter: append ``bloom_pass`` (True = possibly in
+    the build set; False = DEFINITELY absent). The classic bloom-join
+    plan: broadcast the 8 KiB filter once (closure / ray.put), prefilter
+    the big side BEFORE the expensive exchange join — rows that can't
+    match never enter the shuffle. False positives are deterministic
+    (sha-derived), so the SQL oracle reproduces every verdict."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = t[key].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ks, return_inverse=True)
+        if len(uniq):
+            pos = _bloom_positions(uniq)
+            ok = bits[pos].all(axis=0)[inv]
+        else:
+            ok = np.zeros(0, dtype=bool)
+        return t.append_column("bloom_pass", pa.array(ok))
+
+    return probe.map_batches(fn, batch_format="pyarrow")

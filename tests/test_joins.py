@@ -872,3 +872,49 @@ class TestEquiJoinOuter:
             assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
         # both unmatched classes must actually occur in this fixture
         assert got["event_id"].isna().any() and got["o_key"].isna().any()
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_rate(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.joins import bloom_build, bloom_probe
+
+        rng = np.random.default_rng(12)
+        members = np.unique(rng.integers(0, 10**9, 2000))
+        build = ray.data.from_arrow(
+            pa.table({"k": pa.array(members, pa.int64())})
+        ).repartition(6)
+        bits = bloom_build(build, "k")
+
+        probe_keys = np.unique(rng.integers(0, 10**9, 5000))
+        probe = ray.data.from_arrow(
+            pa.table({"k": pa.array(probe_keys, pa.int64())})
+        )
+        out = bloom_probe(probe, "k", bits).to_pandas()
+        verdict = dict(zip(out["k"], out["bloom_pass"]))
+        member_set = set(int(x) for x in members)
+        fp = 0
+        for k in probe_keys:
+            if int(k) in member_set:
+                assert verdict[int(k)]          # NO false negatives, ever
+            elif verdict[int(k)]:
+                fp += 1
+        n_neg = len([k for k in probe_keys if int(k) not in member_set])
+        # m=65536, n=2000, k=3 -> theoretical fp ~ (1-e^(-3*2000/65536))^3
+        # ~ 0.06% ; allow 10x slack
+        assert fp / n_neg < 0.006
+
+    def test_build_merge_layout_invariant(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.joins import bloom_build
+
+        keys = pa.table({"k": pa.array(range(500), pa.int64())})
+        a = bloom_build(ray.data.from_arrow(keys), "k")
+        b = bloom_build(ray.data.from_arrow(keys).repartition(13), "k")
+        assert (a == b).all()
