@@ -2864,6 +2864,26 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_range_bounds(sf_dir: str):
+    """Exact equi-depth range-partitioner boundaries (16 buckets) over
+    order value in integer cents — the deterministic distributed-sort
+    split computation."""
+    from rabbittclust_ray.stages.stats import equi_depth_boundaries
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(v, pa.int64())})
+
+    return equi_depth_boundaries(
+        ds.map_batches(cents, batch_format="pyarrow"), "cents", 16,
+        num_partitions=16,
+    )
+
+
 def _q_bloom(sf_dir: str):
     """Bloom-join pruning primitive: build an 8 KiB filter over a third
     of the customer keys (distributed partial bitmaps, OR-merge), probe
@@ -3395,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_hll": _q_grouped_hll,
         "zorder_keys": _q_zorder,
         "bloom_probe": _q_bloom,
+        "range_boundaries": _q_range_bounds,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -5049,6 +5070,27 @@ def _profile_sql() -> dict[str, str]:
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
         "grouped_hll": _grouped_hll_sql(),
+        "range_boundaries": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY v
+            ),
+            r AS (
+                SELECT v, sum(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS f
+                FROM c
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c)
+            SELECT CAST(i AS BIGINT) AS bucket,
+                   CAST((SELECT min(v) FROM r, tot
+                         WHERE f >= (i * n + 15) // 16) AS BIGINT)
+                       AS boundary,
+                   CAST((SELECT min(f) FROM r, tot
+                         WHERE f >= (i * n + 15) // 16) AS BIGINT)
+                       AS cum_count
+            FROM range(1, 16) t(i), tot ORDER BY bucket
+        """,
         "zorder_keys": _zorder_sql(),
         "bloom_probe": """
             WITH build AS (

@@ -551,3 +551,81 @@ def ks_drift(
             "n_b": pa.array([nb], pa.int64()),
         }
     )
+
+
+def equi_depth_boundaries(
+    ds: ray.data.Dataset,
+    value_col: str,
+    p: int,
+    *,
+    num_partitions: int = 64,
+) -> pa.Table:
+    """EXACT equi-depth split points over an integer column: boundary_i
+    = the smallest value v whose cumulative count reaches ceil(i*N/p),
+    for i = 1..p-1 — the range-partitioner boundary computation behind a
+    deterministic distributed sort (Ray Data's own range sort SAMPLES
+    boundaries; this is the exact, reproducible version for when
+    partition placement must be stable across runs/appends).
+
+    Shape: per-batch (value, count) combiners, ONE value-keyed exchange;
+    the driver cumsum touches one row per DISTINCT value (the value
+    domain, not the corpus — same contract as ``ks_drift``). Output
+    (bucket, boundary, cum_count)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "v": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        v, c = np.unique(
+            t[value_col].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        g = pd.DataFrame({"v": v.astype(np.int64),
+                          "c": c.astype(np.int64)})
+        g["__gkey__"] = pd.util.hash_array(
+            g["v"].to_numpy().astype(np.uint64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        g = t.to_pandas().groupby("v", sort=True, as_index=False)["c"].sum()
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "c": pa.array(g["c"].to_numpy(np.int64)),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    df = pd.DataFrame(rows).groupby("v", sort=True, as_index=False)["c"].sum()
+    f = df["c"].to_numpy(np.int64).cumsum()
+    vals = df["v"].to_numpy(np.int64)
+    n = int(f[-1])
+    buckets, bounds, cums = [], [], []
+    for i in range(1, p):
+        need = (i * n + p - 1) // p
+        j = int(np.searchsorted(f, need, side="left"))
+        buckets.append(i)
+        bounds.append(int(vals[j]))
+        cums.append(int(f[j]))
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int64()),
+            "boundary": pa.array(bounds, pa.int64()),
+            "cum_count": pa.array(cums, pa.int64()),
+        }
+    )

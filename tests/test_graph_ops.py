@@ -208,3 +208,32 @@ class TestKsDrift:
         out = ks_drift(ray.data.from_arrow(t), "a", "b",
                        num_partitions=3).to_pandas().iloc[0]
         assert int(out["ks_num"]) == 0
+
+
+class TestEquiDepthBoundaries:
+    def test_brute_force(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.stats import equi_depth_boundaries
+
+        rng = np.random.default_rng(23)
+        v = rng.integers(0, 500, 4000)
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(v, pa.int64())})
+        ).repartition(9)
+        p = 8
+        out = equi_depth_boundaries(ds, "x", p,
+                                    num_partitions=5).to_pandas()
+        sv = np.sort(v)
+        n = len(v)
+        for r in out.itertuples():
+            need = (int(r.bucket) * n + p - 1) // p
+            # boundary is the smallest value whose cumcount >= need
+            assert int(r.boundary) == int(sv[need - 1])
+            assert int(r.cum_count) == int((v <= r.boundary).sum())
+        # boundaries split within 1 distinct-value granularity: each
+        # bucket's cumulative share is >= its target
+        assert (out["cum_count"].to_numpy()
+                >= (out["bucket"].to_numpy() * n + p - 1) // p).all()
