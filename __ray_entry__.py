@@ -2864,6 +2864,15 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact positional phrase search ('hash join') — only the phrase's
+    posting lists enter the doc-keyed exchange (filter pushdown)."""
+    from rabbittclust_ray.stages.retrieval import phrase_search
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return phrase_search(ds, ["hash", "join"], num_partitions=16)
+
+
 def _q_range_bounds(sf_dir: str):
     """Exact equi-depth range-partitioner boundaries (16 buckets) over
     order value in integer cents — the deterministic distributed-sort
@@ -3416,6 +3425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_keys": _q_zorder,
         "bloom_probe": _q_bloom,
         "range_boundaries": _q_range_bounds,
+        "phrase_search": _q_phrase_search,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -5070,6 +5080,27 @@ def _profile_sql() -> dict[str, str]:
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
         "grouped_hll": _grouped_hll_sql(),
+        "phrase_search": """
+            WITH tk AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ),
+            p AS MATERIALIZED (
+                SELECT doc_id, i, ws[i] AS w
+                FROM tk, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws))) AS i
+                ) t(i)
+                WHERE len(ws) >= 1
+            )
+            SELECT a.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(min(a.i) - 1 AS BIGINT) AS first_pos
+            FROM p a JOIN p b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            WHERE a.w = 'hash' AND b.w = 'join'
+            GROUP BY a.doc_id ORDER BY a.doc_id
+        """,
         "range_boundaries": """
             WITH c AS (
                 SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v,

@@ -192,3 +192,124 @@ def bm25_topk(
             "score_ppm": pa.array(top["score_ppm"].to_numpy(), pa.int64()),
         }
     )
+
+
+def phrase_search(
+    ds: ray.data.Dataset,
+    phrase: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact phrase search over positional postings: find every doc
+    where the `[a-z]+` token sequence contains ``phrase`` contiguously.
+    Output (doc_id, n_matches, first_pos) — 0-based token position.
+
+    The filter-pushdown story: the map side explodes tokens WITH
+    positions but ships ONLY the phrase's tokens into the doc-keyed
+    exchange (a k-word phrase moves k posting lists, not the corpus);
+    each reducer intersects position arrays per doc (start positions of
+    token 0 filtered by membership of start+i in token i's positions —
+    vectorized searchsorted/isin per doc)."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    vocab = {w: i for i, w in enumerate(dict.fromkeys(phrase))}
+    slot = np.array([vocab[w] for w in phrase], dtype=np.int64)
+    k = len(phrase)
+
+    empty_post = pa.table(
+        {
+            "d": pa.array([], pa.int64()),
+            "tid": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        txt = pc.replace_substring_regex(
+            pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+        )
+        lists = pc.split_pattern(txt, " ")
+        flat = np.asarray(pc.list_flatten(lists))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, lens)
+        # per-doc token position among NON-EMPTY tokens
+        nonempty = flat != ""
+        doc_ne = doc[nonempty]
+        flat_ne = flat[nonempty]
+        # positions: cumulative index within each doc (docs contiguous)
+        new_doc = np.empty(len(doc_ne), dtype=bool)
+        if len(doc_ne):
+            new_doc[0] = True
+            new_doc[1:] = doc_ne[1:] != doc_ne[:-1]
+        idx = np.arange(len(doc_ne), dtype=np.int64)
+        start = np.zeros(len(doc_ne), dtype=np.int64)
+        start[new_doc] = idx[new_doc]
+        np.maximum.accumulate(start, out=start)
+        pos = idx - start
+        keep = np.isin(flat_ne, list(vocab))
+        if not keep.any():
+            return empty_post
+        d, w, p = doc_ne[keep], flat_ne[keep], pos[keep]
+        tid = pd.Series(w).map(vocab).to_numpy(np.int64)
+        return pa.table(
+            {
+                "d": pa.array(d.astype(np.int64)),
+                "tid": pa.array(tid),
+                "pos": pa.array(p),
+                "__gkey__": pa.array(d.astype(np.int64)),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = t.to_pandas()
+        out = []
+        for d, g in df.groupby("d", sort=True):
+            by_tid = {
+                int(ti): np.sort(gg["pos"].to_numpy(np.int64))
+                for ti, gg in g.groupby("tid", sort=False)
+            }
+            if len(by_tid) < len(vocab):
+                continue
+            cand = by_tid[int(slot[0])]
+            for i in range(1, k):
+                if len(cand) == 0:
+                    break
+                cand = cand[
+                    np.isin(cand + i, by_tid[int(slot[i])],
+                            assume_unique=False)
+                ]
+            if len(cand):
+                out.append((int(d), len(cand), int(cand.min())))
+        if not out:
+            return empty_out
+        ds_, ns, fs = zip(*out)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_, pa.int64()),
+                "n_matches": pa.array(ns, pa.int64()),
+                "first_pos": pa.array(fs, pa.int64()),
+            }
+        )
+
+    return hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    )

@@ -68,3 +68,46 @@ def test_bm25_no_matching_terms():
     ds = ray.data.from_pandas(df)
     out = bm25_topk(ds, ["zzz_not_present"], topn=5).to_pandas()
     assert len(out) == 0
+
+
+class TestPhraseSearch:
+    def _docs(self, texts):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_exact_positions_and_counts(self):
+        from rabbittclust_ray.stages.retrieval import phrase_search
+
+        out = phrase_search(self._docs([
+            "hash join is a hash join",   # 2 matches, first at 0
+            "join hash",                  # reversed -> no match
+            "hash x join",                # gap -> no match
+            "a hash join",                # 1 match at pos 1
+            "no tokens here",
+        ]), ["hash", "join"], num_partitions=3).to_pandas()
+        got = {int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+               for r in out.itertuples()}
+        assert got == {0: (2, 0), 3: (1, 1)}
+
+    def test_repeated_word_phrase(self):
+        from rabbittclust_ray.stages.retrieval import phrase_search
+
+        out = phrase_search(self._docs([
+            "batch batch batch",   # positions 0,1 -> 2 matches
+            "batch x batch",
+        ]), ["batch", "batch"], num_partitions=2).to_pandas()
+        got = {int(r.doc_id): int(r.n_matches) for r in out.itertuples()}
+        assert got == {0: 2}
+
+    def test_punctuation_boundaries(self):
+        from rabbittclust_ray.stages.retrieval import phrase_search
+
+        out = phrase_search(self._docs([
+            "Hash, JOIN!",        # case-folded + punct-split -> match
+        ]), ["hash", "join"], num_partitions=2).to_pandas()
+        assert len(out) == 1 and int(out["first_pos"][0]) == 0
