@@ -2864,6 +2864,35 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_scd2(sf_dir: str):
+    """SCD type-2 file history: per (repo, path) version stream
+    collapsed into content-change validity intervals."""
+    import hashlib as _hl
+
+    from rabbittclust_ray.stages.repo_ops import scd2_intervals
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shas = [
+            _hl.sha256(s.encode()).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 7}" for i in ids], pa.string()),
+                "path": pa.array([f"p{i % 50}" for i in ids], pa.string()),
+                "content_sha256": pa.array(shas, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return scd2_intervals(
+        ds.map_batches(augment, batch_format="pyarrow"), num_partitions=16
+    )
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact positional phrase search ('hash join') — only the phrase's
     posting lists enter the doc-keyed exchange (filter pushdown)."""
@@ -3426,6 +3455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_probe": _q_bloom,
         "range_boundaries": _q_range_bounds,
         "phrase_search": _q_phrase_search,
+        "scd2_history": _q_scd2,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -5080,6 +5110,33 @@ def _profile_sql() -> dict[str, str]:
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
         "grouped_hll": _grouped_hll_sql(),
+        "scd2_history": """
+            WITH f AS (
+                SELECT 'r' || (doc_id % 7) AS repo,
+                       'p' || (doc_id % 50) AS path,
+                       doc_id AS v, sha256(text) AS sha
+                FROM documents
+            ),
+            w AS (
+                SELECT repo, path, v, sha,
+                       lag(sha) OVER (PARTITION BY repo, path
+                                      ORDER BY v) AS prev_sha
+                FROM f
+            ),
+            c AS (
+                SELECT repo, path, v, sha FROM w
+                WHERE prev_sha IS NULL OR sha <> prev_sha
+            )
+            SELECT repo, path, CAST(v AS BIGINT) AS valid_from,
+                   CAST(coalesce(lead(v) OVER (PARTITION BY repo, path
+                                               ORDER BY v), -1)
+                        AS BIGINT) AS valid_to,
+                   sha AS content_sha256,
+                   coalesce(lead(v) OVER (PARTITION BY repo, path
+                                          ORDER BY v), -1) = -1
+                       AS is_current
+            FROM c ORDER BY repo, path, valid_from
+        """,
         "phrase_search": """
             WITH tk AS MATERIALIZED (
                 SELECT doc_id,

@@ -340,3 +340,97 @@ def snapshot_diff(
         make_prep(0), batch_format="pyarrow"
     ).union(new_ds.map_batches(make_prep(1), batch_format="pyarrow"))
     return hash_exchange(tagged, "gkey", classify, num_partitions)
+
+
+def scd2_intervals(
+    ds: ray.data.Dataset,
+    *,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    version_col: str = "doc_id",
+    sha_col: str = "content_sha256",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 history per file: collapse the
+    version stream of each (repo, path) into validity intervals — a new
+    row opens ONLY when content actually changes (identical consecutive
+    versions merge into one interval). Output (repo, path, valid_from,
+    valid_to, content_sha256, is_current) with valid_to = next change's
+    version and -1 on the open (current) interval — the warehouse
+    dimension-history op, over CDC-shaped file snapshots.
+
+    Shape: ONE exchange keyed on hash(repo, path); each reducer holds
+    complete file histories and runs a vectorized sort + lag-compare +
+    shift (no per-file Python loop)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "repo": pd.Series(t[repo_col].to_pandas(), dtype=object),
+                "path": pd.Series(t[path_col].to_pandas(), dtype=object),
+                "v": t[version_col].to_numpy(zero_copy_only=False),
+                "sha": pd.Series(t[sha_col].to_pandas(), dtype=object),
+            }
+        )
+        df["__gkey__"] = pd.util.hash_array(
+            (df["repo"] + "\x00" + df["path"]).to_numpy(dtype=object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_out = pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "valid_from": pa.array([], pa.int64()),
+            "valid_to": pa.array([], pa.int64()),
+            "content_sha256": pa.array([], pa.string()),
+            "is_current": pa.array([], pa.bool_()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = t.to_pandas().sort_values(["repo", "path", "v"],
+                                       kind="mergesort")
+        key = (df["repo"] + "\x00" + df["path"]).to_numpy(dtype=object)
+        sha = df["sha"].to_numpy(dtype=object)
+        v = df["v"].to_numpy(np.int64)
+        new_file = np.empty(len(df), dtype=bool)
+        new_file[0] = True
+        new_file[1:] = key[1:] != key[:-1]
+        change = new_file.copy()
+        change[1:] |= sha[1:] != sha[:-1]
+        # change points only; valid_to = version of the NEXT change in
+        # the same file, -1 otherwise
+        cf = df[change].copy()
+        ck = key[change]
+        cv = v[change]
+        nxt = np.full(len(cf), -1, dtype=np.int64)
+        same_next = np.empty(len(cf), dtype=bool)
+        if len(cf) > 1:
+            same_next[:-1] = ck[:-1] == ck[1:]
+            same_next[-1] = False
+            nxt[:-1][same_next[:-1]] = cv[1:][same_next[:-1]]
+        return pa.table(
+            {
+                "repo": pa.array(cf["repo"].to_numpy(dtype=object),
+                                 pa.string()),
+                "path": pa.array(cf["path"].to_numpy(dtype=object),
+                                 pa.string()),
+                "valid_from": pa.array(cv, pa.int64()),
+                "valid_to": pa.array(nxt, pa.int64()),
+                "content_sha256": pa.array(
+                    cf["sha"].to_numpy(dtype=object), pa.string()
+                ),
+                "is_current": pa.array(nxt == -1),
+            }
+        )
+
+    return hash_exchange(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    )

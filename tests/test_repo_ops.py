@@ -208,3 +208,43 @@ def test_snapshot_diff_empty_sides():
     )
     out = snapshot_diff(empty, new, num_partitions=2).to_pandas()
     assert out["status"].tolist() == ["added"]
+
+
+class TestScd2:
+    def test_intervals_collapse_and_current(self):
+        import pyarrow as pa
+        import ray.data
+
+        from rabbittclust_ray.stages.repo_ops import scd2_intervals
+
+        rows = [
+            # file A: sha x at v1, x at v2 (merged), y at v5, y at v9
+            ("r1", "a", 1, "x"), ("r1", "a", 2, "x"),
+            ("r1", "a", 5, "y"), ("r1", "a", 9, "y"),
+            # file B: single version
+            ("r1", "b", 3, "z"),
+            # file A in another repo: independent history
+            ("r2", "a", 4, "x"), ("r2", "a", 6, "w"),
+        ]
+        repo, path, v, sha = zip(*rows)
+        t = pa.table({
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "doc_id": pa.array(v, pa.int64()),
+            "content_sha256": pa.array(sha, pa.string()),
+        })
+        out = scd2_intervals(ray.data.from_arrow(t).repartition(3),
+                             num_partitions=4).to_pandas()
+        out = out.sort_values(["repo", "path", "valid_from"]).reset_index(
+            drop=True
+        )
+        got = [tuple(r) for r in out[
+            ["repo", "path", "valid_from", "valid_to", "is_current"]
+        ].itertuples(index=False)]
+        assert got == [
+            ("r1", "a", 1, 5, False),
+            ("r1", "a", 5, -1, True),
+            ("r1", "b", 3, -1, True),
+            ("r2", "a", 4, 6, False),
+            ("r2", "a", 6, -1, True),
+        ]
