@@ -2864,6 +2864,22 @@ def _q_domain_counts(sf_dir: str):
     )
 
 
+def _q_event_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-class pattern count: per user, leftmost
+    non-overlapping 'vc*p' (view, clicks, purchase) matches over the
+    (ts, event_id)-ordered type sequence."""
+    from rabbittclust_ray.stages.events import event_pattern_count
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_pattern_count(
+        ds, {"view": "v", "click": "c", "purchase": "p"}, "vc*p",
+        num_partitions=16,
+    )
+
+
 def _q_scd2(sf_dir: str):
     """SCD type-2 file history: per (repo, path) version stream
     collapsed into content-change validity intervals."""
@@ -3456,6 +3472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_boundaries": _q_range_bounds,
         "phrase_search": _q_phrase_search,
         "scd2_history": _q_scd2,
+        "event_pattern": _q_event_pattern,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -5110,6 +5127,24 @@ def _profile_sql() -> dict[str, str]:
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
         "grouped_hll": _grouped_hll_sql(),
+        "event_pattern": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CASE event_type WHEN 'view' THEN 'v'
+                            WHEN 'click' THEN 'c' ELSE 'p' END AS ch
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s AS (
+                SELECT user_id,
+                       string_agg(ch, '' ORDER BY ts, event_id) AS seq
+                FROM e GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(seq, 'vc*p'))
+                        AS BIGINT) AS n_matches
+            FROM s ORDER BY user_id
+        """,
         "scd2_history": """
             WITH f AS (
                 SELECT 'r' || (doc_id % 7) AS repo,

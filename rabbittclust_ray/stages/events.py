@@ -995,3 +995,94 @@ def funnel_counts_windowed(
             "n_users": pa.array(agg, pa.int64()),
         }
     )
+
+
+def event_pattern_count(
+    ds: ray.data.Dataset,
+    alphabet: dict[str, str],
+    pattern: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Complex-event-processing / MATCH_RECOGNIZE class: encode each
+    user's event-type history (ordered by ts, event_id; types outside
+    ``alphabet`` dropped) as a character sequence and count the
+    leftmost non-overlapping matches of an RE2 ``pattern`` (e.g.
+    'vc*p' = view, any clicks, then purchase). Output
+    (user_id, n_matches) for every user with >= 1 alphabet event.
+
+    Shape: ONE user-keyed exchange of (user, ts, event_id, char) rows;
+    each reducer holds complete users, builds sequences with one
+    vectorized sort + C join, and counts matches with compiled C regex
+    per user string (sequence length = events per user, the sessionize
+    partitioning contract). Leftmost non-overlapping semantics match
+    DuckDB's regexp_extract_all, so the oracle replays exactly."""
+    import re
+
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    rx = re.compile(pattern)
+    types = list(alphabet)
+
+    empty_post = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "e": pa.array([], pa.int64()),
+            "ch": pa.array([], pa.string()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array(types))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty_post
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "t": t[ts_col].cast(pa.int64()),
+                "e": t[id_col].cast(pa.int64()),
+                "ch": pa.array(
+                    pd.Series(t["event_type"].to_pandas())
+                    .map(alphabet)
+                    .to_numpy(dtype=object),
+                    pa.string(),
+                ),
+                "__gkey__": pa.array(u),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = t.to_pandas().sort_values(["u", "t", "e"], kind="mergesort")
+        seqs = df.groupby("u", sort=True)["ch"].agg("".join)
+        counts = [len(rx.findall(s)) for s in seqs.to_numpy()]
+        return pa.table(
+            {
+                "user_id": pa.array(seqs.index.to_numpy(np.int64)),
+                "n_matches": pa.array(np.array(counts, np.int64)),
+            }
+        )
+
+    return hash_exchange(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    )

@@ -456,3 +456,59 @@ class TestFunnelWindowed:
         # later events. Sequential is therefore >=:
         assert (b["n_users"] >= a["n_users"]).all()
         assert int(b["n_users"][0]) == int(a["n_users"][0])
+
+
+class TestEventPattern:
+    def _events(self, rows):
+        uid, ts, eid, et = zip(*rows)
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+        }))
+
+    ALPHA = {"view": "v", "click": "c", "purchase": "p"}
+
+    def test_leftmost_nonoverlapping_semantics(self):
+        from rabbittclust_ray.stages.events import event_pattern_count
+        rows = [
+            # user 1: v c c p  -> one match
+            (1, 0, 0, "view"), (1, 1, 1, "click"),
+            (1, 2, 2, "click"), (1, 3, 3, "purchase"),
+            # user 2: v p v c p -> two matches (vp, vcp)
+            (2, 0, 0, "view"), (2, 1, 1, "purchase"),
+            (2, 2, 2, "view"), (2, 3, 3, "click"), (2, 4, 4, "purchase"),
+            # user 3: only clicks -> zero matches but still a row
+            (3, 0, 0, "click"), (3, 1, 1, "click"),
+            # user 4: 'other' types dropped; v [signup] p still matches
+            (4, 0, 0, "view"), (4, 1, 1, "signup"), (4, 2, 2, "purchase"),
+            # user 5: purchase before view -> no match
+            (5, 0, 0, "purchase"), (5, 1, 1, "view"),
+        ]
+        out = event_pattern_count(
+            self._events(rows), self.ALPHA, "vc*p", num_partitions=3,
+        ).to_pandas().set_index("user_id")["n_matches"]
+        assert dict(out) == {1: 1, 2: 2, 3: 0, 4: 1, 5: 0}
+
+    def test_brute_force_replay_and_tie_order(self):
+        import re
+
+        from rabbittclust_ray.stages.events import event_pattern_count
+        rng = np.random.default_rng(11)
+        types = ["view", "click", "purchase", "other"]
+        rows = [
+            (int(rng.integers(0, 25)), int(rng.integers(0, 50)), i,
+             types[int(rng.integers(0, 4))])
+            for i in range(800)
+        ]
+        out = event_pattern_count(
+            self._events(rows), self.ALPHA, "vc*p", num_partitions=5,
+        ).to_pandas().set_index("user_id")["n_matches"]
+        # brute force: sort by (ts, event_id), encode, re.findall
+        seqs = {}
+        for u, t, e, et in sorted(rows, key=lambda r: (r[1], r[2])):
+            if et in self.ALPHA:
+                seqs[u] = seqs.get(u, "") + self.ALPHA[et]
+        expect = {u: len(re.findall("vc*p", s)) for u, s in seqs.items()}
+        assert dict(out) == expect
