@@ -2880,6 +2880,75 @@ def _q_event_pattern(sf_dir: str):
     )
 
 
+def _q_interval_overlaps(sf_dir: str):
+    """Interval self-overlap join (count form): per supplier, unordered
+    pairs of shipments whose transit intervals
+    [shipdate, shipdate + quantity days] intersect — computed without
+    enumerating pairs (C(n,2) minus ends-before-starts counting)."""
+    from rabbittclust_ray.stages.joins import interval_overlap_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_quantity"],
+    )
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        st = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "st": pa.array(st, pa.int64()),
+                "en": pa.array(st + days * 86_400_000_000, pa.int64()),
+            }
+        )
+
+    return interval_overlap_counts(
+        ds.map_batches(mk_intervals, batch_format="pyarrow"),
+        "l_suppkey", "st", "en", num_partitions=16,
+    )
+
+
+def _q_trailing_range_sum(sf_dir: str):
+    """ANSI RANGE-frame trailing window: per event, sum/count of the
+    same user's events in the inclusive trailing 1-hour time window
+    (peers at the same ts all in frame)."""
+    from rabbittclust_ray.stages.events import trailing_range_sum
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return trailing_range_sum(ds, 3600.0, num_partitions=16)
+
+
+def _q_order_skyline(sf_dir: str):
+    """2-D Pareto frontier over orders (maximize totalprice AND
+    recency): exactly the orders no other order dominates."""
+    from rabbittclust_ray.stages.relational import skyline2
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def add_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "odate_us": t["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    return skyline2(
+        ds.map_batches(add_us, batch_format="pyarrow"),
+        "o_totalprice", "odate_us", keep_cols=["o_orderkey"],
+    )
+
+
 def _q_scd2(sf_dir: str):
     """SCD type-2 file history: per (repo, path) version stream
     collapsed into content-change validity intervals."""
@@ -3473,6 +3542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "scd2_history": _q_scd2,
         "event_pattern": _q_event_pattern,
+        "interval_overlaps": _q_interval_overlaps,
+        "trailing_range_sum": _q_trailing_range_sum,
+        "order_skyline": _q_order_skyline,
         "simpson_diversity": _q_simpson,
         "table_profile": _q_table_profile,
         "embedding_moments": _q_embedding_moments,
@@ -5127,6 +5199,52 @@ def _profile_sql() -> dict[str, str]:
         "url_canon": _url_canon_sql(),
         "url_dedup": _url_dedup_sql(),
         "grouped_hll": _grouped_hll_sql(),
+        "interval_overlaps": """
+            WITH l AS (
+                SELECT l_suppkey AS g,
+                       epoch_us(l_shipdate) AS st,
+                       epoch_us(l_shipdate)
+                         + CAST(FLOOR(l_quantity) AS BIGINT)
+                           * 86400000000 AS en
+                FROM lineitem
+            ),
+            p AS (
+                SELECT a.g, COUNT(*) AS c2
+                FROM l a JOIN l b
+                  ON a.g = b.g AND a.st <= b.en AND b.st <= a.en
+                GROUP BY a.g
+            ),
+            base AS (SELECT g, COUNT(*) AS n FROM l GROUP BY g)
+            SELECT base.g AS l_suppkey,
+                   base.n AS n_intervals,
+                   (COALESCE(p.c2, 0) - base.n) // 2 AS n_overlap_pairs
+            FROM base LEFT JOIN p ON base.g = p.g
+            ORDER BY l_suppkey
+        """,
+        "trailing_range_sum": """
+            SELECT event_id, user_id,
+                   SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w
+                       AS w_sum_ppm,
+                   COUNT(*) OVER w AS w_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "order_skyline": """
+            SELECT a.o_orderkey, a.o_totalprice,
+                   epoch_us(a.o_orderdate) AS odate_us
+            FROM orders a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders b
+                WHERE b.o_totalprice >= a.o_totalprice
+                  AND b.o_orderdate >= a.o_orderdate
+                  AND (b.o_totalprice > a.o_totalprice
+                       OR b.o_orderdate > a.o_orderdate)
+            )
+            ORDER BY a.o_orderkey
+        """,
         "event_pattern": """
             WITH e AS (
                 SELECT user_id, ts, event_id,

@@ -1086,3 +1086,102 @@ def event_pattern_count(
         ds.map_batches(prep, batch_format="pyarrow"),
         "__gkey__", reduce, num_partitions,
     )
+
+
+def trailing_range_sum(
+    ds: ray.data.Dataset,
+    window_s: float,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Time-RANGE trailing window aggregate (the SQL ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW`` frame, which
+    ``rolling_value_sum``'s ROWS frame cannot express): for every event,
+    the sum of ``value`` and row count over the SAME USER's events with
+    ``ts in [ts_i - w, ts_i]`` inclusive — peers at the exact same
+    timestamp are all in frame regardless of tiebreak order, per the
+    ANSI RANGE rule.
+
+    One exchange keyed on ``user_id``; the reducer sorts once and
+    resolves every frame with two vectorized ``searchsorted`` calls
+    against per-user offset-shifted timestamps (no per-user loop) plus a
+    prefix-sum difference.  Values are floor-ppm int64 so distributed
+    addition is order-independent and bit-exact vs the SQL oracle.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    win_us = np.int64(round(window_s * 1_000_000))
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "w_sum_ppm": pa.array([], pa.int64()),
+            "w_count": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t[id_col].cast(pa.int64()),
+                "user_id": t[user_col].cast(pa.int64()),
+                "ts_us": ts.cast(pa.int64()),
+                "v_ppm": pa.array(
+                    np.floor(v * 1_000_000.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        v = t["v_ppm"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        eid, uid, ts, v = eid[order], uid[order], ts[order], v[order]
+        n = len(uid)
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        gidx = np.cumsum(new_u) - 1
+        # offset each user's timestamps into a disjoint band so ONE
+        # searchsorted over the whole partition respects user boundaries
+        span = np.int64(ts.max() - ts.min() + 1) + win_us + 1
+        base = np.int64(ts.min())
+        n_users = int(gidx[-1]) + 1
+        if n_users * int(span) < 2**62:
+            shifted = gidx * span + (ts - base)
+            lo = np.searchsorted(shifted, shifted - win_us, side="left")
+            hi = np.searchsorted(shifted, shifted, side="right")
+        else:  # bands would overflow int64: per-user slices instead
+            starts = np.flatnonzero(new_u)
+            ends = np.append(starts[1:], n)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(starts, ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - win_us, "left")
+                hi[s:e] = s + np.searchsorted(seg, seg, "right")
+        csum = np.concatenate(([0], np.cumsum(v)))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "w_sum_ppm": pa.array(csum[hi] - csum[lo], pa.int64()),
+                "w_count": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(prepped, "user_id", reduce, num_partitions)

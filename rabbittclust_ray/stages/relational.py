@@ -1061,3 +1061,56 @@ def zorder_sql_expr(col_x: str, col_y: str, bits: int = 16) -> str:
         terms.append(f"((({col_x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({col_y} >> {i}) & 1) << {2 * i + 1})")
     return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+def skyline2(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    keep_cols: Sequence[str] = (),
+) -> ray.data.Dataset:
+    """2-D Pareto frontier (skyline, maximizing both axes): keep exactly
+    the rows no other row dominates, where ``a`` dominates ``b`` iff
+    ``a.x >= b.x AND a.y >= b.y`` and at least one is strict.  Duplicate
+    points are mutually non-dominating and are ALL kept (the SQL
+    ``NOT EXISTS`` spec).
+
+    Scale shape: the skyline is a mergeable reduction — the global
+    frontier is a subset of the union of per-block frontiers — so a pure
+    map stage prunes every block to its local frontier (vectorized sort
+    + group-max + running-max sweep, no pair enumeration) and one final
+    single-partition pass over the tiny union (frontier size is
+    O(distinct x) worst case, typically ~log n) finishes the job.  No
+    keyed exchange at all; driver never sees rows.
+    """
+    cols = [*keep_cols, x_col, y_col]
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(cols)
+        t = t.select(cols)
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        n = len(xs)
+        new_x = np.empty(n, dtype=bool)
+        new_x[0] = True
+        new_x[1:] = xs[1:] != xs[:-1]
+        gidx = np.cumsum(new_x) - 1
+        gfirst_y = ys[np.flatnonzero(new_x)]  # per-x max y (sorted y desc)
+        # strictly-greater-x running best; group k survives iff its max y
+        # beats every earlier group's max y (earlier = strictly larger x)
+        prevmax = np.empty(len(gfirst_y), dtype=ys.dtype)
+        prevmax[0] = (
+            np.iinfo(ys.dtype).min if ys.dtype.kind in "iu" else -np.inf
+        )
+        np.maximum.accumulate(gfirst_y[:-1], out=prevmax[1:])
+        group_alive = gfirst_y > prevmax
+        group_alive[0] = True  # the max-x group is never dominated
+        keep = group_alive[gidx] & (ys == gfirst_y[gidx])
+        return t.take(pa.array(order[keep]))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.repartition(1).map_batches(local, batch_format="pyarrow")

@@ -918,3 +918,145 @@ class TestBloom:
         a = bloom_build(ray.data.from_arrow(keys), "k")
         b = bloom_build(ray.data.from_arrow(keys).repartition(13), "k")
         assert (a == b).all()
+
+
+class TestIntervalOverlapCounts:
+    def test_brute_force(self):
+        from rabbittclust_ray.stages.joins import interval_overlap_counts
+
+        rng = np.random.default_rng(7)
+        n = 1500
+        g = rng.integers(0, 11, n).astype(np.int64)
+        st = rng.integers(0, 400, n).astype(np.int64)
+        en = st + rng.integers(0, 50, n).astype(np.int64)
+        t = pa.table({"g": g, "st": st, "en": en})
+        out = (
+            interval_overlap_counts(
+                ray.data.from_arrow(t).repartition(9), "g", "st", "en",
+                num_partitions=4,
+            )
+            .to_pandas()
+            .set_index("g")
+            .sort_index()
+        )
+        import collections
+
+        ov = collections.Counter()
+        by = collections.defaultdict(list)
+        for gi, s, e in zip(g, st, en):
+            by[int(gi)].append((int(s), int(e)))
+        for gi, iv in by.items():
+            for i in range(len(iv)):
+                for j in range(i + 1, len(iv)):
+                    a, b = iv[i], iv[j]
+                    if a[0] <= b[1] and b[0] <= a[1]:
+                        ov[gi] += 1
+        assert len(out) == len(by)
+        for gi, iv in by.items():
+            assert int(out.loc[gi, "n_intervals"]) == len(iv)
+            assert int(out.loc[gi, "n_overlap_pairs"]) == ov[gi]
+
+    def test_touching_and_point_intervals(self):
+        from rabbittclust_ray.stages.joins import interval_overlap_counts
+
+        # closed-interval semantics: [0,5] and [5,9] DO overlap; point
+        # interval [3,3] inside [0,5] overlaps; [6,6] vs [0,5] doesn't
+        t = pa.table(
+            {
+                "g": pa.array([1, 1, 1, 1], pa.int64()),
+                "st": pa.array([0, 5, 3, 6], pa.int64()),
+                "en": pa.array([5, 9, 3, 6], pa.int64()),
+            }
+        )
+        out = interval_overlap_counts(
+            ray.data.from_arrow(t), "g", "st", "en", num_partitions=2
+        ).to_pandas()
+        # pairs: (0-5,5-9)=ov, (0-5,3-3)=ov, (0-5,6-6)=no, (5-9,3-3)=no,
+        # (5-9,6-6)=ov, (3-3,6-6)=no  -> 3
+        assert int(out["n_overlap_pairs"].iloc[0]) == 3
+
+
+class TestTrailingRangeSum:
+    def test_brute_force_and_peer_semantics(self):
+        from rabbittclust_ray.stages.events import trailing_range_sum
+
+        rng = np.random.default_rng(13)
+        n = 900
+        uid = rng.integers(0, 9, n).astype(np.int64)
+        # coarse grid forces exact-tie timestamps (RANGE peer groups)
+        ts_us = (rng.integers(0, 40, n) * 1_000_000).astype(np.int64)
+        val = np.round(rng.uniform(0, 5, n), 3)
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+                "value": pa.array(val, pa.float64()),
+            }
+        )
+        out = (
+            trailing_range_sum(
+                ray.data.from_arrow(t).repartition(7), 10.0,
+                num_partitions=5,
+            )
+            .to_pandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+        w = 10_000_000
+        vp = np.floor(val * 1_000_000.0).astype(np.int64)
+        for i in range(n):
+            mask = (uid == uid[i]) & (ts_us >= ts_us[i] - w) & (
+                ts_us <= ts_us[i]
+            )
+            assert int(out.loc[i, "w_sum_ppm"]) == int(vp[mask].sum())
+            assert int(out.loc[i, "w_count"]) == int(mask.sum())
+        assert len(out) == n
+
+
+class TestSkyline2:
+    def test_brute_force_with_duplicates(self):
+        from rabbittclust_ray.stages.relational import skyline2
+
+        rng = np.random.default_rng(5)
+        n = 600
+        # small value grid => plenty of exact ties and duplicate points
+        x = rng.integers(0, 25, n).astype(np.int64)
+        y = rng.integers(0, 25, n).astype(np.int64)
+        t = pa.table(
+            {
+                "rid": pa.array(np.arange(n), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+        out = skyline2(
+            ray.data.from_arrow(t).repartition(8), "x", "y",
+            keep_cols=["rid"],
+        ).to_pandas()
+        expect = set()
+        for i in range(n):
+            dominated = np.any(
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            )
+            if not dominated:
+                expect.add(i)
+        assert set(out["rid"].astype(int)) == expect
+        # every duplicate of a frontier point is kept
+        fx = {(int(a), int(b)) for a, b in zip(out["x"], out["y"])}
+        n_dup = sum((int(a), int(b)) in fx for a, b in zip(x, y))
+        assert len(out) == n_dup
+
+    def test_float_axis(self):
+        from rabbittclust_ray.stages.relational import skyline2
+
+        t = pa.table(
+            {
+                "rid": pa.array([0, 1, 2, 3], pa.int64()),
+                "x": pa.array([1.5, 2.5, 2.5, 0.5], pa.float64()),
+                "y": pa.array([9, 1, 1, 99], pa.int64()),
+            }
+        )
+        out = skyline2(ray.data.from_arrow(t), "x", "y", keep_cols=["rid"])
+        got = sorted(out.to_pandas()["rid"].astype(int))
+        assert got == [0, 1, 2, 3]
