@@ -3365,6 +3365,19 @@ def _q_triangle_counts(sf_dir: str):
     return triangle_counts(res.edges, num_partitions=16)
 
 
+def _q_kcore(sf_dir: str):
+    """Fixed-round synchronous 2-core peel over the exact threshold
+    graph: chains and tree fringes peel away, cyclic/dense near-dup
+    families survive with their in-core degree."""
+    from rabbittclust_ray.stages.graph_ops import kcore_membership
+
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
+    nodes = _prepared(sf_dir, min_len=EX_MIN_LEN).select_columns(["doc_id"])
+    return kcore_membership(
+        res.edges, nodes, k=2, n_rounds=3, num_partitions=16
+    )
+
+
 def _pagerank_sql(n_iter: int, damping_ppm: int) -> str:
     """Unrolled fixed-iteration PageRank ladder over the shared edges CTE
     (same generator idea as kmeans_sql): all-integer ppm arithmetic, so
@@ -3543,6 +3556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": _q_scd2,
         "event_pattern": _q_event_pattern,
         "interval_overlaps": _q_interval_overlaps,
+        "kcore": _q_kcore,
         "trailing_range_sum": _q_trailing_range_sum,
         "order_skyline": _q_order_skyline,
         "simpson_diversity": _q_simpson,
@@ -5054,6 +5068,11 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_code_ops_sql())
     sql["pagerank"] = (
         f"WITH {_sql_edges_cte(EX_STATS_THRESHOLD)}," + _pagerank_sql(2, 850_000)
+    )
+    from rabbittclust_ray.stages.graph_ops import kcore_sql
+
+    sql["kcore"] = (
+        f"WITH {_sql_edges_cte(EX_STATS_THRESHOLD)}," + kcore_sql(2, 3)
     )
     sql["triangle_counts"] = f"""
         WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},

@@ -624,3 +624,191 @@ def dependency_layers_sql(
         )
     parts.append(f"SELECT repo, module, layer FROM l{n_iter}")
     return "\n".join(parts)
+
+
+def kcore_membership(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    *,
+    k: int = 2,
+    n_rounds: int = 3,
+    id_col: str = "doc_id",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Fixed-round synchronous k-core peel (``k >= 1``): each round
+    removes every node whose degree in the current surviving subgraph is
+    ``< k`` and restricts the edge list to surviving endpoints; after
+    ``n_rounds`` rounds emit ``(doc_id, core_degree)`` for the survivors
+    (their degree in the final subgraph).  With enough rounds this is THE
+    k-core; the round count is fixed so the whole ladder is lazy and the
+    SQL oracle (``kcore_sql``) unrolls it exactly.
+
+    Shape: two keyed exchanges per round on the pagerank skeleton —
+    exchange 1 co-locates alive markers with adjacency on the SOURCE
+    (degree counted locally, survivors decided, surviving rows re-keyed
+    on the destination), exchange 2 drops rows whose destination died and
+    flips keys back.  No driver rows; edges stream every round while the
+    marker table only shrinks.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def seed_adj(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        z = np.zeros(len(src), dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(src, pa.int64()),
+                "other": pa.array(dst, pa.int64()),
+                "val": pa.array(z, pa.int64()),
+                "is_rank": pa.array(np.zeros(len(src), dtype=bool)),
+            }
+        )
+
+    def seed_alive(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "other": pa.array(ids, pa.int64()),
+                "val": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+                "is_rank": pa.array(np.ones(len(ids), dtype=bool)),
+            }
+        )
+
+    def peel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        is_mark = t["is_rank"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        marked = np.sort(key[is_mark])
+        src, dst = key[~is_mark], other[~is_mark]
+        if len(src):
+            usrc, inv, deg = np.unique(
+                src, return_inverse=True, return_counts=True
+            )
+        else:
+            usrc = np.array([], dtype=np.int64)
+            inv = deg = np.array([], dtype=np.int64)
+        # survivors: marked nodes with degree >= k (adjacency is already
+        # restricted to alive x alive, so usrc is a subset of marked)
+        alive_src = usrc[deg >= k]
+        keep_edge = (deg >= k)[inv] if len(src) else np.zeros(0, dtype=bool)
+        out_key = np.concatenate([dst[keep_edge], alive_src])
+        out_other = np.concatenate([src[keep_edge], alive_src])
+        out_mark = np.zeros(len(out_key), dtype=bool)
+        out_mark[len(out_key) - len(alive_src):] = True
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "other": pa.array(out_other, pa.int64()),
+                "val": pa.array(np.zeros(len(out_key), np.int64), pa.int64()),
+                "is_rank": pa.array(out_mark),
+            }
+        )
+
+    def filter_dst(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        is_mark = t["is_rank"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        marked = np.sort(key[is_mark])
+        dst, src = key[~is_mark], other[~is_mark]
+        if len(dst):
+            pos = np.searchsorted(marked, dst)
+            pos[pos >= len(marked)] = max(len(marked) - 1, 0)
+            ok = (
+                marked[pos] == dst if len(marked) else
+                np.zeros(len(dst), dtype=bool)
+            )
+        else:
+            ok = np.zeros(0, dtype=bool)
+        out_key = np.concatenate([src[ok], marked])
+        out_other = np.concatenate([dst[ok], marked])
+        out_mark = np.zeros(len(out_key), dtype=bool)
+        out_mark[len(out_key) - len(marked):] = True
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "other": pa.array(out_other, pa.int64()),
+                "val": pa.array(np.zeros(len(out_key), np.int64), pa.int64()),
+                "is_rank": pa.array(out_mark),
+            }
+        )
+
+    def final_deg(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "core_degree": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        is_mark = t["is_rank"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        marked = np.sort(key[is_mark])
+        src = key[~is_mark]
+        d = np.zeros(len(marked), dtype=np.int64)
+        if len(src) and len(marked):
+            pos = np.searchsorted(marked, src)
+            np.add.at(d, pos, 1)
+        return pa.table(
+            {
+                id_col: pa.array(marked, pa.int64()),
+                "core_degree": pa.array(d, pa.int64()),
+            }
+        )
+
+    state = edges.map_batches(seed_adj, batch_format="pyarrow").union(
+        nodes.map_batches(seed_alive, batch_format="pyarrow")
+    )
+    for _ in range(n_rounds):
+        state = hash_exchange(state, "key", peel, num_partitions)
+        state = hash_exchange(state, "key", filter_dst, num_partitions)
+    return hash_exchange(state, "key", final_deg, num_partitions)
+
+
+def kcore_sql(k: int, n_rounds: int) -> str:
+    """Unrolled SQL ladder replaying ``kcore_membership`` exactly
+    (appended after a WITH that defines ``edges(u, v)`` and
+    ``pop(doc_id)``)."""
+    parts = [
+        """
+        a0 AS MATERIALIZED (SELECT doc_id AS node FROM pop),
+        g0 AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        )"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+        d{i} AS MATERIALIZED (
+            SELECT src, count(*) AS d FROM g{i - 1} GROUP BY src
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT a.node FROM a{i - 1} a
+            JOIN d{i} ON d{i}.src = a.node WHERE d{i}.d >= {k}
+        ),
+        g{i} AS MATERIALIZED (
+            SELECT g.src, g.dst FROM g{i - 1} g
+            JOIN a{i} s ON s.node = g.src
+            JOIN a{i} t ON t.node = g.dst
+        )"""
+        )
+    parts.append(
+        f"""
+        df AS (SELECT src, count(*) AS d FROM g{n_rounds} GROUP BY src)"""
+    )
+    return (
+        ",".join(parts)
+        + f"""
+        SELECT a.node AS doc_id, CAST(coalesce(df.d, 0) AS BIGINT)
+               AS core_degree
+        FROM a{n_rounds} a LEFT JOIN df ON df.src = a.node"""
+    )

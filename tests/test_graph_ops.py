@@ -237,3 +237,55 @@ class TestEquiDepthBoundaries:
         # bucket's cumulative share is >= its target
         assert (out["cum_count"].to_numpy()
                 >= (out["bucket"].to_numpy() * n + p - 1) // p).all()
+
+
+class TestKCore:
+    def _run(self, edge_list, node_ids, k, rounds, parts=4):
+        from rabbittclust_ray.stages.graph_ops import kcore_membership
+
+        u, v = zip(*edge_list) if edge_list else ((), ())
+        edges = ray.data.from_arrow(pa.table({
+            "u": pa.array(list(u), pa.int64()),
+            "v": pa.array(list(v), pa.int64()),
+        }))
+        nodes = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(node_ids), pa.int64()),
+        }))
+        out = kcore_membership(
+            edges.repartition(3), nodes, k=k, n_rounds=rounds,
+            num_partitions=parts,
+        ).to_pandas()
+        return dict(zip(out["doc_id"].astype(int),
+                        out["core_degree"].astype(int)))
+
+    @staticmethod
+    def _brute(edge_list, node_ids, k, rounds):
+        alive = set(node_ids)
+        adj = {(a, b) for a, b in edge_list} | {(b, a) for a, b in edge_list}
+        for _ in range(rounds):
+            deg = {}
+            for a, b in adj:
+                deg[a] = deg.get(a, 0) + 1
+            alive = {n for n in alive if deg.get(n, 0) >= k}
+            adj = {(a, b) for a, b in adj if a in alive and b in alive}
+        deg = {}
+        for a, b in adj:
+            deg[a] = deg.get(a, 0) + 1
+        return {n: deg.get(n, 0) for n in alive}
+
+    def test_chain_peels_cycle_survives(self):
+        # chain 0-1-2-3-4 peels completely at k=2; cycle 10..14 survives
+        edges = [(i, i + 1) for i in range(4)]
+        edges += [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+        got = self._run(edges, range(20), k=2, rounds=4)
+        assert got == {10 + i: 2 for i in range(5)}
+
+    def test_brute_force_random(self):
+        rng = np.random.default_rng(17)
+        n = 60
+        edges = {tuple(sorted(p)) for p in rng.integers(0, n, (150, 2))
+                 if p[0] != p[1]}
+        for k in (1, 2, 3):
+            for rounds in (1, 2, 4):
+                got = self._run(sorted(edges), range(n), k=k, rounds=rounds)
+                assert got == self._brute(sorted(edges), range(n), k, rounds)
