@@ -3365,6 +3365,42 @@ def _q_triangle_counts(sf_dir: str):
     return triangle_counts(res.edges, num_partitions=16)
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization encode (Jegou et al. 2011): 4 subspaces x
+    8-centroid codebooks over the 64-dim embeddings; long-form
+    (vec_id, subspace, code). 32x memory compression for ANN."""
+    from rabbittclust_ray.stages.ann import pq_codes
+
+    ds = _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_codes(ds, m=4, k=8, n_iter=2)
+
+
+def _pq_sql(m: int, k: int, n_iter: int, dim: int) -> str:
+    """UNION ALL of one sliced kmeans_sql ladder per PQ subspace."""
+    from rabbittclust_ray.stages.kmeans import kmeans_sql
+
+    w = dim // m
+    views = []
+    parts = []
+    for j in range(m):
+        views.append(
+            f"sub{j} AS MATERIALIZED (SELECT vec_id,"
+            f" list_slice(embedding, {j * w + 1}, {(j + 1) * w})"
+            f" AS embedding FROM embeddings)"
+        )
+        inner = kmeans_sql(f"sub{j}", k, n_iter, "vec_id", "embedding")
+        parts.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace,"
+            f" cluster AS code FROM ({inner})"
+        )
+    return (
+        "WITH " + ", ".join(views) + " "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _q_kcore(sf_dir: str):
     """Fixed-round synchronous 2-core peel over the exact threshold
     graph: chains and tree fringes peel away, cyclic/dense near-dup
@@ -3557,6 +3593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pattern": _q_event_pattern,
         "interval_overlaps": _q_interval_overlaps,
         "kcore": _q_kcore,
+        "pq_codes": _q_pq_codes,
         "trailing_range_sum": _q_trailing_range_sum,
         "order_skyline": _q_order_skyline,
         "simpson_diversity": _q_simpson,
@@ -5074,6 +5111,7 @@ def oracle_sql() -> dict[str, str]:
     sql["kcore"] = (
         f"WITH {_sql_edges_cte(EX_STATS_THRESHOLD)}," + kcore_sql(2, 3)
     )
+    sql["pq_codes"] = _pq_sql(4, 8, 2, 64)
     sql["triangle_counts"] = f"""
         WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
         tri AS MATERIALIZED (

@@ -621,3 +621,212 @@ def semantic_dedup(
 
     tagged = embeddings.map_batches(tag, batch_format="pyarrow")
     return hash_exchange(tagged, "ccl", dedup_cell, num_partitions)
+
+
+def pq_codes(
+    ds: ray.data.Dataset,
+    *,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    trunc_decimals: int = 6,
+) -> ray.data.Dataset:
+    """Product quantization (Jegou et al., TPAMI 2011): split each
+    vector into ``m`` contiguous subspaces and vector-quantize each
+    subspace with its own k-means codebook (``k`` centroids, fixed
+    ``n_iter`` Lloyd steps via :func:`kmeans_embeddings` — deterministic
+    truncated centroids, so the whole train+encode is SQL-replayable).
+    Output is the long form ``(vec_id, subspace, code)``: ``m`` int8-class
+    codes replace ``d`` floats — the 32x memory compression that makes
+    billion-vector ANN fit an actor's RAM.
+
+    Composition: one sliced k-means per subspace (each reuses the tested
+    Lloyd machinery; the final assign pass of each is the encode). ``m``
+    is small and fixed, so this is m lazy pipelines over the same input,
+    not a shuffle.
+    """
+    from rabbittclust_ray.stages.kmeans import kmeans_embeddings
+
+    if m <= 0:
+        raise ValueError("m must be positive")
+
+    outs = []
+    for j in range(m):
+        def slice_j(t: pa.Table, j=j) -> pa.Table:
+            x = _emb_matrix(t, emb_col)
+            d = x.shape[1]
+            if d % m:
+                raise ValueError(f"dim {d} not divisible by m={m}")
+            w = d // m
+            sub = x[:, j * w:(j + 1) * w]
+            return pa.table(
+                {
+                    id_col: t[id_col].cast(pa.int64()),
+                    emb_col: pa.array(list(sub), pa.list_(pa.float64())),
+                }
+            )
+
+        lab = kmeans_embeddings(
+            ds.map_batches(slice_j, batch_format="pyarrow"),
+            k=k, n_iter=n_iter, id_col=id_col, vec_col=emb_col,
+            trunc_decimals=trunc_decimals,
+        )
+
+        def tag(t: pa.Table, j=j) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "subspace": pa.array(
+                        np.full(t.num_rows, j, dtype=np.int64), pa.int64()
+                    ),
+                    "code": t["cluster"],
+                }
+            )
+
+        outs.append(lab.map_batches(tag, batch_format="pyarrow"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def pq_codebooks(
+    ds: ray.data.Dataset,
+    *,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    trunc_decimals: int = 6,
+) -> np.ndarray:
+    """Train the PQ codebooks only: returns an ``(m, k, d/m)`` float64
+    array of truncated centroids (same Lloyd run as :func:`pq_codes`)."""
+    from rabbittclust_ray.stages.kmeans import _trunc
+
+    first = ds.take(1)[0]
+    d = len(np.asarray(first[emb_col]))
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    w = d // m
+
+    init_rows = sorted(
+        ds.sort(id_col).limit(k).take_all(), key=lambda r: r[id_col]
+    )
+    full = np.stack(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in init_rows]
+    )
+    books = _trunc(full, trunc_decimals).reshape(k, m, w).transpose(1, 0, 2)
+    books = books.copy()
+
+    for _ in range(n_iter):
+        c = books.copy()  # (m, k, w) by value into the task
+
+        def partial(t: pa.Table, c=c) -> pa.Table:
+            x = _emb_matrix(t, emb_col)
+            n = len(x)
+            sums = np.zeros((m, k, w), dtype=np.float64)
+            counts = np.zeros((m, k), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * w:(j + 1) * w]
+                cj = c[j]
+                d2 = (
+                    (xs * xs).sum(1)[:, None]
+                    - 2.0 * (xs @ cj.T)
+                    + (cj * cj).sum(1)[None, :]
+                )
+                a = d2.argmin(1)
+                np.add.at(sums[j], a, xs)
+                counts[j] += np.bincount(a, minlength=k)
+            return pa.table(
+                {
+                    "sub": pa.array(
+                        np.repeat(np.arange(m), k).astype(np.int64)
+                    ),
+                    "cl": pa.array(np.tile(np.arange(k), m).astype(np.int64)),
+                    "count": pa.array(counts.reshape(-1), pa.int64()),
+                    "sums": pa.array(
+                        list(sums.reshape(m * k, w)), pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(m * k, dtype=np.int64)
+        sums = np.zeros((m * k, w), dtype=np.float64)
+        flat = parts["sub"].to_numpy() * k + parts["cl"].to_numpy()
+        np.add.at(counts, flat, parts["count"].to_numpy())
+        np.add.at(sums, flat, np.stack(parts["sums"].to_numpy()))
+        nz = counts > 0
+        new = books.reshape(m * k, w).copy()
+        new[nz] = _trunc(sums[nz] / counts[nz, None], trunc_decimals)
+        books = new.reshape(m, k, w)
+    return books
+
+
+def pq_topk(
+    codes: ray.data.Dataset,
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    topk: int = 10,
+    *,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes: build the m x k
+    lookup table of squared distances from the query's subvectors to
+    every centroid ONCE, then each batch of codes is scored by pure
+    table-lookup sums — no float vectors ever touched at query time.
+    ``codes`` is the long form from :func:`pq_codes` (an id's m codes
+    live in m different blocks), so one exchange keyed on the id
+    co-locates each vector's codes; every reducer emits only ITS local
+    top-k and the driver merges P x k rows.  Approximate by
+    construction; recall is pinned by tests, not an oracle."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    mq, kq, w = codebooks.shape
+    q = np.asarray(query, dtype=np.float64).reshape(mq, w)
+    lut = ((codebooks - q[:, None, :]) ** 2).sum(axis=2)  # (m, k)
+    lref = ray.put(lut)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "adc_dist": pa.array([], pa.float64()),
+        }
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        lt = ray.get(lref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sub = t["subspace"].to_numpy(zero_copy_only=False)
+        code = t["code"].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        s = np.zeros(len(uids), dtype=np.float64)
+        np.add.at(s, inv, lt[sub, code])
+        take = min(topk, len(uids))
+        order = np.lexsort((uids, s))[:take]
+        return pa.table(
+            {
+                id_col: pa.array(uids[order], pa.int64()),
+                "adc_dist": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    winners = hash_exchange(codes, id_col, local_topk, 64).to_pandas()
+    order = np.lexsort(
+        (winners[id_col].to_numpy(), winners["adc_dist"].to_numpy())
+    )[:topk]
+    return pa.table(
+        {
+            id_col: pa.array(
+                winners[id_col].to_numpy()[order], pa.int64()
+            ),
+            "adc_dist": pa.array(
+                winners["adc_dist"].to_numpy()[order], pa.float64()
+            ),
+        }
+    )

@@ -162,3 +162,75 @@ def test_lsh_hot_bucket_cap_is_counted():
     assert len(markers) == 1
     assert markers.iloc[0].cosine_sim >= 10  # ~10 repeats x 1 hot bucket
     assert len(out[out.u != -1]) == 0  # everything was in the hot buckets
+
+
+class TestPQ:
+    def _ds(self, n=90, dim=16, seed=9):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, dim)).astype(np.float32)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        })), x.astype(np.float64)
+
+    @staticmethod
+    def _lloyd(xs, k, n_iter):
+        """Numpy replay of the deterministic truncated Lloyd run."""
+        def trunc(a):
+            return np.trunc(a * 1e6) / 1e6
+        c = trunc(xs[:k].copy())
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(2)
+            a = d2.argmin(1)
+            new = c.copy()
+            for j in range(k):
+                if (a == j).any():
+                    new[j] = trunc(xs[a == j].mean(0))
+            c = new
+        d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(2)
+        return d2.argmin(1), c
+
+    def test_codes_match_numpy_replay(self):
+        from rabbittclust_ray.stages.ann import pq_codes
+
+        ds, x = self._ds()
+        m, k, w = 4, 5, 4
+        out = pq_codes(ds, m=m, k=k, n_iter=2).to_pandas()
+        assert len(out) == len(x) * m
+        for j in range(m):
+            want, _ = self._lloyd(x[:, j * w:(j + 1) * w], k, 2)
+            got = (
+                out[out["subspace"] == j]
+                .sort_values("vec_id")["code"]
+                .to_numpy()
+            )
+            assert (got == want).all()
+
+    def test_codebooks_match_and_adc_exact_on_reconstruction(self):
+        from rabbittclust_ray.stages.ann import (
+            pq_codebooks,
+            pq_codes,
+            pq_topk,
+        )
+
+        ds, x = self._ds(n=70)
+        m, k, w = 4, 6, 4
+        books = pq_codebooks(ds, m=m, k=k, n_iter=2)
+        assert books.shape == (m, k, w)
+        for j in range(m):
+            _, cj = self._lloyd(x[:, j * w:(j + 1) * w], k, 2)
+            assert np.allclose(books[j], cj, atol=0)
+        codes = pq_codes(ds, m=m, k=k, n_iter=2)
+        codes_df = codes.to_pandas().sort_values(["vec_id", "subspace"])
+        code_mat = codes_df["code"].to_numpy().reshape(len(x), m)
+        recon = np.concatenate(
+            [books[j][code_mat[:, j]] for j in range(m)], axis=1
+        )
+        q = x[0]
+        # ADC distance == exact L2 to the RECONSTRUCTED vectors, so
+        # pq_topk must equal the brute-force top-k over recon exactly
+        want_d = ((recon - q[None, :]) ** 2).sum(1)
+        order = np.lexsort((np.arange(len(x)), want_d))[:10]
+        got = pq_topk(codes, books, q, topk=10).to_pandas()
+        assert list(got["vec_id"].astype(int)) == list(order)
+        assert np.allclose(got["adc_dist"].to_numpy(), want_d[order], atol=0)
