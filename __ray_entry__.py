@@ -5280,8 +5280,8 @@ def _profile_sql() -> dict[str, str]:
         """,
         "trailing_range_sum": """
             SELECT event_id, user_id,
-                   SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w
-                       AS w_sum_ppm,
+                   CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w
+                        AS BIGINT) AS w_sum_ppm,
                    COUNT(*) OVER w AS w_count
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts

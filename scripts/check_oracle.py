@@ -51,15 +51,16 @@ def compare(name, ray_df, sql_df):
                     ray_cols=list(a.columns), sql_cols=list(b.columns))
     eq = True
     for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
-        else:
-            ok = (av == bv).all() if len(av) else True
+        # Driver-faithful: compare the string forms (the driver hashes
+        # str-cast values), so an int64-vs-float64 dtype split between the
+        # engine and DuckDB ("6550000" vs "6550000.0") is a REAL mismatch.
+        av = a[c].astype(str).to_numpy()
+        bv = b[c].astype(str).to_numpy()
+        ok = (av == bv).all() if len(av) else True
         if not ok:
             eq = False
-            mism = np.flatnonzero(~(av == bv)) if av.dtype.kind != "f" else []
-            print(f"  [{name}] col {c} mismatch; first idx: {mism[:5] if len(mism) else '?'}")
+            mism = np.flatnonzero(av != bv)
+            print(f"  [{name}] col {c} mismatch; first idx: {mism[:5]}")
             if len(mism):
                 i = mism[0]
                 print(f"    ray={a.iloc[i].to_dict()}\n    sql={b.iloc[i].to_dict()}")
