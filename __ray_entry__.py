@@ -3457,6 +3457,81 @@ def _pagerank_sql(n_iter: int, damping_ppm: int) -> str:
     )
 
 
+def _q_late_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: per-priority count of H1-1996 orders with a
+    lineitem shipped >30 days after the order date (EXISTS rewritten as
+    a per-order MAX combiner before the single orderkey exchange)."""
+    import numpy as np
+
+    from rabbittclust_ray.stages.relational import late_order_priority_counts
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    lo = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1996-07-01", "us").astype(np.int64))
+    return late_order_priority_counts(
+        orders, lineitem,
+        date_lo_us=lo, date_hi_us=hi, late_us=30 * 86_400_000_000,
+        num_partitions=16,
+    )
+
+
+def _q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: histogram of per-customer order counts including
+    zero-order customers (LEFT-JOIN-count-histogram class)."""
+    from rabbittclust_ray.stages.relational import order_count_distribution
+
+    customer = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return order_count_distribution(customer, orders, num_partitions=16)
+
+
+def _q_big_order_customers(sf_dir: str):
+    """TPC-H Q18 shape: orders with total lineitem quantity > 250 and the
+    owning customer's name (HAVING cut + bloom-prefiltered name attach)."""
+    from rabbittclust_ray.stages.relational import big_order_customers
+
+    customer = _read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    lineitem = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    return big_order_customers(
+        customer, orders, lineitem,
+        min_qty_ppm=250_000_000, num_partitions=16,
+    )
+
+
+def _q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape: never-ordered customers with above-average
+    (positive) balance, per nation (exact integer threshold rule)."""
+    from rabbittclust_ray.stages.relational import idle_customer_balance
+
+    import numpy as np
+
+    customer = _read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    since = int(np.datetime64("2000-01-01", "us").astype(np.int64))
+    return idle_customer_balance(
+        customer, orders, since_us=since, num_partitions=16
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -3609,6 +3684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_classes": _q_path_classes,
         "repo_license": _q_repo_license,
         "notebook_cells": _q_notebook_cells,
+        "late_order_priority": _q_late_order_priority,
+        "order_count_distribution": _q_order_count_distribution,
+        "big_order_customers": _q_big_order_customers,
+        "idle_customer_balance": _q_idle_customer_balance,
     }
 
 
@@ -5135,7 +5214,84 @@ def oracle_sql() -> dict[str, str]:
         FROM verts v LEFT JOIN pernode p USING (node)
     """
     sql.update(_profile_sql())
+    sql.update(_tpch_sql())
     return sql
+
+
+def _tpch_sql() -> dict[str, str]:
+    """Oracles for the round-2 composed TPC-H shapes (Q4/Q13/Q18/Q22
+    adapted to this corpus's columns). Every SUM that could widen to
+    HUGEINT is cast back to BIGINT so pandas keeps int64 (the driver
+    hashes string forms; a float64 '...0.0' is a mismatch)."""
+    return {
+        "late_order_priority": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderpriority,
+                       epoch_us(o_orderdate) AS od
+                FROM orders
+                WHERE epoch_us(o_orderdate) >= 820454400000000
+                  AND epoch_us(o_orderdate) < 836179200000000
+            ),
+            l AS (
+                SELECT l_orderkey, max(epoch_us(l_shipdate)) AS sm
+                FROM lineitem GROUP BY 1
+            )
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+            WHERE l.sm > o.od + 2592000000000
+            GROUP BY 1 ORDER BY 1
+        """,
+        "order_count_distribution": """
+            WITH cnt AS (
+                SELECT c.c_custkey, count(o.o_custkey) AS n
+                FROM customer c LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY 1
+            )
+            SELECT n AS c_count, count(*) AS custdist
+            FROM cnt GROUP BY 1 ORDER BY 1
+        """,
+        "big_order_customers": """
+            WITH lsum AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT))
+                            AS BIGINT) AS sq
+                FROM lineitem GROUP BY 1
+            ),
+            big AS (SELECT * FROM lsum WHERE sq > 250000000)
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   epoch_us(o.o_orderdate) AS odate_us,
+                   CAST(floor(o.o_totalprice * 1000000) AS BIGINT)
+                       AS o_totalprice_ppm,
+                   b.sq AS sum_qty_ppm
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "idle_customer_balance": """
+            WITH b AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(floor(c_acctbal * 1000000) AS BIGINT) AS bal
+                FROM customer
+            ),
+            thr AS (
+                SELECT CAST(sum(bal) AS BIGINT) // count(*) AS t
+                FROM b WHERE bal > 0
+            ),
+            idle AS (
+                SELECT b.* FROM b, thr
+                WHERE b.bal > thr.t
+                  AND NOT EXISTS (
+                      SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND epoch_us(o.o_orderdate) >= 946684800000000
+                  )
+            )
+            SELECT c_nationkey, count(*) AS n_custs,
+                   CAST(sum(bal) AS BIGINT) AS sum_acctbal_ppm
+            FROM idle GROUP BY 1 ORDER BY 1
+        """,
+    }
 
 
 def _zorder_sql() -> str:

@@ -1114,3 +1114,610 @@ def skyline2(
 
     pruned = ds.map_batches(local, batch_format="pyarrow")
     return pruned.repartition(1).map_batches(local, batch_format="pyarrow")
+
+
+def late_order_priority_counts(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    *,
+    date_lo_us: int,
+    date_hi_us: int,
+    late_us: int,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q4 shape: per order-priority, the number of orders placed in
+    ``[date_lo, date_hi)`` for which at least one lineitem shipped later
+    than ``o_orderdate + late_us`` (the EXISTS-with-cross-side-predicate
+    class; this corpus has no commit/receipt dates, so "late" is defined
+    against the order date).
+
+    Scale shape: EXISTS(l_shipdate > o_orderdate + D) over an order's
+    lineitems depends only on MAX(l_shipdate) per order, so the widest
+    table collapses to one (orderkey, max-shipdate) row per batch-key
+    BEFORE its single exchange (classic combiner-under-EXISTS rewrite).
+    The exchange joins those maxes with the date-filtered orders; each
+    partition then emits <= |priorities| count partials and a
+    single-partition pass finishes (driver never sees rows).
+    """
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        od = _np(_ts_us_col(t, "o_orderdate"))
+        keep = (od >= date_lo_us) & (od < date_hi_us)
+        sel = t.filter(pa.array(keep))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "key": _cast(sel["o_orderkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "odate_us": pa.array(od[keep], pa.int64()),
+                "o_orderpriority": sel["o_orderpriority"],
+            }
+        )
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        ok = _np(t["l_orderkey"]).astype(np.int64)
+        sd = _np(_ts_us_col(t, "l_shipdate"))
+        order = np.argsort(ok, kind="stable")
+        ok_s, sd_s = ok[order], sd[order]
+        new = np.empty(len(ok_s), dtype=bool)
+        if len(ok_s):
+            new[0] = True
+            new[1:] = ok_s[1:] != ok_s[:-1]
+            starts = np.flatnonzero(new)
+            keys = ok_s[starts]
+            smax = np.maximum.reduceat(sd_s, starts)
+        else:
+            keys = np.empty(0, np.int64)
+            smax = np.empty(0, np.int64)
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "odate_us": pa.array(smax, pa.int64()),  # carries ship max
+                "o_orderpriority": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "o_orderpriority": pa.array([], pa.string()),
+            "order_count": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        side = _np(t["side"])
+        keys = _np(t["key"])
+        vals = _np(t["odate_us"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any():
+            return empty
+        rk, rv = keys[~lmask], vals[~lmask]
+        order = np.argsort(rk, kind="stable")
+        rk_s, rv_s = rk[order], rv[order]
+        if len(rk_s):
+            new = np.empty(len(rk_s), dtype=bool)
+            new[0] = True
+            new[1:] = rk_s[1:] != rk_s[:-1]
+            starts = np.flatnonzero(new)
+            ukeys = rk_s[starts]
+            umax = np.maximum.reduceat(rv_s, starts)
+        else:
+            ukeys = np.empty(0, np.int64)
+            umax = np.empty(0, np.int64)
+        lk, lod = keys[lmask], vals[lmask]
+        idx = np.searchsorted(ukeys, lk)
+        idx_c = np.minimum(idx, max(len(ukeys) - 1, 0))
+        hit = (
+            (idx < len(ukeys)) & (ukeys[idx_c] == lk)
+            if len(ukeys)
+            else np.zeros(len(lk), bool)
+        )
+        late = np.zeros(len(lk), dtype=bool)
+        late[hit] = umax[idx_c[hit]] > lod[hit] + late_us
+        if not late.any():
+            return empty
+        pri = _np(t["o_orderpriority"])[lmask][late]
+        s = pd.Series(pri).value_counts().sort_index()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(s.index.to_numpy(), pa.string()),
+                "order_count": pa.array(
+                    s.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas()
+            .groupby("o_orderpriority", sort=True)["order_count"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    g["o_orderpriority"].to_numpy(), pa.string()
+                ),
+                "order_count": pa.array(
+                    g["order_count"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from rabbittclust_ray.stages.joins import _tag_union
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    both = _tag_union(orders, lineitem, prep_orders, prep_lineitem)
+    partials = hash_exchange(both, "key", reduce, num_partitions)
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def _ts_us_col(t: pa.Table, col: str) -> pa.Array:
+    """Timestamp column (any unit) -> int64 microseconds array."""
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if pa.types.is_timestamp(c.type):
+        c = c.cast(pa.timestamp("us"))
+    return c.cast(pa.int64())
+
+
+def order_count_distribution(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    *,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers (the LEFT-JOIN-then-histogram class).
+    Output (c_count, custdist) = how many customers placed exactly
+    c_count orders.
+
+    Scale shape: orders collapse to per-batch (custkey, n) count partials
+    before the ONE custkey exchange; customers enter the same exchange as
+    bare keys.  Each partition owns its customers completely, so the
+    zero-count rule (customer with no order rows) is decided locally, and
+    only a per-partition histogram (<= distinct counts rows) leaves the
+    exchange; a single-partition sum finishes.
+    """
+
+    def prep_customer(t: pa.Table) -> pa.Table:
+        k = _np(t["c_custkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.full(len(k), _SIDE_LEFT, np.int8),
+                                 pa.int8()),
+                "n": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        k = _np(t["o_custkey"]).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "side": pa.array(np.full(len(uk), _SIDE_RIGHT, np.int8),
+                                 pa.int8()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "c_count": pa.array([], pa.int64()),
+            "custdist": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        side = _np(t["side"])
+        keys = _np(t["key"])
+        ns = _np(t["n"])
+        lmask = side == _SIDE_LEFT
+        lk = np.unique(keys[lmask])
+        if not len(lk):
+            return empty
+        rk, rn = keys[~lmask], ns[~lmask]
+        # sum order-count partials per custkey, then map onto customers
+        order = np.argsort(rk, kind="stable")
+        rk_s, rn_s = rk[order], rn[order]
+        if len(rk_s):
+            new = np.empty(len(rk_s), dtype=bool)
+            new[0] = True
+            new[1:] = rk_s[1:] != rk_s[:-1]
+            starts = np.flatnonzero(new)
+            ukeys = rk_s[starts]
+            usum = np.add.reduceat(rn_s, starts)
+        else:
+            ukeys = np.empty(0, np.int64)
+            usum = np.empty(0, np.int64)
+        idx = np.searchsorted(ukeys, lk)
+        idx_c = np.minimum(idx, max(len(ukeys) - 1, 0))
+        hit = (
+            (idx < len(ukeys)) & (ukeys[idx_c] == lk)
+            if len(ukeys)
+            else np.zeros(len(lk), bool)
+        )
+        per_cust = np.zeros(len(lk), np.int64)
+        per_cust[hit] = usum[idx_c[hit]]
+        cvals, cdist = np.unique(per_cust, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(cvals, pa.int64()),
+                "custdist": pa.array(cdist.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas()
+            .groupby("c_count", sort=True)["custdist"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "c_count": pa.array(
+                    g["c_count"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "custdist": pa.array(
+                    g["custdist"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from rabbittclust_ray.stages.joins import _tag_union
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    both = _tag_union(customer, orders, prep_customer, prep_orders)
+    partials = hash_exchange(both, "key", reduce, num_partitions)
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def big_order_customers(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    *,
+    min_qty_ppm: int,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q18 shape: orders whose TOTAL lineitem quantity exceeds
+    ``min_qty_ppm`` (floor-ppm integer), with the owning customer's name
+    attached.  Output (c_custkey, c_name, o_orderkey, odate_us,
+    o_totalprice_ppm, sum_qty_ppm).
+
+    Scale shape: lineitem collapses to per-batch (orderkey, qty-sum)
+    partials before exchange 1 (orderkey), which joins orders and applies
+    the HAVING cut — the surviving set is tiny by construction.  The
+    customer attach then runs as a bloom-prefiltered exchange: an 8 KiB
+    Bloom filter over the matched custkeys is broadcast and drops almost
+    every customer row BEFORE exchange 2, so the big dimension never
+    shuffles in full (the classic selective-join bloom plan).
+    """
+    from rabbittclust_ray.stages.joins import (
+        _tag_union, bloom_build, bloom_probe,
+    )
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        od = _np(_ts_us_col(t, "o_orderdate"))
+        tp = _np(t["o_totalprice"])
+        return pa.table(
+            {
+                "key": _cast(t["o_orderkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "v1": _cast(t["o_custkey"], pa.int64()),
+                "v2": pa.array(od, pa.int64()),
+                "v3": pa.array(
+                    np.floor(tp * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        ok = _np(t["l_orderkey"]).astype(np.int64)
+        q = np.floor(_np(t["l_quantity"]) * 1e6).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok_s, q_s = ok[order], q[order]
+        if len(ok_s):
+            new = np.empty(len(ok_s), dtype=bool)
+            new[0] = True
+            new[1:] = ok_s[1:] != ok_s[:-1]
+            starts = np.flatnonzero(new)
+            keys = ok_s[starts]
+            qsum = np.add.reduceat(q_s, starts)
+        else:
+            keys = np.empty(0, np.int64)
+            qsum = np.empty(0, np.int64)
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "v1": pa.array(qsum, pa.int64()),
+                "v2": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "v3": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    empty1 = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "odate_us": pa.array([], pa.int64()),
+            "o_totalprice_ppm": pa.array([], pa.int64()),
+            "sum_qty_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty1
+        side = _np(t["side"])
+        keys = _np(t["key"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any():
+            return empty1
+        rk, rq = keys[~lmask], _np(t["v1"])[~lmask]
+        order = np.argsort(rk, kind="stable")
+        rk_s, rq_s = rk[order], rq[order]
+        if len(rk_s):
+            new = np.empty(len(rk_s), dtype=bool)
+            new[0] = True
+            new[1:] = rk_s[1:] != rk_s[:-1]
+            starts = np.flatnonzero(new)
+            ukeys = rk_s[starts]
+            uq = np.add.reduceat(rq_s, starts)
+        else:
+            ukeys = np.empty(0, np.int64)
+            uq = np.empty(0, np.int64)
+        big = ukeys[uq > min_qty_ppm]
+        bigq = uq[uq > min_qty_ppm]
+        lk = keys[lmask]
+        idx = np.searchsorted(big, lk)
+        idx_c = np.minimum(idx, max(len(big) - 1, 0))
+        hit = (
+            (idx < len(big)) & (big[idx_c] == lk)
+            if len(big)
+            else np.zeros(len(lk), bool)
+        )
+        lt = t.filter(pa.array(lmask)).filter(pa.array(hit))
+        return pa.table(
+            {
+                "c_custkey": lt["v1"],
+                "o_orderkey": lt["key"],
+                "odate_us": lt["v2"],
+                "o_totalprice_ppm": lt["v3"],
+                "sum_qty_ppm": pa.array(bigq[idx_c[hit]], pa.int64()),
+            }
+        )
+
+    both = _tag_union(orders, lineitem, prep_orders, prep_lineitem)
+    big_orders = hash_exchange(both, "key", reduce1, num_partitions)
+    big_orders = big_orders.materialize()  # tiny by the HAVING cut
+
+    bits = bloom_build(big_orders, "c_custkey")
+    cust_pref = bloom_probe(customer, "c_custkey", bits).map_batches(
+        lambda t: t.filter(t["bloom_pass"]).drop_columns(["bloom_pass"]),
+        batch_format="pyarrow",
+    )
+
+    def prep_big(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": _cast(t["c_custkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": t["odate_us"],
+                "o_totalprice_ppm": t["o_totalprice_ppm"],
+                "sum_qty_ppm": t["sum_qty_ppm"],
+                "c_name": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "key": _cast(t["c_custkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "o_orderkey": z,
+                "odate_us": z,
+                "o_totalprice_ppm": z,
+                "sum_qty_ppm": z,
+                "c_name": t["c_name"],
+            }
+        )
+
+    empty2 = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "odate_us": pa.array([], pa.int64()),
+            "o_totalprice_ppm": pa.array([], pa.int64()),
+            "sum_qty_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty2
+        side = _np(t["side"])
+        keys = _np(t["key"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any():
+            return empty2
+        rk = keys[~lmask]
+        rname = _np(t["c_name"])[~lmask]
+        order = np.argsort(rk, kind="stable")
+        rk_s, rname_s = rk[order], rname[order]
+        lk = keys[lmask]
+        idx = np.searchsorted(rk_s, lk)
+        idx_c = np.minimum(idx, max(len(rk_s) - 1, 0))
+        hit = (
+            (idx < len(rk_s)) & (rk_s[idx_c] == lk)
+            if len(rk_s)
+            else np.zeros(len(lk), bool)
+        )
+        lt = t.filter(pa.array(lmask)).filter(pa.array(hit))
+        return pa.table(
+            {
+                "c_custkey": lt["key"],
+                "c_name": pa.array(rname_s[idx_c[hit]], pa.string()),
+                "o_orderkey": lt["o_orderkey"],
+                "odate_us": lt["odate_us"],
+                "o_totalprice_ppm": lt["o_totalprice_ppm"],
+                "sum_qty_ppm": lt["sum_qty_ppm"],
+            }
+        )
+
+    both2 = _tag_union(big_orders, cust_pref, prep_big, prep_cust)
+    return hash_exchange(both2, "key", reduce2, num_partitions)
+
+
+def idle_customer_balance(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    *,
+    since_us: int = 0,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q22 shape: customers with above-average account balance who
+    placed no order at/after ``since_us`` ("lapsed" — every customer in
+    this corpus has SOME order, so the anti-join is date-scoped to stay
+    non-degenerate), rolled up per nation.  "Above average" means
+    ``acctbal_ppm > floor(sum(positive acctbal_ppm) / n_positive)`` — the
+    global scalar is computed as exact integers so the boundary rule is
+    bit-reproducible in SQL.  Output (c_nationkey, n_custs,
+    sum_acctbal_ppm).
+
+    Scale shape: the global-average pass ships ONE (sum, count) row per
+    batch to the driver (a scalar subquery is O(1) state); the main pass
+    is the existing semi/anti-join exchange (orders enter as per-batch
+    DISTINCT custkeys) followed by per-partition nation partials and a
+    single-partition finish.
+    """
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = np.floor(_np(t["c_acctbal"]) * 1e6).astype(np.int64)
+        pos = b[b > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = customer.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    tot_s = sum(int(r["s"]) for r in parts)
+    tot_n = sum(int(r["n"]) for r in parts)
+    thr = tot_s // max(tot_n, 1)
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        b = np.floor(_np(t["c_acctbal"]) * 1e6).astype(np.int64)
+        keep = b > thr
+        sel = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": _cast(sel["c_custkey"], pa.int64()),
+                "c_nationkey": _cast(sel["c_nationkey"], pa.int64()),
+                "acctbal_ppm": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    rich = customer.map_batches(prep_cust, batch_format="pyarrow")
+
+    def rename_orders(t: pa.Table) -> pa.Table:
+        od = _np(_ts_us_col(t, "o_orderdate"))
+        sel = t.filter(pa.array(od >= since_us))
+        return pa.table({"c_custkey": _cast(sel["o_custkey"], pa.int64())})
+
+    ordkeys = orders.map_batches(rename_orders, batch_format="pyarrow")
+    idle = semi_anti_join(
+        rich, ordkeys,
+        key="c_custkey",
+        left_cols=["c_nationkey", "acctbal_ppm"],
+        anti=True,
+        num_partitions=num_partitions,
+    )
+
+    empty = pa.table(
+        {
+            "c_nationkey": pa.array([], pa.int64()),
+            "n_custs": pa.array([], pa.int64()),
+            "sum_acctbal_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        nk = _np(t["c_nationkey"]).astype(np.int64)
+        b = _np(t["acctbal_ppm"])
+        order = np.argsort(nk, kind="stable")
+        nk_s, b_s = nk[order], b[order]
+        new = np.empty(len(nk_s), dtype=bool)
+        new[0] = True
+        new[1:] = nk_s[1:] != nk_s[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk_s[starts], pa.int64()),
+                "n_custs": pa.array(
+                    np.diff(np.append(starts, len(nk_s))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "sum_acctbal_ppm": pa.array(
+                    np.add.reduceat(b_s, starts), pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas()
+            .groupby("c_nationkey", sort=True)
+            .agg({"n_custs": "sum", "sum_acctbal_ppm": "sum"})
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    g["c_nationkey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_custs": pa.array(
+                    g["n_custs"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "sum_acctbal_ppm": pa.array(
+                    g["sum_acctbal_ppm"].to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    partials = idle.map_batches(nation_partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,228 @@
+"""Unit tests for the round-2 composed TPC-H shapes: Q4
+(late_order_priority_counts, EXISTS-as-MAX-combiner), Q13
+(order_count_distribution, left-join count histogram incl. zeros),
+Q18 (big_order_customers, HAVING cut + bloom-prefiltered name attach)
+and Q22 (idle_customer_balance, scalar threshold + date-scoped anti
+join).  Each is replayed brute-force in pandas and checked for
+partition invariance."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.relational import (
+    big_order_customers,
+    idle_customer_balance,
+    late_order_priority_counts,
+    order_count_distribution,
+)
+
+US_DAY = 86_400_000_000
+
+
+def _synth(seed=7, n_cust=30, n_orders=150, n_lines=600):
+    rng = np.random.default_rng(seed)
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"cust#{i}" for i in range(n_cust)],
+            "c_nationkey": rng.integers(0, 5, n_cust).astype(np.int32),
+            "c_acctbal": rng.uniform(-500, 5000, n_cust).round(2),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            # leave custkeys >= 24 order-less so Q13's zero bucket and
+            # Q22's anti join are exercised
+            "o_custkey": rng.integers(0, 24, n_orders).astype(np.int64),
+            "o_orderdate": pd.Timestamp("1996-01-01")
+            + pd.to_timedelta(rng.integers(0, 720, n_orders), unit="D"),
+            "o_totalprice": rng.uniform(100, 9000, n_orders).round(2),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-LOW"], n_orders
+            ),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, n_lines).astype(
+                np.int64
+            ),
+            "l_quantity": rng.integers(1, 50, n_lines).astype(float),
+            "l_shipdate": pd.Timestamp("1996-01-05")
+            + pd.to_timedelta(rng.integers(0, 780, n_lines), unit="D"),
+        }
+    )
+    return cust, orders, li
+
+
+def _us(s: pd.Series) -> np.ndarray:
+    return s.astype("datetime64[us]").astype(np.int64).to_numpy()
+
+
+def test_late_order_priority_brute_force():
+    cust, orders, li = _synth()
+    lo = int(np.datetime64("1996-03-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-03-01", "us").astype(np.int64))
+    late = 45 * US_DAY
+
+    smax = (
+        pd.DataFrame(
+            {"k": li["l_orderkey"], "s": _us(li["l_shipdate"])}
+        )
+        .groupby("k")["s"]
+        .max()
+    )
+    od = _us(orders["o_orderdate"])
+    in_rng = (od >= lo) & (od < hi)
+    sm = orders["o_orderkey"].map(smax)
+    is_late = in_rng & sm.notna() & (sm.fillna(0) > od + late)
+    want = (
+        orders.loc[is_late]
+        .groupby("o_orderpriority")
+        .size()
+        .rename("order_count")
+        .reset_index()
+    )
+
+    for parts in (1, 5):
+        got = (
+            late_order_priority_counts(
+                ray.data.from_pandas(orders).repartition(parts),
+                ray.data.from_pandas(li).repartition(parts),
+                date_lo_us=lo,
+                date_hi_us=hi,
+                late_us=late,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got,
+            want.sort_values("o_orderpriority").reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_order_count_distribution_includes_zero():
+    cust, orders, li = _synth()
+    per = (
+        orders.groupby("o_custkey").size().reindex(
+            cust["c_custkey"], fill_value=0
+        )
+    )
+    want = (
+        per.value_counts().sort_index().rename("custdist").reset_index()
+    )
+    want.columns = ["c_count", "custdist"]
+
+    for parts in (1, 6):
+        got = (
+            order_count_distribution(
+                ray.data.from_pandas(cust).repartition(parts),
+                ray.data.from_pandas(orders).repartition(parts),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("c_count")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["c_count"] == 0).any()  # zero bucket exercised
+
+
+def test_big_order_customers_brute_force():
+    cust, orders, li = _synth()
+    thr = 120_000_000  # 120 qty in ppm
+    qsum = (
+        (li["l_quantity"] * 1e6)
+        .astype(np.int64)
+        .groupby(li["l_orderkey"])
+        .sum()
+    )
+    big = qsum[qsum > thr]
+    sel = orders[orders["o_orderkey"].isin(big.index)].copy()
+    sel["sum_qty_ppm"] = sel["o_orderkey"].map(big)
+    sel["c_name"] = sel["o_custkey"].map(
+        cust.set_index("c_custkey")["c_name"]
+    )
+    want = pd.DataFrame(
+        {
+            "c_custkey": sel["o_custkey"].to_numpy(),
+            "c_name": sel["c_name"].to_numpy(),
+            "o_orderkey": sel["o_orderkey"].to_numpy(),
+            "odate_us": _us(sel["o_orderdate"]),
+            "o_totalprice_ppm": np.floor(
+                sel["o_totalprice"].to_numpy() * 1e6
+            ).astype(np.int64),
+            "sum_qty_ppm": sel["sum_qty_ppm"].to_numpy(),
+        }
+    ).sort_values("o_orderkey").reset_index(drop=True)
+    assert len(want) > 0
+
+    for parts in (1, 5):
+        got = (
+            big_order_customers(
+                ray.data.from_pandas(cust).repartition(parts),
+                ray.data.from_pandas(orders).repartition(parts),
+                ray.data.from_pandas(li).repartition(parts),
+                min_qty_ppm=thr,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_big_order_customers_empty_cut():
+    cust, orders, li = _synth()
+    got = big_order_customers(
+        ray.data.from_pandas(cust),
+        ray.data.from_pandas(orders),
+        ray.data.from_pandas(li),
+        min_qty_ppm=10**15,  # nothing passes
+        num_partitions=4,
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_idle_customer_balance_brute_force():
+    cust, orders, li = _synth()
+    since = int(np.datetime64("1997-06-01", "us").astype(np.int64))
+    bal = np.floor(cust["c_acctbal"].to_numpy() * 1e6).astype(np.int64)
+    pos = bal[bal > 0]
+    thr = int(pos.sum()) // len(pos)
+    recent = orders[_us(orders["o_orderdate"]) >= since]["o_custkey"]
+    keep = (bal > thr) & ~cust["c_custkey"].isin(set(recent)).to_numpy()
+    sel = cust[keep]
+    want = (
+        pd.DataFrame(
+            {
+                "c_nationkey": sel["c_nationkey"].astype(np.int64),
+                "bal": bal[keep],
+            }
+        )
+        .groupby("c_nationkey")
+        .agg(n_custs=("bal", "size"), sum_acctbal_ppm=("bal", "sum"))
+        .reset_index()
+    )
+    assert len(want) > 0
+
+    for parts in (1, 4):
+        got = (
+            idle_customer_balance(
+                ray.data.from_pandas(cust).repartition(parts),
+                ray.data.from_pandas(orders).repartition(parts),
+                since_us=since,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("c_nationkey")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
