@@ -3532,6 +3532,36 @@ def _q_idle_customer_balance(sf_dir: str):
     )
 
 
+def _q_chi2_drift(sf_dir: str):
+    """Exact floor-ppm two-sample chi-square between src0 and src1
+    doc-length distributions — the all-bins drift monitor (KS's
+    whole-distribution complement)."""
+    from rabbittclust_ray.stages.stats import chi2_drift
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return chi2_drift(ds, "src0", "src1", num_partitions=16)
+
+
+def _q_gini_sources(sf_dir: str):
+    """Gini coefficient of the per-source doc-count distribution — the
+    corpus-concentration signal, exact floor-ppm."""
+    from rabbittclust_ray.stages.stats import gini_concentration
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source"])
+    return gini_concentration(ds, group_col="source", num_partitions=16)
+
+
+def _q_readability(sf_dir: str):
+    """Flesch-Kincaid-class readability per doc (vowel-group syllable
+    proxy, exact ppm integers, fixed floor-division order)."""
+    from rabbittclust_ray.stages.text import readability
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return readability(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
@@ -3688,6 +3718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": _q_order_count_distribution,
         "big_order_customers": _q_big_order_customers,
         "idle_customer_balance": _q_idle_customer_balance,
+        "chi2_drift": _q_chi2_drift,
+        "gini_sources": _q_gini_sources,
+        "readability": _q_readability,
     }
 
 
@@ -5215,7 +5248,89 @@ def oracle_sql() -> dict[str, str]:
     """
     sql.update(_profile_sql())
     sql.update(_tpch_sql())
+    sql.update(_drift_quality_sql())
     return sql
+
+
+def _drift_quality_sql() -> dict[str, str]:
+    """Oracles for the drift/quality stats family. chi2 uses HUGEINT
+    intermediates (the per-bin square reaches ~1e24); readability embeds
+    the SAME RE2 patterns the engine compiles."""
+    from rabbittclust_ray.stages.text import (
+        READ_SENT_RE, READ_VOWEL_RE, READ_WORD_RE,
+    )
+
+    return {
+        "chi2_drift": """
+            WITH c AS (
+                SELECT n_chars AS v,
+                       count(*) FILTER (WHERE source = 'src0') AS ca,
+                       count(*) FILTER (WHERE source = 'src1') AS cb
+                FROM documents
+                WHERE source IN ('src0', 'src1')
+                GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(ca) AS HUGEINT) AS na,
+                       CAST(sum(cb) AS HUGEINT) AS nb
+                FROM c
+            )
+            SELECT
+                CAST(sum(
+                    (1000000 * (CAST(ca AS HUGEINT) * nb
+                                - CAST(cb AS HUGEINT) * na)
+                             * (CAST(ca AS HUGEINT) * nb
+                                - CAST(cb AS HUGEINT) * na))
+                    // (na * nb * (ca + cb))
+                ) AS BIGINT) AS chi2_ppm,
+                count(*) AS n_bins,
+                CAST(any_value(na) AS BIGINT) AS n_a,
+                CAST(any_value(nb) AS BIGINT) AS n_b
+            FROM c, tot
+        """,
+        "gini_sources": """
+            WITH c AS (
+                SELECT source AS g, count(*) AS x
+                FROM documents GROUP BY 1
+            ),
+            r AS (
+                SELECT CAST(x AS HUGEINT) AS x,
+                       CAST(row_number() OVER (ORDER BY x) AS HUGEINT) AS i
+                FROM c
+            ),
+            s AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS t
+                FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_groups,
+                   CAST(sx AS BIGINT) AS total,
+                   CAST((1000000 * (2 * t - (n + 1) * sx)) // (n * sx)
+                        AS BIGINT) AS gini_ppm
+            FROM s
+        """,
+        "readability": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{READ_WORD_RE}'))
+                           AS w,
+                       len(regexp_extract_all(text, '{READ_SENT_RE}'))
+                           AS s,
+                       len(regexp_extract_all(text, '{READ_VOWEL_RE}'))
+                           AS v
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(v AS BIGINT) AS n_vowel_groups,
+                   CAST(CASE WHEN w = 0 THEN 0
+                        ELSE 206835000
+                             - (1015000 * w) // greatest(s, 1)
+                             - (84600000 * v) // w
+                        END AS BIGINT) AS fk_ppm
+            FROM m
+        """,
+    }
 
 
 def _tpch_sql() -> dict[str, str]:

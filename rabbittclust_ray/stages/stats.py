@@ -629,3 +629,199 @@ def equi_depth_boundaries(
             "cum_count": pa.array(cums, pa.int64()),
         }
     )
+
+
+def chi2_drift(
+    ds: ray.data.Dataset,
+    group_a: str,
+    group_b: str,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Exact two-sample chi-square drift statistic between two groups'
+    integer-value distributions, floor-ppm:
+
+        chi2_ppm = sum over distinct v of
+            floor(1e6 * (c_a*n_b - c_b*n_a)^2 / (n_a*n_b*(c_a+c_b)))
+
+    (per-bin floor THEN integer sum, so the result is order-independent
+    and bit-reproducible in SQL — the classic X^2 = sum (K1*a - K2*b)^2
+    / (a+b) two-sample form cleared of its square roots).  Complements
+    ``ks_drift``: X^2 weights all bins, KS only the worst one.
+
+    Shape: identical to ks_drift — per-batch (v, c_a, c_b) combiners,
+    ONE value-keyed exchange, driver finish over the DISTINCT-value
+    domain.  Per-bin arithmetic uses Python ints (the square reaches
+    ~1e24 at 1e6-row groups; HUGEINT on the SQL side)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "v": pa.array([], pa.int64()),
+            "ca": pa.array([], pa.int64()),
+            "cb": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            t[group_col], value_set=pa.array([group_a, group_b])
+        )
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        side = pc.equal(t[group_col], group_a).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "v": t[value_col].to_numpy(zero_copy_only=False),
+                "ca": side.astype(np.int64),
+                "cb": (~side).astype(np.int64),
+            }
+        )
+        g = df.groupby("v", sort=False, as_index=False).sum()
+        for c in ("v", "ca", "cb"):
+            g[c] = g[c].astype(np.int64)
+        g["__gkey__"] = pd.util.hash_array(
+            g["v"].to_numpy().astype(np.uint64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        g = t.to_pandas().groupby("v", sort=True, as_index=False)[
+            ["ca", "cb"]
+        ].sum()
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "ca": pa.array(g["ca"].to_numpy(np.int64)),
+                "cb": pa.array(g["cb"].to_numpy(np.int64)),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    if not rows:
+        return pa.table(
+            {
+                "chi2_ppm": pa.array([0], pa.int64()),
+                "n_bins": pa.array([0], pa.int64()),
+                "n_a": pa.array([0], pa.int64()),
+                "n_b": pa.array([0], pa.int64()),
+            }
+        )
+    df = pd.DataFrame(rows).groupby("v", sort=True, as_index=False)[
+        ["ca", "cb"]
+    ].sum()
+    na = int(df["ca"].sum())
+    nb = int(df["cb"].sum())
+    acc = 0
+    den_base = na * nb
+    for a, b in zip(df["ca"].tolist(), df["cb"].tolist()):
+        d = (a * nb - b * na)
+        acc += (1_000_000 * d * d) // (den_base * (a + b))
+    return pa.table(
+        {
+            "chi2_ppm": pa.array([acc], pa.int64()),
+            "n_bins": pa.array([len(df)], pa.int64()),
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+        }
+    )
+
+
+def gini_concentration(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Gini coefficient of the per-group row-count distribution — the
+    corpus-concentration signal ("is 90% of the crawl five domains?"),
+    floor-ppm exact:
+
+        gini_ppm = floor(1e6 * (2*T - (n+1)*S) / (n*S)),
+        T = sum of i * x_i over counts x sorted ascending (1-based i)
+
+    Equal-count ties contribute x * sum(i) over their rank block
+    regardless of internal order, so any ascending sort gives the same
+    T and the statistic is deterministic without a tie rule.
+
+    Shape: per-batch group-count combiners -> ONE group-keyed exchange
+    -> per-partition count rows (one per group); the driver finish
+    touches the GROUP domain only.  Output (n_groups, total, gini_ppm)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "x": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        s = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+        c = s.value_counts()
+        g = c.index.to_numpy().astype(object)
+        return pa.table(
+            {
+                "g": pa.array(g.astype(str), pa.string()),
+                "x": pa.array(c.to_numpy().astype(np.int64), pa.int64()),
+                "__gkey__": pa.array(
+                    pd.util.hash_array(g).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        g = t.to_pandas().groupby("g", sort=True, as_index=False)["x"].sum()
+        return pa.table(
+            {
+                "g": pa.array(g["g"].to_numpy().astype(str), pa.string()),
+                "x": pa.array(g["x"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    if not rows:
+        return pa.table(
+            {
+                "n_groups": pa.array([0], pa.int64()),
+                "total": pa.array([0], pa.int64()),
+                "gini_ppm": pa.array([0], pa.int64()),
+            }
+        )
+    x = np.sort(np.array([r["x"] for r in rows], dtype=np.int64))
+    n = len(x)
+    s = int(x.sum())
+    t_sum = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    gini_ppm = (1_000_000 * (2 * t_sum - (n + 1) * s)) // (n * s)
+    return pa.table(
+        {
+            "n_groups": pa.array([n], pa.int64()),
+            "total": pa.array([s], pa.int64()),
+            "gini_ppm": pa.array([int(gini_ppm)], pa.int64()),
+        }
+    )

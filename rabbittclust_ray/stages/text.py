@@ -1242,3 +1242,61 @@ def simpson_diversity(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Readability regexes — module constants so the SQL oracle embeds the
+# SAME patterns (pyarrow.compute and DuckDB both run RE2).
+READ_WORD_RE = r"[^ \t\n\r]+"
+READ_SENT_RE = r"[.!?]+"
+READ_VOWEL_RE = r"[aeiouAEIOU]+"
+
+
+def readability(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Flesch-Kincaid-class readability signal, log-free and float-free:
+    vowel-group runs stand in for syllables (the standard dictionary-less
+    proxy) and the score keeps the FK constants as exact ppm integers
+    with floor division on a FIXED evaluation order:
+
+        fk_ppm = 206_835_000 - 1_015_000 * W // max(S, 1)
+                             - 84_600_000 * V // W     (0 if W == 0)
+
+    Output (doc_id, n_words, n_sentences, n_vowel_groups, fk_ppm).
+    Pure map stage (three RE2 count kernels per batch), zero shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        w = pc.cast(
+            pc.count_substring_regex(txt, READ_WORD_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        s = pc.cast(
+            pc.count_substring_regex(txt, READ_SENT_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        v = pc.cast(
+            pc.count_substring_regex(txt, READ_VOWEL_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        s1 = np.maximum(s, 1)
+        w1 = np.maximum(w, 1)
+        fk = (
+            206_835_000
+            - (1_015_000 * w) // s1
+            - (84_600_000 * v) // w1
+        )
+        fk = np.where(w > 0, fk, 0).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_words": pa.array(w, pa.int64()),
+                "n_sentences": pa.array(s, pa.int64()),
+                "n_vowel_groups": pa.array(v, pa.int64()),
+                "fk_ppm": pa.array(fk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,106 @@
+"""Unit tests for the drift/quality stats family: chi2_drift (exact
+floor-ppm two-sample chi-square), gini_concentration (per-group count
+Gini) and readability (FK-class ppm score with vowel-group syllables).
+Each is replayed brute-force and checked for partition invariance."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from rabbittclust_ray.stages.stats import chi2_drift, gini_concentration
+from rabbittclust_ray.stages.text import readability
+
+
+def _chi2_brute(va, vb) -> int:
+    vals = sorted(set(va) | set(vb))
+    na, nb = len(va), len(vb)
+    acc = 0
+    for v in vals:
+        a = sum(1 for x in va if x == v)
+        b = sum(1 for x in vb if x == v)
+        d = a * nb - b * na
+        acc += (1_000_000 * d * d) // (na * nb * (a + b))
+    return acc
+
+
+def test_chi2_brute_force_and_invariance():
+    rng = np.random.default_rng(11)
+    va = rng.integers(0, 40, 300)
+    vb = rng.integers(5, 50, 260)  # shifted -> real drift
+    df = pd.DataFrame(
+        {
+            "source": ["A"] * len(va) + ["B"] * len(vb) + ["other"] * 50,
+            "n_chars": np.concatenate(
+                [va, vb, rng.integers(0, 9, 50)]
+            ).astype(np.int64),
+        }
+    )
+    want = _chi2_brute(va.tolist(), vb.tolist())
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = chi2_drift(
+            ds, "A", "B", num_partitions=4
+        ).to_pydict()
+        assert out["chi2_ppm"] == [want]
+        assert out["n_a"] == [len(va)]
+        assert out["n_b"] == [len(vb)]
+    # identical distributions -> 0
+    same = pd.DataFrame(
+        {
+            "source": ["A", "B"] * 100,
+            "n_chars": np.repeat(np.arange(50), 4).astype(np.int64),
+        }
+    )
+    out = chi2_drift(ray.data.from_pandas(same), "A", "B").to_pydict()
+    assert out["chi2_ppm"] == [0]
+
+
+def test_gini_brute_force():
+    # known value: counts [1, 3] -> G = (2*(1*1+2*3) - 3*4)/(2*4) = 2/8
+    df = pd.DataFrame({"source": ["a"] + ["b"] * 3})
+    out = gini_concentration(ray.data.from_pandas(df)).to_pydict()
+    assert out["gini_ppm"] == [250_000]
+    assert out["n_groups"] == [2]
+    assert out["total"] == [4]
+
+    # uniform -> 0; invariance over layouts
+    uni = pd.DataFrame({"source": np.repeat([f"s{i}" for i in range(8)], 5)})
+    for parts in (1, 5):
+        out = gini_concentration(
+            ray.data.from_pandas(uni).repartition(parts), num_partitions=4
+        ).to_pydict()
+        assert out["gini_ppm"] == [0]
+        assert out["n_groups"] == [8]
+
+
+def test_readability_known_and_edges():
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "The cat sat. The dog ran!",  # 6 words, 2 sents
+                "",  # empty -> all zeros
+                "xyz zzz",  # no vowels, no sentence marks
+                "a e i o u",  # 5 words, 5 vowel groups
+            ],
+        }
+    )
+    out = (
+        readability(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [6, 0, 2, 5]
+    assert out["n_sentences"].tolist() == [2, 0, 0, 0]
+    # 'The cat sat' 'The dog ran': vowel groups e,a,a,e,o,a = 6
+    assert out["n_vowel_groups"].tolist() == [6, 0, 0, 5]
+    w, s, v = 6, 2, 6
+    assert out["fk_ppm"][0] == (
+        206_835_000 - (1_015_000 * w) // s - (84_600_000 * v) // w
+    )
+    assert out["fk_ppm"][1] == 0  # wordless rule
+    w2, v2 = 2, 0
+    assert out["fk_ppm"][2] == (
+        206_835_000 - (1_015_000 * w2) // 1 - 0
+    )
