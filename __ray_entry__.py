@@ -3365,6 +3365,16 @@ def _q_triangle_counts(sf_dir: str):
     return triangle_counts(res.edges, num_partitions=16)
 
 
+def _q_link_prediction(sf_dir: str):
+    """Common-neighbor / neighborhood-Jaccard link-prediction scores over
+    the exact threshold graph (wedge enumeration + degree fetch join) —
+    the 'which near-dup families are about to merge' signal."""
+    from rabbittclust_ray.stages.graph_ops import link_prediction
+
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
+    return link_prediction(res.edges, min_common=2, num_partitions=16)
+
+
 def _q_pq_codes(sf_dir: str):
     """Product-quantization encode (Jegou et al. 2011): 4 subspaces x
     8-centroid codebooks over the 64-dim embeddings; long-form
@@ -3721,6 +3731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_drift": _q_chi2_drift,
         "gini_sources": _q_gini_sources,
         "readability": _q_readability,
+        "link_prediction": _q_link_prediction,
     }
 
 
@@ -5245,6 +5256,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT v.node AS doc_id, coalesce(p.n_triangles, 0) AS n_triangles
         FROM verts v LEFT JOIN pernode p USING (node)
+    """
+    sql["link_prediction"] = f"""
+        WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
+        ue AS MATERIALIZED (
+            SELECT u, v FROM edges
+            UNION ALL SELECT v AS u, u AS v FROM edges
+        ),
+        deg AS (SELECT u AS node, count(*) AS d FROM ue GROUP BY 1),
+        cn AS (
+            SELECT a.u AS x, b.u AS y, count(*) AS c
+            FROM ue a JOIN ue b ON a.v = b.v AND a.u < b.u
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT x AS u, y AS v, c AS common_neighbors,
+               da.d AS deg_u, db.d AS deg_v,
+               (1000000 * c) // (da.d + db.d - c) AS jaccard_ppm
+        FROM cn
+        JOIN deg da ON da.node = cn.x
+        JOIN deg db ON db.node = cn.y
     """
     sql.update(_profile_sql())
     sql.update(_tpch_sql())

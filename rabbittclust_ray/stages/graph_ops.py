@@ -812,3 +812,271 @@ def kcore_sql(k: int, n_rounds: int) -> str:
                AS core_degree
         FROM a{n_rounds} a LEFT JOIN df ON df.src = a.node"""
     )
+
+
+def link_prediction(
+    edges: ray.data.Dataset,
+    *,
+    min_common: int = 2,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Common-neighbor / neighborhood-Jaccard link-prediction scores over
+    an undirected simple graph: for every non-adjacent-or-adjacent node
+    pair sharing >= ``min_common`` neighbors, emit
+
+        (u, v, common_neighbors, deg_u, deg_v, jaccard_ppm)
+
+    with jaccard_ppm = floor(1e6 * cn / (deg_u + deg_v - cn)) — the
+    classic "who should be merged/connected next" signal over a near-dup
+    graph (dedup's transitive-closure candidates; fork detection's
+    repo-pair analogue at node granularity).
+
+    Shape: wedge enumeration is the exact common-neighbor cost — exchange
+    1 co-locates each center's full neighbor list and emits its
+    sorted-neighbor pairs ALREADY partially counted per partition;
+    exchange 2 sums per actual (u, v) (collision-safe on values, the
+    splitmix pair hash is only the routing key) and applies the
+    min_common cut; degrees ride a third, tiny exchange (node domain) and
+    are fetch-joined to the surviving pairs via two tagged-union
+    exchanges keyed on u then v.  Hot centers cost deg^2 wedges — the
+    same theoretical floor as exact triangle counting; cap upstream if a
+    corpus has mega-hubs."""
+    from rabbittclust_ray.stages.pairs import (
+        _ragged_pairs, hash_exchange, splitmix_pair,
+    )
+
+    def adj(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([u, v]), pa.int64()),
+                "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    _W = pa.table(
+        {
+            "pkey": pa.array([], pa.int64()),
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def wedge_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W
+        w = t["key"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, w))
+        w, nbr = w[order], nbr[order]
+        _, counts = np.unique(w, return_counts=True)
+        ii, jj = _ragged_pairs(counts)
+        if not len(ii):
+            return _W
+        x, y = nbr[ii], nbr[jj]  # sorted within center => x < y
+        # partial-count identical pairs inside the partition before
+        # they travel (combiner): lexsort + run-length
+        po = np.lexsort((y, x))
+        x, y = x[po], y[po]
+        new = np.empty(len(x), dtype=bool)
+        new[0] = True
+        new[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        starts = np.flatnonzero(new)
+        ux, uy = x[starts], y[starts]
+        c = np.diff(np.append(starts, len(x))).astype(np.int64)
+        pkey = splitmix_pair(
+            ux.astype(np.uint64), uy.astype(np.uint64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": pa.array(pkey, pa.int64()),
+                "x": pa.array(ux, pa.int64()),
+                "y": pa.array(uy, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    _P = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def sum_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        x, y, c = x[order], y[order], c[order]
+        new = np.empty(len(x), dtype=bool)
+        new[0] = True
+        new[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(c, starts)
+        keep = tot >= min_common
+        return pa.table(
+            {
+                "key": pa.array(x[starts][keep], pa.int64()),
+                "y": pa.array(y[starts][keep], pa.int64()),
+                "c": pa.array(tot[keep], pa.int64()),
+            }
+        )
+
+    _D = pa.table(
+        {"key": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, counts = np.unique(
+            np.concatenate([u, v]), return_counts=True
+        )
+        return pa.table(
+            {
+                "key": pa.array(nodes, pa.int64()),
+                "d": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _D
+        k = t["key"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(s, inv, d)
+        return pa.table(
+            {
+                "key": pa.array(nodes, pa.int64()),
+                "d": pa.array(s, pa.int64()),
+            }
+        )
+
+    # tagged-union fetch join: attach deg(u) then deg(v)
+    _J1 = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "y": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+        }
+    )
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "y": t["y"],
+                "c": t["c"],
+                "d": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_degs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "key": t["key"],
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "y": z,
+                "c": z,
+                "d": t["d"],
+            }
+        )
+
+    def attach(du_phase: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _J1 if du_phase else _OUT
+            side = t["side"].to_numpy(zero_copy_only=False)
+            keys = t["key"].to_numpy(zero_copy_only=False)
+            lmask = side == 1
+            if not lmask.any():
+                return _J1 if du_phase else _OUT
+            rk = keys[~lmask]
+            rd = t["d"].to_numpy(zero_copy_only=False)[~lmask]
+            ro = np.argsort(rk, kind="stable")
+            rk, rd = rk[ro], rd[ro]
+            lk = keys[lmask]
+            idx = np.searchsorted(rk, lk)
+            idx_c = np.minimum(idx, max(len(rk) - 1, 0))
+            # every pair endpoint HAS a degree row; guard anyway
+            hit = (
+                (idx < len(rk)) & (rk[idx_c] == lk)
+                if len(rk)
+                else np.zeros(len(lk), bool)
+            )
+            lt = t.filter(pa.array(lmask)).filter(pa.array(hit))
+            dval = rd[idx_c[hit]]
+            if du_phase:
+                # rekey on y for the second attach; d carries deg(u)
+                return pa.table(
+                    {
+                        "key": lt["y"],
+                        "side": pa.array(
+                            np.ones(lt.num_rows, np.int8), pa.int8()
+                        ),
+                        "y": lt["key"],  # now holds u
+                        "c": lt["c"],
+                        "d": pa.array(dval, pa.int64()),
+                    }
+                )
+            u = lt["y"].to_numpy(zero_copy_only=False)
+            v = lt["key"].to_numpy(zero_copy_only=False)
+            c = lt["c"].to_numpy(zero_copy_only=False)
+            du = lt["d"].to_numpy(zero_copy_only=False)
+            dv = dval
+            jac = (1_000_000 * c) // (du + dv - c)
+            return pa.table(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "common_neighbors": pa.array(c, pa.int64()),
+                    "deg_u": pa.array(du, pa.int64()),
+                    "deg_v": pa.array(dv, pa.int64()),
+                    "jaccard_ppm": pa.array(
+                        jac.astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    _OUT = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "common_neighbors": pa.array([], pa.int64()),
+            "deg_u": pa.array([], pa.int64()),
+            "deg_v": pa.array([], pa.int64()),
+            "jaccard_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow")
+    wedged = hash_exchange(adjacency, "key", wedge_pairs, num_partitions)
+    pairs = hash_exchange(wedged, "pkey", sum_pairs, num_partitions)
+    degs = hash_exchange(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        "key", deg_sum, num_partitions,
+    )
+    tagged1 = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        degs.map_batches(tag_degs, batch_format="pyarrow")
+    )
+    with_du = hash_exchange(tagged1, "key", attach(True), num_partitions)
+    tagged2 = with_du.union(
+        degs.map_batches(tag_degs, batch_format="pyarrow")
+    )
+    return hash_exchange(tagged2, "key", attach(False), num_partitions)

@@ -289,3 +289,65 @@ class TestKCore:
             for rounds in (1, 2, 4):
                 got = self._run(sorted(edges), range(n), k=k, rounds=rounds)
                 assert got == self._brute(sorted(edges), range(n), k, rounds)
+
+
+# ---------------------------------------------------------------- link pred
+from rabbittclust_ray.stages.graph_ops import link_prediction
+
+
+def _lp_brute(edge_list, min_common):
+    adjb = collections.defaultdict(set)
+    for u, v in edge_list:
+        adjb[u].add(v)
+        adjb[v].add(u)
+    rows = {}
+    for u, v in itertools.combinations(sorted(adjb), 2):
+        cn = len(adjb[u] & adjb[v])
+        if cn >= min_common:
+            du, dv = len(adjb[u]), len(adjb[v])
+            rows[(u, v)] = (
+                cn, du, dv, (1_000_000 * cn) // (du + dv - cn)
+            )
+    return rows
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_link_prediction_brute_force(parallelism):
+    rng = np.random.default_rng(23)
+    m = rng.integers(0, 30, size=(120, 2))
+    edge_list = sorted(
+        {(min(a, b), max(a, b)) for a, b in m if a != b}
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([e[0] for e in edge_list], pa.int64()),
+                "v": pa.array([e[1] for e in edge_list], pa.int64()),
+            }
+        )
+    ).repartition(parallelism)
+    want = _lp_brute(edge_list, 2)
+    got = link_prediction(edges, min_common=2, num_partitions=4).to_pandas()
+    got_rows = {
+        (r.u, r.v): (
+            r.common_neighbors, r.deg_u, r.deg_v, r.jaccard_ppm
+        )
+        for r in got.itertuples()
+    }
+    assert got_rows == want
+    assert len(want) > 0
+
+
+def test_link_prediction_triangle_free_path():
+    # path graph a-b-c-d: only (a,c),(b,d) share exactly 1 neighbor
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"u": pa.array([0, 1, 2], pa.int64()),
+             "v": pa.array([1, 2, 3], pa.int64())}
+        )
+    )
+    got = link_prediction(edges, min_common=1).to_pandas()
+    got_rows = {(r.u, r.v): r.common_neighbors for r in got.itertuples()}
+    assert got_rows == {(0, 2): 1, (1, 3): 1}
+    none = link_prediction(edges, min_common=2).to_pandas()
+    assert len(none) == 0
