@@ -3375,6 +3375,65 @@ def _q_link_prediction(sf_dir: str):
     return link_prediction(res.edges, min_common=2, num_partitions=16)
 
 
+def _q_sorted_shards(sf_dir: str):
+    """Deterministic range-sharded export manifest: exact equi-depth
+    boundaries -> shard = #{boundary < v} -> per-shard (count, min, max)
+    through one shard-keyed exchange (the resumable sorted-output
+    surface; file writes are exercised by the CLI/tests)."""
+    from rabbittclust_ray.stages.export import sorted_shard_manifest
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def cents(t):
+        import numpy as np
+        import pyarrow as pa
+
+        v = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(v, pa.int64())})
+
+    return sorted_shard_manifest(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "cents", 16, num_partitions=16,
+    )
+
+
+def _q_incr_group_stats(sf_dir: str):
+    """Materialized-view maintenance: per-source aggregate state from
+    snapshot A (doc_id%3 in {0,1}) merged with delta partials from
+    snapshot B (doc_id%3 == 2) == the full recompute — O(churn) daily
+    cost over mergeable (count, sum, min, max) state."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.stats import (
+        group_stats_partials, merge_group_stats,
+    )
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def split(part):
+        def fn(t):
+            import numpy as np
+
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 < 2) if part == 0 else (ids % 3 == 2)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    a = group_stats_partials(
+        ds.map_batches(split(0), batch_format="pyarrow")
+    )
+    b = group_stats_partials(
+        ds.map_batches(split(1), batch_format="pyarrow")
+    )
+    return merge_group_stats(a, b, num_partitions=16)
+
+
 def _q_pq_codes(sf_dir: str):
     """Product-quantization encode (Jegou et al. 2011): 4 subspaces x
     8-centroid codebooks over the 64-dim embeddings; long-form
@@ -3732,6 +3791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_sources": _q_gini_sources,
         "readability": _q_readability,
         "link_prediction": _q_link_prediction,
+        "sorted_shards": _q_sorted_shards,
+        "incr_group_stats": _q_incr_group_stats,
     }
 
 
@@ -5291,6 +5352,44 @@ def _drift_quality_sql() -> dict[str, str]:
     )
 
     return {
+        "sorted_shards": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY v
+            ),
+            r AS (
+                SELECT v, sum(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS f
+                FROM c
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+            b AS (
+                SELECT i, (SELECT min(v) FROM r, tot
+                           WHERE f >= (i * n + 15) // 16) AS bv
+                FROM range(1, 16) t(i)
+            ),
+            vals AS (
+                SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+                FROM orders
+            ),
+            s AS (
+                SELECT v, (SELECT count(*) FROM b WHERE b.bv < vals.v)
+                           AS shard
+                FROM vals
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   count(*) AS n_rows,
+                   min(v) AS min_v, max(v) AS max_v
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "incr_group_stats": """
+            SELECT source AS g, count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_v,
+                   CAST(min(n_chars) AS BIGINT) AS min_v,
+                   CAST(max(n_chars) AS BIGINT) AS max_v
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
         "chi2_drift": """
             WITH c AS (
                 SELECT n_chars AS v,

@@ -1,0 +1,165 @@
+"""Sorted-shard export: deterministic range-sharded parquet output with
+a manifest — the resumable-output surface of the engine.
+
+A 100-TB run cannot write "one giant file", and Ray Data's own range
+sort samples its boundaries (placement changes run to run).  This stage
+computes EXACT equi-depth boundaries (``stats.equi_depth_boundaries``),
+assigns every row ``shard = #{boundary_i < v}`` (a pure function of the
+value — stable across runs and appends), and funnels each shard through
+ONE shard-keyed exchange whose reducer sorts its rows by the value
+column and (optionally) writes ``shard=<i>.parquet`` — one file per key
+range, skippable on resume.  The returned manifest (shard, n_rows,
+min_v, max_v) is the audit surface: ranges are disjoint, counts sum to
+the input, and re-runs reproduce it bit-for-bit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def sorted_shard_manifest(
+    ds: ray.data.Dataset,
+    value_col: str,
+    p: int,
+    *,
+    out_dir: str | None = None,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Assign every row to its equi-depth shard and reduce each shard to
+    a manifest row (shard, n_rows, min_v, max_v), writing the shard's
+    rows as a value-sorted parquet file under ``out_dir`` when given
+    (existing files are left alone — the resume path).
+
+    Scale shape: boundary computation touches the DISTINCT-value domain
+    (see equi_depth_boundaries); the boundary array (p-1 int64s) is
+    broadcast via ``ray.put``; assignment is one searchsorted per batch;
+    the manifest exchange carries per-batch (shard, count, min, max)
+    COMBINER rows — full rows only travel when ``out_dir`` asks for the
+    actual export, and then exactly once, to their owning reducer."""
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+    from rabbittclust_ray.stages.stats import equi_depth_boundaries
+
+    bt = equi_depth_boundaries(ds, value_col, p, num_partitions=num_partitions)
+    bounds = np.asarray(bt["boundary"].to_numpy(), np.int64)
+    bref = ray.put(bounds)
+
+    write_rows = out_dir is not None
+
+    empty_partial = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "min_v": pa.array([], pa.int64()),
+            "max_v": pa.array([], pa.int64()),
+        }
+    )
+    empty_full = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+        }
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(v):
+            return empty_full if write_rows else empty_partial
+        shard = np.searchsorted(b, v, side="left").astype(np.int64)
+        if write_rows:
+            return pa.table(
+                {
+                    "shard": pa.array(shard, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                }
+            )
+        # manifest-only: combine to per-shard partials inside the batch
+        order = np.argsort(shard, kind="stable")
+        sh, vv = shard[order], v[order]
+        new = np.empty(len(sh), dtype=bool)
+        new[0] = True
+        new[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(sh))
+        return pa.table(
+            {
+                "shard": pa.array(sh[starts], pa.int64()),
+                "n_rows": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+                "min_v": pa.array(
+                    np.minimum.reduceat(vv, starts), pa.int64()
+                ),
+                "max_v": pa.array(
+                    np.maximum.reduceat(vv, starts), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_partial
+        sh = t["shard"].to_numpy(zero_copy_only=False)
+        if write_rows:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, sh))
+            sh, v = sh[order], v[order]
+            new = np.empty(len(sh), dtype=bool)
+            new[0] = True
+            new[1:] = sh[1:] != sh[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(sh))
+            out = {
+                "shard": sh[starts],
+                "n_rows": (ends - starts).astype(np.int64),
+                "min_v": v[starts],
+                "max_v": v[ends - 1],
+            }
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            for i, s0 in enumerate(starts):
+                sid = int(sh[s0])
+                path = os.path.join(out_dir, f"shard={sid}.parquet")
+                if not os.path.exists(path):  # resume: skip finished
+                    pq.write_table(
+                        pa.table(
+                            {value_col: pa.array(
+                                v[s0:ends[i]], pa.int64()
+                            )}
+                        ),
+                        path,
+                    )
+            return pa.table(
+                {k: pa.array(a, pa.int64()) for k, a in out.items()}
+            )
+        n = t["n_rows"].to_numpy(zero_copy_only=False)
+        mn = t["min_v"].to_numpy(zero_copy_only=False)
+        mx = t["max_v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh = sh[order]
+        new = np.empty(len(sh), dtype=bool)
+        new[0] = True
+        new[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "shard": pa.array(sh[starts], pa.int64()),
+                "n_rows": pa.array(
+                    np.add.reduceat(n[order], starts), pa.int64()
+                ),
+                "min_v": pa.array(
+                    np.minimum.reduceat(mn[order], starts), pa.int64()
+                ),
+                "max_v": pa.array(
+                    np.maximum.reduceat(mx[order], starts), pa.int64()
+                ),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return hash_exchange(assigned, "shard", reduce, min(p, num_partitions))

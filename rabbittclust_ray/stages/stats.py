@@ -825,3 +825,119 @@ def gini_concentration(
             "gini_ppm": pa.array([int(gini_ppm)], pa.int64()),
         }
     )
+
+
+def group_stats_partials(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Per-batch mergeable aggregation state per group: (group, n_rows,
+    sum_v, min_v, max_v) partial rows — the materialized-view /
+    incremental-ingest building block.  All four aggregates are
+    associative+commutative, so partial rows from ANY number of
+    snapshots merge through one exchange (``merge_group_stats``) into
+    the exact full-recompute answer: daily maintenance cost is
+    O(churn), never O(corpus).  Pure map stage."""
+    import pandas as pd
+
+    empty = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "sum_v": pa.array([], pa.int64()),
+            "min_v": pa.array([], pa.int64()),
+            "max_v": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        return pa.table(
+            {
+                "g": pa.array(g[starts], pa.string()),
+                "n_rows": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+                "sum_v": pa.array(np.add.reduceat(v, starts), pa.int64()),
+                "min_v": pa.array(
+                    np.minimum.reduceat(v, starts), pa.int64()
+                ),
+                "max_v": pa.array(
+                    np.maximum.reduceat(v, starts), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def merge_group_stats(
+    *partials: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Merge any number of ``group_stats_partials`` streams (fresh
+    snapshots, checkpointed state tables, delta batches) into the exact
+    per-group aggregate — ONE group-keyed exchange over partial rows
+    whose volume is groups-per-batch, not row count.  Output (g, n_rows,
+    sum_v, min_v, max_v), bit-identical to a full recompute."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    ds = partials[0]
+    for more in partials[1:]:
+        ds = ds.union(more)
+
+    empty = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "sum_v": pa.array([], pa.int64()),
+            "min_v": pa.array([], pa.int64()),
+            "max_v": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t["g"].to_numpy(zero_copy_only=False).astype(object)
+        return t.append_column(
+            "__gkey__",
+            pa.array(
+                pd.util.hash_array(g).astype(np.int64), pa.int64()
+            ),
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        df = t.to_pandas().groupby("g", sort=True, as_index=False).agg(
+            {"n_rows": "sum", "sum_v": "sum", "min_v": "min",
+             "max_v": "max"}
+        )
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy().astype(str), pa.string()),
+                "n_rows": pa.array(df["n_rows"].to_numpy(np.int64)),
+                "sum_v": pa.array(df["sum_v"].to_numpy(np.int64)),
+                "min_v": pa.array(df["min_v"].to_numpy(np.int64)),
+                "max_v": pa.array(df["max_v"].to_numpy(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    return hash_exchange(keyed, "__gkey__", reduce, num_partitions)

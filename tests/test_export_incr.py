@@ -1,0 +1,127 @@
+"""Unit tests for sorted-shard export (manifest + actual resumable
+parquet writes) and mergeable group-stats view maintenance."""
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from rabbittclust_ray.stages.export import sorted_shard_manifest
+from rabbittclust_ray.stages.stats import (
+    group_stats_partials,
+    merge_group_stats,
+)
+
+
+def _manifest_brute(v: np.ndarray, p: int) -> pd.DataFrame:
+    vals, counts = np.unique(v, return_counts=True)
+    f = counts.cumsum()
+    n = len(v)
+    bounds = []
+    for i in range(1, p):
+        need = (i * n + p - 1) // p
+        bounds.append(vals[np.searchsorted(f, need, side="left")])
+    bounds = np.array(bounds, np.int64)
+    shard = np.searchsorted(bounds, v, side="left")
+    df = pd.DataFrame({"shard": shard, "v": v})
+    return (
+        df.groupby("shard")
+        .agg(n_rows=("v", "size"), min_v=("v", "min"), max_v=("v", "max"))
+        .reset_index()
+    )
+
+
+def test_manifest_matches_brute_force():
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 500, 3000).astype(np.int64)
+    want = _manifest_brute(v, 8)
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(v, pa.int64())})
+        ).repartition(parts)
+        got = (
+            sorted_shard_manifest(ds, "x", 8, num_partitions=4)
+            .to_pandas()
+            .sort_values("shard")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # invariants: disjoint ranges in shard order, counts conserve
+    assert got["n_rows"].sum() == len(v)
+    assert (got["max_v"].to_numpy()[:-1] <= got["min_v"].to_numpy()[1:]).all()
+
+
+def test_export_writes_sorted_resumable(tmp_path):
+    rng = np.random.default_rng(6)
+    v = rng.integers(0, 100, 400).astype(np.int64)
+    out = str(tmp_path / "shards")
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, pa.int64())}))
+    man = sorted_shard_manifest(
+        ds, "x", 4, out_dir=out, num_partitions=4
+    ).to_pandas()
+    files = sorted(os.listdir(out))
+    assert len(files) == len(man)
+    total = 0
+    for _, r in man.iterrows():
+        t = pq.read_table(os.path.join(out, f"shard={int(r['shard'])}.parquet"))
+        x = t["x"].to_numpy()
+        assert (np.diff(x) >= 0).all()  # sorted within shard
+        assert len(x) == r["n_rows"]
+        assert x.min() == r["min_v"] and x.max() == r["max_v"]
+        total += len(x)
+    assert total == len(v)
+    # resume: poison one file, re-run — existing files must be kept
+    poison = os.path.join(out, files[0])
+    pq.write_table(pa.table({"x": pa.array([123456], pa.int64())}), poison)
+    sorted_shard_manifest(
+        ds, "x", 4, out_dir=out, num_partitions=4
+    ).to_pandas()
+    assert pq.read_table(poison).num_rows == 1  # untouched => resumable
+
+
+def test_merge_group_stats_equals_full():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["a", "b", "c"], 900),
+            "n_chars": rng.integers(1, 1000, 900).astype(np.int64),
+        }
+    )
+    full = (
+        df.groupby("source")
+        .agg(
+            n_rows=("n_chars", "size"),
+            sum_v=("n_chars", "sum"),
+            min_v=("n_chars", "min"),
+            max_v=("n_chars", "max"),
+        )
+        .reset_index()
+        .rename(columns={"source": "g"})
+    )
+    cut = 600
+    a = group_stats_partials(
+        ray.data.from_pandas(df.iloc[:cut]).repartition(3)
+    )
+    b = group_stats_partials(
+        ray.data.from_pandas(df.iloc[cut:]).repartition(2)
+    )
+    got = (
+        merge_group_stats(a, b, num_partitions=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, full, check_dtype=False)
+    # merging a merged state with an empty delta is idempotent
+    empty = group_stats_partials(
+        ray.data.from_arrow(pa.Table.from_pandas(df.iloc[:0]))
+    )
+    again = (
+        merge_group_stats(a, b, empty, num_partitions=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, full, check_dtype=False)
