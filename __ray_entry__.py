@@ -3375,6 +3375,92 @@ def _q_link_prediction(sf_dir: str):
     return link_prediction(res.edges, min_common=2, num_partitions=16)
 
 
+def _q_branch_complexity(sf_dir: str):
+    """Cyclomatic-complexity proxy over code-shaped content: docs get
+    doc_id%7 'if x and y or z:' branch lines prepended (word-soup corpus
+    carries no bare keywords; same augmentation convention as
+    comment_density)."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.code import branch_complexity
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [
+            "if x and y or z:\n" * (int(i) % 7) + s
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return branch_complexity(
+        ds.map_batches(augment, batch_format="pyarrow")
+    )
+
+
+def _q_docstring_coverage(sf_dir: str):
+    """Docstring-coverage heuristic: docs get 0-2 def blocks (documented
+    and not) prepended by doc_id%3."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.code import docstring_coverage
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    blocks = [
+        'def f():\n    """doc."""\n',
+        "def g():\n    pass\n",
+        'def f():\n    """doc."""\ndef g():\n    pass\n',
+    ]
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [blocks[int(i) % 3] + s for i, s in zip(ids, texts)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return docstring_coverage(
+        ds.map_batches(augment, batch_format="pyarrow")
+    )
+
+
+def _q_todo_density(sf_dir: str):
+    """Tech-debt marker density: docs get doc_id%4 TODO/FIXME lines
+    prepended."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.code import todo_density
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [
+            "# TODO fix\n# FIXME later\n" * (int(i) % 4) + s
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return todo_density(ds.map_batches(augment, batch_format="pyarrow"))
+
+
 def _q_sorted_shards(sf_dir: str):
     """Deterministic range-sharded export manifest: exact equi-depth
     boundaries -> shard = #{boundary < v} -> per-shard (count, min, max)
@@ -3793,6 +3879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "sorted_shards": _q_sorted_shards,
         "incr_group_stats": _q_incr_group_stats,
+        "branch_complexity": _q_branch_complexity,
+        "docstring_coverage": _q_docstring_coverage,
+        "todo_density": _q_todo_density,
     }
 
 
@@ -5340,7 +5429,84 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_profile_sql())
     sql.update(_tpch_sql())
     sql.update(_drift_quality_sql())
+    sql.update(_code_metrics_sql())
     return sql
+
+
+def _code_metrics_sql() -> dict[str, str]:
+    """Oracles for the code-metrics family — patterns embedded from the
+    SAME module constants the engine compiles (both sides are RE2)."""
+    from rabbittclust_ray.stages.code import (
+        BRANCH_KW_RE, DEF_ANCHOR_RE, DOCSTRING_DEF_RE, TODO_RE,
+    )
+
+    doc_re_sql = DOCSTRING_DEF_RE.replace("'", "''")
+    dsb = (
+        "CASE doc_id % 3"
+        " WHEN 0 THEN 'def f():' || chr(10) || '    \"\"\"doc.\"\"\"'"
+        " || chr(10)"
+        " WHEN 1 THEN 'def g():' || chr(10) || '    pass' || chr(10)"
+        " ELSE 'def f():' || chr(10) || '    \"\"\"doc.\"\"\"' || chr(10)"
+        " || 'def g():' || chr(10) || '    pass' || chr(10) END"
+    )
+    return {
+        "branch_complexity": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       repeat('if x and y or z:' || chr(10), doc_id % 7)
+                           || text AS t
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '{BRANCH_KW_RE}'))
+                            AS BIGINT) AS nb,
+                       CAST(length(t) - length(replace(t, chr(10), ''))
+                            + 1 AS BIGINT) AS nl
+                FROM aug
+            )
+            SELECT doc_id, nb AS n_branches, nl AS n_lines,
+                   (1000000 * (1 + nb)) // greatest(nl, 1)
+                       AS cc_per_line_ppm
+            FROM m
+        """,
+        "docstring_coverage": f"""
+            WITH aug AS (
+                SELECT doc_id, {dsb} || text AS t FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '{DEF_ANCHOR_RE}'))
+                            AS BIGINT) AS nd,
+                       CAST(len(regexp_extract_all(t, '{doc_re_sql}'))
+                            AS BIGINT) AS ndoc
+                FROM aug
+            )
+            SELECT doc_id, nd AS n_defs, ndoc AS n_documented,
+                   CASE WHEN nd > 0
+                        THEN (1000000 * ndoc) // nd ELSE 0 END AS doc_ppm
+            FROM m
+        """,
+        "todo_density": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       repeat('# TODO fix' || chr(10) || '# FIXME later'
+                              || chr(10), doc_id % 4) || text AS t
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '{TODO_RE}'))
+                            AS BIGINT) AS nt,
+                       CAST(length(t) - length(replace(t, chr(10), ''))
+                            + 1 AS BIGINT) AS nl
+                FROM aug
+            )
+            SELECT doc_id, nt AS n_todos, nl AS n_lines,
+                   (1000000 * nt) // greatest(nl, 1) AS todo_per_line_ppm
+            FROM m
+        """,
+    }
 
 
 def _drift_quality_sql() -> dict[str, str]:

@@ -882,3 +882,115 @@ def char_stats(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Code-metric regexes (module constants => the SQL oracles embed the
+# exact same RE2 patterns).
+BRANCH_KW_RE = r"\b(if|elif|else|for|while|case|when|catch|except|and|or|not)\b"
+TODO_RE = r"\b(TODO|FIXME|HACK|XXX)\b"
+DOCSTRING_DEF_RE = "(?m)^[ \\t]*def [^\\n]*:\\n[ \\t]*(\"\"\"|''')"
+DEF_ANCHOR_RE = r"(?m)^[ \t]*def "
+
+
+def branch_complexity(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Cyclomatic-complexity proxy per file: branch-keyword occurrences
+    (decision points) normalised per line (floor-ppm ratio).  Output ``(doc_id, n_branches,
+    n_lines, cc_per_line_ppm)`` with ``cc_per_line_ppm = 1e6 * (1 +
+    n_branches) // max(n_lines, 1)`` (floor-ppm; the +1 is McCabe's base
+    path).  Pure map stage: two RE2 count kernels per batch."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        nb = pc.cast(
+            pc.count_substring_regex(txt, BRANCH_KW_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nl = pc.cast(
+            pc.count_substring_regex(txt, "\n"), pa.int64()
+        ).to_numpy(zero_copy_only=False) + 1
+        ppm = (1_000_000 * (1 + nb)) // np.maximum(nl, 1)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "n_branches": pa.array(nb, pa.int64()),
+                "n_lines": pa.array(nl.astype(np.int64), pa.int64()),
+                "cc_per_line_ppm": pa.array(
+                    ppm.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def docstring_coverage(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Docstring coverage per file: ``def``-anchored functions vs those
+    whose signature line is immediately followed by a string literal
+    (the dictionary-less documentation-quality heuristic; multi-line
+    signatures count as undocumented, stated limitation).  Output
+    ``(doc_id, n_defs, n_documented, doc_ppm)``."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        nd = pc.cast(
+            pc.count_substring_regex(txt, DEF_ANCHOR_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ndoc = pc.cast(
+            pc.count_substring_regex(txt, DOCSTRING_DEF_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ppm = np.where(nd > 0, 1_000_000 * ndoc // np.maximum(nd, 1), 0)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "n_defs": pa.array(nd, pa.int64()),
+                "n_documented": pa.array(ndoc, pa.int64()),
+                "doc_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def todo_density(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Tech-debt marker density per file (TODO/FIXME/HACK/XXX), per-kLOC
+    floor-ppm — the 'unfinished code' curation flag.  Output ``(doc_id,
+    n_todos, n_lines, todo_per_line_ppm)``.  Pure map stage."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        nt = pc.cast(
+            pc.count_substring_regex(txt, TODO_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nl = pc.cast(
+            pc.count_substring_regex(txt, "\n"), pa.int64()
+        ).to_numpy(zero_copy_only=False) + 1
+        ppm = (1_000_000 * nt) // np.maximum(nl, 1)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "n_todos": pa.array(nt, pa.int64()),
+                "n_lines": pa.array(nl.astype(np.int64), pa.int64()),
+                "todo_per_line_ppm": pa.array(
+                    ppm.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -543,3 +543,75 @@ def test_char_stats_brute_force():
                                       or "0" <= c <= "9"))
         assert int(r.non_alnum_ppm) == (1_000_000 * na) // len(t)
     assert int(got.loc[4, "top_char_ppm"]) == 1_000_000
+
+
+# ------------------------------------------------------------ code metrics
+def test_branch_complexity_known():
+    from rabbittclust_ray.stages.code import branch_complexity
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "if a and b:\n    pass\nelif c or d:\n    pass",
+                "no branches here",
+                "for i in xs:\n    while ok:\n        pass",
+            ],
+        }
+    )
+    out = (
+        branch_complexity(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc0: if, and, elif, or = 4; doc1: 0; doc2: for, in? (not a kw), while = 2
+    assert out["n_branches"].tolist() == [4, 0, 2]
+    assert out["n_lines"].tolist() == [4, 1, 3]
+    assert out["cc_per_line_ppm"][0] == (1_000_000 * 5) // 4
+    assert out["cc_per_line_ppm"][1] == 1_000_000
+
+
+def test_docstring_coverage_known():
+    from rabbittclust_ray.stages.code import docstring_coverage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                'def a():\n    """x"""\ndef b():\n    pass\n',
+                "x = 1\n",
+            ],
+        }
+    )
+    out = (
+        docstring_coverage(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_defs"].tolist() == [2, 0]
+    assert out["n_documented"].tolist() == [1, 0]
+    assert out["doc_ppm"].tolist() == [500_000, 0]
+
+
+def test_todo_density_known():
+    from rabbittclust_ray.stages.code import todo_density
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                "# TODO x\ncode\n# FIXME y\nXXXL size",  # XXXL: \b blocks it
+                "clean",
+            ],
+        }
+    )
+    out = (
+        todo_density(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_todos"].tolist() == [2, 0]
+    assert out["n_lines"].tolist() == [4, 1]
