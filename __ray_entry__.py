@@ -3461,6 +3461,53 @@ def _q_todo_density(sf_dir: str):
     return todo_density(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_time_weighted_value(sf_dir: str):
+    """Per-user time-weighted value integral (LEAD window class):
+    value_ppm x seconds-held, exact integers."""
+    from rabbittclust_ray.stages.events import time_weighted_value
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return time_weighted_value(ds, num_partitions=16)
+
+
+def _q_cusum_drift(sf_dir: str):
+    """Per-user CUSUM change localization: max scaled deviation prefix
+    + its first position — exact integers, bit-stable at any layout."""
+    from rabbittclust_ray.stages.events import cusum_drift
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return cusum_drift(ds, num_partitions=16)
+
+
+def _q_cume_dist(sf_dir: str):
+    """ANSI CUME_DIST as exact ppm integers over per-source doc
+    lengths (peers share counts; no float hazard)."""
+    from rabbittclust_ray.stages.relational import cume_dist_by
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return cume_dist_by(
+        ds, group_col="source", value_col="n_chars", num_partitions=16
+    )
+
+
+def _q_clustering_coefficient(sf_dir: str):
+    """Per-node local clustering coefficient over the exact threshold
+    graph (triangles fetch-joined with degrees, exact ppm)."""
+    from rabbittclust_ray.stages.graph_ops import clustering_coefficient
+
+    res = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD)
+    return clustering_coefficient(res.edges, num_partitions=16)
+
+
 def _q_sorted_shards(sf_dir: str):
     """Deterministic range-sharded export manifest: exact equi-depth
     boundaries -> shard = #{boundary < v} -> per-shard (count, min, max)
@@ -3882,6 +3929,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "branch_complexity": _q_branch_complexity,
         "docstring_coverage": _q_docstring_coverage,
         "todo_density": _q_todo_density,
+        "time_weighted_value": _q_time_weighted_value,
+        "cusum_drift": _q_cusum_drift,
+        "cume_dist_lengths": _q_cume_dist,
+        "clustering_coefficient": _q_clustering_coefficient,
     }
 
 
@@ -5426,11 +5477,108 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON da.node = cn.x
         JOIN deg db ON db.node = cn.y
     """
+    sql["clustering_coefficient"] = f"""
+        WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
+        ue AS MATERIALIZED (
+            SELECT u, v FROM edges
+            UNION ALL SELECT v AS u, u AS v FROM edges
+        ),
+        deg AS (SELECT u AS node, count(*) AS d FROM ue GROUP BY 1),
+        tri AS MATERIALIZED (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        pernode AS MATERIALIZED (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT deg.node AS doc_id,
+               coalesce(p.n_triangles, 0) AS n_triangles,
+               CAST(deg.d AS BIGINT) AS degree,
+               CAST(CASE WHEN deg.d >= 2
+                    THEN (2000000 * coalesce(p.n_triangles, 0))
+                         // (deg.d * (deg.d - 1))
+                    ELSE 0 END AS BIGINT) AS cc_ppm
+        FROM deg LEFT JOIN pernode p ON p.node = deg.node
+    """
     sql.update(_profile_sql())
     sql.update(_tpch_sql())
     sql.update(_drift_quality_sql())
     sql.update(_code_metrics_sql())
+    sql.update(_window_analytics_sql())
     return sql
+
+
+def _window_analytics_sql() -> dict[str, str]:
+    """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
+    all-integer arithmetic so the window results merge bit-exactly."""
+    return {
+        "time_weighted_value": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CAST(floor(value * 1000000) AS BIGINT) AS v
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, v,
+                       (coalesce(lead(ts_us) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts_us, event_id), ts_us)
+                        - ts_us) // 1000000 AS dt_s
+                FROM e
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(v * dt_s) AS BIGINT) AS tw_sum
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "cusum_drift": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CAST(floor(value * 1000000) AS BIGINT) AS v
+                FROM events
+            ),
+            st AS (
+                SELECT user_id, count(*) AS n,
+                       CAST(sum(v) AS BIGINT) AS s
+                FROM e GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id,
+                       CAST(sum(st.n * e.v - st.s) OVER (
+                            PARTITION BY e.user_id
+                            ORDER BY e.ts_us, e.event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk,
+                       row_number() OVER (
+                            PARTITION BY e.user_id
+                            ORDER BY e.ts_us, e.event_id) AS k
+                FROM e JOIN st USING (user_id)
+            ),
+            mx AS (SELECT user_id, max(pk) AS m FROM p GROUP BY 1),
+            atk AS (
+                SELECT p.user_id, min(p.k) AS k
+                FROM p JOIN mx USING (user_id)
+                WHERE p.pk = mx.m GROUP BY 1
+            )
+            SELECT st.user_id, st.n AS n_events,
+                   CAST(greatest(mx.m, 0) AS BIGINT) AS cusum_max,
+                   CAST(CASE WHEN mx.m > 0 THEN atk.k ELSE 0 END
+                        AS BIGINT) AS at_k
+            FROM st JOIN mx USING (user_id) JOIN atk USING (user_id)
+            ORDER BY 1
+        """,
+        "cume_dist_lengths": """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   (1000000 * count(*) OVER (
+                        PARTITION BY source ORDER BY n_chars))
+                   // (count(*) OVER (PARTITION BY source)) AS cume_ppm
+            FROM documents
+        """,
+    }
 
 
 def _code_metrics_sql() -> dict[str, str]:

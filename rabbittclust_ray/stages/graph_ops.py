@@ -1080,3 +1080,105 @@ def link_prediction(
         degs.map_batches(tag_degs, batch_format="pyarrow")
     )
     return hash_exchange(tagged2, "key", attach(False), num_partitions)
+
+
+def clustering_coefficient(
+    edges: ray.data.Dataset,
+    *,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Per-node local clustering coefficient as an exact ppm integer:
+    ``cc_ppm = floor(2e6 * T / (d * (d - 1)))`` (0 when d < 2) — how
+    closed each vertex's neighborhood is (near-dup families ~1e6,
+    chain-of-similarity bridges ~0).
+
+    Composition: ``triangle_counts`` (3 exchanges, the wedge floor) +
+    the degree aggregate, fetch-joined on the node key via ONE
+    tagged-union exchange.  Output (doc_id, n_triangles, degree,
+    cc_ppm) for every edge endpoint."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    tri = triangle_counts(edges, num_partitions=num_partitions)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(nodes, pa.int64()),
+                "side": pa.array(np.zeros(len(nodes), np.int8), pa.int8()),
+                "t": pa.array(np.zeros(len(nodes), np.int64), pa.int64()),
+                "d": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def tri_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["doc_id"],
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "t": t["n_triangles"],
+                "d": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    _OUT = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "cc_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        tv = t["t"].to_numpy(zero_copy_only=False)
+        dv = t["d"].to_numpy(zero_copy_only=False)
+        lmask = side == 1  # triangle rows (one per node, incl. zeros)
+        if not lmask.any():
+            return _OUT
+        # degree partials may arrive split across map tasks: sum per node
+        rk, rd = keys[~lmask], dv[~lmask]
+        order = np.argsort(rk, kind="stable")
+        rk, rd = rk[order], rd[order]
+        new = np.empty(len(rk), dtype=bool)
+        if len(rk):
+            new[0] = True
+            new[1:] = rk[1:] != rk[:-1]
+            starts = np.flatnonzero(new)
+            urk = rk[starts]
+            urd = np.add.reduceat(rd, starts)
+        else:
+            urk = np.empty(0, np.int64)
+            urd = np.empty(0, np.int64)
+        lk, lt = keys[lmask], tv[lmask]
+        idx = np.searchsorted(urk, lk)
+        idx_c = np.minimum(idx, max(len(urk) - 1, 0))
+        hit = (
+            (idx < len(urk)) & (urk[idx_c] == lk)
+            if len(urk)
+            else np.zeros(len(lk), bool)
+        )
+        lk, lt = lk[hit], lt[hit]
+        d = urd[idx_c[hit]]
+        den = d * (d - 1)
+        cc = np.where(den > 0, (2_000_000 * lt) // np.maximum(den, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(lk, pa.int64()),
+                "n_triangles": pa.array(lt, pa.int64()),
+                "degree": pa.array(d, pa.int64()),
+                "cc_ppm": pa.array(cc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = tri.map_batches(tri_tag, batch_format="pyarrow").union(
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+    )
+    return hash_exchange(tagged, "key", join, num_partitions)

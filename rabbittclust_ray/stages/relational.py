@@ -1721,3 +1721,87 @@ def idle_customer_balance(
 
     partials = idle.map_batches(nation_partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def cume_dist_by(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """ANSI CUME_DIST as an exact ppm integer: per group, for every row,
+    ``cume_ppm = floor(1e6 * #{rows with value <= mine} / n_group)`` —
+    the float-free cumulative-distribution window (peers share one
+    value, so the count is tie-stable without an id rule).
+
+    One group-keyed exchange; the reducer is a single lexsort + run-end
+    scan over the whole partition (all groups at once, no per-group
+    loop).  Output (id, group, value, cume_ppm)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            value_col: pa.array([], pa.int64()),
+            "cume_ppm": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table(
+            {
+                id_col: _cast(t[id_col], pa.int64()),
+                group_col: pa.array(g.astype(str), pa.string()),
+                value_col: _cast(t[value_col], pa.int64()),
+                "cume_ppm": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                ),
+                "__gkey__": pa.array(
+                    pd.util.hash_array(g).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        ids, g, v = ids[order], g[order], v[order]
+        n = len(g)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g[1:] != g[:-1]
+        gstarts = np.flatnonzero(new_g)
+        gidx = np.cumsum(new_g) - 1
+        gcounts = np.diff(np.append(gstarts, n)).astype(np.int64)
+        # run ends of equal (g, v): last index of my value run + 1
+        new_run = new_g.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        ridx = np.cumsum(new_run) - 1
+        rstarts = np.flatnonzero(new_run)
+        rends = np.append(rstarts[1:], n)
+        cnt_le = rends[ridx] - gstarts[gidx]
+        ppm = (1_000_000 * cnt_le) // gcounts[gidx]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                group_col: pa.array(g, pa.string()),
+                value_col: pa.array(v, pa.int64()),
+                "cume_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(prepped, "__gkey__", reduce, num_partitions)

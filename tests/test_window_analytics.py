@@ -1,0 +1,134 @@
+"""Unit tests for the window-analytics ops: time_weighted_value (LEAD
+class), cusum_drift (change localization), cume_dist_by (exact ppm
+CUME_DIST) and clustering_coefficient (triangles + degrees)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.stages.events import cusum_drift, time_weighted_value
+from rabbittclust_ray.stages.graph_ops import clustering_coefficient
+from rabbittclust_ray.stages.relational import cume_dist_by
+
+
+def _events(seed=3, n=400, users=12):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "value": rng.uniform(0, 100, n).round(3),
+        }
+    )
+
+
+def _us(s):
+    return s.astype("datetime64[us]").astype(np.int64).to_numpy()
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_time_weighted_value_brute(parts):
+    df = _events()
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = _us(g["ts"])
+        v = np.floor(g["value"].to_numpy() * 1e6).astype(np.int64)
+        dt = np.append(np.diff(ts), 0) // 1_000_000
+        want[uid] = (len(g), int((v * dt).sum()))
+    got = (
+        time_weighted_value(
+            ray.data.from_pandas(df).repartition(parts), num_partitions=4
+        )
+        .to_pandas()
+        .set_index("user_id")
+    )
+    for uid, (n, tw) in want.items():
+        assert got.loc[uid, "n_events"] == n
+        assert got.loc[uid, "tw_sum"] == tw
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_cusum_brute(parts):
+    df = _events(seed=9)
+    # inject a level shift for one user so the statistic is non-trivial
+    shift = df["user_id"] == 3
+    late = shift & (df["event_id"] > df.loc[shift, "event_id"].median())
+    df.loc[late, "value"] += 500
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        v = np.floor(g["value"].to_numpy() * 1e6).astype(np.int64)
+        n, s = len(v), int(v.sum())
+        pref = np.cumsum(n * v - s)
+        m = int(pref.max())
+        at = int(np.argmax(pref)) + 1 if m > 0 else 0
+        want[uid] = (n, max(m, 0), at)
+    got = (
+        cusum_drift(
+            ray.data.from_pandas(df).repartition(parts), num_partitions=4
+        )
+        .to_pandas()
+        .set_index("user_id")
+    )
+    for uid, (n, m, at) in want.items():
+        assert got.loc[uid, "n_events"] == n
+        assert got.loc[uid, "cusum_max"] == m
+        assert got.loc[uid, "at_k"] == at
+    assert (got["cusum_max"] > 0).any()
+
+
+def test_cume_dist_ties_and_groups():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "a", "a", "b", "b"],
+            "n_chars": np.array([10, 10, 20, 30, 5, 5], np.int64),
+        }
+    )
+    got = (
+        cume_dist_by(
+            ray.data.from_pandas(df).repartition(2),
+            group_col="source",
+            value_col="n_chars",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # group a: two 10s -> cnt_le 2/4; 20 -> 3/4; 30 -> 4/4
+    assert got.loc[0, "cume_ppm"] == 500_000
+    assert got.loc[1, "cume_ppm"] == 500_000
+    assert got.loc[2, "cume_ppm"] == 750_000
+    assert got.loc[3, "cume_ppm"] == 1_000_000
+    # group b: both 5s are peers -> 2/2
+    assert got.loc[4, "cume_ppm"] == 1_000_000
+    assert got.loc[5, "cume_ppm"] == 1_000_000
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_clustering_coefficient_known(parts):
+    # triangle 0-1-2 plus pendant 3 attached to 0
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([0, 0, 1, 0], pa.int64()),
+                "v": pa.array([1, 2, 2, 3], pa.int64()),
+            }
+        )
+    ).repartition(parts)
+    got = (
+        clustering_coefficient(edges, num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # node 0: deg 3, 1 triangle -> 2e6*1//6
+    assert got.loc[0, "cc_ppm"] == 333_333
+    assert got.loc[1, "cc_ppm"] == 1_000_000
+    assert got.loc[2, "cc_ppm"] == 1_000_000
+    assert got.loc[3, "cc_ppm"] == 0 and got.loc[3, "degree"] == 1
