@@ -3508,6 +3508,65 @@ def _q_clustering_coefficient(sf_dir: str):
     return clustering_coefficient(res.edges, num_partitions=16)
 
 
+def _q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts holding > 0.1% of global lineitem value
+    (share-of-global HAVING, exact integer comparison)."""
+    from rabbittclust_ray.stages.relational import important_parts
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice"],
+    )
+    return important_parts(li, boost_per_mille=1500, num_partitions=16)
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the max-revenue supplier(s) of 1996, ties all
+    kept (argmax over an aggregated view)."""
+    import numpy as np
+
+    from rabbittclust_ray.stages.relational import top_supplier_revenue
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    lo = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+    return top_supplier_revenue(
+        li, date_lo_us=lo, date_hi_us=hi, num_partitions=16
+    )
+
+
+def _q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(source, length-bucket) doc counts — all four
+    grouping sets in one combiner pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.relational import cube_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = np.char.add("b", (n // 200).astype(str))
+        return pa.table(
+            {
+                "source": t["source"],
+                "len_bucket": pa.array(lb.astype(object), pa.string()),
+            }
+        )
+
+    return cube_counts(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        "source", "len_bucket", num_partitions=16,
+    )
+
+
 def _q_sorted_shards(sf_dir: str):
     """Deterministic range-sharded export manifest: exact equi-depth
     boundaries -> shard = #{boundary < v} -> per-shard (count, min, max)
@@ -3933,6 +3992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_drift": _q_cusum_drift,
         "cume_dist_lengths": _q_cume_dist,
         "clustering_coefficient": _q_clustering_coefficient,
+        "important_parts": _q_important_parts,
+        "top_supplier": _q_top_supplier,
+        "cube_counts": _q_cube_counts,
     }
 
 
@@ -5825,6 +5887,51 @@ def _tpch_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "important_parts": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 1000000)
+                                     AS BIGINT)) AS BIGINT) AS value_ppm
+                FROM lineitem GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(value_ppm) AS HUGEINT) AS t,
+                       CAST(count(*) AS HUGEINT) AS np
+                FROM pv
+            )
+            SELECT l_partkey, value_ppm
+            FROM pv, tot
+            WHERE value_ppm > CAST((1500 * t) // (1000 * np) AS BIGINT)
+        """,
+        "top_supplier": """
+            WITH sr AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(floor(l_extendedprice
+                                           * (1 - l_discount) * 1000000)
+                                     AS BIGINT)) AS BIGINT)
+                           AS total_revenue_ppm
+                FROM lineitem
+                WHERE epoch_us(l_shipdate) >= 820454400000000
+                  AND epoch_us(l_shipdate) < 852076800000000
+                GROUP BY 1
+            )
+            SELECT l_suppkey, total_revenue_ppm
+            FROM sr
+            WHERE total_revenue_ppm =
+                  (SELECT max(total_revenue_ppm) FROM sr)
+        """,
+        "cube_counts": """
+            WITH d AS (
+                SELECT source,
+                       'b' || CAST(n_chars // 200 AS VARCHAR)
+                           AS len_bucket
+                FROM documents
+            )
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(len_bucket, 'ALL') AS len_bucket,
+                   count(*) AS n_rows
+            FROM d GROUP BY CUBE (source, len_bucket)
         """,
         "idle_customer_balance": """
             WITH b AS (

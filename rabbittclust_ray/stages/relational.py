@@ -1805,3 +1805,278 @@ def cume_dist_by(
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     return hash_exchange(prepped, "__gkey__", reduce, num_partitions)
+
+
+def important_parts(
+    lineitem: ray.data.Dataset,
+    *,
+    boost_per_mille: int = 1500,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q11 shape: parts whose total lineitem value exceeds
+    ``boost_per_mille``/1000 x the AVERAGE part value — the
+    share-of-global HAVING class, scale-invariant (a fixed global-share
+    cut degenerates as the part count grows).  Exact integer rule:
+    ``v > (boost * total) // (1000 * n_parts)`` (equivalent to the
+    strict rational comparison for integer v).
+
+    Scale shape: per-batch (partkey, value) combiners -> ONE partkey
+    exchange -> per-partition part totals; global total and part count
+    come from one SUBTOTAL row per block (driver-tiny) broadcast into a
+    final filter pass.  Output (l_partkey, value_ppm)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "l_partkey": pa.array([], pa.int64()),
+            "value_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = _np(t["l_partkey"]).astype(np.int64)
+        v = np.floor(_np(t["l_extendedprice"]) * 1e6).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, v = pk[order], v[order]
+        if not len(pk):
+            return empty
+        new = np.empty(len(pk), dtype=bool)
+        new[0] = True
+        new[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[starts], pa.int64()),
+                "value_ppm": pa.array(
+                    np.add.reduceat(v, starts), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        v = t["value_ppm"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, v = pk[order], v[order]
+        new = np.empty(len(pk), dtype=bool)
+        new[0] = True
+        new[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[starts], pa.int64()),
+                "value_ppm": pa.array(
+                    np.add.reduceat(v, starts), pa.int64()
+                ),
+            }
+        )
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    per_part = hash_exchange(
+        partials, "l_partkey", reduce, num_partitions
+    ).materialize()
+
+    # global total + part count: one subtotal row per block (driver-tiny)
+    def subtotal(t: pa.Table) -> pa.Table:
+        v = t["value_ppm"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array([int(v.sum()) if len(v) else 0], pa.int64()),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    subs = per_part.map_batches(subtotal, batch_format="pyarrow").take_all()
+    total = sum(int(r["s"]) for r in subs)
+    n_parts = sum(int(r["n"]) for r in subs)
+    thr = (
+        (boost_per_mille * total) // (1000 * n_parts) if n_parts else 0
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        v = t["value_ppm"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v > thr))
+
+    return per_part.map_batches(cut, batch_format="pyarrow")
+
+
+def top_supplier_revenue(
+    lineitem: ray.data.Dataset,
+    *,
+    date_lo_us: int,
+    date_hi_us: int,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue
+    (extendedprice x (1-discount), floor-ppm) over a date window — the
+    argmax-over-aggregated-view class, ties all kept.
+
+    Scale shape: per-batch (suppkey, revenue) combiners -> ONE suppkey
+    exchange -> per-partition supplier totals; the global max is the max
+    of per-partition maxima (one row each), broadcast into a final
+    equality cut.  Output (l_suppkey, total_revenue_ppm)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "l_suppkey": pa.array([], pa.int64()),
+            "total_revenue_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = _np(_ts_us_col(t, "l_shipdate"))
+        keep = (sd >= date_lo_us) & (sd < date_hi_us)
+        if not keep.any():
+            return empty
+        sk = _np(t["l_suppkey"]).astype(np.int64)[keep]
+        ext = _np(t["l_extendedprice"])[keep]
+        disc = _np(t["l_discount"])[keep]
+        rev = np.floor(ext * (1.0 - disc) * 1e6).astype(np.int64)
+        order = np.argsort(sk, kind="stable")
+        sk, rev = sk[order], rev[order]
+        new = np.empty(len(sk), dtype=bool)
+        new[0] = True
+        new[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(sk[starts], pa.int64()),
+                "total_revenue_ppm": pa.array(
+                    np.add.reduceat(rev, starts), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = t["total_revenue_ppm"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk, rev = sk[order], rev[order]
+        new = np.empty(len(sk), dtype=bool)
+        new[0] = True
+        new[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(sk[starts], pa.int64()),
+                "total_revenue_ppm": pa.array(
+                    np.add.reduceat(rev, starts), pa.int64()
+                ),
+            }
+        )
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    per_supp = hash_exchange(
+        partials, "l_suppkey", reduce, num_partitions
+    ).materialize()
+
+    def pmax(t: pa.Table) -> pa.Table:
+        m = (
+            int(t["total_revenue_ppm"].to_numpy(
+                zero_copy_only=False).max())
+            if t.num_rows
+            else np.iinfo(np.int64).min
+        )
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    gmax = max(
+        int(r["m"])
+        for r in per_supp.map_batches(pmax, batch_format="pyarrow").take_all()
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        rev = t["total_revenue_ppm"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(rev == gmax))
+
+    return per_supp.map_batches(cut, batch_format="pyarrow")
+
+
+def cube_counts(
+    ds: ray.data.Dataset,
+    dim_a: str,
+    dim_b: str,
+    *,
+    all_label: str = "ALL",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(dim_a, dim_b) row counts — all four grouping sets
+    ((a,b), (a), (b), ()) in one pass, subtotal rows labelled
+    ``all_label``.  Complements the existing ROLLUP ladder.
+
+    Scale shape: the map side emits per-batch PARTIAL counts for all
+    four sets (4 x distinct-combos rows per batch — the CUBE lattice is
+    the combiner), ONE composite-key exchange sums them.  Output
+    (dim_a, dim_b, n_rows)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            dim_a: pa.array([], pa.string()),
+            dim_b: pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        a = t[dim_a].to_numpy(zero_copy_only=False).astype(str)
+        b = t[dim_b].to_numpy(zero_copy_only=False).astype(str)
+        alla = np.full(len(a), all_label, dtype=object)
+        frames = [
+            pd.DataFrame({"a": a, "b": b}),
+            pd.DataFrame({"a": a, "b": alla}),
+            pd.DataFrame({"a": alla, "b": b}),
+            pd.DataFrame({"a": alla, "b": alla}),
+        ]
+        g = (
+            pd.concat(frames)
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        keys = (g["a"] + "\x1f" + g["b"]).to_numpy().astype(object)
+        return pa.table(
+            {
+                dim_a: pa.array(g["a"].to_numpy().astype(str), pa.string()),
+                dim_b: pa.array(g["b"].to_numpy().astype(str), pa.string()),
+                "n_rows": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "__gkey__": pa.array(
+                    pd.util.hash_array(keys).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        df = (
+            t.to_pandas()
+            .groupby([dim_a, dim_b], sort=True, as_index=False)["n_rows"]
+            .sum()
+        )
+        return pa.table(
+            {
+                dim_a: pa.array(
+                    df[dim_a].to_numpy().astype(str), pa.string()
+                ),
+                dim_b: pa.array(
+                    df[dim_b].to_numpy().astype(str), pa.string()
+                ),
+                "n_rows": pa.array(
+                    df["n_rows"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, "__gkey__", reduce, num_partitions)

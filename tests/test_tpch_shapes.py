@@ -226,3 +226,78 @@ def test_idle_customer_balance_brute_force():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_important_parts_above_average_rule():
+    from rabbittclust_ray.stages.relational import important_parts
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": np.array([1, 1, 2, 3, 3, 3, 4], np.int64),
+            "l_extendedprice": [10.0, 10.0, 1.0, 50.0, 50.0, 50.0, 2.0],
+        }
+    )
+    # per-part ppm values: 20e6, 1e6, 150e6, 2e6; avg = 43.25e6
+    # 1.5x avg = 64.875e6 -> only part 3 passes
+    for parts in (1, 3):
+        got = important_parts(
+            ray.data.from_pandas(li).repartition(parts),
+            boost_per_mille=1500,
+            num_partitions=4,
+        ).to_pandas()
+        assert got["l_partkey"].tolist() == [3]
+        assert got["value_ppm"].tolist() == [150_000_000]
+
+
+def test_top_supplier_ties_all_kept():
+    from rabbittclust_ray.stages.relational import top_supplier_revenue
+
+    li = pd.DataFrame(
+        {
+            "l_suppkey": np.array([1, 2, 2, 3], np.int64),
+            "l_extendedprice": [100.0, 60.0, 40.0, 100.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+            "l_shipdate": pd.to_datetime(
+                ["1996-02-01", "1996-03-01", "1996-04-01", "1996-05-01"]
+            ),
+        }
+    )
+    lo = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+    got = (
+        top_supplier_revenue(
+            ray.data.from_pandas(li).repartition(2),
+            date_lo_us=lo, date_hi_us=hi, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    assert got["l_suppkey"].tolist() == [1, 2, 3]  # three-way tie at 100
+    assert (got["total_revenue_ppm"] == 100_000_000).all()
+
+
+def test_cube_counts_all_grouping_sets():
+    from rabbittclust_ray.stages.relational import cube_counts
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y"],
+            "b": ["p", "q", "p"],
+        }
+    )
+    got = (
+        cube_counts(
+            ray.data.from_pandas(df).repartition(2), "a", "b",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index(["a", "b"])["n_rows"]
+        .to_dict()
+    )
+    assert got == {
+        ("x", "p"): 1, ("x", "q"): 1, ("y", "p"): 1,
+        ("x", "ALL"): 2, ("y", "ALL"): 1,
+        ("ALL", "p"): 2, ("ALL", "q"): 1,
+        ("ALL", "ALL"): 3,
+    }
