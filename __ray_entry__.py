@@ -3567,6 +3567,41 @@ def _q_cube_counts(sf_dir: str):
     )
 
 
+def _q_table_checksum(sf_dir: str):
+    """Layout-invariant (id|content) modular-sha checksum of the
+    documents table — the anti-entropy replication check."""
+    from rabbittclust_ray.stages.export import table_checksum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return table_checksum(ds)
+
+
+def _q_compaction_plan(sf_dir: str):
+    """Deterministic compaction planner: global id-order exclusive
+    prefix sum of sizes // cap -> output bin per file (distributed
+    prefix-scan class)."""
+    from rabbittclust_ray.stages.export import compaction_plan
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return compaction_plan(
+        ds, size_col="n_chars", cap=20_000, num_buckets=8,
+        num_partitions=16,
+    )
+
+
+def _q_monthly_growth(sf_dir: str):
+    """Month-over-month revenue with exact-rational LAG (prev attached
+    as an integer column; no signed-division hazard)."""
+    from rabbittclust_ray.stages.relational import monthly_revenue_growth
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return monthly_revenue_growth(orders, num_partitions=8)
+
+
 def _q_sorted_shards(sf_dir: str):
     """Deterministic range-sharded export manifest: exact equi-depth
     boundaries -> shard = #{boundary < v} -> per-shard (count, min, max)
@@ -3995,6 +4030,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": _q_important_parts,
         "top_supplier": _q_top_supplier,
         "cube_counts": _q_cube_counts,
+        "table_checksum": _q_table_checksum,
+        "compaction_plan": _q_compaction_plan,
+        "monthly_growth": _q_monthly_growth,
     }
 
 
@@ -5887,6 +5925,42 @@ def _tpch_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "table_checksum": """
+            WITH h AS (
+                SELECT ('0x' || substr(sha256(
+                           CAST(doc_id AS VARCHAR) || '|' || text),
+                           1, 15))::UBIGINT AS v
+                FROM documents
+            )
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(v AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS checksum
+            FROM h
+        """,
+        "compaction_plan": """
+            WITH p AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+                       CAST(coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS pre
+                FROM documents
+            )
+            SELECT doc_id, size, pre // 20000 AS bin FROM p
+        """,
+        "monthly_growth": """
+            WITH m AS (
+                SELECT epoch_us(date_trunc('month', o_orderdate))
+                           AS month_us,
+                       CAST(sum(CAST(floor(o_totalprice * 1000000)
+                                     AS BIGINT)) AS BIGINT) AS revenue_ppm
+                FROM orders GROUP BY 1
+            )
+            SELECT month_us, revenue_ppm,
+                   coalesce(lag(revenue_ppm) OVER (ORDER BY month_us), 0)
+                       AS prev_revenue_ppm
+            FROM m ORDER BY month_us
         """,
         "important_parts": """
             WITH pv AS (

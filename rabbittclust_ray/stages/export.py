@@ -163,3 +163,170 @@ def sorted_shard_manifest(
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return hash_exchange(assigned, "shard", reduce, min(p, num_partitions))
+
+
+def table_checksum(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Layout-invariant table checksum: per row h = the first 15 hex
+    chars of sha256('<id>|<text>') as a 60-bit integer, folded with an
+    order-independent modular sum (M = 2^61 - 1).  Two tables are
+    byte-equal in (id, content) iff (n_rows, checksum) match — the
+    anti-entropy verification a 100-TB replication / re-run check uses
+    without moving any data.
+
+    Shape: pure map (one partial (count, sum mod M) row per batch, sha
+    via hashlib over the batch — the sha surface matches the SQL oracle
+    bit-for-bit), driver folds the partials."""
+    import hashlib
+
+    M = (1 << 61) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        acc = 0
+        for i, s in zip(ids, texts):
+            h = int(
+                hashlib.sha256(f"{int(i)}|{s}".encode()).hexdigest()[:15],
+                16,
+            )
+            acc = (acc + h) % M
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "c": pa.array([acc], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    c = sum(int(r["c"]) for r in rows) % M
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "checksum": pa.array([c], pa.int64()),
+        }
+    )
+
+
+def compaction_plan(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    cap: int = 100_000,
+    num_buckets: int = 32,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic file-compaction planner: in global ``id_col``
+    order, assign each row ``bin = exclusive_prefix_sum(size) // cap``
+    — consecutive inputs pack into ~cap-sized output groups (the last
+    member may overflow its bin, the standard compaction tolerance).
+    Output (id, size, bin); re-runs and appends reproduce the prefix
+    exactly.
+
+    Scale shape (the distributed prefix-scan class, same as
+    concurrency_curve): exact equi-depth boundaries bucket the id
+    domain; per-batch partials give each bucket's subtotal (driver
+    carry scan touches #buckets rows); ONE bucket-keyed exchange then
+    resolves every row's local exclusive cumsum + broadcast bucket
+    offset.  No stage ever holds the globally ordered stream."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+    from rabbittclust_ray.stages.stats import equi_depth_boundaries
+
+    bt = equi_depth_boundaries(
+        ds, id_col, num_buckets, num_partitions=num_partitions
+    )
+    bounds = np.asarray(bt["boundary"].to_numpy(), np.int64)
+    bref = ray.put(bounds)
+
+    # pass 1: per-bucket subtotals (combiner rows only)
+    def subtotal(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = t[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = np.searchsorted(b, ids, side="left")
+        order = np.argsort(bk, kind="stable")
+        bk, sz = bk[order], sz[order]
+        if not len(bk):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        new = np.empty(len(bk), dtype=bool)
+        new[0] = True
+        new[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "bucket": pa.array(bk[starts].astype(np.int64), pa.int64()),
+                "s": pa.array(np.add.reduceat(sz, starts), pa.int64()),
+            }
+        )
+
+    subs = ds.map_batches(subtotal, batch_format="pyarrow").take_all()
+    per_bucket = np.zeros(num_buckets, dtype=np.int64)
+    for r in subs:
+        per_bucket[int(r["bucket"])] += int(r["s"])
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    offsets[1:] = np.cumsum(per_bucket)[:-1]
+    oref = ray.put(offsets)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "size": pa.array([], pa.int64()),
+            "bin": pa.array([], pa.int64()),
+        }
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = t[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = np.searchsorted(b, ids, side="left").astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bk, pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "size": pa.array(sz, pa.int64()),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        off = ray.get(oref)
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sz = t["size"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids, sz = bk[order], ids[order], sz[order]
+        c = np.cumsum(sz)
+        pre = c - sz  # exclusive prefix within the partition slice
+        new = np.empty(len(bk), dtype=bool)
+        new[0] = True
+        new[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(new)
+        gidx = np.cumsum(new) - 1
+        # subtract the slice's own start so the prefix is per bucket
+        pre = pre - pre[starts][gidx]
+        gpre = pre + off[bk]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "size": pa.array(sz, pa.int64()),
+                "bin": pa.array(gpre // cap, pa.int64()),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return hash_exchange(
+        assigned, "bucket", reduce, min(num_buckets, num_partitions)
+    )

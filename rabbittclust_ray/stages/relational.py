@@ -2080,3 +2080,103 @@ def cube_counts(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(partials, "__gkey__", reduce, num_partitions)
+
+
+def monthly_revenue_growth(
+    orders: ray.data.Dataset,
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Month-over-month revenue series with the LAG attached as an EXACT
+    rational: (month_us, revenue_ppm, prev_revenue_ppm) — prev = 0 for
+    the first month.  Growth = (rev - prev) / prev is left to the
+    consumer as a ratio of the two integer columns: negative deltas make
+    a divided ppm value hazardous (Python floors, SQL truncates — the
+    one integer-division semantic the two backends disagree on).
+
+    Scale shape: per-batch (month, revenue) combiners -> ONE tiny
+    month-keyed exchange -> single-partition LAG over the MONTH domain
+    (dozens of rows at any corpus size)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "month_us": pa.array([], pa.int64()),
+            "revenue_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = _np(_ts_us_col(t, "o_orderdate"))
+        if not len(od):
+            return empty
+        tp = np.floor(_np(t["o_totalprice"]) * 1e6).astype(np.int64)
+        mo = (
+            od.astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.argsort(mo, kind="stable")
+        mo, tp = mo[order], tp[order]
+        new = np.empty(len(mo), dtype=bool)
+        new[0] = True
+        new[1:] = mo[1:] != mo[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "month_us": pa.array(mo[starts], pa.int64()),
+                "revenue_ppm": pa.array(
+                    np.add.reduceat(tp, starts), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        mo = t["month_us"].to_numpy(zero_copy_only=False)
+        rv = t["revenue_ppm"].to_numpy(zero_copy_only=False)
+        order = np.argsort(mo, kind="stable")
+        mo, rv = mo[order], rv[order]
+        new = np.empty(len(mo), dtype=bool)
+        new[0] = True
+        new[1:] = mo[1:] != mo[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "month_us": pa.array(mo[starts], pa.int64()),
+                "revenue_ppm": pa.array(
+                    np.add.reduceat(rv, starts), pa.int64()
+                ),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "month_us": pa.array([], pa.int64()),
+            "revenue_ppm": pa.array([], pa.int64()),
+            "prev_revenue_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def lag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        mo = t["month_us"].to_numpy(zero_copy_only=False)
+        rv = t["revenue_ppm"].to_numpy(zero_copy_only=False)
+        order = np.argsort(mo, kind="stable")
+        mo, rv = mo[order], rv[order]
+        prev = np.zeros(len(rv), dtype=np.int64)
+        prev[1:] = rv[:-1]
+        return pa.table(
+            {
+                "month_us": pa.array(mo, pa.int64()),
+                "revenue_ppm": pa.array(rv, pa.int64()),
+                "prev_revenue_ppm": pa.array(prev, pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+    monthly = hash_exchange(partials, "month_us", reduce, num_partitions)
+    return monthly.repartition(1).map_batches(lag, batch_format="pyarrow")

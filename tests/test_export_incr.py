@@ -125,3 +125,78 @@ def test_merge_group_stats_equals_full():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(again, full, check_dtype=False)
+
+
+def test_table_checksum_layout_invariant_and_sensitive():
+    from rabbittclust_ray.stages.export import table_checksum
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "text": [f"doc {i} body" for i in range(50)],
+        }
+    )
+    a = table_checksum(ray.data.from_pandas(df)).to_pydict()
+    b = table_checksum(
+        ray.data.from_pandas(df.sample(frac=1, random_state=3))
+        .repartition(5)
+    ).to_pydict()
+    assert a == b  # order/layout invariant
+    df2 = df.copy()
+    df2.loc[7, "text"] = "doc 7 bodY"  # one byte flipped
+    c = table_checksum(ray.data.from_pandas(df2)).to_pydict()
+    assert c["n_rows"] == a["n_rows"] and c["checksum"] != a["checksum"]
+
+
+def test_compaction_plan_brute_force():
+    from rabbittclust_ray.stages.export import compaction_plan
+
+    rng = np.random.default_rng(8)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "n_chars": rng.integers(50, 900, n).astype(np.int64),
+        }
+    )
+    cap = 5000
+    srt = df.sort_values("doc_id")
+    pre = srt["n_chars"].cumsum().shift(fill_value=0).to_numpy()
+    want_bin = dict(zip(srt["doc_id"], pre // cap))
+    for parts in (1, 6):
+        got = compaction_plan(
+            ray.data.from_pandas(df).repartition(parts),
+            size_col="n_chars", cap=cap, num_buckets=4,
+            num_partitions=4,
+        ).to_pandas()
+        assert len(got) == n
+        gb = dict(zip(got["doc_id"], got["bin"]))
+        assert gb == want_bin
+    # bins are contiguous from 0 and sizes ~cap (overflow tolerated)
+    per_bin = got.groupby("bin")["size"].sum()
+    assert per_bin.index.min() == 0
+    assert (np.diff(per_bin.index.to_numpy()) == 1).all()
+    assert (per_bin.iloc[:-1] >= cap - 900).all()
+
+
+def test_monthly_growth_lag():
+    from rabbittclust_ray.stages.relational import monthly_revenue_growth
+
+    orders = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                ["1996-01-05", "1996-01-20", "1996-03-02", "1996-04-01"]
+            ),
+            "o_totalprice": [10.0, 20.0, 5.0, 7.5],
+        }
+    )
+    got = (
+        monthly_revenue_growth(
+            ray.data.from_pandas(orders).repartition(2), num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("month_us")
+        .reset_index(drop=True)
+    )
+    assert got["revenue_ppm"].tolist() == [30_000_000, 5_000_000, 7_500_000]
+    assert got["prev_revenue_ppm"].tolist() == [0, 30_000_000, 5_000_000]
