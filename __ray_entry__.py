@@ -3567,6 +3567,76 @@ def _q_cube_counts(sf_dir: str):
     )
 
 
+def _q_grouped_mad(sf_dir: str):
+    """Exact per-source median + MAD of doc lengths (robust dispersion,
+    single exchange over the value domain)."""
+    from rabbittclust_ray.stages.stats import grouped_mad
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return grouped_mad(
+        ds, group_col="source", value_col="n_chars", num_partitions=16
+    )
+
+
+def _q_doc_keywords(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords: doc_term_stats composed with
+    topk_per_group under an integer score (1e6*tf//df — the corpus-size
+    factor cancels in ranking; log-free)."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.joins import topk_per_group
+    from rabbittclust_ray.stages.text import doc_term_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stats = doc_term_stats(ds, min_df=2, num_partitions=32)
+
+    def score(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        s = (1_000_000 * tf) // df
+        return t.append_column(
+            "score_ppm", pa.array(s.astype(np.int64), pa.int64())
+        )
+
+    return topk_per_group(
+        stats.map_batches(score, batch_format="pyarrow"),
+        group_col="doc_id",
+        order_cols=["score_ppm", "token"],
+        ascending=[False, True],
+        k=3,
+        keep_cols=["token", "tf", "df", "score_ppm"],
+        num_partitions=16,
+    )
+
+
+def _q_orphan_audit(sf_dir: str):
+    """Referential-integrity audit: lineitem rows whose orderkey has no
+    parent in a deterministically-damaged orders table (every 97th
+    orderkey dropped — simulating a lost parent shard)."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.relational import orphan_audit
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def damage(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 97 != 0))
+
+    return orphan_audit(
+        li, orders.map_batches(damage, batch_format="pyarrow"),
+        child_key="l_orderkey", parent_key="o_orderkey",
+        num_partitions=16,
+    )
+
+
 def _q_table_checksum(sf_dir: str):
     """Layout-invariant (id|content) modular-sha checksum of the
     documents table — the anti-entropy replication check."""
@@ -4033,6 +4103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum": _q_table_checksum,
         "compaction_plan": _q_compaction_plan,
         "monthly_growth": _q_monthly_growth,
+        "grouped_mad": _q_grouped_mad,
+        "doc_keywords": _q_doc_keywords,
+        "orphan_audit": _q_orphan_audit,
     }
 
 
@@ -5925,6 +5998,90 @@ def _tpch_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "grouped_mad": """
+            WITH v AS (
+                SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents
+            ),
+            r AS (
+                SELECT g, v,
+                       row_number() OVER (PARTITION BY g ORDER BY v)
+                           AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v
+            ),
+            med AS (
+                SELECT g, CAST(any_value(n) AS BIGINT) AS n,
+                       max(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.5 * n) AS BIGINT)) THEN v END)
+                           AS m
+                FROM r GROUP BY g
+            ),
+            d AS (
+                SELECT v.g, abs(v.v - med.m) AS dv
+                FROM v JOIN med USING (g)
+            ),
+            r2 AS (
+                SELECT g, dv,
+                       row_number() OVER (PARTITION BY g ORDER BY dv)
+                           AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM d
+            ),
+            madt AS (
+                SELECT g, max(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.5 * n) AS BIGINT)) THEN dv END)
+                           AS mad
+                FROM r2 GROUP BY g
+            )
+            SELECT med.g AS source, med.n, med.m AS median, madt.mad
+            FROM med JOIN madt USING (g)
+        """,
+        "doc_keywords": """
+            WITH t AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+                GROUP BY doc_id, token
+            ),
+            d AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM t GROUP BY token
+            ),
+            s AS (
+                SELECT t.doc_id, t.token, t.tf, d.df,
+                       (1000000 * t.tf) // d.df AS score_ppm
+                FROM t JOIN d USING (token)
+                WHERE d.df >= 2
+            )
+            SELECT doc_id, token, tf, df, score_ppm,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_ppm DESC, token) AS rn
+                FROM s
+            ) WHERE rn <= 3
+        """,
+        "orphan_audit": """
+            WITH c AS (
+                SELECT l_orderkey AS k, count(*) AS c
+                FROM lineitem GROUP BY 1
+            ),
+            p AS (
+                SELECT DISTINCT o_orderkey AS k FROM orders
+                WHERE o_orderkey % 97 != 0
+            )
+            SELECT CAST(sum(c.c) AS BIGINT) AS n_children,
+                   CAST(coalesce(sum(c.c) FILTER (WHERE p.k IS NULL), 0)
+                        AS BIGINT) AS n_orphans,
+                   CAST(count(*) FILTER (WHERE p.k IS NULL) AS BIGINT)
+                       AS n_orphan_keys
+            FROM c LEFT JOIN p USING (k)
         """,
         "table_checksum": """
             WITH h AS (

@@ -2180,3 +2180,121 @@ def monthly_revenue_growth(
     partials = orders.map_batches(partial, batch_format="pyarrow")
     monthly = hash_exchange(partials, "month_us", reduce, num_partitions)
     return monthly.repartition(1).map_batches(lag, batch_format="pyarrow")
+
+
+def orphan_audit(
+    child: ray.data.Dataset,
+    parent: ray.data.Dataset,
+    *,
+    child_key: str,
+    parent_key: str,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Referential-integrity audit: count child rows whose foreign key
+    has no parent — the broken-join detector a 100-TB ingest runs after
+    every load (a silently dropped parent shard turns every downstream
+    inner join into data loss).  Output one row:
+    (n_children, n_orphans, n_orphan_keys).
+
+    Scale shape: child collapses to per-batch (key, count) combiners,
+    parent to per-batch DISTINCT keys; ONE keyed exchange decides
+    membership per partition and emits a single (children, orphans,
+    keys) partial row — a final single-partition sum finishes."""
+    from rabbittclust_ray.stages.joins import _tag_union
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def prep_child(t: pa.Table) -> pa.Table:
+        k = _np(t[child_key]).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "side": pa.array(np.ones(len(uk), np.int8), pa.int8()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def prep_parent(t: pa.Table) -> pa.Table:
+        k = np.unique(_np(t[parent_key]).astype(np.int64))
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "c": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "n_children": pa.array([], pa.int64()),
+            "n_orphans": pa.array([], pa.int64()),
+            "n_orphan_keys": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        side = _np(t["side"])
+        keys = _np(t["key"])
+        cnt = _np(t["c"])
+        cmask = side == 1
+        ck, cc = keys[cmask], cnt[cmask]
+        pk = np.unique(keys[~cmask])
+        # child combiners may repeat a key across batches: fold first
+        order = np.argsort(ck, kind="stable")
+        ck, cc = ck[order], cc[order]
+        if len(ck):
+            new = np.empty(len(ck), dtype=bool)
+            new[0] = True
+            new[1:] = ck[1:] != ck[:-1]
+            starts = np.flatnonzero(new)
+            uck = ck[starts]
+            ucc = np.add.reduceat(cc, starts)
+        else:
+            uck = np.empty(0, np.int64)
+            ucc = np.empty(0, np.int64)
+        idx = np.searchsorted(pk, uck)
+        idx_c = np.minimum(idx, max(len(pk) - 1, 0))
+        hit = (
+            (idx < len(pk)) & (pk[idx_c] == uck)
+            if len(pk)
+            else np.zeros(len(uck), bool)
+        )
+        orphan = ~hit
+        return pa.table(
+            {
+                "n_children": pa.array([int(ucc.sum())], pa.int64()),
+                "n_orphans": pa.array(
+                    [int(ucc[orphan].sum())], pa.int64()
+                ),
+                "n_orphan_keys": pa.array(
+                    [int(orphan.sum())], pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_children": pa.array([0], pa.int64()),
+                    "n_orphans": pa.array([0], pa.int64()),
+                    "n_orphan_keys": pa.array([0], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                c: pa.array(
+                    [int(t[c].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                )
+                for c in ("n_children", "n_orphans", "n_orphan_keys")
+            }
+        )
+
+    both = _tag_union(child, parent, prep_child, prep_parent)
+    partials = hash_exchange(both, "key", reduce, num_partitions)
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -941,3 +941,116 @@ def merge_group_stats(
 
     keyed = ds.map_batches(key, batch_format="pyarrow")
     return hash_exchange(keyed, "__gkey__", reduce, num_partitions)
+
+
+def grouped_mad(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Exact per-group MEDIAN and MEDIAN ABSOLUTE DEVIATION of an
+    integer column — the robust dispersion signal (outlier fences that
+    heavy tails can't drag).  Rank rule (deterministic, SQL-replayable):
+    value at 1-based rank ``ceil(n/2)`` ascending — the lower median,
+    same convention as ``grouped_quantiles``.
+
+    One keyed exchange total: per-batch (group, value, count) histogram
+    combiners co-locate each group's VALUE DOMAIN (not its rows) in one
+    reducer, which reads the median off cumulative counts, folds the
+    |v - median| histogram in place, and reads MAD off that — the
+    second pass over raw data the textbook two-pass MAD needs never
+    happens.  Output (group, n, median, mad)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_partial = pa.table(
+        {
+            "gkey": pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            "value": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_partial
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (
+            pd.DataFrame({"g": g, "v": v})
+            .groupby(["g", "v"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        go = df["g"].to_numpy().astype(object)
+        return pa.table(
+            {
+                "gkey": pa.array(
+                    pd.util.hash_array(go).astype(np.int64), pa.int64()
+                ),
+                group_col: pa.array(df["g"].to_numpy().astype(str),
+                                    pa.string()),
+                "value": pa.array(df["v"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "median": pa.array([], pa.int64()),
+            "mad": pa.array([], pa.int64()),
+        }
+    )
+
+    def _rank_value(vals: np.ndarray, cnts: np.ndarray, rank: int) -> int:
+        f = np.cumsum(cnts)
+        return int(vals[np.searchsorted(f, rank, side="left")])
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = (
+            t.to_pandas()
+            .groupby([group_col, "value"], sort=True, as_index=False)["n"]
+            .sum()
+        )
+        gs, ns, meds, mads = [], [], [], []
+        for g, sub in df.groupby(group_col, sort=True):
+            vals = sub["value"].to_numpy(np.int64)
+            cnts = sub["n"].to_numpy(np.int64)
+            n = int(cnts.sum())
+            rank = max(1, -(-n // 2))  # ceil(n/2)
+            med = _rank_value(vals, cnts, rank)
+            dev = np.abs(vals - med)
+            o = np.argsort(dev, kind="stable")
+            dev_s, cnt_s = dev[o], cnts[o]
+            # collapse duplicate deviations (v below and above median)
+            newd = np.empty(len(dev_s), dtype=bool)
+            newd[0] = True
+            newd[1:] = dev_s[1:] != dev_s[:-1]
+            starts = np.flatnonzero(newd)
+            du = dev_s[starts]
+            dc = np.add.reduceat(cnt_s, starts)
+            mad = _rank_value(du, dc, rank)
+            gs.append(g)
+            ns.append(n)
+            meds.append(med)
+            mads.append(mad)
+        return pa.table(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "median": pa.array(meds, pa.int64()),
+                "mad": pa.array(mads, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, "gkey", reduce, num_partitions)

@@ -104,3 +104,70 @@ def test_readability_known_and_edges():
     assert out["fk_ppm"][2] == (
         206_835_000 - (1_015_000 * w2) // 1 - 0
     )
+
+
+def test_grouped_mad_brute_force():
+    from rabbittclust_ray.stages.stats import grouped_mad
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["a", "b", "c"], 600),
+            "n_chars": rng.integers(0, 300, 600).astype(np.int64),
+        }
+    )
+
+    def lower_median(x):
+        x = np.sort(np.asarray(x))
+        return int(x[max(1, -(-len(x) // 2)) - 1])
+
+    want = {}
+    for g, sub in df.groupby("source"):
+        v = sub["n_chars"].to_numpy()
+        m = lower_median(v)
+        want[g] = (len(v), m, lower_median(np.abs(v - m)))
+
+    for parts in (1, 5):
+        got = (
+            grouped_mad(
+                ray.data.from_pandas(df).repartition(parts),
+                group_col="source", value_col="n_chars",
+                num_partitions=4,
+            )
+            .to_pandas()
+            .set_index("source")
+        )
+        for g, (n, m, mad) in want.items():
+            assert got.loc[g, "n"] == n
+            assert got.loc[g, "median"] == m
+            assert got.loc[g, "mad"] == mad
+
+
+def test_grouped_mad_constant_group():
+    from rabbittclust_ray.stages.stats import grouped_mad
+
+    df = pd.DataFrame({"source": ["x"] * 9, "n_chars": [7] * 9})
+    got = grouped_mad(
+        ray.data.from_pandas(df), group_col="source",
+        value_col="n_chars",
+    ).to_pandas()
+    assert got["median"].tolist() == [7]
+    assert got["mad"].tolist() == [0]
+
+
+def test_orphan_audit_counts():
+    from rabbittclust_ray.stages.relational import orphan_audit
+
+    child = pd.DataFrame(
+        {"fk": np.array([1, 1, 2, 3, 3, 3, 9], np.int64)}
+    )
+    parent = pd.DataFrame({"pk": np.array([1, 2, 5], np.int64)})
+    for parts in (1, 3):
+        got = orphan_audit(
+            ray.data.from_pandas(child).repartition(parts),
+            ray.data.from_pandas(parent).repartition(parts),
+            child_key="fk", parent_key="pk", num_partitions=4,
+        ).to_pandas()
+        assert got["n_children"].tolist() == [7]
+        assert got["n_orphans"].tolist() == [4]  # keys 3 (x3), 9 (x1)
+        assert got["n_orphan_keys"].tolist() == [2]
