@@ -276,6 +276,19 @@ def main(argv: list[str] | None = None) -> int:
     pin.add_argument("-o", "--output", required=True)
     pin.add_argument("--num-cpus", type=int,
                      default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    # data-integrity audit: checksum + per-column profile + optional
+    # sorted-shard export manifest
+    pau = sub.add_parser(
+        "audit",
+        help="layout-invariant (id|content) checksum + per-column "
+             "profile of a documents table; --export-shards N also "
+             "writes N value-sorted length shards + manifest",
+    )
+    pau.add_argument("-i", "--input", required=True)
+    pau.add_argument("-o", "--output", required=True)
+    pau.add_argument("--export-shards", type=int, default=0)
+    pau.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = parser.parse_args(argv)
 
     import ray
@@ -293,6 +306,83 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     try:
+        if args.cmd == "audit":
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from rabbittclust_ray.stages.export import (
+                sorted_shard_manifest,
+                table_checksum,
+            )
+            from rabbittclust_ray.stages.profile import table_profile
+
+            ds = _read_documents(args.input)  # canonical: doc_id, content
+
+            def _with_len(t: _pa.Table) -> _pa.Table:
+                import numpy as _np
+                import pyarrow.compute as _pc
+
+                from rabbittclust_ray.hashing import stable_doc_id
+
+                if "doc_id" in t.column_names:
+                    ids = _pc.cast(t["doc_id"], _pa.int64())
+                else:  # M7 stable ids when the source carries none
+                    ids = _pa.array(
+                        stable_doc_id(
+                            _np.asarray(t["repo"].to_pylist(), object),
+                            _np.asarray(t["path"].to_pylist(), object),
+                            _np.asarray(t["commit"].to_pylist(), object),
+                        ),
+                        _pa.int64(),
+                    )
+                return _pa.table(
+                    {
+                        "doc_id": ids,
+                        "content": t["content"],
+                        "n_chars": _pc.cast(
+                            _pc.utf8_length(t["content"]), _pa.int64()
+                        ),
+                    }
+                )
+
+            ds = ds.map_batches(_with_len, batch_format="pyarrow")
+            os.makedirs(args.output, exist_ok=True)
+            ck = table_checksum(ds, text_col="content")
+            _pq.write_table(
+                ck, os.path.join(args.output, "checksum.parquet")
+            )
+            print(
+                f"checksum: n_rows={ck['n_rows'][0]} "
+                f"value={ck['checksum'][0]}"
+            )
+            ptbl = table_profile(
+                ds.select_columns(["doc_id", "n_chars"]),
+                ["doc_id", "n_chars"],
+            )
+            _pq.write_table(
+                ptbl, os.path.join(args.output, "profile.parquet")
+            )
+            for r in ptbl.to_pylist():
+                print(
+                    f"profile: {r['col']} nulls={r['n_nulls']} "
+                    f"distinct={r['n_distinct']} "
+                    f"min={r['min_val']} max={r['max_val']}"
+                )
+            if args.export_shards > 0:
+                man = sorted_shard_manifest(
+                    ds.select_columns(["n_chars"]),
+                    "n_chars",
+                    args.export_shards,
+                    out_dir=os.path.join(args.output, "shards"),
+                )
+                mtbl = _pa.Table.from_pandas(
+                    man.to_pandas(), preserve_index=False
+                )
+                _pq.write_table(
+                    mtbl, os.path.join(args.output, "manifest.parquet")
+                )
+                print(f"exported {mtbl.num_rows} shards")
+            return 0
         if args.cmd == "ingest":
             import pyarrow as _pa
             import pyarrow.parquet as _pq

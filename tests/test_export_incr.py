@@ -200,3 +200,41 @@ def test_monthly_growth_lag():
     )
     assert got["revenue_ppm"].tolist() == [30_000_000, 5_000_000, 7_500_000]
     assert got["prev_revenue_ppm"].tolist() == [0, 30_000_000, 5_000_000]
+
+
+def test_cli_audit(tmp_path):
+    """audit verb end-to-end in a subprocess: checksum + profile +
+    sorted-shard export over a canonical corpus."""
+    import subprocess
+    import sys
+
+    from rabbittclust_ray.corpus import make_corpus
+
+    docs, _ = make_corpus(num_seeds=3, per_cluster=3, doc_len=800,
+                          num_exact_dups=1, num_noise=3, num_short=1)
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(inp))
+    out = tmp_path / "audit"
+    r = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "audit",
+         "-i", str(inp), "-o", str(out), "--export-shards", "3",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "checksum: n_rows=" in r.stdout
+    ck = pq.read_table(str(out / "checksum.parquet"))
+    assert ck["n_rows"][0].as_py() > 0
+    man = pq.read_table(str(out / "manifest.parquet")).to_pandas()
+    assert man["n_rows"].sum() == ck["n_rows"][0].as_py()
+    prof = pq.read_table(str(out / "profile.parquet")).to_pandas()
+    assert set(prof["col"]) == {"doc_id", "n_chars"}
+    # re-run is stable (resume + deterministic checksum)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_ray", "audit",
+         "-i", str(inp), "-o", str(out), "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    ck2 = pq.read_table(str(out / "checksum.parquet"))
+    assert ck2["checksum"][0].as_py() == ck["checksum"][0].as_py()
