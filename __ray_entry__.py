@@ -3567,6 +3567,61 @@ def _q_cube_counts(sf_dir: str):
     )
 
 
+def _q_winsorized_lengths(sf_dir: str):
+    """Per-source winsorized length sum (values clamped to the exact
+    [P10, P90] rank quantiles) — the outlier-robust aggregate."""
+    from rabbittclust_ray.stages.stats import winsorized_stats
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return winsorized_stats(
+        ds, group_col="source", value_col="n_chars",
+        q_lo=0.1, q_hi=0.9, num_partitions=16,
+    )
+
+
+def _q_nfc_dedup(sf_dir: str):
+    """Unicode-NFC-normalized dedup: every doc gets a precomposed
+    ' café' marker; doc_id%4==0 docs get a twin carrying the DECOMPOSED
+    form (e + combining acute) — byte-different, NFC-equal.  The ws
+    normalizer alone would miss these families."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.dedup import dedup_normalized
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pre = " caf\u00e9"   # precomposed \u00e9
+    dec = " cafe\u0301"  # e + combining acute
+
+    def augment(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        base = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([s + pre for s in texts], pa.string()),
+            }
+        )
+        m = ids % 4 == 0
+        twin = pa.table(
+            {
+                "doc_id": pa.array(ids[m] + 20_000_000, pa.int64()),
+                "text": pa.array(
+                    [s + dec for s, k in zip(texts, m) if k], pa.string()
+                ),
+            }
+        )
+        return pa.concat_tables([base, twin])
+
+    return dedup_normalized(
+        ds.map_batches(augment, batch_format="pyarrow"),
+        keep="best", normalizer="nfc", num_buckets=16,
+    )
+
+
 def _q_grouped_mad(sf_dir: str):
     """Exact per-source median + MAD of doc lengths (robust dispersion,
     single exchange over the value domain)."""
@@ -4106,6 +4161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mad": _q_grouped_mad,
         "doc_keywords": _q_doc_keywords,
         "orphan_audit": _q_orphan_audit,
+        "winsorized_lengths": _q_winsorized_lengths,
+        "nfc_dedup": _q_nfc_dedup,
     }
 
 
@@ -5998,6 +6055,65 @@ def _tpch_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "winsorized_lengths": """
+            WITH v AS (
+                SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents
+            ),
+            r AS (
+                SELECT g, v,
+                       row_number() OVER (PARTITION BY g ORDER BY v)
+                           AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v
+            ),
+            q AS (
+                SELECT g, CAST(any_value(n) AS BIGINT) AS n,
+                       max(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.1 * n) AS BIGINT)) THEN v END)
+                           AS lo_val,
+                       max(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.9 * n) AS BIGINT)) THEN v END)
+                           AS hi_val
+                FROM r GROUP BY g
+            )
+            SELECT q.g AS source, q.n, q.lo_val, q.hi_val,
+                   CAST(sum(least(greatest(v.v, q.lo_val), q.hi_val))
+                        AS BIGINT) AS wins_sum
+            FROM v JOIN q USING (g)
+            GROUP BY q.g, q.n, q.lo_val, q.hi_val
+        """,
+        "nfc_dedup": """
+            WITH aug AS (
+                SELECT doc_id, text || ' caf' || chr(233) AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 20000000,
+                       text || ' cafe' || chr(769)
+                FROM documents WHERE doc_id % 4 = 0
+            ),
+            n AS (
+                SELECT doc_id,
+                       sha256(trim(regexp_replace(
+                           lower(nfc_normalize(text)),
+                           '[ \\t\\n\\r\\f\\v]+', ' ', 'g')))
+                           AS norm_sha256,
+                       CAST(length(nfc_normalize(text)) AS BIGINT)
+                           AS length
+                FROM aug
+            ),
+            w AS (
+                SELECT *, first_value(doc_id) OVER (
+                           PARTITION BY norm_sha256
+                           ORDER BY length DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS group_rep
+                FROM n
+            )
+            SELECT doc_id, norm_sha256, group_rep,
+                   doc_id <> group_rep AS is_dup, length
+            FROM w
         """,
         "grouped_mad": """
             WITH v AS (

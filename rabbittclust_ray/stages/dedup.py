@@ -157,6 +157,7 @@ def dedup_normalized(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep: str = "best",
+    normalizer: str = "ws",
     num_buckets: int = 1024,
 ) -> ray.data.Dataset:
     """Fuzzy-exact dedup on NORMALIZED content with a keep-rule — the
@@ -180,10 +181,23 @@ def dedup_normalized(
     if keep not in ("best", "first"):
         raise ValueError(f"keep must be 'best' or 'first', got {keep!r}")
 
+    if normalizer not in ("ws", "nfc"):
+        raise ValueError(f"normalizer must be 'ws' or 'nfc', got {normalizer!r}")
+
     def norm_sha(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         txt = t[text_col]
+        if normalizer == "nfc":
+            # Unicode NFC first (combining marks compose), then the ws
+            # family — CPython unicodedata and DuckDB nfc_normalize both
+            # implement standard NFC, so the sha surfaces agree
+            import unicodedata
+
+            txt = pa.array(
+                [unicodedata.normalize("NFC", s) for s in txt.to_pylist()],
+                pa.string(),
+            )
         norm = pc.utf8_trim_whitespace(
             pc.replace_substring_regex(pc.utf8_lower(txt), NORM_WS_RE, " ")
         )

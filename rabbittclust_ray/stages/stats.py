@@ -1054,3 +1054,108 @@ def grouped_mad(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(partials, "gkey", reduce, num_partitions)
+
+
+def winsorized_stats(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Per-group WINSORIZED sum: clamp every value to the group's exact
+    [q_lo, q_hi] quantiles (rank rule ``ceil(q*n)``, same as
+    grouped_quantiles) and sum the clamped values — the outlier-robust
+    aggregate (one pathological doc can no longer own a source's mean).
+    Output (group, n, lo_val, hi_val, wins_sum).
+
+    Shape: value-count histogram combiners through ONE exchange; the
+    reducer reads both clamp points off cumulative counts and computes
+    the clamped sum as HISTOGRAM ALGEBRA (clamp(v)*count summed over the
+    group's distinct values) — raw rows are never revisited."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty_partial = pa.table(
+        {
+            "gkey": pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            "value": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_partial
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (
+            pd.DataFrame({"g": g, "v": v})
+            .groupby(["g", "v"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        go = df["g"].to_numpy().astype(object)
+        return pa.table(
+            {
+                "gkey": pa.array(
+                    pd.util.hash_array(go).astype(np.int64), pa.int64()
+                ),
+                group_col: pa.array(df["g"].to_numpy().astype(str),
+                                    pa.string()),
+                "value": pa.array(df["v"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "lo_val": pa.array([], pa.int64()),
+            "hi_val": pa.array([], pa.int64()),
+            "wins_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        df = (
+            t.to_pandas()
+            .groupby([group_col, "value"], sort=True, as_index=False)["n"]
+            .sum()
+        )
+        gs, ns, los, his, sums = [], [], [], [], []
+        for g, sub in df.groupby(group_col, sort=True):
+            vals = sub["value"].to_numpy(np.int64)
+            cnts = sub["n"].to_numpy(np.int64)
+            n = int(cnts.sum())
+            f = np.cumsum(cnts)
+            r_lo = max(1, int(np.ceil(q_lo * n)))
+            r_hi = max(1, int(np.ceil(q_hi * n)))
+            lo = int(vals[np.searchsorted(f, r_lo, side="left")])
+            hi = int(vals[np.searchsorted(f, r_hi, side="left")])
+            clamped = np.clip(vals, lo, hi)
+            gs.append(g)
+            ns.append(n)
+            los.append(lo)
+            his.append(hi)
+            sums.append(int((clamped * cnts).sum()))
+        return pa.table(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "lo_val": pa.array(los, pa.int64()),
+                "hi_val": pa.array(his, pa.int64()),
+                "wins_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, "gkey", reduce, num_partitions)

@@ -171,3 +171,76 @@ def test_orphan_audit_counts():
         assert got["n_children"].tolist() == [7]
         assert got["n_orphans"].tolist() == [4]  # keys 3 (x3), 9 (x1)
         assert got["n_orphan_keys"].tolist() == [2]
+
+
+def test_winsorized_stats_brute_force():
+    from rabbittclust_ray.stages.stats import winsorized_stats
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["a", "b"], 400),
+            "n_chars": rng.integers(0, 1000, 400).astype(np.int64),
+        }
+    )
+    # inject outliers that winsorization must clamp
+    df.loc[df.index[:3], "n_chars"] = 10**6
+
+    want = {}
+    for g, sub in df.groupby("source"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        n = len(v)
+        lo = int(v[max(1, int(np.ceil(0.1 * n))) - 1])
+        hi = int(v[max(1, int(np.ceil(0.9 * n))) - 1])
+        want[g] = (n, lo, hi, int(np.clip(v, lo, hi).sum()))
+
+    for parts in (1, 5):
+        got = (
+            winsorized_stats(
+                ray.data.from_pandas(df).repartition(parts),
+                group_col="source", value_col="n_chars",
+                q_lo=0.1, q_hi=0.9, num_partitions=4,
+            )
+            .to_pandas()
+            .set_index("source")
+        )
+        for g, (n, lo, hi, ws) in want.items():
+            assert got.loc[g, "n"] == n
+            assert got.loc[g, "lo_val"] == lo
+            assert got.loc[g, "hi_val"] == hi
+            assert got.loc[g, "wins_sum"] == ws
+    # the outliers must not dominate: wins_sum < raw sum
+    assert got["wins_sum"].sum() < df["n_chars"].sum()
+
+
+def test_nfc_dedup_matches_decomposed_twin():
+    from rabbittclust_ray.stages.dedup import dedup_normalized
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], np.int64),
+            "text": [
+                "résumé body",       # precomposed
+                "résumé body",     # decomposed twin
+                "resume body",                  # plain: NOT a dup
+            ],
+        }
+    )
+    got = (
+        dedup_normalized(
+            ray.data.from_pandas(docs), normalizer="nfc", keep="best"
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "is_dup"] == False  # noqa: E712 — rep
+    assert got.loc[2, "is_dup"] == True   # noqa: E712
+    assert got.loc[2, "group_rep"] == 1
+    assert got.loc[3, "is_dup"] == False  # noqa: E712
+    # ws normalizer alone must NOT merge the pair
+    ws = (
+        dedup_normalized(ray.data.from_pandas(docs), normalizer="ws")
+        .to_pandas()
+    )
+    assert not ws["is_dup"].any()
