@@ -3622,6 +3622,28 @@ def _q_nfc_dedup(sf_dir: str):
     )
 
 
+def _q_simhash_recall(sf_dir: str):
+    """Dedup eval harness: SimHash(hamming<=3) pair set scored against
+    the exact threshold pairs — (n_exact, n_simhash, n_common) as exact
+    integers (recall/precision are the two ratios)."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.pairs import pair_set_compare
+    from rabbittclust_ray.stages.text import simhash_near_dups
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sh = simhash_near_dups(ds, max_hamming=3, hasher="sha").map_batches(
+        lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+    )
+    ex = _exact_mst_cached(sf_dir, EX_THRESHOLD).edges.map_batches(
+        lambda t: pa.table(
+            {"u": t["u"].cast(pa.int64()), "v": t["v"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return pair_set_compare(ex, sh, num_partitions=16)
+
+
 def _q_grouped_mad(sf_dir: str):
     """Exact per-source median + MAD of doc lengths (robust dispersion,
     single exchange over the value domain)."""
@@ -4163,6 +4185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_audit": _q_orphan_audit,
         "winsorized_lengths": _q_winsorized_lengths,
         "nfc_dedup": _q_nfc_dedup,
+        "simhash_recall": _q_simhash_recall,
     }
 
 
@@ -5735,6 +5758,16 @@ def oracle_sql() -> dict[str, str]:
                          // (deg.d * (deg.d - 1))
                     ELSE 0 END AS BIGINT) AS cc_ppm
         FROM deg LEFT JOIN pernode p ON p.node = deg.node
+    """
+    sql["simhash_recall"] = f"""
+        WITH sh AS MATERIALIZED (
+            SELECT u, v FROM ({_simhash_sql()})
+        ),
+        {_sql_edges_cte(EX_THRESHOLD)}
+        SELECT (SELECT count(*) FROM edges) AS n_a,
+               (SELECT count(*) FROM sh) AS n_b,
+               (SELECT count(*) FROM edges e
+                JOIN sh ON sh.u = e.u AND sh.v = e.v) AS n_common
     """
     sql.update(_profile_sql())
     sql.update(_tpch_sql())

@@ -1155,3 +1155,100 @@ def candidate_edges(
 
     return hash_exchange(partials, "pair_key", aggregate_and_score, p,
                          input_prepped=True)
+
+
+def pair_set_compare(
+    pairs_a: ray.data.Dataset,
+    pairs_b: ray.data.Dataset,
+    *,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Compare two candidate-pair sets (columns ``u``, ``v``; u < v,
+    rows distinct): output ONE row (n_a, n_b, n_common) — the
+    recall/precision eval harness for approximate dedup paths
+    (n_common/n_a = recall of B against truth A; n_common/n_b =
+    precision), kept as exact integers.
+
+    Shape: both sets tagged and keyed on the splitmix pair hash through
+    ONE exchange; membership decided on REAL (u, v) values per
+    partition (the hash only routes); each partition emits a single
+    bookkeeping row, a single-partition sum finishes."""
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            key = splitmix_pair(
+                u.astype(np.uint64), v.astype(np.uint64)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(u), side, np.int8), pa.int8()
+                    ),
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                }
+            )
+
+        return fn
+
+    empty = pa.table(
+        {
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        amask = side == 0
+        na, nb = int(amask.sum()), int((~amask).sum())
+        if na and nb:
+            pairs = np.stack([u, v], axis=1)
+            _, inv = np.unique(pairs, axis=0, return_inverse=True)
+            in_a = np.zeros(inv.max() + 1, dtype=bool)
+            in_a[inv[amask]] = True
+            common = int(in_a[inv[~amask]].sum())
+        else:
+            common = 0
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "n_common": pa.array([common], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_a": pa.array([0], pa.int64()),
+                    "n_b": pa.array([0], pa.int64()),
+                    "n_common": pa.array([0], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                c: pa.array(
+                    [int(t[c].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                )
+                for c in ("n_a", "n_b", "n_common")
+            }
+        )
+
+    both = pairs_a.map_batches(tag(0), batch_format="pyarrow").union(
+        pairs_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+    partials = hash_exchange(both, "key", reduce, num_partitions)
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )

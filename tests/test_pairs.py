@@ -176,3 +176,27 @@ def test_assert_unique_ids():
     bad = ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 2, 2, 3], pa.int64())}))
     with _pytest.raises(ValueError, match="duplicate doc_ids"):
         assert_unique_ids(bad, num_buckets=4)
+
+
+def test_pair_set_compare_counts():
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import pair_set_compare
+
+    a = pd.DataFrame({"u": [1, 1, 2, 5], "v": [2, 3, 3, 9]})
+    b = pd.DataFrame({"u": [1, 2, 7], "v": [2, 3, 8]})
+    for parts in (1, 3):
+        got = pair_set_compare(
+            ray.data.from_pandas(a).repartition(parts),
+            ray.data.from_pandas(b).repartition(parts),
+            num_partitions=4,
+        ).to_pandas()
+        assert got["n_a"].tolist() == [4]
+        assert got["n_b"].tolist() == [3]
+        assert got["n_common"].tolist() == [2]  # (1,2), (2,3)
+    # disjoint sets
+    c = pd.DataFrame({"u": [100], "v": [200]})
+    got = pair_set_compare(
+        ray.data.from_pandas(a), ray.data.from_pandas(c)
+    ).to_pandas()
+    assert got["n_common"].tolist() == [0]
