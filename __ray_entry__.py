@@ -3644,6 +3644,16 @@ def _q_simhash_recall(sf_dir: str):
     return pair_set_compare(ex, sh, num_partitions=16)
 
 
+def _q_rolling_active(sf_dir: str):
+    """DAU/WAU tier: per active day, distinct users that day and in the
+    trailing 7-day window (sliding COUNT DISTINCT via map-side window
+    replication of per-batch-distinct (user, day) pairs)."""
+    from rabbittclust_ray.stages.events import rolling_active_users
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rolling_active_users(ds, window_days=7, num_partitions=16)
+
+
 def _q_grouped_mad(sf_dir: str):
     """Exact per-source median + MAD of doc lengths (robust dispersion,
     single exchange over the value domain)."""
@@ -4186,6 +4196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_lengths": _q_winsorized_lengths,
         "nfc_dedup": _q_nfc_dedup,
         "simhash_recall": _q_simhash_recall,
+        "rolling_active_users": _q_rolling_active,
     }
 
 
@@ -5781,6 +5792,23 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "rolling_active_users": """
+            WITH a AS (
+                SELECT DISTINCT user_id AS u,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events
+            ),
+            w AS (SELECT u, d + o.o AS day FROM a, range(0, 7) o(o)),
+            wau AS (
+                SELECT day, count(DISTINCT u) AS wau FROM w GROUP BY 1
+            ),
+            dau AS (
+                SELECT d AS day, count(DISTINCT u) AS dau
+                FROM a GROUP BY 1
+            )
+            SELECT dau.day, dau.dau, wau.wau
+            FROM dau JOIN wau USING (day) ORDER BY 1
+        """,
         "time_weighted_value": """
             WITH e AS (
                 SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -1362,3 +1362,107 @@ def cusum_drift(
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     return hash_exchange(prepped, "user_id", reduce, num_partitions)
+
+
+def rolling_active_users(
+    ds: ray.data.Dataset,
+    *,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Sliding-window distinct actives (the DAU/WAU tier): for every day
+    with activity, the number of DISTINCT users active in the trailing
+    ``window_days`` window ending that day (inclusive), plus that day's
+    own DAU.  Output (day, dau, wau), day = epoch days.
+
+    Scale shape: sliding COUNT DISTINCT cannot pre-aggregate counts (the
+    same user spans windows), so the exchange unit is the (user, day)
+    DISTINCT pair — per-batch deduped (the combiner), replicated into
+    its <= window_days covering windows ON THE MAP SIDE, then ONE
+    day-keyed exchange counts distinct users per window-end day.
+    Shuffled volume: window_days x per-batch distinct (user, day) —
+    bounded by activity granularity, never raw event volume."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "u": pa.array([], pa.int64()),
+            "is_dau": pa.array([], pa.bool_()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        day = (
+            ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        uu, dd = pairs[:, 0], pairs[:, 1]
+        # replicate into covering windows (end day = dd .. dd+w-1)
+        offs = np.arange(window_days, dtype=np.int64)
+        wday = (dd[:, None] + offs[None, :]).ravel()
+        wu = np.repeat(uu, window_days)
+        is_dau = np.zeros(len(wday), dtype=bool)
+        is_dau[0::window_days] = True  # offset 0 = the activity day
+        return pa.table(
+            {
+                "day": pa.array(wday, pa.int64()),
+                "u": pa.array(wu, pa.int64()),
+                "is_dau": pa.array(is_dau),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "dau": pa.array([], pa.int64()),
+            "wau": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        day = t["day"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        is_dau = t["is_dau"].to_numpy(zero_copy_only=False)
+        # distinct (day, u) for wau; distinct (day, u) where is_dau for dau
+        both = np.stack([day, u], axis=1)
+        uniq, inv = np.unique(both, axis=0, return_inverse=True)
+        dau_flag = np.zeros(len(uniq), dtype=bool)
+        np.logical_or.at(dau_flag, inv, is_dau)
+        udays, wau = np.unique(uniq[:, 0], return_counts=True)
+        ddays, dau = np.unique(
+            uniq[dau_flag][:, 0], return_counts=True
+        )
+        dau_full = np.zeros(len(udays), dtype=np.int64)
+        dau_full[np.searchsorted(udays, ddays)] = dau
+        return pa.table(
+            {
+                "day": pa.array(udays, pa.int64()),
+                "dau": pa.array(dau_full, pa.int64()),
+                "wau": pa.array(wau.astype(np.int64), pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = hash_exchange(prepped, "day", reduce, num_partitions)
+
+    # drop synthetic trailing window-end days with no real activity
+    def keep_active(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pa.array(t["dau"].to_numpy(zero_copy_only=False) > 0)
+        )
+
+    return out.map_batches(keep_active, batch_format="pyarrow")

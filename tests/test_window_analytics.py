@@ -132,3 +132,32 @@ def test_clustering_coefficient_known(parts):
     assert got.loc[1, "cc_ppm"] == 1_000_000
     assert got.loc[2, "cc_ppm"] == 1_000_000
     assert got.loc[3, "cc_ppm"] == 0 and got.loc[3, "degree"] == 1
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_rolling_active_users_brute(parts):
+    from rabbittclust_ray.stages.events import rolling_active_users
+
+    df = _events(seed=5, n=500, users=20)
+    day = _us(df["ts"]) // 86_400_000_000
+    act = set(zip(df["user_id"], day))
+    days = sorted({d for _, d in act})
+    want = {}
+    for d in days:
+        dau = len({u for u, dd in act if dd == d})
+        wau = len({u for u, dd in act if d - 6 <= dd <= d})
+        want[d] = (dau, wau)
+    got = (
+        rolling_active_users(
+            ray.data.from_pandas(df).repartition(parts),
+            window_days=7, num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("day")
+        .sort_index()
+    )
+    assert set(got.index) == set(days)  # only active days reported
+    for d, (dau, wau) in want.items():
+        assert got.loc[d, "dau"] == dau
+        assert got.loc[d, "wau"] == wau
+    assert (got["wau"] >= got["dau"]).all()
