@@ -3854,6 +3854,88 @@ def _pq_sql(m: int, k: int, n_iter: int, dim: int) -> str:
     )
 
 
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ ANN stack (nprobe=1, non-residual PQ, integer ADC): the
+    query's coarse cell is searched by pure codebook table lookups —
+    the billion-vector configuration, fully SQL-replayed (coarse
+    k-means ladder + per-subspace PQ ladders + integer LUT)."""
+    from rabbittclust_ray.stages.ann import ivfpq_topk
+
+    ds = _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivfpq_topk(
+        ds, query_id=0, num_cells=8, m=4, k=8, n_iter=2, topk=10,
+        num_partitions=16,
+    )
+
+
+def _ivfpq_sql(
+    qid: int, num_cells: int, m: int, k: int, n_iter: int, dim: int,
+    topk: int,
+) -> str:
+    """Composed IVF-PQ oracle: coarse kmeans ladder (cells) +
+    per-subspace PQ ladders (codes AND codebook centroids) + integer
+    ADC lut — every stage reuses the tested kmeans_sql generator."""
+    from rabbittclust_ray.stages.kmeans import kmeans_sql
+
+    w = dim // m
+    views = [
+        f"sub{j} AS MATERIALIZED (SELECT vec_id,"
+        f" list_slice(embedding, {j * w + 1}, {(j + 1) * w})"
+        f" AS embedding FROM embeddings)"
+        for j in range(m)
+    ]
+    cells = (
+        "cells AS MATERIALIZED (SELECT * FROM ("
+        + kmeans_sql("embeddings", num_cells, n_iter)
+        + "))"
+    )
+    codes = "codes AS MATERIALIZED (" + " UNION ALL ".join(
+        f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace,"
+        f" cluster AS code FROM ({kmeans_sql(f'sub{j}', k, n_iter)})"
+        for j in range(m)
+    ) + ")"
+    books = "books AS MATERIALIZED (" + " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS subspace, cl AS code, c"
+        f" FROM ({kmeans_sql(f'sub{j}', k, n_iter, final='centroids')})"
+        for j in range(m)
+    ) + ")"
+    return f"""
+        WITH {', '.join(views)}, {cells}, {codes}, {books},
+        qv AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id = {qid}),
+        qc AS (SELECT cluster FROM cells WHERE vec_id = {qid}),
+        cand AS (SELECT c.vec_id FROM cells c, qc
+                 WHERE c.cluster = qc.cluster),
+        lut AS (
+            SELECT b.subspace, b.code,
+                   CAST((SELECT sum(
+                       (CAST(trunc(b.c[i] * 1000000) AS BIGINT)
+                        - CAST(trunc(q.e[CAST(b.subspace AS INT) * {w}
+                                         + i] * 1000000) AS BIGINT))
+                     * (CAST(trunc(b.c[i] * 1000000) AS BIGINT)
+                        - CAST(trunc(q.e[CAST(b.subspace AS INT) * {w}
+                                         + i] * 1000000) AS BIGINT)))
+                       FROM generate_series(1, {w}) t(i)) AS BIGINT) AS d
+            FROM books b, qv q
+        ),
+        adc AS (
+            SELECT cd.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist_int
+            FROM codes cd
+            JOIN cand USING (vec_id)
+            JOIN lut l ON l.subspace = cd.subspace AND l.code = cd.code
+            GROUP BY 1
+        )
+        SELECT CAST({qid} AS BIGINT) AS query_id,
+               vec_id AS neighbor_id, adc_dist_int,
+               CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  ORDER BY adc_dist_int, vec_id) AS rn FROM adc)
+        WHERE rn <= {topk}
+    """
+
+
 def _q_kcore(sf_dir: str):
     """Fixed-round synchronous 2-core peel over the exact threshold
     graph: chains and tree fringes peel away, cyclic/dense near-dup
@@ -4197,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_dedup": _q_nfc_dedup,
         "simhash_recall": _q_simhash_recall,
         "rolling_active_users": _q_rolling_active,
+        "ann_ivfpq": _q_ann_ivfpq,
     }
 
 
@@ -5700,6 +5783,7 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_sql_edges_cte(EX_STATS_THRESHOLD)}," + kcore_sql(2, 3)
     )
     sql["pq_codes"] = _pq_sql(4, 8, 2, 64)
+    sql["ann_ivfpq"] = _ivfpq_sql(0, 8, 4, 8, 2, 64, 10)
     sql["triangle_counts"] = f"""
         WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
         tri AS MATERIALIZED (

@@ -830,3 +830,164 @@ def pq_topk(
             ),
         }
     )
+
+
+def ivfpq_topk(
+    ds: ray.data.Dataset,
+    query_id: int,
+    *,
+    num_cells: int = 8,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    topk: int = 10,
+    trunc_decimals: int = 6,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 64,
+) -> "pa.Table":
+    """IVF-PQ (the billion-vector ANN stack, Jegou et al. 2011,
+    simplified to non-residual PQ so both stages stay SQL-replayable):
+    an IVF coarse quantizer restricts the search to the query's cell
+    (nprobe=1, in-corpus query), and candidates are ranked by
+    asymmetric-distance over PQ codes — a pure ``m`` table lookups per
+    candidate, no float vectors at query time.
+
+    The ADC table is INTEGER: both codebook centroids and the query are
+    truncated to ``trunc_decimals`` then scaled to int64, so
+    ``lut[j, code] = sum((cb_int - q_int)^2)`` and the final ranking
+    (dist asc, id asc) is bit-reproducible in SQL — unlike a float ADC,
+    whose summation order would diverge between backends.
+
+    Shape: cells + codes + codebooks reuse their tested stages; the
+    candidate cut and scoring run through ONE id-keyed exchange
+    (candidates as side rows, codes as fact rows); each partition emits
+    its local top-k and a single-partition pass finishes.  Output
+    (query_id, neighbor_id, adc_dist_int, rank)."""
+    from rabbittclust_ray.stages.kmeans import kmeans_embeddings
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    cells = kmeans_embeddings(
+        ds, k=num_cells, n_iter=n_iter, id_col=id_col, vec_col=emb_col,
+        trunc_decimals=trunc_decimals,
+    ).materialize()
+
+    def _only(pred_col: str, val: int, src):
+        def f(t: pa.Table) -> pa.Table:
+            x = t[pred_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(x == val))
+
+        return src.map_batches(f, batch_format="pyarrow")
+
+    qrow = _only(id_col, query_id, ds).take_all()
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not in dataset")
+    qvec = np.asarray(qrow[0][emb_col], dtype=np.float64)
+    q_cell = int(_only(id_col, query_id, cells).take_all()[0]["cluster"])
+
+    scale = 10 ** trunc_decimals
+    books = pq_codebooks(
+        ds, m=m, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col,
+        trunc_decimals=trunc_decimals,
+    )  # (m, k, w) truncated floats
+    w = books.shape[2]
+    q_int = np.trunc(qvec * scale).astype(np.int64)
+    b_int = np.trunc(books * scale).astype(np.int64)
+    lut = np.zeros((m, k), dtype=np.int64)
+    for j in range(m):
+        diff = b_int[j] - q_int[j * w:(j + 1) * w][None, :]
+        lut[j] = (diff * diff).sum(axis=1)
+    lref = ray.put(lut)
+
+    codes = pq_codes(
+        ds, m=m, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col,
+        trunc_decimals=trunc_decimals,
+    )
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        x = t["cluster"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(x == q_cell))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "key": sel[id_col].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "subspace": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "code": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_codes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t[id_col].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "subspace": t["subspace"],
+                "code": t["code"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "neighbor_id": pa.array([], pa.int64()),
+            "adc_dist_int": pa.array([], pa.int64()),
+        }
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        lt = ray.get(lref)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        cand = np.unique(keys[side == 0])
+        if not len(cand):
+            return empty
+        fmask = side == 1
+        fk = keys[fmask]
+        keep = np.isin(fk, cand)
+        fk = fk[keep]
+        sub = t["subspace"].to_numpy(zero_copy_only=False)[fmask][keep]
+        code = t["code"].to_numpy(zero_copy_only=False)[fmask][keep]
+        uids, inv = np.unique(fk, return_inverse=True)
+        s = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(s, inv, lt[sub, code])
+        take = min(topk, len(uids))
+        order = np.lexsort((uids, s))[:take]
+        return pa.table(
+            {
+                "neighbor_id": pa.array(uids[order], pa.int64()),
+                "adc_dist_int": pa.array(s[order], pa.int64()),
+            }
+        )
+
+    both = cells.map_batches(tag_cand, batch_format="pyarrow").union(
+        codes.map_batches(tag_codes, batch_format="pyarrow")
+    )
+    locs = hash_exchange(both, "key", score, num_partitions)
+    rows = locs.take_all()
+    if not rows:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "adc_dist_int": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    ids = np.array([r["neighbor_id"] for r in rows], dtype=np.int64)
+    dist = np.array([r["adc_dist_int"] for r in rows], dtype=np.int64)
+    order = np.lexsort((ids, dist))[:topk]
+    return pa.table(
+        {
+            "query_id": pa.array(
+                np.full(len(order), query_id, np.int64), pa.int64()
+            ),
+            "neighbor_id": pa.array(ids[order], pa.int64()),
+            "adc_dist_int": pa.array(dist[order], pa.int64()),
+            "rank": pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+            ),
+        }
+    )

@@ -133,9 +133,13 @@ def kmeans_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trunc_decimals: int = 6,
+    final: str = "assign",
 ) -> str:
     """DuckDB replay of :func:`kmeans_embeddings` — the iteration is
-    unrolled into one CTE pair (assign, update) per Lloyd step."""
+    unrolled into one CTE pair (assign, update) per Lloyd step.
+    ``final="assign"`` (default) selects the per-vector labels;
+    ``final="centroids"`` selects the trained ``(cl, c)`` centroid lists
+    instead (the codebook surface composed oracles need)."""
     scale = 10 ** trunc_decimals
     cte = [
         f"""c0 AS MATERIALIZED (
@@ -178,6 +182,11 @@ def kmeans_sql(
             ) n USING (cl)
         )"""
         )
+    if final == "centroids":
+        return f"""
+        WITH {', '.join(cte)}
+        SELECT cl, c FROM c{n_iter}
+        """
     return f"""
         WITH {', '.join(cte)}
         SELECT {id_col}, cl AS cluster FROM (

@@ -234,3 +234,91 @@ class TestPQ:
         got = pq_topk(codes, books, q, topk=10).to_pandas()
         assert list(got["vec_id"].astype(int)) == list(order)
         assert np.allclose(got["adc_dist"].to_numpy(), want_d[order], atol=0)
+
+
+def test_ivfpq_exact_on_cell_and_self_first():
+    """IVF-PQ with num_cells=1 (every vector a candidate) must equal an
+    exact integer-ADC brute force over the whole set; the in-corpus
+    query ranks itself first (its own codes give the minimal ADC)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.ann import (
+        ivfpq_topk, pq_codebooks, pq_codes,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 80, 16
+    emb = rng.uniform(-1, 1, (n, d)).round(4)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+
+    got = ivfpq_topk(
+        ds, query_id=3, num_cells=1, m=4, k=4, n_iter=2, topk=8,
+        num_partitions=4,
+    ).to_pandas()
+    assert got["neighbor_id"].iloc[0] == 3  # self is nearest
+
+    # brute-force integer ADC replay
+    books = pq_codebooks(ds, m=4, k=4, n_iter=2)
+    codes = (
+        pq_codes(ds, m=4, k=4, n_iter=2)
+        .to_pandas()
+        .pivot(index="vec_id", columns="subspace", values="code")
+        .sort_index()
+    )
+    w = d // 4
+    q_int = np.trunc(emb[3] * 1e6).astype(np.int64)
+    b_int = np.trunc(books * 1e6).astype(np.int64)
+    lut = np.zeros((4, 4), dtype=np.int64)
+    for j in range(4):
+        diff = b_int[j] - q_int[j * w:(j + 1) * w][None, :]
+        lut[j] = (diff * diff).sum(axis=1)
+    dist = np.array(
+        [
+            sum(lut[j, codes.loc[i, j]] for j in range(4))
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    order = np.lexsort((np.arange(n), dist))[:8]
+    assert got["neighbor_id"].tolist() == list(order)
+    assert got["adc_dist_int"].tolist() == dist[order].tolist()
+
+
+def test_ivfpq_restricts_to_query_cell():
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.ann import ivfpq_topk
+    from rabbittclust_ray.stages.kmeans import kmeans_embeddings
+
+    rng = np.random.default_rng(32)
+    # two well-separated blobs -> 2 clean cells
+    a = rng.normal(0, 0.05, (30, 8)) + 1.0
+    b = rng.normal(0, 0.05, (30, 8)) - 1.0
+    emb = np.vstack([a, b]).round(4)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+    )
+    cells = kmeans_embeddings(ds, k=2, n_iter=2).to_pandas()
+    qcell = cells.set_index("vec_id").loc[0, "cluster"]
+    members = set(
+        cells[cells["cluster"] == qcell]["vec_id"].tolist()
+    )
+    got = ivfpq_topk(
+        ds, query_id=0, num_cells=2, m=2, k=4, n_iter=2, topk=60,
+    ).to_pandas()
+    assert set(got["neighbor_id"]) <= members
+    assert len(got) == len(members)
