@@ -504,6 +504,65 @@ def run_bench() -> dict:
 
     queries["q_analytics_ops"] = timed_best(run_analytics_ops)
 
+    # ---- integrity/export tier: checksum, compaction planner, sorted
+    # shards, referential audit, DAU/WAU — the data-ops surface a 100-TB
+    # ingest runs around every load
+    from rabbittclust_ray.stages.events import rolling_active_users
+    from rabbittclust_ray.stages.export import (
+        compaction_plan,
+        sorted_shard_manifest,
+        table_checksum,
+    )
+    from rabbittclust_ray.stages.relational import orphan_audit
+
+    def with_len(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content": t["content"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(t["content"]), pa.int64()
+                ),
+            }
+        )
+
+    integ_ds = cur_ds.map_batches(with_len, batch_format="pyarrow")
+    li_keys = ray.data.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    ord_keys = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]
+    )
+
+    def damage(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 97 != 0))
+
+    def run_integrity_ops():
+        table_checksum(integ_ds, text_col="content")
+        compaction_plan(
+            integ_ds.select_columns(["doc_id", "n_chars"]),
+            size_col="n_chars", cap=200_000, num_buckets=32,
+            num_partitions=64,
+        ).count()
+        sorted_shard_manifest(
+            integ_ds.select_columns(["n_chars"]), "n_chars", 16,
+            num_partitions=64,
+        ).count()
+        orphan_audit(
+            li_keys, ord_keys.map_batches(damage, batch_format="pyarrow"),
+            child_key="l_orderkey", parent_key="o_orderkey",
+            num_partitions=64,
+        ).count()
+        rolling_active_users(
+            ev_small.select_columns(["user_id", "ts"]),
+            window_days=7, num_partitions=64,
+        ).count()
+
+    queries["q_integrity_ops"] = timed_best(run_integrity_ops)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",
