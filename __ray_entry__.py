@@ -3865,14 +3865,14 @@ def _q_ann_ivfpq(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return ivfpq_topk(
-        ds, query_id=0, num_cells=8, m=4, k=8, n_iter=2, topk=10,
-        num_partitions=16,
+        ds, query_id=0, num_cells=8, nprobe=2, m=4, k=8, n_iter=2,
+        topk=10, num_partitions=16,
     )
 
 
 def _ivfpq_sql(
     qid: int, num_cells: int, m: int, k: int, n_iter: int, dim: int,
-    topk: int,
+    topk: int, nprobe: int = 1,
 ) -> str:
     """Composed IVF-PQ oracle: coarse kmeans ladder (cells) +
     per-subspace PQ ladders (codes AND codebook centroids) + integer
@@ -3901,13 +3901,20 @@ def _ivfpq_sql(
         f" FROM ({kmeans_sql(f'sub{j}', k, n_iter, final='centroids')})"
         for j in range(m)
     ) + ")"
+    ccents = (
+        "ccents AS MATERIALIZED (SELECT cl, c FROM ("
+        + kmeans_sql("embeddings", num_cells, n_iter, final="centroids")
+        + "))"
+    )
     return f"""
-        WITH {', '.join(views)}, {cells}, {codes}, {books},
+        WITH {', '.join(views)}, {cells}, {codes}, {books}, {ccents},
         qv AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
                WHERE vec_id = {qid}),
-        qc AS (SELECT cluster FROM cells WHERE vec_id = {qid}),
-        cand AS (SELECT c.vec_id FROM cells c, qc
-                 WHERE c.cluster = qc.cluster),
+        probed AS (SELECT cl FROM ccents, qv
+                   ORDER BY list_distance(ccents.c, qv.e), cl
+                   LIMIT {nprobe}),
+        cand AS (SELECT c.vec_id FROM cells c
+                 JOIN probed p ON c.cluster = p.cl),
         lut AS (
             SELECT b.subspace, b.code,
                    CAST((SELECT sum(
@@ -5783,7 +5790,7 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_sql_edges_cte(EX_STATS_THRESHOLD)}," + kcore_sql(2, 3)
     )
     sql["pq_codes"] = _pq_sql(4, 8, 2, 64)
-    sql["ann_ivfpq"] = _ivfpq_sql(0, 8, 4, 8, 2, 64, 10)
+    sql["ann_ivfpq"] = _ivfpq_sql(0, 8, 4, 8, 2, 64, 10, nprobe=2)
     sql["triangle_counts"] = f"""
         WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
         tri AS MATERIALIZED (

@@ -837,6 +837,7 @@ def ivfpq_topk(
     query_id: int,
     *,
     num_cells: int = 8,
+    nprobe: int = 1,
     m: int = 4,
     k: int = 8,
     n_iter: int = 2,
@@ -883,7 +884,20 @@ def ivfpq_topk(
     if not qrow:
         raise ValueError(f"query_id {query_id} not in dataset")
     qvec = np.asarray(qrow[0][emb_col], dtype=np.float64)
-    q_cell = int(_only(id_col, query_id, cells).take_all()[0]["cluster"])
+    # probed cells: the nprobe centroids nearest to the query (squared
+    # Euclidean, tie -> lower cell id — the same float-compare class the
+    # oracle's list_distance assignment rule already replicates)
+    from rabbittclust_ray.stages.kmeans import kmeans_centroid_values
+
+    cents = kmeans_centroid_values(
+        ds, k=num_cells, n_iter=n_iter, id_col=id_col, vec_col=emb_col,
+        trunc_decimals=trunc_decimals,
+    )  # (num_cells, d) truncated floats, row index == cell id
+    d2 = ((cents - qvec[None, :]) ** 2).sum(axis=1)
+    probe_cells = np.lexsort((np.arange(num_cells), d2))[
+        : max(1, min(nprobe, num_cells))
+    ]
+    probe_set = set(int(c) for c in probe_cells)
 
     scale = 10 ** trunc_decimals
     books = pq_codebooks(
@@ -904,9 +918,11 @@ def ivfpq_topk(
         trunc_decimals=trunc_decimals,
     )
 
+    probe_arr = np.array(sorted(probe_set), dtype=np.int64)
+
     def tag_cand(t: pa.Table) -> pa.Table:
         x = t["cluster"].to_numpy(zero_copy_only=False)
-        sel = t.filter(pa.array(x == q_cell))
+        sel = t.filter(pa.array(np.isin(x, probe_arr)))
         n = sel.num_rows
         return pa.table(
             {

@@ -56,6 +56,42 @@ def kmeans_embeddings(
     Distances are squared Euclidean in float64 (argmin-equivalent to the
     Euclidean ``list_distance`` the SQL oracle uses).
     """
+    c = kmeans_centroid_values(
+        ds, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        trunc_decimals=trunc_decimals,
+    )
+
+    def assign(t: pa.Table, c=c) -> pa.Table:
+        X = _emb_matrix(t, vec_col)
+        d2 = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * (X @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        a = d2.argmin(1).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_centroid_values(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trunc_decimals: int = 6,
+) -> np.ndarray:
+    """The Lloyd trainer behind :func:`kmeans_embeddings`: returns the
+    final ``(k, d)`` truncated centroid array (row index == cell id) —
+    the centroid surface composed consumers (IVF probe ranking, the
+    ``kmeans_sql(final='centroids')`` oracle) build on."""
     if k <= 0 or n_iter < 0:
         raise ValueError("k must be positive, n_iter non-negative")
 
@@ -105,25 +141,7 @@ def kmeans_embeddings(
         new[nz] = _trunc(sums[nz] / counts[nz, None], trunc_decimals)
         cents = new
 
-    c = cents
-
-    def assign(t: pa.Table, c=c) -> pa.Table:
-        X = _emb_matrix(t, vec_col)
-        d2 = (
-            (X * X).sum(1)[:, None]
-            - 2.0 * (X @ c.T)
-            + (c * c).sum(1)[None, :]
-        )
-        a = d2.argmin(1).astype(np.int64)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "cluster": pa.array(a, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow")
+    return cents
 
 
 def kmeans_sql(

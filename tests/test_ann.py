@@ -322,3 +322,37 @@ def test_ivfpq_restricts_to_query_cell():
     ).to_pandas()
     assert set(got["neighbor_id"]) <= members
     assert len(got) == len(members)
+
+
+def test_ivfpq_nprobe_monotone_candidates():
+    """More probed cells can only widen the candidate set; nprobe ==
+    num_cells equals the exhaustive (num_cells=1-style) ranking."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.ann import ivfpq_topk
+
+    rng = np.random.default_rng(33)
+    n, d = 90, 8
+    emb = rng.uniform(-1, 1, (n, d)).round(4)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(3)
+    kw = dict(num_cells=4, m=2, k=4, n_iter=2, topk=n)
+    one = ivfpq_topk(ds, query_id=5, nprobe=1, **kw).to_pandas()
+    two = ivfpq_topk(ds, query_id=5, nprobe=2, **kw).to_pandas()
+    full = ivfpq_topk(ds, query_id=5, nprobe=4, **kw).to_pandas()
+    assert set(one["neighbor_id"]) <= set(two["neighbor_id"])
+    assert set(two["neighbor_id"]) <= set(full["neighbor_id"])
+    assert len(full) == n  # exhaustive probe covers everything
+    exhaustive = ivfpq_topk(
+        ds, query_id=5, num_cells=1, nprobe=1, m=2, k=4, n_iter=2,
+        topk=n,
+    ).to_pandas()
+    assert full["neighbor_id"].tolist() == exhaustive["neighbor_id"].tolist()
+    assert full["adc_dist_int"].tolist() == exhaustive["adc_dist_int"].tolist()
