@@ -3654,6 +3654,31 @@ def _q_rolling_active(sf_dir: str):
     return rolling_active_users(ds, window_days=7, num_partitions=16)
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    streams (prev -> next counts, tie-stable ordering)."""
+    from rabbittclust_ray.stages.events import event_transitions
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_transitions(ds, num_partitions=16)
+
+
+def _q_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization of doc lengths: every row
+    mapped to the GLOBAL value at its within-source rank position —
+    exact rank-based harmonization."""
+    from rabbittclust_ray.stages.stats import quantile_normalize
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return quantile_normalize(ds, num_partitions=16)
+
+
 def _q_grouped_mad(sf_dir: str):
     """Exact per-source median + MAD of doc lengths (robust dispersion,
     single exchange over the value domain)."""
@@ -4287,6 +4312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_recall": _q_simhash_recall,
         "rolling_active_users": _q_rolling_active,
         "ann_ivfpq": _q_ann_ivfpq,
+        "event_transitions": _q_event_transitions,
+        "quantile_normalize": _q_quantile_normalize,
     }
 
 
@@ -5883,6 +5910,42 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "quantile_normalize": """
+            WITH v AS (
+                SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+                FROM documents
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM v),
+            r AS (
+                SELECT doc_id, source, n_chars,
+                       count(*) OVER (PARTITION BY source
+                                      ORDER BY n_chars) AS c,
+                       count(*) OVER (PARTITION BY source) AS ng
+                FROM v
+            ),
+            gs AS (
+                SELECT n_chars AS gv,
+                       row_number() OVER (ORDER BY n_chars) AS rn
+                FROM v
+            )
+            SELECT r.doc_id, r.source, r.n_chars,
+                   gs.gv AS norm_value
+            FROM r, tot
+            JOIN gs ON gs.rn = (r.c * tot.nn + r.ng - 1) // r.ng
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS nxt
+                FROM events
+            )
+            SELECT event_type AS prev_event, nxt AS next_event,
+                   count(*) AS n_transitions
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "rolling_active_users": """
             WITH a AS (
                 SELECT DISTINCT user_id AS u,

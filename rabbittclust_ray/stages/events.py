@@ -1466,3 +1466,119 @@ def rolling_active_users(
         )
 
     return out.map_batches(keep_active, batch_format="pyarrow")
+
+
+def event_transitions(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts over per-user event streams:
+    for every adjacent pair in a user's (ts, event_id)-ordered sequence,
+    count (prev_event -> next_event) across all users — the behavioral
+    transition matrix (funnel discovery, anomaly scoring).  Output
+    (prev_event, next_event, n_transitions).
+
+    Shape: ONE user-keyed exchange; each reducer sorts its complete
+    users, forms adjacent pairs with a vectorized shift (user-boundary
+    rows masked), and collapses to local (a, b, count) partials — the
+    transition alphabet is tiny (|types|^2), so a single-partition sum
+    finishes on a driver-safe table."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "prev_event": pa.array([], pa.string()),
+            "next_event": pa.array([], pa.string()),
+            "n_transitions": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_id": t[id_col],
+                "user_id": t[user_col],
+                "ts_us": ts.cast(pa.int64()),
+                "etype": t[type_col],
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        et = t["etype"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        n = len(uid)
+        if n < 2:
+            return empty
+        same_user = uid[1:] == uid[:-1]
+        a = et[:-1][same_user]
+        b = et[1:][same_user]
+        if not len(a):
+            return empty
+        g = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "prev_event": pa.array(
+                    g["a"].to_numpy().astype(str), pa.string()
+                ),
+                "next_event": pa.array(
+                    g["b"].to_numpy().astype(str), pa.string()
+                ),
+                "n_transitions": pa.array(
+                    g["n"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        g = (
+            t.to_pandas()
+            .groupby(["prev_event", "next_event"], sort=True,
+                     as_index=False)["n_transitions"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "prev_event": pa.array(
+                    g["prev_event"].to_numpy().astype(str), pa.string()
+                ),
+                "next_event": pa.array(
+                    g["next_event"].to_numpy().astype(str), pa.string()
+                ),
+                "n_transitions": pa.array(
+                    g["n_transitions"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    partials = hash_exchange(prepped, "user_id", reduce, num_partitions)
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -1159,3 +1159,118 @@ def winsorized_stats(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(partials, "gkey", reduce, num_partitions)
+
+
+def quantile_normalize(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """Cross-group QUANTILE NORMALIZATION: map every row's value to the
+    GLOBAL value at the row's within-group quantile position — the
+    rank-based harmonizer that puts differently-scaled sources on one
+    distribution (microarray-style quantile normalization, exact):
+
+        c      = #{rows in my group with value <= mine}   (peers incl.)
+        grank  = ceil(c * N / n_group)      (1-based, exact integers)
+        norm   = global value at order statistic ``grank``
+
+    Output (id, group, value, norm_value).  Overflow bound: c * N <
+    2^63 caps the corpus at ~3e9 rows; bucket values beyond that.
+
+    Shape: the global order statistic comes from the DISTINCT-value
+    histogram (ks_drift's transfer class) broadcast once via
+    ``ray.put``; the per-row work is ONE group-keyed exchange with the
+    same lexsort + run-end scan as cume_dist_by plus two searchsorted
+    lookups — no global sort of raw rows ever happens."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    # global value histogram (distinct-value domain)
+    def vpartial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t[value_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(vpartial, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(rows).groupby("v", sort=True, as_index=False)["c"].sum()
+    gvals = df["v"].to_numpy(np.int64)
+    gcum = df["c"].to_numpy(np.int64).cumsum()
+    n_total = int(gcum[-1]) if len(gcum) else 0
+    gref = ray.put((gvals, gcum, n_total))
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            value_col: pa.array([], pa.int64()),
+            "norm_value": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                group_col: pa.array(g.astype(str), pa.string()),
+                value_col: t[value_col].cast(pa.int64()),
+                "norm_value": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                ),
+                "__gkey__": pa.array(
+                    pd.util.hash_array(g).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        gvals_, gcum_, nn = ray.get(gref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        ids, g, v = ids[order], g[order], v[order]
+        n = len(g)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g[1:] != g[:-1]
+        gstarts = np.flatnonzero(new_g)
+        gidx = np.cumsum(new_g) - 1
+        gcounts = np.diff(np.append(gstarts, n)).astype(np.int64)
+        new_run = new_g.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        ridx = np.cumsum(new_run) - 1
+        rstarts = np.flatnonzero(new_run)
+        rends = np.append(rstarts[1:], n)
+        c = rends[ridx] - gstarts[gidx]          # peers-incl cume count
+        ng = gcounts[gidx]
+        grank = (c * nn + ng - 1) // ng          # ceil, 1-based
+        norm = gvals_[np.searchsorted(gcum_, grank, side="left")]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                group_col: pa.array(g, pa.string()),
+                value_col: pa.array(v, pa.int64()),
+                "norm_value": pa.array(norm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(prepped, "__gkey__", reduce, num_partitions)

@@ -161,3 +161,60 @@ def test_rolling_active_users_brute(parts):
         assert got.loc[d, "dau"] == dau
         assert got.loc[d, "wau"] == wau
     assert (got["wau"] >= got["dau"]).all()
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_event_transitions_brute(parts):
+    from rabbittclust_ray.stages.events import event_transitions
+
+    df = _events(seed=13, n=300, users=9)
+    rng = np.random.default_rng(14)
+    df["event_type"] = rng.choice(["view", "click", "buy"], len(df))
+    want = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].tolist()
+        for a, b in zip(et, et[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = (
+        event_transitions(
+            ray.data.from_pandas(df).repartition(parts), num_partitions=4
+        )
+        .to_pandas()
+        .set_index(["prev_event", "next_event"])["n_transitions"]
+        .to_dict()
+    )
+    assert got == want
+
+
+def test_quantile_normalize_semantics():
+    from rabbittclust_ray.stages.stats import quantile_normalize
+
+    # two sources with disjoint scales: after normalization the top row
+    # of each source maps to the GLOBAL max, the bottom to global min
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "source": ["a"] * 4 + ["b"] * 4,
+            "n_chars": np.array(
+                [10, 20, 30, 40, 1000, 2000, 3000, 4000], np.int64
+            ),
+        }
+    )
+    got = (
+        quantile_normalize(ray.data.from_pandas(df).repartition(3),
+                           num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    gvals = np.sort(df["n_chars"].to_numpy())
+    # within-source rank c of 1..4, ng=4, N=8 -> grank = ceil(c*2)
+    for sid, base in (("a", 0), ("b", 4)):
+        sub = got[got["source"] == sid].sort_values("n_chars")
+        ranks = (np.arange(1, 5) * 8 + 3) // 4  # ceil(c*8/4)
+        assert sub["norm_value"].tolist() == gvals[ranks - 1].tolist()
+    # both sources normalize onto the SAME set of values
+    assert set(got[got["source"] == "a"]["norm_value"]) == set(
+        got[got["source"] == "b"]["norm_value"]
+    )
