@@ -3679,6 +3679,103 @@ def _q_quantile_normalize(sf_dir: str):
     return quantile_normalize(ds, num_partitions=16)
 
 
+def _q_trending_terms(sf_dir: str):
+    """Trending terms per day bucket: top-3 `[a-z]+` tokens per
+    synthesized day (doc_id % 30 — the corpus carries no timestamps;
+    the SQL twin applies the identical rule).  Composition: per-batch
+    (day, token) count partials -> ONE pair-keyed exchange -> the
+    tested topk_per_group under (count desc, token asc)."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.joins import topk_per_group
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        day = (ids % 30).astype(np.int64)
+        txt = pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), "[^a-z]+", " "
+        )
+        lists = pc.split_pattern(txt, " ")
+        flat = np.asarray(pc.list_flatten(lists))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"day": np.repeat(day, lens), "token": flat}
+        )
+        df = df[df["token"] != ""]
+        g = (
+            df.groupby(["day", "token"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        keys = (
+            g["day"].astype(str) + "\x1f" + g["token"]
+        ).to_numpy().astype(object)
+        return pa.table(
+            {
+                "__k__": pa.array(
+                    pd.util.hash_array(keys).astype(np.int64), pa.int64()
+                ),
+                "day": pa.array(g["day"].to_numpy(np.int64), pa.int64()),
+                "token": pa.array(
+                    g["token"].to_numpy().astype(str), pa.string()
+                ),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas()
+            .groupby(["day", "token"], sort=True, as_index=False)["n"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(np.int64), pa.int64()),
+                "token": pa.array(
+                    g["token"].to_numpy().astype(str), pa.string()
+                ),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    import numpy as np
+
+    counts = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__k__", reduce, 16,
+    )
+    return topk_per_group(
+        counts,
+        group_col="day",
+        order_cols=["n", "token"],
+        ascending=[False, True],
+        k=3,
+        keep_cols=["token", "n"],
+        num_partitions=16,
+    )
+
+
 def _q_grouped_mad(sf_dir: str):
     """Exact per-source median + MAD of doc lengths (robust dispersion,
     single exchange over the value domain)."""
@@ -4314,6 +4411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "event_transitions": _q_event_transitions,
         "quantile_normalize": _q_quantile_normalize,
+        "trending_terms": _q_trending_terms,
     }
 
 
@@ -5910,6 +6008,27 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "trending_terms": """
+            WITH tok AS (
+                SELECT doc_id % 30 AS day, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z]+',
+                                              ' ', 'g'), ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            c AS (
+                SELECT day, token, CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT day, token, n, CAST(rn AS BIGINT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY day ORDER BY n DESC, token) AS rn
+                FROM c
+            ) WHERE rn <= 3
+        """,
         "quantile_normalize": """
             WITH v AS (
                 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
