@@ -3679,6 +3679,33 @@ def _q_quantile_normalize(sf_dir: str):
     return quantile_normalize(ds, num_partitions=16)
 
 
+def _q_target_encoding(sf_dir: str):
+    """Smoothed target encoding of order priority against order value —
+    exact integer rationals (enc_num/enc_den), m=10 smoothing."""
+    from rabbittclust_ray.stages.stats import target_encode
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return target_encode(
+        ds, cat_col="o_orderpriority", target_col="o_totalprice",
+        smoothing=10, num_partitions=16,
+    )
+
+
+def _q_histogram_overlap(sf_dir: str):
+    """Exact histogram-intersection similarity between src0 and src1
+    doc-length distributions (bounded [0,1] rational — KS/chi-square's
+    symmetric cousin)."""
+    from rabbittclust_ray.stages.stats import histogram_overlap
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return histogram_overlap(ds, "src0", "src1", num_partitions=16)
+
+
 def _q_trending_terms(sf_dir: str):
     """Trending terms per day bucket: top-3 `[a-z]+` tokens per
     synthesized day (doc_id % 30 — the corpus carries no timestamps;
@@ -4412,6 +4439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "quantile_normalize": _q_quantile_normalize,
         "trending_terms": _q_trending_terms,
+        "target_encoding": _q_target_encoding,
+        "histogram_overlap": _q_histogram_overlap,
     }
 
 
@@ -6008,6 +6037,49 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "target_encoding": """
+            WITH v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(floor(o_totalprice * 100.0) AS BIGINT) AS t
+                FROM orders
+            ),
+            pc AS (
+                SELECT g, count(*) AS n, CAST(sum(t) AS BIGINT) AS s
+                FROM v GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(s) AS BIGINT) AS ss
+                FROM pc
+            )
+            SELECT g AS o_orderpriority, n AS n_rows,
+                   CAST(tot.nn * s + 10 * tot.ss AS BIGINT) AS enc_num,
+                   CAST(tot.nn * (n + 10) AS BIGINT) AS enc_den
+            FROM pc, tot ORDER BY 1
+        """,
+        "histogram_overlap": """
+            WITH c AS (
+                SELECT n_chars AS v,
+                       count(*) FILTER (WHERE source = 'src0') AS ca,
+                       count(*) FILTER (WHERE source = 'src1') AS cb
+                FROM documents
+                WHERE source IN ('src0', 'src1')
+                GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb
+                FROM c
+            )
+            SELECT CAST(sum(least(ca * nb, cb * na)) AS BIGINT)
+                       AS overlap_num,
+                   CAST(any_value(na) * any_value(nb) AS BIGINT)
+                       AS overlap_den,
+                   CAST(any_value(na) AS BIGINT) AS n_a,
+                   CAST(any_value(nb) AS BIGINT) AS n_b,
+                   count(*) AS n_bins
+            FROM c, tot
+        """,
         "trending_terms": """
             WITH tok AS (
                 SELECT doc_id % 30 AS day, token FROM (

@@ -1274,3 +1274,234 @@ def quantile_normalize(
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     return hash_exchange(prepped, "__gkey__", reduce, num_partitions)
+
+
+def target_encode(
+    ds: ray.data.Dataset,
+    *,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 10,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Smoothed target encoding as EXACT integer rationals — the
+    leakage-prone ML feature done reproducibly: for category g with
+    n_g rows summing sum_g (floor-CENTS target — cents, not ppm, keep
+    N * sum_g inside int64 to ~1e9 rows) against global (N, S),
+
+        enc = (sum_g + m * S / N) / (n_g + m)
+            = (N * sum_g + m * S) / (N * (n_g + m))
+
+    emitted as (category, n_rows, enc_num, enc_den) so no float division
+    ever happens (the consumer divides at use time).  Overflow bound:
+    N * sum_g < 2^63 (documented, same class as OLS).
+
+    Shape: per-batch (category, n, sum) combiners -> ONE tiny exchange;
+    the global scalar folds from one subtotal row per block."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t[cat_col].to_numpy(zero_copy_only=False).astype(str)
+        v = np.floor(
+            t[target_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"g": g, "v": v})
+            .groupby("g", sort=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .reset_index()
+        )
+        go = df["g"].to_numpy().astype(object)
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy().astype(str), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                "__gkey__": pa.array(
+                    pd.util.hash_array(go).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        df = t.to_pandas().groupby("g", sort=True, as_index=False).agg(
+            {"n": "sum", "s": "sum"}
+        )
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy().astype(str), pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_cat = hash_exchange(
+        partials, "__gkey__", reduce, num_partitions
+    ).materialize()
+
+    subs = per_cat.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array(
+                    [int(t["n"].to_numpy(zero_copy_only=False).sum())
+                     if t.num_rows else 0], pa.int64()
+                ),
+                "s": pa.array(
+                    [int(t["s"].to_numpy(zero_copy_only=False).sum())
+                     if t.num_rows else 0], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    big_n = sum(int(r["n"]) for r in subs)
+    big_s = sum(int(r["s"]) for r in subs)
+    m = smoothing
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    cat_col: pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "enc_num": pa.array([], pa.int64()),
+                    "enc_den": pa.array([], pa.int64()),
+                }
+            )
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        num = big_n * s + m * big_s
+        den = big_n * (n + m)
+        return pa.table(
+            {
+                cat_col: t["g"],
+                "n_rows": pa.array(n, pa.int64()),
+                "enc_num": pa.array(num.astype(np.int64), pa.int64()),
+                "enc_den": pa.array(den.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return per_cat.map_batches(finish, batch_format="pyarrow")
+
+
+def histogram_overlap(
+    ds: ray.data.Dataset,
+    group_a: str,
+    group_b: str,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Exact histogram-intersection similarity between two groups'
+    integer-value distributions, as an integer rational:
+
+        overlap = sum over distinct v of min(c_a(v)*n_b, c_b(v)*n_a)
+        (den = n_a * n_b; overlap/den in [0, 1], 1 = identical)
+
+    — the symmetric "how much of distribution A sits under B" signal
+    (KS and chi-square's bounded cousin).  Same combiner/exchange plan
+    as ks_drift; the driver finish touches the distinct-value domain.
+    Output (overlap_num, overlap_den, n_a, n_b, n_bins)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "v": pa.array([], pa.int64()),
+            "ca": pa.array([], pa.int64()),
+            "cb": pa.array([], pa.int64()),
+            "__gkey__": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            t[group_col], value_set=pa.array([group_a, group_b])
+        )
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        side = pc.equal(t[group_col], group_a).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "v": t[value_col].to_numpy(zero_copy_only=False),
+                "ca": side.astype(np.int64),
+                "cb": (~side).astype(np.int64),
+            }
+        )
+        g = df.groupby("v", sort=False, as_index=False).sum()
+        for c in ("v", "ca", "cb"):
+            g[c] = g[c].astype(np.int64)
+        g["__gkey__"] = pd.util.hash_array(
+            g["v"].to_numpy().astype(np.uint64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.drop_columns(["__gkey__"])
+        g = t.to_pandas().groupby("v", sort=True, as_index=False)[
+            ["ca", "cb"]
+        ].sum()
+        return pa.table(
+            {
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "ca": pa.array(g["ca"].to_numpy(np.int64)),
+                "cb": pa.array(g["cb"].to_numpy(np.int64)),
+            }
+        )
+
+    rows = hash_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "__gkey__", reduce, num_partitions,
+    ).take_all()
+    if not rows:
+        return pa.table(
+            {
+                "overlap_num": pa.array([0], pa.int64()),
+                "overlap_den": pa.array([0], pa.int64()),
+                "n_a": pa.array([0], pa.int64()),
+                "n_b": pa.array([0], pa.int64()),
+                "n_bins": pa.array([0], pa.int64()),
+            }
+        )
+    df = pd.DataFrame(rows).groupby("v", sort=True, as_index=False)[
+        ["ca", "cb"]
+    ].sum()
+    na = int(df["ca"].sum())
+    nb = int(df["cb"].sum())
+    ca = df["ca"].to_numpy(np.int64)
+    cb = df["cb"].to_numpy(np.int64)
+    overlap = int(np.minimum(ca * nb, cb * na).sum())
+    return pa.table(
+        {
+            "overlap_num": pa.array([overlap], pa.int64()),
+            "overlap_den": pa.array([na * nb], pa.int64()),
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "n_bins": pa.array([len(df)], pa.int64()),
+        }
+    )

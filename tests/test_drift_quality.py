@@ -244,3 +244,75 @@ def test_nfc_dedup_matches_decomposed_twin():
         .to_pandas()
     )
     assert not ws["is_dup"].any()
+
+
+def test_target_encode_brute_force():
+    from rabbittclust_ray.stages.stats import target_encode
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "cat": rng.choice(["x", "y", "z"], 300),
+            "val": rng.uniform(0, 100, 300).round(2),
+        }
+    )
+    t = np.floor(df["val"].to_numpy() * 100.0).astype(np.int64)
+    big_n, big_s = len(df), int(t.sum())
+    m = 10
+    for parts in (1, 4):
+        got = (
+            target_encode(
+                ray.data.from_pandas(df).repartition(parts),
+                cat_col="cat", target_col="val", smoothing=m,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .set_index("cat")
+        )
+        for g, sub in df.groupby("cat"):
+            sv = int(
+                np.floor(sub["val"].to_numpy() * 100.0)
+                .astype(np.int64).sum()
+            )
+            n = len(sub)
+            assert got.loc[g, "enc_num"] == big_n * sv + m * big_s
+            assert got.loc[g, "enc_den"] == big_n * (n + m)
+        # smoothing pulls encodings toward the global mean: every
+        # category's rational sits between its raw mean and the global
+        gm = big_s / big_n
+        for g, sub in df.groupby("cat"):
+            raw = np.floor(sub["val"].to_numpy() * 100.0).astype(
+                np.int64
+            ).sum() / len(sub)
+            enc = got.loc[g, "enc_num"] / got.loc[g, "enc_den"]
+            lo, hi = min(raw, gm), max(raw, gm)
+            assert lo - 1e-6 <= enc <= hi + 1e-6
+
+
+def test_histogram_overlap_bounds():
+    from rabbittclust_ray.stages.stats import histogram_overlap
+
+    same = pd.DataFrame(
+        {
+            "source": ["A", "B"] * 60,
+            "n_chars": np.repeat(np.arange(20), 6).astype(np.int64),
+        }
+    )
+    out = histogram_overlap(
+        ray.data.from_pandas(same), "A", "B"
+    ).to_pydict()
+    assert out["overlap_num"] == out["overlap_den"]  # identical -> 1
+
+    disj = pd.DataFrame(
+        {
+            "source": ["A"] * 30 + ["B"] * 30,
+            "n_chars": np.concatenate(
+                [np.arange(30), np.arange(100, 130)]
+            ).astype(np.int64),
+        }
+    )
+    out = histogram_overlap(
+        ray.data.from_pandas(disj).repartition(3), "A", "B",
+        num_partitions=4,
+    ).to_pydict()
+    assert out["overlap_num"] == [0]  # disjoint supports -> 0
