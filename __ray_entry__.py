@@ -3679,6 +3679,18 @@ def _q_quantile_normalize(sf_dir: str):
     return quantile_normalize(ds, num_partitions=16)
 
 
+def _q_last_touch(sf_dir: str):
+    """Last-touch conversion attribution: each purchase credited to the
+    user's most recent prior non-purchase event type."""
+    from rabbittclust_ray.stages.events import last_touch_attribution
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return last_touch_attribution(ds, target="purchase", num_partitions=16)
+
+
 def _q_target_encoding(sf_dir: str):
     """Smoothed target encoding of order priority against order value —
     exact integer rationals (enc_num/enc_den), m=10 smoothing."""
@@ -4441,6 +4453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _q_trending_terms,
         "target_encoding": _q_target_encoding,
         "histogram_overlap": _q_histogram_overlap,
+        "last_touch_attribution": _q_last_touch,
     }
 
 
@@ -6037,6 +6050,22 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "last_touch_attribution": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS attr
+                FROM events
+            )
+            SELECT coalesce(attr, '(none)') AS attributed_event,
+                   count(*) AS n_conversions
+            FROM s WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
         "target_encoding": """
             WITH v AS (
                 SELECT o_orderpriority AS g,

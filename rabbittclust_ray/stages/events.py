@@ -1582,3 +1582,137 @@ def event_transitions(
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def last_touch_attribution(
+    ds: ray.data.Dataset,
+    target: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    none_label: str = "(none)",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Last-touch conversion attribution: every ``target`` event is
+    credited to the SAME user's most recent prior non-target event type
+    (the marketing-analytics classic); conversions with no prior touch
+    credit ``none_label``.  Output (attributed_event, n_conversions).
+
+    Shape: ONE user-keyed exchange; the reducer forward-fills the last
+    non-target index with a per-user-reset running max (one
+    ``np.maximum.accumulate`` over the whole partition — no per-user
+    loop) and collapses to alphabet-sized count partials; a
+    single-partition sum finishes."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "attributed_event": pa.array([], pa.string()),
+            "n_conversions": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_id": t[id_col],
+                "user_id": t[user_col],
+                "ts_us": ts.cast(pa.int64()),
+                "etype": t[type_col],
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        et = t["etype"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        n = len(uid)
+        pos = np.arange(n, dtype=np.int64)
+        is_target = et == target
+        # last prior non-target index, reset at user boundaries: shift
+        # the self-index forward one slot, then running-max within user
+        # (subtracting each user's start makes the max reset exact)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        ustart = pos[new_user][np.cumsum(new_user) - 1]
+        cand = np.where(is_target, np.int64(-1), pos)  # own index if touch
+        prior = np.empty(n, dtype=np.int64)
+        prior[0] = -1
+        prior[1:] = cand[:-1]
+        prior[new_user] = -1
+        rel = np.where(prior >= ustart, prior - ustart, np.int64(-1))
+        # segmented running max (reset per user) via the lift trick:
+        # adding user_rank * BIG makes values from later users strictly
+        # dominate earlier ones, so one global cummax respects segments
+        big = np.int64(n + 1)
+        keyed = np.cumsum(new_user).astype(np.int64)
+        lifted = rel + keyed * big
+        lifted = np.where(rel < 0, keyed * big - 1, lifted)
+        ffl = np.maximum.accumulate(lifted)
+        ff_rel = ffl - keyed * big
+        attr_idx = np.where(ff_rel >= 0, ff_rel + ustart, np.int64(-1))
+        tmask = is_target
+        ai = attr_idx[tmask]
+        attributed = np.where(
+            ai >= 0, et[np.maximum(ai, 0)], np.asarray(none_label)
+        )
+        if not len(attributed):
+            return empty
+        g = (
+            pd.Series(attributed)
+            .value_counts()
+            .sort_index()
+        )
+        return pa.table(
+            {
+                "attributed_event": pa.array(
+                    g.index.to_numpy().astype(str), pa.string()
+                ),
+                "n_conversions": pa.array(
+                    g.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas()
+            .groupby("attributed_event", sort=True)["n_conversions"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "attributed_event": pa.array(
+                    g["attributed_event"].to_numpy().astype(str),
+                    pa.string(),
+                ),
+                "n_conversions": pa.array(
+                    g["n_conversions"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    partials = hash_exchange(prepped, "user_id", reduce, num_partitions)
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -218,3 +218,58 @@ def test_quantile_normalize_semantics():
     assert set(got[got["source"] == "a"]["norm_value"]) == set(
         got[got["source"] == "b"]["norm_value"]
     )
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_last_touch_attribution_brute(parts):
+    from rabbittclust_ray.stages.events import last_touch_attribution
+
+    df = _events(seed=17, n=400, users=10)
+    rng = np.random.default_rng(18)
+    df["event_type"] = rng.choice(
+        ["view", "click", "email", "purchase"], len(df),
+        p=[0.4, 0.3, 0.1, 0.2],
+    )
+    want = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        last_touch = None
+        for et in g["event_type"]:
+            if et == "purchase":
+                key = last_touch if last_touch is not None else "(none)"
+                want[key] = want.get(key, 0) + 1
+            else:
+                last_touch = et
+    got = (
+        last_touch_attribution(
+            ray.data.from_pandas(df).repartition(parts),
+            target="purchase", num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("attributed_event")["n_conversions"]
+        .to_dict()
+    )
+    assert got == want
+    assert sum(want.values()) == (df["event_type"] == "purchase").sum()
+
+
+def test_last_touch_first_event_purchase():
+    from rabbittclust_ray.stages.events import last_touch_attribution
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(3, dtype=np.int64),
+            "user_id": np.array([1, 1, 1], np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03"]
+            ),
+            "event_type": ["purchase", "view", "purchase"],
+        }
+    )
+    got = (
+        last_touch_attribution(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("attributed_event")["n_conversions"]
+        .to_dict()
+    )
+    assert got == {"(none)": 1, "view": 1}
