@@ -3679,6 +3679,57 @@ def _q_quantile_normalize(sf_dir: str):
     return quantile_normalize(ds, num_partitions=16)
 
 
+def _q_type_token_ratio(sf_dir: str):
+    """Type-token ratio per doc (lexical variety, floor-ppm) — Simpson
+    weights frequencies, TTR counts the vocabulary."""
+    from rabbittclust_ray.stages.text import type_token_ratio
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return type_token_ratio(ds)
+
+
+def _q_monthly_value_quantiles(sf_dir: str):
+    """Monthly p25/p50/p75 of order value in cents (time x quantiles
+    reporting): month buckets as the group of the tested
+    grouped_quantiles (value-count histogram combiners)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.stats import grouped_quantiles
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"]
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        if pa.types.is_timestamp(od.type):
+            od = od.cast(pa.timestamp("us"))
+        mo = (
+            od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("datetime64[M]")
+        )
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "month": pa.array(
+                    mo.astype(str).astype(object), pa.string()
+                ),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return grouped_quantiles(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        group_col="month", value_col="cents",
+        qs=(0.25, 0.5, 0.75), num_partitions=16,
+    )
+
+
 def _q_last_touch(sf_dir: str):
     """Last-touch conversion attribution: each purchase credited to the
     user's most recent prior non-purchase event type."""
@@ -4454,6 +4505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encoding": _q_target_encoding,
         "histogram_overlap": _q_histogram_overlap,
         "last_touch_attribution": _q_last_touch,
+        "type_token_ratio": _q_type_token_ratio,
+        "monthly_value_quantiles": _q_monthly_value_quantiles,
     }
 
 
@@ -6050,6 +6103,56 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "type_token_ratio": """
+            WITH tok AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z]+',
+                                              ' ', 'g'), ' ')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT token) AS BIGINT) AS d
+                FROM tok GROUP BY 1
+            )
+            SELECT dd.doc_id,
+                   coalesce(a.n, 0) AS n_tokens,
+                   coalesce(a.d, 0) AS n_types,
+                   CAST(CASE WHEN coalesce(a.n, 0) > 0
+                        THEN (1000000 * a.d) // a.n ELSE 0 END
+                        AS BIGINT) AS ttr_ppm
+            FROM documents dd LEFT JOIN agg a USING (doc_id)
+        """,
+        "monthly_value_quantiles": """
+            WITH r AS (
+                SELECT strftime(date_trunc('month', o_orderdate),
+                                '%Y-%m') AS month,
+                       CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                           AS cents,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('month', o_orderdate)
+                           ORDER BY floor(o_totalprice * 100.0)
+                       ) AS rn,
+                       count(*) OVER (
+                           PARTITION BY date_trunc('month', o_orderdate)
+                       ) AS cnt
+                FROM orders
+            )
+            SELECT month, CAST(max(cnt) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.25 * cnt) AS BIGINT))
+                        THEN cents END) AS BIGINT) AS q25,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.5 * cnt) AS BIGINT))
+                        THEN cents END) AS BIGINT) AS q50,
+                   CAST(max(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.75 * cnt) AS BIGINT))
+                        THEN cents END) AS BIGINT) AS q75
+            FROM r GROUP BY month
+        """,
         "last_touch_attribution": """
             WITH s AS (
                 SELECT user_id, event_type,

@@ -1300,3 +1300,47 @@ def readability(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def type_token_ratio(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Type-token ratio per doc, floor-ppm: 1e6 * distinct `[a-z]+`
+    tokens // total tokens (0 for token-less docs) — the lexical-variety
+    quality signal (Simpson weights frequencies; TTR counts the
+    vocabulary).  Pure map stage; the token explode stays in-batch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.replace_substring_regex(
+            pc.utf8_lower(t[text_col]), "[^a-z]+", " "
+        )
+        lists = pc.split_pattern(txt, " ")
+        flat = np.asarray(pc.list_flatten(lists))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"i": np.repeat(np.arange(len(ids)), lens), "w": flat}
+        )
+        df = df[df["w"] != ""]
+        tot = df.groupby("i").size()
+        dis = df.drop_duplicates(["i", "w"]).groupby("i").size()
+        n = np.zeros(len(ids), dtype=np.int64)
+        d = np.zeros(len(ids), dtype=np.int64)
+        n[tot.index.to_numpy()] = tot.to_numpy()
+        d[dis.index.to_numpy()] = dis.to_numpy()
+        ppm = np.where(n > 0, (1_000_000 * d) // np.maximum(n, 1), 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_types": pa.array(d, pa.int64()),
+                "ttr_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

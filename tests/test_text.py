@@ -421,3 +421,27 @@ class TestSimpsonDiversity:
             exp = (10**6 * (n * n - sum(v * v for v in c.values()))
                    ) // (n * n) if n else 0
             assert got[i] == exp
+
+
+def test_type_token_ratio_known():
+    from rabbittclust_ray.stages.text import type_token_ratio
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat the cat",     # 4 tokens, 2 types
+                "",                    # empty
+                "a b c d",             # all distinct
+            ],
+        }
+    )
+    out = (
+        type_token_ratio(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [4, 0, 4]
+    assert out["n_types"].tolist() == [2, 0, 4]
+    assert out["ttr_ppm"].tolist() == [500_000, 0, 1_000_000]
