@@ -3679,6 +3679,17 @@ def _q_quantile_normalize(sf_dir: str):
     return quantile_normalize(ds, num_partitions=16)
 
 
+def _q_basket_pairs(sf_dir: str):
+    """Market-basket association: per event-type pair, users having
+    both + lift as exact integer rationals."""
+    from rabbittclust_ray.stages.events import basket_pairs
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return basket_pairs(ds, num_partitions=16)
+
+
 def _q_type_token_ratio(sf_dir: str):
     """Type-token ratio per doc (lexical variety, floor-ppm) — Simpson
     weights frequencies, TTR counts the vocabulary."""
@@ -4507,6 +4518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch_attribution": _q_last_touch,
         "type_token_ratio": _q_type_token_ratio,
         "monthly_value_quantiles": _q_monthly_value_quantiles,
+        "basket_pairs": _q_basket_pairs,
     }
 
 
@@ -6103,6 +6115,35 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "basket_pairs": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ),
+            tc AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM ut GROUP BY 1
+            ),
+            nu AS (
+                SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+                FROM ut
+            ),
+            pr AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       CAST(count(*) AS BIGINT) AS nab
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT pr.ta AS type_a, pr.tb AS type_b,
+                   pr.nab AS n_both, ca.n AS n_a, cb.n AS n_b,
+                   CAST(nu.n * pr.nab AS BIGINT) AS lift_num,
+                   CAST(ca.n * cb.n AS BIGINT) AS lift_den
+            FROM pr
+            JOIN tc ca ON ca.event_type = pr.ta
+            JOIN tc cb ON cb.event_type = pr.tb, nu
+            ORDER BY 1, 2
+        """,
         "type_token_ratio": """
             WITH tok AS (
                 SELECT doc_id, token FROM (

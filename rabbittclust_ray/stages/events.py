@@ -1716,3 +1716,145 @@ def last_touch_attribution(
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def basket_pairs(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Market-basket association pairs over per-user event-type sets:
+    for every unordered type pair (a < b), the number of users having
+    BOTH, each type's own user count, and the lift as an exact integer
+    rational:
+
+        lift = N * n_ab / (n_a * n_b)
+        -> (pair support n_ab, lift_num = N * n_ab,
+            lift_den = n_a * n_b)
+
+    Output (type_a, type_b, n_both, n_a, n_b, lift_num, lift_den) —
+    lift > 1 (num > den) means the types co-occur above independence.
+
+    Shape: per-batch DISTINCT (user, type) pairs are the exchange unit
+    (the combiner); each reducer owns complete users, emits
+    alphabet-sized pair/type partials; the finish runs over the
+    |types|^2 domain with N folded from per-partition distinct-user
+    counts."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "kind": pa.array([], pa.int8()),  # 0 pair, 1 type, 2 users
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t[type_col].to_numpy(zero_copy_only=False).astype(object)
+        df = pd.DataFrame({"u": u, "t": et}).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(df["u"].to_numpy(np.int64),
+                                    pa.int64()),
+                "etype": pa.array(
+                    df["t"].to_numpy().astype(str), pa.string()
+                ),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["etype"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"u": u, "t": et}).drop_duplicates()
+        kinds, aa, bb, nn = [], [], [], []
+        # per-type user counts
+        tc = df.groupby("t").size()
+        for typ, c in tc.items():
+            kinds.append(1)
+            aa.append(typ)
+            bb.append("")
+            nn.append(int(c))
+        # within-user pairs (types per user are alphabet-bounded)
+        m = df.merge(df, on="u")
+        m = m[m["t_x"] < m["t_y"]]
+        pc_ = m.groupby(["t_x", "t_y"]).size()
+        for (a, b), c in pc_.items():
+            kinds.append(0)
+            aa.append(a)
+            bb.append(b)
+            nn.append(int(c))
+        kinds.append(2)
+        aa.append("")
+        bb.append("")
+        nn.append(int(df["u"].nunique()))
+        return pa.table(
+            {
+                "kind": pa.array(np.array(kinds, np.int8), pa.int8()),
+                "a": pa.array(np.array(aa, object).astype(str),
+                              pa.string()),
+                "b": pa.array(np.array(bb, object).astype(str),
+                              pa.string()),
+                "n": pa.array(np.array(nn, np.int64), pa.int64()),
+            }
+        )
+
+    out_empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_both": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "lift_num": pa.array([], pa.int64()),
+            "lift_den": pa.array([], pa.int64()),
+        }
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        df = t.to_pandas()
+        n_users = int(df[df["kind"] == 2]["n"].sum())
+        tcounts = (
+            df[df["kind"] == 1].groupby("a")["n"].sum().to_dict()
+        )
+        pairs = (
+            df[df["kind"] == 0]
+            .groupby(["a", "b"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        if not len(pairs):
+            return out_empty
+        na = pairs["a"].map(tcounts).to_numpy(np.int64)
+        nb = pairs["b"].map(tcounts).to_numpy(np.int64)
+        nab = pairs["n"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "type_a": pa.array(
+                    pairs["a"].to_numpy().astype(str), pa.string()
+                ),
+                "type_b": pa.array(
+                    pairs["b"].to_numpy().astype(str), pa.string()
+                ),
+                "n_both": pa.array(nab, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "lift_num": pa.array(n_users * nab, pa.int64()),
+                "lift_den": pa.array(na * nb, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    partials = hash_exchange(prepped, "user_id", reduce, num_partitions)
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -273,3 +273,39 @@ def test_last_touch_first_event_purchase():
         .to_dict()
     )
     assert got == {"(none)": 1, "view": 1}
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_basket_pairs_brute(parts):
+    from rabbittclust_ray.stages.events import basket_pairs
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 15, 300).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "d"], 300),
+        }
+    )
+    sets = df.groupby("user_id")["event_type"].agg(set)
+    n_users = len(sets)
+    tcount = {}
+    for s in sets:
+        for t in s:
+            tcount[t] = tcount.get(t, 0) + 1
+    want = {}
+    import itertools
+
+    for s in sets:
+        for a, b in itertools.combinations(sorted(s), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = basket_pairs(
+        ray.data.from_pandas(df).repartition(parts), num_partitions=4
+    ).to_pandas()
+    for r in got.itertuples():
+        key = (r.type_a, r.type_b)
+        assert want[key] == r.n_both
+        assert tcount[r.type_a] == r.n_a
+        assert tcount[r.type_b] == r.n_b
+        assert r.lift_num == n_users * r.n_both
+        assert r.lift_den == r.n_a * r.n_b
+    assert len(got) == len(want)
