@@ -3679,6 +3679,17 @@ def _q_quantile_normalize(sf_dir: str):
     return quantile_normalize(ds, num_partitions=16)
 
 
+def _q_value_cohorts(sf_dir: str):
+    """Cohort LTV curves: per (first-activity-day cohort, day offset),
+    distinct active users + summed value (floor-ppm)."""
+    from rabbittclust_ray.stages.events import value_cohorts
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return value_cohorts(ds, num_partitions=16)
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket association: per event-type pair, users having
     both + lift as exact integer rationals."""
@@ -4519,6 +4530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "monthly_value_quantiles": _q_monthly_value_quantiles,
         "basket_pairs": _q_basket_pairs,
+        "value_cohorts": _q_value_cohorts,
     }
 
 
@@ -6115,6 +6127,19 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "value_cohorts": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                       CAST(floor(value * 1000000) AS BIGINT) AS v
+                FROM events
+            ),
+            c AS (SELECT user_id, min(d) AS cd FROM e GROUP BY 1)
+            SELECT c.cd AS cohort_day, e.d - c.cd AS offset_day,
+                   count(DISTINCT e.user_id) AS n_active_users,
+                   CAST(sum(e.v) AS BIGINT) AS sum_value_ppm
+            FROM e JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "basket_pairs": """
             WITH ut AS (
                 SELECT DISTINCT user_id, event_type FROM events

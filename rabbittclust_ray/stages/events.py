@@ -1858,3 +1858,120 @@ def basket_pairs(
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def value_cohorts(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Cohort LTV curves — retention's value-weighted sibling: users
+    cohorted by FIRST-activity day; per (cohort_day, offset_day), the
+    distinct active users and their summed value (floor-ppm int).
+    Output (cohort_day, offset_day, n_active_users, sum_value_ppm).
+
+    Shape: ONE user-keyed exchange; each reducer owns complete users,
+    so the cohort day (per-user min) is decided locally and both
+    aggregates are additive across partitions (distinct users cannot
+    straddle two reducers).  Partials are bounded by cohorts x offsets
+    (days^2), never event volume."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "cohort_day": pa.array([], pa.int64()),
+            "offset_day": pa.array([], pa.int64()),
+            "n_active_users": pa.array([], pa.int64()),
+            "sum_value_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        day = (
+            ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        v = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t[user_col],
+                "day": pa.array(day, pa.int64()),
+                "v_ppm": pa.array(v, pa.int64()),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "u": t["user_id"].to_numpy(zero_copy_only=False),
+                "d": t["day"].to_numpy(zero_copy_only=False),
+                "v": t["v_ppm"].to_numpy(zero_copy_only=False),
+            }
+        )
+        cd = df.groupby("u")["d"].transform("min")
+        df["cohort"] = cd
+        df["off"] = df["d"] - cd
+        g = df.groupby(["cohort", "off"]).agg(
+            n=("u", "nunique"), s=("v", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    g["cohort"].to_numpy(np.int64), pa.int64()
+                ),
+                "offset_day": pa.array(
+                    g["off"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_active_users": pa.array(
+                    g["n"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_value_ppm": pa.array(
+                    g["s"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas()
+            .groupby(["cohort_day", "offset_day"], sort=True,
+                     as_index=False)
+            .agg({"n_active_users": "sum", "sum_value_ppm": "sum"})
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    g["cohort_day"].to_numpy(np.int64), pa.int64()
+                ),
+                "offset_day": pa.array(
+                    g["offset_day"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_active_users": pa.array(
+                    g["n_active_users"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_value_ppm": pa.array(
+                    g["sum_value_ppm"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    partials = hash_exchange(prepped, "user_id", reduce, num_partitions)
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )

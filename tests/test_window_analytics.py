@@ -309,3 +309,37 @@ def test_basket_pairs_brute(parts):
         assert r.lift_num == n_users * r.n_both
         assert r.lift_den == r.n_a * r.n_b
     assert len(got) == len(want)
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_value_cohorts_brute(parts):
+    from rabbittclust_ray.stages.events import value_cohorts
+
+    df = _events(seed=23, n=350, users=12)
+    day = _us(df["ts"]) // 86_400_000_000
+    v = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+    work = pd.DataFrame(
+        {"u": df["user_id"], "d": day, "v": v}
+    )
+    cd = work.groupby("u")["d"].transform("min")
+    work["cohort"] = cd
+    work["off"] = work["d"] - cd
+    want = work.groupby(["cohort", "off"]).agg(
+        n=("u", "nunique"), s=("v", "sum")
+    )
+    got = (
+        value_cohorts(
+            ray.data.from_pandas(df).repartition(parts), num_partitions=4
+        )
+        .to_pandas()
+        .set_index(["cohort_day", "offset_day"])
+    )
+    assert len(got) == len(want)
+    for (c, o), r in want.iterrows():
+        assert got.loc[(c, o), "n_active_users"] == r["n"]
+        assert got.loc[(c, o), "sum_value_ppm"] == r["s"]
+    # offset 0 row exists for every cohort (the cohort's birth day)
+    assert set(got.reset_index()["cohort_day"]) == set(
+        got.reset_index()
+        .query("offset_day == 0")["cohort_day"]
+    )
