@@ -3679,6 +3679,60 @@ def _q_quantile_normalize(sf_dir: str):
     return quantile_normalize(ds, num_partitions=16)
 
 
+def _q_code_dedup(sf_dir: str):
+    """Code-whitespace dedup (tabs->4 spaces, trailing blanks stripped,
+    case preserved): every doc_id%5==0 doc gets a tab/trailing-blank
+    mangled twin the ws normalizer would ALSO catch only after
+    lowercasing — 'code' keeps case load-bearing."""
+    import pyarrow as pa
+
+    from rabbittclust_ray.stages.dedup import dedup_normalized
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        base = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    ["A =    1\n" + s for s in texts], pa.string()
+                ),
+            }
+        )
+        m = ids % 5 == 0
+        twin = pa.table(
+            {
+                "doc_id": pa.array(ids[m] + 30_000_000, pa.int64()),
+                "text": pa.array(
+                    ["A =\t1   \n" + s for s, k in zip(texts, m) if k],
+                    pa.string(),
+                ),
+            }
+        )
+        return pa.concat_tables([base, twin])
+
+    return dedup_normalized(
+        ds.map_batches(augment, batch_format="pyarrow"),
+        keep="first", normalizer="code", num_buckets=16,
+    )
+
+
+def _q_time_to_convert(sf_dir: str):
+    """Funnel latency: per converting user the µs from first 'view' to
+    the first 'purchase' at/after it, folded to one stats row."""
+    from rabbittclust_ray.stages.events import time_to_convert
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return time_to_convert(ds, "view", "purchase", num_partitions=16)
+
+
 def _q_value_cohorts(sf_dir: str):
     """Cohort LTV curves: per (first-activity-day cohort, day offset),
     distinct active users + summed value (floor-ppm)."""
@@ -4531,6 +4585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_value_quantiles": _q_monthly_value_quantiles,
         "basket_pairs": _q_basket_pairs,
         "value_cohorts": _q_value_cohorts,
+        "code_dedup": _q_code_dedup,
+        "time_to_convert": _q_time_to_convert,
     }
 
 
@@ -6127,6 +6183,56 @@ def _window_analytics_sql() -> dict[str, str]:
     """Oracles for the LEAD / CUSUM / CUME_DIST window-analytics ops —
     all-integer arithmetic so the window results merge bit-exactly."""
     return {
+        "code_dedup": """
+            WITH aug AS (
+                SELECT doc_id, 'A =    1' || chr(10) || text AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 30000000,
+                       'A =' || chr(9) || '1   ' || chr(10) || text
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            n AS (
+                SELECT doc_id,
+                       sha256(regexp_replace(
+                           replace(text, chr(9), '    '),
+                           '(?m)[ ]+$', '', 'g')) AS norm_sha256,
+                       CAST(length(text) AS BIGINT) AS length
+                FROM aug
+            ),
+            w AS (
+                SELECT *, first_value(doc_id) OVER (
+                           PARTITION BY norm_sha256 ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS group_rep
+                FROM n
+            )
+            SELECT doc_id, norm_sha256, group_rep,
+                   doc_id <> group_rep AS is_dup, length
+            FROM w
+        """,
+        "time_to_convert": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS tu
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+            ),
+            f AS (
+                SELECT user_id, min(tu) AS t0 FROM e
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            d AS (
+                SELECT e.user_id, min(e.tu - f.t0) AS delta
+                FROM e JOIN f USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.tu >= f.t0
+                GROUP BY 1
+            )
+            SELECT count(*) AS n_converters,
+                   CAST(sum(delta) AS BIGINT) AS sum_delta_us,
+                   CAST(min(delta) AS BIGINT) AS min_delta_us,
+                   CAST(max(delta) AS BIGINT) AS max_delta_us
+            FROM d
+        """,
         "value_cohorts": """
             WITH e AS (
                 SELECT user_id, epoch_us(ts) // 86400000000 AS d,

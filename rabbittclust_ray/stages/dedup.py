@@ -181,13 +181,38 @@ def dedup_normalized(
     if keep not in ("best", "first"):
         raise ValueError(f"keep must be 'best' or 'first', got {keep!r}")
 
-    if normalizer not in ("ws", "nfc"):
-        raise ValueError(f"normalizer must be 'ws' or 'nfc', got {normalizer!r}")
+    if normalizer not in ("ws", "nfc", "code"):
+        raise ValueError(
+            f"normalizer must be 'ws', 'nfc' or 'code', got {normalizer!r}"
+        )
 
     def norm_sha(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         txt = t[text_col]
+        if normalizer == "code":
+            # code-corpus whitespace canon: tabs -> 4 spaces, trailing
+            # blanks stripped per line (the diff-noise that makes two
+            # commits "different"); NO lowercasing — case is load-
+            # bearing in code. RE2 on both sides => oracle-exact.
+            txt = pc.replace_substring_regex(
+                pc.replace_substring(txt, "\t", "    "),
+                "(?m)[ ]+$", "",
+            )
+            sha = sha256_hex(txt.to_pylist())
+            key = np.array(
+                [int(h[:15], 16) for h in sha], dtype=np.int64
+            )
+            return pa.table(
+                {
+                    id_col: pc.cast(t[id_col], pa.int64()),
+                    "content_sha256": pa.array(sha, pa.string()),
+                    "length": pc.cast(
+                        pc.utf8_length(t[text_col]), pa.int64()
+                    ),
+                    "sha_key": pa.array(key, pa.int64()),
+                }
+            )
         if normalizer == "nfc":
             # Unicode NFC first (combining marks compose), then the ws
             # family — CPython unicodedata and DuckDB nfc_normalize both

@@ -1975,3 +1975,120 @@ def value_cohorts(
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def time_to_convert(
+    ds: ray.data.Dataset,
+    first_step: str = "view",
+    last_step: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Time-to-convert funnel statistic: per user, the microseconds from
+    the FIRST ``first_step`` to the first ``last_step`` at or after it;
+    aggregated to ONE row (n_converters, sum_delta_us, min_delta_us,
+    max_delta_us) — the funnel-latency health metric.
+
+    Shape: per-batch (user, step) min-ts partials for first_step and
+    conditional candidates for last_step travel through ONE user-keyed
+    exchange; each reducer resolves its complete users vectorized and
+    emits a single partial row; a single-partition fold finishes."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    empty = pa.table(
+        {
+            "n_converters": pa.array([], pa.int64()),
+            "sum_delta_us": pa.array([], pa.int64()),
+            "min_delta_us": pa.array([], pa.int64()),
+            "max_delta_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            t[type_col], value_set=pa.array([first_step, last_step])
+        )
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "is_first": pa.array([], pa.bool_()),
+                    "ts_us": pa.array([], pa.int64()),
+                }
+            )
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": t[user_col].cast(pa.int64()),
+                "is_first": pc.equal(t[type_col], first_step),
+                "ts_us": ts.cast(pa.int64()),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "u": t["user_id"].to_numpy(zero_copy_only=False),
+                "f": t["is_first"].to_numpy(zero_copy_only=False),
+                "ts": t["ts_us"].to_numpy(zero_copy_only=False),
+            }
+        )
+        first = df[df["f"]].groupby("u")["ts"].min()
+        conv = df[~df["f"]].merge(
+            first.rename("t0"), left_on="u", right_index=True
+        )
+        conv = conv[conv["ts"] >= conv["t0"]]
+        if not len(conv):
+            return empty
+        delta = (conv["ts"] - conv["t0"]).groupby(conv["u"]).min()
+        d = delta.to_numpy(np.int64)
+        return pa.table(
+            {
+                "n_converters": pa.array([len(d)], pa.int64()),
+                "sum_delta_us": pa.array([int(d.sum())], pa.int64()),
+                "min_delta_us": pa.array([int(d.min())], pa.int64()),
+                "max_delta_us": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_converters": pa.array([0], pa.int64()),
+                    "sum_delta_us": pa.array([0], pa.int64()),
+                    "min_delta_us": pa.array([0], pa.int64()),
+                    "max_delta_us": pa.array([0], pa.int64()),
+                }
+            )
+        n = t["n_converters"].to_numpy(zero_copy_only=False)
+        s = t["sum_delta_us"].to_numpy(zero_copy_only=False)
+        mn = t["min_delta_us"].to_numpy(zero_copy_only=False)
+        mx = t["max_delta_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_converters": pa.array([int(n.sum())], pa.int64()),
+                "sum_delta_us": pa.array([int(s.sum())], pa.int64()),
+                "min_delta_us": pa.array([int(mn.min())], pa.int64()),
+                "max_delta_us": pa.array([int(mx.max())], pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    partials = hash_exchange(prepped, "user_id", reduce, num_partitions)
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -316,3 +316,63 @@ def test_histogram_overlap_bounds():
         num_partitions=4,
     ).to_pydict()
     assert out["overlap_num"] == [0]  # disjoint supports -> 0
+
+
+def test_code_dedup_normalizer():
+    from rabbittclust_ray.stages.dedup import dedup_normalized
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], np.int64),
+            "text": [
+                "def f():\n\treturn 1   \n",   # tab + trailing blanks
+                "def f():\n    return 1\n",     # canonical form
+                "DEF F():\n    RETURN 1\n",     # case differs: NOT a dup
+            ],
+        }
+    )
+    got = (
+        dedup_normalized(
+            ray.data.from_pandas(docs), normalizer="code", keep="first"
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "is_dup"] == False  # noqa: E712 — min id is rep
+    assert got.loc[2, "is_dup"] == True   # noqa: E712
+    assert got.loc[2, "group_rep"] == 1
+    assert got.loc[3, "is_dup"] == False  # noqa: E712 — case preserved
+
+
+def test_time_to_convert_brute():
+    from rabbittclust_ray.stages.events import time_to_convert
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2, 2, 3], np.int64),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00", "2024-01-01 12:00",
+                    "2024-01-01 09:00",           # purchase BEFORE view
+                    "2024-01-02 08:00", "2024-01-02 09:30",
+                    "2024-01-03 10:00",           # view, never converts
+                ]
+            ),
+            "event_type": [
+                "view", "purchase", "purchase",
+                "view", "purchase", "view",
+            ],
+        }
+    )
+    got = time_to_convert(
+        ray.data.from_pandas(df).repartition(2), "view", "purchase",
+        num_partitions=4,
+    ).to_pandas()
+    # user1: first view 10:00, first purchase at/after = 12:00 -> 2h
+    # user2: 1.5h; user3 never converts
+    h = 3_600_000_000
+    assert got["n_converters"].tolist() == [2]
+    assert got["sum_delta_us"].tolist() == [2 * h + h * 3 // 2]
+    assert got["min_delta_us"].tolist() == [h * 3 // 2]
+    assert got["max_delta_us"].tolist() == [2 * h]
