@@ -217,6 +217,24 @@ def run_bench() -> dict:
     else:
         queries["q_pipeline"] = timed_best(run_pipeline)
 
+    # BENCH_ONLY=pipeline: stop after the flagship — used by --scaling runs
+    # so the N vs 4N legs measure exactly the north-rule pipeline instead of
+    # the whole 8-group bench (keeps both legs inside one fair host minute)
+    if os.environ.get("BENCH_ONLY") == "pipeline":
+        total = round(sum(queries.values()), 3)
+        result = {
+            "metric": "flagship sketch+cluster wall time (BENCH_ONLY=pipeline)",
+            "value": total, "unit": "sec", "queries": queries, "sf": sf,
+            "num_cpus": NUM_CPUS, "n_docs_synthetic": n_docs,
+            "n_assignments": n_assign,
+            "files_per_sec_sketch": files_per_sec,
+            "files_per_sec_pipeline": round(n_docs / queries["q_pipeline"], 1),
+            "host_serial_burn_s": host_serial_s,
+            "host_parallel_eff_16": host_eff,
+        }
+        ray.shutdown()
+        return result
+
     docs_ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
 
     def adapt(t):

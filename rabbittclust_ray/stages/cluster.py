@@ -200,6 +200,84 @@ def make_assignments(
     return sketches.map_batches(_assign, batch_format="pyarrow")
 
 
+def make_assignments_ds(
+    sketches: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    num_partitions: int = 1024,
+) -> ray.data.Dataset:
+    """Scale-path twin of ``make_assignments``: the component labels arrive
+    as a DATASET (doc_id, cluster_id) from ``components_labelprop`` instead
+    of a driver dict, and the sketch/label join runs as ONE keyed exchange
+    on doc_id — zero O(N) driver structures, zero broadcast. Docs with no
+    label row are singletons (cluster_id = own doc_id). Output schema is
+    identical to ``make_assignments``."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def tag_sketch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+                "content_sha256": t["content_sha256"],
+                "length": t["length"],
+                "is_lab": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": t["cluster_id"],
+                "content_sha256": pa.array([""] * n, pa.string()),
+                "length": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "is_lab": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    merged = sketches.map_batches(tag_sketch, batch_format="pyarrow").union(
+        labels.map_batches(tag_label, batch_format="pyarrow")
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64()),
+                 "is_rep": pa.array([], pa.bool_()),
+                 "content_sha256": pa.array([], pa.string()),
+                 "length": pa.array([], pa.int64())}
+            )
+        is_lab = t["is_lab"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        lk, lv = ids[is_lab], cl[is_lab]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        sk = ~is_lab
+        sids = ids[sk]
+        if len(lk):
+            pos = np.clip(np.searchsorted(lk, sids), 0, len(lk) - 1)
+            found = lk[pos] == sids
+            cluster = np.where(found, lv[pos], sids)
+        else:
+            cluster = sids.copy()
+        sub = t.filter(pa.array(sk))
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "is_rep": pa.array(sids == cluster),
+                "content_sha256": sub["content_sha256"],
+                "length": sub["length"],
+            }
+        )
+
+    return hash_exchange(merged, "doc_id", join, num_partitions)
+
+
 def components_labelprop(
     edges: ray.data.Dataset, max_iters: int = 50, num_partitions: int = 1024
 ) -> ray.data.Dataset:
