@@ -985,6 +985,62 @@ def _q_video_frames(sf_dir: str):
     return out[["doc_id", "frame", "checksum"]]
 
 
+def _q_image_features_real(sf_dir: str):
+    """REAL image decode (stages/codecs.py): documents' text bytes are
+    wrapped in actual P6 PPM containers (1 x H x 3, H = min(len//3, 64)),
+    the actor-pool stage parses the header and decodes the pixels, and the
+    exact integer channel sums + the sha256 of the FULL container bytes
+    are reproduced by the SQL oracle."""
+    from rabbittclust_ray.stages.multimodal import (
+        image_features,
+        media_from_documents_encoded,
+    )
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents_encoded(docs, "ppm")
+    out = image_features(media, deterministic_fake=False, stat="sum").to_pandas()
+    out["feature"] = out["feature"].map(
+        lambda x: ",".join(str(int(v)) for v in x)
+    )
+    return out[["doc_id", "media_type", "feature", "payload_sha256"]]
+
+
+def _q_audio_frames_real(sf_dir: str):
+    """REAL WAV decode: text bytes as PCM-8 mono samples inside a RIFF/WAVE
+    container; frame energy = exact integer sum of squared zero-centered
+    samples, SQL-reproducible."""
+    from rabbittclust_ray.stages.multimodal import (
+        audio_frame_features,
+        media_from_documents_encoded,
+    )
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents_encoded(docs, "wav")
+    out = audio_frame_features(
+        media, frame_len=64, max_frames=4, deterministic_fake=False
+    ).to_pandas()
+    out["energy"] = out["rms"].astype("int64")
+    return out[["doc_id", "frame", "energy"]]
+
+
+def _q_video_frames_real(sf_dir: str):
+    """REAL Y4M decode: text bytes as 8x8 luma planes inside a YUV4MPEG2
+    stream (<=12 frames); every 3rd luma frame sampled (max 4), checksum =
+    exact integer Y-plane sum, SQL-reproducible."""
+    from rabbittclust_ray.stages.multimodal import (
+        media_from_documents_encoded,
+        video_frame_features,
+    )
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents_encoded(docs, "y4m")
+    out = video_frame_features(
+        media, stride=3, max_frames=4, deterministic_fake=False
+    ).to_pandas()
+    out["checksum"] = out["checksum"].astype("int64")
+    return out[["doc_id", "frame", "checksum"]]
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF probe with nprobe == num_centroids (exhaustive probe == exact
     top-k), so the full assign/probe/merge path is hash-checked against a
@@ -4407,6 +4463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "audio_frames": _q_audio_frames,
         "video_frames": _q_video_frames,
+        "image_features_real": _q_image_features_real,
+        "audio_frames_real": _q_audio_frames_real,
+        "video_frames_real": _q_video_frames_real,
         "ann_ivf": _q_ann_ivf,
         "lang_distribution": _q_lang_distribution,
         "exact_dup_pairs": _q_exact_dup_pairs,
@@ -5497,6 +5556,78 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d, LATERAL (
                     SELECT unnest(generate_series(
                         0, least((length(d.text) // 64 - 1) // 3, 3))) AS s
+                ) f(s)
+                WHERE length(d.text) >= 64
+            )
+            SELECT fr.doc_id, fr.s AS frame, CAST(sum(w.b) AS BIGINT) AS checksum
+            FROM fr
+            JOIN documents d ON d.doc_id = fr.doc_id,
+            LATERAL (
+                SELECT ascii(substr(d.text, fr.s * 192 + i.i, 1)) AS b
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) i(i)
+            ) w
+            GROUP BY 1, 2
+        """,
+        # REAL PPM decode: pixels = first H*3 text bytes (H = min(len//3,
+        # 64)); payload sha = sha256 of the reconstructed container bytes
+        # 'P6\n1 H\n255\n' + pixels (ASCII text == bytes)
+        "image_features_real": """
+            WITH sized AS (
+                SELECT doc_id, text, least(length(text) // 3, 64) AS hgt
+                FROM documents WHERE length(text) >= 3
+            ),
+            ch AS (
+                SELECT s.doc_id, (i.i - 1) % 3 AS c,
+                       ascii(substr(s.text, i.i, 1)) AS byte
+                FROM sized s, LATERAL (
+                    SELECT unnest(generate_series(1, s.hgt * 3)) AS i
+                ) i(i)
+            ),
+            agg AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c = 0 THEN byte END) AS BIGINT) AS s0,
+                       CAST(sum(CASE WHEN c = 1 THEN byte END) AS BIGINT) AS s1,
+                       CAST(sum(CASE WHEN c = 2 THEN byte END) AS BIGINT) AS s2
+                FROM ch GROUP BY doc_id
+            )
+            SELECT s.doc_id, 'image/x-portable-pixmap' AS media_type,
+                   CAST(a.s0 AS VARCHAR) || ',' || CAST(a.s1 AS VARCHAR) || ','
+                       || CAST(a.s2 AS VARCHAR) AS feature,
+                   sha256('P6' || chr(10) || '1 ' || CAST(s.hgt AS VARCHAR)
+                          || chr(10) || '255' || chr(10)
+                          || substr(s.text, 1, s.hgt * 3)) AS payload_sha256
+            FROM sized s JOIN agg a USING (doc_id)
+        """,
+        # REAL PCM-8 WAV decode: samples = first min(len, 256) text bytes,
+        # zero-centered; frame energy = sum((b-128)^2) over 64-sample frames
+        "audio_frames_real": """
+            WITH fr AS (
+                SELECT d.doc_id, f.f
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(
+                        0, least(least(length(d.text), 256) // 64, 4) - 1)) AS f
+                ) f(f)
+                WHERE length(d.text) >= 64
+            )
+            SELECT fr.doc_id, fr.f AS frame,
+                   CAST(sum((w.b - 128) * (w.b - 128)) AS BIGINT) AS energy
+            FROM fr
+            JOIN documents d ON d.doc_id = fr.doc_id,
+            LATERAL (
+                SELECT ascii(substr(d.text, fr.f * 64 + i.i, 1)) AS b
+                FROM (SELECT unnest(generate_series(1, 64)) AS i) i(i)
+            ) w
+            GROUP BY 1, 2
+        """,
+        # REAL Y4M decode: luma frame f = text bytes [f*64+1, f*64+64],
+        # <= 12 complete frames encoded; sampled s -> f = 3*s (max 4);
+        # checksum = exact Y-plane sum
+        "video_frames_real": """
+            WITH fr AS (
+                SELECT d.doc_id, f.s
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(
+                        0, least((least(length(d.text) // 64, 12) - 1) // 3, 3))) AS s
                 ) f(s)
                 WHERE length(d.text) >= 64
             )

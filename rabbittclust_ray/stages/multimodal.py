@@ -2,13 +2,19 @@
 
 Not in the reference (genomes only); part of the training-data extension
 set. Images/audio/video travel as ``payload: binary`` columns with
-``media_type``/``width``/``height``/``sample_rate`` metadata. The decode /
-resize / feature-extract kernels are STUBBED (no image/audio libraries in
-this container — clearly marked below); the Ray-side plumbing is real:
-actor-pool ``map_batches`` stages with small batch sizes (large binary
-rows: batch x concurrency must fit the worker heap), Arrow binary columns
-end-to-end (never pandas — object dtype copies), and deterministic fake
-decoders so the pipeline shape is testable.
+``media_type``/``width``/``height``/``sample_rate`` metadata.
+
+REAL decode paths (``deterministic_fake=False``) use the pure
+stdlib+numpy codecs in ``stages/codecs.py`` — PPM / BMP / PNG images,
+PCM WAV audio, Y4M (YUV4MPEG2) video — no external codec libraries
+needed. Formats beyond those (JPEG, MP3, H.264, ...) would need PIL /
+soundfile / pyav, absent in this container: the dispatcher raises a
+clearly-marked ``ValueError``/``NotImplementedError`` for them.
+
+The Ray-side plumbing: actor-pool ``map_batches`` stages with small batch
+sizes (large binary rows: batch x concurrency must fit the worker heap),
+Arrow binary columns end-to-end (never pandas — object dtype copies), and
+deterministic fake decoders kept for payload-free pipeline tests.
 """
 
 from __future__ import annotations
@@ -18,6 +24,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from rabbittclust_ray.stages.codecs import decode_image, decode_wav, decode_y4m
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -31,12 +39,13 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover
-    """REAL decoder — requires PIL/opencv, absent in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv (not available in this "
-        "environment); use deterministic_fake=True for pipeline testing"
-    )
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """REAL decoder: PPM / BMP / PNG via stages/codecs.py (pure numpy +
+    stdlib zlib). JPEG/WebP/... would require PIL — absent here — and
+    raise through codecs.decode_image's ValueError. Imported at module
+    top (NOT deferred): a worker-side import statement would re-import by
+    name and fail when the package ships pickle-by-value."""
+    return decode_image(payload)
 
 
 def _decode_image_fake(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
@@ -66,18 +75,34 @@ class ImageFeatureActor:
         out_hw: tuple[int, int] = (32, 32),
         deterministic_fake: bool = True,
         fake_mode: str = "rng",
+        stat: str = "mean",
     ):
         self.out_hw = out_hw
         self.fake = deterministic_fake
         self.fake_mode = fake_mode
+        self.stat = stat  # "mean" (float) | "sum" (exact int, oracle-able)
+
+    @staticmethod
+    def _to_rgb(img: np.ndarray) -> np.ndarray:
+        """(H, W, C) -> (H*W, 3): gray replicated, alpha dropped."""
+        c = img.shape[2]
+        flat = img.reshape(-1, c)
+        if c == 1:
+            return np.repeat(flat, 3, axis=1)
+        if c == 2:  # gray + alpha
+            return np.repeat(flat[:, :1], 3, axis=1)
+        return flat[:, :3]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
         feats = np.zeros((len(payloads), 3), dtype=np.float64)
         for i, p in enumerate(payloads):
             if not self.fake:
-                img = _decode_image_real(p)
-                feats[i] = img.reshape(-1, 3).mean(axis=0)
+                px = self._to_rgb(_decode_image_real(p))
+                if self.stat == "sum":
+                    feats[i] = px.astype(np.int64).sum(axis=0)
+                else:
+                    feats[i] = px.mean(axis=0) if len(px) else 0.0
             elif self.fake_mode == "byte_stats":
                 b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
                 feats[i] = [int(b[c::3].sum()) for c in range(3)]
@@ -106,12 +131,16 @@ def image_features(
     batch_size: int = 64,
     deterministic_fake: bool = True,
     fake_mode: str = "rng",
+    stat: str = "mean",
 ) -> ray.data.Dataset:
     """media table -> (doc_id, media_type, feature list<float64>[3],
-    payload_sha256). batch_size is small: rows carry binary payloads."""
+    payload_sha256). batch_size is small: rows carry binary payloads.
+    deterministic_fake=False decodes REAL PPM/BMP/PNG payloads
+    (stages/codecs.py); stat="sum" emits exact integer channel sums so a
+    SQL oracle can reproduce the features bit-for-bit."""
     return media.map_batches(
         ImageFeatureActor,
-        fn_constructor_args=(out_hw, deterministic_fake, fake_mode),
+        fn_constructor_args=(out_hw, deterministic_fake, fake_mode, stat),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -128,7 +157,14 @@ class AudioFrameSampleActor:
     fake_mode "byte_stats": frames are consecutive ``frame_len``-byte
     windows of the payload itself (complete frames only, capped at
     ``max_frames``); per-frame 'rms' column holds the exact integer energy
-    (sum of squared byte values) a SQL oracle reproduces bit-for-bit."""
+    (sum of squared byte values) a SQL oracle reproduces bit-for-bit.
+
+    deterministic_fake=False decodes REAL PCM WAV payloads
+    (stages/codecs.py decode_wav — RIFF chunk walk, 8/16-bit). Frames are
+    consecutive ``frame_len``-SAMPLE windows of channel 0; 'rms' holds the
+    exact integer frame energy (sum of squared zero-centered samples:
+    (s-128)^2 for PCM-8, s^2 for PCM-16), SQL-reproducible when the
+    samples derive from known bytes."""
 
     def __init__(
         self,
@@ -140,12 +176,23 @@ class AudioFrameSampleActor:
         self.frame_len = frame_len
         self.max_frames = max_frames
         self.fake_mode = fake_mode
-        if not deterministic_fake:  # pragma: no cover
-            raise NotImplementedError("audio decoding requires soundfile/librosa")
+        self.fake = deterministic_fake
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_doc, out_frame, out_rms = [], [], []
         for doc, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if not self.fake:
+                samples, _rate = decode_wav(p)
+                ch0 = samples[:, 0].astype(np.int64)
+                if samples.dtype == np.uint8:
+                    ch0 = ch0 - 128  # PCM-8 is unsigned, center it
+                nf = min(len(ch0) // self.frame_len, self.max_frames)
+                for fi in range(nf):
+                    w = ch0[fi * self.frame_len : (fi + 1) * self.frame_len]
+                    out_doc.append(doc)
+                    out_frame.append(fi)
+                    out_rms.append(float((w * w).sum()))
+                continue
             if self.fake_mode == "byte_stats":
                 b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
                 nf = min(len(b) // self.frame_len, self.max_frames)
@@ -180,10 +227,11 @@ def audio_frame_features(
     frame_len: int = 400,
     max_frames: int = 8,
     fake_mode: str = "rng",
+    deterministic_fake: bool = True,
 ) -> ray.data.Dataset:
     return media.map_batches(
         AudioFrameSampleActor,
-        fn_constructor_args=(frame_len, max_frames, True, fake_mode),
+        fn_constructor_args=(frame_len, max_frames, deterministic_fake, fake_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -202,7 +250,12 @@ class VideoFrameSampleActor:
     fake_mode "byte_stats": frame t covers payload bytes
     [t*frame_bytes, (t+1)*frame_bytes); sampled frames are t = 0, stride,
     2*stride, ... (complete frames only); 'checksum' = exact integer byte
-    sum a SQL oracle reproduces bit-for-bit."""
+    sum a SQL oracle reproduces bit-for-bit.
+
+    deterministic_fake=False decodes REAL Y4M (YUV4MPEG2) payloads
+    (stages/codecs.py decode_y4m); sampled LUMA frames t = 0, stride, ...
+    capped at ``max_frames``; 'checksum' = exact integer Y-plane sum
+    (frame_bytes is ignored — the container header carries W/H)."""
 
     def __init__(
         self,
@@ -216,12 +269,19 @@ class VideoFrameSampleActor:
         self.stride = stride
         self.max_frames = max_frames
         self.fake_mode = fake_mode
-        if not deterministic_fake:  # pragma: no cover
-            raise NotImplementedError("video decoding requires pyav/opencv")
+        self.fake = deterministic_fake
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_doc, out_frame, out_val = [], [], []
         for doc, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if not self.fake:
+                y, _w, _h = decode_y4m(p)
+                n_s = min(self.max_frames, (len(y) - 1) // self.stride + 1) if len(y) else 0
+                for s in range(n_s):
+                    out_doc.append(doc)
+                    out_frame.append(s)
+                    out_val.append(float(y[s * self.stride].astype(np.int64).sum()))
+                continue
             if self.fake_mode == "byte_stats":
                 b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
                 n_complete = len(b) // self.frame_bytes
@@ -262,12 +322,13 @@ def video_frame_features(
     stride: int = 3,
     max_frames: int = 4,
     fake_mode: str = "rng",
+    deterministic_fake: bool = True,
 ) -> ray.data.Dataset:
     """media table -> (doc_id, frame, checksum) — one row per SAMPLED
     frame (uniform temporal stride). Small batches: binary payload rows."""
     return media.map_batches(
         VideoFrameSampleActor,
-        fn_constructor_args=(frame_bytes, stride, max_frames, True, fake_mode),
+        fn_constructor_args=(frame_bytes, stride, max_frames, deterministic_fake, fake_mode),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -293,6 +354,61 @@ def media_from_documents(ds: ray.data.Dataset, media_type: str = "image/png") ->
                 ),
                 "width": pa.array([64] * n, pa.int32()),
                 "height": pa.array([64] * n, pa.int32()),
+                "sample_rate": pa.array([16000] * n, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def media_from_documents_encoded(
+    ds: ray.data.Dataset, container: str
+) -> ray.data.Dataset:
+    """Documents table -> media table with REAL container payloads whose
+    pixel/sample bytes are the document's utf-8 text bytes — so the real
+    decoders run on real files while a SQL oracle can still reproduce the
+    features from the source table (ASCII text == bytes).
+
+    container:
+      "ppm" — 1 x H x 3 image, H = min(len//3, 64) pixels; docs shorter
+              than one pixel (3 bytes) are dropped.
+      "wav" — PCM-8 mono 16 kHz, samples = first min(len, 256) bytes.
+      "y4m" — 8x8 C444 video, luma frame f = bytes [f*64, f*64+64),
+              up to 12 complete frames; docs under 64 bytes are dropped.
+    """
+    from rabbittclust_ray.stages.codecs import encode_ppm, encode_wav, encode_y4m
+
+    if container not in ("ppm", "wav", "y4m"):
+        raise ValueError(f"unknown container {container!r}")
+
+    def f(t: pa.Table) -> pa.Table:
+        out_doc, out_payload = [], []
+        for doc, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+            if container == "ppm":
+                hgt = min(len(b) // 3, 64)
+                if hgt < 1:
+                    continue
+                payload = encode_ppm(b[: hgt * 3].reshape(hgt, 1, 3))
+            elif container == "wav":
+                payload = encode_wav(b[:256], rate=16000)
+            else:  # y4m
+                nf = min(len(b) // 64, 12)
+                if nf < 1:
+                    continue
+                payload = encode_y4m(b[: nf * 64].reshape(nf, 8, 8), chroma="444")
+            out_doc.append(doc)
+            out_payload.append(payload)
+        n = len(out_doc)
+        mt = {"ppm": "image/x-portable-pixmap", "wav": "audio/wav",
+              "y4m": "video/x-yuv4mpeg"}[container]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "media_type": pa.array([mt] * n, pa.string()),
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array([8] * n, pa.int32()),
+                "height": pa.array([8] * n, pa.int32()),
                 "sample_rate": pa.array([16000] * n, pa.int32()),
             }
         )

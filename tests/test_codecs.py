@@ -1,0 +1,211 @@
+"""Golden-file tests for the pure-numpy codecs (stages/codecs.py) and the
+real-decode multimodal paths (round-2 verdict item 3)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rabbittclust_ray.stages.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    decode_y4m,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+    encode_y4m,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def test_ppm_roundtrip():
+    img = RNG.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_ppm_comment_and_golden():
+    # hand-built golden file: 2x1 image, red then green, with a comment
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    img = decode_ppm(payload)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+
+
+def test_bmp_roundtrip_odd_width():
+    # odd width exercises 4-byte row padding
+    img = RNG.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_golden_bgr_bottomup():
+    # 1x2, two rows: encode stores bottom-up BGR — check a known pixel
+    img = np.array([[[10, 20, 30]], [[40, 50, 60]]], dtype=np.uint8)
+    payload = encode_bmp(img)
+    # pixel data starts at offset 54; first stored row is the BOTTOM row
+    # (40,50,60) as BGR
+    assert payload[54:57] == bytes([60, 50, 40])
+    assert np.array_equal(decode_bmp(payload), img)
+
+
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+def test_png_roundtrip(nch):
+    img = RNG.integers(0, 256, size=(6, 5, nch), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert np.array_equal(out, img)
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Build a PNG applying a specific filter type per scanline (forward
+    filtering per RFC 2083 §6) — exercises the decoder's unfilter paths."""
+    h, w, nch = img.shape
+    bpp = nch
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for x in range(w * nch):
+            left = int(line[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                f = line[x]
+            elif ft == 1:
+                f = line[x] - left
+            elif ft == 2:
+                f = line[x] - up
+            elif ft == 3:
+                f = line[x] - ((left + up) >> 1)
+            else:  # Paeth
+                p = left + up - ul
+                pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc) else (up if pb <= pc else ul)
+                f = line[x] - pred
+            raw.append(f & 0xFF)
+        prev = line
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filter_types(filters):
+    img = RNG.integers(0, 256, size=(7, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(_png_with_filters(img, filters)), img)
+
+
+def test_png_rejects_16bit():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
+
+
+def test_decode_image_dispatch():
+    img = RNG.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    for enc in (encode_png, encode_ppm, encode_bmp):
+        assert np.array_equal(decode_image(enc(img)), img)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
+
+
+def test_wav_roundtrip_pcm8_mono():
+    s = RNG.integers(0, 256, size=100, dtype=np.uint8)
+    out, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(out[:, 0], s)
+
+
+def test_wav_roundtrip_pcm16_stereo():
+    s = RNG.integers(-(2**15), 2**15, size=(64, 2)).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, rate=44100))
+    assert rate == 44100
+    assert np.array_equal(out, s)
+
+
+def test_wav_odd_data_chunk_word_alignment():
+    # 3 PCM-8 samples -> odd data length; chunk walk must stay aligned
+    s = np.array([1, 2, 3], dtype=np.uint8)
+    out, _ = decode_wav(encode_wav(s))
+    assert np.array_equal(out[:, 0], s)
+
+
+@pytest.mark.parametrize("chroma", ["444", "420"])
+def test_y4m_roundtrip(chroma):
+    y = RNG.integers(0, 256, size=(3, 8, 8), dtype=np.uint8)
+    out, w, h = decode_y4m(encode_y4m(y, chroma=chroma))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(out, y)
+
+
+def test_y4m_trailing_partial_frame_ignored():
+    y = RNG.integers(0, 256, size=(2, 4, 4), dtype=np.uint8)
+    payload = encode_y4m(y, chroma="444") + b"FRAME\n" + b"\x00" * 10
+    out, _, _ = decode_y4m(payload)
+    assert len(out) == 2
+
+
+def test_real_decode_actor_paths(ray_session):
+    """End-to-end: encoded-media synthesis -> real decoders inside the
+    actor-pool stages; features match hand-computed byte statistics."""
+    from rabbittclust_ray.stages.multimodal import (
+        audio_frame_features,
+        image_features,
+        media_from_documents_encoded,
+        video_frame_features,
+    )
+
+    texts = ["".join(chr(33 + (i * 7 + j) % 90) for j in range(40 + 60 * i))
+             for i in range(4)]
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}
+    ))
+
+    # image (PPM 1xHx3): channel sums over first H*3 text bytes
+    out = image_features(
+        media_from_documents_encoded(docs, "ppm"),
+        deterministic_fake=False, stat="sum",
+    ).to_pandas().set_index("doc_id")
+    for i, s in enumerate(texts):
+        b = np.frombuffer(s.encode(), dtype=np.uint8)
+        hgt = min(len(b) // 3, 64)
+        want = [int(b[c: hgt * 3: 3].sum()) for c in range(3)]
+        assert [int(v) for v in out.loc[i, "feature"]] == want
+
+    # audio (PCM-8 WAV): frame energy = sum((b-128)^2) over 64-byte frames
+    aud = audio_frame_features(
+        media_from_documents_encoded(docs, "wav"),
+        frame_len=64, max_frames=4, deterministic_fake=False,
+    ).to_pandas()
+    for _, r in aud.iterrows():
+        b = np.frombuffer(texts[int(r.doc_id)].encode(), dtype=np.uint8)[:256]
+        w = b[int(r.frame) * 64:(int(r.frame) + 1) * 64].astype(np.int64) - 128
+        assert int(r.rms) == int((w * w).sum())
+
+    # video (Y4M 8x8): sampled luma checksum = sum of text bytes window
+    vid = video_frame_features(
+        media_from_documents_encoded(docs, "y4m"),
+        stride=3, max_frames=4, deterministic_fake=False,
+    ).to_pandas()
+    assert len(vid) > 0
+    for _, r in vid.iterrows():
+        b = np.frombuffer(texts[int(r.doc_id)].encode(), dtype=np.uint8)
+        t0 = int(r.frame) * 3 * 64
+        assert int(r.checksum) == int(b[t0:t0 + 64].astype(np.int64).sum())
