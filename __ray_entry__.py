@@ -1041,6 +1041,52 @@ def _q_video_frames_real(sf_dir: str):
     return out[["doc_id", "frame", "checksum"]]
 
 
+def _q_select_threshold(sf_dir: str):
+    """Composed auto-threshold selection (stats.select_threshold, reference
+    selectOptimalThreshold MST.cpp:2199-2283) over a deterministic synthetic
+    edge-distance table derived from documents.n_chars — the gap structure
+    (13 quantized distance levels) makes the full candidate-generation +
+    scoring + stability computation SQL-replayable. One row out, exact ppm
+    integers."""
+    import math
+
+    import pandas as pd
+
+    from rabbittclust_ray.stages.stats import select_threshold
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        v = n % 13
+        dist = ((v * v * 7) % 101) / 1000.0
+        return pa.table(
+            {
+                "u": t["doc_id"],
+                "v": t["doc_id"],
+                "dist": pa.array(dist, pa.float64()),
+            }
+        )
+
+    mst = pa.concat_tables(
+        b for b in docs.map_batches(mk_edges, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    sel = select_threshold(mst)
+    ppm = lambda x: int(math.floor(x * 1e6 + 0.5))  # noqa: E731
+    return pd.DataFrame(
+        [{
+            "threshold_ppm": ppm(sel["threshold"]),
+            "confidence_ppm": ppm(sel["confidence"]),
+            "gap_ppm": ppm(sel["gap_score"]),
+            "stability_ppm": ppm(sel["stability"]),
+            "level": sel["level"],
+            "source": sel["source"],
+        }]
+    )
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF probe with nprobe == num_centroids (exhaustive probe == exact
     top-k), so the full assign/probe/merge path is hash-checked against a
@@ -4466,6 +4512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_real": _q_image_features_real,
         "audio_frames_real": _q_audio_frames_real,
         "video_frames_real": _q_video_frames_real,
+        "select_threshold": _q_select_threshold,
         "ann_ivf": _q_ann_ivf,
         "lang_distribution": _q_lang_distribution,
         "exact_dup_pairs": _q_exact_dup_pairs,
@@ -5639,6 +5686,71 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT unnest(generate_series(1, 64)) AS i) i(i)
             ) w
             GROUP BY 1, 2
+        """,
+        # full replay of selectOptimalThreshold (MST.cpp:2199-2283): gap
+        # candidates over the sorted positive distances, range-boosted
+        # confidence scoring, first-max-in-candidate-order winner (ORDER BY
+        # score DESC, gap DESC, thr ASC == python's strict-> over gap-desc
+        # candidates), stability = 1 - frac edges within +-0.01
+        "select_threshold": """
+            WITH d AS (
+                SELECT (((n_chars % 13) * (n_chars % 13) * 7) % 101) / 1000.0 AS dist
+                FROM documents
+            ),
+            pos AS (SELECT dist FROM d WHERE dist > 1e-10),
+            stats AS (
+                SELECT min(dist) AS mn, max(dist) AS mx, count(*) AS n FROM pos
+            ),
+            sorted AS (
+                SELECT dist, row_number() OVER (ORDER BY dist) AS rn FROM pos
+            ),
+            gaps AS (
+                SELECT a.rn AS i, b.dist - a.dist AS gap, b.dist AS thr
+                FROM sorted a JOIN sorted b ON b.rn = a.rn + 1
+            ),
+            qual AS (
+                SELECT g.i, g.gap, g.thr,
+                       row_number() OVER (ORDER BY g.gap DESC, g.i ASC) AS rk
+                FROM gaps g, stats s
+                WHERE g.gap > (s.mx - s.mn) * 0.05
+            ),
+            cands AS (
+                SELECT thr, gap,
+                       least(1.0, gap / (s.mx - s.mn) * 10.0) AS conf
+                FROM qual q, stats s WHERE q.rk <= 5 AND thr >= 0.001
+            ),
+            scored AS (
+                SELECT thr, gap, conf,
+                       (CASE WHEN thr >= 0.01 AND thr <= 0.1 THEN conf * 2.0
+                             WHEN thr >= 0.001 AND thr < 0.01 THEN conf * 1.2
+                             WHEN thr > 0.1 AND thr <= 0.2 THEN conf * 1.1
+                             ELSE conf END)
+                       + (CASE WHEN gap > 0.0 THEN gap * 20.0 ELSE 0.0 END) AS score
+                FROM cands
+            ),
+            win AS (
+                SELECT * FROM scored ORDER BY score DESC, gap DESC, thr ASC LIMIT 1
+            ),
+            stab AS (
+                SELECT CAST(sum(CASE WHEN abs(d.dist - w.thr) <= 0.01
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS near_frac
+                FROM d, win w
+            )
+            SELECT
+                CAST(floor(w.thr * 1e6 + 0.5) AS BIGINT) AS threshold_ppm,
+                CAST(floor(w.conf * 1e6 + 0.5) AS BIGINT) AS confidence_ppm,
+                CAST(floor(w.gap * 1e6 + 0.5) AS BIGINT) AS gap_ppm,
+                CAST(floor((1.0 - s.near_frac) * 1e6 + 0.5) AS BIGINT) AS stability_ppm,
+                CASE WHEN w.thr < 0.001 THEN 'identical/near-identical'
+                     WHEN w.thr < 0.005 THEN 'strain/subspecies'
+                     WHEN w.thr < 0.01 THEN 'strain'
+                     WHEN w.thr < 0.03 THEN 'species'
+                     WHEN w.thr < 0.1 THEN 'genus'
+                     WHEN w.thr < 0.2 THEN 'family'
+                     ELSE 'higher' END AS level,
+                'gap' AS source
+            FROM win w, stab s
         """,
     }
     sql.update({

@@ -434,25 +434,28 @@ def main(argv: list[str] | None = None) -> int:
             result = clust_mst_checkpointed(ds, args.output, scfg, ccfg)
             if args.auto_threshold and result.mst is not None:
                 from rabbittclust_ray.stages.stats import (
+                    select_threshold,
                     threshold_candidates,
                     threshold_stability,
                 )
 
-                cands = threshold_candidates(result.mst)
-                for c in cands:
-                    c["stability"] = threshold_stability(result.mst, c["threshold"])
+                for c in threshold_candidates(result.mst):
+                    stab = threshold_stability(result.mst, c["threshold"])
                     print(f"threshold candidate: {c['threshold']:.4f} "
                           f"(gap {c['gap_score']:.4f}, confidence {c['confidence']:.2f}, "
-                          f"stability {c['stability']:.2f})")
-                if cands:
-                    best = cands[0]["threshold"]
-                    if best < ccfg.threshold:
-                        from rabbittclust_ray.pipelines.append import (
-                            recluster_from_checkpoint,
-                        )
+                          f"stability {stab:.2f})")
+                sel = select_threshold(result.mst)
+                print(f"selected threshold: {sel['threshold']:.4f} "
+                      f"(source {sel['source']}, level {sel['level']}, "
+                      f"confidence {sel['confidence']:.2f}, "
+                      f"stability {sel['stability']:.2f})")
+                if sel["threshold"] < ccfg.threshold:
+                    from rabbittclust_ray.pipelines.append import (
+                        recluster_from_checkpoint,
+                    )
 
-                        print(f"re-cutting at auto threshold {best:.4f}")
-                        result = recluster_from_checkpoint(args.output, best)
+                    print(f"re-cutting at auto threshold {sel['threshold']:.4f}")
+                    result = recluster_from_checkpoint(args.output, sel["threshold"])
             if args.dense and result.mst is not None:
                 import numpy as _np
 

@@ -156,6 +156,86 @@ def threshold_stability(mst: pa.Table, threshold: float, eps: float = 0.01) -> f
     return float(1.0 - near / len(d))
 
 
+def _taxonomic_level(t: float) -> str:
+    """Heuristic level naming (MST.cpp:2063-2078)."""
+    if t < 0.001:
+        return "identical/near-identical"
+    if t < 0.005:
+        return "strain/subspecies"
+    if t < 0.01:
+        return "strain"
+    if t < 0.03:
+        return "species"
+    if t < 0.1:
+        return "genus"
+    if t < 0.2:
+        return "family"
+    return "higher"
+
+
+def select_threshold(
+    mst: pa.Table,
+    max_candidates: int = 5,
+    min_gap_ratio: float = 0.05,
+    eps: float = 0.01,
+) -> dict:
+    """Composed auto-threshold selection: candidates -> scored choice ->
+    stability, matching the reference ``selectOptimalThreshold``
+    (MST.cpp:2199-2283) exactly:
+
+    - candidates below 0.001 are skipped (near-identical noise);
+    - score = confidence, x2.0 in the species-genus range [0.01, 0.1]
+      (x1.2 in [0.001, 0.01), x1.1 in (0.1, 0.2]), + gap_score * 20;
+    - first strict maximum in candidate order (gap desc, index asc) wins;
+    - if NO candidate survives the 0.001 floor: fall back to the MST edge
+      median when it lies in [0.01, 0.2], else to the 0.05 default.
+
+    The returned dict adds ``stability`` (threshold_stability at eps) and
+    ``source`` in {"gap", "median", "default"}."""
+    cands = threshold_candidates(mst, max_candidates, min_gap_ratio)
+    best_score = -1.0
+    optimal: dict | None = None
+    for c in cands:
+        t = c["threshold"]
+        if t < 0.001:  # MIN_REASONABLE_THRESHOLD
+            continue
+        score = c["confidence"]
+        if 0.01 <= t <= 0.1:
+            score *= 2.0
+        elif 0.001 <= t < 0.01:
+            score *= 1.2
+        elif 0.1 < t <= 0.2:
+            score *= 1.1
+        if c["gap_score"] > 0.0:
+            score += c["gap_score"] * 20.0
+        if score > best_score:
+            best_score = score
+            optimal = {
+                "threshold": t,
+                "confidence": c["confidence"],
+                "gap_score": c["gap_score"],
+                "level": _taxonomic_level(t),
+                "source": "gap",
+            }
+    if optimal is None:  # reference: best_score < 0 after the loop
+        stats = edge_length_stats(mst)
+        med = float(stats["median"])
+        if 0.01 <= med <= 0.2:
+            optimal = {
+                "threshold": med, "confidence": 0.4, "gap_score": 0.0,
+                "level": ("species" if med < 0.03 else
+                          "genus" if med < 0.1 else "family"),
+                "source": "median",
+            }
+        else:
+            optimal = {
+                "threshold": 0.05, "confidence": 0.3, "gap_score": 0.0,
+                "level": "genus", "source": "default",
+            }
+    optimal["stability"] = threshold_stability(mst, optimal["threshold"], eps)
+    return optimal
+
+
 def remove_noise(
     forest: pa.Table,
     labels: dict[int, int],

@@ -175,3 +175,53 @@ def test_video_frame_sampling():
     assert len(r1) == 4 * 4
     assert r1.sort_values(["doc_id", "frame"]).checksum.tolist() == \
            r2.sort_values(["doc_id", "frame"]).checksum.tolist()
+
+
+def test_select_threshold_gap_winner():
+    """Composed selection (MST.cpp:2199-2283): the in-range candidate with
+    the best boosted score wins; metadata carried through."""
+    from rabbittclust_ray.stages.stats import select_threshold
+
+    # tight regime 0.01-0.014, then a gap to 0.05 (in the 2x-boost range),
+    # then a gap to 0.25 (only a 1.0x range -> loses despite bigger gap
+    # needing score 0.25*... check: gap1=0.036 conf 1 -> 2+0.72=2.72;
+    # gap2=0.2 conf 1 -> 1*1(>0.2 no boost)+4.0=5.0 -> gap2 wins on gap*20)
+    rows = [(i, i + 1, 0.01 + 0.001 * i) for i in range(5)]
+    rows += [(20, 21, 0.05), (30, 31, 0.25)]
+    sel = select_threshold(_edges(rows))
+    assert sel["source"] == "gap"
+    assert sel["threshold"] == pytest.approx(0.25)
+    assert sel["level"] == "higher"
+    assert 0.0 <= sel["stability"] <= 1.0
+
+    # without the far edge, the in-range 0.05 candidate wins with the boost
+    sel2 = select_threshold(_edges(rows[:-1]))
+    assert sel2["source"] == "gap"
+    assert sel2["threshold"] == pytest.approx(0.05)
+    assert sel2["level"] == "genus"
+
+
+def test_select_threshold_median_fallback():
+    """All candidates below the 0.001 floor -> median fallback when the
+    median is in [0.01, 0.2]."""
+    from rabbittclust_ray.stages.stats import select_threshold
+
+    # a uniform ladder: every gap is rng/(n-1) << rng*0.05, so NO gap
+    # qualifies -> no candidates -> median fallback (median in range)
+    rows = [(i, i + 1, 0.01 + 0.001 * i) for i in range(100)]
+    sel = select_threshold(_edges(rows))
+    assert sel["source"] == "median"
+    assert 0.01 <= sel["threshold"] <= 0.2
+    assert sel["confidence"] == pytest.approx(0.4)
+    assert sel["level"] == "genus"
+
+
+def test_select_threshold_default_fallback():
+    """No candidates at all and an out-of-range median -> 0.05 default."""
+    from rabbittclust_ray.stages.stats import select_threshold
+
+    sel = select_threshold(_edges([(1, 2, 0.0005), (2, 3, 0.0005)]))
+    assert sel["source"] == "default"
+    assert sel["threshold"] == pytest.approx(0.05)
+    assert sel["confidence"] == pytest.approx(0.3)
+    assert sel["level"] == "genus"
