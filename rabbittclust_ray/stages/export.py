@@ -125,15 +125,28 @@ def sorted_shard_manifest(
             for i, s0 in enumerate(starts):
                 sid = int(sh[s0])
                 path = os.path.join(out_dir, f"shard={sid}.parquet")
-                if not os.path.exists(path):  # resume: skip finished
-                    pq.write_table(
-                        pa.table(
-                            {value_col: pa.array(
-                                v[s0:ends[i]], pa.int64()
-                            )}
-                        ),
-                        path,
-                    )
+                n_want = int(ends[i] - s0)
+                if os.path.exists(path):
+                    # resume: trust the existing shard only after its
+                    # footer row count matches the freshly computed
+                    # manifest row — a truncated/stale file from a
+                    # crashed run is rewritten, not silently reported
+                    try:
+                        n_have = pq.read_metadata(path).num_rows
+                    except Exception:
+                        n_have = -1  # unreadable footer: rewrite
+                    if n_have == n_want:
+                        continue
+                # temp-write + atomic rename: a partial file never
+                # occupies the final path (the crash leaves only .tmp)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                pq.write_table(
+                    pa.table(
+                        {value_col: pa.array(v[s0:ends[i]], pa.int64())}
+                    ),
+                    tmp,
+                )
+                os.replace(tmp, path)
             return pa.table(
                 {k: pa.array(a, pa.int64()) for k, a in out.items()}
             )

@@ -57,6 +57,11 @@ def pagerank_ppm(
     scalar — the iteration count is fixed, so the whole ladder is a lazy
     chain of 2*n_iter exchanges. Adjacency is re-exchanged each iteration
     (the standard label-propagation trade: edges stream, ranks stay tiny).
+
+    Contract: ``nodes`` should cover every edge endpoint. Edges touching
+    an uncovered endpoint are DROPPED (guarded searchsorted in both
+    reducers — never a misread of a neighboring node's rank), matching
+    kcore_membership's filter_dst policy.
     """
     from rabbittclust_ray.stages.pairs import hash_exchange
 
@@ -101,11 +106,21 @@ def pagerank_ppm(
         rk, rv = rk[order], rv[order]
         asrc, adst = key[~is_rank], other[~is_rank]
         if len(asrc):
+            # Guard the nodes-cover-all-endpoints contract: an edge whose
+            # src has no rank row is DROPPED (same policy as
+            # kcore_membership's filter_dst) instead of reading a wrong
+            # node's rank through an unclamped searchsorted.
+            pos = np.searchsorted(rk, asrc)
+            ok = (pos < len(rk))
+            if len(rk):
+                ok &= rk[np.minimum(pos, len(rk) - 1)] == asrc
+            if not ok.all():
+                asrc, adst, pos = asrc[ok], adst[ok], pos[ok]
             srcs, inv, deg = np.unique(
                 asrc, return_inverse=True, return_counts=True
             )
-            pos = np.searchsorted(rk, asrc)
-            contrib = rv[pos] // deg[inv]
+            contrib = rv[pos] // deg[inv] if len(asrc) else \
+                np.array([], dtype=np.int64)
         else:
             adst = np.array([], dtype=np.int64)
             contrib = np.array([], dtype=np.int64)
@@ -135,8 +150,14 @@ def pagerank_ppm(
         s = np.zeros(len(nodes_), dtype=np.int64)
         ck, cv = key[~is_rank], val[~is_rank]
         if len(ck):
+            # Same endpoint guard as push: contributions addressed to a
+            # node absent from the nodes table are dropped, not folded
+            # into a neighboring node's rank.
             pos = np.searchsorted(nodes_, ck)
-            np.add.at(s, pos, cv)
+            ok = (pos < len(nodes_))
+            if len(nodes_):
+                ok &= nodes_[np.minimum(pos, len(nodes_) - 1)] == ck
+            np.add.at(s, pos[ok], cv[ok])
         new_r = base_ppm + damping_ppm * s // 1_000_000
         return pa.table(
             {

@@ -31,14 +31,13 @@ URL_RE = r"https?://[a-z0-9.-]+(?:/[^ ]*)?"
 DOMAIN_RE = r"https?://([a-z0-9.-]+)"
 
 
-def extract_urls(
-    ds: ray.data.Dataset,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> ray.data.Dataset:
-    """Explode every URL occurrence: (doc_id, url, domain), document
-    order preserved within a doc. Pure map, zero shuffle."""
+def _make_url_explode(id_col: str, text_col: str):
+    """Build the per-batch URL-explode kernel: document batch in,
+    (doc_id, url, domain) rows out. Shared by ``extract_urls`` and —
+    FUSED into the same map fn — by the partial stages below, so a
+    document's exploded rows are never split across batches (exactness
+    of per-batch distinct-doc partials must not depend on Ray's
+    batching of an already-exploded stream)."""
     import re
 
     empty = pa.table(
@@ -71,7 +70,20 @@ def extract_urls(
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return f
+
+
+def extract_urls(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Explode every URL occurrence: (doc_id, url, domain), document
+    order preserved within a doc. Pure map, zero shuffle."""
+    return ds.map_batches(
+        _make_url_explode(id_col, text_col), batch_format="pyarrow"
+    )
 
 
 def domain_counts(
@@ -82,13 +94,14 @@ def domain_counts(
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Per-domain corpus accounting: (domain, n_urls, n_docs) with n_docs
-    exact (a doc lives wholly inside one batch, so per-batch distinct
-    (domain, doc) partials sum to the global distinct count after the
-    domain-keyed exchange). Output is a Dataset — the domain table is
-    itself web-scale and never lands on the driver."""
+    exact: the explode kernel is FUSED into the partial fn, so each
+    document's URLs are counted within the batch that holds the document
+    — exactness never depends on how Ray batches an exploded stream.
+    Output is a Dataset — the domain table is itself web-scale and never
+    lands on the driver."""
     from rabbittclust_ray.stages.pairs import hash_exchange
 
-    urls = extract_urls(ds, id_col=id_col, text_col=text_col)
+    explode = _make_url_explode(id_col, text_col)
 
     empty_post = pa.table(
         {
@@ -99,7 +112,8 @@ def domain_counts(
         }
     )
 
-    def partials(t: pa.Table) -> pa.Table:
+    def partials(doc_batch: pa.Table) -> pa.Table:
+        t = explode(doc_batch)
         if t.num_rows == 0:
             return empty_post
         df = t.to_pandas()
@@ -138,7 +152,7 @@ def domain_counts(
         )
 
     return hash_exchange(
-        urls.map_batches(partials, batch_format="pyarrow"),
+        ds.map_batches(partials, batch_format="pyarrow"),
         "__gkey__", reduce, num_partitions,
     )
 
@@ -156,10 +170,12 @@ def cap_per_domain(
     always kept). Output (doc_id, domain, keep) for every doc that has a
     URL — the verdict table an anti-join applies to the corpus. ONE
     domain-keyed exchange; reducers see complete domain groups and rank
-    by doc_id (deterministic, resume-stable)."""
+    by doc_id (deterministic, resume-stable). The explode kernel is
+    FUSED into the first-url fn (see ``domain_counts``), so one doc can
+    never emit two first-URL rows whatever Ray's batching does."""
     from rabbittclust_ray.stages.pairs import hash_exchange
 
-    urls = extract_urls(ds, id_col=id_col, text_col=text_col)
+    explode = _make_url_explode(id_col, text_col)
 
     empty_post = pa.table(
         {
@@ -169,7 +185,8 @@ def cap_per_domain(
         }
     )
 
-    def first_url(t: pa.Table) -> pa.Table:
+    def first_url(doc_batch: pa.Table) -> pa.Table:
+        t = explode(doc_batch)
         if t.num_rows == 0:
             return empty_post
         df = t.to_pandas().drop_duplicates(id_col, keep="first")[
@@ -200,7 +217,7 @@ def cap_per_domain(
         )
 
     return hash_exchange(
-        urls.map_batches(first_url, batch_format="pyarrow"),
+        ds.map_batches(first_url, batch_format="pyarrow"),
         "__gkey__", rank_keep, num_partitions,
     )
 

@@ -72,13 +72,24 @@ def test_export_writes_sorted_resumable(tmp_path):
         assert x.min() == r["min_v"] and x.max() == r["max_v"]
         total += len(x)
     assert total == len(v)
-    # resume: poison one file, re-run — existing files must be kept
+    # resume is VERIFIED: a truncated/stale file (wrong footer row count,
+    # e.g. from a crashed prior run) is rewritten, not silently trusted
     poison = os.path.join(out, files[0])
+    good = pq.read_table(poison)
     pq.write_table(pa.table({"x": pa.array([123456], pa.int64())}), poison)
     sorted_shard_manifest(
         ds, "x", 4, out_dir=out, num_partitions=4
     ).to_pandas()
-    assert pq.read_table(poison).num_rows == 1  # untouched => resumable
+    assert pq.read_table(poison).equals(good)  # rewritten to the truth
+    # a file whose footer row count matches the manifest is trusted
+    # (the cheap resume check): stamp mtime, re-run, mtime unchanged
+    before = os.path.getmtime(poison)
+    sorted_shard_manifest(
+        ds, "x", 4, out_dir=out, num_partitions=4
+    ).to_pandas()
+    assert os.path.getmtime(poison) == before
+    # no temp debris left behind
+    assert not [f for f in os.listdir(out) if ".tmp." in f]
 
 
 def test_merge_group_stats_equals_full():

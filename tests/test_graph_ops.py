@@ -59,6 +59,53 @@ def test_pagerank_matches_reference(parallelism):
     assert out[out.doc_id >= 40]["rank_ppm"].tolist() == [150_000] * 5
 
 
+def _pagerank_ref_partial(edges, nodes, n_iter, damping_ppm=850_000):
+    """Replay of the documented uncovered-endpoint drop policy: rank rows
+    exist only for ``nodes``; deg(u) still counts dangling edges (degree
+    is local adjacency fan-out); contributions FROM uncovered sources and
+    TO uncovered destinations are dropped."""
+    adj = collections.defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    cov = set(nodes)
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(n_iter):
+        s = collections.defaultdict(int)
+        for u in adj:
+            if u not in cov:
+                continue
+            for v in adj[u]:
+                s[v] += r[u] // len(adj[u])
+        r = {
+            n: (1_000_000 - damping_ppm) + damping_ppm * s[n] // 1_000_000
+            for n in nodes
+        }
+    return r
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_pagerank_uncovered_endpoint_dropped(parallelism):
+    """Endpoint-coverage guard: edges touching a node absent from the
+    nodes table are dropped per the documented policy, never folded into
+    a neighboring node's rank and never an IndexError (regression for
+    the unclamped searchsorted)."""
+    # nodes 99 and 0 (0 < min(rk), 99 > max(rk): both searchsorted edge
+    # cases) are NOT in the nodes table
+    u = [1, 2, 0, 5]
+    v = [2, 99, 1, 99]
+    eds = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(
+        parallelism)
+    nds = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3, 5]}))
+    out = (
+        pagerank_ppm(eds, nds, n_iter=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    ref = _pagerank_ref_partial(list(zip(u, v)), [1, 2, 3, 5], n_iter=3)
+    assert dict(zip(out["doc_id"], out["rank_ppm"])) == ref
+
+
 def test_pagerank_zero_iters_is_init():
     eds = ray.data.from_arrow(pa.table({"u": [1], "v": [2]}))
     nds = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3]}))

@@ -57,6 +57,27 @@ def test_domain_counts_brute_force():
     assert dict(zip(got.domain, got.n_docs))["a.com"] == 3
 
 
+def test_domain_counts_huge_doc_exact():
+    """Regression: one doc with 3000 URLs (far beyond any default batch
+    size). n_docs must stay exact because the explode is fused into the
+    partial fn — a doc's URLs can never straddle a batch boundary."""
+    from rabbittclust_ray.stages.web import cap_per_domain, domain_counts
+
+    big = " ".join(f"http://huge.dom/p{i}" for i in range(3000))
+    tbl = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array([big, "also http://huge.dom/q"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    got = domain_counts(ds, num_partitions=4).to_pandas()
+    assert got.loc[got.domain == "huge.dom", "n_urls"].item() == 3001
+    assert got.loc[got.domain == "huge.dom", "n_docs"].item() == 2
+    # cap verdicts: exactly one row per URL-bearing doc, no duplicates
+    cap = cap_per_domain(ds, k=1, num_partitions=4).to_pandas()
+    assert sorted(cap.doc_id.tolist()) == [7, 8]
+    assert cap.set_index("doc_id").keep.to_dict() == {7: True, 8: False}
+
+
 def test_cap_per_domain_rule():
     from rabbittclust_ray.stages.web import cap_per_domain
 
