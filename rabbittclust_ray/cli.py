@@ -207,6 +207,13 @@ def _db_verb(args, parser, scfg, ccfg) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # The CLI is the production entry point: oracle-surface hashers
+    # (per-window Python sha loops that exist only for DuckDB
+    # verification) must not be selectable here — fail fast instead of
+    # melting a large run.
+    from rabbittclust_ray.oracle_guard import set_production_mode
+
+    set_production_mode(True)
     parser = argparse.ArgumentParser(prog="rabbittclust_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("clust-mst", "clust-greedy", "append", "recluster", "dbscan", "louvain", "leiden"):

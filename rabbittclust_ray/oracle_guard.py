@@ -1,0 +1,45 @@
+"""Production-mode guard for oracle-surface hashers.
+
+Several sketch/fingerprint stages accept ``hasher="sha"``: a per-window
+hashlib loop whose only purpose is DuckDB-replayable verification (the
+SQL oracle computes the identical sha256 grams). The production twins
+("rolling" / "splitmix") are vectorized numpy kernels. The sha surface
+is 100-1000x slower per byte and must never be reachable from a
+production pipeline config at scale — this module is the single switch
+the CLI (and any long-running service entry point) flips so an
+accidental ``hasher="sha"`` raises instead of melting a 100-TB run.
+
+Library/driver use (tests, ``__ray_entry__`` oracle wrappers,
+``scripts/check_oracle.py``) stays permissive by default.
+"""
+
+from __future__ import annotations
+
+ORACLE_HASHERS = frozenset({"sha"})
+
+_production_mode = False
+
+
+def set_production_mode(on: bool = True) -> None:
+    """Flip the guard. The CLI calls this before building any pipeline."""
+    global _production_mode
+    _production_mode = bool(on)
+
+
+def in_production_mode() -> bool:
+    return _production_mode
+
+
+def check_hasher(hasher: str, where: str) -> None:
+    """Raise if an oracle-surface hasher is selected in production mode.
+
+    Called at the top of every public stage builder that accepts a
+    ``hasher`` parameter — driver-side, before any Dataset work starts,
+    so the failure is immediate and cheap."""
+    if _production_mode and hasher in ORACLE_HASHERS:
+        raise ValueError(
+            f"{where}: hasher={hasher!r} is the oracle-verification "
+            "surface (per-window Python hashing, 100-1000x slower than "
+            "the vectorized twin) and is disabled in production mode; "
+            "use the default vectorized hasher instead"
+        )

@@ -100,6 +100,9 @@ def hll_cardinality(
     est_distinct = round(C / hll_sum, 6) — the raw HLL estimate.
     Documents with no k-gram (len < k) are dropped (they have no register
     content; the oracle's join drops them identically)."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "hll_cardinality")
     m = 1 << b
     width = 64 - b
     mask = np.uint64((1 << width) - 1)
@@ -207,6 +210,9 @@ def weighted_jaccard_pairs(
     Grams whose posting list exceeds ``max_posting`` are dropped (skew cap,
     same rule as the MinHash pair path); the oracle config raises the cap
     so it never triggers at fixture scale."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "weighted_jaccard_pairs")
     rows = _weighted_gram_rows(ds, text_col, k, hasher, seed)
 
     def emit(t: pa.Table) -> pa.Table:
@@ -305,6 +311,9 @@ def weighted_minhash_sketch(
     bottom-``sketch_size`` of the union. Bottom-k over the replicated
     multiset makes ``wmh_jaccard`` an unbiased estimator of J_w.
     Output: (doc_id, wsketch list<uint64>, wsize, wtotal)."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "weighted_minhash_sketch")
 
     def f(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
@@ -382,6 +391,9 @@ def omh_sketch(
     estimates an order-aware similarity (edit-distance flavored), unlike
     plain MinHash. Docs with fewer than ``t`` windows are dropped.
     Output: (doc_id, omh list<uint64>)."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "omh_sketch")
     salts = splitmix64(np.arange(1, reps + 1, dtype=np.uint64) * np.uint64(0xA5A5A5A5))
 
     def f(tbl: pa.Table) -> pa.Table:
@@ -563,6 +575,9 @@ def cms_token_counts(
     corpus scan; at 100 TB fuse the two partials if the extra read
     matters). cms_count >= exact_count always (CMS guarantee, pinned by
     test)."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "cms_token_counts")
     import pyarrow.compute as pc
 
     from rabbittclust_ray.stages.pairs import hash_exchange

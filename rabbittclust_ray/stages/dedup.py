@@ -32,10 +32,55 @@ import ray.data
 # ---------------------------------------------------------------------------
 
 
+# hex-digit value table for the vectorized sha decoders below
+_HEXVAL = np.full(256, 0, dtype=np.uint8)
+for _i, _c in enumerate("0123456789abcdef"):
+    _HEXVAL[ord(_c)] = _i
+for _i, _c in enumerate("ABCDEF"):
+    _HEXVAL[ord(_c)] = 10 + _i
+
+
+def _sha_hex_matrix(t: pa.Table) -> np.ndarray:
+    """(n, 64) uint8 view of the sha256 hex column — zero-copy from the
+    Arrow string buffer when the column is uniform 64-char (always true
+    for sha256 hex); no per-row Python."""
+    col = t["content_sha256"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    arr = col.cast(pa.binary())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    widths = off[1:] - off[:-1]
+    if n and (widths == 64).all():
+        return data[off[0]: off[-1]].reshape(n, 64)
+    # non-sha input (defensive): per-row fallback
+    vals = col.to_pylist()
+    return np.frombuffer(
+        b"".join(s.encode()[:64].ljust(64, b"0") for s in vals), np.uint8
+    ).reshape(n, 64)
+
+
+def _sha_key_cols(t: pa.Table) -> np.ndarray:
+    """(n, 4) uint64 sort-key columns from the full 256-bit digest,
+    vectorized nibble decode (no per-row Python)."""
+    mat = _sha_hex_matrix(t)
+    nib = _HEXVAL[mat]
+    raw = ((nib[:, ::2] << 4) | nib[:, 1::2]).astype(np.uint8)  # (n, 32)
+    return raw.reshape(-1).view(">u8").reshape(len(mat), 4).astype(np.uint64)
+
+
 def _add_sha_key(t: pa.Table) -> pa.Table:
-    """int64 exchange key from the sha prefix (sha is already uniform)."""
-    vals = t["content_sha256"].to_pylist()
-    key = np.array([int(s[:15], 16) for s in vals], dtype=np.int64)
+    """int64 exchange key = int(sha_hex[:15], 16) (sha is already
+    uniform). Fully vectorized: nibble-decode the first 15 hex chars
+    from the Arrow buffer — the old per-row ``int(s[:15], 16)`` loop was
+    an oracle-era hot-path bug at scale."""
+    mat = _sha_hex_matrix(t)
+    nib = _HEXVAL[mat[:, :15]].astype(np.int64)
+    shifts = (np.arange(14, -1, -1, dtype=np.int64) * 4)
+    key = (nib << shifts).sum(axis=1)
     return t.append_column("sha_key", pa.array(key, pa.int64()))
 
 
@@ -44,14 +89,13 @@ def _sha_groups(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     Groups on the FULL 256-bit digest decoded to four uint64 key columns —
     integer lexsort (object-array string sorts are 20x slower and a prefix
-    key alone would risk collisions at 10^12 rows)."""
-    shas = t["content_sha256"].to_pylist()
-    raw = b"".join(bytes.fromhex(s) for s in shas)
-    keys = np.frombuffer(raw, dtype=">u8").reshape(len(shas), 4).astype(np.uint64)
+    key alone would risk collisions at 10^12 rows). Hex decode is
+    vectorized (nibble table over the Arrow buffer, no per-row Python)."""
+    keys = _sha_key_cols(t)
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, keys[:, 3], keys[:, 2], keys[:, 1], keys[:, 0]))
     ks = keys[order]
-    new_grp = np.empty(len(shas), dtype=bool)
+    new_grp = np.empty(len(keys), dtype=bool)
     new_grp[0:1] = True
     new_grp[1:] = (ks[1:] != ks[:-1]).any(axis=1)
     return order, new_grp, ids[order]
@@ -248,9 +292,7 @@ def dedup_normalized(
                     "length": pa.array([], pa.int64()),
                 }
             )
-        shas = t["content_sha256"].to_pylist()
-        raw = b"".join(bytes.fromhex(s) for s in shas)
-        keys = np.frombuffer(raw, dtype=">u8").reshape(len(shas), 4).astype(np.uint64)
+        keys = _sha_key_cols(t)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         ln = t["length"].to_numpy(zero_copy_only=False)
         # within a sha family: (length desc, id asc) for "best", id asc
@@ -260,16 +302,19 @@ def dedup_normalized(
         else:
             order = np.lexsort((ids, keys[:, 3], keys[:, 2], keys[:, 1], keys[:, 0]))
         ks = keys[order]
-        new_grp = np.empty(len(shas), dtype=bool)
+        new_grp = np.empty(len(keys), dtype=bool)
         new_grp[0:1] = True
         new_grp[1:] = (ks[1:] != ks[:-1]).any(axis=1)
         ids_s = ids[order]
         rep = ids_s[np.flatnonzero(new_grp)][np.cumsum(new_grp) - 1]
-        sha_s = np.array(shas, dtype=object)[order]
+        sha_col = t["content_sha256"]
+        if isinstance(sha_col, pa.ChunkedArray):
+            sha_col = sha_col.combine_chunks()
+        sha_s = sha_col.take(pa.array(order))
         return pa.table(
             {
                 id_col: pa.array(ids_s, pa.int64()),
-                "norm_sha256": pa.array(sha_s, pa.string()),
+                "norm_sha256": sha_s.cast(pa.string()),
                 "group_rep": pa.array(rep, pa.int64()),
                 "is_dup": pa.array(ids_s != rep),
                 "length": pa.array(ln[order], pa.int64()),

@@ -466,6 +466,9 @@ def winnow_fingerprint(
     hasher="rolling" (vectorized rolling-hash fast path) | "sha" (sha256
     gram hashes — the SQL-oracle surface, mirroring the simhash pattern).
     A doc shorter than w grams keeps the minimum of what it has."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "winnow_fingerprint")
     from numpy.lib.stride_tricks import sliding_window_view
 
     def f(t: pa.Table) -> pa.Table:
@@ -523,6 +526,9 @@ def decontaminate(
     one vectorized map with a sorted-array membership test per batch.
     hasher="sha" is the SQL-oracle surface (grams compared as strings in
     SQL <=> sha-hash equality, collision-free at corpus scale)."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "decontaminate")
 
     def _doc_hashes(bufs: list[bytes]) -> list[np.ndarray]:
         if hasher == "sha":
@@ -708,6 +714,9 @@ def winnow_sketches(
     posting caps, prefilters) runs on MOSS fingerprints unchanged.
     Fingerprints are distinct per doc (winnow_fingerprint), which the
     intersection counter requires."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "winnow_sketches")
     from rabbittclust_ray.stages.pairs import hash_exchange
 
     fp = winnow_fingerprint(ds, text_col, k, w, seed, hasher)
@@ -747,6 +756,9 @@ def simhash(
     """64-bit SimHash over k-char shingles: sign of per-bit vote sums.
     Near-dup docs differ in few bits (Hamming). (..., simhash uint64).
     hasher="rolling" (fast path) | "sha" (sha256 gram hashes — SQL-checkable)."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "simhash")
 
     def f(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
@@ -793,6 +805,9 @@ def simhash_near_dups(
     band collides and every qualifying pair is a candidate. The banded
     output therefore EQUALS the exhaustive all-pairs answer, which is what
     the driver's SQL oracle computes."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+
+    check_hasher(hasher, "simhash_near_dups")
     sh = simhash(ds, text_col=text_col, k=k, hasher=hasher)
 
     def explode_bands(t: pa.Table) -> pa.Table:

@@ -1,0 +1,94 @@
+"""Production-mode guard for oracle-surface hashers + vectorized sha-key
+parity (verdict r2 'What's wrong' #3)."""
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+@pytest.fixture
+def production_mode():
+    from rabbittclust_ray.oracle_guard import set_production_mode
+
+    set_production_mode(True)
+    yield
+    set_production_mode(False)
+
+
+def _docs():
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "beta gamma delta eps"],
+                         pa.string()),
+    }))
+
+
+def test_sha_hasher_blocked_in_production(production_mode):
+    from rabbittclust_ray.stages.alt_sketch import hll_cardinality
+    from rabbittclust_ray.stages.text import simhash, winnow_fingerprint
+
+    for fn in (winnow_fingerprint, simhash, hll_cardinality):
+        with pytest.raises(ValueError, match="oracle-verification"):
+            fn(_docs(), hasher="sha")
+
+
+def test_vectorized_hashers_allowed_in_production(production_mode):
+    from rabbittclust_ray.stages.text import winnow_fingerprint
+
+    out = winnow_fingerprint(_docs(), k=4, w=3).to_pandas()
+    assert len(out) > 0  # default hasher builds fine under the guard
+
+
+def test_sha_hasher_allowed_by_default():
+    from rabbittclust_ray.oracle_guard import in_production_mode
+    from rabbittclust_ray.stages.text import winnow_fingerprint
+
+    assert not in_production_mode()
+    out = winnow_fingerprint(_docs(), k=4, w=3, hasher="sha").to_pandas()
+    assert len(out) > 0
+
+
+def test_cli_sets_production_mode(monkeypatch):
+    from rabbittclust_ray import cli, oracle_guard
+
+    try:
+        cli.main(["db"])  # missing required sub-args -> SystemExit
+    except SystemExit:
+        pass
+    assert oracle_guard.in_production_mode()
+    oracle_guard.set_production_mode(False)
+
+
+def test_sha_key_vectorized_matches_int_hex():
+    from rabbittclust_ray.stages.dedup import _add_sha_key, _sha_key_cols
+
+    texts = [f"content {i}" for i in range(50)]
+    shas = [hashlib.sha256(s.encode()).hexdigest() for s in texts]
+    t = pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "content_sha256": pa.array(shas, pa.string()),
+    })
+    got = _add_sha_key(t)["sha_key"].to_numpy()
+    want = np.array([int(s[:15], 16) for s in shas], dtype=np.int64)
+    assert (got == want).all()
+    # full-digest key columns match a per-row decode
+    cols = _sha_key_cols(t)
+    raw = b"".join(bytes.fromhex(s) for s in shas)
+    ref = np.frombuffer(raw, dtype=">u8").reshape(50, 4).astype(np.uint64)
+    assert (cols == ref).all()
+
+
+def test_sha_key_vectorized_sliced_table():
+    """The zero-copy buffer view must respect Arrow slice offsets."""
+    from rabbittclust_ray.stages.dedup import _add_sha_key
+
+    shas = [hashlib.sha256(bytes([i])).hexdigest() for i in range(20)]
+    t = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "content_sha256": pa.array(shas, pa.string()),
+    }).slice(7, 9)
+    got = _add_sha_key(t)["sha_key"].to_numpy()
+    want = np.array([int(s[:15], 16) for s in shas[7:16]], dtype=np.int64)
+    assert (got == want).all()
