@@ -150,6 +150,62 @@ def test_leiden_communities_connected_random_graphs():
         assert _communities_connected(t, labels), f"trial {trial}"
 
 
+def test_refine_splits_disconnected_community():
+    """Unit pin of the refinement mechanism (Traag et al. 2019 / igraph
+    semantics): a 'community' whose induced subgraph is two disconnected
+    pairs is split into two subcommunities — every node only merges into
+    a subcommunity it has positive edge weight to."""
+    from rabbittclust_ray.stages.community import _build_adj, _refine
+
+    cu = np.array([0, 2]); cv = np.array([1, 3])
+    cw = np.array([1.0, 1.0])
+    adj, k = _build_adj(cu, cv, cw, 4)
+    comm = np.zeros(4, dtype=np.int64)  # all four claimed as one community
+    sub = _refine(adj, k, cw.sum() * 2.0, 1.0, comm)
+    assert sub[0] == sub[1] and sub[2] == sub[3] and sub[0] != sub[2]
+
+
+def test_refine_keeps_connected_community_together():
+    from rabbittclust_ray.stages.community import _build_adj, _refine
+
+    # triangle: well connected, refinement must not shatter it
+    cu = np.array([0, 1, 0]); cv = np.array([1, 2, 2])
+    cw = np.array([1.0, 1.0, 1.0])
+    adj, k = _build_adj(cu, cv, cw, 3)
+    sub = _refine(adj, k, cw.sum() * 2.0, 1.0, np.zeros(3, dtype=np.int64))
+    assert len(set(sub.tolist())) == 1
+
+
+def test_leiden_splits_louvain_disconnected_community():
+    """The pinned Leiden-vs-Louvain splitting case (Traag et al. Fig. 2
+    class, r2 verdict #8): bridge node 0 carries chains {1,2} and {3,4}
+    and is pulled into the hub triangle {5,6,7} by its combined weight,
+    leaving Louvain's community {1,2,3,4} with NO internal edge between
+    the two chains (the famous disconnected-community pathology). Leiden's
+    refinement keeps the chains in connected communities instead.
+
+    Weights found by deterministic grid search: s=0.4 (bridge-chain),
+    a=0.1 (intra-chain), b=0.1 (hub triangle), c=0.4 (bridge-hub),
+    dist = 1 - w."""
+    from rabbittclust_ray.stages.community import leiden_labels
+
+    s, a, b, c = 0.4, 0.1, 0.1, 0.4
+    rows = [(0, 1, 1 - s), (0, 3, 1 - s), (1, 2, 1 - a), (3, 4, 1 - a),
+            (5, 6, 1 - b), (6, 7, 1 - b), (5, 7, 1 - b),
+            (0, 5, 1 - c), (0, 6, 1 - c), (0, 7, 1 - c)]
+    t = _edges(rows)
+    lou = louvain_labels(t)
+    lei = leiden_labels(t)
+    # Louvain: {1,2,3,4} one community, but 1-2 and 3-4 are disconnected
+    # inside it (their only link, node 0, moved to the hub community)
+    assert lou[1] == lou[2] == lou[3] == lou[4] != lou[0]
+    assert not _communities_connected(t, lou)
+    # Leiden: every community internally connected; the pathological
+    # community is split ({1,2} with the hub via 0, {3,4} on their own)
+    assert _communities_connected(t, lei)
+    assert lei[1] == lei[2] and lei[3] == lei[4] and lei[1] != lei[3]
+
+
 def test_leiden_cli(tmp_path):
     import os
 
