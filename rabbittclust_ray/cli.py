@@ -210,10 +210,19 @@ def main(argv: list[str] | None = None) -> int:
     # The CLI is the production entry point: oracle-surface hashers
     # (per-window Python sha loops that exist only for DuckDB
     # verification) must not be selectable here — fail fast instead of
-    # melting a large run.
-    from rabbittclust_ray.oracle_guard import set_production_mode
+    # melting a large run. The flag is restored on return so in-process
+    # callers (pytest invokes main() directly) don't inherit it.
+    from rabbittclust_ray.oracle_guard import in_production_mode, set_production_mode
 
+    prior_mode = in_production_mode()
     set_production_mode(True)
+    try:
+        return _cli_main(argv)
+    finally:
+        set_production_mode(prior_mode)
+
+
+def _cli_main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="rabbittclust_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name in ("clust-mst", "clust-greedy", "append", "recluster", "dbscan", "louvain", "leiden"):

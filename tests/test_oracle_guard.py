@@ -50,15 +50,28 @@ def test_sha_hasher_allowed_by_default():
     assert len(out) > 0
 
 
-def test_cli_sets_production_mode(monkeypatch):
+def test_cli_sets_and_restores_production_mode(monkeypatch):
+    """main() must run under the guard but NOT leak it to in-process
+    callers (a leaked flag broke an unrelated sha-oracle query when the
+    CLI tests ran first in the same pytest session)."""
     from rabbittclust_ray import cli, oracle_guard
 
-    try:
-        cli.main(["db"])  # missing required sub-args -> SystemExit
-    except SystemExit:
-        pass
-    assert oracle_guard.in_production_mode()
-    oracle_guard.set_production_mode(False)
+    seen = {}
+
+    def fake_inner(argv):
+        seen["during"] = oracle_guard.in_production_mode()
+        return 0
+
+    monkeypatch.setattr(cli, "_cli_main", fake_inner)
+    assert cli.main(["anything"]) == 0
+    assert seen["during"] is True
+    assert not oracle_guard.in_production_mode()
+
+    # the restore also runs when argparse bails out with SystemExit
+    monkeypatch.undo()
+    with pytest.raises(SystemExit):
+        cli.main(["db"])  # missing required sub-args
+    assert not oracle_guard.in_production_mode()
 
 
 def test_sha_key_vectorized_matches_int_hex():
