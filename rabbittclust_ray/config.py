@@ -99,6 +99,16 @@ class ClusterConfig:
                       10^12-file scale. The driver-side MST itself is still
                       built only when tree outputs / medoid dedup are
                       requested (the judge-sanctioned exception).
+    posting_rows_per_task — rows per reduce task of the posting->pair
+                      exchange (overrides the generic ~1M auto-size). The
+                      FOLLOWING aggregation exchange's volume is
+                      ~n_pairs x min(avg_common, n_posting_reducers), so
+                      fewer/larger posting reducers shrink the dominant
+                      shuffle multiplicatively (measured at 480k docs:
+                      118 reducers -> 216M partial rows; 31 -> 67M). The
+                      emitter chunks pair expansion internally, so larger
+                      slices don't grow its working set; the input concat
+                      (~24 B/row) is the only per-task memory that scales.
     """
 
     threshold: float = 0.05
@@ -108,6 +118,7 @@ class ClusterConfig:
     dedup_dist: float | None = None
     reps_per_cluster: int = 1
     driver_labels_max: int = 2_000_000
+    posting_rows_per_task: int = 4 << 20
 
     def __post_init__(self) -> None:
         if not (0.0 <= self.threshold <= 1.0):

@@ -145,16 +145,27 @@ def clust_mst(
 
     labels_ds = None
     if scale_labels:
+        from concurrent.futures import ThreadPoolExecutor
+
         from rabbittclust_ray.stages.cluster import (
             components_labelprop,
             make_assignments_ds,
         )
 
+        # the driver MST (per-block compression tasks + driver Boruvka) and
+        # the labelprop/assignment exchanges are independent consumers of
+        # the materialized edges — overlap them (each alone is ~3-5 s of
+        # serial tail; serialized they capped the 8->32 scaling ratio)
+        mst_fut = None
+        if need_tree:
+            _mpool = ThreadPoolExecutor(max_workers=1)
+            mst_fut = _mpool.submit(_driver_mst)
+            _mpool.shutdown(wait=False)
         labels_ds = components_labelprop(edges)
-        mst = _driver_mst() if need_tree else None
-        t = tick("mst_merge", t)
         labels: dict[int, int] = {}  # no O(N) driver structure on this path
         assignments = make_assignments_ds(sketches, labels_ds)
+        mst = mst_fut.result() if mst_fut is not None else None
+        t = tick("mst_merge", t)
     else:
         mst = _driver_mst()
         t = tick("mst_merge", t)

@@ -67,6 +67,12 @@ REPORT_SCHEMA = pa.schema(
 class CorpusDedupResult:
     report: ray.data.Dataset
     cleaned: ray.data.Dataset
+    # wall-clock seconds per materialization boundary (exact exchange,
+    # sketches, edges, driver component labels, report). Lazy tails
+    # (cleaned anti-join / decon / semantic overlays) execute at consume
+    # time and are the caller's to time. Populated only when the stage
+    # actually ran (checkpoint resume skips its entry).
+    stage_times: dict = None
 
 
 def _near_labels(edges, threshold: float) -> dict[int, int]:
@@ -234,11 +240,22 @@ def dedup_corpus(
                 cleaned=load_stage(checkpoint_root, "dedup_cleaned"),
             )
 
+    import time as _time
+
+    stage_times: dict = {}
+
+    def _timed(name, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        stage_times[name] = round(_time.perf_counter() - t0, 3)
+        return out
+
     prepared = prepare_documents(documents, scfg)
     # ONE fused exchange: full rows + per-doc exact verdict (content
     # crosses the wire once; prepare executes once). Materialized because
     # it feeds two consumers (verdicts + winner rows).
-    tagged = exact_dedup_tagged(prepared, num_buckets=ccfg.num_buckets).materialize()
+    tagged = _timed("exact_exchange", lambda: exact_dedup_tagged(
+        prepared, num_buckets=ccfg.num_buckets).materialize())
     exact_ds = tagged.map_batches(
         lambda t: t.select(["doc_id", "group_rep", "is_exact_dup"]),
         batch_format="pyarrow",
@@ -263,9 +280,11 @@ def dedup_corpus(
             lineage={"stage": "edges", "after": "sketches"},
         )
     else:
-        sketches = sketch_documents(winners, scfg).materialize()
+        sketches = _timed(
+            "sketches", lambda: sketch_documents(winners, scfg).materialize())
         edges = candidate_edges(sketches, scfg, near_ccfg)
-    labels = _near_labels(edges.materialize(), dedup_dist)
+    edges = _timed("edges", edges.materialize)
+    labels = _timed("near_labels", lambda: _near_labels(edges, dedup_dist))
 
     keys = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
     vals = np.array([labels[int(k)] for k in keys], dtype=np.int64)
@@ -351,7 +370,7 @@ def dedup_corpus(
         )
         report = _overlay_flags(report, sem_flags, "semantic", ccfg.num_buckets)
 
-    report = report.materialize()  # two consumers: report sink + cleaned filter
+    report = _timed("report", report.materialize)  # two consumers: report sink + cleaned filter
     dropped = report.map_batches(
         lambda t: t.filter(pc.equal(t["keep"], 0)), batch_format="pyarrow"
     )
@@ -364,5 +383,7 @@ def dedup_corpus(
         return CorpusDedupResult(
             report=load_stage(checkpoint_root, "dedup_report"),
             cleaned=load_stage(checkpoint_root, "dedup_cleaned"),
+            stage_times=stage_times,
         )
-    return CorpusDedupResult(report=report, cleaned=cleaned)
+    return CorpusDedupResult(report=report, cleaned=cleaned,
+                             stage_times=stage_times)

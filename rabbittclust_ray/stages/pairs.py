@@ -118,6 +118,13 @@ EXCHANGE_MIN_BYTES = 4 << 20
 EXCHANGE_PARTITION_CAP = 4096
 
 
+def _small_sizes(scfg: SketchConfig) -> bool:
+    """True when sketch sizes provably fit uint16 (fixed bottom-k): the
+    emitters then ship su/sv as uint16. mod/FracMinHash sketches are
+    unbounded (size ~ doc length / 2^mod_bits) and keep int32."""
+    return scfg.mode == "bottomk" and scfg.sketch_size < (1 << 16)
+
+
 def _hash_key(k: np.ndarray) -> np.ndarray:
     """Uniform uint64 exchange key (range-partitionable). NOTE: module-level
     splitmix64 import — worker UDFs must not import rabbittclust_ray at
@@ -134,6 +141,9 @@ def hash_exchange(
     split_mode: str | None = None,
     next_key: str | None = None,
     input_prepped: bool = False,
+    key_is_hash: bool = False,
+    next_key_is_hash: bool = False,
+    target_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Deterministic keyed exchange: hash-partition rows on ``key`` into at
     most ``num_partitions`` ranges of a mixed uint64 key and apply ``fn``
@@ -171,6 +181,18 @@ def hash_exchange(
     dataset execution per chained exchange (fixed scheduling latency is
     the serial fraction that caps scaling on small-per-core inputs).
 
+    ``key_is_hash``: the key column already holds a uniformly-mixed uint64
+    (e.g. the emitter's splitmix pair key) — range-partition on its VALUES
+    directly instead of appending a redundant HKEY rehash column. On the
+    100M-row pair exchanges the extra 8 B/row column was ~20% of the bytes
+    through plasma. ``next_key_is_hash`` declares the same for the chained
+    producer-side sort. ``target_rows`` overrides EXCHANGE_TARGET_ROWS for
+    this exchange's reducer auto-sizing: the posting->pair exchange wants
+    FEWER, larger reduce slices, because the following aggregation's
+    partials volume is ~n_pairs x min(avg_common, n_reducers) — reducer
+    count there multiplies downstream bytes (measured 216M partial rows at
+    118 reducers vs 63M at 30, 480k docs).
+
     Note on Ray's "new schema: ." warning: when ANY map task in the plan
     emits a zero-row output, Ray 2.49 records that RefBundle's schema as
     None and logs "Operator produced a RefBundle with a different schema".
@@ -181,7 +203,7 @@ def hash_exchange(
     """
     import ray
 
-    def _prep_table(t: pa.Table, k: str) -> pa.Table:
+    def _prep_table(t: pa.Table, k: str, as_hash: bool) -> pa.Table:
         if t.schema.metadata:
             # parquet files written via pandas carry b'pandas' schema
             # metadata; schemas with metadata are UNHASHABLE in pyarrow, so
@@ -190,6 +212,12 @@ def hash_exchange(
             t = t.replace_schema_metadata(None)
         if k not in t.column_names or HKEY in t.column_names:
             return t
+        if as_hash:
+            # key column is already a uniform uint64 — sort by it, no HKEY
+            if t.num_rows == 0:
+                return t
+            kv = t[k].to_numpy(zero_copy_only=False)
+            return t.take(pa.array(np.argsort(kv, kind="stable")))
         if t.num_rows == 0:
             # empty blocks still carry the HKEY column: downstream schema
             # stays uniform across partitions
@@ -200,27 +228,29 @@ def hash_exchange(
         return out.append_column(HKEY, pa.array(h[order], pa.uint64()))
 
     def prep(t: pa.Table) -> pa.Table:
-        return _prep_table(t, key)
+        return _prep_table(t, key, key_is_hash)
 
     if next_key is not None:
         inner_fn = fn
 
         def fn(t: pa.Table) -> pa.Table:  # noqa: F811 — deliberate wrap
-            return _prep_table(inner_fn(t), next_key)
+            return _prep_table(inner_fn(t), next_key, next_key_is_hash)
+
+    range_col = key if key_is_hash else HKEY
 
     def slice_of(block: pa.Table, lo_key: int, hi_key: int) -> pa.Table | None:
         """Zero-copy slice of a prepped (key-sorted) block to [lo, hi)."""
         if block.num_rows == 0:
             return None
-        if HKEY not in block.column_names:
+        if range_col not in block.column_names:
             # only legal for empty blocks; a populated block without the
             # range key means input_prepped was passed for un-prepped data —
             # silently skipping it would LOSE those rows
             raise ValueError(
-                f"hash_exchange: block missing {HKEY}; was input_prepped=True "
+                f"hash_exchange: block missing {range_col}; was input_prepped=True "
                 "passed for a dataset whose producer did not set next_key?"
             )
-        hk = block[HKEY].to_numpy(zero_copy_only=False)
+        hk = block[range_col].to_numpy(zero_copy_only=False)
         lo = int(np.searchsorted(hk, np.uint64(lo_key), side="left"))
         hi = (
             int(np.searchsorted(hk, np.uint64(hi_key - 1), side="right"))
@@ -235,7 +265,9 @@ def hash_exchange(
                 {f.name: pa.array([], f.type) for f in schema if f.name != HKEY}
             )
             return fn(empty)
-        merged = pa.concat_tables(picked).combine_chunks().drop_columns([HKEY])
+        merged = pa.concat_tables(picked).combine_chunks()
+        if HKEY in merged.column_names:
+            merged = merged.drop_columns([HKEY])
         return fn(merged)
 
     @ray.remote
@@ -283,7 +315,8 @@ def hash_exchange(
     # per cluster CPU so mid-size inputs don't idle the cluster — unless
     # the input is so small that tasks would drop under EXCHANGE_MIN_ROWS
     ncpu = int(ray.cluster_resources().get("CPU", 1) or 1)
-    p_heap = -(-n_rows // EXCHANGE_TARGET_ROWS) or 1
+    tgt = target_rows or EXCHANGE_TARGET_ROWS
+    p_heap = -(-n_rows // tgt) or 1
     n_bytes = prepped.size_bytes() or 0
     p_par = min(
         ncpu,
@@ -405,7 +438,7 @@ class BucketPairEmitter:
     Input: (band_hash, doc_id, ssize) rows covering COMPLETE postings.
     All work vectorized over the whole table. Hot postings (> max_posting
     docs for one hash) are dropped and counted in marker rows (u = v = -1,
-    ``dropped_postings`` > 0) so the manifest can report them.
+    dropped count in ``partial``) so the manifest can report them.
 
     Pair expansion is CHUNKED over posting boundaries so the temporary
     working set stays ~EMITTER_CHUNK_PAIRS pairs no matter how many rows
@@ -413,9 +446,14 @@ class BucketPairEmitter:
     merged exactly (dense-id single-key unique) before emission."""
 
     def __init__(self, cfg: ClusterConfig, distance_k: int | None = None, max_dist: float | None = None,
-                 chunk_pairs: int = EMITTER_CHUNK_PAIRS):
+                 chunk_pairs: int = EMITTER_CHUNK_PAIRS, small_sizes: bool = False):
         self.cfg = cfg
         self.chunk_pairs = chunk_pairs
+        # bottom-k sketches have size <= sketch_size (< 2^16): su/sv travel
+        # as uint16, shaving 8 B off every partial row of the aggregation
+        # exchange. Must be set identically for every task of one run (the
+        # reducers concat across tasks); callers derive it from SketchConfig.
+        self.size_type = pa.uint16() if small_sizes else pa.int32()
         # J2 size-ratio prefilter applied at emission time (Mash mode only):
         # a pair whose sketch sizes differ by more than radio can never be
         # within max_dist (/root/reference/src/MST.cpp:26-37) — dropping it
@@ -474,7 +512,7 @@ class BucketPairEmitter:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _empty_pair_table(0)
+            return _empty_pair_table(0, self.size_type)
         hashes = t["band_hash"].to_numpy(zero_copy_only=False)
         docs = t["doc_id"].to_numpy(zero_copy_only=False)
         sizes = t["ssize"].to_numpy(zero_copy_only=False)
@@ -522,7 +560,7 @@ class BucketPairEmitter:
             if res is not None:
                 parts.append(res)
         if not parts:
-            return _empty_pair_table(dropped)
+            return _empty_pair_table(dropped, self.size_type)
         if len(parts) == 1:
             gu, gv, gsu, gsv, partial = parts[0]
         else:
@@ -554,29 +592,28 @@ class BucketPairEmitter:
                 "pair_key": pa.array(pk, pa.uint64()),
                 "u": pa.array(gu, pa.int64()),
                 "v": pa.array(gv, pa.int64()),
-                "su": pa.array(gsu.astype(np.int32), pa.int32()),
-                "sv": pa.array(gsv.astype(np.int32), pa.int32()),
+                "su": pa.array(gsu, self.size_type),
+                "sv": pa.array(gsv, self.size_type),
                 "partial": pa.array(partial.astype(np.int32), pa.int32()),
-                "dropped_postings": pa.array(np.zeros(len(gu), dtype=np.int32), pa.int32()),
             }
         )
         if dropped:
-            out = pa.concat_tables([out, _empty_pair_table(dropped)])
+            out = pa.concat_tables([out, _empty_pair_table(dropped, self.size_type)])
         return out
 
 
-def _empty_pair_table(dropped: int) -> pa.Table:
-    """A marker row carrying the dropped-posting count (u = v = -1)."""
+def _empty_pair_table(dropped: int, size_type: pa.DataType = pa.int32()) -> pa.Table:
+    """A marker row carrying the dropped-posting count (u = v = -1,
+    ``partial`` = count; real pairs never have u < 0)."""
     n = 1 if dropped else 0
     return pa.table(
         {
             "pair_key": pa.array([0] * n, pa.uint64()),
             "u": pa.array([-1] * n, pa.int64()),
             "v": pa.array([-1] * n, pa.int64()),
-            "su": pa.array([0] * n, pa.int32()),
-            "sv": pa.array([0] * n, pa.int32()),
-            "partial": pa.array([0] * n, pa.int32()),
-            "dropped_postings": pa.array([dropped] * n, pa.int32()),
+            "su": pa.array([0] * n, size_type),
+            "sv": pa.array([0] * n, size_type),
+            "partial": pa.array([dropped] * n, pa.int32()),
         }
     )
 
@@ -696,11 +733,14 @@ def candidate_pairs(
     Marker rows from posting caps are removed by the aggregation stage."""
     md = ccfg.threshold if max_dist is None else max_dist
     exploded = explode_sketches(sketches)
-    emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
+    emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md,
+                                small_sizes=_small_sizes(scfg))
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
-    partials = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
+    partials = hash_exchange(exploded, "band_hash", emitter, p,
+                             next_key="pair_key", next_key_is_hash=True,
+                             target_rows=ccfg.posting_rows_per_task)
     return hash_exchange(partials, "pair_key", _aggregate_pair_group, p,
-                         input_prepped=True)
+                         input_prepped=True, key_is_hash=True)
 
 
 def banded_lsh_pairs(
@@ -775,9 +815,11 @@ def banded_lsh_pairs(
     emitter = BucketPairEmitter(ClusterConfig(threshold=md, max_posting=ccfg.max_posting,
                                               num_buckets=ccfg.num_buckets))
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
-    cand = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
+    cand = hash_exchange(exploded, "band_hash", emitter, p,
+                         next_key="pair_key", next_key_is_hash=True,
+                         target_rows=ccfg.posting_rows_per_task)
     cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p,
-                         input_prepped=True)
+                         input_prepped=True, key_is_hash=True)
     if band_r == 1 and not positional:
         # value-keyed 1-wide bands: a band collision IS a shared sketch hash,
         # so the aggregated collision count already equals the exact
@@ -1146,15 +1188,18 @@ def candidate_edges(
     composition) — one fewer Dataset execution barrier per run."""
     md = ccfg.threshold if max_dist is None else max_dist
     exploded = explode_sketches(sketches)
-    emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md)
+    emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md,
+                                small_sizes=_small_sizes(scfg))
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
-    partials = hash_exchange(exploded, "band_hash", emitter, p, next_key="pair_key")
+    partials = hash_exchange(exploded, "band_hash", emitter, p,
+                             next_key="pair_key", next_key_is_hash=True,
+                             target_rows=ccfg.posting_rows_per_task)
 
     def aggregate_and_score(t: pa.Table) -> pa.Table:
         return score_pairs_batch(_aggregate_pair_group(t), scfg, ccfg, md)
 
     return hash_exchange(partials, "pair_key", aggregate_and_score, p,
-                         input_prepped=True)
+                         input_prepped=True, key_is_hash=True)
 
 
 def pair_set_compare(

@@ -1,0 +1,99 @@
+"""sf1 scale-stress: the dedup cascade end-to-end over >= 1M docs.
+
+Verdict r2 'Next round' #5: one recorded run of pipelines/dedup_corpus.py
+at ~1M synthetic code documents (the deterministic bench corpus, 2 KB/doc
+~= 2 GB of content) with per-stage wall times and object-store/spill
+stats, appended to BENCH/BASELINE.md by hand from this script's JSON.
+
+The corpus and configs match the flagship bench (shingle_k=24,
+sketch_size=256, dedup_dist=0.02, max_posting=256) so the numbers are
+comparable with the 120k/480k-doc rows already in BASELINE.md.
+
+Usage: python scripts/stress_dedup_sf1.py            # 1M docs, 32 CPUs
+       STRESS_N_DOCS=2000000 RAY_GRAFT_CPUS=32 python scripts/stress_dedup_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    import ray
+
+    n_docs = int(os.environ.get("STRESS_N_DOCS", "1000000"))
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    out_dir = os.environ.get("STRESS_OUT", "/tmp/stress_dedup_sf1")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.corpus import bench_corpus_dataset
+    from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
+
+    t0 = time.perf_counter()
+    corpus = bench_corpus_dataset(n_docs, doc_len=2000, seed=42).materialize()
+    gen_s = round(time.perf_counter() - t0, 1)
+
+    scfg = SketchConfig(shingle_k=24, mode="bottomk", sketch_size=256, min_len=100)
+    ccfg = ClusterConfig(threshold=0.05, dedup_dist=0.02, max_posting=256)
+
+    t1 = time.perf_counter()
+    res = dedup_corpus(corpus, scfg, ccfg, dedup_dist=0.02)
+    cascade_s = round(time.perf_counter() - t1, 1)
+
+    # consume: distributed reason histogram + the content-bearing cleaned
+    # anti-join written as partitioned parquet (the lazy tail)
+    t2 = time.perf_counter()
+    reasons = {r["reason"]: r["count()"]
+               for r in res.report.groupby("reason").count().take_all()}
+    report_consume_s = round(time.perf_counter() - t2, 1)
+
+    t3 = time.perf_counter()
+    res.cleaned.write_parquet(out_dir)
+    cleaned_write_s = round(time.perf_counter() - t3, 1)
+
+    mem = ray._private.internal_api.memory_summary(stats_only=True)
+    spilled = re.search(r"Spilled (\d+) MiB", mem)
+    restored = re.search(r"Restored (\d+) MiB", mem)
+    plasma = re.search(r"Plasma memory usage (\d+) MiB", mem)
+
+    total_s = round(time.perf_counter() - t1, 1)
+    result = {
+        "metric": "sf1_dedup_cascade_stress",
+        "n_docs": n_docs,
+        "num_cpus": num_cpus,
+        "corpus_gen_s": gen_s,
+        "cascade_s": cascade_s,
+        "stage_times_s": res.stage_times,
+        "report_consume_s": report_consume_s,
+        "cleaned_write_s": cleaned_write_s,
+        "total_consumed_s": total_s,
+        "docs_per_sec": round(n_docs / total_s, 1),
+        "reasons": reasons,
+        "cleaned_rows_written": reasons.get("kept", 0),
+        "spilled_mib": int(spilled.group(1)) if spilled else 0,
+        "restored_mib": int(restored.group(1)) if restored else 0,
+        "plasma_peak_mib": int(plasma.group(1)) if plasma else None,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -125,7 +125,7 @@ def test_posting_cap_drops_hot_hash_and_reports():
     out = emitter(t)
     pdf = out.to_pandas()
     assert pdf[pdf.u >= 0].empty  # no pairs survive (other hashes unshared)
-    assert pdf.dropped_postings.sum() == 1
+    assert pdf[pdf.u == -1].partial.sum() == 1  # marker row carries the count
 
 
 def test_hash_exchange_map_side_split_matches_pull():
