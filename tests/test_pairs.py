@@ -164,6 +164,47 @@ def test_hash_exchange_map_side_split_matches_pull():
     assert len(pull) == 50  # every key exactly once => keys were co-located
 
 
+def test_hash_exchange_key_is_hash_matches_default():
+    """key_is_hash range-partitions on the key column's own (pre-mixed)
+    values instead of an appended HKEY rehash; results must be identical
+    and every key still lands in exactly one partition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.hashing import splitmix64
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    rng = np.random.default_rng(12)
+    raw = rng.integers(0, 40, 4000).astype(np.uint64)
+    t = pa.table({
+        "k": pa.array(splitmix64(raw), pa.uint64()),  # pre-mixed uniform key
+        "val": pa.array(rng.integers(0, 1000, 4000), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    def agg(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.uint64()),
+                             "s": pa.array([], pa.int64()),
+                             "n_batches": pa.array([], pa.int64())})
+        k = tab["k"].to_numpy(zero_copy_only=False)
+        v = tab["val"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=v).astype(np.int64)
+        return pa.table({"k": pa.array(uk, pa.uint64()),
+                         "s": pa.array(s, pa.int64()),
+                         "n_batches": pa.array(np.ones(len(uk), np.int64), pa.int64())})
+
+    base = hash_exchange(ds, "k", agg, 8).to_pandas()
+    fast = hash_exchange(ds, "k", agg, 8, key_is_hash=True).to_pandas()
+    base = base.sort_values("k").reset_index(drop=True)
+    fast = fast.sort_values("k").reset_index(drop=True)
+    assert base[["k", "s"]].equals(fast[["k", "s"]])
+    assert (fast.n_batches == 1).all()  # keys co-located in ONE partition
+    assert len(fast) == len(np.unique(raw))
+
+
 def test_assert_unique_ids():
     import pyarrow as pa
     import pytest as _pytest
