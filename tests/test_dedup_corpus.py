@@ -73,6 +73,11 @@ def test_dedup_corpus_cascade(small_corpus):
     # without a semantic stage every collapse target survives
     assert set(rep.kept_as) <= set(kept.doc_id)
     assert (kept.kept_as == kept.doc_id).all()
+
+    # per-stage wall times recorded for every materialization boundary
+    assert set(res.stage_times) >= {
+        "exact_exchange", "sketches", "edges", "near_labels", "report"}
+    assert all(v >= 0 for v in res.stage_times.values())
     assert (kept.reason == "kept").all()
 
     # exact dups collapse: identical content keeps exactly one copy
