@@ -282,8 +282,15 @@ def dedup_corpus(
     else:
         sketches = _timed(
             "sketches", lambda: sketch_documents(winners, scfg).materialize())
-        edges = candidate_edges(sketches, scfg, near_ccfg)
-    edges = _timed("edges", edges.materialize)
+        # the exchange construction itself blocks on its map side — time
+        # construction + materialize together or the stage time lands in
+        # an invisible gap
+        edges = _timed("edges", lambda: candidate_edges(
+            sketches, scfg, near_ccfg).materialize())
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(edges, MaterializedDataset):
+        edges = _timed("edges_load", edges.materialize)
     labels = _timed("near_labels", lambda: _near_labels(edges, dedup_dist))
 
     keys = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))

@@ -67,7 +67,18 @@ def main() -> int:
     res.cleaned.write_parquet(out_dir)
     cleaned_write_s = round(time.perf_counter() - t3, 1)
 
-    mem = ray._private.internal_api.memory_summary(stats_only=True)
+    try:  # needs grpc, absent in this container — fall back to raylet logs
+        mem = ray._private.internal_api.memory_summary(stats_only=True)
+    except Exception:
+        mem = ""
+        import glob
+
+        for lf in glob.glob("/tmp/ray/session_latest/logs/raylet.out"):
+            try:
+                with open(lf) as f:
+                    mem += "".join(ln for ln in f if "Spilled" in ln or "Restored" in ln)
+            except OSError:
+                pass
     spilled = re.search(r"Spilled (\d+) MiB", mem)
     restored = re.search(r"Restored (\d+) MiB", mem)
     plasma = re.search(r"Plasma memory usage (\d+) MiB", mem)
