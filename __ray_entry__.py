@@ -856,6 +856,59 @@ def _q_banded_lsh_pairs(sf_dir: str):
     return out.map_batches(ints, batch_format="pyarrow")
 
 
+def _q_lsh_recall_eval(sf_dir: str):
+    """The north rule's dup-pair recall as a first-class streaming op:
+    compare the EXACT threshold-pair set (full distinct-gram Jaccard)
+    against the bottom-64 sha-rank MinHash pipeline's pair set at the
+    same threshold — ONE bookkeeping row (n_exact, n_lsh, n_common,
+    recall_ppm, precision_ppm), pair sets never leave the cluster
+    (pairs.pair_set_compare: one tagged exchange). SQL replays both
+    sides: distinct grams / sha256 rank bottom-64 / the same integer
+    jmin cut."""
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.pairs import candidate_edges, pair_set_compare
+    from rabbittclust_ray.stages.sketch import sha_bottomk_sketches, sketch_documents
+
+    scfg = _exact_scfg()
+    ccfg = _exact_ccfg(EX_THRESHOLD)
+    prep = _prepared(sf_dir, min_len=EX_MIN_LEN)
+    truth = candidate_edges(sketch_documents(prep, scfg), scfg, ccfg)
+    bk = sha_bottomk_sketches(prep, shingle_k=EX_SHINGLE_K, s=64)
+    bk_scfg = SketchConfig(shingle_k=EX_SHINGLE_K, mode="bottomk",
+                           sketch_size=64, min_len=EX_MIN_LEN)
+    approx = candidate_edges(bk, bk_scfg, ccfg)
+    sel = lambda ds: ds.map_batches(  # noqa: E731
+        lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+    cmp_row = pair_set_compare(sel(truth), sel(approx)).to_pandas().iloc[0]
+    n_a, n_b, n_common = int(cmp_row.n_a), int(cmp_row.n_b), int(cmp_row.n_common)
+    return pa.table(
+        {
+            "n_exact": pa.array([n_a], pa.int64()),
+            "n_lsh": pa.array([n_b], pa.int64()),
+            "n_common": pa.array([n_common], pa.int64()),
+            "recall_ppm": pa.array(
+                [(1_000_000 * n_common) // n_a if n_a else 1_000_000], pa.int64()),
+            "precision_ppm": pa.array(
+                [(1_000_000 * n_common) // n_b if n_b else 1_000_000], pa.int64()),
+        }
+    )
+
+
+def _q_clustering_agreement(sf_dir: str):
+    """Pair-counting agreement (the Rand/ARI building blocks, exact
+    integers) between the MST clusterings at the tight and wide cuts —
+    the reference's evaluation methodology (ARI/NMI vs a second
+    clustering) as a distributed operator; stage doc in
+    stages/cluster.py pair_counting_agreement."""
+    from rabbittclust_ray.stages.cluster import pair_counting_agreement
+
+    a = _exact_mst_cached(sf_dir, EX_THRESHOLD).assignments
+    b = _exact_mst_cached(sf_dir, EX_STATS_THRESHOLD).assignments
+    sel = lambda ds: ds.map_batches(  # noqa: E731
+        lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow")
+    return pair_counting_agreement(sel(a), sel(b))
+
+
 def _q_ani_histogram(sf_dir: str):
     from rabbittclust_ray.stages.stats import ani_histogram
 
@@ -4503,6 +4556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "clusters_dbscan": _q_clusters_dbscan,
         "banded_lsh_pairs": _q_banded_lsh_pairs,
+        "lsh_recall_eval": _q_lsh_recall_eval,
+        "clustering_agreement": _q_clustering_agreement,
         "ani_histogram": _q_ani_histogram,
         "density_histogram": _q_density_histogram,
         "linkage_matrix": _q_linkage_matrix,
@@ -5443,6 +5498,86 @@ def oracle_sql() -> dict[str, str]:
         "banded_lsh_pairs": f"""
             WITH {_sql_edges_cte(EX_THRESHOLD)}
             SELECT u, v, common FROM edges
+        """,
+        "lsh_recall_eval": f"""
+            WITH {_sql_edges_cte(EX_THRESHOLD)},
+            ranked AS MATERIALIZED (
+                SELECT doc_id, g,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY sha256(g)
+                       ) AS rn
+                FROM grams
+            ),
+            bk AS MATERIALIZED (SELECT doc_id, g FROM ranked WHERE rn <= 64),
+            bsz AS MATERIALIZED (
+                SELECT doc_id, count(*) AS sz FROM bk GROUP BY doc_id
+            ),
+            binter AS MATERIALIZED (
+                SELECT a.doc_id AS u, b.doc_id AS v,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM bk a JOIN bk b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            bedges AS MATERIALIZED (
+                SELECT u, v FROM binter
+                JOIN bsz sa ON sa.doc_id = u
+                JOIN bsz sb ON sb.doc_id = v
+                WHERE common >= {_jmin(EX_THRESHOLD)!r} * (sa.sz + sb.sz - common)
+            ),
+            t AS (SELECT u, v FROM edges),
+            c AS (
+                SELECT
+                    (SELECT count(*) FROM t) AS n_exact,
+                    (SELECT count(*) FROM bedges) AS n_lsh,
+                    (SELECT count(*) FROM t JOIN bedges USING (u, v)) AS n_common
+            )
+            SELECT CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_lsh AS BIGINT) AS n_lsh,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(CASE WHEN n_exact = 0 THEN 1000000
+                        ELSE (1000000 * n_common) // n_exact END AS BIGINT)
+                       AS recall_ppm,
+                   CAST(CASE WHEN n_lsh = 0 THEN 1000000
+                        ELSE (1000000 * n_common) // n_lsh END AS BIGINT)
+                       AS precision_ppm
+            FROM c
+        """,
+        "clustering_agreement": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()},
+            edges2 AS MATERIALIZED (
+                SELECT u, v FROM inter
+                JOIN sizes sa ON sa.doc_id = u
+                JOIN sizes sb ON sb.doc_id = v
+                WHERE common >= {_jmin(EX_STATS_THRESHOLD)!r} * (sa.sz + sb.sz - common)
+            ),
+            ug2 AS MATERIALIZED (
+                SELECT u AS a, v AS b FROM edges2
+                UNION ALL SELECT v, u FROM edges2
+            ),
+            reach2(a, b) AS (
+                SELECT doc_id, doc_id FROM pop
+                UNION
+                SELECT r.a, g.b FROM reach2 r JOIN ug2 g ON g.a = r.b
+            ),
+            comp2 AS MATERIALIZED (
+                SELECT a AS doc_id, min(b) AS cluster_id FROM reach2 GROUP BY a
+            ),
+            ct AS MATERIALIZED (
+                SELECT c1.cluster_id AS la, c2.cluster_id AS lb,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM comp c1 JOIN comp2 c2 USING (doc_id)
+                GROUP BY 1, 2
+            )
+            SELECT
+                CAST((SELECT sum(n) FROM ct) AS BIGINT) AS n_docs,
+                CAST((SELECT sum(s * (s - 1) // 2) FROM
+                      (SELECT sum(n) AS s FROM ct GROUP BY la)) AS BIGINT)
+                    AS pairs_a,
+                CAST((SELECT sum(s * (s - 1) // 2) FROM
+                      (SELECT sum(n) AS s FROM ct GROUP BY lb)) AS BIGINT)
+                    AS pairs_b,
+                CAST((SELECT sum(n * (n - 1) // 2) FROM ct) AS BIGINT)
+                    AS pairs_both
         """,
         "ani_histogram": f"""
             WITH {_sql_edges_cte(EX_STATS_THRESHOLD, with_j=True)},

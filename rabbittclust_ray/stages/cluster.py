@@ -411,3 +411,181 @@ def components_labelprop(
         lambda t: pa.table({"doc_id": t["key"], "cluster_id": t["val"]}),
         batch_format="pyarrow",
     )
+
+
+def pair_counting_agreement(
+    labels_a: ray.data.Dataset,
+    labels_b: ray.data.Dataset,
+    num_partitions: int = 1024,
+) -> pa.Table:
+    """Pair-counting agreement between two clusterings of the same docs:
+    ONE row (n_docs, pairs_a, pairs_b, pairs_both) in exact integers —
+    the Rand/ARI building blocks (pairs co-clustered in A, in B, in both)
+    without ever materializing a doc-pair table.
+
+    Inputs: two (doc_id, cluster_id) datasets covering the same doc set.
+
+    Scale shape (reference comparison workflow: the C++ tool is evaluated
+    by NMI/ARI against ground-truth clusterings, e.g. RabbitTClust paper
+    §Evaluation; this is that evaluation as a streaming operator):
+      1. one doc-keyed exchange joins the labelings; each partition
+         emits CONTINGENCY PARTIALS (label_a, label_b, cnt) — volume
+         collapses from docs to distinct co-label cells per partition;
+      2. one exchange keyed on label_a completes every contingency cell
+         AND the A-margin in the same reducer (all cells of one label_a
+         co-locate), emitting per-partition sums of C(n_ij, 2) and
+         C(n_i., 2) — skew note: a giant A-cluster puts its contingency
+         row in one reducer, bounded by the distinct B-labels inside it;
+      3. one exchange keyed on label_b completes the B-margin.
+    The driver sees O(partitions) bookkeeping rows. Pair counts use
+    int64 (valid to ~4.3e9 docs per cluster)."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "lab": t["cluster_id"].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = labels_a.map_batches(tag(0), batch_format="pyarrow").union(
+        labels_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    _CELLS = pa.schema([("la", pa.int64()), ("lb", pa.int64()),
+                        ("cnt", pa.int64())])
+
+    def join_cells(t: pa.Table) -> pa.Table:
+        """doc-complete rows -> contingency partials (la, lb, cnt)."""
+        if t.num_rows == 0:
+            return _CELLS.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, lab, side = ids[order], lab[order], side[order]
+        # after the sort every doc occupies a contiguous run (a-row first);
+        # docs present on both sides contribute one (la, lb) observation
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.append(starts, len(ids)))
+        ok = runlen == 2  # doc has exactly one a-row and one b-row
+        la = lab[starts[ok]]
+        lb = lab[starts[ok] + 1]
+        dla, ia = np.unique(la, return_inverse=True)
+        dlb, ib = np.unique(lb, return_inverse=True)
+        key = ia.astype(np.int64) * len(dlb) + ib
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "la": pa.array(dla[uk // len(dlb)], pa.int64()),
+                "lb": pa.array(dlb[uk % len(dlb)], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = hash_exchange(both, "doc_id", join_cells, num_partitions)
+
+    _SUMS = pa.schema([("lb", pa.int64()), ("cnt", pa.int64()),
+                       ("pairs_both", pa.int64()), ("pairs_a", pa.int64()),
+                       ("n_docs", pa.int64())])
+
+    def complete_a(t: pa.Table) -> pa.Table:
+        """la-complete cells -> finished C(n_ij,2) + C(n_i.,2) sums, plus
+        (lb, cnt) partials re-emitted for the B-margin exchange."""
+        if t.num_rows == 0:
+            return _SUMS.empty_table()
+        la = t["la"].to_numpy(zero_copy_only=False)
+        lb = t["lb"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        # complete each (la, lb) cell
+        dla, ia = np.unique(la, return_inverse=True)
+        dlb, ib = np.unique(lb, return_inverse=True)
+        key = ia.astype(np.int64) * len(dlb) + ib
+        uk, inv = np.unique(key, return_inverse=True)
+        nij = np.bincount(inv, weights=cnt).astype(np.int64)
+        pairs_both = int((nij * (nij - 1) // 2).sum())
+        # A margin (cells of one la are all here)
+        ni = np.bincount(ia, weights=cnt).astype(np.int64)
+        pairs_a = int((ni * (ni - 1) // 2).sum())
+        # B-margin partials travel on: one row per (lb of a completed cell)
+        blab = dlb[uk % len(dlb)]
+        out_lb, binv = np.unique(blab, return_inverse=True)
+        bcnt = np.bincount(binv, weights=nij).astype(np.int64)
+        head = pa.table(
+            {
+                "lb": pa.array(out_lb, pa.int64()),
+                "cnt": pa.array(bcnt, pa.int64()),
+                "pairs_both": pa.array(
+                    np.zeros(len(out_lb), np.int64), pa.int64()),
+                "pairs_a": pa.array(np.zeros(len(out_lb), np.int64), pa.int64()),
+                "n_docs": pa.array(np.zeros(len(out_lb), np.int64), pa.int64()),
+            }
+        )
+        marker = pa.table(
+            {
+                "lb": pa.array([-1], pa.int64()),
+                "cnt": pa.array([0], pa.int64()),
+                "pairs_both": pa.array([pairs_both], pa.int64()),
+                "pairs_a": pa.array([pairs_a], pa.int64()),
+                "n_docs": pa.array([int(ni.sum())], pa.int64()),
+            }
+        )
+        return pa.concat_tables([head, marker])
+
+    summed = hash_exchange(cells, "la", complete_a, num_partitions)
+
+    def complete_b(t: pa.Table) -> pa.Table:
+        """lb-complete partials -> per-partition (pairs_a, pairs_b,
+        pairs_both, n_docs) bookkeeping row."""
+        if t.num_rows == 0:
+            return pa.table({"pairs_a": pa.array([], pa.int64()),
+                             "pairs_b": pa.array([], pa.int64()),
+                             "pairs_both": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        lb = t["lb"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        real = lb >= 0
+        ulb, binv = np.unique(lb[real], return_inverse=True)
+        nj = np.bincount(binv, weights=cnt[real]).astype(np.int64)
+        pairs_b = int((nj * (nj - 1) // 2).sum())
+        return pa.table(
+            {
+                "pairs_a": pa.array(
+                    [int(t["pairs_a"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64()),
+                "pairs_b": pa.array([pairs_b], pa.int64()),
+                "pairs_both": pa.array(
+                    [int(t["pairs_both"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64()),
+                "n_docs": pa.array(
+                    [int(t["n_docs"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64()),
+            }
+        )
+
+    import ray as _ray
+
+    parts = pa.concat_tables(_ray.get(
+        hash_exchange(summed, "lb", complete_b, num_partitions).to_arrow_refs()
+    ))
+    return pa.table(
+        {
+            "n_docs": pa.array(
+                [int(parts["n_docs"].to_numpy().sum())], pa.int64()),
+            "pairs_a": pa.array(
+                [int(parts["pairs_a"].to_numpy().sum())], pa.int64()),
+            "pairs_b": pa.array(
+                [int(parts["pairs_b"].to_numpy().sum())], pa.int64()),
+            "pairs_both": pa.array(
+                [int(parts["pairs_both"].to_numpy().sum())], pa.int64()),
+        }
+    )

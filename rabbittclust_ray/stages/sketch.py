@@ -253,3 +253,54 @@ def merge_sketches_by(
         + (["sketch_size"] if "sketch_size" in sketches.schema().names else [])
     )
     return hash_exchange(proj, group_col, reduce, num_partitions)
+
+
+def sha_bottomk_sketches(
+    prepared: ray.data.Dataset,
+    shingle_k: int,
+    s: int,
+    *,
+    normalize: str = "ws",
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    """Bottom-``s`` MinHash sketches in the SHA-ORACLE surface: per doc,
+    the ``s`` smallest uint64 values of (first 8 bytes of sha256(gram))
+    over the DISTINCT character ``shingle_k``-grams of the normalized
+    text. A SQL engine reproduces the selection exactly
+    (``row_number() OVER (PARTITION BY doc ORDER BY sha256(g)) <= s`` —
+    hex ordering == big-endian numeric ordering), which makes the whole
+    LSH-recall evaluation chain replayable. Per-window Python sha loop —
+    guarded out of production configs like the other sha-surface hashers
+    (the vectorized xxhash/rolling sketch path is the production twin).
+
+    Output schema matches ``sketch_documents``'s exchange contract:
+    (doc_id, sketch list<uint64>, sketch_size)."""
+    from rabbittclust_ray.oracle_guard import check_hasher
+    from rabbittclust_ray.stages.text import _sha_gram_hashes
+
+    check_hasher("sha", "sha_bottomk_sketches")
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_column(t["content"], normalize)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sketches: list[np.ndarray] = []
+        for buf in norm.to_pylist():
+            h = np.unique(_sha_gram_hashes(buf.encode("utf-8"), shingle_k))
+            sketches.append(h[:s])
+        sizes = np.array([len(x) for x in sketches], dtype=np.int32)
+        flat = (np.concatenate(sketches) if sketches
+                else np.empty(0, dtype=np.uint64))
+        offsets = np.zeros(len(sketches) + 1, dtype=np.int32)
+        np.cumsum(sizes, out=offsets[1:])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sketch": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(flat, pa.uint64()),
+                ),
+                "sketch_size": pa.array(sizes, pa.int32()),
+            }
+        )
+
+    return prepared.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

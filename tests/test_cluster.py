@@ -114,3 +114,44 @@ def test_labelprop_long_chain():
     lp = components_labelprop(ds, max_iters=64, num_partitions=4).to_pandas()
     assert len(lp) == 25
     assert (lp.cluster_id == 0).all()
+
+
+def test_pair_counting_agreement_brute_force():
+    """Rand components vs an O(n^2) replay on random labelings, including
+    docs missing from one side (dropped from the comparison)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.cluster import pair_counting_agreement
+
+    rng = np.random.default_rng(5)
+    ids = np.arange(200, dtype=np.int64)
+    la = rng.integers(0, 7, 200).astype(np.int64)
+    lb = rng.integers(0, 5, 200).astype(np.int64)
+    a = ray.data.from_arrow(pa.table({"doc_id": ids, "cluster_id": la})).repartition(3)
+    # drop 10 docs from side b: they must not contribute pairs
+    keep = np.ones(200, dtype=bool)
+    keep[rng.choice(200, 10, replace=False)] = False
+    b = ray.data.from_arrow(
+        pa.table({"doc_id": ids[keep], "cluster_id": lb[keep]})
+    ).repartition(4)
+
+    out = pair_counting_agreement(a, b, num_partitions=8).to_pandas().iloc[0]
+
+    docs = ids[keep]
+    la_m = {int(i): int(x) for i, x in zip(ids, la)}
+    lb_m = {int(i): int(x) for i, x in zip(ids[keep], lb[keep])}
+    pa_, pb_, both_ = 0, 0, 0
+    for i, j in itertools.combinations(docs.tolist(), 2):
+        sa = la_m[i] == la_m[j]
+        sb = lb_m[i] == lb_m[j]
+        pa_ += sa
+        pb_ += sb
+        both_ += sa and sb
+    assert int(out.n_docs) == len(docs)
+    assert int(out.pairs_a) == pa_
+    assert int(out.pairs_b) == pb_
+    assert int(out.pairs_both) == both_

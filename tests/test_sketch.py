@@ -139,3 +139,37 @@ def test_merge_sketches_bottomk_equals_group_resketch():
         got = np.array(merged.loc[g, "sketch"], dtype=np.uint64)
         assert np.array_equal(got, want)
         assert merged.loc[g, "sketch_size"] == len(want)
+
+
+def test_sha_bottomk_sketches_selection():
+    """Bottom-64 selection == the 64 smallest sha-ranked DISTINCT grams,
+    and sizes are min(64, n_distinct_grams)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.sketch import sha_bottomk_sketches
+
+    texts = ["alpha beta gamma " * 30, "tiny doc here", "alpha  beta gamma " * 30]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "content": pa.array(texts, pa.string()),
+    }))
+    out = {r["doc_id"]: r for r in
+           sha_bottomk_sketches(ds, shingle_k=8, s=64).take_all()}
+    import re
+    for doc_id, text in zip([1, 2, 3], texts):
+        nt = re.sub(r"\s+", " ", text)
+        grams = {nt[i:i + 8] for i in range(len(nt) - 7)}
+        hs = np.unique(np.array(
+            [int.from_bytes(hashlib.sha256(g.encode()).digest()[:8], "big")
+             for g in grams], dtype=np.uint64))
+        want = hs[:64]
+        got = np.array(out[doc_id]["sketch"], dtype=np.uint64)
+        assert (np.sort(got) == want).all()
+        assert out[doc_id]["sketch_size"] == len(want)
+    # ws-normalization: doc 3 ("alpha  beta") collapses to doc 1's grams
+    assert (np.sort(np.array(out[1]["sketch"])) ==
+            np.sort(np.array(out[3]["sketch"]))).all()
