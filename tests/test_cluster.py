@@ -155,3 +155,34 @@ def test_pair_counting_agreement_brute_force():
     assert int(out.pairs_a) == pa_
     assert int(out.pairs_b) == pb_
     assert int(out.pairs_both) == both_
+
+
+def test_pair_counting_agreement_partition_and_skew_invariance():
+    """Same result at any partition count, including a giant-cluster
+    labeling (all docs one A-cluster: its whole contingency row lands in
+    one reducer — the documented skew shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.cluster import pair_counting_agreement
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    la = np.zeros(n, dtype=np.int64)          # ONE giant A-cluster
+    lb = (ids % 17).astype(np.int64)
+    a = ray.data.from_arrow(pa.table({"doc_id": ids, "cluster_id": la}))
+    b = ray.data.from_arrow(pa.table({"doc_id": ids, "cluster_id": lb}))
+
+    outs = [
+        pair_counting_agreement(a.repartition(rp), b.repartition(rp),
+                                num_partitions=p).to_pandas().iloc[0]
+        for rp, p in ((1, 2), (7, 16), (13, 64))
+    ]
+    for out in outs:
+        assert int(out.pairs_a) == n * (n - 1) // 2
+        # B: 17 groups of sizes 30 or 29
+        szs = np.bincount(lb)
+        assert int(out.pairs_b) == int((szs * (szs - 1) // 2).sum())
+        assert int(out.pairs_both) == int(out.pairs_b)  # B refines A
+        assert int(out.n_docs) == n

@@ -241,3 +241,41 @@ def test_pair_set_compare_counts():
         ray.data.from_pandas(a), ray.data.from_pandas(c)
     ).to_pandas()
     assert got["n_common"].tolist() == [0]
+
+
+def test_hash_exchange_key_is_hash_map_split_mode():
+    """key_is_hash under the multi-node transfer plan (per-block range
+    split) must match the single-node pull plan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.hashing import splitmix64
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    rng = np.random.default_rng(13)
+    t = pa.table({
+        "k": pa.array(splitmix64(rng.integers(0, 30, 3000).astype(np.uint64)),
+                      pa.uint64()),
+        "val": pa.array(rng.integers(0, 100, 3000), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def agg(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.uint64()),
+                             "s": pa.array([], pa.int64())})
+        k = tab["k"].to_numpy(zero_copy_only=False)
+        v = tab["val"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        return pa.table({"k": pa.array(uk, pa.uint64()),
+                         "s": pa.array(np.bincount(inv, weights=v).astype(np.int64),
+                                       pa.int64())})
+
+    pull = hash_exchange(ds, "k", agg, 8, key_is_hash=True,
+                         split_mode="pull").to_pandas()
+    push = hash_exchange(ds, "k", agg, 8, key_is_hash=True,
+                         split_mode="map").to_pandas()
+    pull = pull.sort_values("k").reset_index(drop=True)
+    push = push.sort_values("k").reset_index(drop=True)
+    assert pull.equals(push)
