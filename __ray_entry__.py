@@ -894,6 +894,101 @@ def _q_lsh_recall_eval(sf_dir: str):
     )
 
 
+def _q_minhash_error_profile(sf_dir: str):
+    """Sketch-accuracy evaluation (the reference paper's methodology as
+    an operator): for every exact pair at the wide cut, the bottom-64
+    sha-rank MinHash Jaccard estimate next to the exact distinct-gram
+    Jaccard, both as floor-ppm integers plus the absolute error. Pairs
+    the approx path misses entirely surface with j_est_ppm = 0. One
+    pair-keyed tagged exchange joins the two pair tables — the pair
+    lists never collect on the driver."""
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.pairs import (
+        candidate_pairs,
+        hash_exchange,
+        splitmix_pair,
+    )
+    from rabbittclust_ray.stages.sketch import sha_bottomk_sketches, sketch_documents
+
+    scfg = _exact_scfg()
+    ccfg = _exact_ccfg(EX_STATS_THRESHOLD)
+    prep = _prepared(sf_dir, min_len=EX_MIN_LEN)
+    exact = candidate_pairs(sketch_documents(prep, scfg), scfg, ccfg)
+    bk = sha_bottomk_sketches(prep, shingle_k=EX_SHINGLE_K, s=64)
+    bk_scfg = SketchConfig(shingle_k=EX_SHINGLE_K, mode="bottomk",
+                           sketch_size=64, min_len=EX_MIN_LEN)
+    approx = candidate_pairs(bk, bk_scfg, ccfg, max_dist=1.0)
+
+    jmin = _jmin(EX_STATS_THRESHOLD)
+
+    def tag(side: int, keep_cut: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = t["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+            su = t["su"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if keep_cut:  # exact side: the wide threshold cut
+                keep = c >= jmin * (su + sv - c)
+                u, v, c, su, sv = u[keep], v[keep], c[keep], su[keep], sv[keep]
+            jppm = (1_000_000 * c) // np.maximum(su + sv - c, 1)
+            return pa.table(
+                {
+                    "key": pa.array(
+                        splitmix_pair(u.astype(np.uint64), v.astype(np.uint64))
+                        .astype(np.int64), pa.int64()),
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "jppm": pa.array(jppm, pa.int64()),
+                    "side": pa.array(np.full(len(u), side, np.int8), pa.int8()),
+                }
+            )
+
+        return fn
+
+    both = exact.map_batches(tag(0, True), batch_format="pyarrow").union(
+        approx.map_batches(tag(1, False), batch_format="pyarrow")
+    )
+
+    _OUT = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                      ("j_exact_ppm", pa.int64()), ("j_est_ppm", pa.int64()),
+                      ("abs_err_ppm", pa.int64())])
+
+    def join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        jppm = t["jppm"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ex = side == 0
+        # exact pairs drive the output; look up the approx estimate by
+        # REAL (u, v) values via partition-local dense ids (collision-free
+        # for 63-bit doc ids — a raw u<<32^v pack would overflow)
+        du = np.unique(u)
+        dv = np.unique(v)
+        pk = np.searchsorted(du, u).astype(np.int64) * np.int64(len(dv)) \
+            + np.searchsorted(dv, v)
+        ak, aj = pk[~ex], jppm[~ex]
+        order = np.argsort(ak, kind="stable")
+        ak, aj = ak[order], aj[order]
+        ek = pk[ex]
+        pos = np.clip(np.searchsorted(ak, ek), 0, max(len(ak) - 1, 0))
+        found = (ak[pos] == ek) if len(ak) else np.zeros(len(ek), bool)
+        est = np.where(found, aj[pos] if len(ak) else 0, 0)
+        return pa.table(
+            {
+                "u": pa.array(u[ex], pa.int64()),
+                "v": pa.array(v[ex], pa.int64()),
+                "j_exact_ppm": pa.array(jppm[ex], pa.int64()),
+                "j_est_ppm": pa.array(est, pa.int64()),
+                "abs_err_ppm": pa.array(np.abs(jppm[ex] - est), pa.int64()),
+            }
+        )
+
+    return hash_exchange(both, "key", join, 256)
+
+
 def _q_clustering_agreement(sf_dir: str):
     """Pair-counting agreement (the Rand/ARI building blocks, exact
     integers) between the MST clusterings at the tight and wide cuts —
@@ -4557,6 +4652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clusters_dbscan": _q_clusters_dbscan,
         "banded_lsh_pairs": _q_banded_lsh_pairs,
         "lsh_recall_eval": _q_lsh_recall_eval,
+        "minhash_error_profile": _q_minhash_error_profile,
         "clustering_agreement": _q_clustering_agreement,
         "ani_histogram": _q_ani_histogram,
         "density_histogram": _q_density_histogram,
@@ -5541,6 +5637,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1000000 * n_common) // n_lsh END AS BIGINT)
                        AS precision_ppm
             FROM c
+        """,
+        "minhash_error_profile": f"""
+            WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
+            ranked AS MATERIALIZED (
+                SELECT doc_id, g,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY sha256(g)
+                       ) AS rn
+                FROM grams
+            ),
+            bk AS MATERIALIZED (SELECT doc_id, g FROM ranked WHERE rn <= 64),
+            bsz AS MATERIALIZED (
+                SELECT doc_id, count(*) AS sz FROM bk GROUP BY doc_id
+            ),
+            binter AS MATERIALIZED (
+                SELECT a.doc_id AS u, b.doc_id AS v,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM bk a JOIN bk b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            o AS (
+                SELECT e.u, e.v,
+                       (1000000 * e.common) // (e.su + e.sv - e.common)
+                           AS j_exact_ppm,
+                       coalesce(
+                           (1000000 * b.common) // (sa.sz + sb.sz - b.common),
+                           0) AS j_est_ppm
+                FROM edges e
+                LEFT JOIN binter b ON b.u = e.u AND b.v = e.v
+                LEFT JOIN bsz sa ON sa.doc_id = e.u
+                LEFT JOIN bsz sb ON sb.doc_id = e.v
+            )
+            SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+                   CAST(j_exact_ppm AS BIGINT) AS j_exact_ppm,
+                   CAST(j_est_ppm AS BIGINT) AS j_est_ppm,
+                   CAST(abs(j_exact_ppm - j_est_ppm) AS BIGINT) AS abs_err_ppm
+            FROM o
         """,
         "clustering_agreement": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()},
