@@ -122,6 +122,15 @@ class ClusterConfig:
     reps_per_cluster: int = 1
     driver_labels_max: int = 2_000_000
     posting_rows_per_task: int = 2 << 20
+    # cap on the posting exchange's reducer count (floored at cluster
+    # CPUs): pair-partial volume ~ n_pairs x min(avg_common, n_reducers),
+    # so an uncapped reducer count makes the aggregation shuffle grow
+    # superlinearly with corpus size (measured: 2M docs / 245 reducers ->
+    # ~70 GB of partials, deadlocking a 37 GB object store under the pull
+    # plan; 64 reducers -> ~19 GB). Per-task posting slices grow with
+    # corpus size instead (8M rows ~ 190 MB at 2M docs) — the emitter
+    # chunks pair expansion internally, so that's concat memory only.
+    max_posting_reducers: int = 64
 
     def __post_init__(self) -> None:
         if not (0.0 <= self.threshold <= 1.0):

@@ -144,6 +144,7 @@ def hash_exchange(
     key_is_hash: bool = False,
     next_key_is_hash: bool = False,
     target_rows: int | None = None,
+    max_reducers: int | None = None,
 ) -> ray.data.Dataset:
     """Deterministic keyed exchange: hash-partition rows on ``key`` into at
     most ``num_partitions`` ranges of a mixed uint64 key and apply ``fn``
@@ -324,6 +325,13 @@ def hash_exchange(
             -(-n_bytes // EXCHANGE_MIN_BYTES) or 1),
     )
     p = max(1, min(num_partitions, max(p_heap, p_par)))
+    if max_reducers is not None:
+        # caller knows its DOWNSTREAM volume multiplies with this
+        # exchange's reducer count (pair partials ~ n_pairs x
+        # min(avg_common, p)): cap p, but never below the cluster's
+        # parallelism floor — larger clusters get larger caps AND have
+        # proportionally more aggregate plasma to absorb the volume
+        p = min(p, max(max_reducers, p_par))
     sch = prepped.schema()
     base = sch.base_schema if sch is not None else pa.schema([])
     schema = pa.schema([f for f in base if f.name != HKEY])
@@ -331,7 +339,19 @@ def hash_exchange(
     block_refs = prepped.to_arrow_refs()
     if split_mode is None:
         alive = [nd for nd in ray.nodes() if nd.get("Alive", False)]
-        split_mode = "map" if len(alive) > 1 else "pull"
+        if len(alive) > 1:
+            split_mode = "map"
+        else:
+            # single node: pull avoids P-fold object creation, BUT a pull
+            # reduce task takes EVERY block as an arg, so Ray must have the
+            # WHOLE exchange input resident in plasma to run even one task.
+            # When the input exceeds the store, restore/evict livelocks
+            # (observed at 2M docs: ~70 GB of pair partials vs a 37 GB
+            # store — workers idle, driver blocked forever). Above ~40% of
+            # store capacity, switch to the map plan: each reduce task
+            # then pins only its own ~1/P slices and spilling works.
+            cap = ray.cluster_resources().get("object_store_memory", 0)
+            split_mode = "map" if cap and n_bytes > 0.4 * cap else "pull"
     if split_mode == "map" and p > 1:
         per_part: list[list] = [[] for _ in range(p)]
         for ref in block_refs:
@@ -738,7 +758,8 @@ def candidate_pairs(
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p,
                              next_key="pair_key", next_key_is_hash=True,
-                             target_rows=ccfg.posting_rows_per_task)
+                             target_rows=ccfg.posting_rows_per_task,
+                             max_reducers=ccfg.max_posting_reducers)
     return hash_exchange(partials, "pair_key", _aggregate_pair_group, p,
                          input_prepped=True, key_is_hash=True)
 
@@ -817,7 +838,8 @@ def banded_lsh_pairs(
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     cand = hash_exchange(exploded, "band_hash", emitter, p,
                          next_key="pair_key", next_key_is_hash=True,
-                         target_rows=ccfg.posting_rows_per_task)
+                         target_rows=ccfg.posting_rows_per_task,
+                         max_reducers=ccfg.max_posting_reducers)
     cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p,
                          input_prepped=True, key_is_hash=True)
     if band_r == 1 and not positional:
@@ -1193,7 +1215,8 @@ def candidate_edges(
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p,
                              next_key="pair_key", next_key_is_hash=True,
-                             target_rows=ccfg.posting_rows_per_task)
+                             target_rows=ccfg.posting_rows_per_task,
+                             max_reducers=ccfg.max_posting_reducers)
 
     def aggregate_and_score(t: pa.Table) -> pa.Table:
         return score_pairs_batch(_aggregate_pair_group(t), scfg, ccfg, md)

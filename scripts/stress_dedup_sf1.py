@@ -73,15 +73,22 @@ def main() -> int:
         mem = ""
         import glob
 
-        for lf in glob.glob("/tmp/ray/session_latest/logs/raylet.out"):
+        for lf in glob.glob(os.path.join(
+                os.environ.get("RAY_TMPDIR", "/tmp/ray"),
+                "**", "session_latest", "logs", "raylet.out"), recursive=True):
             try:
                 with open(lf) as f:
                     mem += "".join(ln for ln in f if "Spilled" in ln or "Restored" in ln)
             except OSError:
                 pass
-    spilled = re.search(r"Spilled (\d+) MiB", mem)
-    restored = re.search(r"Restored (\d+) MiB", mem)
-    plasma = re.search(r"Plasma memory usage (\d+) MiB", mem)
+    # keep the LAST (cumulative) spill report; values may be fractional
+    spilled = None
+    for spilled in re.finditer(r"Spilled ([\d.]+) MiB", mem):
+        pass
+    restored = None
+    for restored in re.finditer(r"Restored ([\d.]+) MiB", mem):
+        pass
+    plasma = re.search(r"Plasma memory usage ([\d.]+) MiB", mem)
 
     total_s = round(time.perf_counter() - t1, 1)
     result = {
@@ -97,9 +104,9 @@ def main() -> int:
         "docs_per_sec": round(n_docs / total_s, 1),
         "reasons": reasons,
         "cleaned_rows_written": reasons.get("kept", 0),
-        "spilled_mib": int(spilled.group(1)) if spilled else 0,
-        "restored_mib": int(restored.group(1)) if restored else 0,
-        "plasma_peak_mib": int(plasma.group(1)) if plasma else None,
+        "spilled_mib": float(spilled.group(1)) if spilled else 0,
+        "restored_mib": float(restored.group(1)) if restored else 0,
+        "plasma_peak_mib": float(plasma.group(1)) if plasma else None,
     }
     print(json.dumps(result))
     ray.shutdown()
