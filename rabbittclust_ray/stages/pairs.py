@@ -132,6 +132,30 @@ def _hash_key(k: np.ndarray) -> np.ndarray:
     return splitmix64(k.astype(np.uint64))
 
 
+# fraction of object-store capacity above which the single-node exchange
+# abandons the pull plan (see pick_split_mode)
+PULL_PLAN_CAPACITY_FRACTION = 0.4
+
+
+def pick_split_mode(n_alive_nodes: int, input_bytes: int, store_bytes: float) -> str:
+    """Transfer-plan selection for hash_exchange when the caller didn't pin
+    one. Multi-node: always the per-block-split "map" plan (reducers fetch
+    only their own bytes — the network-amplification story). Single node:
+    "pull" avoids P-fold object creation, BUT a pull reduce task takes
+    EVERY block as an arg, so Ray must have the WHOLE exchange input
+    plasma-resident to run even one task. When the input exceeds the
+    store, restore/evict livelocks (observed at 2M docs: ~70 GB of pair
+    partials vs a 37 GB store — workers idle, driver blocked forever).
+    Above PULL_PLAN_CAPACITY_FRACTION of capacity, use the map plan: each
+    reduce task then pins only its own ~1/P slices and spilling degrades
+    gracefully."""
+    if n_alive_nodes > 1:
+        return "map"
+    if store_bytes and input_bytes > PULL_PLAN_CAPACITY_FRACTION * store_bytes:
+        return "map"
+    return "pull"
+
+
 def hash_exchange(
     ds: ray.data.Dataset,
     key: str,
@@ -339,19 +363,9 @@ def hash_exchange(
     block_refs = prepped.to_arrow_refs()
     if split_mode is None:
         alive = [nd for nd in ray.nodes() if nd.get("Alive", False)]
-        if len(alive) > 1:
-            split_mode = "map"
-        else:
-            # single node: pull avoids P-fold object creation, BUT a pull
-            # reduce task takes EVERY block as an arg, so Ray must have the
-            # WHOLE exchange input resident in plasma to run even one task.
-            # When the input exceeds the store, restore/evict livelocks
-            # (observed at 2M docs: ~70 GB of pair partials vs a 37 GB
-            # store — workers idle, driver blocked forever). Above ~40% of
-            # store capacity, switch to the map plan: each reduce task
-            # then pins only its own ~1/P slices and spilling works.
-            cap = ray.cluster_resources().get("object_store_memory", 0)
-            split_mode = "map" if cap and n_bytes > 0.4 * cap else "pull"
+        split_mode = pick_split_mode(
+            len(alive), n_bytes,
+            ray.cluster_resources().get("object_store_memory", 0))
     if split_mode == "map" and p > 1:
         per_part: list[list] = [[] for _ in range(p)]
         for ref in block_refs:

@@ -279,3 +279,22 @@ def test_hash_exchange_key_is_hash_map_split_mode():
     pull = pull.sort_values("k").reset_index(drop=True)
     push = push.sort_values("k").reset_index(drop=True)
     assert pull.equals(push)
+
+
+def test_pick_split_mode_capacity_guard():
+    """Single-node pull is only legal while the exchange input fits
+    comfortably in plasma; above the fraction the map plan must be chosen
+    (the 2M-doc deadlock class). Multi-node always maps."""
+    from rabbittclust_ray.stages.pairs import (
+        PULL_PLAN_CAPACITY_FRACTION,
+        pick_split_mode,
+    )
+
+    store = 10_000_000_000
+    assert pick_split_mode(1, 1_000_000, store) == "pull"
+    just_under = int(PULL_PLAN_CAPACITY_FRACTION * store) - 1
+    assert pick_split_mode(1, just_under, store) == "pull"
+    assert pick_split_mode(1, just_under + 2, store) == "map"
+    assert pick_split_mode(2, 1_000_000, store) == "map"
+    # unknown capacity -> pull (legacy behavior, no false positives)
+    assert pick_split_mode(1, 10**12, 0) == "pull"
