@@ -830,6 +830,25 @@ def _q_clusters_greedy(sf_dir: str):
     return res.assignments
 
 
+def _q_mode_agreement(sf_dir: str):
+    """Pair-counting agreement between the reference's TWO clustering
+    modes at the same cut — clust-mst (single-linkage components) vs
+    clust-greedy (representative radius clusters). Greedy refines the
+    MST components (a greedy cluster never spans two components), so
+    pairs_both == pairs_greedy is the structural invariant the oracle
+    re-derives; the interesting number is pairs_mst - pairs_greedy, the
+    chain pairs single-linkage merges that greedy splits."""
+    from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
+    from rabbittclust_ray.stages.cluster import pair_counting_agreement
+
+    mst = _exact_mst_cached(sf_dir, EX_THRESHOLD).assignments
+    greedy = clust_greedy(
+        _docs(sf_dir), _exact_scfg(), _exact_ccfg(EX_THRESHOLD)).assignments
+    sel = lambda ds: ds.map_batches(  # noqa: E731
+        lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow")
+    return pair_counting_agreement(sel(mst), sel(greedy))
+
+
 def _q_banded_lsh_pairs(sf_dir: str):
     """Banded-LSH path in its exact-recall oracle config: exact sketches
     (mod_bits=0) + value-keyed 1-wide bands, so candidates = 'share >= 1
@@ -4654,6 +4673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_recall_eval": _q_lsh_recall_eval,
         "minhash_error_profile": _q_minhash_error_profile,
         "clustering_agreement": _q_clustering_agreement,
+        "mode_agreement": _q_mode_agreement,
         "ani_histogram": _q_ani_histogram,
         "density_histogram": _q_density_histogram,
         "linkage_matrix": _q_linkage_matrix,
@@ -5637,6 +5657,55 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1000000 * n_common) // n_lsh END AS BIGINT)
                        AS precision_ppm
             FROM c
+        """,
+        "mode_agreement": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD, with_j=True)},
+            {_sql_components_cte()},
+            ed AS MATERIALIZED (
+                SELECT u AS node, v AS other, j FROM edges
+                UNION ALL SELECT v, u, j FROM edges
+            ),
+            cand AS MATERIALIZED (
+                SELECT node, list(other ORDER BY j DESC, other ASC) AS lst
+                FROM ed GROUP BY node
+            ),
+            ordered AS MATERIALIZED (
+                SELECT p.doc_id, coalesce(c.lst, []) AS lst,
+                       row_number() OVER (
+                           ORDER BY coalesce(s.sz, 0) DESC, p.doc_id ASC
+                       ) AS rn
+                FROM pop p
+                LEFT JOIN sizes s USING (doc_id)
+                LEFT JOIN cand c ON c.node = p.doc_id
+            ),
+            sweep(rn, doc, rep, reps) AS (
+                SELECT 1, doc_id, doc_id, [doc_id] FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.doc_id,
+                       coalesce(
+                           list_filter(o.lst, x -> list_contains(s.reps, x))[1],
+                           o.doc_id),
+                       CASE WHEN len(list_filter(o.lst, x -> list_contains(s.reps, x))) = 0
+                            THEN list_append(s.reps, o.doc_id)
+                            ELSE s.reps END
+                FROM sweep s JOIN ordered o ON o.rn = s.rn + 1
+            ),
+            ct AS MATERIALIZED (
+                SELECT c.cluster_id AS la, g.rep AS lb,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM comp c JOIN sweep g ON g.doc = c.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT
+                CAST((SELECT sum(n) FROM ct) AS BIGINT) AS n_docs,
+                CAST((SELECT sum(s * (s - 1) // 2) FROM
+                      (SELECT sum(n) AS s FROM ct GROUP BY la)) AS BIGINT)
+                    AS pairs_a,
+                CAST((SELECT sum(s * (s - 1) // 2) FROM
+                      (SELECT sum(n) AS s FROM ct GROUP BY lb)) AS BIGINT)
+                    AS pairs_b,
+                CAST((SELECT sum(n * (n - 1) // 2) FROM ct) AS BIGINT)
+                    AS pairs_both
         """,
         "minhash_error_profile": f"""
             WITH {_sql_edges_cte(EX_STATS_THRESHOLD)},
