@@ -1,0 +1,187 @@
+"""Fault-tolerance: the north rule's resumable-at-scale story, exercised.
+
+Three layers, mirroring what actually fails on a 256-node cluster:
+
+1. worker-process death mid-task  -> Ray retries the task transparently
+   (system failures are retried by default, ``max_retries=3``); the
+   pipeline output is bit-identical to a clean run because every stage is
+   deterministic (seeded hashes, no wall-clock or RNG in task bodies).
+2. transient application exceptions (flaky object store / storage I/O
+   surfaced as Python errors) -> opt-in ``retry_exceptions=True`` /
+   ``max_retries`` forwarded by ``map_batches`` to its tasks; same
+   determinism argument.
+3. full driver crash -> per-stage checkpoint resume
+   (``state/checkpoint.py`` atomic rename + manifest; covered by
+   test_checkpoint_append / test_dedup_corpus_checkpoint_resume) — here we
+   additionally pin that a crashed HALF-WRITTEN stage directory is never
+   visible to a resuming run.
+
+Reference analogue: the C++ engine restarts from its sketch/MST blobs
+(/root/reference/src/Sketch_IO.cpp:136-167, MST_IO.cpp:181-217); a Ray
+pipeline additionally survives individual executor loss WITHOUT a restart,
+which is the property tested first.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _make_claim_once():
+    """Return a LOCALLY-DEFINED claimer (cloudpickle ships it by value —
+    a module-level function in a test file would pickle by reference to a
+    module Ray workers cannot import). True for exactly ONE caller across
+    all worker processes (atomic O_EXCL create on the shared filesystem)."""
+
+    def claim_once(marker: str) -> bool:
+        import os as _os
+
+        try:
+            fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    return claim_once
+
+
+def test_worker_death_mid_task_is_retried(tmp_path):
+    """Kill one worker process mid-map_batches (os._exit — no Python
+    teardown, the closest sandbox analogue to a node loss). Ray must
+    retry the task on a fresh worker and the result must equal the
+    clean run exactly."""
+    marker = str(tmp_path / "died-once")
+    claim_once = _make_claim_once()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if claim_once(marker):
+            os._exit(1)  # hard worker death, not an exception
+        s = pa.compute.sum(batch["x"]).as_py()
+        return pa.table({"part_sum": [s]})
+
+    ds = ray.data.range(4000).map_batches(
+        lambda b: pa.table({"x": b["id"]}), batch_format="pyarrow"
+    )
+    total = sum(
+        r["part_sum"]
+        for r in ds.map_batches(fn, batch_format="pyarrow").take_all()
+    )
+    assert os.path.exists(marker), "fault was never injected"
+    assert total == 4000 * 3999 // 2
+
+
+def test_transient_app_exception_retried_via_remote_args(tmp_path):
+    """A map stage that raises ONCE (transient storage error class) is
+    retried when the stage opts in via ray_remote_args, and the retried
+    output is identical to a clean run."""
+    marker = str(tmp_path / "raised-once")
+    claim_once = _make_claim_once()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if claim_once(marker):
+            raise IOError("injected transient failure")
+        return batch
+
+    ds = ray.data.range(1000).map_batches(
+        fn,
+        batch_format="pyarrow",
+        # remote-args passthrough: map_batches forwards **kwargs to the task
+        retry_exceptions=True,
+        max_retries=2,
+    )
+    assert ds.count() == 1000
+    assert os.path.exists(marker)
+
+
+def test_flagship_pipeline_survives_worker_death(small_corpus, tmp_path):
+    """End-to-end: clust-mst over the correctness corpus with one worker
+    death injected into the ingest stage. Assignments must be IDENTICAL
+    to the clean run (same doc_id -> cluster_id mapping), because every
+    stage is deterministic under retry."""
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    docs_tbl, _gt = small_corpus
+    docs = ray.data.from_arrow(docs_tbl)
+    scfg = SketchConfig(shingle_k=21, sketch_size=128)
+    ccfg = ClusterConfig(threshold=0.05, dedup_dist=None)
+
+    def clean_assignments(documents):
+        res = clust_mst(documents, scfg, ccfg)
+        df = res.assignments.to_pandas()[["doc_id", "cluster_id"]]
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    baseline = clean_assignments(docs)
+
+    marker = str(tmp_path / "ingest-died-once")
+    claim_once = _make_claim_once()
+
+    def faulty_ingest(batch: pa.Table) -> pa.Table:
+        if claim_once(marker):
+            os._exit(1)
+        return batch
+
+    faulted_docs = docs.map_batches(faulty_ingest, batch_format="pyarrow")
+    faulted = clean_assignments(faulted_docs)
+
+    assert os.path.exists(marker), "fault was never injected"
+    assert baseline.equals(faulted)
+
+
+def test_half_written_checkpoint_stage_is_invisible(tmp_path):
+    """A crashed save_stage (temp dir present, no manifest, no final
+    rename) must look like 'stage absent' to a resuming run — the atomic
+    rename contract."""
+    from rabbittclust_ray.state.checkpoint import (
+        load_stage,
+        save_stage,
+        stage_is_valid,
+    )
+
+    root = str(tmp_path / "ckpt")
+    os.makedirs(root)
+    # simulate a crash: a temp directory with a partial parquet and NO
+    # manifest / final directory
+    crashed = os.path.join(root, ".tmp-edges-deadbeef")
+    os.makedirs(crashed)
+    pq.write_table(pa.table({"u": [1]}), os.path.join(crashed, "part-00000.parquet"))
+
+    assert not stage_is_valid(root, "edges", config_hash="h")
+
+    # a fresh save of the same stage succeeds and is then valid + readable
+    tbl = pa.table({"u": [1, 2], "v": [3, 4]})
+    save_stage(root, "edges", tbl, config_hash="h")
+    assert stage_is_valid(root, "edges", config_hash="h")
+    got = load_stage(root, "edges")
+    assert got.to_pandas().sort_values("u").reset_index(drop=True).equals(
+        tbl.to_pandas()
+    )
+
+
+def test_deterministic_under_partition_count(small_corpus):
+    """Retry-safety precondition: the flagship result must not depend on
+    HOW the input was blocked (a retried/differently-scheduled run sees
+    different block boundaries). Re-block the corpus and require the same
+    cluster pair-set."""
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    docs_tbl, _gt = small_corpus
+    docs = ray.data.from_arrow(docs_tbl)
+    scfg = SketchConfig(shingle_k=21, sketch_size=128)
+    ccfg = ClusterConfig(threshold=0.05, dedup_dist=None)
+
+    def pair_key(documents):
+        res = clust_mst(documents, scfg, ccfg)
+        df = res.assignments.to_pandas()[["doc_id", "cluster_id"]]
+        return set(map(tuple, df.sort_values("doc_id").values.tolist()))
+
+    a = pair_key(docs)
+    b = pair_key(docs.repartition(7))
+    assert a == b
