@@ -647,6 +647,48 @@ def _q_ann_topk(sf_dir: str):
     return out[["rank", "vec_id"]]
 
 
+def _split_mod10(ds):
+    """Arrow-side split of the embeddings table into query side (vec_id %
+    10 == 0) and corpus side (vectorized compute filter, not per-row
+    Python)."""
+    def keep(match: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 10 == 0) == match
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    return (
+        ds.map_batches(keep(True), batch_format="pyarrow"),
+        ds.map_batches(keep(False), batch_format="pyarrow"),
+    )
+
+
+def _q_knn_join(sf_dir: str):
+    """Dataset-to-dataset exact cosine kNN join: vec_id % 10 == 0 rows are
+    the query side, the rest the corpus side; top-4 per query. Sim values
+    are excluded from the compare surface (rank order IS the contract —
+    same convention as ann_topk)."""
+    from rabbittclust_ray.stages.ann import knn_join
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    left, right = _split_mod10(ds)
+    out = knn_join(left, right, k=4).to_pandas()
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def _q_margin_mining(sf_dir: str):
+    """Margin-based best-match mining (Artetxe & Schwenk ratio margin) of
+    the %10==0 query side against the rest; k=4 neighbourhoods, keep
+    margin_ppm >= 1e6 (margin >= 1.0)."""
+    from rabbittclust_ray.stages.ann import margin_mining
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    left, right = _split_mod10(ds)
+    return margin_mining(left, right, k=4, margin_threshold_ppm=1_000_000)
+
+
 def _q_cosine_near_dups(sf_dir: str):
     import ray.data
 
@@ -4713,6 +4755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_cardinality": _q_hll_cardinality,
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "ann_topk": _q_ann_topk,
+        "knn_join": _q_knn_join,
+        "margin_mining": _q_margin_mining,
         "cosine_near_dups": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_dedup": _q_corpus_dedup,
@@ -6340,6 +6384,77 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY rank
             LIMIT 10
+        """,
+        "knn_join": """
+            WITH l AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            r AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 10 <> 0
+            ),
+            s AS (
+                SELECT l.vec_id AS query_id, r.vec_id AS vec_id,
+                       list_cosine_similarity(l.e, r.e) AS sim
+                FROM l, r
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+                   vec_id
+            FROM s
+            QUALIFY rank <= 4
+        """,
+        "margin_mining": """
+            WITH l AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            r AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 10 <> 0
+            ),
+            f AS (
+                SELECT l.vec_id AS q, r.vec_id AS c,
+                       list_cosine_similarity(l.e, r.e) AS s_raw
+                FROM l, r
+            ),
+            frk AS (
+                SELECT q, c, round(s_raw, 6) AS s,
+                       row_number() OVER (PARTITION BY q
+                           ORDER BY s_raw DESC, c ASC) AS rk
+                FROM f
+            ),
+            fstat AS (
+                SELECT q,
+                       max(CASE WHEN rk = 1 THEN c END) AS best_id,
+                       max(CASE WHEN rk = 1 THEN s END) AS best_sim,
+                       avg(s) AS avg_f
+                FROM frk WHERE rk <= 4 GROUP BY q
+            ),
+            b AS (
+                SELECT r.vec_id AS q, l.vec_id AS c,
+                       list_cosine_similarity(r.e, l.e) AS s_raw
+                FROM l, r
+            ),
+            brk AS (
+                SELECT q, round(s_raw, 6) AS s,
+                       row_number() OVER (PARTITION BY q
+                           ORDER BY s_raw DESC, c ASC) AS rk
+                FROM b
+            ),
+            bstat AS (
+                SELECT q, avg(s) AS avg_b
+                FROM brk WHERE rk <= 4 GROUP BY q
+            )
+            SELECT f.q AS src_id, f.best_id AS tgt_id,
+                   CAST(floor(f.best_sim / ((f.avg_f + bs.avg_b) / 2)
+                              * 1000000) AS BIGINT) AS margin_ppm
+            FROM fstat f JOIN bstat bs ON bs.q = f.best_id
+            WHERE floor(f.best_sim / ((f.avg_f + bs.avg_b) / 2) * 1000000)
+                  >= 1000000
         """,
         "cosine_near_dups": """
             SELECT a.vec_id AS u, b.vec_id AS v

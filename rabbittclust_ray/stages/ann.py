@@ -1007,3 +1007,230 @@ def ivfpq_topk(
             ),
         }
     )
+
+
+def knn_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    k: int = 4,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Dataset-to-dataset exact cosine kNN join: for every LEFT row, its
+    top-k cosine neighbours among the RIGHT rows.
+
+    The base operator for bitext mining / hard-negative mining /
+    cross-corpus retrieval eval. Scale shape: the LEFT (query) side is the
+    small side and is broadcast ONCE via ``ray.put`` as a normalized
+    (Q x d) matrix — never re-shipped per batch; each RIGHT batch computes
+    a vectorized partial top-k for all queries at once (k rows per query
+    per batch); per-query partials merge to the global top-k inside one
+    keyed exchange on the query id. The |L| x |R| similarity matrix never
+    materializes anywhere, and nothing lands on the driver. For a LEFT
+    side too big to broadcast (>> 1M rows), partition the left table and
+    run this per partition, or use ivf_topk per query block.
+
+    Output: (query_id, rank, vec_id, cosine_sim) — rank 1..k by similarity
+    desc, right-id asc (deterministic under float ties); cosine_sim is
+    rounded late (display only, ordering happens on full precision).
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    left_tbl = pa.Table.from_pandas(left.to_pandas(), preserve_index=False)
+    lt = _emb_matrix(left_tbl, emb_col)
+    lids = left_tbl[id_col].to_numpy(zero_copy_only=False)
+    ln = lt / np.maximum(np.linalg.norm(lt, axis=1, keepdims=True), 1e-30)
+    qref = ray.put((lids.astype(np.int64), ln))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(qref)
+        m = _emb_matrix(t, emb_col)
+        rids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = qm @ mn.T  # (Q, batch)
+        take = min(k, sims.shape[1])
+        if take == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
+        # per-query local top-take: argpartition along the batch axis
+        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        rows = np.repeat(qids, take)
+        cols = rids[idx.reshape(-1)]
+        vals = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows, pa.int64()),
+                id_col: pa.array(cols, pa.int64()),
+                "cosine_sim": pa.array(vals, pa.float64()),
+            }
+        )
+
+    partials = right.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
+        q = part["query_id"].to_numpy(zero_copy_only=False)
+        c = part[id_col].to_numpy(zero_copy_only=False)
+        s = part["cosine_sim"].to_numpy(zero_copy_only=False)
+        # sort (query asc, sim desc, cand asc) then keep first k per query
+        order = np.lexsort((c, -s, q))
+        qs, cs, ss = q[order], c[order], s[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        group_start = np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+        pos = np.arange(len(qs)) - group_start
+        keep = pos < k
+        return pa.table(
+            {
+                "query_id": pa.array(qs[keep], pa.int64()),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+                id_col: pa.array(cs[keep], pa.int64()),
+                "cosine_sim": pa.array(np.round(ss[keep], 6), pa.float64()),
+            }
+        )
+
+    return hash_exchange(partials, "query_id", merge_topk, num_partitions)
+
+
+def margin_mining(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Margin-based candidate mining (Artetxe & Schwenk 2019, ratio margin):
+    for every LEFT row x, its best RIGHT match y, scored by
+
+        margin(x, y) = cos(x, y) / ((avg_k(x->R) + avg_k(y->L)) / 2)
+
+    where avg_k are the mean similarities of each side's k nearest
+    neighbours in the OTHER corpus. Pairs with margin_ppm (floor of
+    margin x 1e6) >= margin_threshold_ppm survive — the standard mining
+    rule for parallel-corpus / hard-positive extraction; a margin > 1
+    means the pair stands out from each side's neighbourhood.
+
+    Built from two knn_join passes (each: broadcast queries + one keyed
+    exchange) plus two small exchanges keyed on ids — no all-pairs table
+    anywhere. Both sides' knn tables carry only k rows per vector.
+
+    Output: (src_id, tgt_id, margin_ppm), src from LEFT, tgt from RIGHT.
+    """
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    fwd = knn_join(left, right, k, id_col=id_col, emb_col=emb_col,
+                   num_partitions=num_partitions)
+    bwd = knn_join(right, left, k, id_col=id_col, emb_col=emb_col,
+                   num_partitions=num_partitions)
+
+    def per_query_stats(part: pa.Table) -> pa.Table:
+        """(query_id, best id, best sim, mean of its k sims) per query —
+        summation in rank order so the float result is reproducible."""
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "best_id": pa.array([], pa.int64()),
+                    "best_sim": pa.array([], pa.float64()),
+                    "avg_sim": pa.array([], pa.float64()),
+                }
+            )
+        q = part["query_id"].to_numpy(zero_copy_only=False)
+        r = part["rank"].to_numpy(zero_copy_only=False)
+        c = part[id_col].to_numpy(zero_copy_only=False)
+        s = part["cosine_sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, q))
+        q, r, c, s = q[order], r[order], c[order], s[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        ends = np.r_[starts[1:], len(q)]
+        sums = np.add.reduceat(s, starts)
+        return pa.table(
+            {
+                "query_id": pa.array(q[starts], pa.int64()),
+                "best_id": pa.array(c[starts], pa.int64()),
+                "best_sim": pa.array(s[starts], pa.float64()),
+                "avg_sim": pa.array(sums / (ends - starts), pa.float64()),
+            }
+        )
+
+    fstats = hash_exchange(fwd, "query_id", per_query_stats, num_partitions)
+    bstats = hash_exchange(bwd, "query_id", per_query_stats, num_partitions)
+
+    # join fstats.best_id -> bstats.query_id through one keyed exchange on
+    # the RIGHT id (tagged union; both sides are k-bounded per vector)
+    def tag_f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "join_id": t["best_id"],
+                "src_id": t["query_id"],
+                "best_sim": t["best_sim"],
+                "avg_f": t["avg_sim"],
+                "avg_b": pa.nulls(t.num_rows, pa.float64()),
+            }
+        )
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "join_id": t["query_id"],
+                "src_id": pa.nulls(t.num_rows, pa.int64()),
+                "best_sim": pa.nulls(t.num_rows, pa.float64()),
+                "avg_f": pa.nulls(t.num_rows, pa.float64()),
+                "avg_b": t["avg_sim"],
+            }
+        )
+
+    tagged = fstats.map_batches(tag_f, batch_format="pyarrow").union(
+        bstats.map_batches(tag_b, batch_format="pyarrow")
+    )
+
+    def score(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_id": pa.array([], pa.int64()),
+                "tgt_id": pa.array([], pa.int64()),
+                "margin_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        df = part.to_pandas()
+        b = df[df["avg_b"].notna()][["join_id", "avg_b"]]
+        f = df[df["src_id"].notna()]
+        if f.empty or b.empty:
+            return empty
+        m = f.merge(b, on="join_id", how="inner", suffixes=("", "_r"))
+        if m.empty:
+            return empty
+        avg_b = m["avg_b_r"] if "avg_b_r" in m.columns else m["avg_b"]
+        margin = m["best_sim"].to_numpy() / (
+            (m["avg_f"].to_numpy() + avg_b.to_numpy()) / 2.0
+        )
+        ppm = np.floor(margin * 1_000_000).astype(np.int64)
+        keep = ppm >= margin_threshold_ppm
+        return pa.table(
+            {
+                "src_id": pa.array(m["src_id"].to_numpy()[keep].astype(np.int64), pa.int64()),
+                "tgt_id": pa.array(m["join_id"].to_numpy()[keep].astype(np.int64), pa.int64()),
+                "margin_ppm": pa.array(ppm[keep], pa.int64()),
+            }
+        )
+
+    return hash_exchange(tagged, "join_id", score, num_partitions)

@@ -356,3 +356,94 @@ def test_ivfpq_nprobe_monotone_candidates():
     ).to_pandas()
     assert full["neighbor_id"].tolist() == exhaustive["neighbor_id"].tolist()
     assert full["adc_dist_int"].tolist() == exhaustive["adc_dist_int"].tolist()
+
+
+def _np_knn(L, R, lids, rids, k):
+    """Brute-force replay: per left row, top-k right ids by (sim desc, id asc)."""
+    Ln = L / np.maximum(np.linalg.norm(L, axis=1, keepdims=True), 1e-30)
+    Rn = R / np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-30)
+    sims = Ln @ Rn.T
+    out = {}
+    for i, q in enumerate(lids):
+        order = sorted(range(len(rids)), key=lambda j: (-sims[i, j], rids[j]))
+        out[int(q)] = [(int(rids[j]), sims[i, j]) for j in order[:k]]
+    return out
+
+
+def test_knn_join_matches_brute_force():
+    tbl = _clustered_embeddings(n_clusters=12, per=5)
+    m = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    lmask = ids % 7 == 0
+    from rabbittclust_ray.stages.ann import knn_join
+
+    left = ray.data.from_arrow(tbl.filter(pa.array(lmask)))
+    right = ray.data.from_arrow(tbl.filter(pa.array(~lmask)))
+    out = knn_join(left, right, k=3, num_partitions=4).to_pandas()
+
+    truth = _np_knn(m[lmask], m[~lmask], ids[lmask], ids[~lmask], 3)
+    assert set(out["query_id"]) == set(truth)
+    for q, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["vec_id"]) == [t[0] for t in truth[int(q)]]
+        got = grp["cosine_sim"].to_numpy()
+        want = np.round([t[1] for t in truth[int(q)]], 6)
+        assert np.allclose(got, want, atol=1e-6)
+
+
+def test_knn_join_partition_invariance():
+    """Same result regardless of right-side blocking (merge correctness)."""
+    tbl = _clustered_embeddings(n_clusters=10, per=4)
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    lmask = ids % 5 == 0
+    from rabbittclust_ray.stages.ann import knn_join
+
+    left = ray.data.from_arrow(tbl.filter(pa.array(lmask)))
+    right = ray.data.from_arrow(tbl.filter(pa.array(~lmask)))
+
+    def key(ds):
+        df = ds.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return list(map(tuple, df[["query_id", "rank", "vec_id"]].values))
+
+    a = key(knn_join(left, right, k=4, num_partitions=4))
+    b = key(knn_join(left, right.repartition(9), k=4, num_partitions=2))
+    assert a == b
+
+
+def test_margin_mining_matches_replay():
+    """Margin scores replayed with plain numpy over the same rounded-sim
+    neighbourhoods; threshold keeps exactly the replay's pairs."""
+    tbl = _clustered_embeddings(n_clusters=14, per=5, seed=9)
+    m = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    lmask = ids % 6 == 0
+    k = 3
+    from rabbittclust_ray.stages.ann import margin_mining
+
+    left = ray.data.from_arrow(tbl.filter(pa.array(lmask)))
+    right = ray.data.from_arrow(tbl.filter(pa.array(~lmask)))
+    out = margin_mining(
+        left, right, k=k, margin_threshold_ppm=1_000_000, num_partitions=4
+    ).to_pandas()
+
+    fwd = _np_knn(m[lmask], m[~lmask], ids[lmask], ids[~lmask], k)
+    bwd = _np_knn(m[~lmask], m[lmask], ids[~lmask], ids[lmask], k)
+    want = {}
+    for q, nn in fwd.items():
+        best_id, _ = nn[0]
+        best_sim = np.round(nn[0][1], 6)
+        avg_f = np.mean(np.round([s for _, s in nn], 6))
+        avg_b = np.mean(np.round([s for _, s in bwd[best_id]], 6))
+        ppm = int(np.floor(best_sim / ((avg_f + avg_b) / 2) * 1_000_000))
+        if ppm >= 1_000_000:
+            want[q] = (best_id, ppm)
+    got = {
+        int(r.src_id): (int(r.tgt_id), int(r.margin_ppm))
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture sanity: some pairs survive
