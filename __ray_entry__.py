@@ -718,6 +718,42 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, min_sim=0.35, num_clusters=0)
 
 
+def _q_cross_corpus_dedup(sf_dir: str):
+    """A-vs-B dedup: docs with doc_id % 5 == 0 (plus deterministic exact
+    copies of base docs with doc_id % 7 == 1, shifted +1e7) are the
+    incoming batch; the rest are the kept base corpus. One verdict row per
+    new doc (exact sha match > near within EX_DEDUP_DIST > keep), exact
+    n-gram mode so SQL replays the near stage."""
+    from rabbittclust_ray.stages.dedup import cross_corpus_dedup
+
+    docs = _docs(sf_dir)
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        own = t.filter(pa.array(ids % 5 == 0))
+        cp = t.filter(pa.array((ids % 5 != 0) & (ids % 7 == 1)))
+        cp = cp.set_column(
+            cp.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(
+                cp["doc_id"].to_numpy(zero_copy_only=False) + 10_000_000,
+                pa.int64(),
+            ),
+        )
+        return pa.concat_tables([own, cp])
+
+    def base_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 5 != 0))
+
+    new_docs = docs.map_batches(new_side, batch_format="pyarrow")
+    base_docs = docs.map_batches(base_side, batch_format="pyarrow")
+    return cross_corpus_dedup(
+        new_docs, base_docs, _exact_scfg(), _exact_ccfg(EX_DEDUP_DIST),
+        dedup_dist=EX_DEDUP_DIST,
+    )
+
+
 def _q_corpus_dedup(sf_dir: str):
     """Full exact -> near dedup cascade report in exact n-gram mode: SQL
     reproduces it end-to-end (sha groups -> winner-restricted exact-Jaccard
@@ -4760,6 +4796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_dedup": _q_corpus_dedup,
+        "cross_corpus_dedup": _q_cross_corpus_dedup,
         "corpus_dedup_decon": _q_corpus_dedup_decon,
         "strip_dup_spans": _q_strip_dup_spans,
         "dedup_segments": _q_dedup_segments,
@@ -6460,6 +6497,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS u, b.vec_id AS v
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "cross_corpus_dedup": f"""
+            WITH nf AS MATERIALIZED (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                    UNION ALL
+                    SELECT doc_id + 10000000, text FROM documents
+                    WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+                ) WHERE length(text) >= {EX_MIN_LEN}
+            ),
+            bf AS MATERIALIZED (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 5 <> 0 AND length(text) >= {EX_MIN_LEN}
+            ),
+            allr AS MATERIALIZED (
+                SELECT doc_id, text FROM nf UNION ALL
+                SELECT doc_id, text FROM bf
+            ),
+            {_sql_edges_cte(EX_DEDUP_DIST, source="allr")},
+            ex AS (
+                SELECT n.doc_id, min(b.doc_id) AS m
+                FROM nf n JOIN bf b ON sha256(n.text) = sha256(b.text)
+                GROUP BY 1
+            ),
+            cn AS (
+                SELECT CASE WHEN (u % 5 = 0 OR u >= 10000000)
+                            THEN u ELSE v END AS doc_id,
+                       CASE WHEN (u % 5 = 0 OR u >= 10000000)
+                            THEN v ELSE u END AS matched_id
+                FROM edges
+                WHERE (u % 5 = 0 OR u >= 10000000)
+                      <> (v % 5 = 0 OR v >= 10000000)
+            ),
+            nearm AS (SELECT doc_id, min(matched_id) AS m FROM cn GROUP BY 1)
+            SELECT n.doc_id,
+                   CASE WHEN e.m IS NOT NULL THEN 'exact'
+                        WHEN nm.m IS NOT NULL THEN 'near'
+                        ELSE 'keep' END AS verdict,
+                   COALESCE(e.m, nm.m, -1) AS matched_id
+            FROM nf n
+            LEFT JOIN ex e ON e.doc_id = n.doc_id
+            LEFT JOIN nearm nm ON nm.doc_id = n.doc_id
         """,
         "semantic_dedup": """
             WITH RECURSIVE sims AS MATERIALIZED (

@@ -759,3 +759,198 @@ def dedup_savings(
             "savings_ppm": pa.array([ppm], pa.int64()),
         }
     )
+
+
+def cross_corpus_dedup(
+    new_docs: ray.data.Dataset,
+    base_docs: ray.data.Dataset,
+    scfg,
+    ccfg,
+    *,
+    dedup_dist: float,
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Dedup an INCOMING corpus against an EXISTING kept corpus (A-vs-B,
+    not self-dedup): one verdict row per new doc —
+
+        (doc_id, verdict in {'exact','near','keep'}, matched_id)
+
+    'exact'  = sha256 identical to some base doc (matched_id = min such
+    base id); 'near' = within ``dedup_dist`` of some base doc under the
+    sketch config (matched_id = min such base id); 'keep' otherwise
+    (matched_id = -1). Exact beats near. Duplicates WITHIN the new batch
+    are deliberately NOT flagged — that is self-dedup (``exact_dedup`` /
+    the corpus cascade); this operator answers only "is it already in the
+    corpus we kept", the daily-ingest question.
+
+    Scale shape (the base side is the 100-TB side and is never collected):
+    the exact stage is one sha-keyed exchange over the tagged union; the
+    near stage unions the two sketch sets with the ``is_new`` mask so
+    base-base pairs are killed AT EMISSION inside the pair exchange (the
+    quadratic term of the big side never exists — same mask the MST append
+    uses, pairs.py BucketPairEmitter); only the NEW side's id array is
+    broadcast (8 B/doc, the incoming batch is the small side by
+    definition) to classify edge endpoints. Verdict priority resolves in
+    one final exchange keyed on the new doc id. Content never travels past
+    the sketch stage.
+
+    Reference analogue: greedy-append assigns new genomes to existing
+    representatives without re-clustering the old set
+    (/root/reference/src/greedy.cpp:1545-1624, sub_command.cpp append
+    path); this is the dedup-verdict form of the same incremental
+    contract.
+    """
+    from rabbittclust_ray.stages.pairs import candidate_edges, hash_exchange
+    from rabbittclust_ray.stages.prepare import prepare_documents
+    from rabbittclust_ray.stages.sketch import sketch_documents
+
+    prep_new = prepare_documents(new_docs, scfg)
+    prep_base = prepare_documents(base_docs, scfg)
+
+    def flag(val: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_new", pa.array(np.full(t.num_rows, val))
+            )
+
+        return f
+
+    # ---- exact stage: sha-keyed exchange over the tagged union ----------
+    def sha_rows(t: pa.Table) -> pa.Table:
+        return _add_sha_key(
+            t.select(["doc_id", "content_sha256", "is_new"])
+        )
+
+    union_sha = (
+        prep_new.map_batches(flag(True), batch_format="pyarrow")
+        .map_batches(sha_rows, batch_format="pyarrow")
+        .union(
+            prep_base.map_batches(flag(False), batch_format="pyarrow")
+            .map_batches(sha_rows, batch_format="pyarrow")
+        )
+    )
+
+    BIG = np.iinfo(np.int64).max
+
+    def exact_matches(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "matched_id": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        order, new_grp, ids = _sha_groups(t)
+        isnew = t["is_new"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(new_grp)
+        grp = np.cumsum(new_grp) - 1
+        base_ids = np.where(~isnew, ids, BIG)
+        gmin = np.minimum.reduceat(base_ids, starts)
+        match = gmin[grp]
+        sel = isnew & (match != BIG)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "matched_id": pa.array(match[sel], pa.int64()),
+            }
+        )
+
+    exact = hash_exchange(union_sha, "sha_key", exact_matches, num_buckets)
+
+    # ---- near stage: masked pair generation + endpoint classification ---
+    sk_new = sketch_documents(prep_new, scfg)
+    sk_base = sketch_documents(prep_base, scfg)
+    union_sk = sk_base.map_batches(flag(False), batch_format="pyarrow").union(
+        sk_new.map_batches(flag(True), batch_format="pyarrow")
+    )
+    edges = candidate_edges(union_sk, scfg, ccfg, max_dist=dedup_dist)
+
+    new_ids = np.sort(
+        prep_new.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    )
+    ids_ref = ray.put(new_ids)
+
+    def cross_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "matched_id": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        known = ray.get(ids_ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+
+        def member(x):
+            if len(known) == 0:
+                return np.zeros(len(x), dtype=bool)
+            pos = np.clip(np.searchsorted(known, x), 0, len(known) - 1)
+            return known[pos] == x
+
+        un, vn = member(u), member(v)
+        keep = un ^ vn  # exactly one endpoint new => cross pair
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(np.where(un, u, v)[keep], pa.int64()),
+                "matched_id": pa.array(np.where(un, v, u)[keep], pa.int64()),
+            }
+        )
+
+    near = edges.map_batches(cross_pairs, batch_format="pyarrow")
+
+    # ---- verdict merge: one exchange keyed on the new doc id ------------
+    def tag(src: int, ds: ray.data.Dataset) -> ray.data.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "src", pa.array(np.full(t.num_rows, src, dtype=np.int8))
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "matched_id": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    tagged = (
+        tag(0, prep_new.map_batches(self_rows, batch_format="pyarrow"))
+        .union(tag(1, near))
+        .union(tag(2, exact))
+    )
+
+    VERDICTS = np.array(["keep", "near", "exact"], dtype=object)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "verdict": pa.array([], pa.string()),
+                "matched_id": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        match = t["matched_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((match, -src, ids))
+        ids, src, match = ids[order], src[order], match[order]
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[first], pa.int64()),
+                "verdict": pa.array(VERDICTS[src[first]], pa.string()),
+                "matched_id": pa.array(match[first], pa.int64()),
+            }
+        )
+
+    return hash_exchange(tagged, "doc_id", resolve, num_buckets)

@@ -188,3 +188,88 @@ def test_dedup_savings_and_histogram_brute_force():
     })).repartition(4)
     h = cluster_size_histogram(asg, num_partitions=4).to_pandas()
     assert dict(zip(h.cluster_size, h.n_clusters)) == {1: 5, 2: 1, 3: 1}
+
+
+def test_cross_corpus_dedup_brute_force(small_corpus):
+    """A-vs-B verdicts replayed by brute force: exact = sha join, near =
+    exact n-gram Jaccard within radius to any base doc, exact beats near,
+    in-batch dups never flagged."""
+    import re
+
+    from rabbittclust_ray.stages.dedup import cross_corpus_dedup
+
+    docs_tbl, _gt = small_corpus
+    # small_corpus has no doc_id column; attach the stable id the pipeline
+    # would compute so the split is reproducible here
+    from rabbittclust_ray.hashing import stable_doc_id
+
+    did = stable_doc_id(
+        np.array(docs_tbl["repo"].to_pylist(), dtype=object),
+        np.array(docs_tbl["path"].to_pylist(), dtype=object),
+        np.array(docs_tbl["commit"].to_pylist(), dtype=object),
+    )
+    docs_tbl = docs_tbl.append_column("doc_id", pa.array(did, pa.int64()))
+    new_mask = did % 4 == 0
+    new_docs = ray.data.from_arrow(docs_tbl.filter(pa.array(new_mask)))
+    base_docs = ray.data.from_arrow(docs_tbl.filter(pa.array(~new_mask)))
+
+    K, MIN_LEN, DIST = 8, 50, 0.05
+    scfg = SketchConfig(shingle_k=K, mode="mod", mod_bits=0, min_len=MIN_LEN)
+    ccfg = ClusterConfig(threshold=DIST, max_posting=None, num_buckets=8)
+    out = (
+        cross_corpus_dedup(
+            new_docs, base_docs, scfg, ccfg, dedup_dist=DIST, num_buckets=8
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+
+    # brute-force replay
+    import hashlib
+    import math
+
+    def grams(text):
+        nt = re.sub(r"\s+", " ", text)
+        return {nt[i : i + K] for i in range(len(nt) - K + 1)}
+
+    content = docs_tbl["content"].to_pylist()
+    jmin = math.exp(-DIST * K) / (2.0 - math.exp(-DIST * K))
+    newd = {
+        int(i): c
+        for i, c, m in zip(did, content, new_mask)
+        if m and len(c) >= MIN_LEN
+    }
+    based = {
+        int(i): c
+        for i, c, m in zip(did, content, new_mask)
+        if not m and len(c) >= MIN_LEN
+    }
+    bg = {i: grams(c) for i, c in based.items()}
+    bsha = {}
+    for i, c in based.items():
+        bsha.setdefault(hashlib.sha256(c.encode()).hexdigest(), []).append(i)
+    assert set(out.index) == set(newd)
+    n_exact = n_near = 0
+    for i, c in newd.items():
+        sha = hashlib.sha256(c.encode()).hexdigest()
+        if sha in bsha:
+            assert out.loc[i, "verdict"] == "exact"
+            assert out.loc[i, "matched_id"] == min(bsha[sha])
+            n_exact += 1
+            continue
+        g = grams(c)
+        near = [
+            j
+            for j, gj in bg.items()
+            if len(g & gj) >= jmin * len(g | gj) and len(g & gj) > 0
+        ]
+        if near:
+            assert out.loc[i, "verdict"] == "near"
+            assert out.loc[i, "matched_id"] == min(near)
+            n_near += 1
+        else:
+            assert out.loc[i, "verdict"] == "keep"
+            assert out.loc[i, "matched_id"] == -1
+    # fixture sanity: the corpus has exact dups and near families spanning
+    # the split, so all three verdicts are exercised
+    assert n_exact + n_near > 0
