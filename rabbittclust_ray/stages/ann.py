@@ -1234,3 +1234,343 @@ def margin_mining(
         )
 
     return hash_exchange(tagged, "join_id", score, num_partitions)
+
+
+def nn_descent(
+    embeddings: ray.data.Dataset,
+    k: int = 10,
+    *,
+    rounds: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 64,
+    max_reverse: int = 32,
+) -> ray.data.Dataset:
+    """Distributed NN-descent (Dong et al. 2011): build an approximate
+    cosine k-NN GRAPH of the whole corpus by iterated neighbourhood
+    refinement — the graph-ANN family, complementing IVF (partition-probe)
+    and hyperplane LSH (bucket-probe).
+
+    Everything is composed from the keyed exchange, fully deterministic
+    (seedless: the init ring orders nodes by the splitmix-mixed id), so a
+    retried run reproduces bit-identical graphs:
+
+      init:    ring over the mixed-id order — each node's first candidates
+               are its 2k ring successors (one exchange; no randomness).
+      round:   (1) exchange keyed on the NEIGHBOUR id: every group is one
+               node's reverse+forward neighbourhood; all members become
+               mutual candidate pairs (the NN-descent "neighbours of
+               neighbours meet" step). Reverse degree is capped at
+               ``max_reverse`` by smallest mixed id (deterministic skew
+               guard — a hub node cannot emit O(N^2) candidates).
+               (2,3) two chained exchanges attach both endpoint vectors
+               (tagged-union fetch join, vectors ship only for candidate
+               pairs) and score cosine.
+               (4) exchange keyed on the source id merges old lists with
+               scored candidates, keeping top-k by (sim desc, id asc).
+      stop:    fixed ``rounds``. Convergence accelerates once the graph
+               aligns with the metric (recall trajectory is superlinear);
+               rounds ~ O(log N) and exploration grows with k — the
+               k=10 / rounds=5 defaults reach recall >= 0.9 on smooth
+               embedding clouds (pinned by tests, not assumed). Data with
+               NO cross-cluster similarity gradient (mutually orthogonal
+               tight clusters) is adversarial for ANY graph-descent method
+               — use the LSH or IVF family there.
+
+    Output: (src_id, rank, nbr_id, cosine_sim) — k rows per node.
+    Per-round network volume is O(candidate pairs x dim), never O(N^2);
+    the per-node state (k rows) lives in the dataset, not on the driver.
+    """
+    from rabbittclust_ray.hashing import splitmix64
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    dsv = embeddings.map_batches(
+        lambda t: pa.table(
+            {
+                "nid": t[id_col].cast(pa.int64()),
+                "vec": t[emb_col],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    vec_type = dsv.take_batch(1, batch_format="pyarrow")["vec"].type
+    ids = np.sort(
+        dsv.select_columns(["nid"]).to_pandas()["nid"].to_numpy().astype(np.int64)
+    )
+    mixed = splitmix64(ids.astype(np.uint64)).astype(np.uint64)
+    ring = ids[np.argsort(mixed, kind="stable")]
+    ring_ref = ray.put(ring)
+
+    def init_pairs(t: pa.Table) -> pa.Table:
+        """Each node -> its 2k successors on the deterministic ring."""
+        r = ray.get(ring_ref)
+        nid = t["nid"].to_numpy(zero_copy_only=False)
+        # position of each node on the ring
+        order = np.argsort(r, kind="stable")
+        pos = order[np.searchsorted(r[order], nid)]
+        w = min(2 * k, max(1, len(r) - 1))
+        src = np.repeat(nid, w)
+        offs = np.tile(np.arange(1, w + 1), len(nid))
+        nbr = r[(np.repeat(pos, w) + offs) % len(r)]
+        keep = src != nbr
+        return pa.table(
+            {
+                "a": pa.array(src[keep], pa.int64()),
+                "b": pa.array(nbr[keep], pa.int64()),
+            }
+        )
+
+    cand = dsv.map_batches(init_pairs, batch_format="pyarrow")
+
+    def score_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+        """Attach both endpoint vectors via two chained tagged-union
+        exchanges and emit (src, nbr, sim) BOTH directions."""
+
+        def tag_pair(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["a"],
+                    "other": t["b"],
+                    "vec": pa.nulls(t.num_rows, vec_type),
+                }
+            )
+
+        def tag_vec(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["nid"],
+                    "other": pa.nulls(t.num_rows, pa.int64()),
+                    "vec": t["vec"],
+                }
+            )
+
+        u1 = pairs.map_batches(tag_pair, batch_format="pyarrow").union(
+            dsv.map_batches(tag_vec, batch_format="pyarrow")
+        )
+
+        def attach_a(t: pa.Table) -> pa.Table:
+            """key = a side; vector rows provide vec for every pair row."""
+            out_schema = pa.schema(
+                [
+                    ("key", pa.int64()),        # now the b side
+                    ("other", pa.int64()),      # the a side
+                    ("avec", t.schema.field("vec").type),
+                    ("vec", t.schema.field("vec").type),
+                ]
+            )
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            df_key = t["key"].to_numpy(zero_copy_only=False)
+            is_vec = t["other"].is_null().to_numpy(zero_copy_only=False)
+            vt = t.filter(pa.array(is_vec))
+            pt = t.filter(pa.array(~is_vec))
+            if pt.num_rows == 0:
+                return out_schema.empty_table()
+            vids = vt["key"].to_numpy(zero_copy_only=False)
+            vorder = np.argsort(vids, kind="stable")
+            vm = _emb_matrix(vt, "vec")[vorder]
+            vids = vids[vorder]
+            pk = pt["key"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vids, pk)
+            # every pair endpoint exists in the vector table by construction
+            am = vm[pos]
+            flat = pa.array(am.reshape(-1), pa.float64())
+            alist = pa.FixedSizeListArray.from_arrays(flat, am.shape[1]).cast(
+                t.schema.field("vec").type
+            )
+            return pa.table(
+                {
+                    "key": pt["other"],
+                    "other": pt["key"],
+                    "avec": alist,
+                    "vec": pa.nulls(pt.num_rows, t.schema.field("vec").type),
+                }
+            )
+
+        s1 = hash_exchange(u1, "key", attach_a, num_partitions)
+
+        def tag_vec2(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["nid"],
+                    "other": pa.nulls(t.num_rows, pa.int64()),
+                    "avec": pa.nulls(t.num_rows, t.schema.field("vec").type),
+                    "vec": t["vec"],
+                }
+            )
+
+        u2 = s1.union(dsv.map_batches(tag_vec2, batch_format="pyarrow"))
+
+        def attach_b_score(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nbr": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+            if t.num_rows == 0:
+                return empty
+            is_vec = t["other"].is_null().to_numpy(zero_copy_only=False)
+            vt = t.filter(pa.array(is_vec))
+            pt = t.filter(pa.array(~is_vec))
+            if pt.num_rows == 0:
+                return empty
+            vids = vt["key"].to_numpy(zero_copy_only=False)
+            vorder = np.argsort(vids, kind="stable")
+            vm = _emb_matrix(vt, "vec")[vorder]
+            vids = vids[vorder]
+            bk = pt["key"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vids, bk)
+            bm = vm[pos]
+            am = _emb_matrix(pt, "avec")
+            an = am / np.maximum(np.linalg.norm(am, axis=1, keepdims=True), 1e-30)
+            bn = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+            sim = np.einsum("ij,ij->i", an, bn)
+            a = pt["other"].to_numpy(zero_copy_only=False)
+            b = bk
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+                    "sim": pa.array(np.concatenate([sim, sim]), pa.float64()),
+                }
+            )
+
+        return hash_exchange(u2, "key", attach_b_score, num_partitions)
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "nbr": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        s = t["src"].to_numpy(zero_copy_only=False)
+        n = t["nbr"].to_numpy(zero_copy_only=False)
+        v = t["sim"].to_numpy(zero_copy_only=False)
+        # drop duplicate (src, nbr) keeping best sim — dedup on the
+        # (src, nbr)-sorted order where duplicates ARE adjacent, THEN
+        # re-sort by sim for the top-k cut
+        order = np.lexsort((-v, n, s))
+        s, n, v = s[order], n[order], v[order]
+        first_pair = np.r_[True, (s[1:] != s[:-1]) | (n[1:] != n[:-1])]
+        s, n, v = s[first_pair], n[first_pair], v[first_pair]
+        order = np.lexsort((n, -v, s))
+        s, n, v = s[order], n[order], v[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        group_start = np.repeat(starts, np.diff(np.r_[starts, len(s)]))
+        pos = np.arange(len(s)) - group_start
+        keep = pos < k
+        return pa.table(
+            {
+                "src": pa.array(s[keep], pa.int64()),
+                "nbr": pa.array(n[keep], pa.int64()),
+                "sim": pa.array(v[keep], pa.float64()),
+            }
+        )
+
+    knn = hash_exchange(score_pairs(cand), "src", merge_topk, num_partitions)
+    knn = knn.materialize()
+
+    for _ in range(rounds):
+        def both_orientations(t: pa.Table) -> pa.Table:
+            """Each edge (src, nbr) joins BOTH endpoint neighbourhoods:
+            group src gets member nbr (forward), group nbr gets member src
+            (reverse) — the NN-descent general join."""
+            sr = t["src"].to_numpy(zero_copy_only=False)
+            nb = t["nbr"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "g": pa.array(np.concatenate([sr, nb]), pa.int64()),
+                    "member": pa.array(np.concatenate([nb, sr]), pa.int64()),
+                }
+            )
+
+        def neighborhood_cands(t: pa.Table) -> pa.Table:
+            """Group = one node's forward+reverse neighbourhood; members
+            become mutual candidates. Group size capped at ``max_reverse``
+            by smallest mixed member id (deterministic skew guard — a hub
+            node cannot emit O(N^2) candidates)."""
+            empty = pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+            if t.num_rows == 0:
+                return empty
+            g = t["g"].to_numpy(zero_copy_only=False)
+            sr = t["member"].to_numpy(zero_copy_only=False)
+            mx = splitmix64(sr.astype(np.uint64))
+            order = np.lexsort((mx, g))
+            g, sr = g[order], sr[order]
+            # drop duplicate (g, member) rows (an edge present both ways)
+            first = np.r_[True, (g[1:] != g[:-1]) | (sr[1:] != sr[:-1])]
+            g, sr = g[first], sr[first]
+            starts0 = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+            group_start = np.repeat(starts0, np.diff(np.r_[starts0, len(g)]))
+            pos = np.arange(len(g)) - group_start
+            capped = pos < max_reverse
+            g, sr, group_start = g[capped], sr[capped], group_start[capped]
+            starts = np.flatnonzero(np.r_[True, group_start[1:] != group_start[:-1]])
+            counts = np.diff(np.r_[starts, len(sr)])
+            # vectorized all-pairs emission: one broadcast per DISTINCT
+            # group size (<= max_reverse iterations, independent of N)
+            out_a, out_b = [], []
+            for c in np.unique(counts):
+                if c < 2:
+                    continue
+                sel = counts == c
+                mem = sr[starts[sel][:, None] + np.arange(c)]
+                iu, ju = np.triu_indices(int(c), 1)
+                out_a.append(mem[:, iu].ravel())
+                out_b.append(mem[:, ju].ravel())
+            if not out_a:
+                return empty
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            keep = a != b
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        oriented = knn.map_batches(both_orientations, batch_format="pyarrow")
+        cand = hash_exchange(oriented, "g", neighborhood_cands, num_partitions)
+        scored = score_pairs(cand)
+        knn = hash_exchange(
+            knn.union(scored), "src", merge_topk, num_partitions
+        ).materialize()
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "nbr_id": pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
+        s = t["src"].to_numpy(zero_copy_only=False)
+        n = t["nbr"].to_numpy(zero_copy_only=False)
+        v = t["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -v, s))
+        s, n, v = s[order], n[order], v[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        group_start = np.repeat(starts, np.diff(np.r_[starts, len(s)]))
+        rank = np.arange(len(s)) - group_start + 1
+        return pa.table(
+            {
+                "src_id": pa.array(s, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "nbr_id": pa.array(n, pa.int64()),
+                "cosine_sim": pa.array(np.round(v, 6), pa.float64()),
+            }
+        )
+
+    return hash_exchange(knn, "src", rank_rows, num_partitions)

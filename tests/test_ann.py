@@ -447,3 +447,60 @@ def test_margin_mining_matches_replay():
     }
     assert got == want
     assert len(want) > 0  # fixture sanity: some pairs survive
+
+
+def _gaussian_cloud(n=400, d=8, seed=7):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    flat = pa.array(m.reshape(-1).astype(np.float32), pa.float32())
+    emb = pa.FixedSizeListArray.from_arrays(flat, d).cast(pa.list_(pa.float32()))
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(n), pa.int64()), "embedding": emb}
+    )
+    return tbl, m
+
+
+def test_nn_descent_recall_and_shape():
+    """Graph-ANN family: k-NN GRAPH recall >= 0.9 at defaults on a smooth
+    embedding cloud; k rows per node, ranks contiguous from 1."""
+    from rabbittclust_ray.stages.ann import nn_descent
+
+    tbl, m = _gaussian_cloud()
+    n = len(m)
+    out = nn_descent(
+        ray.data.from_arrow(tbl), k=10, rounds=5, num_partitions=4
+    ).to_pandas()
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -2)
+    hits = 0
+    for q in range(n):
+        exact = set(np.argsort(-sims[q])[:10])
+        got = set(out[out.src_id == q].nbr_id)
+        assert len(got) == 10
+        hits += len(exact & got)
+    recall = hits / (n * 10)
+    assert recall >= 0.9, f"nn_descent recall {recall:.3f} < 0.9"
+    # rank integrity: 1..k per node, sims non-increasing
+    for q, grp in out.groupby("src_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, 11))
+        assert (np.diff(grp["cosine_sim"].to_numpy()) <= 1e-9).all()
+
+
+def test_nn_descent_deterministic_and_partition_invariant():
+    """Seedless determinism (retry safety): identical graphs across runs
+    and across input blockings."""
+    from rabbittclust_ray.stages.ann import nn_descent
+
+    tbl, _ = _gaussian_cloud(n=150)
+    ds = ray.data.from_arrow(tbl)
+
+    def key(o):
+        df = o.to_pandas().sort_values(["src_id", "rank"]).reset_index(drop=True)
+        return list(map(tuple, df[["src_id", "rank", "nbr_id"]].values))
+
+    a = key(nn_descent(ds, k=6, rounds=3, num_partitions=4))
+    b = key(nn_descent(ds.repartition(11), k=6, rounds=3, num_partitions=2))
+    assert a == b
