@@ -2183,6 +2183,43 @@ def _q_curate_pack(sf_dir: str):
     return curate_and_pack(docs, window=256, num_partitions=32)
 
 
+def _q_dup_weighted_sample(sf_dir: str):
+    """Duplication-aware soft downsampling: keep each doc with probability
+    1/family_size (exact-sha family). The corpus is augmented with
+    deterministic exact copies (%3 -> +1e7, %6 -> +2e7) so families of
+    size 1, 2 and 3 are all exercised; sha keep-rule surface so the SQL
+    replays the verdict bit-for-bit."""
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.prepare import prepare_documents
+    from rabbittclust_ray.stages.sample import dup_weighted_sample
+
+    docs = _docs(sf_dir)
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        outs = [t]
+        for mod, shift in ((3, 10_000_000), (6, 20_000_000)):
+            sub = t.filter(pa.array(ids % mod == 0))
+            outs.append(
+                sub.set_column(
+                    sub.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(
+                        sub["doc_id"].to_numpy(zero_copy_only=False) + shift,
+                        pa.int64(),
+                    ),
+                )
+            )
+        return pa.concat_tables(outs)
+
+    prepared = prepare_documents(
+        docs.map_batches(augment, batch_format="pyarrow"),
+        SketchConfig(min_len=0),
+        apply_min_len=False,
+    )
+    return dup_weighted_sample(prepared, seed=42, method="sha")
+
+
 def _q_norm_dedup_keep_best(sf_dir: str):
     """Fuzzy-exact dedup on whitespace/case-NORMALIZED content with the
     keep-BEST rule (longest raw doc wins its family, ties -> min id). The
@@ -4776,6 +4813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "source_dup_profile": _q_source_dup_profile,
         "det_sample": _q_det_sample,
+        "dup_weighted_sample": _q_dup_weighted_sample,
         "clean_boilerplate": _q_clean_boilerplate,
         "redact_pii": _q_redact_pii,
         "decontaminate": _q_decontaminate,
@@ -6279,6 +6317,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(r.t2, '') AS cleaned_text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "dup_weighted_sample": f"""
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 6 = 0
+            ),
+            fam AS (
+                SELECT doc_id,
+                       CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT)
+                           AS family_size
+                FROM aug
+            )
+            SELECT doc_id, family_size,
+                   (family_size = 1 OR
+                    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '-42'), 1, 15))::UBIGINT
+                    < CAST({16**15} AS UBIGINT) // CAST(family_size AS UBIGINT))
+                       AS kept
+            FROM fam
         """,
         "det_sample": f"""
             SELECT doc_id, source FROM documents

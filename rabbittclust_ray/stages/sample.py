@@ -418,3 +418,91 @@ def shuffle_shards(
 
     keyed = ds.map_batches(prep, batch_format="pyarrow")
     return hash_exchange(keyed, "shard", order, num_partitions)
+
+
+def dup_weighted_sample(
+    prepared: ray.data.Dataset,
+    *,
+    seed: int = 42,
+    method: str = "splitmix",
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Duplication-aware SOFT downsampling: keep each doc independently
+    with probability 1/family_size, where a family is its exact-sha group
+    — expected ONE survivor per family without the hard collapse of
+    ``exact_dedup`` (the sampling form of train-time duplicate
+    reweighting: popular content keeps a survivor in expectation but no
+    family is guaranteed-represented, and no winner bias is introduced).
+
+    Output: (doc_id, family_size, kept). One sha-keyed exchange computes
+    family sizes and the keep verdict in the same reducer (no second
+    pass). The keep rule is integer-exact and replayable:
+
+        kept  <=>  H(doc_id, seed) < floor(SPACE / family_size)
+
+    with H the splitmix64 mix (scale path) or the sha256 prefix surface
+    (``method="sha"``, oracle replay; guarded out of production configs).
+    Deterministic, resume-stable: the verdict depends only on (doc_id,
+    seed, family_size), never on blocking or scheduling."""
+    import hashlib as _hashlib
+
+    from rabbittclust_ray.oracle_guard import check_hasher
+    from rabbittclust_ray.stages.dedup import _add_sha_key, _sha_groups
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    check_hasher(method if method == "sha" else "splitmix", "dup_weighted_sample")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return _add_sha_key(t.select(["doc_id", "content_sha256"]))
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "family_size": pa.array([], pa.int64()),
+                "kept": pa.array([], pa.bool_()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        order, new_grp, ids = _sha_groups(t)
+        starts = np.flatnonzero(new_grp)
+        counts = np.diff(np.r_[starts, len(ids)])
+        sizes = np.repeat(counts, counts).astype(np.int64)
+        if method == "sha":
+            vals = np.array(
+                [
+                    int(
+                        _hashlib.sha256(f"{int(i)}-{seed}".encode())
+                        .hexdigest()[:15],
+                        16,
+                    )
+                    for i in ids
+                ],
+                dtype=np.uint64,
+            )
+            thr = (np.uint64(_SHA_SPACE) // sizes.astype(np.uint64)).astype(
+                np.uint64
+            )
+        else:
+            vals = splitmix64(
+                ids.astype(np.uint64)
+                ^ splitmix64(np.array([seed], dtype=np.uint64))[0]
+            )
+            # floor(2^64/size) fits uint64 for size >= 2; singletons are
+            # always kept (probability 1), handled by the mask below.
+            # Python-int division only over the DISTINCT sizes (tiny LUT).
+            uniq = np.unique(sizes)
+            lut = {int(c): (2**64) // int(c) if c >= 2 else 0 for c in uniq}
+            thr = np.array([lut[int(c)] for c in sizes], dtype=np.uint64)
+        kept = (sizes == 1) | (vals < thr)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "family_size": pa.array(sizes, pa.int64()),
+                "kept": pa.array(kept),
+            }
+        )
+
+    rows = prepared.map_batches(keyed, batch_format="pyarrow")
+    return hash_exchange(rows, "sha_key", verdicts, num_buckets)

@@ -109,3 +109,58 @@ def test_mixture_sample_rates_and_partition_invariance():
         .to_pandas().doc_id
     )
     assert a == b
+
+
+def test_dup_weighted_sample_rule_and_invariance():
+    """Soft dedup: singletons always kept; keep rule replayed exactly
+    (splitmix path); verdicts blocking-invariant; expected survivors per
+    family ~ 1 across many families."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.hashing import splitmix64
+    from rabbittclust_ray.stages.sample import dup_weighted_sample
+
+    n_fam, max_size = 120, 4
+    rng = np.random.default_rng(11)
+    ids, shas = [], []
+    nid = 0
+    for f in range(n_fam):
+        size = 1 + (f % max_size)
+        for _ in range(size):
+            ids.append(nid)
+            shas.append(f"{f:064x}")
+            nid += 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "content_sha256": pa.array(shas, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = dup_weighted_sample(ds, seed=7, num_buckets=4).to_pandas()
+    assert len(out) == len(ids)
+
+    fam_of = {i: s for i, s in zip(ids, shas)}
+    sizes = {}
+    for s in shas:
+        sizes[s] = sizes.get(s, 0) + 1
+    seedmix = splitmix64(np.array([7], dtype=np.uint64))[0]
+    for r in out.itertuples():
+        size = sizes[fam_of[r.doc_id]]
+        assert r.family_size == size
+        if size == 1:
+            assert r.kept
+        else:
+            v = splitmix64(np.array([r.doc_id], dtype=np.uint64) ^ seedmix)[0]
+            assert r.kept == (int(v) < (2**64) // size)
+    # expected survivors/family = 1; loose band over 120 families
+    kept_total = int(out.kept.sum())
+    assert 0.7 * n_fam < kept_total < 1.3 * n_fam
+
+    out2 = dup_weighted_sample(
+        ray.data.from_arrow(tbl).repartition(7), seed=7, num_buckets=2
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
