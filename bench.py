@@ -596,6 +596,60 @@ def run_bench() -> dict:
 
     queries["q_integrity_ops"] = timed_best(run_integrity_ops)
 
+    # ---- vector tier: the ANN family over a deterministic synthetic
+    # embedding corpus (clustered gaussian families, 64-d): dataset-to-
+    # dataset kNN join (broadcast queries + exchange merge), hyperplane-LSH
+    # near-dup pairs, and NN-descent graph construction (iterated keyed
+    # exchanges) — the embedding half of a curation pipeline, timed at the
+    # same sf scale as the text tiers
+    from rabbittclust_ray.stages.ann import (
+        cosine_near_dup_pairs,
+        knn_join,
+        nn_descent,
+    )
+
+    n_vec = max(2000, int(2_000_000 * sf))
+    dim = 64
+
+    def gen_vecs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        out = np.empty((len(ids), dim), dtype=np.float64)
+        for j, i in enumerate(ids):
+            fam = int(i) // 10
+            frng = np.random.default_rng(991 * fam + 17)
+            center = frng.standard_normal(dim)
+            nrng = np.random.default_rng(7 * int(i) + 3)
+            out[j] = center + 0.15 * nrng.standard_normal(dim)
+        flat = pa.array(out.reshape(-1), pa.float64())
+        emb = pa.FixedSizeListArray.from_arrays(flat, dim).cast(
+            pa.list_(pa.float64())
+        )
+        return pa.table(
+            {"vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+             "embedding": emb}
+        )
+
+    vec_ds = (
+        ray.data.range(n_vec, override_num_blocks=max(8, NUM_CPUS))
+        .map_batches(gen_vecs, batch_format="pyarrow")
+        .materialize()
+    )
+    vq = vec_ds.limit(1000).materialize()
+    nn_ds = vec_ds.limit(max(2000, n_vec // 4)).materialize()
+
+    def run_ann_ops():
+        knn_join(vq, vec_ds, k=8, num_partitions=64).count()
+        cosine_near_dup_pairs(
+            vec_ds, min_sim=0.9, num_partitions=256, num_repeats=4
+        ).count()
+        nn_descent(
+            nn_ds, k=8, rounds=2, num_partitions=64, max_reverse=12
+        ).count()
+
+    queries["q_ann_ops"] = timed_best(run_ann_ops)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch+cluster+dedup wall time (headline: synthetic code corpus + sf tables)",

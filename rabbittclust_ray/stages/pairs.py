@@ -169,6 +169,7 @@ def hash_exchange(
     next_key_is_hash: bool = False,
     target_rows: int | None = None,
     max_reducers: int | None = None,
+    reduce_heap_multiplier: float = 2.0,
 ) -> ray.data.Dataset:
     """Deterministic keyed exchange: hash-partition rows on ``key`` into at
     most ``num_partitions`` ranges of a mixed uint64 key and apply ``fn``
@@ -366,6 +367,52 @@ def hash_exchange(
         split_mode = pick_split_mode(
             len(alive), n_bytes,
             ray.cluster_resources().get("object_store_memory", 0))
+    # memory-aware reduce concurrency: a reduce task's peak heap is its
+    # input slice times the reducer's expansion factor (sort/unique
+    # intermediates; pair EMISSION for the posting exchange — callers pass
+    # a larger ``reduce_heap_multiplier`` there). Estimate it from the
+    # measured input bytes and declare num_cpus so Ray's scheduler runs
+    # only as many reducers concurrently as the per-CPU heap budget
+    # (cluster "memory" resource = total minus object store) can hold —
+    # the brief's "batch x concurrency fits the worker heap" rule, applied
+    # to the shuffle. At bench scales per-task slices are small and this
+    # stays 1 (no behavior change); it engages on the multi-GB stress
+    # corpora where 32 concurrent fat reducers OOMed the box.
+    res = ray.cluster_resources()
+    # The binding constraint for reducer heaps is the memory ACTUALLY
+    # available right now (physical minus resident plasma/spill buffers
+    # minus everything else) — Ray's logical "memory" resource
+    # over-commits, and a static physical-minus-objstore bound is too
+    # pessimistic when the store is mostly empty. Read MemAvailable at
+    # launch time (driver-node ratio; clusters are near-homogeneous),
+    # keep an 8 GiB system slack, fall back to Ray's resource if the
+    # procfs read is unavailable.
+    heap_total = 0.0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    heap_total = float(line.split()[1]) * 1024 - 8 * 2**30
+                    break
+    except OSError:
+        pass
+    if heap_total <= 0:
+        heap_total = float(res.get("memory", 0) or 0)
+    heap_per_cpu = heap_total / max(ncpu, 1) if heap_total else float("inf")
+    per_task_bytes = (n_bytes / p) if p else 0.0
+    est_heap = per_task_bytes * max(reduce_heap_multiplier, 1.0)
+    reduce_cpus = 1
+    if heap_per_cpu != float("inf") and est_heap > heap_per_cpu:
+        reduce_cpus = int(min(ncpu, -(-est_heap // heap_per_cpu)))
+    if debug:
+        print(
+            f"[hash_exchange key={key}] reduce sizing: p={p} "
+            f"bytes={n_bytes/2**20:.0f} MiB "
+            f"({per_task_bytes/2**20:.0f} MiB/task x{reduce_heap_multiplier}"
+            f" = est {est_heap/2**30:.2f} GiB) budget/cpu="
+            f"{heap_per_cpu/2**30:.2f} GiB -> num_cpus={reduce_cpus}",
+            file=sys.stderr,
+        )
     if split_mode == "map" and p > 1:
         per_part: list[list] = [[] for _ in range(p)]
         for ref in block_refs:
@@ -374,14 +421,29 @@ def hash_exchange(
                 outs = [outs]
             for i, r in enumerate(outs):
                 per_part[i].append(r)
-        out_refs = [reduce_push.remote(schema, *per_part[i]) for i in range(p)]
+        out_refs = [
+            reduce_push.options(num_cpus=reduce_cpus).remote(
+                schema, *per_part[i]
+            )
+            for i in range(p)
+        ]
     else:
         lows = [0] + bounds
         highs = bounds + [1 << 64]
         out_refs = [
-            reduce_pull.remote(lo, hi, schema, *block_refs)
+            reduce_pull.options(num_cpus=reduce_cpus).remote(
+                lo, hi, schema, *block_refs
+            )
             for lo, hi in zip(lows, highs)
         ]
+    # from_arrow_refs BLOCKS on every reduce task's metadata; these locals
+    # would pin the pre-split input blocks (plasma + spill DISK) for the
+    # whole reduce phase. Submitted task specs hold their own references,
+    # so dropping the locals lets Ray free each original the moment its
+    # consumers are done — on the map path that halves the exchange's
+    # peak disk footprint (originals + split copies never coexist past
+    # the split itself).
+    del prepped, block_refs
     return ray.data.from_arrow_refs(out_refs)
 
 
@@ -773,7 +835,14 @@ def candidate_pairs(
     partials = hash_exchange(exploded, "band_hash", emitter, p,
                              next_key="pair_key", next_key_is_hash=True,
                              target_rows=ccfg.posting_rows_per_task,
-                             max_reducers=ccfg.max_posting_reducers)
+                             max_reducers=ccfg.max_posting_reducers,
+                             # posting slice EXPANDS into pair partials:
+                             # ~(family/2)x more rows at ~2x the row width,
+                             # plus the expansion's index temporaries and
+                             # the chained next_key sort — measured 19.5x
+                             # peak anon RSS vs the input slice at 3M docs
+                             # (dmesg OOM report, 6.3 GB per 323 MiB slice)
+                             reduce_heap_multiplier=20.0)
     return hash_exchange(partials, "pair_key", _aggregate_pair_group, p,
                          input_prepped=True, key_is_hash=True)
 
@@ -853,7 +922,8 @@ def banded_lsh_pairs(
     cand = hash_exchange(exploded, "band_hash", emitter, p,
                          next_key="pair_key", next_key_is_hash=True,
                          target_rows=ccfg.posting_rows_per_task,
-                         max_reducers=ccfg.max_posting_reducers)
+                         max_reducers=ccfg.max_posting_reducers,
+                         reduce_heap_multiplier=20.0)
     cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p,
                          input_prepped=True, key_is_hash=True)
     if band_r == 1 and not positional:
@@ -1230,7 +1300,10 @@ def candidate_edges(
     partials = hash_exchange(exploded, "band_hash", emitter, p,
                              next_key="pair_key", next_key_is_hash=True,
                              target_rows=ccfg.posting_rows_per_task,
-                             max_reducers=ccfg.max_posting_reducers)
+                             max_reducers=ccfg.max_posting_reducers,
+                             # same 29x-measured pair-emission expansion
+                             # as candidate_pair_partials above
+                             reduce_heap_multiplier=20.0)
 
     def aggregate_and_score(t: pa.Table) -> pa.Table:
         return score_pairs_batch(_aggregate_pair_group(t), scfg, ccfg, md)
