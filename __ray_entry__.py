@@ -1610,6 +1610,19 @@ def _q_chunk_docs(sf_dir: str):
     return chunk_docs(ds, size=200, stride=150)
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM lifecycle segmentation over the events table: per-user
+    recency/frequency/monetary (integer-exact), scored 1-4 against exact
+    global quartiles (rank rule ceil(q*n)), classic r/f segment grid.
+    Anchor fixed at 2025-01-01 UTC."""
+    from rabbittclust_ray.stages.events import rfm_segments
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return rfm_segments(ev, anchor_us=1735689600000000)
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based sessionization over the events table (windowed-aggregate
     operator class): 30-min inactivity gap, per-user 0-based session
@@ -4840,6 +4853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_segments": _q_dedup_segments,
         "chunk_docs": _q_chunk_docs,
         "sessionize": _q_sessionize,
+        "rfm_segments": _q_rfm_segments,
         "kmeans_embeddings": _q_kmeans,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "last_purchase_asof": _q_last_purchase_asof,
@@ -5486,6 +5500,66 @@ def oracle_sql() -> dict[str, str]:
             FROM pos, LATERAL (
                 SELECT unnest(generate_series(s // 256, (e-1) // 256)) AS w
             ) t(w)
+        """,
+        "rfm_segments": """
+            WITH pu AS MATERIALIZED (
+                SELECT user_id,
+                       (1735689600000000 - max(epoch_us(ts))) // 86400000000
+                           AS rec,
+                       CAST(count(*) AS BIGINT) AS frq,
+                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS mon
+                FROM events GROUP BY 1
+            ),
+            melt AS (
+                SELECT 'r' AS metric, rec AS value FROM pu
+                UNION ALL SELECT 'f', frq FROM pu
+                UNION ALL SELECT 'm', mon FROM pu
+            ),
+            rk AS (
+                SELECT metric, value,
+                       row_number() OVER (PARTITION BY metric ORDER BY value)
+                           AS rn,
+                       count(*) OVER (PARTITION BY metric) AS cnt
+                FROM melt
+            ),
+            b AS (
+                SELECT metric,
+                       max(CASE WHEN rn = greatest(1,
+                            CAST(ceil(0.25 * cnt) AS BIGINT))
+                            THEN value END) AS q25,
+                       max(CASE WHEN rn = greatest(1,
+                            CAST(ceil(0.50 * cnt) AS BIGINT))
+                            THEN value END) AS q50,
+                       max(CASE WHEN rn = greatest(1,
+                            CAST(ceil(0.75 * cnt) AS BIGINT))
+                            THEN value END) AS q75
+                FROM rk GROUP BY metric
+            ),
+            sc AS (
+                SELECT p.user_id,
+                       5 - (1 + CASE WHEN p.rec > br.q25 THEN 1 ELSE 0 END
+                              + CASE WHEN p.rec > br.q50 THEN 1 ELSE 0 END
+                              + CASE WHEN p.rec > br.q75 THEN 1 ELSE 0 END)
+                           AS r_score,
+                       1 + CASE WHEN p.frq > bf.q25 THEN 1 ELSE 0 END
+                         + CASE WHEN p.frq > bf.q50 THEN 1 ELSE 0 END
+                         + CASE WHEN p.frq > bf.q75 THEN 1 ELSE 0 END
+                           AS f_score,
+                       1 + CASE WHEN p.mon > bm.q25 THEN 1 ELSE 0 END
+                         + CASE WHEN p.mon > bm.q50 THEN 1 ELSE 0 END
+                         + CASE WHEN p.mon > bm.q75 THEN 1 ELSE 0 END
+                           AS m_score
+                FROM pu p, b br, b bf, b bm
+                WHERE br.metric = 'r' AND bf.metric = 'f' AND bm.metric = 'm'
+            )
+            SELECT user_id, r_score, f_score, m_score,
+                   CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+                        WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                        WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                        WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                        ELSE 'regular' END AS segment
+            FROM sc
         """,
         "length_quantiles_per_source": """
             WITH r AS (

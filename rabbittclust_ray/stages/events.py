@@ -2092,3 +2092,157 @@ def time_to_convert(
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def rfm_segments(
+    events: ray.data.Dataset,
+    *,
+    anchor_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic lifecycle-marketing analysis, integer-exact end to end:
+
+      recency_days    = floor((anchor - max(ts)) / 1 day)   (per user)
+      frequency       = event count                          (per user)
+      monetary_cents  = sum of floor(value*100 + 0.5)        (per user;
+                        per-EVENT integerization, so the sum is
+                        order-free — no float-summation ambiguity)
+
+    Each metric is scored 1-4 against its EXACT global quartiles
+    (``grouped_quantiles`` rank rule: value at 1-based rank ceil(q*n)),
+    recency inverted (recent = high score); segment labels follow the
+    standard r/f grid (champion / loyal / at_risk / hibernating /
+    regular).
+
+    Shape: one exchange keyed on the user builds the per-user RFM table;
+    the three quartile triples come from ONE ``grouped_quantiles`` pass
+    over the melted (metric, value) rows — 3 tiny rows to the driver,
+    broadcast back inside the scoring map. Output: (user_id, r_score,
+    f_score, m_score, segment)."""
+    import pyarrow.compute as pc
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+    from rabbittclust_ray.stages.stats import grouped_quantiles
+
+    def per_user(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "recency_days": pa.array([], pa.int64()),
+                "frequency": pa.array([], pa.int64()),
+                "monetary_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        u, ts, cents = u[order], ts[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        last_ts = np.maximum.reduceat(ts, starts)
+        freq = (ends - starts).astype(np.int64)
+        money = np.add.reduceat(cents, starts)
+        rec = (np.int64(anchor_us) - last_ts) // np.int64(86_400_000_000)
+        return pa.table(
+            {
+                user_col: pa.array(u[starts], pa.int64()),
+                "recency_days": pa.array(rec, pa.int64()),
+                "frequency": pa.array(freq, pa.int64()),
+                "monetary_cents": pa.array(money, pa.int64()),
+            }
+        )
+
+    users = hash_exchange(
+        events.select_columns([user_col, ts_col, value_col]),
+        user_col, per_user, num_partitions,
+    ).materialize()
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "metric": pa.array(
+                    ["r"] * n + ["f"] * n + ["m"] * n, pa.string()
+                ),
+                "value": pa.array(
+                    np.concatenate(
+                        [
+                            t["recency_days"].to_numpy(zero_copy_only=False),
+                            t["frequency"].to_numpy(zero_copy_only=False),
+                            t["monetary_cents"].to_numpy(zero_copy_only=False),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    q = grouped_quantiles(
+        users.map_batches(melt, batch_format="pyarrow"),
+        group_col="metric", value_col="value",
+        num_partitions=num_partitions,
+    ).to_pandas().set_index("metric")
+    bounds = {
+        m: (int(q.loc[m, "q25"]), int(q.loc[m, "q50"]), int(q.loc[m, "q75"]))
+        for m in ("r", "f", "m")
+    }
+
+    SEGMENTS = np.array(
+        ["hibernating", "at_risk", "regular", "loyal", "champion"],
+        dtype=object,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "r_score": pa.array([], pa.int64()),
+                    "f_score": pa.array([], pa.int64()),
+                    "m_score": pa.array([], pa.int64()),
+                    "segment": pa.array([], pa.string()),
+                }
+            )
+
+        def tile(v: np.ndarray, b) -> np.ndarray:
+            return (
+                1 + (v > b[0]).astype(np.int64)
+                + (v > b[1]).astype(np.int64)
+                + (v > b[2]).astype(np.int64)
+            )
+
+        rec = t["recency_days"].to_numpy(zero_copy_only=False)
+        frq = t["frequency"].to_numpy(zero_copy_only=False)
+        mon = t["monetary_cents"].to_numpy(zero_copy_only=False)
+        r = 5 - tile(rec, bounds["r"])  # recent (small recency) = high
+        f = tile(frq, bounds["f"])
+        m = tile(mon, bounds["m"])
+        seg_idx = np.select(
+            [
+                (r == 4) & (f == 4),
+                (r >= 3) & (f >= 3),
+                (r <= 2) & (f >= 3),
+                (r <= 2) & (f <= 2),
+            ],
+            [4, 3, 1, 0],
+            default=2,
+        )
+        return pa.table(
+            {
+                user_col: t[user_col],
+                "r_score": pa.array(r, pa.int64()),
+                "f_score": pa.array(f, pa.int64()),
+                "m_score": pa.array(m, pa.int64()),
+                "segment": pa.array(SEGMENTS[seg_idx], pa.string()),
+            }
+        )
+
+    return users.map_batches(score, batch_format="pyarrow")

@@ -512,3 +512,71 @@ class TestEventPattern:
                 seqs[u] = seqs.get(u, "") + self.ALPHA[et]
         expect = {u: len(re.findall("vc*p", s)) for u, s in seqs.items()}
         assert dict(out) == expect
+
+
+def test_rfm_segments_brute_force():
+    """RFM scores + segment grid replayed with plain pandas over a small
+    synthetic event log (integer-exact path end to end)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.events import rfm_segments
+
+    rng = np.random.default_rng(5)
+    n_users, n_ev = 60, 2000
+    users = rng.integers(0, n_users, n_ev)
+    ts_us = rng.integers(1_700_000_000_000_000, 1_730_000_000_000_000, n_ev)
+    vals = np.round(rng.uniform(0, 50, n_ev), 2)
+    anchor = 1_735_689_600_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out = (
+        rfm_segments(ray.data.from_arrow(tbl), anchor_us=anchor,
+                     num_partitions=8)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+
+    df = pd.DataFrame({"u": users, "ts": ts_us,
+                       "c": np.floor(vals * 100 + 0.5).astype(np.int64)})
+    pu = df.groupby("u").agg(last=("ts", "max"), frq=("ts", "size"),
+                             mon=("c", "sum"))
+    pu["rec"] = (anchor - pu["last"]) // 86_400_000_000
+
+    def quart(v):
+        sv = np.sort(v.to_numpy())
+        n = len(sv)
+        return [sv[max(1, int(np.ceil(q * n))) - 1] for q in (0.25, 0.5, 0.75)]
+
+    br, bf, bm = quart(pu["rec"]), quart(pu["frq"]), quart(pu["mon"])
+
+    def tile(v, b):
+        return 1 + sum(int(v > x) for x in b)
+
+    assert len(out) == pu.shape[0]
+    segs = set()
+    for u, row in pu.iterrows():
+        r = 5 - tile(row["rec"], br)
+        f = tile(row["frq"], bf)
+        m = tile(row["mon"], bm)
+        got = out.loc[u]
+        assert (got.r_score, got.f_score, got.m_score) == (r, f, m), u
+        if r == 4 and f == 4:
+            want = "champion"
+        elif r >= 3 and f >= 3:
+            want = "loyal"
+        elif r <= 2 and f >= 3:
+            want = "at_risk"
+        elif r <= 2 and f <= 2:
+            want = "hibernating"
+        else:
+            want = "regular"
+        assert got.segment == want
+        segs.add(want)
+    assert len(segs) >= 3  # fixture exercises several segments
