@@ -2313,6 +2313,39 @@ def _q_length_ntiles(sf_dir: str):
     )
 
 
+def _q_nation_pair_volume(sf_dir: str):
+    """TPC-H-Q7-shaped cross-nation shipping volume: lineitems whose
+    supplier sits in NATION_1 and ordering customer in NATION_2 (or vice
+    versa), shipped 1996-1998, grouped by (supp_nation, cust_nation,
+    ship year). Integer-ppm revenue, same composed-join plan as the Q5
+    shape."""
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.stages.relational import nation_pair_volume
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    customer = _read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    return nation_pair_volume(
+        customer, orders, li, supplier, nation,
+        nation_a="NATION_1", nation_b="NATION_2",
+        ship_lo="1996-01-01", ship_hi="1998-01-01",
+        num_partitions=32,
+    )
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H-Q5-shaped composed multi-way join: per-nation revenue where
     customer nation == lineitem-supplier nation within ASIA, orders in
@@ -4882,6 +4915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "length_ntiles": _q_length_ntiles,
         "nation_revenue": _q_nation_revenue,
+        "nation_pair_volume": _q_nation_pair_volume,
         "user_mode_event": _q_user_mode_event,
         "length_pct_rank": _q_length_pct_rank,
         "price_qty_corr_stats": _q_price_qty_corr_stats,
@@ -7629,6 +7663,29 @@ def _tpch_sql() -> dict[str, str]:
     HUGEINT is cast back to BIGINT so pandas keeps int64 (the driver
     hashes string forms; a float64 '...0.0' is a mismatch)."""
     return {
+        "nation_pair_volume": """
+            WITH ships AS (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l.l_shipdate) AS l_year,
+                       CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 1000000) AS BIGINT) AS rev
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+                   CAST(sum(rev) AS BIGINT) AS revenue_ppm
+            FROM ships
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
         "late_order_priority": """
             WITH o AS (
                 SELECT o_orderkey, o_orderpriority,

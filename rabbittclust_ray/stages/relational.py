@@ -2298,3 +2298,228 @@ def orphan_audit(
     return partials.repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def nation_pair_volume(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    supplier_keys: "pa.Table",
+    nation_tbl: "pa.Table",
+    *,
+    nation_a: str,
+    nation_b: str,
+    ship_lo: str,
+    ship_hi: str,
+    num_partitions: int = 256,
+) -> "pa.Table":
+    """TPC-H Q7 shape: shipping volume BETWEEN two nations per ship year —
+    lineitems whose SUPPLIER is in one nation and ordering CUSTOMER in the
+    other (both directions), shipped in [ship_lo, ship_hi). Output
+    (supp_nation, cust_nation, l_year, revenue_ppm), revenue integerized
+    per row (floor(extendedprice x (1-discount) x 1e6)) so the SUM is
+    order-free and bit-exact vs SQL at any parallelism.
+
+    Same composed-join plan as ``nation_revenue`` (Q5): nation is a driver
+    constant, supplier the broadcast dim, exchange 1 joins date-unfiltered
+    orders with two-nation customers on custkey, lineitem enters its only
+    exchange pre-aggregated per (orderkey, supp_nation, year), exchange 2
+    joins on orderkey keeping CROSS-nation rows only. Driver sees
+    <= partitions x 2 pairs x years partial rows."""
+    import pyarrow.compute as pc
+
+    nmap = {n["n_name"]: n["n_nationkey"] for n in nation_tbl.to_pylist()}
+    ka, kb = int(nmap[nation_a]), int(nmap[nation_b])
+    names = {ka: nation_a, kb: nation_b}
+    pair_keys = np.array(sorted((ka, kb)), np.int64)
+    lo = int(np.datetime64(ship_lo, "us").astype(np.int64))
+    hi = int(np.datetime64(ship_hi, "us").astype(np.int64))
+
+    sk = np.asarray(_np(supplier_keys["s_suppkey"]), np.int64)
+    sn = np.asarray(_np(supplier_keys["s_nationkey"]), np.int64)
+    so = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[so], sn[so]))
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": _cast(t["o_custkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "okey": _cast(t["o_orderkey"], pa.int64()),
+                "nkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def prep_customer(t: pa.Table) -> pa.Table:
+        nk = _np(t["c_nationkey"]).astype(np.int64)
+        sel = t.filter(pa.array(np.isin(nk, pair_keys)))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "key": _cast(sel["c_custkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "nkey": _cast(sel["c_nationkey"], pa.int64()),
+            }
+        )
+
+    empty1 = pa.table(
+        {"okey": pa.array([], pa.int64()), "cnat": pa.array([], pa.int64())}
+    )
+
+    def join_cust(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty1
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any() or lmask.all():
+            return empty1
+        ck = _np(t["key"])[~lmask]
+        cn = _np(t["nkey"])[~lmask]
+        o = np.argsort(ck, kind="stable")
+        ck, cn = ck[o], cn[o]
+        lk = _np(t["key"])[lmask]
+        pos = np.clip(np.searchsorted(ck, lk), 0, len(ck) - 1)
+        hit = ck[pos] == lk
+        return pa.table(
+            {
+                "okey": pa.array(_np(t["okey"])[lmask][hit], pa.int64()),
+                "cnat": pa.array(cn[pos[hit]], pa.int64()),
+            }
+        )
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sd = t["l_shipdate"]
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        if pa.types.is_timestamp(sd.type):
+            sd = sd.cast(pa.timestamp("us"))
+        sdv = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        skey, snat = ray.get(supp_ref)
+        lk = _np(t["l_suppkey"]).astype(np.int64)
+        pos = np.clip(np.searchsorted(skey, lk), 0, max(len(skey) - 1, 0))
+        nat = snat[pos] if len(skey) else np.zeros(len(lk), np.int64)
+        m = (
+            (skey[pos] == lk) & np.isin(nat, pair_keys)
+            & (sdv >= lo) & (sdv < hi)
+            if len(skey) else np.zeros(len(lk), bool)
+        )
+        sel = t.filter(pa.array(m))
+        year = (
+            pc.year(sel["l_shipdate"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rev = np.floor(
+            sel["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - sel["l_discount"].to_numpy(zero_copy_only=False))
+            * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "okey": _np(sel["l_orderkey"]).astype(np.int64),
+                "snat": nat[m],
+                "year": year,
+                "rev": rev,
+            }
+        )
+        g = (
+            df.groupby(["okey", "snat", "year"], sort=False)["rev"]
+            .sum().reset_index()
+        )
+        n = len(g)
+        return pa.table(
+            {
+                "okey": pa.array(g["okey"].to_numpy(), pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "cnat": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "snat": pa.array(g["snat"].to_numpy(), pa.int64()),
+                "year": pa.array(g["year"].to_numpy(), pa.int64()),
+                "rev_ppm": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def tag_joined(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t["okey"],
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "cnat": t["cnat"],
+                "snat": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "rev_ppm": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    empty2 = pa.table(
+        {
+            "snat": pa.array([], pa.int64()),
+            "cnat": pa.array([], pa.int64()),
+            "year": pa.array([], pa.int64()),
+            "revenue_ppm": pa.array([], pa.int64()),
+        }
+    )
+
+    def join_vol(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return empty2
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any() or lmask.all():
+            return empty2
+        ok_l = _np(t["okey"])[lmask]
+        cn_l = _np(t["cnat"])[lmask]
+        o = np.argsort(ok_l, kind="stable")
+        ok_l, cn_l = ok_l[o], cn_l[o]
+        rt = t.filter(pa.array(~lmask))
+        ok_r = _np(rt["okey"])
+        pos = np.clip(np.searchsorted(ok_l, ok_r), 0, len(ok_l) - 1)
+        sn_r = _np(rt["snat"])
+        hit = (ok_l[pos] == ok_r) & (cn_l[pos] != sn_r)  # CROSS-nation only
+        df = pd.DataFrame(
+            {
+                "snat": sn_r[hit],
+                "cnat": cn_l[pos[hit]],
+                "year": _np(rt["year"])[hit],
+                "rev": _np(rt["rev_ppm"])[hit],
+            }
+        )
+        g = (
+            df.groupby(["snat", "cnat", "year"], sort=False)["rev"]
+            .sum().reset_index()
+        )
+        return pa.table(
+            {
+                "snat": pa.array(g["snat"].to_numpy(), pa.int64()),
+                "cnat": pa.array(g["cnat"].to_numpy(), pa.int64()),
+                "year": pa.array(g["year"].to_numpy(), pa.int64()),
+                "revenue_ppm": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    o = orders.map_batches(prep_orders, batch_format="pyarrow")
+    c = customer.map_batches(prep_customer, batch_format="pyarrow")
+    oc = hash_exchange(o.union(c), "key", join_cust, num_partitions)
+    li = lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
+    ocl = oc.map_batches(tag_joined, batch_format="pyarrow").union(li)
+    partials = hash_exchange(ocl, "okey", join_vol, num_partitions)
+    agg: dict[tuple, int] = {}
+    for row in partials.take_all():
+        k = (int(row["snat"]), int(row["cnat"]), int(row["year"]))
+        agg[k] = agg.get(k, 0) + int(row["revenue_ppm"])
+    keys = sorted(agg, key=lambda k: (names[k[0]], names[k[1]], k[2]))
+    return pa.table(
+        {
+            "supp_nation": pa.array([names[k[0]] for k in keys], pa.string()),
+            "cust_nation": pa.array([names[k[1]] for k in keys], pa.string()),
+            "l_year": pa.array([k[2] for k in keys], pa.int64()),
+            "revenue_ppm": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )

@@ -357,3 +357,70 @@ class TestZorder:
         got = {(int(r.x), int(r.y)): int(r.zkey) for r in out.itertuples()}
         for a, b in zip(x, y):
             assert got[(int(a), int(b))] == morton(int(a), int(b))
+
+
+def test_nation_pair_volume_vs_brute():
+    """TPC-H-Q7 shape (cross-nation volume per ship year) vs a pandas
+    brute-force join over the same synthetic tables."""
+    from rabbittclust_ray.stages.relational import nation_pair_volume
+
+    nation, _region, cust, supp, orders, li = _synth_q5(seed=9, n_lines=600)
+    rng = np.random.default_rng(4)
+    li = li.copy()
+    li["l_shipdate"] = pd.Timestamp("1995-06-01") + pd.to_timedelta(
+        rng.integers(0, 900, len(li)), unit="D"
+    )
+    lo, hi = "1996-01-01", "1998-01-01"
+
+    out = nation_pair_volume(
+        ray.data.from_arrow(pa.Table.from_pandas(cust, preserve_index=False)),
+        ray.data.from_arrow(pa.Table.from_pandas(orders, preserve_index=False)),
+        ray.data.from_arrow(pa.Table.from_pandas(li, preserve_index=False)),
+        pa.Table.from_pandas(supp, preserve_index=False),
+        nation,
+        nation_a="N_A", nation_b="N_B", ship_lo=lo, ship_hi=hi,
+        num_partitions=8,
+    ).to_pandas()
+
+    nat = nation.to_pandas()
+    df = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(
+            nat.rename(columns={"n_name": "supp_nation"}),
+            left_on="s_nationkey", right_on="n_nationkey",
+        )
+        .merge(
+            nat.rename(columns={"n_name": "cust_nation"}),
+            left_on="c_nationkey", right_on="n_nationkey",
+        )
+    )
+    df = df[
+        (df["l_shipdate"] >= pd.Timestamp(lo))
+        & (df["l_shipdate"] < pd.Timestamp(hi))
+        & (
+            ((df["supp_nation"] == "N_A") & (df["cust_nation"] == "N_B"))
+            | ((df["supp_nation"] == "N_B") & (df["cust_nation"] == "N_A"))
+        )
+    ]
+    df["l_year"] = df["l_shipdate"].dt.year.astype(np.int64)
+    df["rev"] = np.floor(
+        df["l_extendedprice"].to_numpy()
+        * (1.0 - df["l_discount"].to_numpy())
+        * 1e6
+    ).astype(np.int64)
+    want = (
+        df.groupby(["supp_nation", "cust_nation", "l_year"])["rev"]
+        .sum().reset_index()
+        .sort_values(["supp_nation", "cust_nation", "l_year"],
+                     ignore_index=True)
+        .rename(columns={"rev": "revenue_ppm"})
+    )
+    assert len(want) > 0  # fixture sanity
+    got = out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        got, want[["supp_nation", "cust_nation", "l_year", "revenue_ppm"]]
+    )
