@@ -2313,6 +2313,32 @@ def _q_length_ntiles(sf_dir: str):
     )
 
 
+def _q_part_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shaped distinct-supplier count per part attribute triple
+    (sizes {1,2,3,4,5}, brand <> Brand#1), excluding negative-balance
+    suppliers; lineitem stands in for partsupp."""
+    import pyarrow.parquet as pq
+
+    from rabbittclust_ray.stages.relational import part_supplier_counts
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bal = supp["s_acctbal"].to_numpy(zero_copy_only=False)
+    excluded = supp["s_suppkey"].to_numpy(zero_copy_only=False)[bal < 0]
+    part = _read_pq(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    return part_supplier_counts(
+        part, li, excluded,
+        sizes=(1, 2, 3, 4, 5), exclude_brand="Brand#1", num_partitions=32,
+    )
+
+
 def _q_nation_pair_volume(sf_dir: str):
     """TPC-H-Q7-shaped cross-nation shipping volume: lineitems whose
     supplier sits in NATION_1 and ordering customer in NATION_2 (or vice
@@ -4916,6 +4942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ntiles": _q_length_ntiles,
         "nation_revenue": _q_nation_revenue,
         "nation_pair_volume": _q_nation_pair_volume,
+        "part_supplier_counts": _q_part_supplier_counts,
         "user_mode_event": _q_user_mode_event,
         "length_pct_rank": _q_length_pct_rank,
         "price_qty_corr_stats": _q_price_qty_corr_stats,
@@ -7663,6 +7690,19 @@ def _tpch_sql() -> dict[str, str]:
     HUGEINT is cast back to BIGINT so pandas keeps int64 (the driver
     hashes string forms; a float64 '...0.0' is a mismatch)."""
     return {
+        "part_supplier_counts": """
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM part p
+            JOIN lineitem l ON l.l_partkey = p.p_partkey
+            WHERE p.p_size IN (1, 2, 3, 4, 5)
+              AND p.p_brand <> 'Brand#1'
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY 1, 2, 3
+        """,
         "nation_pair_volume": """
             WITH ships AS (
                 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -2523,3 +2523,151 @@ def nation_pair_volume(
             "revenue_ppm": pa.array([agg[k] for k in keys], pa.int64()),
         }
     )
+
+
+def part_supplier_counts(
+    part: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    excluded_suppkeys: np.ndarray,
+    *,
+    sizes: "Sequence[int]",
+    exclude_brand: str,
+    num_partitions: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q16 shape: DISTINCT supplier count per (p_brand, p_type,
+    p_size) for parts of the given sizes and not of ``exclude_brand``,
+    excluding a supplier blocklist (the NOT IN side — here suppliers with
+    negative account balance; lineitem stands in for partsupp, which the
+    testdata does not carry).
+
+    Plan: the blocklist is the broadcast side (sorted int64 array via
+    ``ray.put``); filtered part rows and blocklist-filtered lineitem rows
+    meet in ONE partkey exchange whose reducer attaches the part attrs
+    AND dedups (attrs, suppkey) in-task; a second exchange keyed on the
+    attr triple counts distinct suppliers (input already deduped per
+    partition, so the count is a cheap group size after a global dedup
+    pass). Output: (p_brand, p_type, p_size, supplier_cnt)."""
+    import pandas as pd
+
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    ex_ref = ray.put(np.sort(np.asarray(excluded_suppkeys, np.int64)))
+    size_set = np.asarray(sorted(sizes), np.int64)
+
+    def prep_part(t: pa.Table) -> pa.Table:
+        sz = _np(t["p_size"]).astype(np.int64)
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        m = np.isin(sz, size_set) & (brand != exclude_brand)
+        sel = t.filter(pa.array(m))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "key": _cast(sel["p_partkey"], pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_LEFT, np.int8), pa.int8()),
+                "brand": sel["p_brand"],
+                "ptype": sel["p_type"],
+                "psize": _cast(sel["p_size"], pa.int64()),
+                "suppkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        ex = ray.get(ex_ref)
+        sk = _np(t["l_suppkey"]).astype(np.int64)
+        if len(ex):
+            pos = np.clip(np.searchsorted(ex, sk), 0, len(ex) - 1)
+            keep = ex[pos] != sk
+        else:
+            keep = np.ones(len(sk), bool)
+        sel = t.filter(pa.array(keep))
+        # in-task dedup of (partkey, suppkey) before the exchange
+        df = pd.DataFrame(
+            {
+                "key": _np(sel["l_partkey"]).astype(np.int64),
+                "suppkey": _np(sel["l_suppkey"]).astype(np.int64),
+            }
+        ).drop_duplicates()
+        n = len(df)
+        return pa.table(
+            {
+                "key": pa.array(df["key"].to_numpy(), pa.int64()),
+                "side": pa.array(np.full(n, _SIDE_RIGHT, np.int8), pa.int8()),
+                "brand": pa.array([""] * n, pa.string()),
+                "ptype": pa.array([""] * n, pa.string()),
+                "psize": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "suppkey": pa.array(df["suppkey"].to_numpy(), pa.int64()),
+            }
+        )
+
+    empty1 = pa.table(
+        {
+            "gkey": pa.array([], pa.int64()),
+            "brand": pa.array([], pa.string()),
+            "ptype": pa.array([], pa.string()),
+            "psize": pa.array([], pa.int64()),
+            "suppkey": pa.array([], pa.int64()),
+        }
+    )
+
+    def join_attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty1
+        side = _np(t["side"])
+        lmask = side == _SIDE_LEFT
+        if not lmask.any() or lmask.all():
+            return empty1
+        df = t.to_pandas()
+        left = df[lmask][["key", "brand", "ptype", "psize"]]
+        right = df[~lmask][["key", "suppkey"]]
+        m = right.merge(left, on="key", how="inner")
+        if m.empty:
+            return empty1
+        m = m.drop_duplicates(["brand", "ptype", "psize", "suppkey"])
+        gkey = pd.util.hash_pandas_object(
+            m["brand"].astype(str) + "\x1f" + m["ptype"].astype(str)
+            + "\x1f" + m["psize"].astype(str), index=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(gkey.to_numpy(), pa.int64()),
+                "brand": pa.array(m["brand"].to_numpy(), pa.string()),
+                "ptype": pa.array(m["ptype"].to_numpy(), pa.string()),
+                "psize": pa.array(m["psize"].to_numpy(), pa.int64()),
+                "suppkey": pa.array(m["suppkey"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out_schema = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "p_type": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "supplier_cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def count_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema
+        df = t.to_pandas().drop_duplicates(
+            ["brand", "ptype", "psize", "suppkey"]
+        )
+        g = (
+            df.groupby(["brand", "ptype", "psize"], sort=False)["suppkey"]
+            .size().reset_index(name="supplier_cnt")
+        )
+        return pa.table(
+            {
+                "p_brand": pa.array(g["brand"].to_numpy(), pa.string()),
+                "p_type": pa.array(g["ptype"].to_numpy(), pa.string()),
+                "p_size": pa.array(g["psize"].to_numpy(), pa.int64()),
+                "supplier_cnt": pa.array(
+                    g["supplier_cnt"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    p = part.map_batches(prep_part, batch_format="pyarrow")
+    li = lineitem.map_batches(prep_li, batch_format="pyarrow")
+    joined = hash_exchange(p.union(li), "key", join_attach, num_partitions)
+    return hash_exchange(joined, "gkey", count_distinct, num_partitions)

@@ -424,3 +424,51 @@ def test_nation_pair_volume_vs_brute():
     pd.testing.assert_frame_equal(
         got, want[["supp_nation", "cust_nation", "l_year", "revenue_ppm"]]
     )
+
+
+def test_part_supplier_counts_vs_brute():
+    """Q16 shape (distinct supplier count with a NOT-IN blocklist) vs a
+    pandas brute-force replay."""
+    from rabbittclust_ray.stages.relational import part_supplier_counts
+
+    rng = np.random.default_rng(13)
+    n_part, n_li, n_supp = 80, 600, 20
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_brand": [f"B{b}" for b in rng.integers(1, 5, n_part)],
+            "p_type": [f"T{t}" for t in rng.integers(0, 3, n_part)],
+            "p_size": rng.integers(1, 8, n_part).astype(np.int64),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_partkey": rng.integers(0, n_part, n_li).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int64),
+        }
+    )
+    excluded = np.array([3, 7, 11], dtype=np.int64)
+    sizes, xbrand = (1, 2, 3), "B2"
+
+    out = (
+        part_supplier_counts(
+            ray.data.from_arrow(pa.Table.from_pandas(part, preserve_index=False)),
+            ray.data.from_arrow(pa.Table.from_pandas(li, preserve_index=False)),
+            excluded, sizes=sizes, exclude_brand=xbrand, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["p_brand", "p_type", "p_size"], ignore_index=True)
+    )
+
+    df = li[~li["l_suppkey"].isin(excluded)].merge(
+        part[part["p_size"].isin(sizes) & (part["p_brand"] != xbrand)],
+        left_on="l_partkey", right_on="p_partkey",
+    )
+    want = (
+        df.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+        .nunique().reset_index(name="supplier_cnt")
+        .sort_values(["p_brand", "p_type", "p_size"], ignore_index=True)
+    )
+    want["supplier_cnt"] = want["supplier_cnt"].astype(np.int64)
+    assert len(want) > 5
+    pd.testing.assert_frame_equal(out, want)
