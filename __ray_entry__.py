@@ -2233,6 +2233,44 @@ def _q_dup_weighted_sample(sf_dir: str):
     return dup_weighted_sample(prepared, seed=42, method="sha")
 
 
+def _q_leakage_free_split(sf_dir: str):
+    """Leakage-free train/valid/test split: the side is hashed from the
+    exact-sha family REP, so dup families never straddle splits. Same
+    deterministic dup augmentation as dup_weighted_sample (families of
+    size 1-3); sha rule surface so SQL replays the verdicts."""
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.prepare import prepare_documents
+    from rabbittclust_ray.stages.sample import leakage_free_split
+
+    docs = _docs(sf_dir)
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        outs = [t]
+        for mod, shift in ((3, 10_000_000), (6, 20_000_000)):
+            sub = t.filter(pa.array(ids % mod == 0))
+            outs.append(
+                sub.set_column(
+                    sub.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(
+                        sub["doc_id"].to_numpy(zero_copy_only=False) + shift,
+                        pa.int64(),
+                    ),
+                )
+            )
+        return pa.concat_tables(outs)
+
+    prepared = prepare_documents(
+        docs.map_batches(augment, batch_format="pyarrow"),
+        SketchConfig(min_len=0),
+        apply_min_len=False,
+    )
+    return leakage_free_split(
+        prepared, valid_frac=0.1, test_frac=0.1, seed=42, method="sha"
+    )
+
+
 def _q_norm_dedup_keep_best(sf_dir: str):
     """Fuzzy-exact dedup on whitespace/case-NORMALIZED content with the
     keep-BEST rule (longest raw doc wins its family, ties -> min id). The
@@ -4886,6 +4924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_profile": _q_source_dup_profile,
         "det_sample": _q_det_sample,
         "dup_weighted_sample": _q_dup_weighted_sample,
+        "leakage_free_split": _q_leakage_free_split,
         "clean_boilerplate": _q_clean_boilerplate,
         "redact_pii": _q_redact_pii,
         "decontaminate": _q_decontaminate,
@@ -6452,6 +6491,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(r.t2, '') AS cleaned_text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "leakage_free_split": f"""
+            WITH aug AS MATERIALIZED (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 6 = 0
+            ),
+            fam AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY sha256(text))
+                           AS family_rep
+                FROM aug
+            ),
+            hv AS (
+                SELECT doc_id, family_rep,
+                       ('0x' || substr(sha256(CAST(family_rep AS VARCHAR)
+                            || '-42'), 1, 15))::UBIGINT AS h
+                FROM fam
+            )
+            SELECT doc_id, family_rep,
+                   CASE WHEN h < {int(0.1 * 16**15)} THEN 'test'
+                        WHEN h < {int(0.2 * 16**15)} THEN 'valid'
+                        ELSE 'train' END AS split
+            FROM hv
         """,
         "dup_weighted_sample": f"""
             WITH aug AS MATERIALIZED (

@@ -506,3 +506,90 @@ def dup_weighted_sample(
 
     rows = prepared.map_batches(keyed, batch_format="pyarrow")
     return hash_exchange(rows, "sha_key", verdicts, num_buckets)
+
+
+def leakage_free_split(
+    prepared: ray.data.Dataset,
+    *,
+    valid_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: int = 42,
+    method: str = "splitmix",
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Train/valid/test assignment that can NOT leak duplicates across
+    splits: the split is decided by hashing the exact-sha FAMILY's
+    representative (min doc_id), so every member of a dup family lands on
+    the same side — the eval-contamination failure mode of a naive
+    random split (duplicate of a test doc in train) is impossible by
+    construction for exact dups.
+
+    Output: (doc_id, family_rep, split in {'train','valid','test'}).
+    One sha-keyed exchange computes the family rep and the verdict in the
+    same reducer; thresholds are integer-exact on the hash space (sha
+    surface replayable in SQL; splitmix scale path). Near-dup-safe
+    variants: feed ``cluster_id`` from clust-mst as the family instead of
+    the sha (same rule, one column swap)."""
+    import hashlib as _hashlib
+
+    from rabbittclust_ray.oracle_guard import check_hasher
+    from rabbittclust_ray.stages.dedup import _add_sha_key, _sha_groups
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    check_hasher(method if method == "sha" else "splitmix", "leakage_free_split")
+    SPLITS = np.array(["train", "valid", "test"], dtype=object)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return _add_sha_key(t.select(["doc_id", "content_sha256"]))
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "family_rep": pa.array([], pa.int64()),
+                "split": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        order, new_grp, ids = _sha_groups(t)
+        starts = np.flatnonzero(new_grp)
+        counts = np.diff(np.r_[starts, len(ids)])
+        # family rep = min doc_id in the group (ids are id-sorted within
+        # each sha group by the _sha_groups lexsort, so the first is min)
+        rep = np.repeat(ids[starts], counts)
+        if method == "sha":
+            uniq_reps = ids[starts]
+            vals_u = np.array(
+                [
+                    int(
+                        _hashlib.sha256(f"{int(r)}-{seed}".encode())
+                        .hexdigest()[:15],
+                        16,
+                    )
+                    for r in uniq_reps
+                ],
+                dtype=np.uint64,
+            )
+            t_lo = np.uint64(int(test_frac * _SHA_SPACE))
+            v_hi = np.uint64(int((test_frac + valid_frac) * _SHA_SPACE))
+        else:
+            uniq_reps = ids[starts]
+            vals_u = splitmix64(
+                uniq_reps.astype(np.uint64)
+                ^ splitmix64(np.array([seed], dtype=np.uint64))[0]
+            )
+            t_lo = np.uint64(int(test_frac * _U64_SPACE))
+            v_hi = np.uint64(int((test_frac + valid_frac) * _U64_SPACE))
+        side_u = np.where(vals_u < t_lo, 2, np.where(vals_u < v_hi, 1, 0))
+        side = np.repeat(side_u, counts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "family_rep": pa.array(rep, pa.int64()),
+                "split": pa.array(SPLITS[side], pa.string()),
+            }
+        )
+
+    rows = prepared.map_batches(keyed, batch_format="pyarrow")
+    return hash_exchange(rows, "sha_key", verdicts, num_buckets)

@@ -164,3 +164,61 @@ def test_dup_weighted_sample_rule_and_invariance():
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_leakage_free_split_family_coherent():
+    """No dup family straddles splits; rule replay; fractions roughly
+    honored over many singleton families; blocking invariance."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rabbittclust_ray.hashing import splitmix64
+    from rabbittclust_ray.stages.sample import leakage_free_split
+
+    n_fam, max_size = 150, 3
+    ids, shas = [], []
+    nid = 0
+    for f in range(n_fam):
+        for _ in range(1 + (f % max_size)):
+            ids.append(nid)
+            shas.append(f"{f:064x}")
+            nid += 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "content_sha256": pa.array(shas, pa.string()),
+        }
+    )
+    out = leakage_free_split(
+        ray.data.from_arrow(tbl), valid_frac=0.2, test_frac=0.2,
+        seed=3, num_buckets=4,
+    ).to_pandas()
+    assert len(out) == len(ids)
+
+    fam_of = dict(zip(ids, shas))
+    by_fam = out.groupby(out.doc_id.map(fam_of))
+    for sha, grp in by_fam:
+        assert grp.split.nunique() == 1, sha
+        assert (grp.family_rep == grp.doc_id.min()).all()
+
+    seedmix = splitmix64(np.array([3], dtype=np.uint64))[0]
+    for r in out.itertuples():
+        v = int(splitmix64(np.array([r.family_rep], dtype=np.uint64) ^ seedmix)[0])
+        if v < int(0.2 * 2**64):
+            want = "test"
+        elif v < int(0.4 * 2**64):
+            want = "valid"
+        else:
+            want = "train"
+        assert r.split == want
+    counts = out.drop_duplicates("family_rep").split.value_counts()
+    assert counts.get("train", 0) > counts.get("valid", 0) > 0
+    assert counts.get("test", 0) > 0
+
+    out2 = leakage_free_split(
+        ray.data.from_arrow(tbl).repartition(7), valid_frac=0.2,
+        test_frac=0.2, seed=3, num_buckets=2,
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
