@@ -2271,6 +2271,52 @@ def _q_leakage_free_split(sf_dir: str):
     )
 
 
+def _q_leakage_split_near(sf_dir: str):
+    """Near-dup-safe variant of the leakage-free split: the family is the
+    clust-mst COMPONENT at EX_THRESHOLD (cluster_id = component min
+    doc_id), so near-duplicates — not just byte-identical docs — cannot
+    straddle train/valid/test. One column swap on the same hash rule."""
+    import numpy as np
+
+    res = _exact_mst_cached(sf_dir, EX_THRESHOLD)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "family_rep": pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rep = t["cluster_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(rep, return_inverse=True)
+        hv = np.array(
+            [
+                int(hashlib.sha256(f"{int(r)}-42".encode()).hexdigest()[:15], 16)
+                for r in uniq
+            ],
+            dtype=np.uint64,
+        )[inv]
+        t_lo = np.uint64(int(0.1 * 16**15))
+        v_hi = np.uint64(int(0.2 * 16**15))
+        side = np.where(hv < t_lo, "test", np.where(hv < v_hi, "valid", "train"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "family_rep": pa.array(rep, pa.int64()),
+                "split": pa.array(side.astype(object), pa.string()),
+            }
+        )
+
+    return res.assignments.select_columns(["doc_id", "cluster_id"]).map_batches(
+        verdict, batch_format="pyarrow"
+    )
+
+
 def _q_norm_dedup_keep_best(sf_dir: str):
     """Fuzzy-exact dedup on whitespace/case-NORMALIZED content with the
     keep-BEST rule (longest raw doc wins its family, ties -> min id). The
@@ -4925,6 +4971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "det_sample": _q_det_sample,
         "dup_weighted_sample": _q_dup_weighted_sample,
         "leakage_free_split": _q_leakage_free_split,
+        "leakage_split_near": _q_leakage_split_near,
         "clean_boilerplate": _q_clean_boilerplate,
         "redact_pii": _q_redact_pii,
         "decontaminate": _q_decontaminate,
@@ -6491,6 +6538,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(r.t2, '') AS cleaned_text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "leakage_split_near": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD)}, {_sql_components_cte()},
+            hv AS (
+                SELECT doc_id, cluster_id AS family_rep,
+                       ('0x' || substr(sha256(CAST(cluster_id AS VARCHAR)
+                            || '-42'), 1, 15))::UBIGINT AS h
+                FROM comp
+            )
+            SELECT doc_id, family_rep,
+                   CASE WHEN h < {int(0.1 * 16**15)} THEN 'test'
+                        WHEN h < {int(0.2 * 16**15)} THEN 'valid'
+                        ELSE 'train' END AS split
+            FROM hv
         """,
         "leakage_free_split": f"""
             WITH aug AS MATERIALIZED (
