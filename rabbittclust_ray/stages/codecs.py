@@ -365,3 +365,18 @@ def encode_y4m(
         out.append(y_frames[i].tobytes())
         out.append(uv)
     return b"".join(out)
+
+
+def resize_nearest(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbour resize of an (H, W, C) uint8 image — pure numpy,
+    deterministic (pixel (i, j) samples source (floor(i*H/h'), floor(j*W/w'))
+    — the standard NN convention, identical to PIL's NEAREST for integer
+    ratios). The real resize kernel the multimodal brief names; bilinear
+    would introduce float rounding choices, NN is exact."""
+    h, w = int(out_hw[0]), int(out_hw[1])
+    H, W = img.shape[0], img.shape[1]
+    if h <= 0 or w <= 0 or H == 0 or W == 0:
+        return np.zeros((max(h, 0), max(w, 0), img.shape[2]), dtype=img.dtype)
+    rows = (np.arange(h, dtype=np.int64) * H) // h
+    cols = (np.arange(w, dtype=np.int64) * W) // w
+    return img[rows][:, cols]

@@ -430,3 +430,72 @@ def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
             "sample_rate": pa.array([16000] * n, pa.int32()),
         }
     )
+
+
+class ImageThumbnailActor:
+    """Actor-pool stage: real decode -> nearest-neighbour resize ->
+    re-encode as binary PPM thumbnails. The resize half of the multimodal
+    brief (decode / feature-extract / RESIZE / frame-sample), real end to
+    end: stages/codecs decode_image + resize_nearest + encode_ppm, no
+    external codec. Deterministic — same payload always yields the same
+    thumbnail bytes, so the stage is retry-safe and its output
+    sha-checkable."""
+
+    def __init__(self, out_hw: tuple[int, int] = (16, 16)):
+        from rabbittclust_ray.stages.codecs import (
+            decode_image,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        self.out_hw = (int(out_hw[0]), int(out_hw[1]))
+        self._decode = decode_image
+        self._resize = resize_nearest
+        self._encode = encode_ppm
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        mtypes = t["media_type"].to_pylist()
+        out_payload, out_w, out_h, out_sha = [], [], [], []
+        for p, m in zip(payloads, mtypes):
+            img = self._decode(p, m)
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            elif img.shape[2] > 3:
+                img = img[:, :, :3]
+            thumb = self._resize(img, self.out_hw)
+            enc = self._encode(thumb)
+            out_payload.append(enc)
+            out_h.append(thumb.shape[0])
+            out_w.append(thumb.shape[1])
+            out_sha.append(hashlib.sha256(enc).hexdigest())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": pa.array(out_w, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+                "payload": pa.array(out_payload, pa.binary()),
+                "thumb_sha256": pa.array(out_sha, pa.string()),
+            }
+        )
+
+
+def image_thumbnails(
+    media: ray.data.Dataset,
+    *,
+    out_hw: tuple[int, int] = (16, 16),
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """media table -> deterministic PPM thumbnails (real decode + NN
+    resize + re-encode). Small batches — binary payload rows; actor pool
+    so the (future, heavier) codec state loads once per actor."""
+    return media.map_batches(
+        ImageThumbnailActor,
+        fn_constructor_args=(out_hw,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        max_restarts=0,
+    )

@@ -209,3 +209,67 @@ def test_real_decode_actor_paths(ray_session):
         b = np.frombuffer(texts[int(r.doc_id)].encode(), dtype=np.uint8)
         t0 = int(r.frame) * 3 * 64
         assert int(r.checksum) == int(b[t0:t0 + 64].astype(np.int64).sum())
+
+
+def test_resize_nearest_golden():
+    from rabbittclust_ray.stages.codecs import resize_nearest
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    # downscale 4x4 -> 2x2 samples rows/cols 0 and 2
+    out = resize_nearest(img, (2, 2))
+    assert np.array_equal(out, img[[0, 2]][:, [0, 2]])
+    # upscale 2x2 -> 4x4 replicates each pixel 2x2
+    small = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize_nearest(small, (4, 4))
+    assert np.array_equal(up, small[[0, 0, 1, 1]][:, [0, 0, 1, 1]])
+    assert np.array_equal(resize_nearest(img, (4, 4)), img)
+
+
+def test_image_thumbnails_pipeline():
+    """Real decode -> NN resize -> PPM re-encode through the actor-pool
+    stage; thumbnail pixels verified against a direct replay."""
+    import ray
+    import ray.data
+
+    from rabbittclust_ray.stages.codecs import (
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+        resize_nearest,
+    )
+    from rabbittclust_ray.stages.multimodal import image_thumbnails
+
+    rng = np.random.default_rng(8)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        h, w = 5 + i, 7 + i
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_png(img) if i % 2 else encode_ppm(img)
+        rows.append(
+            {
+                "doc_id": i,
+                "media_type": "image/png" if i % 2 else "image/x-ppm",
+                "payload": payload,
+            }
+        )
+        imgs[i] = img
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "media_type": pa.array([r["media_type"] for r in rows], pa.string()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        }
+    )
+    out = (
+        image_thumbnails(ray.data.from_arrow(tbl), out_hw=(4, 4),
+                         concurrency=(1, 2), batch_size=3)
+        .to_pandas().set_index("doc_id")
+    )
+    assert len(out) == 6
+    for i, img in imgs.items():
+        r = out.loc[i]
+        assert (r.height, r.width) == (4, 4)
+        got = decode_ppm(bytes(r.payload))
+        want = resize_nearest(img, (4, 4))
+        assert np.array_equal(got, want), i
