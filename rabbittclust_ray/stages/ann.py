@@ -23,6 +23,8 @@ def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
         arr = arr.combine_chunks()
     vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     return vals.reshape(n, -1)
 
 
@@ -1038,13 +1040,31 @@ def knn_join(
     """
     from rabbittclust_ray.stages.pairs import hash_exchange
 
+    _EMPTY_KNN = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine_sim": pa.array([], pa.float64()),
+        }
+    )
     left_tbl = pa.Table.from_pandas(left.to_pandas(), preserve_index=False)
+    if left_tbl.num_rows == 0:
+        return ray.data.from_arrow(_EMPTY_KNN)
     lt = _emb_matrix(left_tbl, emb_col)
     lids = left_tbl[id_col].to_numpy(zero_copy_only=False)
     ln = lt / np.maximum(np.linalg.norm(lt, axis=1, keepdims=True), 1e-30)
     qref = ray.put((lids.astype(np.int64), ln))
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
         qids, qm = ray.get(qref)
         m = _emb_matrix(t, emb_col)
         rids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1137,8 +1157,6 @@ def margin_mining(
 
     fwd = knn_join(left, right, k, id_col=id_col, emb_col=emb_col,
                    num_partitions=num_partitions)
-    bwd = knn_join(right, left, k, id_col=id_col, emb_col=emb_col,
-                   num_partitions=num_partitions)
 
     def per_query_stats(part: pa.Table) -> pa.Table:
         """(query_id, best id, best sim, mean of its k sims) per query —
@@ -1171,7 +1189,62 @@ def margin_mining(
         )
 
     fstats = hash_exchange(fwd, "query_id", per_query_stats, num_partitions)
-    bstats = hash_exchange(bwd, "query_id", per_query_stats, num_partitions)
+
+    # Backward per-query stats WITHOUT collecting the large RIGHT side:
+    # knn_join(right, left) would pull the whole right corpus to the
+    # driver as its broadcast query matrix (contradicting its 'left is
+    # the small side' contract). But every right vector's EXACT kNN among
+    # LEFT is complete within its own batch — LEFT is the broadcast small
+    # side — so the backward stats are one distributed map over right
+    # batches: no second knn_join, no exchange, nothing on the driver.
+    # Math is replicated bit-for-bit from knn_join -> per_query_stats:
+    # top-k by (full-precision sim desc, left id asc — the left matrix is
+    # pre-sorted by id so a stable argsort ties identically), round to 6,
+    # then np.add.reduceat over the rank-ordered rounded sims.
+    ldf = left.to_pandas()
+    if len(ldf) == 0:
+        lids, lnorm = np.array([], dtype=np.int64), np.zeros((0, 0))
+    else:
+        left_tbl = pa.Table.from_pandas(ldf, preserve_index=False)
+        lids = left_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lorder = np.argsort(lids, kind="stable")
+        lm = _emb_matrix(left_tbl, emb_col)[lorder]
+        lids = lids[lorder]
+        lnorm = lm / np.maximum(np.linalg.norm(lm, axis=1, keepdims=True), 1e-30)
+    bref = ray.put((lids, lnorm))
+
+    _EMPTY_STATS = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "best_id": pa.array([], pa.int64()),
+            "best_sim": pa.array([], pa.float64()),
+            "avg_sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def bstats_map(t: pa.Table) -> pa.Table:
+        qids_l, qm_l = ray.get(bref)
+        if t.num_rows == 0 or len(qids_l) == 0:
+            return _EMPTY_STATS
+        m = _emb_matrix(t, emb_col)
+        rids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = qm_l @ mn.T  # (L, batch) — same operand order as knn_join
+        take = min(k, sims.shape[0])
+        order = np.argsort(-sims, axis=0, kind="stable")[:take]  # (take, batch)
+        svals = np.round(np.take_along_axis(sims, order, axis=0), 6)
+        flat = svals.T.reshape(-1)  # per right row, rank order
+        sums = np.add.reduceat(flat, np.arange(len(rids)) * take)
+        return pa.table(
+            {
+                "query_id": pa.array(rids, pa.int64()),
+                "best_id": pa.array(qids_l[order[0]], pa.int64()),
+                "best_sim": pa.array(svals[0], pa.float64()),
+                "avg_sim": pa.array(sums / take, pa.float64()),
+            }
+        )
+
+    bstats = right.map_batches(bstats_map, batch_format="pyarrow")
 
     # join fstats.best_id -> bstats.query_id through one keyed exchange on
     # the RIGHT id (tagged union; both sides are k-bounded per vector)
@@ -1294,6 +1367,17 @@ def nn_descent(
         batch_format="pyarrow",
     ).materialize()
 
+    if dsv.count() == 0:  # materialized -> metadata; empty corpus has no graph
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "nbr_id": pa.array([], pa.int64()),
+                    "cosine_sim": pa.array([], pa.float64()),
+                }
+            )
+        )
     vec_type = dsv.take_batch(1, batch_format="pyarrow")["vec"].type
     ids = np.sort(
         dsv.select_columns(["nid"]).to_pandas()["nid"].to_numpy().astype(np.int64)
@@ -1361,7 +1445,6 @@ def nn_descent(
             )
             if t.num_rows == 0:
                 return out_schema.empty_table()
-            df_key = t["key"].to_numpy(zero_copy_only=False)
             is_vec = t["other"].is_null().to_numpy(zero_copy_only=False)
             vt = t.filter(pa.array(is_vec))
             pt = t.filter(pa.array(~is_vec))

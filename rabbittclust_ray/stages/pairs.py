@@ -398,12 +398,37 @@ def hash_exchange(
         pass
     if heap_total <= 0:
         heap_total = float(res.get("memory", 0) or 0)
-    heap_per_cpu = heap_total / max(ncpu, 1) if heap_total else float("inf")
+    # Per-NODE bounds: num_cpus above any single node's CPU count makes a
+    # task unschedulable (cluster-wide ncpu would admit that on multi-node
+    # clusters — the reduce would hang pending forever), and the procfs
+    # MemAvailable read is the DRIVER node's, so the per-CPU budget divides
+    # by the driver node's CPUs (near-homogeneous clusters), not the
+    # cluster total. Single node: both equal ncpu — behavior unchanged.
+    node_cpus = [
+        int(nd.get("Resources", {}).get("CPU", 0) or 0)
+        for nd in ray.nodes()
+        if nd.get("Alive", False)
+    ]
+    max_node_cpu = max([c for c in node_cpus if c > 0], default=ncpu)
+    try:
+        my_ip = ray.util.get_node_ip_address()
+        driver_cpu = next(
+            (
+                int(nd.get("Resources", {}).get("CPU", 0) or 0)
+                for nd in ray.nodes()
+                if nd.get("Alive", False) and nd.get("NodeManagerAddress") == my_ip
+                and nd.get("Resources", {}).get("CPU")
+            ),
+            max_node_cpu,
+        )
+    except Exception:
+        driver_cpu = max_node_cpu
+    heap_per_cpu = heap_total / max(driver_cpu, 1) if heap_total else float("inf")
     per_task_bytes = (n_bytes / p) if p else 0.0
     est_heap = per_task_bytes * max(reduce_heap_multiplier, 1.0)
     reduce_cpus = 1
     if heap_per_cpu != float("inf") and est_heap > heap_per_cpu:
-        reduce_cpus = int(min(ncpu, -(-est_heap // heap_per_cpu)))
+        reduce_cpus = int(min(max_node_cpu, -(-est_heap // heap_per_cpu)))
     if debug:
         print(
             f"[hash_exchange key={key}] reduce sizing: p={p} "
@@ -880,38 +905,41 @@ def banded_lsh_pairs(
     sketches = sketches.materialize()
 
     def explode_bands(t: pa.Table) -> pa.Table:
+        """Vectorized band explosion: one gather + ``band_r`` column-wise
+        splitmix passes over ALL bands of the batch at once (no per-doc
+        Python loop — this stage is the per-byte hot path of the banded
+        scale knob). Output is row-identical to the per-doc formulation:
+        docs in batch order, bands in position order within each doc,
+        band hash = chained splitmix over the band's ``band_r`` values."""
         sk = t["sketch"]
         if isinstance(sk, pa.ChunkedArray):
             sk = sk.combine_chunks()
         values = sk.values.to_numpy(zero_copy_only=False).astype(np.uint64)
         offsets = sk.offsets.to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out_key, out_doc = [], []
-        for i in range(len(ids)):
-            h = values[offsets[i] : offsets[i + 1]]
-            nb = len(h) // band_r
-            if nb == 0:
-                continue
-            bands = h[: nb * band_r].reshape(nb, band_r)
-            bh = np.zeros(nb, dtype=np.uint64)
-            for c in range(band_r):
-                bh = splitmix64(bh ^ bands[:, c])
-            if positional:
-                # mix band index in so band j only collides with band j
-                bh = splitmix64(bh ^ np.arange(nb, dtype=np.uint64))
-            out_key.append(bh)
-            out_doc.append(np.full(nb, ids[i], dtype=np.int64))
-        if not out_key:
+        nb = (offsets[1:] - offsets[:-1]) // band_r  # bands per doc
+        total = int(nb.sum())
+        if total == 0:
             return pa.table({"band_hash": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64()),
                              "ssize": pa.array([], pa.int32())})
+        # local band index within each doc: arange minus each doc's first
+        # global band position
+        band_doc_start = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(band_doc_start, nb)
+        # index of each band's FIRST sketch value in the flat values array
+        base = np.repeat(offsets[:-1].astype(np.int64), nb) + local * band_r
+        bh = np.zeros(total, dtype=np.uint64)
+        for c in range(band_r):
+            bh = splitmix64(bh ^ values[base + c])
+        if positional:
+            # mix band index in so band j only collides with band j
+            bh = splitmix64(bh ^ local.astype(np.uint64))
         return pa.table(
             {
-                "band_hash": pa.array(np.concatenate(out_key), pa.uint64()),
-                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-                "ssize": pa.array(
-                    np.zeros(sum(len(k) for k in out_key), dtype=np.int32), pa.int32()
-                ),
+                "band_hash": pa.array(bh, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
+                "ssize": pa.array(np.zeros(total, dtype=np.int32), pa.int32()),
             }
         )
 

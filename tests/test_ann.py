@@ -504,3 +504,48 @@ def test_nn_descent_deterministic_and_partition_invariant():
     a = key(nn_descent(ds, k=6, rounds=3, num_partitions=4))
     b = key(nn_descent(ds.repartition(11), k=6, rounds=3, num_partitions=2))
     assert a == b
+
+
+def test_empty_inputs_short_circuit():
+    """Empty corpora return empty results with the right schema instead of
+    crashing (advisor r3: nn_descent take_batch(1) / knn_join to_pandas on
+    an empty left raised)."""
+    from rabbittclust_ray.stages.ann import knn_join, margin_mining, nn_descent
+
+    tbl = _clustered_embeddings(n_clusters=3, per=2)
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    full = ray.data.from_arrow(tbl)
+
+    g = nn_descent(empty, k=3, rounds=1)
+    assert g.count() == 0
+    assert g.schema().names == ["src_id", "rank", "nbr_id", "cosine_sim"]
+
+    kj = knn_join(empty, full, k=2)
+    assert kj.count() == 0
+    assert kj.schema().names == ["query_id", "rank", "vec_id", "cosine_sim"]
+    assert knn_join(full, empty, k=2).count() == 0
+
+    mm = margin_mining(empty, full, k=2)
+    assert mm.count() == 0
+    assert margin_mining(full, empty, k=2).count() == 0
+
+
+def test_margin_mining_backward_is_distributed():
+    """The backward stats come from a map over right batches (left is the
+    only broadcast side); result must be invariant to right-side blocking."""
+    from rabbittclust_ray.stages.ann import margin_mining
+
+    tbl = _clustered_embeddings(n_clusters=10, per=5, seed=11)
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    lmask = ids % 9 == 0
+    left = ray.data.from_arrow(tbl.filter(pa.array(lmask)))
+    right = ray.data.from_arrow(tbl.filter(pa.array(~lmask)))
+
+    def key(o):
+        df = o.to_pandas().sort_values(["src_id", "tgt_id"]).reset_index(drop=True)
+        return list(map(tuple, df.values))
+
+    a = key(margin_mining(left, right, k=3, margin_threshold_ppm=0, num_partitions=4))
+    b = key(margin_mining(left, right.repartition(13), k=3,
+                          margin_threshold_ppm=0, num_partitions=2))
+    assert a == b and len(a) > 0
