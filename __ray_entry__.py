@@ -1361,25 +1361,34 @@ def _q_lang_distribution(sf_dir: str):
 
 def _q_exact_dup_pairs(sf_dir: str):
     """All unordered doc pairs with byte-identical text (exact-dup layer
-    pair view; SQL self-join oracle)."""
-    import pandas as pd
+    pair view; SQL self-join oracle). The sf fixtures carry no
+    byte-identical pair, so the input is deterministically augmented in
+    BOTH engines (every doc_id % 101 == 0 re-enters with doc_id + 1e7) —
+    the query then proves the pair machinery on > 0 rows instead of
+    passing vacuously. Pair expansion runs distributed
+    (stages/dedup.exact_group_pairs over the sha exchange's
+    group-complete blocks)."""
+    from rabbittclust_ray.config import SketchConfig
+    from rabbittclust_ray.stages.dedup import exact_dedup, exact_group_pairs
+    from rabbittclust_ray.stages.prepare import prepare_documents
 
-    from rabbittclust_ray.stages.dedup import exact_dedup
-    from rabbittclust_ray.stages.pairs import _ragged_pairs
+    docs = _docs(sf_dir)
 
-    ed = exact_dedup(_prepared(sf_dir)).to_pandas()
-    ids = ed["doc_id"].to_numpy()
-    reps = ed["group_rep"].to_numpy()
-    order = np.lexsort((ids, reps))
-    ids_s, reps_s = ids[order], reps[order]
-    new_grp = np.empty(len(ids_s), dtype=bool)
-    new_grp[0:1] = True
-    new_grp[1:] = reps_s[1:] != reps_s[:-1]
-    counts = np.diff(np.append(np.flatnonzero(new_grp), len(ids_s)))
-    i_idx, j_idx = _ragged_pairs(counts)
-    if len(i_idx) == 0:
-        return pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
-    return pd.DataFrame({"u": ids_s[i_idx], "v": ids_s[j_idx]})
+    def dup_subset(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 101 == 0))
+        sub = sub.set_column(
+            sub.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(sub["doc_id"].to_numpy(zero_copy_only=False) + 10_000_000,
+                     pa.int64()),
+        )
+        return sub
+
+    aug = docs.union(docs.map_batches(dup_subset, batch_format="pyarrow"))
+    prepared = prepare_documents(aug, SketchConfig(), apply_min_len=False)
+    return exact_group_pairs(exact_dedup(prepared)).map_batches(
+        lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+    )
 
 
 def _q_clusters_dbscan(sf_dir: str):
@@ -6436,8 +6445,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "exact_dup_pairs": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 101 = 0
+            )
             SELECT a.doc_id AS u, b.doc_id AS v
-            FROM documents a JOIN documents b
+            FROM aug a JOIN aug b
               ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
         """,
         "size_scan": f"""

@@ -181,6 +181,7 @@ def clust_mst(
             collapse_near_dups,
             dup_pairs_with_exact,
             exact_dedup,
+            exact_group_pairs,
             k_center_reps,
         )
 
@@ -193,43 +194,62 @@ def clust_mst(
             # the result and never used for assignments on this path.
             labels = _labels_from_forest(mst)
         if ccfg.dedup_dist is not None:
-            # ONE pass serves both needs: the exact-dedup exchange carries
-            # the length column through, so the collected table provides
-            # (a) exact-sha groups for dup_pairs and (b) medoid tie-break
-            # lengths — no separate lengths pass over the sketches
+            # the exact-dedup exchange output STAYS a dataset: the branch
+            # pulls only (a) lengths for FOREST members (medoid
+            # tie-breaks; a distributed filter against the broadcast
+            # member set, <= |forest members| rows reach the driver) and
+            # (b) the within-exact-group pairs, expanded distributed
+            # (exact_group_pairs: per-block map, groups are exchange-
+            # co-located) and bounded by TRUE duplicate pairs — never a
+            # one-row-per-doc driver table.
             exact_ds = exact_fut.result() if exact_fut is not None else exact_dedup(
                 sketches, carry_length=True
             )
-            eparts = [
-                b for b in exact_ds.iter_batches(batch_size=None, batch_format="pyarrow")
-                if b.num_rows
-            ]
-            exact = (
-                pa.concat_tables(eparts)
-                if eparts
-                else pa.table({"doc_id": pa.array([], pa.int64()),
-                               "content_sha256": pa.array([], pa.string()),
-                               "group_rep": pa.array([], pa.int64()),
-                               "is_exact_dup": pa.array([], pa.bool_()),
-                               "length": pa.array([], pa.int64())})
-            )
             # lengths for FOREST members only (medoid tie-breaks)
             if forest.num_rows:
-                members = np.unique(np.concatenate([
+                members = np.sort(np.unique(np.concatenate([
                     forest["u"].to_numpy(zero_copy_only=False),
                     forest["v"].to_numpy(zero_copy_only=False),
-                ]))
-                eids = exact["doc_id"].to_numpy(zero_copy_only=False)
-                elen = exact["length"].to_numpy(zero_copy_only=False)
-                sel = np.isin(eids, members)
-                lengths = dict(zip(eids[sel].tolist(), elen[sel].tolist()))
+                ])))
+                mref = ray.put(members)
+
+                def pick_lengths(tb: pa.Table) -> pa.Table:
+                    mem = ray.get(mref)
+                    eids = tb["doc_id"].to_numpy(zero_copy_only=False)
+                    pos = np.clip(np.searchsorted(mem, eids), 0, len(mem) - 1)
+                    sel = mem[pos] == eids
+                    return tb.select(["doc_id", "length"]).filter(pa.array(sel))
+
+                ltab = pa.concat_tables([
+                    b for b in exact_ds.map_batches(
+                        pick_lengths, batch_format="pyarrow"
+                    ).iter_batches(batch_size=None, batch_format="pyarrow")
+                    if b.num_rows
+                ]) if members.size else None
+                lengths = (
+                    dict(zip(
+                        ltab["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+                        ltab["length"].to_numpy(zero_copy_only=False).tolist(),
+                    )) if ltab is not None and ltab.num_rows else {}
+                )
             else:
                 lengths = {}
             dedup_assignments, near_pairs = collapse_near_dups(
                 forest, labels, lengths, ccfg.dedup_dist
             )
             result.dedup_assignments = dedup_assignments
-            result.dup_pairs = dup_pairs_with_exact(near_pairs, exact.drop_columns(["length"]))
+            eparts = [
+                b for b in exact_group_pairs(exact_ds).iter_batches(
+                    batch_size=None, batch_format="pyarrow")
+                if b.num_rows
+            ]
+            exact_pairs = (
+                pa.concat_tables(eparts) if eparts
+                else pa.table({"u": pa.array([], pa.int64()),
+                               "v": pa.array([], pa.int64()),
+                               "group_rep": pa.array([], pa.int64())})
+            )
+            result.dup_pairs = dup_pairs_with_exact(near_pairs, exact_pairs)
             t = tick("dedup", t)
         if ccfg.reps_per_cluster > 1:
             result.reps = k_center_reps(forest, labels, ccfg.reps_per_cluster)

@@ -35,8 +35,10 @@ Outputs
 Scale shape: two content-bearing exchanges (winner selection + the
 cleaned anti-join), sketch/pair exchanges over ids+hashes only, and the
 semantic overlay as one id-keyed exchange. The near-stage component
-labels use the same driver union-find ceiling as clust_mst (~10^9
-edge-touched docs, labelprop fallback documented in SCALING.md).
+labels share clust_mst's size cutover (ClusterConfig.driver_labels_max):
+below it a driver union-find labels dict (exact, one merge); above it
+the distributed label-propagation exchange plus a keyed verdict join
+(_report_scale) — the whole cascade is then driver-O(1) in corpus size.
 """
 
 from __future__ import annotations
@@ -73,6 +75,81 @@ class CorpusDedupResult:
     # time and are the caller's to time. Populated only when the stage
     # actually ran (checkpoint resume skips its entry).
     stage_times: dict = None
+
+
+def _report_scale(
+    exact_ds: ray.data.Dataset,
+    labels_ds: ray.data.Dataset,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Scale-path twin of the driver ``verdict`` map: the near-component
+    labels arrive as a DATASET (doc_id, cluster_id) from
+    ``components_labelprop`` instead of a broadcast driver dict, and the
+    exact-verdict/label join runs as ONE keyed exchange — exact rows keyed
+    on their WINNER (group_rep), label rows on their node — so no O(N)
+    driver structure exists anywhere in the cascade. Row-for-row identical
+    to the driver path (labelprop labels are the same min-id-per-component
+    the union-find produces)."""
+
+    def tag_exact(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "join_key": t["group_rep"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "is_dup": t["is_exact_dup"],
+                "lab_val": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+                "is_lab": pa.array(np.zeros(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "join_key": t["doc_id"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "is_dup": pa.array(np.zeros(t.num_rows, dtype=bool)),
+                "lab_val": t["cluster_id"].cast(pa.int64()),
+                "is_lab": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def join_verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return REPORT_SCHEMA.empty_table()
+        is_lab = t["is_lab"].to_numpy(zero_copy_only=False)
+        jk = t["join_key"].to_numpy(zero_copy_only=False)
+        lk, lv = jk[is_lab], t["lab_val"].to_numpy(zero_copy_only=False)[is_lab]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        ex = ~is_lab
+        if not ex.any():
+            return REPORT_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[ex]
+        grp = jk[ex]
+        is_dup = t["is_dup"].to_numpy(zero_copy_only=False)[ex]
+        if len(lk):
+            pos = np.clip(np.searchsorted(lk, grp), 0, len(lk) - 1)
+            found = lk[pos] == grp
+            near_rep = np.where(found, lv[pos], grp)
+        else:
+            near_rep = grp.copy()
+        keep = (~is_dup) & (near_rep == ids)
+        reason = np.where(keep, "kept", np.where(is_dup, "exact", "near"))
+        kept_as = np.where(keep, ids, np.where(is_dup, grp, near_rep))
+        kept_as = np.where(is_dup & (near_rep != grp), near_rep, kept_as)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+                "reason": pa.array(reason.astype(object), pa.string()),
+                "kept_as": pa.array(kept_as, pa.int64()),
+            }
+        )
+
+    union = exact_ds.map_batches(tag_exact, batch_format="pyarrow").union(
+        labels_ds.map_batches(tag_label, batch_format="pyarrow")
+    )
+    return hash_exchange(union, "join_key", join_verdict, num_buckets)
 
 
 def _near_labels(edges, threshold: float) -> dict[int, int]:
@@ -291,47 +368,63 @@ def dedup_corpus(
 
     if not isinstance(edges, MaterializedDataset):
         edges = _timed("edges_load", edges.materialize)
-    labels = _timed("near_labels", lambda: _near_labels(edges, dedup_dist))
+    n_edges = edges.count()  # materialized -> metadata, no execution
+    if 2 * n_edges > ccfg.driver_labels_max:
+        # Size cutover, same bound as clust_mst (ClusterConfig
+        # .driver_labels_max): above it the driver labels dict would be an
+        # O(edge-touched-docs) driver structure — at 100-TB corpus scale a
+        # driver OOM — so the near-component labels run as the distributed
+        # label-propagation exchange and the exact-verdict/label join as
+        # one keyed exchange (_report_scale). Below it the driver
+        # union-find is exact and faster (one merge, no iteration).
+        from rabbittclust_ray.stages.cluster import components_labelprop
 
-    keys = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
-    vals = np.array([labels[int(k)] for k in keys], dtype=np.int64)
-    lab_ref = ray.put((keys, vals))
-
-    def verdict(t: pa.Table) -> pa.Table:
-        """exact_dedup rows -> report rows (near labels broadcast once)."""
-        if t.num_rows == 0:
-            return REPORT_SCHEMA.empty_table()
-        lkeys, lvals = ray.get(lab_ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        grp = t["group_rep"].to_numpy(zero_copy_only=False)
-        is_dup = t["is_exact_dup"].to_numpy(zero_copy_only=False)
-        # near component of each doc's EXACT WINNER (losers inherit the
-        # winner's near fate transitively via kept_as chains collapsed
-        # below: loser -> winner -> winner's component min)
-        if len(lkeys):
-            pos = np.clip(np.searchsorted(lkeys, grp), 0, len(lkeys) - 1)
-            found = lkeys[pos] == grp
-            near_rep = np.where(found, lvals[pos], grp)
-        else:
-            near_rep = grp.copy()
-        keep = (~is_dup) & (near_rep == ids)
-        reason = np.where(
-            keep, "kept", np.where(is_dup, "exact", "near")
+        labels_ds = _timed(
+            "near_labels", lambda: components_labelprop(edges).materialize()
         )
-        kept_as = np.where(keep, ids, np.where(is_dup, grp, near_rep))
-        # exact losers whose winner ALSO near-collapsed: point at the
-        # final representative, not the intermediate winner
-        kept_as = np.where(is_dup & (near_rep != grp), near_rep, kept_as)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "keep": pa.array(keep.astype(np.int64), pa.int64()),
-                "reason": pa.array(reason.astype(object), pa.string()),
-                "kept_as": pa.array(kept_as, pa.int64()),
-            }
-        )
+        report = _report_scale(exact_ds, labels_ds, ccfg.num_buckets)
+    else:
+        labels = _timed("near_labels", lambda: _near_labels(edges, dedup_dist))
 
-    report = exact_ds.map_batches(verdict, batch_format="pyarrow")
+        keys = np.fromiter(sorted(labels), dtype=np.int64, count=len(labels))
+        vals = np.array([labels[int(k)] for k in keys], dtype=np.int64)
+        lab_ref = ray.put((keys, vals))
+
+        def verdict(t: pa.Table) -> pa.Table:
+            """exact_dedup rows -> report rows (near labels broadcast once)."""
+            if t.num_rows == 0:
+                return REPORT_SCHEMA.empty_table()
+            lkeys, lvals = ray.get(lab_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            grp = t["group_rep"].to_numpy(zero_copy_only=False)
+            is_dup = t["is_exact_dup"].to_numpy(zero_copy_only=False)
+            # near component of each doc's EXACT WINNER (losers inherit the
+            # winner's near fate transitively via kept_as chains collapsed
+            # below: loser -> winner -> winner's component min)
+            if len(lkeys):
+                pos = np.clip(np.searchsorted(lkeys, grp), 0, len(lkeys) - 1)
+                found = lkeys[pos] == grp
+                near_rep = np.where(found, lvals[pos], grp)
+            else:
+                near_rep = grp.copy()
+            keep = (~is_dup) & (near_rep == ids)
+            reason = np.where(
+                keep, "kept", np.where(is_dup, "exact", "near")
+            )
+            kept_as = np.where(keep, ids, np.where(is_dup, grp, near_rep))
+            # exact losers whose winner ALSO near-collapsed: point at the
+            # final representative, not the intermediate winner
+            kept_as = np.where(is_dup & (near_rep != grp), near_rep, kept_as)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "keep": pa.array(keep.astype(np.int64), pa.int64()),
+                    "reason": pa.array(reason.astype(object), pa.string()),
+                    "kept_as": pa.array(kept_as, pa.int64()),
+                }
+            )
+
+        report = exact_ds.map_batches(verdict, batch_format="pyarrow")
 
     if eval_documents is not None:
         from rabbittclust_ray.stages.text import decontaminate

@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from rabbittclust_ray.stages.pairs import _ragged_pairs
+
 
 # ---------------------------------------------------------------------------
 # exact sha256 dedup (D7)
@@ -580,15 +582,14 @@ def collapse_near_dups(
     return dedup_assignments, dup_pairs
 
 
-def dup_pairs_with_exact(
-    near_dup_pairs: pa.Table, exact: pa.Table
-) -> pa.Table:
-    """Union of near-dup pairs and exact-sha pairs (all within-group pairs
-    of each exact group), deduplicated. Fully vectorized."""
-    from rabbittclust_ray.stages.pairs import _ragged_pairs
+def _group_pairs(ids: np.ndarray, reps: np.ndarray):
+    """Within-group (u, v, group_rep) arrays for rows grouped by ``reps``
+    (u < v, groups of size 1 emit nothing). Fully vectorized.
 
-    ids = exact["doc_id"].to_numpy(zero_copy_only=False)
-    reps = exact["group_rep"].to_numpy(zero_copy_only=False)
+    Runs on WORKERS (exact_group_pairs), so the _ragged_pairs import is a
+    module-level binding shipped by value — a function-level
+    ``from rabbittclust_ray...`` would execute a real import on workers
+    that don't have the package on sys.path."""
     order = np.lexsort((ids, reps))
     ids_s, reps_s = ids[order], reps[order]
     new_grp = np.empty(len(ids_s), dtype=bool)
@@ -599,6 +600,59 @@ def dup_pairs_with_exact(
     eu = np.minimum(ids_s[i_idx], ids_s[j_idx])
     ev = np.maximum(ids_s[i_idx], ids_s[j_idx])
     er = reps_s[i_idx]
+    return eu, ev, er
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "u": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+        "group_rep": pa.array([], pa.int64()),
+    }
+)
+
+
+def exact_group_pairs(exact_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed within-exact-group pair expansion: ``exact_dedup``'s
+    sha-keyed exchange co-locates every sha group inside ONE output block,
+    so the (u, v, group_rep) pairs of each group are a per-block map
+    (batch_size=None keeps block == batch) — no further exchange, and the
+    output volume is bounded by the TRUE duplicate-pair count, never by
+    corpus size. Singleton groups (the vast majority) emit nothing."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        dup = t["is_exact_dup"].to_numpy(zero_copy_only=False)
+        if not dup.any():
+            return _EMPTY_PAIRS
+        # only rows of groups with >= 2 members matter: losers plus any
+        # rep that has a loser
+        reps_all = t["group_rep"].to_numpy(zero_copy_only=False)
+        ids_all = t["doc_id"].to_numpy(zero_copy_only=False)
+        hot = np.unique(reps_all[dup])
+        sel = np.isin(reps_all, hot)
+        eu, ev, er = _group_pairs(ids_all[sel], reps_all[sel])
+        return pa.table(
+            {
+                "u": pa.array(eu, pa.int64()),
+                "v": pa.array(ev, pa.int64()),
+                "group_rep": pa.array(er, pa.int64()),
+            }
+        )
+
+    return exact_ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def dup_pairs_with_exact(
+    near_dup_pairs: pa.Table, exact_pairs: pa.Table
+) -> pa.Table:
+    """Union of near-dup pairs and exact-sha pairs (both already expanded
+    to (u, v, group_rep)), deduplicated — near-dup rows win on conflict.
+    Fully vectorized."""
+    eu = exact_pairs["u"].to_numpy(zero_copy_only=False)
+    ev = exact_pairs["v"].to_numpy(zero_copy_only=False)
+    er = exact_pairs["group_rep"].to_numpy(zero_copy_only=False)
     nu = near_dup_pairs["u"].to_numpy(zero_copy_only=False)
     nv = near_dup_pairs["v"].to_numpy(zero_copy_only=False)
     nr = near_dup_pairs["group_rep"].to_numpy(zero_copy_only=False)

@@ -273,3 +273,28 @@ def test_cross_corpus_dedup_brute_force(small_corpus):
     # fixture sanity: the corpus has exact dups and near families spanning
     # the split, so all three verdicts are exercised
     assert n_exact + n_near > 0
+
+
+def test_exact_group_pairs_distributed():
+    """exact_group_pairs expands every within-sha-group pair (u < v, rep
+    attached), distributed over the exchange's group-complete blocks —
+    the scale-path replacement for collecting the per-doc exact table."""
+    from itertools import combinations
+
+    from rabbittclust_ray.stages.dedup import exact_group_pairs
+
+    rows = [(5, SHA_A), (2, SHA_A), (9, SHA_B), (1, SHA_A), (7, SHA_C),
+            (11, SHA_B), (3, SHA_C), (20, SHA_C)]
+    out = exact_group_pairs(exact_dedup(_prepared(rows))).to_pandas()
+    got = {(int(u), int(v), int(r))
+           for u, v, r in zip(out.u, out.v, out.group_rep)}
+    want = set()
+    by_sha = {}
+    for i, s in rows:
+        by_sha.setdefault(s, []).append(i)
+    for mem in by_sha.values():
+        for a, b in combinations(sorted(mem), 2):
+            want.add((a, b, min(mem)))
+    assert got == want
+    # no duplicates emitted
+    assert len(out) == len(got)

@@ -276,3 +276,34 @@ def test_dedup_corpus_semantic_overlay(small_corpus):
     assert rep.loc[other[0]].keep == 1
     cleaned_ids = set(res.cleaned.to_pandas().doc_id)
     assert hi not in cleaned_ids and lo in cleaned_ids
+
+
+def test_dedup_corpus_labelprop_cutover_matches_driver_path(small_corpus):
+    """Forcing the scale cutover (driver_labels_max=0) must produce a
+    report row-identical to the driver union-find path — the cascade's
+    labels/verdict join then runs fully distributed (components_labelprop
+    + _report_scale), the path a 100-TB run takes."""
+    docs, _ = small_corpus
+    base = dedup_corpus(
+        ray.data.from_arrow(docs), SCFG, CCFG, dedup_dist=0.05
+    ).report.to_pandas()
+    scaled_cfg = ClusterConfig(
+        threshold=CCFG.threshold, max_posting=CCFG.max_posting,
+        num_buckets=CCFG.num_buckets, driver_labels_max=0,
+    )
+    res = dedup_corpus(
+        ray.data.from_arrow(docs), SCFG, scaled_cfg, dedup_dist=0.05
+    )
+    scaled = res.report.to_pandas()
+
+    def norm(df):
+        return df.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "keep", "reason", "kept_as"]
+        ]
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(norm(base), norm(scaled))
+    # cleaned side rides the same report: survivors identical
+    kept = scaled[scaled.keep == 1]
+    assert sorted(res.cleaned.to_pandas().doc_id) == sorted(kept.doc_id)
