@@ -908,6 +908,22 @@ def _q_clusters_greedy(sf_dir: str):
     return res.assignments
 
 
+def _q_clusters_greedy_batched(sf_dir: str):
+    """Batched-parallel greedy (reference greedy.cpp:1412-1542 batched
+    mode) with intra-batch conflict resolution: probes against the
+    batch-frozen rep set run vectorized/parallel, and the per-batch
+    serial update walks only intra-batch edges — bit-identical to the
+    serial sweep (same recursive-CTE oracle as clusters_greedy), with
+    N/batch_size sync points instead of N. The scaling path past the
+    serial sweep's single-thread ceiling (SURVEY §7.4)."""
+    from rabbittclust_ray.pipelines.clust_greedy import clust_greedy
+
+    res = clust_greedy(
+        _docs(sf_dir), _exact_scfg(), _exact_ccfg(EX_THRESHOLD), batch_size=64
+    )
+    return res.assignments
+
+
 def _q_mode_agreement(sf_dir: str):
     """Pair-counting agreement between the reference's TWO clustering
     modes at the same cut — clust-mst (single-linkage components) vs
@@ -4944,6 +4960,7 @@ def _q_readability(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
+        "clusters_greedy_batched": _q_clusters_greedy_batched,
         "state_append": _q_state_append,
         "containment_pairs": _q_containment_pairs,
         "knn_edges": _q_knn_edges,
@@ -5876,6 +5893,47 @@ def oracle_sql() -> dict[str, str]:
             FROM pop p JOIN comp c USING (doc_id)
         """,
         "clusters_greedy": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD, with_j=True)},
+            ed AS MATERIALIZED (
+                SELECT u AS node, v AS other, j FROM edges
+                UNION ALL SELECT v, u, j FROM edges
+            ),
+            -- per doc: threshold neighbors in best-match preference order
+            -- (max Jaccard, then min id — the reference's greedy rule);
+            -- the serial sweep then picks the first neighbor that is a rep.
+            -- Pure list expressions: LATERAL/correlated subqueries against
+            -- a recursive CTE's columns are not reliably planned.
+            cand AS MATERIALIZED (
+                SELECT node, list(other ORDER BY j DESC, other ASC) AS lst
+                FROM ed GROUP BY node
+            ),
+            ordered AS MATERIALIZED (
+                SELECT p.doc_id, coalesce(c.lst, []) AS lst,
+                       row_number() OVER (
+                           ORDER BY coalesce(s.sz, 0) DESC, p.doc_id ASC
+                       ) AS rn
+                FROM pop p
+                LEFT JOIN sizes s USING (doc_id)
+                LEFT JOIN cand c ON c.node = p.doc_id
+            ),
+            sweep(rn, doc, rep, reps) AS (
+                SELECT 1, doc_id, doc_id, [doc_id] FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.doc_id,
+                       coalesce(
+                           list_filter(o.lst, x -> list_contains(s.reps, x))[1],
+                           o.doc_id),
+                       CASE WHEN len(list_filter(o.lst, x -> list_contains(s.reps, x))) = 0
+                            THEN list_append(s.reps, o.doc_id)
+                            ELSE s.reps END
+                FROM sweep s JOIN ordered o ON o.rn = s.rn + 1
+            )
+            SELECT s.doc AS doc_id, s.rep AS cluster_id, s.doc = s.rep AS is_rep,
+                   sha256(p.text) AS content_sha256,
+                   CAST(length(p.text) AS BIGINT) AS length
+            FROM sweep s JOIN pop p ON p.doc_id = s.doc
+        """,
+        "clusters_greedy_batched": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD, with_j=True)},
             ed AS MATERIALIZED (
                 SELECT u AS node, v AS other, j FROM edges

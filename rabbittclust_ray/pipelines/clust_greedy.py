@@ -13,7 +13,12 @@ import pyarrow as pa
 import ray.data
 
 from rabbittclust_ray.config import ClusterConfig, SketchConfig
-from rabbittclust_ray.stages.greedy import greedy_assignments, greedy_order, greedy_replay
+from rabbittclust_ray.stages.greedy import (
+    greedy_assignments,
+    greedy_order,
+    greedy_replay,
+    greedy_replay_batched,
+)
 from rabbittclust_ray.stages.pairs import candidate_edges
 from rabbittclust_ray.stages.prepare import prepare_documents
 from rabbittclust_ray.stages.sketch import sketch_documents
@@ -31,7 +36,14 @@ def clust_greedy(
     documents: ray.data.Dataset,
     scfg: SketchConfig | None = None,
     ccfg: ClusterConfig | None = None,
+    *,
+    batch_size: int | None = None,
 ) -> GreedyResult:
+    """``batch_size=None`` (default): the exact serial-sweep replay.
+    ``batch_size=N``: the reference's batched-parallel approximation
+    (greedy.cpp:1412-1542 — reps frozen per batch; the documented scaling
+    path past the serial sweep's single-thread ceiling, agreement vs
+    exact pinned >= 0.99 by tests)."""
     scfg = scfg or SketchConfig()
     ccfg = ccfg or ClusterConfig()
     prepared = prepare_documents(documents, scfg)
@@ -49,6 +61,9 @@ def clust_greedy(
         else pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
                        "common": pa.array([], pa.int32()), "dist": pa.array([], pa.float64())})
     )
-    rep_of = greedy_replay(order, edge_tbl)
+    if batch_size is None:
+        rep_of = greedy_replay(order, edge_tbl)
+    else:
+        rep_of = greedy_replay_batched(order, edge_tbl, batch_size=batch_size)
     assignments = greedy_assignments(sketches, rep_of)
     return GreedyResult(sketches=sketches, edges=edges, assignments=assignments, rep_of=rep_of)

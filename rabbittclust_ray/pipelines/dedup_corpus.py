@@ -382,7 +382,12 @@ def dedup_corpus(
         labels_ds = _timed(
             "near_labels", lambda: components_labelprop(edges).materialize()
         )
-        report = _report_scale(exact_ds, labels_ds, ccfg.num_buckets)
+        # hash_exchange blocks on its map side at construction — time it
+        # or the join cost lands in an invisible stage gap
+        report = _timed(
+            "report_join",
+            lambda: _report_scale(exact_ds, labels_ds, ccfg.num_buckets),
+        )
     else:
         labels = _timed("near_labels", lambda: _near_labels(edges, dedup_dist))
 

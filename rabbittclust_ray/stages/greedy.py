@@ -106,3 +106,130 @@ def greedy_assignments(
         )
 
     return sketches.map_batches(_assign, batch_format="pyarrow")
+
+
+def greedy_replay_batched(
+    order_ids: list[int],
+    edges: pa.Table,
+    *,
+    batch_size: int = 64,
+    resolve_conflicts: bool = True,
+) -> dict[int, int]:
+    """Batched-parallel greedy (reference
+    /root/reference/src/greedy.cpp:1412-1542, experimental mode): docs of
+    a batch probe the representative set FROZEN at batch start in ONE
+    vectorized pass (the embarrassingly parallel part — at scale it maps
+    onto the distributed assign machinery with N/batch_size sync points
+    instead of N), then a serial per-batch update admits matches and
+    promotes the unmatched to reps.
+
+    ``resolve_conflicts=True`` (ours, default): the update ALSO consults
+    reps created earlier in the SAME batch, walking only the (vectorized,
+    pre-masked) intra-batch edges — that is exactly the information the
+    frozen probe lacks, so the result is BIT-IDENTICAL to the serial
+    sweep (pinned by tests) while the serial fraction shrinks from all
+    edges to intra-batch edges.
+
+    ``resolve_conflicts=False``: the reference's documented approximation
+    — a doc whose best rep is created earlier in the same batch misses it
+    and becomes a redundant rep; dense duplicate families inside one
+    batch fragment (the reference ships the same semantics with a
+    'results may differ' note). Deterministic in both modes: best match
+    = min (dist, rep id); update in batch order (the reference's
+    dist-desc sort cannot change outcomes — joins only ever target
+    pre-batch reps there).
+
+    Returns doc_id -> rep doc_id, same contract as ``greedy_replay``."""
+    n = len(order_ids)
+    rep_of: dict[int, int] = {}
+    if n == 0:
+        return rep_of
+    oid = np.asarray(order_ids, dtype=np.int64)
+    sorted_ids = np.sort(oid)
+    dense_of = {int(x): i for i, x in enumerate(sorted_ids)}
+
+    u = edges["u"].to_numpy(zero_copy_only=False)
+    v = edges["v"].to_numpy(zero_copy_only=False)
+    d = edges["dist"].to_numpy(zero_copy_only=False)
+    src = np.concatenate([u, v]).astype(np.int64)
+    dst = np.concatenate([v, u]).astype(np.int64)
+    dd = np.concatenate([d, d])
+    # drop edges touching docs outside the order (filtered docs)
+    pos_s = np.searchsorted(sorted_ids, src)
+    pos_t = np.searchsorted(sorted_ids, dst)
+    np.clip(pos_s, 0, len(sorted_ids) - 1, out=pos_s)
+    np.clip(pos_t, 0, len(sorted_ids) - 1, out=pos_t)
+    ok = (sorted_ids[pos_s] == src) & (sorted_ids[pos_t] == dst)
+    src_d, dst_d, dd = pos_s[ok], pos_t[ok], dd[ok]
+    order_e = np.argsort(src_d, kind="stable")
+    src_d, dst_d, dd = src_d[order_e], dst_d[order_e], dd[order_e]
+    starts = np.searchsorted(src_d, np.arange(len(sorted_ids)))
+    ends = np.searchsorted(src_d, np.arange(len(sorted_ids)) + 1)
+
+    is_rep = np.zeros(len(sorted_ids), dtype=bool)
+    first = int(oid[0])
+    is_rep[dense_of[first]] = True
+    rep_of[first] = first
+
+    for bs in range(1, n, batch_size):
+        batch = oid[bs : bs + batch_size]
+        bdense = np.array([dense_of[int(x)] for x in batch], dtype=np.int64)
+        cnt = ends[bdense] - starts[bdense]
+        total = int(cnt.sum())
+        if total:
+            # concatenated adjacency slices of the whole batch
+            grp = np.repeat(np.arange(len(batch)), cnt)
+            base = np.repeat(starts[bdense], cnt)
+            local = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+            idx = base + local
+            cand_rep = dst_d[idx]
+            cand_dist = dd[idx]
+        else:
+            grp = np.array([], dtype=np.int64)
+            cand_rep = np.array([], dtype=np.int64)
+            cand_dist = np.array([], dtype=np.float64)
+
+        # --- parallel phase: best among reps FROZEN at batch start -----
+        best = np.full(len(batch), -1, dtype=np.int64)
+        best_dist = np.full(len(batch), np.inf)
+        live = is_rep[cand_rep] if total else np.array([], dtype=bool)
+        fg, fr, fd = grp[live], cand_rep[live], cand_dist[live]
+        if len(fg):
+            o = np.lexsort((sorted_ids[fr], fd, fg))
+            g_s = fg[o]
+            first_of = np.empty(len(g_s), dtype=bool)
+            first_of[0:1] = True
+            first_of[1:] = g_s[1:] != g_s[:-1]
+            best[g_s[first_of]] = fr[o][first_of]
+            best_dist[g_s[first_of]] = fd[o][first_of]
+
+        # --- intra-batch candidate edges (vectorized pre-mask) ---------
+        intra: list[list[tuple[float, int]]] = [[] for _ in range(len(batch))]
+        if resolve_conflicts and total:
+            in_batch = np.zeros(len(sorted_ids), dtype=bool)
+            in_batch[bdense] = True
+            bm = in_batch[cand_rep]
+            for g, r, dist_ in zip(grp[bm], cand_rep[bm], cand_dist[bm]):
+                intra[int(g)].append((float(dist_), int(r)))
+
+        # --- serial update in batch order ------------------------------
+        batch_new = np.zeros(len(sorted_ids), dtype=bool)
+        for i, doc in enumerate(batch):
+            doc = int(doc)
+            bkey = (
+                (best_dist[i], int(sorted_ids[best[i]])) if best[i] >= 0 else None
+            )
+            if resolve_conflicts:
+                for dist_, r in intra[i]:
+                    if batch_new[r]:
+                        key = (dist_, int(sorted_ids[r]))
+                        if bkey is None or key < bkey:
+                            bkey = key
+            if bkey is not None:
+                rep_of[doc] = bkey[1]
+            else:
+                rep_of[doc] = doc
+                is_rep[dense_of[doc]] = True
+                batch_new[dense_of[doc]] = True
+    return rep_of

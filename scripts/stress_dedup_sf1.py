@@ -50,7 +50,13 @@ def main() -> int:
     gen_s = round(time.perf_counter() - t0, 1)
 
     scfg = SketchConfig(shingle_k=24, mode="bottomk", sketch_size=256, min_len=100)
-    ccfg = ClusterConfig(threshold=0.05, dedup_dist=0.02, max_posting=256)
+    # STRESS_DRIVER_LABELS_MAX: override the labels cutover bound — 0 forces
+    # the distributed labelprop path, a huge value forces the driver
+    # union-find path (for the equal-verdicts comparison in BASELINE.md).
+    dlm = int(os.environ.get("STRESS_DRIVER_LABELS_MAX",
+                             ClusterConfig.driver_labels_max))
+    ccfg = ClusterConfig(threshold=0.05, dedup_dist=0.02, max_posting=256,
+                         driver_labels_max=dlm)
 
     t1 = time.perf_counter()
     res = dedup_corpus(corpus, scfg, ccfg, dedup_dist=0.02)

@@ -84,3 +84,75 @@ def test_clust_greedy_rep_is_largest_sketch(small_corpus):
         # members in (size desc, id asc) order
         best = min(grp.doc_id, key=lambda d: (-size_of[d], d))
         assert rep == best
+
+
+def test_greedy_batched_equals_exact():
+    """With conflict resolution (default) the batched replay is identical
+    to the serial sweep at ANY batch size; with the reference's
+    frozen-only semantics, batch_size=1 is identical. Random sparse edge
+    sets (property check)."""
+    from rabbittclust_ray.stages.greedy import greedy_replay_batched
+
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n = int(rng.integers(2, 40))
+        ids = rng.choice(np.arange(1000), size=n, replace=False).astype(np.int64)
+        m = int(rng.integers(0, 4 * n))
+        rows = []
+        seen = set()
+        for _ in range(m):
+            a, b = rng.choice(ids, size=2, replace=False)
+            a, b = int(min(a, b)), int(max(a, b))
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            rows.append((a, b, int(rng.integers(1, 100)),
+                         float(np.round(rng.uniform(0.0, 0.05), 6))))
+        edges = _edges(rows)
+        order = [int(x) for x in rng.permutation(ids)]
+        exact = greedy_replay(order, edges)
+        for b in (1, 3, 7, 64):
+            got = greedy_replay_batched(order, edges, batch_size=b)
+            assert got == exact, f"trial {trial} batch {b}"
+        frozen1 = greedy_replay_batched(
+            order, edges, batch_size=1, resolve_conflicts=False)
+        assert frozen1 == exact, f"trial {trial} frozen batch 1"
+
+
+def test_greedy_batched_frozen_rep_semantics():
+    """Reference semantics: a doc whose best rep appears earlier in the
+    SAME batch misses it (index frozen at batch start)."""
+    from rabbittclust_ray.stages.greedy import greedy_replay_batched
+
+    # order: 1 (seed rep), then batch [2, 3]: 2 is far from 1 -> new rep;
+    # 3 is near 2 only. Exact: 3 joins 2. Batched(2): 3 probed against
+    # {1} only -> becomes its own rep.
+    edges = _edges([(2, 3, 50, 0.01)])
+    exact = greedy_replay([1, 2, 3], edges)
+    assert exact == {1: 1, 2: 2, 3: 2}
+    frozen = greedy_replay_batched(
+        [1, 2, 3], edges, batch_size=2, resolve_conflicts=False)
+    assert frozen == {1: 1, 2: 2, 3: 3}
+    # conflict resolution recovers the exact result at the same batch size
+    resolved = greedy_replay_batched([1, 2, 3], edges, batch_size=2)
+    assert resolved == exact
+
+
+def test_clust_greedy_batched_agreement(small_corpus):
+    """Opt-in batched mode on the mutation-family fixture: with conflict
+    resolution the assignments are IDENTICAL to the exact replay
+    (pair-counting agreement 1.0 >= the 0.99 bar); the reference's
+    frozen-only semantics fragment dense families and are kept opt-out."""
+    from rabbittclust_ray.stages.cluster import pair_counting_agreement
+
+    docs, _ = small_corpus
+    ds = ray.data.from_arrow(docs)
+    exact = clust_greedy(ds, SCFG, CCFG)
+    batched = clust_greedy(ds, SCFG, CCFG, batch_size=64)
+    assert batched.rep_of == exact.rep_of
+    sel = lambda r: r.assignments.map_batches(  # noqa: E731
+        lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow")
+    agg = pair_counting_agreement(sel(exact), sel(batched)).to_pandas()
+    row = agg.iloc[0].to_dict()
+    assert row["pairs_both"] == row["pairs_a"] == row["pairs_b"]
+    assert row["pairs_both"] / max(row["pairs_a"], 1) >= 0.99
