@@ -1266,6 +1266,27 @@ def _q_image_features_real(sf_dir: str):
     return out[["doc_id", "media_type", "feature", "payload_sha256"]]
 
 
+def _q_image_features_qoi(sf_dir: str):
+    """REAL compressed-format image decode: the same 1 x H x 3 pixels as
+    image_features_real but packed in the QOI container
+    (codecs.encode_qoi / decode_qoi — run/diff/index byte coding), so the
+    channel sums prove the compressed decoder end-to-end against the
+    source text bytes. Container bytes aren't SQL-constructible (unlike
+    raw PPM), so the payload sha is omitted from this variant."""
+    from rabbittclust_ray.stages.multimodal import (
+        image_features,
+        media_from_documents_encoded,
+    )
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_from_documents_encoded(docs, "qoi")
+    out = image_features(media, deterministic_fake=False, stat="sum").to_pandas()
+    out["feature"] = out["feature"].map(
+        lambda x: ",".join(str(int(v)) for v in x)
+    )
+    return out[["doc_id", "media_type", "feature"]]
+
+
 def _q_audio_frames_real(sf_dir: str):
     """REAL WAV decode: text bytes as PCM-8 mono samples inside a RIFF/WAVE
     container; frame energy = exact integer sum of squared zero-centered
@@ -4978,6 +4999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames": _q_audio_frames,
         "video_frames": _q_video_frames,
         "image_features_real": _q_image_features_real,
+        "image_features_qoi": _q_image_features_qoi,
         "audio_frames_real": _q_audio_frames_real,
         "video_frames_real": _q_video_frames_real,
         "select_threshold": _q_select_threshold,
@@ -6387,6 +6409,30 @@ def oracle_sql() -> dict[str, str]:
                    sha256('P6' || chr(10) || '1 ' || CAST(s.hgt AS VARCHAR)
                           || chr(10) || '255' || chr(10)
                           || substr(s.text, 1, s.hgt * 3)) AS payload_sha256
+            FROM sized s JOIN agg a USING (doc_id)
+        """,
+        "image_features_qoi": """
+            WITH sized AS (
+                SELECT doc_id, text, least(length(text) // 3, 64) AS hgt
+                FROM documents WHERE length(text) >= 3
+            ),
+            ch AS (
+                SELECT s.doc_id, (i.i - 1) % 3 AS c,
+                       ascii(substr(s.text, i.i, 1)) AS byte
+                FROM sized s, LATERAL (
+                    SELECT unnest(generate_series(1, s.hgt * 3)) AS i
+                ) i(i)
+            ),
+            agg AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c = 0 THEN byte END) AS BIGINT) AS s0,
+                       CAST(sum(CASE WHEN c = 1 THEN byte END) AS BIGINT) AS s1,
+                       CAST(sum(CASE WHEN c = 2 THEN byte END) AS BIGINT) AS s2
+                FROM ch GROUP BY doc_id
+            )
+            SELECT s.doc_id, 'image/qoi' AS media_type,
+                   CAST(a.s0 AS VARCHAR) || ',' || CAST(a.s1 AS VARCHAR) || ','
+                       || CAST(a.s2 AS VARCHAR) AS feature
             FROM sized s JOIN agg a USING (doc_id)
         """,
         # REAL PCM-8 WAV decode: samples = first min(len, 256) text bytes,

@@ -372,24 +372,33 @@ def media_from_documents_encoded(
     container:
       "ppm" — 1 x H x 3 image, H = min(len//3, 64) pixels; docs shorter
               than one pixel (3 bytes) are dropped.
+      "qoi" — same pixels as "ppm" but in the COMPRESSED QOI container
+              (codecs.encode_qoi), exercising the run/diff/index decoder.
       "wav" — PCM-8 mono 16 kHz, samples = first min(len, 256) bytes.
       "y4m" — 8x8 C444 video, luma frame f = bytes [f*64, f*64+64),
               up to 12 complete frames; docs under 64 bytes are dropped.
     """
-    from rabbittclust_ray.stages.codecs import encode_ppm, encode_wav, encode_y4m
+    from rabbittclust_ray.stages.codecs import (
+        encode_ppm,
+        encode_qoi,
+        encode_wav,
+        encode_y4m,
+    )
 
-    if container not in ("ppm", "wav", "y4m"):
+    if container not in ("ppm", "qoi", "wav", "y4m"):
         raise ValueError(f"unknown container {container!r}")
 
     def f(t: pa.Table) -> pa.Table:
         out_doc, out_payload = [], []
         for doc, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             b = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-            if container == "ppm":
+            if container in ("ppm", "qoi"):
                 hgt = min(len(b) // 3, 64)
                 if hgt < 1:
                     continue
-                payload = encode_ppm(b[: hgt * 3].reshape(hgt, 1, 3))
+                img = b[: hgt * 3].reshape(hgt, 1, 3)
+                payload = (encode_ppm(img) if container == "ppm"
+                           else encode_qoi(img))
             elif container == "wav":
                 payload = encode_wav(b[:256], rate=16000)
             else:  # y4m
@@ -400,8 +409,8 @@ def media_from_documents_encoded(
             out_doc.append(doc)
             out_payload.append(payload)
         n = len(out_doc)
-        mt = {"ppm": "image/x-portable-pixmap", "wav": "audio/wav",
-              "y4m": "video/x-yuv4mpeg"}[container]
+        mt = {"ppm": "image/x-portable-pixmap", "qoi": "image/qoi",
+              "wav": "audio/wav", "y4m": "video/x-yuv4mpeg"}[container]
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),

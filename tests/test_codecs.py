@@ -273,3 +273,92 @@ def test_image_thumbnails_pipeline():
         got = decode_ppm(bytes(r.payload))
         want = resize_nearest(img, (4, 4))
         assert np.array_equal(got, want), i
+
+
+# --------------------------------------------------------------------------
+# QOI
+# --------------------------------------------------------------------------
+
+
+def test_qoi_roundtrip_rgb_and_rgba():
+    from rabbittclust_ray.stages.codecs import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(17)
+    for ch in (3, 4):
+        for shape in ((1, 1), (3, 5), (16, 16), (7, 31)):
+            img = rng.integers(0, 256, size=(*shape, ch), dtype=np.uint8)
+            assert np.array_equal(decode_qoi(encode_qoi(img)), img)
+    # op coverage: long runs (RUN chunking at 62), repeated palette
+    # (INDEX), smooth gradients (DIFF/LUMA), alpha switches (RGBA)
+    img = np.zeros((4, 100, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    img[1, :, 0] = np.arange(100) % 256          # small diffs
+    img[2, :, :3] = (np.arange(300) % 7).reshape(100, 3) * 9
+    img[3, 50:, 3] = 7                           # alpha change -> RGBA ops
+    assert np.array_equal(decode_qoi(encode_qoi(img)), img)
+
+
+def test_qoi_golden_bytes():
+    """Hand-derived spec bytes: 2x1 RGB [(0,0,0), (1,0,0)] ->
+    RUN(1) for the first pixel (equals the (0,0,0,255) seed) then
+    DIFF(+1,0,0). Pins the exact wire format, not just the roundtrip."""
+    from rabbittclust_ray.stages.codecs import decode_qoi, encode_qoi
+
+    img = np.array([[[0, 0, 0], [1, 0, 0]]], dtype=np.uint8)
+    payload = encode_qoi(img)
+    want = (b"qoif" + (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes([3, 0]) + bytes([0xC0, 0x7A]) + b"\x00" * 7 + b"\x01")
+    assert payload == want
+    assert np.array_equal(decode_qoi(payload), img)
+
+
+def test_qoi_malformed_raises():
+    from rabbittclust_ray.stages.codecs import decode_qoi, encode_qoi
+
+    img = np.full((2, 2, 3), 9, dtype=np.uint8)
+    good = encode_qoi(img)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_qoi(b"nope" + good[4:])
+    with pytest.raises(ValueError):
+        decode_qoi(good[:-8])           # missing end marker
+    with pytest.raises(ValueError):
+        decode_qoi(good[:14] + good[-8:])  # truncated stream
+
+
+def test_decode_image_dispatches_qoi():
+    from rabbittclust_ray.stages.codecs import decode_image, encode_qoi
+
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    assert np.array_equal(decode_image(encode_qoi(img)), img)
+
+
+def test_real_decode_qoi_container(ray_session):
+    """The QOI (compressed) container through the same actor-pool image
+    stage: channel sums equal the PPM variant's (same pixels, different
+    wire format), proving the run/diff/index decoder end-to-end."""
+    from rabbittclust_ray.stages.multimodal import (
+        image_features,
+        media_from_documents_encoded,
+    )
+
+    texts = ["".join(chr(33 + (i * 11 + j) % 90) for j in range(50 + 70 * i))
+             for i in range(4)]
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}
+    ))
+    qoi = image_features(
+        media_from_documents_encoded(docs, "qoi"),
+        deterministic_fake=False, stat="sum",
+    ).to_pandas().set_index("doc_id").sort_index()
+    ppm = image_features(
+        media_from_documents_encoded(docs, "ppm"),
+        deterministic_fake=False, stat="sum",
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert (qoi["media_type"] == "image/qoi").all()
+    for i in qoi.index:
+        assert [int(v) for v in qoi.loc[i, "feature"]] == \
+               [int(v) for v in ppm.loc[i, "feature"]]
+    # the compressed payload differs from the raw one
+    assert (qoi["payload_sha256"] != ppm["payload_sha256"]).all()
