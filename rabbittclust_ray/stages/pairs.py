@@ -54,10 +54,18 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
-def explode_sketches(sketches: ray.data.Dataset, num_buckets: int | None = None) -> ray.data.Dataset:
-    """sketches -> (band_hash, doc_id, ssize) rows, one per sketch hash.
+def explode_sketches(
+    sketches: ray.data.Dataset,
+    num_buckets: int | None = None,
+    *,
+    small_sizes: bool = False,
+) -> ray.data.Dataset:
+    """sketches -> (band_hash, doc_id, ssize) rows, one per sketch hash;
+    band_hash is pre-mixed for key_is_hash exchanges (see inline note).
     Pure Arrow list flattening — zero-copy, no Python per row.
-    (num_buckets retained for API compat; the sort-scan path doesn't bucket.)"""
+    (num_buckets retained for API compat; the sort-scan path doesn't bucket.)
+    ``small_sizes``: ship ssize as uint16 (same provably-fits flag as the
+    emitters' su/sv, derived from SketchConfig by the callers)."""
 
     def _explode(t: pa.Table) -> pa.Table:
         sk = t["sketch"]
@@ -67,10 +75,21 @@ def explode_sketches(sketches: ray.data.Dataset, num_buckets: int | None = None)
         counts = np.diff(sk.offsets.to_numpy(zero_copy_only=False))
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
         ssize = np.repeat(t["sketch_size"].to_numpy(zero_copy_only=False), counts)
+        # band_hash ships PRE-MIXED (splitmix is a bijection, so posting
+        # groups are preserved): the posting exchange then range-partitions
+        # on the column itself (key_is_hash=True) instead of appending a
+        # redundant 8 B HKEY rehash to every row — raw bottom-k minima are
+        # skewed low and could NOT be range-partitioned directly. With the
+        # uint16 ssize below this cuts the posting-exchange row 28 -> 18 B
+        # (the biggest byte mover of the pipeline: n_docs x sketch_size
+        # rows). The mix replaces the prep-side _hash_key pass — no extra
+        # compute, just fewer bytes through plasma.
         cols = {
-            "band_hash": pa.array(values, pa.uint64()),
+            "band_hash": pa.array(splitmix64(values), pa.uint64()),
             "doc_id": pa.array(doc, pa.int64()),
-            "ssize": pa.array(ssize.astype(np.int32), pa.int32()),
+            "ssize": pa.array(ssize.astype(np.uint16), pa.uint16())
+            if small_sizes
+            else pa.array(ssize.astype(np.int32), pa.int32()),
         }
         if "is_new" in t.column_names:  # append mode (SURVEY.md I2)
             isn = np.repeat(t["is_new"].to_numpy(zero_copy_only=False), counts)
@@ -853,11 +872,12 @@ def candidate_pairs(
     """sketches -> exact (u, v, su, sv, common) candidate table (pre-score).
     Marker rows from posting caps are removed by the aggregation stage."""
     md = ccfg.threshold if max_dist is None else max_dist
-    exploded = explode_sketches(sketches)
+    exploded = explode_sketches(sketches, small_sizes=_small_sizes(scfg))
     emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md,
                                 small_sizes=_small_sizes(scfg))
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p,
+                             key_is_hash=True,
                              next_key="pair_key", next_key_is_hash=True,
                              target_rows=ccfg.posting_rows_per_task,
                              max_reducers=ccfg.max_posting_reducers,
@@ -948,6 +968,7 @@ def banded_lsh_pairs(
                                               num_buckets=ccfg.num_buckets))
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     cand = hash_exchange(exploded, "band_hash", emitter, p,
+                         key_is_hash=True,  # explode_bands output is splitmix-mixed
                          next_key="pair_key", next_key_is_hash=True,
                          target_rows=ccfg.posting_rows_per_task,
                          max_reducers=ccfg.max_posting_reducers,
@@ -1321,11 +1342,12 @@ def candidate_edges(
     Scoring is FUSED into the aggregation reducers (pure table fn
     composition) — one fewer Dataset execution barrier per run."""
     md = ccfg.threshold if max_dist is None else max_dist
-    exploded = explode_sketches(sketches)
+    exploded = explode_sketches(sketches, small_sizes=_small_sizes(scfg))
     emitter = BucketPairEmitter(ccfg, distance_k=scfg.distance_k, max_dist=md,
                                 small_sizes=_small_sizes(scfg))
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p,
+                             key_is_hash=True,
                              next_key="pair_key", next_key_is_hash=True,
                              target_rows=ccfg.posting_rows_per_task,
                              max_reducers=ccfg.max_posting_reducers,
