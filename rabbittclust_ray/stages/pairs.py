@@ -175,6 +175,36 @@ def pick_split_mode(n_alive_nodes: int, input_bytes: int, store_bytes: float) ->
     return "pull"
 
 
+def pair_key_of(t: pa.Table) -> np.ndarray:
+    """Computed exchange key of a pair-partial table: the salted
+    splitmix_pair over (u, v). Used as ``key_fn``/``next_key_fn`` so the
+    8 B/row key column never ships through plasma — at 480k docs that
+    column alone was ~950 MiB of the aggregation exchange."""
+    return splitmix_pair(
+        t["u"].to_numpy(zero_copy_only=False),
+        t["v"].to_numpy(zero_copy_only=False),
+    )
+
+
+def _bisect_key_fn(
+    block: pa.Table, key_fn: Callable[[pa.Table], np.ndarray], target: int
+) -> int:
+    """First row index whose computed key >= target, evaluating the key
+    LAZILY on single-row slices (O(log n) scalar evals). Recomputing the
+    whole key column per (reduce task, block) would re-spend through DRAM
+    most of the bytes the dropped column saves — the lazy bisect costs
+    ~40 microsecond-scale evals per (task, block) instead."""
+    lo, hi = 0, block.num_rows
+    t64 = np.uint64(target)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if key_fn(block.slice(mid, 1))[0] < t64:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 def hash_exchange(
     ds: ray.data.Dataset,
     key: str,
@@ -186,6 +216,8 @@ def hash_exchange(
     input_prepped: bool = False,
     key_is_hash: bool = False,
     next_key_is_hash: bool = False,
+    key_fn: Callable[[pa.Table], np.ndarray] | None = None,
+    next_key_fn: Callable[[pa.Table], np.ndarray] | None = None,
     target_rows: int | None = None,
     max_reducers: int | None = None,
     reduce_heap_multiplier: float = 2.0,
@@ -238,6 +270,15 @@ def hash_exchange(
     count there multiplies downstream bytes (measured 216M partial rows at
     118 reducers vs 63M at 30, 480k docs).
 
+    ``key_fn`` / ``next_key_fn``: the range key is COMPUTED from row
+    content (must be a uniform uint64 fn, e.g. ``pair_key_of``) instead of
+    shipped as a column — 8 B/row less through plasma on the widest
+    exchanges. The producer sorts by the fn (``next_key_fn`` on the
+    upstream exchange, or this exchange's own prep); reducers find their
+    slice boundaries by LAZY bisect (O(log n) single-row evals — see
+    _bisect_key_fn for why not a vectorized recompute). ``key`` then
+    serves as the debug label only.
+
     Note on Ray's "new schema: ." warning: when ANY map task in the plan
     emits a zero-row output, Ray 2.49 records that RefBundle's schema as
     None and logs "Operator produced a RefBundle with a different schema".
@@ -272,10 +313,26 @@ def hash_exchange(
         out = t.take(pa.array(order))
         return out.append_column(HKEY, pa.array(h[order], pa.uint64()))
 
+    def _prep_table_fn(t: pa.Table, kf) -> pa.Table:
+        """Computed-key prep: sort by kf(t); NO key column ships at all —
+        reducers recover slice boundaries by lazy bisect (_bisect_key_fn).
+        Worth 8 B/row on the 100M-row pair exchanges."""
+        if t.num_rows == 0:
+            return t
+        return t.take(pa.array(np.argsort(kf(t), kind="stable")))
+
     def prep(t: pa.Table) -> pa.Table:
+        if key_fn is not None:
+            return _prep_table_fn(t, key_fn)
         return _prep_table(t, key, key_is_hash)
 
-    if next_key is not None:
+    if next_key_fn is not None:
+        inner_fn = fn
+
+        def fn(t: pa.Table) -> pa.Table:  # noqa: F811 — deliberate wrap
+            return _prep_table_fn(inner_fn(t), next_key_fn)
+
+    elif next_key is not None:
         inner_fn = fn
 
         def fn(t: pa.Table) -> pa.Table:  # noqa: F811 — deliberate wrap
@@ -287,6 +344,14 @@ def hash_exchange(
         """Zero-copy slice of a prepped (key-sorted) block to [lo, hi)."""
         if block.num_rows == 0:
             return None
+        if key_fn is not None:
+            lo = _bisect_key_fn(block, key_fn, lo_key)
+            hi = (
+                _bisect_key_fn(block, key_fn, hi_key)
+                if hi_key < (1 << 64)
+                else block.num_rows
+            )
+            return block.slice(lo, hi - lo) if hi > lo else None
         if range_col not in block.column_names:
             # only legal for empty blocks; a populated block without the
             # range key means input_prepped was passed for un-prepped data —
@@ -722,14 +787,14 @@ class BucketPairEmitter:
             gu = du[uk // len(dv)]
             gv = dv[uk % len(dv)]
             gsu, gsv, partial = gsu[first], gsv[first], merged
-        # salted aggregation key: mixing BOTH endpoints spreads a hot doc's
-        # pairs across all partitions of the second exchange (north-rule
-        # salted repartitioning — keying on u alone would put a doc with
-        # millions of partners into one reducer)
-        pk = splitmix_pair(gu, gv)
+        # the salted aggregation key (splitmix_pair of BOTH endpoints —
+        # north-rule salted repartitioning; keying on u alone would put a
+        # doc with millions of partners into one reducer) is COMPUTED, not
+        # shipped: the next exchange uses key_fn=pair_key_of, so the sort
+        # happens in the next_key_fn wrap and no 8 B/row key column ever
+        # enters plasma
         out = pa.table(
             {
-                "pair_key": pa.array(pk, pa.uint64()),
                 "u": pa.array(gu, pa.int64()),
                 "v": pa.array(gv, pa.int64()),
                 "su": pa.array(gsu, self.size_type),
@@ -748,7 +813,6 @@ def _empty_pair_table(dropped: int, size_type: pa.DataType = pa.int32()) -> pa.T
     n = 1 if dropped else 0
     return pa.table(
         {
-            "pair_key": pa.array([0] * n, pa.uint64()),
             "u": pa.array([-1] * n, pa.int64()),
             "v": pa.array([-1] * n, pa.int64()),
             "su": pa.array([0] * n, size_type),
@@ -878,7 +942,7 @@ def candidate_pairs(
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p,
                              key_is_hash=True,
-                             next_key="pair_key", next_key_is_hash=True,
+                             next_key_fn=pair_key_of,
                              target_rows=ccfg.posting_rows_per_task,
                              max_reducers=ccfg.max_posting_reducers,
                              # posting slice EXPANDS into pair partials:
@@ -889,7 +953,7 @@ def candidate_pairs(
                              # (dmesg OOM report, 6.3 GB per 323 MiB slice)
                              reduce_heap_multiplier=20.0)
     return hash_exchange(partials, "pair_key", _aggregate_pair_group, p,
-                         input_prepped=True, key_is_hash=True)
+                         input_prepped=True, key_fn=pair_key_of)
 
 
 def banded_lsh_pairs(
@@ -969,12 +1033,12 @@ def banded_lsh_pairs(
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     cand = hash_exchange(exploded, "band_hash", emitter, p,
                          key_is_hash=True,  # explode_bands output is splitmix-mixed
-                         next_key="pair_key", next_key_is_hash=True,
+                         next_key_fn=pair_key_of,
                          target_rows=ccfg.posting_rows_per_task,
                          max_reducers=ccfg.max_posting_reducers,
                          reduce_heap_multiplier=20.0)
     cand = hash_exchange(cand, "pair_key", _aggregate_pair_group, p,
-                         input_prepped=True, key_is_hash=True)
+                         input_prepped=True, key_fn=pair_key_of)
     if band_r == 1 and not positional:
         # value-keyed 1-wide bands: a band collision IS a shared sketch hash,
         # so the aggregated collision count already equals the exact
@@ -1348,7 +1412,7 @@ def candidate_edges(
     p = max(ccfg.num_buckets, EXCHANGE_PARTITION_CAP)
     partials = hash_exchange(exploded, "band_hash", emitter, p,
                              key_is_hash=True,
-                             next_key="pair_key", next_key_is_hash=True,
+                             next_key_fn=pair_key_of,
                              target_rows=ccfg.posting_rows_per_task,
                              max_reducers=ccfg.max_posting_reducers,
                              # same 29x-measured pair-emission expansion
@@ -1359,7 +1423,7 @@ def candidate_edges(
         return score_pairs_batch(_aggregate_pair_group(t), scfg, ccfg, md)
 
     return hash_exchange(partials, "pair_key", aggregate_and_score, p,
-                         input_prepped=True, key_is_hash=True)
+                         input_prepped=True, key_fn=pair_key_of)
 
 
 def pair_set_compare(
