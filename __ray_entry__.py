@@ -1287,6 +1287,21 @@ def _q_image_features_qoi(sf_dir: str):
     return out[["doc_id", "media_type", "feature"]]
 
 
+def _q_clusters_greedy_scale(sf_dir: str):
+    """Streamed scale-path greedy (clust_greedy_scale): distributed
+    (sketch_size desc, id) order sort, per-batch broadcast-index rep
+    probe, intra-batch conflict resolution — bit-identical to the serial
+    sweep with NO full edge collect on the driver (the classic path's
+    O(all-pairs) edge_tbl). Small batch_docs here forces many probe
+    rounds so the driver check exercises the real streaming loop."""
+    from rabbittclust_ray.pipelines.clust_greedy import clust_greedy_scale
+
+    res = clust_greedy_scale(
+        _docs(sf_dir), _exact_scfg(), _exact_ccfg(EX_THRESHOLD), batch_docs=128
+    )
+    return res.assignments
+
+
 def _q_audio_frames_real(sf_dir: str):
     """REAL WAV decode: text bytes as PCM-8 mono samples inside a RIFF/WAVE
     container; frame energy = exact integer sum of squared zero-centered
@@ -4982,6 +4997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clusters_greedy": _q_clusters_greedy,
         "clusters_greedy_batched": _q_clusters_greedy_batched,
+        "clusters_greedy_scale": _q_clusters_greedy_scale,
         "state_append": _q_state_append,
         "containment_pairs": _q_containment_pairs,
         "knn_edges": _q_knn_edges,
@@ -5956,6 +5972,47 @@ def oracle_sql() -> dict[str, str]:
             FROM sweep s JOIN pop p ON p.doc_id = s.doc
         """,
         "clusters_greedy_batched": f"""
+            WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD, with_j=True)},
+            ed AS MATERIALIZED (
+                SELECT u AS node, v AS other, j FROM edges
+                UNION ALL SELECT v, u, j FROM edges
+            ),
+            -- per doc: threshold neighbors in best-match preference order
+            -- (max Jaccard, then min id — the reference's greedy rule);
+            -- the serial sweep then picks the first neighbor that is a rep.
+            -- Pure list expressions: LATERAL/correlated subqueries against
+            -- a recursive CTE's columns are not reliably planned.
+            cand AS MATERIALIZED (
+                SELECT node, list(other ORDER BY j DESC, other ASC) AS lst
+                FROM ed GROUP BY node
+            ),
+            ordered AS MATERIALIZED (
+                SELECT p.doc_id, coalesce(c.lst, []) AS lst,
+                       row_number() OVER (
+                           ORDER BY coalesce(s.sz, 0) DESC, p.doc_id ASC
+                       ) AS rn
+                FROM pop p
+                LEFT JOIN sizes s USING (doc_id)
+                LEFT JOIN cand c ON c.node = p.doc_id
+            ),
+            sweep(rn, doc, rep, reps) AS (
+                SELECT 1, doc_id, doc_id, [doc_id] FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.doc_id,
+                       coalesce(
+                           list_filter(o.lst, x -> list_contains(s.reps, x))[1],
+                           o.doc_id),
+                       CASE WHEN len(list_filter(o.lst, x -> list_contains(s.reps, x))) = 0
+                            THEN list_append(s.reps, o.doc_id)
+                            ELSE s.reps END
+                FROM sweep s JOIN ordered o ON o.rn = s.rn + 1
+            )
+            SELECT s.doc AS doc_id, s.rep AS cluster_id, s.doc = s.rep AS is_rep,
+                   sha256(p.text) AS content_sha256,
+                   CAST(length(p.text) AS BIGINT) AS length
+            FROM sweep s JOIN pop p ON p.doc_id = s.doc
+        """,
+        "clusters_greedy_scale": f"""
             WITH RECURSIVE {_sql_edges_cte(EX_THRESHOLD, with_j=True)},
             ed AS MATERIALIZED (
                 SELECT u AS node, v AS other, j FROM edges

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -67,3 +68,112 @@ def clust_greedy(
         rep_of = greedy_replay_batched(order, edge_tbl, batch_size=batch_size)
     assignments = greedy_assignments(sketches, rep_of)
     return GreedyResult(sketches=sketches, edges=edges, assignments=assignments, rep_of=rep_of)
+
+
+def clust_greedy_scale(
+    documents: ray.data.Dataset,
+    scfg: SketchConfig | None = None,
+    ccfg: ClusterConfig | None = None,
+    *,
+    batch_docs: int = 200_000,
+) -> GreedyResult:
+    """Scale-path greedy: bit-identical to ``clust_greedy`` WITHOUT ever
+    collecting the full edge list on the driver (the classic path's
+    ``edge_tbl`` concat is O(all threshold pairs) — a driver OOM at
+    10^12-file scale).
+
+    Per order-batch (streamed off a DISTRIBUTED (sketch_size desc, id)
+    sort):
+      1. probe — every batch doc's best current rep by (dist, rep id)
+         via the broadcast inverted index (stages/assign.probe_sketches,
+         actor pool; the reference's batched mode greedy.cpp:1412-1542,
+         parallel phase);
+      2. intra-batch pairs — ``candidate_edges`` over the batch only
+         (distributed pair stack, collected at O(batch) rows);
+      3. serial update in batch order with conflict resolution: best =
+         min over (frozen probe result, reps promoted earlier in THIS
+         batch) — exactly the rep set the serial sweep sees, so the
+         result is identical (same argument as
+         greedy_replay_batched(resolve_conflicts=True), pinned by test).
+
+    Driver state: the rep map + rep sketches (the output clusters; reps
+    << N by the mode's purpose) + ONE batch. ``batch_docs`` trades probe
+    round-trips against batch memory — correctness is batch-size
+    invariant, so size it to the driver (10^6-10^7 at scale).
+    """
+    import ray
+
+    from rabbittclust_ray.stages.assign import probe_sketches
+
+    scfg = scfg or SketchConfig()
+    ccfg = ccfg or ClusterConfig()
+    prepared = prepare_documents(documents, scfg)
+    sketches = sketch_documents(prepared, scfg).materialize()
+    ordered = sketches.sort(
+        ["sketch_size", "doc_id"], descending=[True, False]
+    ).materialize()
+
+    rep_of: dict[int, int] = {}
+    rep_parts: list[pa.Table] = []
+    thr = ccfg.threshold
+
+    for batch in ordered.iter_batches(
+        batch_size=batch_docs, batch_format="pyarrow"
+    ):
+        if batch.num_rows == 0:
+            continue
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # 1. frozen-rep probe (skip when no reps exist yet)
+        best: dict[int, tuple[float, int]] = {}
+        if rep_parts:
+            reps_tbl = pa.concat_tables(rep_parts).combine_chunks()
+            probe = probe_sketches(
+                ray.data.from_arrow(batch), reps_tbl, scfg, ccfg, k=1
+            )
+            for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
+                q = b["query_id"].to_numpy(zero_copy_only=False)
+                r = b["rep_id"].to_numpy(zero_copy_only=False)
+                d = b["dist"].to_numpy(zero_copy_only=False)
+                ok = d <= thr
+                best.update(
+                    (int(qq), (float(dd), int(rr)))
+                    for qq, rr, dd in zip(q[ok], r[ok], d[ok])
+                )
+        # 2. intra-batch threshold pairs (distributed; O(batch) result)
+        from collections import defaultdict
+
+        intra: dict[int, list[tuple[float, int]]] = defaultdict(list)
+        if batch.num_rows > 1:
+            bedges = candidate_edges(ray.data.from_arrow(batch), scfg, ccfg)
+            for b in bedges.iter_batches(batch_size=None, batch_format="pyarrow"):
+                u = b["u"].to_numpy(zero_copy_only=False)
+                v = b["v"].to_numpy(zero_copy_only=False)
+                d = b["dist"].to_numpy(zero_copy_only=False)
+                for i in range(len(u)):
+                    intra[int(u[i])].append((float(d[i]), int(v[i])))
+                    intra[int(v[i])].append((float(d[i]), int(u[i])))
+        # 3. serial update in batch order (= global greedy order)
+        batch_new: set[int] = set()
+        for doc in ids:
+            doc = int(doc)
+            bkey = best.get(doc)
+            for dd, nbr in intra.get(doc, ()):
+                if nbr in batch_new:
+                    key = (dd, nbr)
+                    if bkey is None or key < bkey:
+                        bkey = key
+            if bkey is not None:
+                rep_of[doc] = bkey[1]
+            else:
+                rep_of[doc] = doc
+                batch_new.add(doc)
+        if batch_new:
+            nr = np.sort(np.fromiter(batch_new, dtype=np.int64, count=len(batch_new)))
+            pos = np.clip(np.searchsorted(nr, ids), 0, len(nr) - 1)
+            rep_parts.append(batch.filter(pa.array(nr[pos] == ids)))
+
+    assignments = greedy_assignments(sketches, rep_of)
+    return GreedyResult(
+        sketches=sketches, edges=None,  # type: ignore[arg-type]
+        assignments=assignments, rep_of=rep_of,
+    )

@@ -168,3 +168,77 @@ def assign_to_reps(
         )
 
     return topk.map_batches(finalize, batch_format="pyarrow")
+
+
+class SketchProbeActor:
+    """AssignActor twin for PRE-SKETCHED queries (clust_greedy_scale's
+    per-batch probe): same broadcast RepIndex, same (dist, rep id)
+    best-match rule, no re-sketching — input rows are
+    (doc_id, sketch, sketch_size)."""
+
+    def __init__(self, index_ref, scfg: SketchConfig, ccfg: ClusterConfig, k: int = 1):
+        self.index: RepIndex = ray.get(index_ref)  # once per actor
+        self.scfg = scfg
+        self.ccfg = ccfg
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        kdist = self.scfg.distance_k
+        sketch_col = t["sketch"]
+        if isinstance(sketch_col, pa.ChunkedArray):
+            sketch_col = sketch_col.combine_chunks()
+        values = sketch_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offsets = sketch_col.offsets.to_numpy(zero_copy_only=False)
+        qids = t["doc_id"].to_numpy(zero_copy_only=False)
+        qsizes = t["sketch_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_r, out_d, out_c, out_rank = [], [], [], [], []
+        for i in range(len(qids)):
+            hashes = values[offsets[i] : offsets[i + 1]]
+            common = self.index.common_counts(hashes)
+            su = np.full(len(common), qsizes[i], dtype=np.int64)
+            sv = self.index.rep_sizes
+            dist = (
+                containment_distance(common, su, sv, kdist)
+                if self.ccfg.containment
+                else mash_distance(common, su, sv, kdist)
+            )
+            take = min(self.k, len(dist))
+            if take == 0:
+                continue
+            idx = np.lexsort((self.index.rep_ids, dist))[:take]
+            out_q.extend([int(qids[i])] * take)
+            out_r.extend(self.index.rep_ids[idx].tolist())
+            out_d.extend(dist[idx].tolist())
+            out_c.extend(common[idx].tolist())
+            out_rank.extend(range(1, take + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rep_id": pa.array(out_r, pa.int64()),
+                "dist": pa.array(out_d, pa.float64()),
+                "common": pa.array(out_c, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+
+def probe_sketches(
+    sketch_ds: ray.data.Dataset,
+    rep_sketches: pa.Table,
+    scfg: SketchConfig,
+    ccfg: ClusterConfig,
+    k: int = 1,
+    *,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Top-k nearest reps per PRE-SKETCHED query row (actor pool over the
+    broadcast inverted index; see SketchProbeActor)."""
+    index_ref = ray.put(RepIndex.build(rep_sketches))
+    return sketch_ds.map_batches(
+        SketchProbeActor,
+        fn_constructor_args=(index_ref, scfg, ccfg, k),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

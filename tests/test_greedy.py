@@ -156,3 +156,23 @@ def test_clust_greedy_batched_agreement(small_corpus):
     row = agg.iloc[0].to_dict()
     assert row["pairs_both"] == row["pairs_a"] == row["pairs_b"]
     assert row["pairs_both"] / max(row["pairs_a"], 1) >= 0.99
+
+
+def test_clust_greedy_scale_matches_classic(small_corpus):
+    """The streamed scale path (distributed order sort + per-batch rep
+    probe + intra-batch conflict resolution; NO full edge collect) is
+    bit-identical to the classic replay — across batch sizes, including
+    batches far smaller than the corpus (many probe rounds)."""
+    from rabbittclust_ray.pipelines.clust_greedy import clust_greedy_scale
+
+    docs, _ = small_corpus
+    ds = ray.data.from_arrow(docs)
+    exact = clust_greedy(ds, SCFG, CCFG)
+    for bd in (30, 1000):
+        scaled = clust_greedy_scale(ds, SCFG, CCFG, batch_docs=bd)
+        assert scaled.rep_of == exact.rep_of, f"batch_docs={bd}"
+        a = exact.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = scaled.assignments.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
