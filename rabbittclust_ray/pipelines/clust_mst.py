@@ -181,7 +181,6 @@ def clust_mst(
             collapse_near_dups,
             dup_pairs_with_exact,
             exact_dedup,
-            exact_group_pairs,
             k_center_reps,
         )
 
@@ -205,50 +204,90 @@ def clust_mst(
             exact_ds = exact_fut.result() if exact_fut is not None else exact_dedup(
                 sketches, carry_length=True
             )
-            # lengths for FOREST members only (medoid tie-breaks)
+            # ONE fused pass over exact_ds serves both consumers (each
+            # Dataset execution costs ~0.3 s fixed scheduler latency —
+            # pure serial fraction on the fast scaling leg): per block,
+            # emit the within-exact-group pairs (kind=0; see
+            # exact_group_pairs for the distribution argument) AND the
+            # forest members' length rows (kind=1; members broadcast).
+            # Collected bytes stay bounded by true dup pairs + forest
+            # members, never corpus size.
+            from rabbittclust_ray.stages.dedup import _group_pairs
+
             if forest.num_rows:
                 members = np.sort(np.unique(np.concatenate([
                     forest["u"].to_numpy(zero_copy_only=False),
                     forest["v"].to_numpy(zero_copy_only=False),
                 ])))
-                mref = ray.put(members)
-
-                def pick_lengths(tb: pa.Table) -> pa.Table:
-                    mem = ray.get(mref)
-                    eids = tb["doc_id"].to_numpy(zero_copy_only=False)
-                    pos = np.clip(np.searchsorted(mem, eids), 0, len(mem) - 1)
-                    sel = mem[pos] == eids
-                    return tb.select(["doc_id", "length"]).filter(pa.array(sel))
-
-                ltab = pa.concat_tables([
-                    b for b in exact_ds.map_batches(
-                        pick_lengths, batch_format="pyarrow"
-                    ).iter_batches(batch_size=None, batch_format="pyarrow")
-                    if b.num_rows
-                ]) if members.size else None
-                lengths = (
-                    dict(zip(
-                        ltab["doc_id"].to_numpy(zero_copy_only=False).tolist(),
-                        ltab["length"].to_numpy(zero_copy_only=False).tolist(),
-                    )) if ltab is not None and ltab.num_rows else {}
-                )
             else:
-                lengths = {}
+                members = np.array([], dtype=np.int64)
+            mref = ray.put(members)
+
+            def pairs_and_lengths(tb: pa.Table) -> pa.Table:
+                cols = {"kind": pa.array([], pa.int8()),
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64())}
+                if tb.num_rows == 0:
+                    return pa.table(cols)
+                ka, aa, bb, cc = [], [], [], []
+                dup = tb["is_exact_dup"].to_numpy(zero_copy_only=False)
+                ids_all = tb["doc_id"].to_numpy(zero_copy_only=False)
+                if dup.any():
+                    reps_all = tb["group_rep"].to_numpy(zero_copy_only=False)
+                    hot = np.unique(reps_all[dup])
+                    sel = np.isin(reps_all, hot)
+                    eu, ev, er = _group_pairs(ids_all[sel], reps_all[sel])
+                    ka.append(np.zeros(len(eu), dtype=np.int8))
+                    aa.append(eu)
+                    bb.append(ev)
+                    cc.append(er)
+                mem = ray.get(mref)
+                if len(mem):
+                    pos = np.clip(np.searchsorted(mem, ids_all), 0, len(mem) - 1)
+                    lsel = mem[pos] == ids_all
+                    lids = ids_all[lsel]
+                    llen = tb["length"].to_numpy(zero_copy_only=False)[lsel]
+                    ka.append(np.ones(len(lids), dtype=np.int8))
+                    aa.append(lids)
+                    bb.append(llen.astype(np.int64))
+                    cc.append(np.zeros(len(lids), dtype=np.int64))
+                if not ka:
+                    return pa.table(cols)
+                return pa.table(
+                    {"kind": pa.array(np.concatenate(ka), pa.int8()),
+                     "a": pa.array(np.concatenate(aa), pa.int64()),
+                     "b": pa.array(np.concatenate(bb), pa.int64()),
+                     "c": pa.array(np.concatenate(cc), pa.int64())}
+                )
+
+            parts = [
+                b for b in exact_ds.map_batches(
+                    pairs_and_lengths, batch_format="pyarrow", batch_size=None
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows
+            ]
+            fused = (
+                pa.concat_tables(parts) if parts
+                else pa.table({"kind": pa.array([], pa.int8()),
+                               "a": pa.array([], pa.int64()),
+                               "b": pa.array([], pa.int64()),
+                               "c": pa.array([], pa.int64())})
+            )
+            kind = fused["kind"].to_numpy(zero_copy_only=False)
+            lmask = kind == 1
+            lengths = dict(zip(
+                fused["a"].to_numpy(zero_copy_only=False)[lmask].tolist(),
+                fused["b"].to_numpy(zero_copy_only=False)[lmask].tolist(),
+            ))
+            ptab = fused.filter(pa.array(kind == 0))
+            exact_pairs = pa.table(
+                {"u": ptab["a"], "v": ptab["b"], "group_rep": ptab["c"]}
+            )
             dedup_assignments, near_pairs = collapse_near_dups(
                 forest, labels, lengths, ccfg.dedup_dist
             )
             result.dedup_assignments = dedup_assignments
-            eparts = [
-                b for b in exact_group_pairs(exact_ds).iter_batches(
-                    batch_size=None, batch_format="pyarrow")
-                if b.num_rows
-            ]
-            exact_pairs = (
-                pa.concat_tables(eparts) if eparts
-                else pa.table({"u": pa.array([], pa.int64()),
-                               "v": pa.array([], pa.int64()),
-                               "group_rep": pa.array([], pa.int64())})
-            )
             result.dup_pairs = dup_pairs_with_exact(near_pairs, exact_pairs)
             t = tick("dedup", t)
         if ccfg.reps_per_cluster > 1:
