@@ -298,3 +298,65 @@ def test_pick_split_mode_capacity_guard():
     assert pick_split_mode(2, 1_000_000, store) == "map"
     # unknown capacity -> pull (legacy behavior, no false positives)
     assert pick_split_mode(1, 10**12, 0) == "pull"
+
+
+def test_hash_exchange_key_fn_matches_column_key():
+    """Computed-key mode (key_fn/next_key_fn — no key column ships at
+    all) must produce the identical result and co-location as the
+    column-key path, under BOTH transfer plans and for a chained
+    producer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rabbittclust_ray.stages.pairs import hash_exchange, splitmix_pair
+
+    rng = np.random.default_rng(21)
+    u = rng.integers(0, 25, 5000).astype(np.int64)
+    v = rng.integers(0, 25, 5000).astype(np.int64)
+    t = pa.table({
+        "u": pa.array(u, pa.int64()),
+        "v": pa.array(v, pa.int64()),
+        "w": pa.array(rng.integers(0, 100, 5000), pa.int64()),
+    })
+
+    def kf(tab: pa.Table) -> np.ndarray:
+        return splitmix_pair(
+            tab["u"].to_numpy(zero_copy_only=False),
+            tab["v"].to_numpy(zero_copy_only=False),
+        )
+
+    def with_col(tab: pa.Table) -> pa.Table:
+        return tab.append_column("pk", pa.array(kf(tab), pa.uint64()))
+
+    def agg(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n_parts": pa.array([], pa.int64())})
+        uu = tab["u"].to_numpy(zero_copy_only=False)
+        vv = tab["v"].to_numpy(zero_copy_only=False)
+        ww = tab["w"].to_numpy(zero_copy_only=False)
+        key = uu * 1000 + vv
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=ww).astype(np.int64)
+        return pa.table({"u": pa.array(uk // 1000, pa.int64()),
+                         "v": pa.array(uk % 1000, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "n_parts": pa.array(np.ones(len(uk), np.int64), pa.int64())})
+
+    ds = ray.data.from_arrow(t).repartition(6)
+    base = hash_exchange(
+        ds.map_batches(with_col, batch_format="pyarrow"), "pk", agg, 7,
+        key_is_hash=True,
+    ).to_pandas()
+    base = base.drop(columns=["pk"], errors="ignore")
+    for mode in ("pull", "map"):
+        got = hash_exchange(ds, "pair", agg, 7, key_fn=kf, split_mode=mode).to_pandas()
+        a = base.sort_values(["u", "v"]).reset_index(drop=True)
+        b = got.sort_values(["u", "v"]).reset_index(drop=True)
+        assert a[["u", "v", "s"]].equals(b[["u", "v", "s"]]), mode
+        assert (b.n_parts == 1).all()  # each pair co-located once
+    # no key column in the computed-key output rows
+    assert "pk" not in got.columns
