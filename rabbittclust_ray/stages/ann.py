@@ -1048,9 +1048,13 @@ def knn_join(
             "cosine_sim": pa.array([], pa.float64()),
         }
     )
-    left_tbl = pa.Table.from_pandas(left.to_pandas(), preserve_index=False)
-    if left_tbl.num_rows == 0:
+    lparts = [
+        b for b in left.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not lparts:
         return ray.data.from_arrow(_EMPTY_KNN)
+    left_tbl = pa.concat_tables(lparts).combine_chunks()
     lt = _emb_matrix(left_tbl, emb_col)
     lids = left_tbl[id_col].to_numpy(zero_copy_only=False)
     ln = lt / np.maximum(np.linalg.norm(lt, axis=1, keepdims=True), 1e-30)
@@ -1201,11 +1205,14 @@ def margin_mining(
     # top-k by (full-precision sim desc, left id asc — the left matrix is
     # pre-sorted by id so a stable argsort ties identically), round to 6,
     # then np.add.reduceat over the rank-ordered rounded sims.
-    ldf = left.to_pandas()
-    if len(ldf) == 0:
+    lparts2 = [
+        b for b in left.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not lparts2:
         lids, lnorm = np.array([], dtype=np.int64), np.zeros((0, 0))
     else:
-        left_tbl = pa.Table.from_pandas(ldf, preserve_index=False)
+        left_tbl = pa.concat_tables(lparts2).combine_chunks()
         lids = left_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         lorder = np.argsort(lids, kind="stable")
         lm = _emb_matrix(left_tbl, emb_col)[lorder]
