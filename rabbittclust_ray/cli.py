@@ -311,13 +311,24 @@ def _cli_main(argv: list[str] | None = None) -> int:
 
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        # Attach to a real cluster when RAY_ADDRESS points at one (the
+        # `ray job submit` deployment path — cluster resources govern,
+        # --num-cpus is ignored); otherwise own a local session.
+        addr = os.environ.get("RAY_ADDRESS", "local") or "local"
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=addr,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
