@@ -307,3 +307,34 @@ def test_dedup_corpus_labelprop_cutover_matches_driver_path(small_corpus):
     # cleaned side rides the same report: survivors identical
     kept = scaled[scaled.keep == 1]
     assert sorted(res.cleaned.to_pandas().doc_id) == sorted(kept.doc_id)
+
+
+def test_dedup_corpus_checkpoint_resume_scale_path(small_corpus, tmp_path):
+    """Resumability with the labelprop cutover ENGAGED (driver_labels_max=0
+    — the 100-TB path): partial resume past sketches/edges re-runs only
+    the distributed labels + verdict join and reproduces the persisted
+    report exactly."""
+    import shutil
+
+    docs, _ = small_corpus
+    scaled_cfg = ClusterConfig(
+        threshold=CCFG.threshold, max_posting=CCFG.max_posting,
+        num_buckets=CCFG.num_buckets, driver_labels_max=0,
+    )
+    root = str(tmp_path / "state_scale")
+    r1 = dedup_corpus(ray.data.from_arrow(docs), SCFG, scaled_cfg,
+                      dedup_dist=0.05, checkpoint_root=root)
+    rep1 = r1.report.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # full-resume: empty source, result served from the checkpoint
+    empty = ray.data.from_arrow(docs.slice(0, 0))
+    r2 = dedup_corpus(empty, SCFG, scaled_cfg, dedup_dist=0.05,
+                      checkpoint_root=root)
+    rep2 = r2.report.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert rep1.equals(rep2)
+    # partial resume: final stages dropped; labelprop + _report_scale rerun
+    shutil.rmtree(f"{root}/dedup_report")
+    shutil.rmtree(f"{root}/dedup_cleaned")
+    r3 = dedup_corpus(ray.data.from_arrow(docs), SCFG, scaled_cfg,
+                      dedup_dist=0.05, checkpoint_root=root)
+    rep3 = r3.report.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert rep1.equals(rep3)
