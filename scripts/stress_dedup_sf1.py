@@ -55,8 +55,14 @@ def main() -> int:
     # union-find path (for the equal-verdicts comparison in BASELINE.md).
     dlm = int(os.environ.get("STRESS_DRIVER_LABELS_MAX",
                              ClusterConfig.driver_labels_max))
+    # STRESS_MAX_POSTING_REDUCERS: pair-partial volume is ~n_pairs x
+    # min(avg_common, reducers) — fewer posting reducers shrink the
+    # dominant shuffle (and its spill) at the cost of larger per-task
+    # slices (memory-aware reduce num_cpus absorbs that).
+    mpr = int(os.environ.get("STRESS_MAX_POSTING_REDUCERS",
+                             ClusterConfig.max_posting_reducers))
     ccfg = ClusterConfig(threshold=0.05, dedup_dist=0.02, max_posting=256,
-                         driver_labels_max=dlm)
+                         driver_labels_max=dlm, max_posting_reducers=mpr)
 
     t1 = time.perf_counter()
     res = dedup_corpus(corpus, scfg, ccfg, dedup_dist=0.02)
