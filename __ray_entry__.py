@@ -597,7 +597,7 @@ def _q_dup_pairs_mst(sf_dir: str):
     threshold graph's components), which is what the SQL oracle checks; the
     tree-medoid group_rep is MST-tie-dependent and stays pytest-covered."""
     res = _exact_mst_cached(sf_dir, EX_THRESHOLD, dedup=True)
-    return res.dup_pairs.select(["u", "v"])
+    return res.dup_pairs.select_columns(["u", "v"])
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
@@ -1495,7 +1495,7 @@ def _q_dup_spans(sf_dir: str):
     from rabbittclust_ray.stages.spans import dup_spans
 
     res = _exact_mst_cached(sf_dir, EX_THRESHOLD, dedup=True)
-    pairs = ray.data.from_arrow(res.dup_pairs.select(["u", "v"]))
+    pairs = res.dup_pairs.select_columns(["u", "v"])
     docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dup_spans(pairs, docs, w=16, id_col="doc_id", text_col="text")
 
@@ -1646,7 +1646,7 @@ def _q_strip_dup_spans(sf_dir: str):
     from rabbittclust_ray.stages.spans import strip_dup_spans
 
     res = _exact_mst_cached(sf_dir, EX_THRESHOLD, dedup=True)
-    pairs = ray.data.from_arrow(res.dup_pairs.select(["u", "v"]))
+    pairs = res.dup_pairs.select_columns(["u", "v"])
     docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return strip_dup_spans(pairs, docs, w=16, id_col="doc_id",
                            text_col="text", num_partitions=64)

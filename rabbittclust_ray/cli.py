@@ -109,7 +109,10 @@ def _write_outputs(outdir: str, result, threshold: float, stream: bool = False) 
         import pyarrow as pa
 
         if getattr(result, "dup_pairs", None) is not None:
-            pq.write_table(result.dup_pairs, os.path.join(outdir, "dup_pairs.parquet"))
+            # dup_pairs is a Dataset (C(family,2) growth): streamed,
+            # partitioned write — never collected to the driver
+            result.dup_pairs.write_parquet(
+                os.path.join(outdir, "dup_pairs.parquet"))
         if getattr(result, "mst", None) is not None:
             pq.write_table(result.mst, os.path.join(outdir, "mst.parquet"))
         print(f"wrote {adir}/ (partitioned parquet dataset)")
@@ -124,7 +127,9 @@ def _write_outputs(outdir: str, result, threshold: float, stream: bool = False) 
     with open(os.path.join(outdir, "clusters.txt"), "w") as f:
         f.write(cluster_text(pa.Table.from_pandas(apdf, preserve_index=False), threshold=threshold))
     if getattr(result, "dup_pairs", None) is not None:
-        pq.write_table(result.dup_pairs, os.path.join(outdir, "dup_pairs.parquet"))
+        pq.write_table(
+            pa.Table.from_pandas(result.dup_pairs.to_pandas(), preserve_index=False),
+            os.path.join(outdir, "dup_pairs.parquet"))
     if getattr(result, "mst", None) is not None:
         pq.write_table(result.mst, os.path.join(outdir, "mst.parquet"))
     print(f"wrote {outdir}/assignments.parquet ({len(apdf)} rows, "
@@ -539,14 +544,15 @@ def _cli_main(argv: list[str] | None = None) -> int:
             )
             import pyarrow as _pa
 
-            if result.dup_pairs is None or result.dup_pairs.num_rows == 0:
+            dp = result.dup_pairs.materialize() if result.dup_pairs is not None else None
+            if dp is None or dp.count() == 0:
                 print("no duplicate pairs at this distance; nothing to strip")
                 pairs = _rd.from_arrow(_pa.table(
                     {"u": _pa.array([], _pa.int64()),
                      "v": _pa.array([], _pa.int64())}
                 ))
             else:
-                pairs = _rd.from_arrow(result.dup_pairs.select(["u", "v"]))
+                pairs = dp.select_columns(["u", "v"])
             prepared = prepare_documents(ds, scfg).map_batches(
                 lambda t: t.select(["doc_id", "content"]),
                 batch_format="pyarrow",

@@ -42,8 +42,11 @@ class MstResult:
     #                              ({} on the labelprop scale path — see
     #                              ClusterConfig.driver_labels_max)
     mst: pa.Table | None = None          # minimum spanning forest of the edges
-    dedup_assignments: pa.Table | None = None  # (doc_id, cluster_id, dedup_rep)
-    dup_pairs: pa.Table | None = None    # (u, v, group_rep) — tier deliverable
+    # Datasets (NOT driver tables): dup_pairs grows as C(family, 2) — the
+    # expansion runs in chunked Ray tasks and only block refs reach the
+    # driver (stages/dedup.py collapse_near_dups_ds).
+    dedup_assignments: ray.data.Dataset | None = None  # (doc_id, cluster_id, dedup_rep)
+    dup_pairs: ray.data.Dataset | None = None  # (u, v, group_rep) — tier deliverable
     reps: dict[int, list[int]] | None = None   # cluster_id -> k-center reps
     labels_ds: ray.data.Dataset | None = None  # scale-path labels (doc_id, cluster_id)
 
@@ -178,9 +181,10 @@ def clust_mst(
     )
     if ccfg.dedup_dist is not None or ccfg.reps_per_cluster > 1:
         from rabbittclust_ray.stages.dedup import (
-            collapse_near_dups,
-            dup_pairs_with_exact,
+            collapse_near_dups_ds,
+            drop_pairs_in_near_groups,
             exact_dedup,
+            exact_group_pairs,
             k_center_reps,
         )
 
@@ -193,27 +197,22 @@ def clust_mst(
             # the result and never used for assignments on this path.
             labels = _labels_from_forest(mst)
         if ccfg.dedup_dist is not None:
-            # the exact-dedup exchange output STAYS a dataset: the branch
-            # pulls only (a) lengths for FOREST members (medoid
-            # tie-breaks; a distributed filter against the broadcast
-            # member set, <= |forest members| rows reach the driver) and
-            # (b) the within-exact-group pairs, expanded distributed
-            # (exact_group_pairs: per-block map, groups are exchange-
-            # co-located) and bounded by TRUE duplicate pairs — never a
-            # one-row-per-doc driver table.
+            # the exact-dedup exchange output STAYS a dataset — its blocks
+            # are already materialized object-store refs, so both consumers
+            # below re-run only their own cheap map stage:
+            # (a) the ONLY driver collection is lengths for FOREST members
+            #     (medoid tie-breaks; <= |forest members| rows), and
+            # (b) the within-exact-group pairs expand DISTRIBUTED
+            #     (exact_group_pairs: per-block map, groups are exchange-
+            #     co-located) and stay a lazy Dataset.
+            # dup_pairs / dedup_assignments are Datasets end-to-end: the
+            # quadratic near-pair expansion runs in chunked Ray tasks
+            # (collapse_near_dups_ds) and the near-wins conflict dedup is a
+            # broadcast anti-join filter on the exact side — no
+            # output-sized driver table anywhere on this branch.
             exact_ds = exact_fut.result() if exact_fut is not None else exact_dedup(
                 sketches, carry_length=True
             )
-            # ONE fused pass over exact_ds serves both consumers (each
-            # Dataset execution costs ~0.3 s fixed scheduler latency —
-            # pure serial fraction on the fast scaling leg): per block,
-            # emit the within-exact-group pairs (kind=0; see
-            # exact_group_pairs for the distribution argument) AND the
-            # forest members' length rows (kind=1; members broadcast).
-            # Collected bytes stay bounded by true dup pairs + forest
-            # members, never corpus size.
-            from rabbittclust_ray.stages.dedup import _group_pairs
-
             if forest.num_rows:
                 members = np.sort(np.unique(np.concatenate([
                     forest["u"].to_numpy(zero_copy_only=False),
@@ -221,74 +220,43 @@ def clust_mst(
                 ])))
             else:
                 members = np.array([], dtype=np.int64)
-            mref = ray.put(members)
+            lengths: dict[int, int] = {}
+            if len(members):
+                mref = ray.put(members)
 
-            def pairs_and_lengths(tb: pa.Table) -> pa.Table:
-                cols = {"kind": pa.array([], pa.int8()),
-                        "a": pa.array([], pa.int64()),
-                        "b": pa.array([], pa.int64()),
-                        "c": pa.array([], pa.int64())}
-                if tb.num_rows == 0:
-                    return pa.table(cols)
-                ka, aa, bb, cc = [], [], [], []
-                dup = tb["is_exact_dup"].to_numpy(zero_copy_only=False)
-                ids_all = tb["doc_id"].to_numpy(zero_copy_only=False)
-                if dup.any():
-                    reps_all = tb["group_rep"].to_numpy(zero_copy_only=False)
-                    hot = np.unique(reps_all[dup])
-                    sel = np.isin(reps_all, hot)
-                    eu, ev, er = _group_pairs(ids_all[sel], reps_all[sel])
-                    ka.append(np.zeros(len(eu), dtype=np.int8))
-                    aa.append(eu)
-                    bb.append(ev)
-                    cc.append(er)
-                mem = ray.get(mref)
-                if len(mem):
+                def member_lengths(tb: pa.Table) -> pa.Table:
+                    cols = {"a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64())}
+                    if tb.num_rows == 0:
+                        return pa.table(cols)
+                    mem = ray.get(mref)
+                    ids_all = tb["doc_id"].to_numpy(zero_copy_only=False)
                     pos = np.clip(np.searchsorted(mem, ids_all), 0, len(mem) - 1)
                     lsel = mem[pos] == ids_all
-                    lids = ids_all[lsel]
+                    if not lsel.any():
+                        return pa.table(cols)
                     llen = tb["length"].to_numpy(zero_copy_only=False)[lsel]
-                    ka.append(np.ones(len(lids), dtype=np.int8))
-                    aa.append(lids)
-                    bb.append(llen.astype(np.int64))
-                    cc.append(np.zeros(len(lids), dtype=np.int64))
-                if not ka:
-                    return pa.table(cols)
-                return pa.table(
-                    {"kind": pa.array(np.concatenate(ka), pa.int8()),
-                     "a": pa.array(np.concatenate(aa), pa.int64()),
-                     "b": pa.array(np.concatenate(bb), pa.int64()),
-                     "c": pa.array(np.concatenate(cc), pa.int64())}
-                )
+                    return pa.table(
+                        {"a": pa.array(ids_all[lsel], pa.int64()),
+                         "b": pa.array(llen.astype(np.int64), pa.int64())}
+                    )
 
-            parts = [
-                b for b in exact_ds.map_batches(
-                    pairs_and_lengths, batch_format="pyarrow", batch_size=None
-                ).iter_batches(batch_size=None, batch_format="pyarrow")
-                if b.num_rows
-            ]
-            fused = (
-                pa.concat_tables(parts) if parts
-                else pa.table({"kind": pa.array([], pa.int8()),
-                               "a": pa.array([], pa.int64()),
-                               "b": pa.array([], pa.int64()),
-                               "c": pa.array([], pa.int64())})
-            )
-            kind = fused["kind"].to_numpy(zero_copy_only=False)
-            lmask = kind == 1
-            lengths = dict(zip(
-                fused["a"].to_numpy(zero_copy_only=False)[lmask].tolist(),
-                fused["b"].to_numpy(zero_copy_only=False)[lmask].tolist(),
-            ))
-            ptab = fused.filter(pa.array(kind == 0))
-            exact_pairs = pa.table(
-                {"u": ptab["a"], "v": ptab["b"], "group_rep": ptab["c"]}
-            )
-            dedup_assignments, near_pairs = collapse_near_dups(
+                for b in exact_ds.map_batches(
+                    member_lengths, batch_format="pyarrow", batch_size=None
+                ).iter_batches(batch_size=None, batch_format="pyarrow"):
+                    if b.num_rows:
+                        lengths.update(zip(
+                            b["a"].to_numpy(zero_copy_only=False).tolist(),
+                            b["b"].to_numpy(zero_copy_only=False).tolist(),
+                        ))
+            assignments_ds, near_pairs_ds, (msorted, mgrp) = collapse_near_dups_ds(
                 forest, labels, lengths, ccfg.dedup_dist
             )
-            result.dedup_assignments = dedup_assignments
-            result.dup_pairs = dup_pairs_with_exact(near_pairs, exact_pairs)
+            exact_pairs_ds = drop_pairs_in_near_groups(
+                exact_group_pairs(exact_ds), msorted, mgrp
+            )
+            result.dedup_assignments = assignments_ds
+            result.dup_pairs = near_pairs_ds.union(exact_pairs_ds)
             t = tick("dedup", t)
         if ccfg.reps_per_cluster > 1:
             result.reps = k_center_reps(forest, labels, ccfg.reps_per_cluster)

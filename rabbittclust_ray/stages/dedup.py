@@ -516,33 +516,28 @@ def _parallel_medoids(
     return np.concatenate(ray.get(futs))
 
 
-def collapse_near_dups(
+def _near_group_arrays(
     forest: pa.Table,
-    labels: dict[int, int],
     lengths: dict[int, int],
     dedup_dist: float,
-) -> tuple[pa.Table, pa.Table]:
-    """(dedup_assignments, dup_pairs) from the cut forest.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """Shared driver-side group/medoid computation for the near-dup
+    collapse: (members_global, grp_starts, grp_counts, reps_per_group),
+    or None when no forest edge clears ``dedup_dist``.
 
-    dedup_assignments: (doc_id, cluster_id, dedup_rep) — every edge-touched
-    doc mapped to its group medoid (docs not in any <=dedup_dist group are
-    their own rep). dup_pairs: (u, v, group_rep) for all unordered pairs in
-    each collapsed group (FIXTURES.md §3 deliverable)."""
+    Everything here is bounded by FOREST size (same residency class as the
+    driver-resident MST itself); the quadratic pair expansion is NOT done
+    here — see collapse_near_dups (driver tables, small scale) vs
+    collapse_near_dups_ds (Dataset outputs, the scale path)."""
     from rabbittclust_ray.stages.graph_np import components_labels, dense_ids
-    from rabbittclust_ray.stages.pairs import _ragged_pairs
 
     u_arr = forest["u"].to_numpy(zero_copy_only=False)
     v_arr = forest["v"].to_numpy(zero_copy_only=False)
     d_arr = forest["dist"].to_numpy(zero_copy_only=False)
     sel = d_arr <= dedup_dist
     u_arr, v_arr, d_arr = u_arr[sel], v_arr[sel], d_arr[sel]
-    empty_a = pa.table({"doc_id": pa.array([], pa.int64()),
-                        "cluster_id": pa.array([], pa.int64()),
-                        "dedup_rep": pa.array([], pa.int64())})
-    empty_p = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
-                        "group_rep": pa.array([], pa.int64())})
     if len(u_arr) == 0:
-        return empty_a, empty_p
+        return None
     ids, (du, dv) = dense_ids(u_arr, v_arr)
     n = len(ids)
     glab = components_labels(du, dv, n)
@@ -561,6 +556,35 @@ def collapse_near_dups(
     reps_per_group = _parallel_medoids(
         members_global, grp_starts, grp_counts, ids[du], ids[dv], d_arr, glab[du], lengths
     )
+    return members_global, grp_starts, grp_counts, reps_per_group
+
+
+def collapse_near_dups(
+    forest: pa.Table,
+    labels: dict[int, int],
+    lengths: dict[int, int],
+    dedup_dist: float,
+) -> tuple[pa.Table, pa.Table]:
+    """(dedup_assignments, dup_pairs) from the cut forest, as DRIVER tables.
+
+    dedup_assignments: (doc_id, cluster_id, dedup_rep) — every edge-touched
+    doc mapped to its group medoid (docs not in any <=dedup_dist group are
+    their own rep). dup_pairs: (u, v, group_rep) for all unordered pairs in
+    each collapsed group (FIXTURES.md §3 deliverable).
+
+    Pairs grow as C(family, 2): use collapse_near_dups_ds (the flagship's
+    path) when the output may not fit the driver."""
+    from rabbittclust_ray.stages.pairs import _ragged_pairs
+
+    empty_a = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "cluster_id": pa.array([], pa.int64()),
+                        "dedup_rep": pa.array([], pa.int64())})
+    empty_p = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                        "group_rep": pa.array([], pa.int64())})
+    arrs = _near_group_arrays(forest, lengths, dedup_dist)
+    if arrs is None:
+        return empty_a, empty_p
+    members_global, grp_starts, grp_counts, reps_per_group = arrs
     rep_col = np.repeat(reps_per_group, grp_counts)
     cluster_col = np.array([labels.get(int(m), int(m)) for m in members_global], dtype=np.int64)
     dedup_assignments = pa.table(
@@ -580,6 +604,152 @@ def collapse_near_dups(
         }
     )
     return dedup_assignments, dup_pairs
+
+
+_EMPTY_ASSIGN = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64()),
+                          "dedup_rep": pa.array([], pa.int64())})
+
+
+def collapse_near_dups_ds(
+    forest: pa.Table,
+    labels: dict[int, int],
+    lengths: dict[int, int],
+    dedup_dist: float,
+    *,
+    pairs_per_block: int = 4_000_000,
+    rows_per_block: int = 2_000_000,
+) -> tuple[ray.data.Dataset, ray.data.Dataset, tuple[np.ndarray, np.ndarray]]:
+    """Dataset-output variant of collapse_near_dups — the flagship's path.
+
+    Returns (dedup_assignments_ds, dup_pairs_ds, (members_sorted, grp_of)).
+
+    The group/medoid metadata is bounded by FOREST members (the same
+    residency class as the driver-resident MST), but dup_pairs grows as
+    C(family, 2) — at 100x scale with 10x duplication that is ~1.8B pairs,
+    which must never be concatenated on the driver. Here the quadratic
+    expansion runs in Ray TASKS over group chunks sized to ~pairs_per_block
+    pairs each; the task RETURNS are object-store blocks collected only as
+    refs (ray.data.from_arrow_refs) — no output-sized driver structure.
+    Assignments (one row per forest member) are likewise emitted as
+    chunked object-store blocks.
+
+    (members_sorted, grp_of) — the member->near-group mapping, forest-
+    bounded — lets the exact-pair side drop pairs already covered by a near
+    group (drop_pairs_in_near_groups), replacing the old driver-side
+    near-wins dedup with a distributed anti-join filter."""
+    import ray
+
+    from rabbittclust_ray.stages.pairs import _ragged_pairs as _rp
+
+    empty_m = np.empty(0, dtype=np.int64)
+    arrs = _near_group_arrays(forest, lengths, dedup_dist)
+    if arrs is None:
+        return (
+            ray.data.from_arrow(_EMPTY_ASSIGN),
+            ray.data.from_arrow(_EMPTY_PAIRS),
+            (empty_m, empty_m),
+        )
+    members_global, grp_starts, grp_counts, reps_per_group = arrs
+    n = len(members_global)
+    n_groups = len(grp_starts)
+    grp_of_pos = np.repeat(np.arange(n_groups, dtype=np.int64), grp_counts)
+    rep_col = np.repeat(reps_per_group, grp_counts)
+    cluster_col = np.array(
+        [labels.get(int(m), int(m)) for m in members_global], dtype=np.int64
+    )
+    # member -> group lookup for the exact-pair filter (forest-bounded)
+    morder = np.argsort(members_global, kind="stable")
+    members_sorted = members_global[morder]
+    grp_of = grp_of_pos[morder]
+
+    # assignments: chunked object-store blocks; driver holds the (already
+    # resident) metadata arrays plus ONE chunk's table at a time
+    a_refs = []
+    for s in range(0, n, rows_per_block):
+        e = min(s + rows_per_block, n)
+        a_refs.append(ray.put(pa.table({
+            "doc_id": pa.array(members_global[s:e], pa.int64()),
+            "cluster_id": pa.array(cluster_col[s:e], pa.int64()),
+            "dedup_rep": pa.array(rep_col[s:e], pa.int64()),
+        })))
+    assignments_ds = ray.data.from_arrow_refs(a_refs)
+
+    # pairs: quadratic expansion in tasks, never on the driver. Chunk
+    # GROUPS so each task emits <= ~pairs_per_block pairs.
+    @ray.remote
+    def pair_block(members: np.ndarray, counts: np.ndarray, reps: np.ndarray) -> pa.Table:
+        i_idx, j_idx = _rp(counts)
+        grp = np.repeat(
+            np.arange(len(counts), dtype=np.int64), counts * (counts - 1) // 2
+        )
+        return pa.table({
+            "u": pa.array(members[i_idx], pa.int64()),
+            "v": pa.array(members[j_idx], pa.int64()),
+            "group_rep": pa.array(reps[grp], pa.int64()),
+        })
+
+    pair_counts = grp_counts * (grp_counts - 1) // 2
+    cum = np.cumsum(pair_counts)
+    p_refs = []
+    gs = 0
+    while gs < n_groups:
+        base = cum[gs - 1] if gs else 0
+        # largest ge with cum[ge-1] - base <= budget (>= gs+1 for progress:
+        # a single over-budget family still gets its own task)
+        ge = int(np.searchsorted(cum, base + pairs_per_block, side="right"))
+        ge = max(gs + 1, min(ge, n_groups))
+        lo = int(grp_starts[gs])
+        hi = int(grp_starts[ge - 1] + grp_counts[ge - 1])
+        p_refs.append(pair_block.remote(
+            members_global[lo:hi], grp_counts[gs:ge], reps_per_group[gs:ge]
+        ))
+        gs = ge
+    pairs_ds = (
+        ray.data.from_arrow_refs(p_refs)
+        if p_refs else ray.data.from_arrow(_EMPTY_PAIRS)
+    )
+    return assignments_ds, pairs_ds, (members_sorted, grp_of)
+
+
+def drop_pairs_in_near_groups(
+    pairs_ds: ray.data.Dataset,
+    members_sorted: np.ndarray,
+    grp_of: np.ndarray,
+) -> ray.data.Dataset:
+    """Filter a (u, v, ...) pair Dataset, dropping rows whose BOTH endpoints
+    fall in the same near-dup group — the distributed replacement for the
+    old driver-side "near pairs win on conflict" dedup
+    (dup_pairs_with_exact): exact-sha pairs inside a near group are exactly
+    the conflicting rows. Broadcast is forest-member-bounded (ray.put
+    once, read per task)."""
+    import ray
+
+    if len(members_sorted) == 0:
+        return pairs_ds
+    mref = ray.put((members_sorted, grp_of))
+
+    def flt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ms, mg = ray.get(mref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+
+        def grp_lookup(x: np.ndarray) -> np.ndarray:
+            pos = np.clip(np.searchsorted(ms, x), 0, len(ms) - 1)
+            hit = ms[pos] == x
+            g = np.where(hit, mg[pos], -1)
+            return g
+
+        gu = grp_lookup(u)
+        gv = grp_lookup(v)
+        drop = (gu >= 0) & (gu == gv)
+        if not drop.any():
+            return t
+        return t.filter(pa.array(~drop))
+
+    return pairs_ds.map_batches(flt, batch_format="pyarrow")
 
 
 def _group_pairs(ids: np.ndarray, reps: np.ndarray):
