@@ -98,20 +98,27 @@ def dsir_scores(
 
     ``key_mode="hash"`` replaces the shuffled word strings with their
     64-bit hashes (dual-hasher convention — same counts up to birthday
-    collisions, 8-byte rows instead of strings through the exchange)."""
+    collisions, 8-byte rows instead of strings through the exchange).
+    The hash path range-partitions DIRECTLY on the uint64 ``w`` values
+    (``key_is_hash`` — no HKEY column), chains into a computed-doc-key
+    second exchange (``key_fn`` — no key column at all, second map pass
+    skipped), and reduces with packed-single-key numpy; only the
+    per-UNIQUE-word pricing stays Python-int (exact beyond int64, and
+    vocabulary-bounded)."""
+    from rabbittclust_ray.stages.novelty import _dockey
     from rabbittclust_ray.stages.pairs import hash_exchange
 
     nr, nt = int(n_raw_tokens), max(int(n_target_tokens), 1)
+    hash_mode = key_mode != "string"
 
-    w_type = pa.string() if key_mode == "string" else pa.int64()
-    empty_tok = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "w": pa.array([], w_type),
-            "tgt": pa.array([], pa.int8()),
-            "__gkey__": pa.array([], pa.int64()),
-        }
-    )
+    tok_cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "w": pa.array([], pa.uint64() if hash_mode else pa.string()),
+        "tgt": pa.array([], pa.int8()),
+    }
+    if not hash_mode:
+        tok_cols["__gkey__"] = pa.array([], pa.int64())
+    empty_tok = pa.table(tok_cols)
 
     def explode(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -119,34 +126,68 @@ def dsir_scores(
         w, ids, tgt = _explode_tokens(t, id_col, text_col, target_col)
         if len(w) == 0:
             return empty_tok
-        gkey = pd.util.hash_array(w.astype(object)).astype(np.int64)
-        wcol = (
-            pa.array(w, pa.string()) if key_mode == "string"
-            else pa.array(gkey, pa.int64())
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-                "w": wcol,
-                "tgt": pa.array(tgt.astype(np.int8), pa.int8()),
-                "__gkey__": pa.array(gkey, pa.int64()),
-            }
-        )
+        gkey = pd.util.hash_array(w.astype(object))
+        if hash_mode:
+            # emit w-sorted so the exchange skips its prep pass
+            # (input_prepped: block-sorted by the uint64 range key)
+            gu = gkey.astype(np.uint64)
+            order = np.argsort(gu, kind="stable")
+            return pa.table({
+                "doc_id": pa.array(ids.astype(np.int64)[order], pa.int64()),
+                "w": pa.array(gu[order], pa.uint64()),
+                "tgt": pa.array(tgt.astype(np.int8)[order], pa.int8()),
+            })
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "w": pa.array(w, pa.string()),
+            "tgt": pa.array(tgt.astype(np.int8), pa.int8()),
+            "__gkey__": pa.array(gkey.astype(np.int64), pa.int64()),
+        })
 
-    empty_partial = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "score": pa.array([], pa.int64()),
-            "__gkey__": pa.array([], pa.int64()),
-        }
-    )
+    partial_cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "score": pa.array([], pa.int64()),
+    }
+    if not hash_mode:
+        partial_cols["__gkey__"] = pa.array([], pa.int64())
+    empty_partial = pa.table(partial_cols)
 
     def ratio_and_partial(t: pa.Table) -> pa.Table:
         """All rows of a word are co-located: count c_r/c_t, price the
         word, sum per doc."""
         if t.num_rows == 0:
             return empty_partial
+        if hash_mode:
+            w = t["w"].to_numpy(zero_copy_only=False)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            tg = t["tgt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(w, kind="stable")
+            ws, ds_, ts = w[order], d[order], tg[order]
+            new_w = np.empty(len(ws), dtype=bool)
+            new_w[0:1] = True
+            new_w[1:] = ws[1:] != ws[:-1]
+            starts = np.flatnonzero(new_w)
+            cr = np.diff(np.append(starts, len(ws)))
+            ct = np.add.reduceat(ts, starts)
+            # Python-int pricing per UNIQUE word (vocabulary-bounded):
+            # exact even when 1e6*(ct+1)*nr passes int64
+            ppm = np.fromiter(
+                ((1_000_000 * (int(c) + 1) * nr) // ((int(r) + 1) * nt)
+                 for r, c in zip(cr, ct)),
+                dtype=np.int64, count=len(cr),
+            )
+            gidx = np.cumsum(new_w) - 1
+            score_rows = ppm[gidx]
+            inv, ud = pd.factorize(ds_, sort=False)
+            n_tokens = np.bincount(inv).astype(np.int64)
+            score = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(score, inv, score_rows)
+            return pa.table(
+                {"doc_id": pa.array(ud, pa.int64()),
+                 "n_tokens": pa.array(n_tokens, pa.int64()),
+                 "score": pa.array(score, pa.int64())}
+            )
         df = t.to_pandas()
         grp = df.groupby("w", sort=False)
         stats = grp.agg(cr=("w", "size"), ct=("tgt", "sum"))
@@ -175,6 +216,19 @@ def dsir_scores(
     def total(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty_out
+        if hash_mode:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            inv, ud = pd.factorize(d, sort=False)
+            n_tokens = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(n_tokens, inv,
+                      t["n_tokens"].to_numpy(zero_copy_only=False))
+            score = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(score, inv, t["score"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"doc_id": pa.array(ud, pa.int64()),
+                 "n_tokens": pa.array(n_tokens, pa.int64()),
+                 "dsir_score_sum": pa.array(score, pa.int64())}
+            )
         df = (
             t.to_pandas()
             .groupby("doc_id", sort=False, as_index=False)[
@@ -188,6 +242,15 @@ def dsir_scores(
         return pa.Table.from_pandas(df, preserve_index=False)
 
     toks = ds.map_batches(explode, batch_format="pyarrow")
+    if hash_mode:
+        partials = hash_exchange(
+            toks, "w", ratio_and_partial, num_partitions,
+            input_prepped=True, key_is_hash=True, next_key_fn=_dockey,
+        )
+        return hash_exchange(
+            partials, "doc_id", total, num_partitions,
+            input_prepped=True, key_fn=_dockey,
+        )
     partials = hash_exchange(toks, "__gkey__", ratio_and_partial,
                              num_partitions)
     return hash_exchange(partials, "__gkey__", total, num_partitions)

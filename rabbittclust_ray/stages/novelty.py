@@ -38,6 +38,18 @@ def _combine_hashes(th: np.ndarray, L: int, n: int) -> np.ndarray:
     return h.astype(np.int64)
 
 
+def _dockey(t: pa.Table) -> np.ndarray:
+    """Computed uint64 range key for doc-keyed exchanges (hash_exchange
+    ``key_fn`` contract): splitmix-mixed doc_id. Computed from row content,
+    so NO key column ships through plasma — the same 8 B/row byte diet the
+    pair exchanges use (stages/pairs.py key_fn notes)."""
+    from rabbittclust_ray.hashing import splitmix64
+
+    return splitmix64(
+        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+
+
 def ngram_novelty(
     ds: ray.data.Dataset,
     *,
@@ -54,19 +66,27 @@ def ngram_novelty(
     n-gram text — the SQL-oracle surface. ``key_mode="hash"`` keys on a
     splitmix-combined uint64 of the token hashes: same answer up to
     64-bit collisions, no per-position object concat, and the shuffled
-    posting rows carry 8-byte ints instead of strings — the scale path."""
+    posting rows carry 8-byte ints instead of strings — the scale path.
+    On the hash path the posting exchange range-partitions DIRECTLY on
+    the uint64 ``g`` values (``key_is_hash`` — no redundant 8 B/row HKEY
+    column), the doc-keyed second exchange's range key is COMPUTED from
+    doc_id (``key_fn`` — no key column at all), the two exchanges are
+    CHAINED (``next_key_fn``: the second skips its whole map pass), and
+    both reducers are packed-single-key numpy (argsort + boundary masks +
+    np.add.at), not pandas groupbys."""
     import pyarrow.compute as pc
 
     from rabbittclust_ray.stages.pairs import hash_exchange
 
-    g_type = pa.string() if key_mode == "string" else pa.int64()
-    empty_post = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "g": pa.array([], g_type),
-            "__gkey__": pa.array([], pa.int64()),
-        }
-    )
+    hash_mode = key_mode != "string"
+    g_type = pa.uint64() if hash_mode else pa.string()
+    empty_post_cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "g": pa.array([], g_type),
+    }
+    if not hash_mode:
+        empty_post_cols["__gkey__"] = pa.array([], pa.int64())
+    empty_post = pa.table(empty_post_cols)
 
     def explode(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -92,41 +112,77 @@ def ngram_novelty(
         same = np.ones(L, dtype=bool)
         for j in range(1, n):
             same &= ids[j : L + j] == ids[:L]
-        if key_mode == "string":
-            g = w[:L].astype(object)
-            for j in range(1, n):
-                g = g + " " + w[j : L + j].astype(object)
-        else:
+        if hash_mode:
             th = pd.util.hash_array(w.astype(object)).astype(np.uint64)
-            g = _combine_hashes(th, L, n)
+            g = _combine_hashes(th, L, n).astype(np.uint64)[same]
+            d = ids[:L][same].astype(np.int64)
+            # distinct (doc, g) via one lexsort + boundary mask — a doc
+            # lives wholly inside one batch, so per-batch dedup IS global
+            order = np.lexsort((d, g))
+            gs, ds_ = g[order], d[order]
+            if len(gs) == 0:
+                return empty_post
+            first = np.empty(len(gs), dtype=bool)
+            first[0:1] = True
+            first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+            return pa.table(
+                {"doc_id": pa.array(ds_[first], pa.int64()),
+                 "g": pa.array(gs[first], pa.uint64())}
+            )
+        g = w[:L].astype(object)
+        for j in range(1, n):
+            g = g + " " + w[j : L + j].astype(object)
         df = pd.DataFrame(
             {"doc_id": ids[:L][same], "g": g[same]}
         ).drop_duplicates()
         if df.empty:
             return empty_post
-        if key_mode == "string":
-            df["__gkey__"] = pd.util.hash_array(
-                df["g"].to_numpy().astype(object)
-            ).astype(np.int64)
-        else:
-            df["__gkey__"] = df["g"].astype(np.int64)
+        df["__gkey__"] = pd.util.hash_array(
+            df["g"].to_numpy().astype(object)
+        ).astype(np.int64)
         df["doc_id"] = df["doc_id"].astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    empty_partial = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "n_ngrams": pa.array([], pa.int64()),
-            "novel_ngrams": pa.array([], pa.int64()),
-            "__gkey__": pa.array([], pa.int64()),
-        }
-    )
+    partial_cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "n_ngrams": pa.array([], pa.int64()),
+        "novel_ngrams": pa.array([], pa.int64()),
+    }
+    if not hash_mode:
+        partial_cols["__gkey__"] = pa.array([], pa.int64())
+    empty_partial = pa.table(partial_cols)
 
     def first_and_partial(t: pa.Table) -> pa.Table:
         """All rows of an n-gram are co-located: decide its first doc,
         then collapse to per-doc partials before the second exchange."""
         if t.num_rows == 0:
             return empty_partial
+        if hash_mode:
+            # packed-single-key numpy: ONE radix argsort on the uint64 g
+            # (min doc per run via minimum.reduceat), then a HASH-based
+            # doc factorize + bincount for the per-doc partial — no 2-key
+            # lexsort and no sort-based np.unique (measured 1.5x pandas,
+            # 4x the naive lexsort+unique version)
+            g = t["g"].to_numpy(zero_copy_only=False)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(g, kind="stable")
+            gs, ds_ = g[order], d[order]
+            new_g = np.empty(len(gs), dtype=bool)
+            new_g[0:1] = True
+            new_g[1:] = gs[1:] != gs[:-1]
+            starts = np.flatnonzero(new_g)
+            first_doc = np.minimum.reduceat(ds_, starts)
+            gidx = np.cumsum(new_g) - 1
+            novel = (ds_ == first_doc[gidx]).astype(np.int64)
+            inv, ud = pd.factorize(ds_, sort=False)
+            n_ngrams = np.bincount(inv).astype(np.int64)
+            novel_n = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(novel_n, inv, novel)
+            return pa.table(
+                {"doc_id": pa.array(ud, pa.int64()),
+                 "n_ngrams": pa.array(n_ngrams, pa.int64()),
+                 "novel_ngrams": pa.array(novel_n, pa.int64())}
+            )
         df = t.to_pandas()
         first = df.groupby("g", sort=False)["doc_id"].transform("min")
         df["novel"] = (df["doc_id"] == first).astype(np.int64)
@@ -150,6 +206,22 @@ def ngram_novelty(
     def total(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty_out
+        if hash_mode:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            inv, ud = pd.factorize(d, sort=False)
+            n_ngrams = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(n_ngrams, inv,
+                      t["n_ngrams"].to_numpy(zero_copy_only=False))
+            novel_n = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(novel_n, inv,
+                      t["novel_ngrams"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"doc_id": pa.array(ud, pa.int64()),
+                 "n_ngrams": pa.array(n_ngrams, pa.int64()),
+                 "novel_ngrams": pa.array(novel_n, pa.int64()),
+                 "novelty_ppm": pa.array(
+                     1_000_000 * novel_n // n_ngrams, pa.int64())}
+            )
         df = (
             t.to_pandas()
             .groupby("doc_id", sort=False, as_index=False)[
@@ -165,6 +237,22 @@ def ngram_novelty(
         return pa.Table.from_pandas(df, preserve_index=False)
 
     posts = ds.map_batches(explode, batch_format="pyarrow")
+    if hash_mode:
+        # scale path: range-partition on the uint64 g VALUES (key_is_hash
+        # — no HKEY rehash column), chain into a computed-doc-key second
+        # exchange (key_fn — no doc key column, and the second exchange
+        # skips its map pass entirely via input_prepped). The explode's
+        # dedup lexsort already leaves every block g-sorted, so THIS
+        # exchange skips its prep pass too (input_prepped) — one fewer
+        # full pass over the posting bytes.
+        partials = hash_exchange(
+            posts, "g", first_and_partial, num_partitions,
+            input_prepped=True, key_is_hash=True, next_key_fn=_dockey,
+        )
+        return hash_exchange(
+            partials, "doc_id", total, num_partitions,
+            input_prepped=True, key_fn=_dockey,
+        )
     partials = hash_exchange(posts, "__gkey__", first_and_partial,
                              num_partitions)
     return hash_exchange(partials, "__gkey__", total, num_partitions)

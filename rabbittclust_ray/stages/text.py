@@ -248,6 +248,100 @@ def gopher_repetition(
             out = {int(k): int(v) for k, v in cw.items()}
         return out
 
+    def _f_hash(ids: np.ndarray, w, n_tok, wl) -> pa.Table:
+        """Packed-single-key numpy kernel for the hash surface: doc
+        POSITIONS (0..B-1) index fixed-size accumulators, n-gram groups
+        come from one lexsort + boundary mask per signal — no pandas."""
+        from rabbittclust_ray.stages.novelty import _combine_hashes
+
+        B = len(ids)
+        dpos = np.repeat(np.arange(B, dtype=np.int64), n_tok)
+        doc_chars = np.zeros(B, dtype=np.int64)
+        np.add.at(doc_chars, dpos, wl)
+        th = pd.util.hash_array(w.astype(object)).astype(np.uint64)
+
+        def top_cov(n: int) -> np.ndarray:
+            cov = np.zeros(B, dtype=np.int64)
+            L = len(w) - (n - 1)
+            if L <= 0:
+                return cov
+            same = np.ones(L, dtype=bool)
+            for j in range(1, n):
+                same &= dpos[j : L + j] == dpos[:L]
+            g = _combine_hashes(th, L, n).astype(np.uint64)[same]
+            glen = wl[:L].copy()
+            for j in range(1, n):
+                glen += wl[j : L + j]
+            glen = glen[same]
+            d = dpos[:L][same]
+            if len(g) == 0:
+                return cov
+            order = np.lexsort((g, d))
+            gs, ds2, gls = g[order], d[order], glen[order]
+            new_grp = np.empty(len(gs), dtype=bool)
+            new_grp[0:1] = True
+            new_grp[1:] = (ds2[1:] != ds2[:-1]) | (gs[1:] != gs[:-1])
+            starts = np.flatnonzero(new_grp)
+            cnt = np.diff(np.append(starts, len(gs)))
+            gd, gg, ggl = ds2[starts], gs[starts], gls[starts]
+            # top per doc: count desc, hash asc (the documented hash-order
+            # tie-break; int64 VIEW — the order the pre-numpy kernel used)
+            # — first row of each doc segment after this sort
+            order2 = np.lexsort((gg.view(np.int64), -cnt, gd))
+            d2 = gd[order2]
+            firstm = np.empty(len(d2), dtype=bool)
+            firstm[0:1] = True
+            firstm[1:] = d2[1:] != d2[:-1]
+            rows = order2[firstm]
+            cov[gd[rows]] = cnt[rows] * ggl[rows]
+            return cov
+
+        def dup_cov(n: int) -> np.ndarray:
+            out = np.zeros(B, dtype=np.int64)
+            L = len(w) - (n - 1)
+            if L <= 0:
+                return out
+            same = np.ones(L, dtype=bool)
+            for j in range(1, n):
+                same &= dpos[j : L + j] == dpos[:L]
+            g = _combine_hashes(th, L, n).astype(np.uint64)[same]
+            d = dpos[:L][same]
+            i = np.arange(L, dtype=np.int64)[same]
+            if len(g) == 0:
+                return out
+            order = np.lexsort((g, d))
+            gs, ds2, i_s = g[order], d[order], i[order]
+            new_grp = np.empty(len(gs), dtype=bool)
+            new_grp[0:1] = True
+            new_grp[1:] = (ds2[1:] != ds2[:-1]) | (gs[1:] != gs[:-1])
+            starts = np.flatnonzero(new_grp)
+            cnt = np.diff(np.append(starts, len(gs)))
+            dup_rows = np.repeat(cnt > 1, cnt)
+            starts_tok = i_s[dup_rows]
+            if len(starts_tok) == 0:
+                return out
+            covered = np.zeros(len(w), dtype=bool)
+            for j in range(n):
+                covered[starts_tok + j] = True
+            np.add.at(out, dpos[covered], wl[covered])
+            return out
+
+        def ppm(cov: np.ndarray) -> np.ndarray:
+            return np.where(
+                doc_chars > 0,
+                1_000_000 * cov // np.maximum(doc_chars, 1),
+                0,
+            ).astype(np.int64)
+
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "top2_char_ppm": pa.array(ppm(top_cov(2)), pa.int64()),
+                "top3_char_ppm": pa.array(ppm(top_cov(3)), pa.int64()),
+                "dup5_char_ppm": pa.array(ppm(dup_cov(5)), pa.int64()),
+            }
+        )
+
     def f(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         if t.num_rows == 0:
@@ -260,11 +354,10 @@ def gopher_repetition(
                 }
             )
         w, n_tok, wl = _doc_words(t)
+        if key_mode == "hash":
+            return _f_hash(ids, w, n_tok, wl)
         doc_of = np.repeat(ids, n_tok)
-        th = (
-            pd.util.hash_array(w.astype(object)).astype(np.uint64)
-            if key_mode == "hash" else None
-        )
+        th = None
         dc = pd.DataFrame({"d": doc_of, "wl": wl}).groupby(
             "d", sort=False)["wl"].sum()
         doc_chars = {int(k): int(v) for k, v in dc.items()}
