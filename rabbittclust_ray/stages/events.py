@@ -9,8 +9,15 @@ Ray-Data shape: one keyed exchange on ``user_id`` co-locates each user's
 events, then the reducer is a fully vectorized sort + diff + cumsum over
 its whole partition (no per-user Python loop). Partitioning assumption:
 one user's history fits a reducer partition — the classic sessionize
-contract; a user with more events than a partition can hold would need
-time-sliced salting, which no reference pipeline requires.
+contract. For event logs with WHALE users (a single user whose history
+exceeds a reducer partition), pass ``slice_s`` to ``sessionize``: the
+time-sliced salting path keys the event exchange on (user, time-slice)
+instead — the whale's history spreads across reducers, and a small
+per-(user, slice) summary exchange stitches sessions across slice
+boundaries exactly (see ``sessionize``'s docstring). The per-user
+aggregate family (``window_aggregate`` etc.) partial-aggregates per
+batch BEFORE its exchange, so a whale there collapses to one row per
+(user, window) per batch and needs no salting.
 """
 from __future__ import annotations
 
@@ -26,6 +33,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     num_partitions: int = 1024,
+    slice_s: float | None = None,
 ) -> ray.data.Dataset:
     """Per-event session assignment: ``(event_id, user_id, session_idx)``.
 
@@ -34,10 +42,24 @@ def sessionize(
     increments whenever the gap to the previous event exceeds ``gap_s``
     seconds (strictly greater — a gap of exactly ``gap_s`` stays in the
     session, matching SQL ``lag``-diff semantics).
-    """
+
+    ``slice_s=None`` (default) keys the exchange on ``user_id`` — one
+    user's history must fit a reducer partition. For whale-user logs,
+    pass ``slice_s`` (seconds per time slice, >= a few session gaps):
+    the salted path keys on (user, ts // slice_s) so a whale's history
+    spreads across reducers, sessionizes each slice locally, stitches
+    sessions across slice boundaries EXACTLY via a per-(user, slice)
+    summary exchange (rows = populated user-slices, not events), and
+    joins the per-slice session offsets back co-partitioned. Output is
+    identical to the classic path for any slice_s > 0."""
     from rabbittclust_ray.stages.pairs import hash_exchange
 
     gap_us = int(round(gap_s * 1_000_000))
+    if slice_s is not None:
+        return _sessionize_salted(
+            ds, gap_us, int(round(slice_s * 1_000_000)),
+            user_col, ts_col, id_col, num_partitions,
+        )
 
     def prep(t: pa.Table) -> pa.Table:
         ts = t[ts_col]
@@ -95,6 +117,260 @@ def sessionize(
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     return hash_exchange(prepped, "user_id", reduce, num_partitions)
+
+
+def _slice_key(uid: np.ndarray, sl: np.ndarray) -> np.ndarray:
+    """Uniform uint64 exchange key for the (user, slice) composite — used
+    only for ROUTING (co-location); reducers group/join on the actual
+    (user, slice) columns, so a 64-bit key collision merely co-locates two
+    groups, never merges them."""
+    from rabbittclust_ray.hashing import splitmix64
+
+    return splitmix64(
+        splitmix64(uid.astype(np.uint64))
+        ^ (sl.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    )
+
+
+def _sessionize_salted(
+    ds: ray.data.Dataset,
+    gap_us: int,
+    slice_us: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Whale-safe sessionize (see ``sessionize``): three exchanges —
+
+    A. events keyed on (user, ts//slice_us): local per-slice session
+       indices + one SUMMARY row per populated (user, slice)
+       (first_ts, last_ts, local session count);
+    B. summaries keyed on user (rows = populated user-slices, orders of
+       magnitude below events): exact cross-slice stitch — slice k's
+       session-index offset is off_{k-1} + nloc_{k-1} - joins_k, where
+       joins_k says slice k's first event continues slice k-1's last
+       session (gap <= gap_us);
+    C. event rows + offsets re-keyed on the same (user, slice) key:
+       co-partitioned group-aligned join, session_idx = local + offset.
+
+    The per-reducer bound becomes one user-SLICE, not one user."""
+    from rabbittclust_ray.stages.pairs import hash_exchange
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t[user_col].to_numpy(zero_copy_only=False)
+        sl = ts_us // slice_us
+        return pa.table(
+            {
+                "event_id": t[id_col].combine_chunks()
+                if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "sl": pa.array(sl, pa.int64()),
+                "ck": pa.array(_slice_key(uid, sl), pa.uint64()),
+            }
+        )
+
+    # phase-A output: tagged union (kind 0 = event row with local idx,
+    # kind 1 = per-(user, slice) summary) in ONE schema
+    empty_a = pa.table(
+        {
+            "kind": pa.array([], pa.int8()),
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "sl": pa.array([], pa.int64()),
+            "v1": pa.array([], pa.int64()),  # local_idx | first_ts
+            "v2": pa.array([], pa.int64()),  # 0         | last_ts
+            "v3": pa.array([], pa.int64()),  # 0         | nloc
+        }
+    )
+
+    def local_sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_a
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        sl = t["sl"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, sl, uid))
+        eid, uid, ts, sl = eid[order], uid[order], ts[order], sl[order]
+        new_grp = np.empty(len(uid), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (uid[1:] != uid[:-1]) | (sl[1:] != sl[:-1])
+        brk = np.empty(len(uid), dtype=np.int64)
+        brk[0] = 0
+        brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        brk[new_grp] = 0
+        cum = np.cumsum(brk)
+        base = np.zeros(len(uid), dtype=np.int64)
+        base[new_grp] = cum[new_grp]
+        np.maximum.accumulate(base, out=base)
+        local_idx = cum - base
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], len(uid)) - 1
+        zeros_e = np.zeros(len(eid), dtype=np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate([
+                    np.zeros(len(eid), dtype=np.int8),
+                    np.ones(len(starts), dtype=np.int8),
+                ]), pa.int8()),
+                "event_id": pa.array(np.concatenate([
+                    eid, np.full(len(starts), -1, dtype=np.int64),
+                ]), pa.int64()),
+                "user_id": pa.array(
+                    np.concatenate([uid, uid[starts]]), pa.int64()),
+                "sl": pa.array(np.concatenate([sl, sl[starts]]), pa.int64()),
+                "v1": pa.array(
+                    np.concatenate([local_idx, ts[starts]]), pa.int64()),
+                "v2": pa.array(np.concatenate([zeros_e, ts[ends]]), pa.int64()),
+                "v3": pa.array(np.concatenate([
+                    zeros_e, local_idx[ends] + 1,
+                ]), pa.int64()),
+            }
+        )
+
+    phase_a = hash_exchange(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "ck", local_sessions, num_partitions, key_is_hash=True,
+    )
+
+    empty_off = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "sl": pa.array([], pa.int64()),
+            "off": pa.array([], pa.int64()),
+            "ck": pa.array([], pa.uint64()),
+        }
+    )
+
+    def stitch(t: pa.Table) -> pa.Table:
+        """Per user: ordered populated slices -> exact session offsets."""
+        if t.num_rows == 0:
+            return empty_off
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        sl = t["sl"].to_numpy(zero_copy_only=False)
+        first_ts = t["v1"].to_numpy(zero_copy_only=False)
+        last_ts = t["v2"].to_numpy(zero_copy_only=False)
+        nloc = t["v3"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sl, uid))
+        uid, sl = uid[order], sl[order]
+        first_ts, last_ts, nloc = first_ts[order], last_ts[order], nloc[order]
+        new_u = np.empty(len(uid), dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        prev_nloc = np.empty(len(uid), dtype=np.int64)
+        prev_nloc[0] = 0
+        prev_nloc[1:] = nloc[:-1]
+        prev_nloc[new_u] = 0
+        joins = np.zeros(len(uid), dtype=np.int64)
+        joins[1:] = (first_ts[1:] - last_ts[:-1] <= gap_us).astype(np.int64)
+        joins[new_u] = 0
+        cum = np.cumsum(prev_nloc - joins)
+        base = np.zeros(len(uid), dtype=np.int64)
+        base[new_u] = cum[new_u]  # delta at a user start is 0
+        np.maximum.accumulate(base, out=base)
+        off = cum - base
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "sl": pa.array(sl, pa.int64()),
+                "off": pa.array(off, pa.int64()),
+                "ck": pa.array(_slice_key(uid, sl), pa.uint64()),
+            }
+        )
+
+    def only_summaries(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["kind"], 1))
+
+    summaries = phase_a.map_batches(only_summaries, batch_format="pyarrow")
+    offsets = hash_exchange(summaries, "user_id", stitch, num_partitions)
+
+    # phase C: event rows + offsets, co-keyed on ck; group-aligned join
+    empty_out = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "session_idx": pa.array([], pa.int64()),
+        }
+    )
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["kind"], 0))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        sl = t["sl"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "side": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "sl": t["sl"],
+                "v": t["v1"],
+                "ck": pa.array(_slice_key(uid, sl), pa.uint64()),
+            }
+        )
+
+    def prep_offsets(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "side": pa.array(
+                    np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+                "event_id": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
+                "user_id": t["user_id"],
+                "sl": t["sl"],
+                "v": t["off"],
+                "ck": t["ck"],
+            }
+        )
+
+    def join_off(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ev = side == 0
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        sl = t["sl"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        eid_e = t["event_id"].to_numpy(zero_copy_only=False)[ev]
+        u_e, s_e, loc = uid[ev], sl[ev], v[ev]
+        u_o, s_o, off_o = uid[~ev], sl[~ev], v[~ev]
+        if len(eid_e) == 0:
+            return empty_out
+        # both sides sorted by (user, slice) enumerate the SAME groups
+        # (offsets exist for exactly the populated user-slices, co-located
+        # by the shared ck key) -> align by group index, no key packing
+        oorder = np.lexsort((s_o, u_o))
+        u_o, s_o, off_o = u_o[oorder], s_o[oorder], off_o[oorder]
+        eorder = np.lexsort((s_e, u_e))
+        u_es, s_es = u_e[eorder], s_e[eorder]
+        new_grp = np.empty(len(u_es), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (u_es[1:] != u_es[:-1]) | (s_es[1:] != s_es[:-1])
+        gidx = np.cumsum(new_grp) - 1
+        session = loc[eorder] + off_o[gidx]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_e[eorder], pa.int64()),
+                "user_id": pa.array(u_es, pa.int64()),
+                "session_idx": pa.array(session, pa.int64()),
+            }
+        )
+
+    from rabbittclust_ray.stages.joins import _tag_union
+
+    both = _tag_union(phase_a, offsets, prep_events, prep_offsets)
+    return hash_exchange(both, "ck", join_off, num_partitions,
+                         key_is_hash=True)
 
 
 def window_aggregate(

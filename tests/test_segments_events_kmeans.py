@@ -156,6 +156,77 @@ class TestSessionize:
         ).to_pandas()
         assert stats["n_events"].sum() == 500
 
+    def test_salted_matches_classic(self):
+        """slice_s (whale-user salting) must reproduce the classic path
+        exactly — including sessions that span slice boundaries and
+        breaks that coincide with them."""
+        rng = np.random.default_rng(23)
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        rows = []
+        for eid in range(800):
+            uid = int(rng.integers(0, 10))
+            ts = base + np.timedelta64(int(rng.integers(0, 172_800)), "s")
+            rows.append((eid, uid, np.datetime64(ts, "us")))
+        classic = (
+            sessionize(self._events(rows), gap_s=600.0, num_partitions=8)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        for slice_s in (900.0, 3600.0, 86_400.0):
+            salted = (
+                sessionize(self._events(rows), gap_s=600.0,
+                           num_partitions=8, slice_s=slice_s)
+                .to_pandas().sort_values("event_id").reset_index(drop=True)
+            )
+            assert classic.values.tolist() == salted.values.tolist(), slice_s
+
+    def test_salted_whale_user_spreads_partitions(self):
+        """One whale user larger than any reducer slice: the salted path
+        must (a) route the whale across MANY distinct exchange keys — the
+        classic path pins all its events to one reducer — and (b) still
+        produce the exact classic assignment."""
+        from rabbittclust_ray.stages.events import _slice_key
+
+        rng = np.random.default_rng(7)
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        rows = []
+        # whale: 5000 events over ~60 days; minnows: 40 users x 10 events
+        t = 0
+        for eid in range(5000):
+            t += int(rng.integers(1, 2000))  # gaps up to ~33 min
+            rows.append((eid, 1, np.datetime64(base + np.timedelta64(t, "s"), "us")))
+        for eid in range(5000, 5400):
+            uid = 100 + (eid % 40)
+            ts = base + np.timedelta64(int(rng.integers(0, 86_400)), "s")
+            rows.append((eid, uid, np.datetime64(ts, "us")))
+        slice_s = 3600.0
+        ts_us = np.array([r[2] for r in rows if r[1] == 1],
+                         dtype="datetime64[us]").astype(np.int64)
+        whale_keys = _slice_key(
+            np.full(len(ts_us), 1, dtype=np.int64),
+            ts_us // int(slice_s * 1e6),
+        )
+        assert len(np.unique(whale_keys)) > 100  # whale really spreads
+        classic = (
+            sessionize(self._events(rows), gap_s=600.0, num_partitions=8)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        salted = (
+            sessionize(self._events(rows), gap_s=600.0, num_partitions=8,
+                       slice_s=slice_s)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        assert classic.values.tolist() == salted.values.tolist()
+        # the whale's sessions genuinely cross slice boundaries (the
+        # stitch engaged, not just per-slice numbering)
+        w = salted[salted.user_id == 1].sort_values("event_id")
+        sl_of = ts_us // int(slice_s * 1e6)
+        import pandas as pd
+
+        spans = pd.DataFrame(
+            {"s": w.session_idx.to_numpy(), "sl": sl_of}
+        ).groupby("s")["sl"].nunique()
+        assert (spans > 1).sum() > 50
+
 
 class TestKmeans:
     def _emb(self, X):
