@@ -28,7 +28,11 @@ from rabbittclust_ray.stages.sketch import sketch_documents
 @dataclass
 class GreedyResult:
     sketches: ray.data.Dataset
-    edges: ray.data.Dataset
+    # None on the clust_greedy_scale path: the scale mode never
+    # materializes the global threshold-edge list (that collection is the
+    # exact driver-OOM it exists to avoid) — consumers needing edges must
+    # use the classic path
+    edges: ray.data.Dataset | None
     assignments: ray.data.Dataset
     rep_of: dict[int, int]
 
@@ -77,10 +81,20 @@ def clust_greedy_scale(
     *,
     batch_docs: int = 200_000,
 ) -> GreedyResult:
-    """Scale-path greedy: bit-identical to ``clust_greedy`` WITHOUT ever
-    collecting the full edge list on the driver (the classic path's
-    ``edge_tbl`` concat is O(all threshold pairs) — a driver OOM at
-    10^12-file scale).
+    """Scale-path greedy: bit-identical to ``clust_greedy`` — UNDER
+    ``max_posting=None`` configs — WITHOUT ever collecting the full edge
+    list on the driver (the classic path's ``edge_tbl`` concat is O(all
+    threshold pairs) — a driver OOM at 10^12-file scale).
+
+    Posting-cap caveat: with a finite ``ccfg.max_posting`` the classic
+    path's ``candidate_edges`` DROPS hot postings (lossy prefilter, J5
+    semantics), while this path's rep probe is exact (the rep index is
+    bounded by reps << N, so it needs no cap) and its intra-batch
+    ``candidate_edges`` caps only within a batch. On dense duplicate
+    families the two paths can therefore diverge — the scale path errs
+    toward MORE merges (it sees pairs the cap dropped), which is the
+    better answer; bit-identity is only claimed, and tested, for
+    ``max_posting=None``. See test_greedy_scale_capped_divergence.
 
     Per order-batch (streamed off a DISTRIBUTED (sketch_size desc, id)
     sort):
@@ -113,8 +127,14 @@ def clust_greedy_scale(
         ["sketch_size", "doc_id"], descending=[True, False]
     ).materialize()
 
+    from rabbittclust_ray.stages.assign import RepIndex
+
     rep_of: dict[int, int] = {}
-    rep_parts: list[pa.Table] = []
+    # incremental rep index: ONE ray.put per batch of only that batch's
+    # NEW reps (the delta segment); probe actors merge the segments in
+    # __init__ (RepIndex.merge) — no O(R) driver rebuild / plasma re-put
+    # per round (that was O(N*R/batch_docs) overall)
+    index_refs: list = []
     thr = ccfg.threshold
 
     for batch in ordered.iter_batches(
@@ -125,10 +145,10 @@ def clust_greedy_scale(
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         # 1. frozen-rep probe (skip when no reps exist yet)
         best: dict[int, tuple[float, int]] = {}
-        if rep_parts:
-            reps_tbl = pa.concat_tables(rep_parts).combine_chunks()
+        if index_refs:
             probe = probe_sketches(
-                ray.data.from_arrow(batch), reps_tbl, scfg, ccfg, k=1
+                ray.data.from_arrow(batch), None, scfg, ccfg, k=1,
+                index_refs=list(index_refs),
             )
             for b in probe.iter_batches(batch_size=None, batch_format="pyarrow"):
                 q = b["query_id"].to_numpy(zero_copy_only=False)
@@ -170,10 +190,11 @@ def clust_greedy_scale(
         if batch_new:
             nr = np.sort(np.fromiter(batch_new, dtype=np.int64, count=len(batch_new)))
             pos = np.clip(np.searchsorted(nr, ids), 0, len(nr) - 1)
-            rep_parts.append(batch.filter(pa.array(nr[pos] == ids)))
+            new_reps = batch.filter(pa.array(nr[pos] == ids))
+            index_refs.append(ray.put(RepIndex.build(new_reps)))
 
     assignments = greedy_assignments(sketches, rep_of)
     return GreedyResult(
-        sketches=sketches, edges=None,  # type: ignore[arg-type]
+        sketches=sketches, edges=None,
         assignments=assignments, rep_of=rep_of,
     )

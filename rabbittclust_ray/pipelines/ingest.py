@@ -30,6 +30,7 @@ import ray
 import ray.data
 
 from rabbittclust_ray.config import SketchConfig
+from rabbittclust_ray.hashing import stable_doc_id as _stable_doc_id
 from rabbittclust_ray.pipelines.mst_state import (
     StateAppendResult,
     load_state_config,
@@ -113,9 +114,10 @@ def incremental_ingest(
             # a native id (driver testdata shape)
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         else:
-            from rabbittclust_ray.hashing import stable_doc_id
-
-            ids = stable_doc_id(
+            # module-level binding — this closure runs on WORKERS; a
+            # function-level package import would execute a real import
+            # on workers launched from a different CWD
+            ids = _stable_doc_id(
                 t["repo"].to_numpy(zero_copy_only=False),
                 t["path"].to_numpy(zero_copy_only=False),
                 t["commit"].to_numpy(zero_copy_only=False),

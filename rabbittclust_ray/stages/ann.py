@@ -1019,9 +1019,16 @@ def knn_join(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     num_partitions: int = 64,
+    query_ref=None,
 ) -> ray.data.Dataset:
     """Dataset-to-dataset exact cosine kNN join: for every LEFT row, its
     top-k cosine neighbours among the RIGHT rows.
+
+    ``query_ref``: optional pre-built ``ray.put((ids, normalized_matrix))``
+    of the LEFT side — callers that already hold the broadcast (e.g.
+    margin_mining, which needs the same matrix for its backward pass)
+    pass it here so the left side is collected/normalized/put exactly
+    once. Must be non-empty.
 
     The base operator for bitext mining / hard-negative mining /
     cross-corpus retrieval eval. Scale shape: the LEFT (query) side is the
@@ -1048,17 +1055,20 @@ def knn_join(
             "cosine_sim": pa.array([], pa.float64()),
         }
     )
-    lparts = [
-        b for b in left.iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows
-    ]
-    if not lparts:
-        return ray.data.from_arrow(_EMPTY_KNN)
-    left_tbl = pa.concat_tables(lparts).combine_chunks()
-    lt = _emb_matrix(left_tbl, emb_col)
-    lids = left_tbl[id_col].to_numpy(zero_copy_only=False)
-    ln = lt / np.maximum(np.linalg.norm(lt, axis=1, keepdims=True), 1e-30)
-    qref = ray.put((lids.astype(np.int64), ln))
+    if query_ref is not None:
+        qref = query_ref
+    else:
+        lparts = [
+            b for b in left.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not lparts:
+            return ray.data.from_arrow(_EMPTY_KNN)
+        left_tbl = pa.concat_tables(lparts).combine_chunks()
+        lt = _emb_matrix(left_tbl, emb_col)
+        lids = left_tbl[id_col].to_numpy(zero_copy_only=False)
+        ln = lt / np.maximum(np.linalg.norm(lt, axis=1, keepdims=True), 1e-30)
+        qref = ray.put((lids.astype(np.int64), ln))
 
     def partial_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1159,8 +1169,38 @@ def margin_mining(
     """
     from rabbittclust_ray.stages.pairs import hash_exchange
 
+    # collect + normalize + broadcast the LEFT side ONCE, id-sorted (the
+    # backward pass needs id order for bit-identical tie-breaks; the
+    # forward knn_join is per-query so row order is irrelevant to it) —
+    # both the forward join and bstats_map read the same plasma object
+    lparts = [
+        b for b in left.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not lparts:
+        lids = np.array([], dtype=np.int64)
+        lnorm = np.zeros((0, 0))
+    else:
+        left_tbl = pa.concat_tables(lparts).combine_chunks()
+        lids = left_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lorder = np.argsort(lids, kind="stable")
+        lm = _emb_matrix(left_tbl, emb_col)[lorder]
+        lids = lids[lorder]
+        lnorm = lm / np.maximum(np.linalg.norm(lm, axis=1, keepdims=True), 1e-30)
+    bref = ray.put((lids, lnorm))
+
+    _EMPTY_OUT = pa.table(
+        {
+            "src_id": pa.array([], pa.int64()),
+            "tgt_id": pa.array([], pa.int64()),
+            "margin_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if len(lids) == 0:
+        return ray.data.from_arrow(_EMPTY_OUT)
+
     fwd = knn_join(left, right, k, id_col=id_col, emb_col=emb_col,
-                   num_partitions=num_partitions)
+                   num_partitions=num_partitions, query_ref=bref)
 
     def per_query_stats(part: pa.Table) -> pa.Table:
         """(query_id, best id, best sim, mean of its k sims) per query —
@@ -1199,27 +1239,13 @@ def margin_mining(
     # driver as its broadcast query matrix (contradicting its 'left is
     # the small side' contract). But every right vector's EXACT kNN among
     # LEFT is complete within its own batch — LEFT is the broadcast small
-    # side — so the backward stats are one distributed map over right
-    # batches: no second knn_join, no exchange, nothing on the driver.
+    # side (the SAME plasma object the forward join used) — so the
+    # backward stats are one distributed map over right batches: no
+    # second knn_join, no exchange, nothing new on the driver.
     # Math is replicated bit-for-bit from knn_join -> per_query_stats:
     # top-k by (full-precision sim desc, left id asc — the left matrix is
     # pre-sorted by id so a stable argsort ties identically), round to 6,
     # then np.add.reduceat over the rank-ordered rounded sims.
-    lparts2 = [
-        b for b in left.iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows
-    ]
-    if not lparts2:
-        lids, lnorm = np.array([], dtype=np.int64), np.zeros((0, 0))
-    else:
-        left_tbl = pa.concat_tables(lparts2).combine_chunks()
-        lids = left_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        lorder = np.argsort(lids, kind="stable")
-        lm = _emb_matrix(left_tbl, emb_col)[lorder]
-        lids = lids[lorder]
-        lnorm = lm / np.maximum(np.linalg.norm(lm, axis=1, keepdims=True), 1e-30)
-    bref = ray.put((lids, lnorm))
-
     _EMPTY_STATS = pa.table(
         {
             "query_id": pa.array([], pa.int64()),

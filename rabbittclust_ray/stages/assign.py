@@ -54,6 +54,26 @@ class RepIndex:
         order = np.argsort(values, kind="stable")
         return cls(ids, sizes, values[order], rep_idx[order])
 
+    @classmethod
+    def merge(cls, segments: list["RepIndex"]) -> "RepIndex":
+        """Merge pre-built segment indexes (each internally hash-sorted)
+        into one. Lets an incremental producer (clust_greedy_scale) ship
+        only its DELTA index per batch: the driver builds/puts O(new reps)
+        per round, and each probe actor merges the broadcast segments once
+        in __init__ — O(R) on workers, in parallel, instead of O(R)
+        rebuild + plasma churn on the driver every batch."""
+        if len(segments) == 1:
+            return segments[0]
+        rep_ids = np.concatenate([s.rep_ids for s in segments])
+        rep_sizes = np.concatenate([s.rep_sizes for s in segments])
+        offs = np.cumsum([0] + [len(s.rep_ids) for s in segments[:-1]])
+        post_hash = np.concatenate([s.post_hash for s in segments])
+        post_rep = np.concatenate(
+            [s.post_rep + off for s, off in zip(segments, offs)]
+        )
+        order = np.argsort(post_hash, kind="stable")
+        return cls(rep_ids, rep_sizes, post_hash[order], post_rep[order])
+
     def common_counts(self, hashes: np.ndarray) -> np.ndarray:
         """Shared-hash count vs every rep for one query sketch (vectorized:
         searchsorted ranges + bincount over matched postings)."""
@@ -177,7 +197,13 @@ class SketchProbeActor:
     (doc_id, sketch, sketch_size)."""
 
     def __init__(self, index_ref, scfg: SketchConfig, ccfg: ClusterConfig, k: int = 1):
-        self.index: RepIndex = ray.get(index_ref)  # once per actor
+        # index_ref: one ref, or a list of segment refs (incremental
+        # producers put only their per-batch delta; merged here once per
+        # actor — see RepIndex.merge)
+        if isinstance(index_ref, (list, tuple)):
+            self.index = RepIndex.merge([ray.get(r) for r in index_ref])
+        else:
+            self.index: RepIndex = ray.get(index_ref)  # once per actor
         self.scfg = scfg
         self.ccfg = ccfg
         self.k = k
@@ -224,19 +250,24 @@ class SketchProbeActor:
 
 def probe_sketches(
     sketch_ds: ray.data.Dataset,
-    rep_sketches: pa.Table,
+    rep_sketches: pa.Table | None,
     scfg: SketchConfig,
     ccfg: ClusterConfig,
     k: int = 1,
     *,
     concurrency=(1, 4),
+    index_refs: list | None = None,
 ) -> ray.data.Dataset:
     """Top-k nearest reps per PRE-SKETCHED query row (actor pool over the
-    broadcast inverted index; see SketchProbeActor)."""
-    index_ref = ray.put(RepIndex.build(rep_sketches))
+    broadcast inverted index; see SketchProbeActor). Pass ``index_refs``
+    (list of ray.put RepIndex segments) instead of ``rep_sketches`` when
+    the caller maintains the index incrementally — only deltas are ever
+    serialized to plasma."""
+    ref = index_refs if index_refs is not None else ray.put(
+        RepIndex.build(rep_sketches))
     return sketch_ds.map_batches(
         SketchProbeActor,
-        fn_constructor_args=(index_ref, scfg, ccfg, k),
+        fn_constructor_args=(ref, scfg, ccfg, k),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=concurrency,

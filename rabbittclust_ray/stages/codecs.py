@@ -275,9 +275,13 @@ def decode_qoi(payload: bytes) -> np.ndarray:
         byte = data[pos]
         pos += 1
         if byte == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > ln:
+                raise ValueError("truncated QOI stream")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif byte == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > ln:
+                raise ValueError("truncated QOI stream")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         else:
@@ -290,6 +294,8 @@ def decode_qoi(payload: bytes) -> np.ndarray:
                 b = (b + (byte & 3) - 2) & 0xFF
             elif tag == 2:  # QOI_OP_LUMA (6-bit dg bias 32; 4-bit dr-dg/db-dg bias 8)
                 dg = (byte & 0x3F) - 32
+                if pos >= ln:
+                    raise ValueError("truncated QOI stream")
                 b2 = data[pos]
                 pos += 1
                 r = (r + dg + ((b2 >> 4) & 0x0F) - 8) & 0xFF

@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from rabbittclust_ray.hashing import splitmix64 as _splitmix64
+
 
 def sessionize(
     ds: ray.data.Dataset,
@@ -123,11 +125,14 @@ def _slice_key(uid: np.ndarray, sl: np.ndarray) -> np.ndarray:
     """Uniform uint64 exchange key for the (user, slice) composite — used
     only for ROUTING (co-location); reducers group/join on the actual
     (user, slice) columns, so a 64-bit key collision merely co-locates two
-    groups, never merges them."""
-    from rabbittclust_ray.hashing import splitmix64
+    groups, never merges them.
 
-    return splitmix64(
-        splitmix64(uid.astype(np.uint64))
+    Runs on WORKERS: splitmix64 must be a module-level binding (shipped
+    by value inside the pickled closure) — a function-level
+    ``from rabbittclust_ray...`` would execute a real import on workers
+    launched from a different CWD (stages/dedup.py _group_pairs note)."""
+    return _splitmix64(
+        _splitmix64(uid.astype(np.uint64))
         ^ (sl.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     )
 

@@ -25,7 +25,13 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from rabbittclust_ray.stages.codecs import decode_image, decode_wav, decode_y4m
+from rabbittclust_ray.stages.codecs import (
+    decode_image,
+    decode_wav,
+    decode_y4m,
+    encode_ppm as _encode_ppm,
+    resize_nearest as _resize_nearest,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -451,16 +457,13 @@ class ImageThumbnailActor:
     sha-checkable."""
 
     def __init__(self, out_hw: tuple[int, int] = (16, 16)):
-        from rabbittclust_ray.stages.codecs import (
-            decode_image,
-            encode_ppm,
-            resize_nearest,
-        )
-
+        # module-level codec bindings (NOT a function-level package
+        # import): __init__ runs on the WORKER — an import statement here
+        # executes a real import on workers launched from a different CWD
         self.out_hw = (int(out_hw[0]), int(out_hw[1]))
         self._decode = decode_image
-        self._resize = resize_nearest
-        self._encode = encode_ppm
+        self._resize = _resize_nearest
+        self._encode = _encode_ppm
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()

@@ -23,6 +23,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+# module-level binding: _combine_hashes/_dockey run on WORKERS inside
+# pickled-by-value closures — a function-level package import there would
+# execute a real import on workers launched from a different CWD
+# (stages/dedup.py _group_pairs note)
+from rabbittclust_ray.hashing import splitmix64 as _splitmix64
+
 
 def _combine_hashes(th: np.ndarray, L: int, n: int) -> np.ndarray:
     """Positional 64-bit combine of n consecutive token hashes — the
@@ -30,11 +36,9 @@ def _combine_hashes(th: np.ndarray, L: int, n: int) -> np.ndarray:
     string keys are the SQL-oracle surface, splitmix-combined uint64
     keys the scale path; a 64-bit collision merges two n-grams with
     ~birthday probability, negligible below ~10^9 distinct n-grams)."""
-    from rabbittclust_ray.hashing import splitmix64
-
     h = th[:L].copy()
     for j in range(1, n):
-        h = splitmix64(h ^ (th[j : L + j] * np.uint64(0x100000001B3)))
+        h = _splitmix64(h ^ (th[j : L + j] * np.uint64(0x100000001B3)))
     return h.astype(np.int64)
 
 
@@ -43,9 +47,7 @@ def _dockey(t: pa.Table) -> np.ndarray:
     ``key_fn`` contract): splitmix-mixed doc_id. Computed from row content,
     so NO key column ships through plasma — the same 8 B/row byte diet the
     pair exchanges use (stages/pairs.py key_fn notes)."""
-    from rabbittclust_ray.hashing import splitmix64
-
-    return splitmix64(
+    return _splitmix64(
         t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     )
 

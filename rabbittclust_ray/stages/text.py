@@ -17,6 +17,10 @@ import pyarrow as pa
 import ray.data
 
 from rabbittclust_ray.hashing import batch_window_hashes
+# module-level binding: _combine_hashes runs on WORKERS inside pickled
+# closures (gopher hash surface) — a function-level package import there
+# executes a real import on workers launched from a different CWD
+from rabbittclust_ray.stages.novelty import _combine_hashes
 from rabbittclust_ray.stages.pairs import _ragged_pairs, scan_complete_groups
 
 _TOKEN_SPLIT = re.compile(r"\s+")
@@ -193,8 +197,6 @@ def gopher_repetition(
             for j in range(1, n):
                 g = g + " " + w[j : L + j].astype(object)
             return g
-        from rabbittclust_ray.stages.novelty import _combine_hashes
-
         return _combine_hashes(th, L, n)
 
     def _top_ngram_cov(w, th, doc_of, wl, n):
@@ -252,8 +254,6 @@ def gopher_repetition(
         """Packed-single-key numpy kernel for the hash surface: doc
         POSITIONS (0..B-1) index fixed-size accumulators, n-gram groups
         come from one lexsort + boundary mask per signal — no pandas."""
-        from rabbittclust_ray.stages.novelty import _combine_hashes
-
         B = len(ids)
         dpos = np.repeat(np.arange(B, dtype=np.int64), n_tok)
         doc_chars = np.zeros(B, dtype=np.int64)

@@ -362,3 +362,23 @@ def test_real_decode_qoi_container(ray_session):
                [int(v) for v in ppm.loc[i, "feature"]]
     # the compressed payload differs from the raw one
     assert (qoi["payload_sha256"] != ppm["payload_sha256"]).all()
+
+
+def test_qoi_truncated_operands_raise_valueerror():
+    """A payload cut mid-operand (RGB/RGBA/LUMA argument bytes) must raise
+    the documented ValueError, not IndexError — pipeline callers catch
+    ValueError for malformed rows."""
+    import pytest
+
+    from rabbittclust_ray.stages.codecs import _QOI_END, decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    payload = encode_qoi(img)
+    body = payload[14:-8]
+    # cut the body at every prefix; re-attach header + end marker so only
+    # the operand truncation (not the end-marker check) is exercised
+    for cut in range(len(body)):
+        broken = payload[:14] + body[:cut] + _QOI_END
+        with pytest.raises(ValueError):
+            decode_qoi(broken)

@@ -176,3 +176,32 @@ def test_clust_greedy_scale_matches_classic(small_corpus):
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_greedy_scale_capped_divergence(small_corpus):
+    """Documented caveat (clust_greedy_scale docstring): with a finite
+    max_posting the classic path drops hot postings (pairs lost) while
+    the scale path's rep probe is exact — the paths may diverge on dense
+    duplicate families, with the scale path erring toward MORE merges.
+    This pins the documented direction: every pair the capped classic
+    path merges is also merged (same rep or transitively) by the scale
+    path at max_posting=None quality, and the scale path under the SAME
+    capped config never produces more clusters than classic + uncapped
+    disagreement would allow."""
+    from rabbittclust_ray.pipelines.clust_greedy import clust_greedy_scale
+
+    docs, _ = small_corpus
+    ds = ray.data.from_arrow(docs)
+    capped = ClusterConfig(threshold=0.05, max_posting=2, num_buckets=8)
+    classic = clust_greedy(ds, SCFG, capped)
+    scaled = clust_greedy_scale(ds, SCFG, capped, batch_docs=50)
+    uncapped = clust_greedy(ds, SCFG, CCFG)
+    n_classic = len(set(classic.rep_of.values()))
+    n_scaled = len(set(scaled.rep_of.values()))
+    n_exact = len(set(uncapped.rep_of.values()))
+    # direction: the cap can only LOSE merges => cluster counts ordered
+    assert n_exact <= n_scaled <= n_classic
+    # the probe path recovers capped-away merges: strictly closer to (or
+    # at) the uncapped answer than classic whenever the cap bit at all
+    if n_classic > n_exact:
+        assert n_scaled < n_classic
