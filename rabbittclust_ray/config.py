@@ -44,6 +44,13 @@ class SketchConfig:
                      normalization /root/reference/src/SketchInfo.cpp:1007-1017).
     seed           — mixes into every shingle hash (frozen like the
                      reference's seeds 23/348842630).
+    contain_compress — containment-mode VARIABLE sketch size (reference -c:
+                     per-doc size = max(length // containCompress, 100),
+                     /root/reference/src/SketchInfo.cpp:917-924). None
+                     (default) keeps the fixed bottom-k size; when set
+                     (bottomk mode only) each doc's bottom-k cap scales
+                     with its length, which is what the AAF/containment
+                     distance wants for asymmetric-size pairs.
     """
 
     shingle_k: int = 12
@@ -53,12 +60,18 @@ class SketchConfig:
     min_len: int = 100
     normalize: str = "ws"
     seed: int = 42
+    contain_compress: int | None = None
 
     def __post_init__(self) -> None:
         if self.mode not in ("bottomk", "mod"):
             raise ValueError(f"unknown sketch mode {self.mode!r}")
         if self.shingle_k < 2:
             raise ValueError("shingle_k must be >= 2")
+        if self.contain_compress is not None:
+            if self.mode != "bottomk":
+                raise ValueError("contain_compress requires mode='bottomk'")
+            if self.contain_compress < 1:
+                raise ValueError("contain_compress must be >= 1")
 
     @property
     def distance_k(self) -> int:

@@ -63,6 +63,14 @@ def sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
     sizes = np.zeros(len(bufs), dtype=np.int32)
     if cfg.mode == "mod":
         mask_val = np.uint64((1 << cfg.mod_bits) - 1)
+    if cfg.contain_compress is not None:
+        # containment-mode variable sketch size (reference -c:
+        # curSketchSize = max(fileLength / containCompress, 100),
+        # /root/reference/src/SketchInfo.cpp:917-924) — the per-doc cap
+        # scales with the doc's length column (the same length the
+        # min-len filter and medoid tie-breaks use)
+        doc_len = batch["length"].to_numpy(zero_copy_only=False)
+        caps = np.maximum(doc_len // cfg.contain_compress, 100).astype(np.int64)
     for i in range(len(bufs)):
         start, end = offsets[i], offsets[i + 1]
         if end - start < k:
@@ -71,6 +79,8 @@ def sketch_batch(batch: pa.Table, cfg: SketchConfig) -> pa.Table:
             win = hashes[start : end - k + 1]
             if cfg.mode == "mod":
                 sk = np.unique(win[(win & mask_val) == 0])
+            elif cfg.contain_compress is not None:
+                sk = np.unique(win)[: caps[i]]
             else:  # bottomk: smallest s DISTINCT hashes, sorted
                 sk = np.unique(win)[: cfg.sketch_size]
         sketches.append(sk)

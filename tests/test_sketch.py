@@ -173,3 +173,68 @@ def test_sha_bottomk_sketches_selection():
     # ws-normalization: doc 3 ("alpha  beta") collapses to doc 1's grams
     assert (np.sort(np.array(out[1]["sketch"])) ==
             np.sort(np.array(out[3]["sketch"]))).all()
+
+
+def test_contain_compress_variable_sketch_size():
+    """Reference -c parity (SketchInfo.cpp:917-924): per-doc bottom-k cap
+    = max(length // containCompress, 100), floored at 100; sketch size is
+    min(cap, distinct shingles)."""
+    import random
+
+    import pytest
+
+    rng = random.Random(5)
+    vocab = [f"tok{i:04d}" for i in range(3000)]
+    long_txt = " ".join(rng.choice(vocab) for _ in range(2000))   # ~18k chars
+    short_txt = " ".join(rng.choice(vocab) for _ in range(40))    # ~360 chars
+    cfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=64,
+                       normalize="none", min_len=0, contain_compress=32)
+    out = sketch_batch(_mk_batch([long_txt, short_txt]), cfg)
+    sizes = out["sketch_size"].to_pylist()
+    lens = out["length"].to_pylist()
+    # long doc: cap = len//32 >> 100 -> variable size, way above the fixed 64
+    assert sizes[0] == min(lens[0] // 32, lens[0] - 8 + 1)
+    assert sizes[0] > 100
+    # short doc: cap floors at 100
+    assert sizes[1] == min(100, lens[1] - 8 + 1)
+    # knob is bottomk-only and validated
+    with pytest.raises(ValueError):
+        SketchConfig(mode="mod", contain_compress=32)
+    with pytest.raises(ValueError):
+        SketchConfig(contain_compress=0)
+
+
+def test_contain_compress_aaf_closed_form():
+    """Containment estimate with variable sketch sizes: B = prefix half of
+    A => containment(B in A) ~ 1 => AAF distance ~ 0; an unrelated doc of
+    the same length scores far away. Closed form C = e^{-d k}
+    (greedy.cpp:1245-1259)."""
+    import random
+
+    from rabbittclust_ray.stages.pairs import containment_distance
+
+    rng = random.Random(9)
+    vocab = [f"w{i:05d}" for i in range(5000)]
+    a = " ".join(rng.choice(vocab) for _ in range(3000))
+    b = a[: len(a) // 2]
+    c = " ".join(rng.choice(vocab) for _ in range(1500))
+    cfg = SketchConfig(shingle_k=12, mode="bottomk", sketch_size=64,
+                       normalize="none", min_len=0, contain_compress=16)
+    out = sketch_batch(_mk_batch([a, b, c]), cfg)
+    sks = [np.array(s, dtype=np.uint64) for s in out["sketch"].to_pylist()]
+    sizes = out["sketch_size"].to_pylist()
+
+    def aaf(i, j):
+        common = np.intersect1d(sks[i], sks[j]).size
+        return float(containment_distance(
+            np.array([common]), np.array([sizes[i]]), np.array([sizes[j]]),
+            cfg.distance_k,
+        )[0])
+
+    d_ab = aaf(0, 1)
+    d_ac = aaf(0, 2)
+    # closed form: C_ab = e^{-d k} must be near 1 (prefix containment);
+    # the variable sizes make min(su, sv) = |sketch(B)| the right scale
+    assert np.exp(-d_ab * cfg.distance_k) > 0.9, d_ab
+    assert d_ab < 0.01
+    assert d_ac > 0.2, d_ac
