@@ -1,0 +1,83 @@
+"""1M-doc flagship (clust_mst + dedup) profile — round-5 verdict item 1
+evidence: dup_pairs / dedup_assignments are Datasets; no output-sized
+driver table. Prints CLUST_DEBUG stage ticks, driver RSS at the
+checkpoints that used to hold the output tables, and the Dataset row
+counts (consumed streaming).
+
+Usage: python scripts/flagship_1m_profile.py   [PROFILE_N_DOCS=1000000]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("CLUST_DEBUG", "1")
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024
+    return 0.0
+
+
+def main() -> int:
+    import ray
+
+    n_docs = int(os.environ.get("PROFILE_N_DOCS", "1000000"))
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    from rabbittclust_ray.config import ClusterConfig, SketchConfig
+    from rabbittclust_ray.corpus import bench_corpus_dataset
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    t0 = time.perf_counter()
+    corpus = bench_corpus_dataset(n_docs, doc_len=2000, seed=42).materialize()
+    print(f"corpus gen: {time.perf_counter()-t0:.1f}s rss={rss_mb():.0f}MB",
+          flush=True)
+
+    scfg = SketchConfig(shingle_k=24, mode="bottomk", sketch_size=256, min_len=100)
+    ccfg = ClusterConfig(threshold=0.05, dedup_dist=0.02, max_posting=256)
+
+    t0 = time.perf_counter()
+    res = clust_mst(corpus, scfg, ccfg)
+    build_s = time.perf_counter() - t0
+    print(f"clust_mst returned: {build_s:.1f}s rss={rss_mb():.0f}MB", flush=True)
+    print(f"types: dup_pairs={type(res.dup_pairs).__name__} "
+          f"dedup_assignments={type(res.dedup_assignments).__name__}", flush=True)
+
+    t0 = time.perf_counter()
+    n_assign = res.assignments.count()
+    print(f"assignments: {n_assign} rows {time.perf_counter()-t0:.1f}s "
+          f"rss={rss_mb():.0f}MB", flush=True)
+
+    # consume the dedup outputs STREAMING (counts only — nothing collected)
+    t0 = time.perf_counter()
+    n_pairs = res.dup_pairs.count()
+    print(f"dup_pairs: {n_pairs} rows {time.perf_counter()-t0:.1f}s "
+          f"rss={rss_mb():.0f}MB", flush=True)
+    t0 = time.perf_counter()
+    n_dd = res.dedup_assignments.count()
+    print(f"dedup_assignments: {n_dd} rows {time.perf_counter()-t0:.1f}s "
+          f"rss={rss_mb():.0f}MB", flush=True)
+    total = build_s
+    print(f"TOTAL flagship (clust_mst + assignments count): "
+          f"{build_s:.1f}s + streamed dedup outputs", flush=True)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
