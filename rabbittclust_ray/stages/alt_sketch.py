@@ -590,7 +590,11 @@ def cms_token_counts(
         flat = pc.split_pattern(txt, " ").flatten()
         toks = flat.to_numpy(zero_copy_only=False)
         toks = toks[toks != ""]
-        uniq, counts = np.unique(toks, return_counts=True)
+        # hash-based distinct, not np.unique's full string sort
+        import pandas as _pd
+
+        _inv, uniq = _pd.factorize(toks, sort=False)
+        counts = np.bincount(_inv)
         cell_ids, cell_cnt = [], []
         for r in range(depth):
             cols = _cms_cols(uniq, r, width, hasher)

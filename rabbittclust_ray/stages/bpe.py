@@ -270,7 +270,10 @@ def bpe_token_count(
         w, ids = w[keep], ids[keep]
         if len(w) == 0:
             return empty
-        uniq = np.unique(w)
+        # hash-based distinct + sort of the VOCAB-sized uniques — not
+        # np.unique's full lexicographic sort of every token occurrence
+        uniq = pd.unique(w)
+        uniq.sort()
         seq = pc.binary_join_element_wise(
             pa.scalar(" "),
             pc.replace_substring_regex(pa.array(uniq, pa.string()),
@@ -465,7 +468,10 @@ def bpe_fertility(
         w, grp = w[keep], grp[keep]
         if len(w) == 0:
             return empty
-        uniq = np.unique(w)
+        # hash-based distinct + sort of the VOCAB-sized uniques — not
+        # np.unique's full lexicographic sort of every token occurrence
+        uniq = pd.unique(w)
+        uniq.sort()
         seq = pc.binary_join_element_wise(
             pa.scalar(" "),
             pc.replace_substring_regex(pa.array(uniq, pa.string()),

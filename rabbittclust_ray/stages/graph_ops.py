@@ -892,7 +892,12 @@ def link_prediction(
         nbr = t["nbr"].to_numpy(zero_copy_only=False)
         order = np.lexsort((nbr, w))
         w, nbr = w[order], nbr[order]
-        _, counts = np.unique(w, return_counts=True)
+        # w is already sorted by the lexsort: run lengths from the
+        # boundary mask, no second sort
+        new_w = np.empty(len(w), dtype=bool)
+        new_w[0:1] = True
+        new_w[1:] = w[1:] != w[:-1]
+        counts = np.diff(np.append(np.flatnonzero(new_w), len(w)))
         ii, jj = _ragged_pairs(counts)
         if not len(ii):
             return _W

@@ -246,7 +246,9 @@ def pmi_bigrams(
         w, _ = _tokens(t)
         if len(w) == 0:
             return empty_uni
-        vals, cnts = np.unique(w, return_counts=True)
+        # hash-based distinct, not np.unique's full string sort
+        inv, vals = pd.factorize(w, sort=False)
+        cnts = np.bincount(inv)
         return pa.table(
             {
                 "w": pa.array(vals, pa.string()),

@@ -298,3 +298,64 @@ def test_exact_group_pairs_distributed():
     assert got == want
     # no duplicates emitted
     assert len(out) == len(got)
+
+
+def test_collapse_near_dups_ds_equals_driver_variant():
+    """The Dataset-output collapse (chunked-task pair expansion) must
+    reproduce collapse_near_dups row-for-row — including with a
+    pairs_per_block far below one family's pair count (many blocks) —
+    and the member->group map must drive drop_pairs_in_near_groups to
+    drop exactly the in-group pairs."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from rabbittclust_ray.stages.dedup import (
+        collapse_near_dups_ds,
+        drop_pairs_in_near_groups,
+    )
+
+    rng = np.random.default_rng(31)
+    edges = []
+    nid = 0
+    labels, lengths = {}, {}
+    for fam in range(12):  # chains of size 2..7
+        size = 2 + fam % 6
+        members = list(range(nid, nid + size))
+        nid += size
+        for a, b in zip(members, members[1:]):
+            edges.append((a, b, 0.005 + 0.001 * (a % 5)))
+        root = members[0]
+        for m in members:
+            labels[m] = root
+            lengths[m] = int(rng.integers(50, 500))
+    forest = _forest(edges)
+    base_a, base_p = collapse_near_dups(forest, labels, lengths, 0.02)
+    a_ds, p_ds, (ms, mg) = collapse_near_dups_ds(
+        forest, labels, lengths, 0.02, pairs_per_block=5, rows_per_block=7
+    )
+
+    def norm(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        norm(base_a.to_pandas(), ["doc_id"]), norm(a_ds.to_pandas(), ["doc_id"])
+    )
+    pd.testing.assert_frame_equal(
+        norm(base_p.to_pandas(), ["u", "v"]), norm(p_ds.to_pandas(), ["u", "v"])
+    )
+    # anti-join filter: in-group pairs dropped, cross-group pairs kept
+    in_grp = pa.table({"u": pa.array([0, 2], pa.int64()),
+                       "v": pa.array([1, 3], pa.int64()),
+                       "group_rep": pa.array([0, 2], pa.int64())})
+    # (0,1) same chain -> same group; (2, nid-1) cross family -> kept
+    cross = pa.table({"u": pa.array([2], pa.int64()),
+                      "v": pa.array([nid - 1], pa.int64()),
+                      "group_rep": pa.array([2], pa.int64())})
+    both = rd.from_arrow(pa.concat_tables([in_grp, cross]))
+    kept = drop_pairs_in_near_groups(both, ms, mg).to_pandas()
+    assert (2, nid - 1) in set(zip(kept.u, kept.v))
+    assert (0, 1) not in set(zip(kept.u, kept.v))
+    assert (2, 3) not in set(zip(kept.u, kept.v))
