@@ -1696,6 +1696,20 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ds, gap_s=1800.0, num_partitions=64)
 
 
+def _q_sessionize_salted(sf_dir: str):
+    """Whale-safe sessionize (time-sliced salting, slice_s=6h): the
+    exchange keys on (user, time-slice) so one user's history never has
+    to fit a single reducer; the cross-slice stitch is exact, so the
+    output — and therefore the SQL oracle — is IDENTICAL to the classic
+    per-user path (stages/events.py _sessionize_salted)."""
+    from rabbittclust_ray.stages.events import sessionize
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ds, gap_s=1800.0, num_partitions=64, slice_s=21600.0)
+
+
 def _q_kmeans(sf_dir: str):
     """Fixed-iteration Lloyd's k-means over the embeddings table
     (k=8, 2 updates, deterministic min-id init + truncated centroids so
@@ -5062,6 +5076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_segments": _q_dedup_segments,
         "chunk_docs": _q_chunk_docs,
         "sessionize": _q_sessionize,
+        "sessionize_salted": _q_sessionize_salted,
         "rfm_segments": _q_rfm_segments,
         "kmeans_embeddings": _q_kmeans,
         "vocab_top_tokens": _q_vocab_top_tokens,
@@ -5337,6 +5352,20 @@ def oracle_sql() -> dict[str, str]:
             ) g(i)
         """,
         "sessionize": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM e
+        """,
+        "sessionize_salted": """
             WITH e AS (
                 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
