@@ -181,6 +181,16 @@ def merge_sketches_by(
     """
     from rabbittclust_ray.stages.pairs import hash_exchange
 
+    if cfg.contain_compress is not None:
+        # the group-union truncation below assumes ONE fixed bottom-k cap;
+        # containment mode's per-DOC variable caps (max(len//c, 100)) have
+        # no exact union algebra without the group's total length — merge
+        # at fixed sketch_size (contain_compress=None) or re-sketch the
+        # concatenated group text instead
+        raise ValueError(
+            "merge_sketches_by does not support contain_compress "
+            "(per-doc variable caps have no exact union-truncate rule)"
+        )
     bottomk = cfg.mode == "bottomk"
     k = cfg.sketch_size
 

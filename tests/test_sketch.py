@@ -238,3 +238,26 @@ def test_contain_compress_aaf_closed_form():
     assert np.exp(-d_ab * cfg.distance_k) > 0.9, d_ab
     assert d_ab < 0.01
     assert d_ac > 0.2, d_ac
+
+
+def test_merge_sketches_rejects_contain_compress():
+    """merge_sketches_by's union-truncate algebra assumes one fixed
+    bottom-k cap; containment mode's per-doc caps must be rejected, not
+    silently merged wrong."""
+    import pytest
+    import ray
+    import ray.data
+
+    from rabbittclust_ray.stages.sketch import merge_sketches_by
+
+    cfg = SketchConfig(shingle_k=8, mode="bottomk", sketch_size=32,
+                       normalize="none", min_len=0, contain_compress=16)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "grp": pa.array([1], pa.int64()),
+        "sketch": pa.array([[1, 2]], pa.list_(pa.uint64())),
+        "sketch_size": pa.array([2], pa.int32()),
+        "length": pa.array([10], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="contain_compress"):
+        merge_sketches_by(ds, "grp", cfg)
