@@ -531,6 +531,20 @@ def _q_clusters_mst(sf_dir: str):
     return _exact_mst_cached(sf_dir, EX_THRESHOLD).assignments
 
 
+def _q_clusters_mst_scale(sf_dir: str):
+    """The flagship's labelprop SCALE path end-to-end: driver_labels_max=0
+    forces distributed components (label propagation) + the exchange-join
+    assignment path — no O(N) driver labels dict anywhere
+    (pipelines/clust_mst.py scale_labels branch). Output is identical to
+    the driver union-find path by construction (test_pipeline_mst pins
+    it), so it shares clusters_mst's SQL oracle — the driver can verify
+    the scale path itself."""
+    from rabbittclust_ray.pipelines.clust_mst import clust_mst
+
+    ccfg = _exact_ccfg(EX_THRESHOLD, driver_labels_max=0)
+    return clust_mst(_docs(sf_dir), _exact_scfg(), ccfg).assignments
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Dedup report: histogram of MST cluster sizes (shares the memoized
     exact-mode clust_mst run)."""
@@ -5059,6 +5073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "minhash_sketch": _q_minhash_sketch,
         "clusters_mst": _q_clusters_mst,
+        "clusters_mst_scale": _q_clusters_mst_scale,
         "communities_louvain": _q_communities_louvain,
         "dup_pairs_mst": _q_dup_pairs_mst,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -7475,6 +7490,9 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_drift_quality_sql())
     sql.update(_code_metrics_sql())
     sql.update(_window_analytics_sql())
+    # scale-path twin: identical output by construction (labelprop
+    # components == union-find components), so identical oracle
+    sql["clusters_mst_scale"] = sql["clusters_mst"]
     return sql
 
 
