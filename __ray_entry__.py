@@ -781,6 +781,23 @@ def _q_corpus_dedup(sf_dir: str):
     return res.report
 
 
+def _q_corpus_dedup_scale(sf_dir: str):
+    """The cascade's labelprop SCALE path end-to-end: driver_labels_max=0
+    forces distributed near-component labels + the keyed verdict join
+    (_report_scale, pipelines/dedup_corpus.py) — driver-O(1) structures.
+    Verdicts are identical to the driver union-find path by construction
+    (stress-verified at 480k/2M docs), so it shares corpus_dedup's SQL
+    oracle — the driver can verify the scale path itself."""
+    from rabbittclust_ray.pipelines.dedup_corpus import dedup_corpus
+
+    res = dedup_corpus(
+        _docs(sf_dir), _exact_scfg(),
+        _exact_ccfg(EX_DEDUP_DIST, driver_labels_max=0),
+        dedup_dist=EX_DEDUP_DIST,
+    )
+    return res.report
+
+
 def _corpus_dedup_sql(with_decon: bool = False) -> str:
     """exact stage = min-id per sha256(raw text); near stage = components
     of the exact-Jaccard <= EX_DEDUP_DIST graph over exact WINNERS only
@@ -5085,6 +5102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_dedup": _q_corpus_dedup,
+        "corpus_dedup_scale": _q_corpus_dedup_scale,
         "cross_corpus_dedup": _q_cross_corpus_dedup,
         "corpus_dedup_decon": _q_corpus_dedup_decon,
         "strip_dup_spans": _q_strip_dup_spans,
@@ -7493,6 +7511,7 @@ def oracle_sql() -> dict[str, str]:
     # scale-path twin: identical output by construction (labelprop
     # components == union-find components), so identical oracle
     sql["clusters_mst_scale"] = sql["clusters_mst"]
+    sql["corpus_dedup_scale"] = sql["corpus_dedup"]
     return sql
 
 
